@@ -1,0 +1,96 @@
+"""API shim mirroring the reference's public surface.
+
+Reference: ``CCM.new/3`` (lib/ccm.ex:20-42), ``CCM.cross_map/2``
+(lib/ccm.ex:48-74), ``CCM.bidirectional_ccm/1`` (lib/ccm.ex:79-84). A user
+of the reference passes two equal-length series and gets back nested maps;
+this class accepts python sequences (or an existing (pair_id, t, x, y)
+DataFrame for the many-series regime) and runs the single Catalyst plan of
+:mod:`ccm_spark.plans.cross_map`, collecting only the tiny result relation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ccm_spark.config import CCMConfig
+from ccm_spark.plans.cross_map import ccm_plan
+
+
+class CCM:
+    """``CCM(spark, x, y, embedding_dim=3, tau=1, lib_sizes=None,
+    num_samples=100, seed=42)`` — the reference's ``%CCM{}`` struct plus the
+    session handle and the rebuild's determinism seed."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        x_series: Sequence[float],
+        y_series: Sequence[float],
+        embedding_dim: int = 3,
+        tau: int = 1,
+        lib_sizes: Sequence[int] | None = None,
+        num_samples: int = 100,
+        seed: int = 42,
+    ):
+        self.config = CCMConfig(
+            embedding_dim=embedding_dim,
+            tau=tau,
+            num_samples=num_samples,
+            lib_sizes=list(lib_sizes) if lib_sizes is not None else None,
+            seed=seed,
+        )
+        # V1: equal-length validation (lib/ccm.ex:22-24)
+        self.config.validate_series(len(x_series), len(y_series))
+        self.spark = spark
+        rows = [
+            (0, t, float(xv), float(yv))
+            for t, (xv, yv) in enumerate(zip(x_series, y_series))
+        ]
+        self.series = spark.createDataFrame(
+            rows, "pair_id long, t long, x double, y double"
+        )
+        self.n_points = len(x_series)
+
+    @classmethod
+    def from_dataframe(cls, series: DataFrame, **kwargs) -> "CCM":
+        """Many-series mode: a (pair_id, t, x, y) DataFrame, one CCM per pair."""
+        obj = cls.__new__(cls)
+        obj.config = CCMConfig(**kwargs)
+        obj.spark = series.sparkSession
+        obj.series = series
+        obj.n_points = None
+        return obj
+
+    def result_df(self) -> DataFrame:
+        """The full lazy result relation
+        (pair_id, direction, lib_size, correlation, slope, convergent)."""
+        return ccm_plan(self.series, self.config)
+
+    def cross_map(self, direction: str = "x_causes_y") -> dict:
+        """Reference-shaped result map for one direction (lib/ccm.ex:69-73)."""
+        rows = (
+            self.result_df()
+            .where(f"direction = '{direction}'")
+            .orderBy("lib_size")
+            .collect()
+        )
+        return {
+            "direction": direction,
+            "results": [(r.lib_size, r.correlation) for r in rows],
+            "convergent": bool(rows[0].convergent) if rows else False,
+        }
+
+    def bidirectional_ccm(self) -> dict:
+        """Reference-shaped nested map (lib/ccm.ex:79-84), from ONE plan run."""
+        rows = self.result_df().orderBy("direction", "lib_size").collect()
+        out: dict = {}
+        for direction in ("x_causes_y", "y_causes_x"):
+            sub = [r for r in rows if r.direction == direction]
+            out[direction] = {
+                "direction": direction,
+                "results": [(r.lib_size, r.correlation) for r in sub],
+                "convergent": bool(sub[0].convergent) if sub else False,
+            }
+        return out

@@ -1,0 +1,44 @@
+"""Cross-engine deterministic scalar functions (hashing, tokenisation).
+
+Spark's ``xxhash64``/``hash`` and DuckDB's ``hash`` are different functions,
+so every operator whose results must hash-match across engines (dedup,
+minhash, simhash, fingerprinting) derives integers from ``md5`` hex digests,
+which both engines compute identically: the first 15 hex chars (60 bits)
+parsed as a BIGINT. Spark: ``conv(substr(md5(s),1,15),16,10)``; DuckDB:
+``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``.
+
+Tokenisation is a lowercase whitespace split with empties dropped — the one
+tokenizer both engines' regex dialects agree on.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+M61 = 2_305_843_009_213_693_951  # 2^61 - 1, Mersenne prime for mixing
+P31 = 2_147_483_647  # 2^31 - 1
+
+
+def md5_long(col: Column | str) -> Column:
+    """60-bit integer from md5 — identical in Spark and DuckDB."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_long(expr: str) -> str:
+    """DuckDB SQL for the same 60-bit md5 integer."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def tokens_col(text_col: Column | str) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def sql_tokens(expr: str) -> str:
+    """DuckDB equivalent of :func:`tokens_col`."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), t -> t != '')"
+    )

@@ -1,0 +1,74 @@
+"""J1/D1/K1 — brute-force exact kNN as a within-group join + top-k window.
+
+Reference parity: lib/ccm.ex:151-155 (J1 all-pairs distances),
+lib/ccm.ex:179-185 (D1 euclidean), lib/ccm.ex:146-160 (K1 take the
+k = min(E+1, |library|) nearest — the bounding simplex, README.md:91).
+
+Distance ties break by ascending library point index ``p`` (the reference's
+stable sort keeps its unseeded sample order, lib/ccm.ex:159, which cannot be
+replayed; ascending-p is the rebuild's deterministic spec, mirrored by the
+numpy oracle).
+
+Scale notes:
+  - The join key (pair_id, dir_id, lib_size, sample_id) bounds each group's
+    cross product at (P-L) x L; a sort-merge join over those keys scales to
+    arbitrarily many groups and AQE splits stragglers. No group ever exceeds
+    a single series' footprint, so no executor OOM at 1000x pairs.
+  - The distance is an unrolled fixed-order codegen expression (no UDF, no
+    array allocation in the hot loop).
+  - Exact kNN is the oracle-matching default; the scale alternative
+    (LSH / applyInPandas+KDTree) lives in fastpath.py as an opt-in.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+GROUP_KEYS = ["pair_id", "dir_id", "lib_size", "sample_id"]
+
+
+def distance_expr(embedding_dim: int, q_prefix: str = "q_e", l_prefix: str = "l_e"):
+    """D1: sqrt(sum_j (q_ej - l_ej)^2), unrolled in fixed j order so the
+    floating-point result is bit-identical across Spark/DuckDB/numpy."""
+    acc = None
+    for j in range(embedding_dim):
+        d = F.col(f"{q_prefix}{j}") - F.col(f"{l_prefix}{j}")
+        term = d * d
+        acc = term if acc is None else acc + term
+    return F.sqrt(acc)
+
+
+def knn_candidates(fanned: DataFrame, embedding_dim: int) -> DataFrame:
+    """J1: join prediction points against library points within each group.
+
+    ``fanned`` is the output of fan_out_with_rank. Returns one row per
+    (query point, library point) with the euclidean distance.
+    """
+    e_cols = [f"e{j}" for j in range(embedding_dim)]
+    libs = fanned.where(F.col("rank") <= F.col("lib_size")).select(
+        *GROUP_KEYS,
+        F.col("p").alias("l_p"),
+        *[F.col(c).alias(f"l_{c}") for c in e_cols],
+        F.col("tgt").alias("l_tgt"),
+    )
+    preds = fanned.where(F.col("rank") > F.col("lib_size")).select(
+        *GROUP_KEYS,
+        F.col("p").alias("q_p"),
+        *[F.col(c).alias(f"q_{c}") for c in e_cols],
+        F.col("tgt").alias("q_tgt"),
+    )
+    joined = preds.join(libs, GROUP_KEYS)
+    return joined.withColumn("dist", distance_expr(embedding_dim))
+
+
+def top_k_neighbors(candidates: DataFrame, embedding_dim: int) -> DataFrame:
+    """K1: keep the k = min(E+1, lib_size) nearest per query point."""
+    w = Window.partitionBy(*GROUP_KEYS, "q_p").orderBy(
+        F.col("dist").asc(), F.col("l_p").asc()
+    )
+    k = F.least(F.lit(embedding_dim + 1), F.col("lib_size"))
+    return (
+        candidates.withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+    )

@@ -1,0 +1,180 @@
+"""Seeded numpy oracle for CCM — the unit-test ground truth.
+
+This module re-states the reference's semantics (sragli/ccm, lib/ccm.ex) as
+vectorised numpy, with the rebuild's deterministic sampling spec. It is the
+single source of truth the Spark plan is tested against (tests compare to
+~1e-9; bit equality is not expected because aggregation order differs).
+
+Semantics covered (SURVEY.md §2 operator ids, reference file:line):
+  E1 time-delay embedding          lib/ccm.ex:99-107  (forward lags)
+  A1 target alignment              lib/ccm.ex:119
+  S1 bootstrap library sampling    lib/ccm.ex:109-117 (guard L>=P -> 0.0)
+  S2 prediction-set complement     lib/ccm.ex:121-124 (guard |pred|<2 -> 0.0)
+  J1/D1 brute-force euclidean kNN  lib/ccm.ex:151-155,179-185
+  K1 top-k, k=min(E+1,L)           lib/ccm.ex:146-160
+  W1 simplex weights               lib/ccm.ex:246-262 (1.0 if d<1e-12, else
+                                    exp(-d/(min_d+1e-8)))
+  P1 weighted prediction           lib/ccm.ex:142-177 (sum w==0 -> 0.0)
+  R1 Pearson correlation           lib/ccm.ex:187-213 (n<2 or den==0 -> 0.0)
+  R2 bootstrap mean                lib/ccm.ex:59-67   (sum/num_samples)
+  R3 OLS-slope convergence         lib/ccm.ex:215-244 (n<3 or den==0 -> False,
+                                    convergent iff slope > 0.001)
+  O1 direction dispatch            lib/ccm.ex:48-53   (x_causes_y embeds Y,
+                                    predicts X)
+
+Deliberate deviation from the reference: sampling is the deterministic LCG
+rank of :mod:`ccm_spark.rng` (the reference uses an unseeded RNG,
+lib/ccm.ex:117, which cannot be replayed); kNN distance ties break by
+ascending embedding index (the reference keeps unseeded sample order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ccm_spark.config import CCMConfig
+from ccm_spark.rng import lcg_rank_key
+
+DIRECTIONS = (("x_causes_y", 0), ("y_causes_x", 1))
+
+
+def time_delay_embedding(series: np.ndarray, embedding_dim: int, tau: int) -> np.ndarray:
+    """E1: row i = [s[i + j*tau] for j in 0..E-1], i in 0..P-1, P = N-(E-1)*tau."""
+    n = len(series)
+    p = n - (embedding_dim - 1) * tau
+    if p <= 0:
+        return np.empty((0, embedding_dim))
+    idx = np.arange(p)[:, None] + tau * np.arange(embedding_dim)[None, :]
+    return series[idx]
+
+
+def adjusted_target(target: np.ndarray, embedding_dim: int, tau: int) -> np.ndarray:
+    """A1: target[i + (E-1)*tau] pairs with embedding row i."""
+    return target[(embedding_dim - 1) * tau :]
+
+
+#: relative tolerance for the zero-variance guard. The reference checks the
+#: denominator for exact zero (lib/ccm.ex:212) in Elixir's arithmetic; in a
+#: distributed engine the sum order is nondeterministic, so an exactly-zero
+#: variance leaves a +-1e-10-ish cancellation residue that differs by engine.
+#: Treating variance below eps * max(sum_sq, 1) as zero makes the guard
+#: decision identical across numpy / Spark / DuckDB.
+VAR_EPS = 1e-9
+
+
+def pearson(a: np.ndarray, b: np.ndarray) -> float:
+    """R1 with the reference's guards: <2 pairs -> 0.0, zero variance -> 0.0."""
+    n = len(a)
+    if n < 2:
+        return 0.0
+    sa, sb = a.sum(), b.sum()
+    saa, sbb, sab = (a * a).sum(), (b * b).sum(), (a * b).sum()
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    if va <= VAR_EPS * max(saa, 1.0) or vb <= VAR_EPS * max(sbb, 1.0):
+        return 0.0
+    return float((n * sab - sa * sb) / (np.sqrt(va) * np.sqrt(vb)))
+
+
+def ols_slope(x: np.ndarray, y: np.ndarray) -> tuple[float, bool]:
+    """R3: (slope, convergent). <3 points or zero denominator -> (0.0, False)."""
+    n = len(x)
+    if n < 3:
+        return 0.0, False
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    den = n * sxx - sx * sx
+    if den == 0:
+        return 0.0, False
+    slope = float((n * sxy - sx * sy) / den)
+    return slope, slope > 0.001
+
+
+def library_split(
+    p: int, lib_size: int, sample_id: int, dir_id: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """S1/S2 deterministic split of point indices 0..P-1 into (library, preds).
+
+    Order key = LCG rank (ties by index); the first ``lib_size`` ranked
+    indices form the library, the complement is the prediction set.
+    """
+    idx = np.arange(p)
+    key = lcg_rank_key(idx, sample_id, lib_size, dir_id, seed)
+    order = np.lexsort((idx, key))  # sort by (key, idx)
+    return np.sort(order[:lib_size]), np.sort(order[lib_size:])
+
+
+def cross_map_sample(
+    emb: np.ndarray,
+    tgt: np.ndarray,
+    lib_size: int,
+    sample_id: int,
+    dir_id: int,
+    seed: int,
+    embedding_dim: int,
+) -> float:
+    """One bootstrap sample -> Pearson skill (0.0 on any degenerate guard)."""
+    p = emb.shape[0]
+    if lib_size >= p:
+        return 0.0
+    lib_idx, pred_idx = library_split(p, lib_size, sample_id, dir_id, seed)
+    if len(pred_idx) < 2:
+        return 0.0
+    lib = emb[lib_idx]  # (L, E)
+    queries = emb[pred_idx]  # (Q, E)
+    # J1/D1: all-pairs euclidean distances (Q, L)
+    d = np.sqrt(((queries[:, None, :] - lib[None, :, :]) ** 2).sum(axis=2))
+    k = min(embedding_dim + 1, lib_size)
+    # K1: k smallest per query, ties by ascending library position
+    nn = np.argsort(d, axis=1, kind="stable")[:, :k]  # (Q, k)
+    nd = np.take_along_axis(d, nn, axis=1)
+    # W1
+    min_d = nd.min(axis=1, keepdims=True)
+    w = np.where(nd < 1e-12, 1.0, np.exp(-nd / (min_d + 1e-8)))
+    # P1
+    neighbor_targets = tgt[lib_idx[nn]]
+    wsum = w.sum(axis=1)
+    predicted = np.where(wsum == 0, 0.0, (w * neighbor_targets).sum(axis=1) / np.where(wsum == 0, 1.0, wsum))
+    actual = tgt[pred_idx]
+    return pearson(actual, predicted)
+
+
+def cross_map(
+    x: np.ndarray, y: np.ndarray, config: CCMConfig, direction: str
+) -> dict:
+    """O1 + the full sweep for one direction. x_causes_y: embed Y, predict X."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    config.validate_series(len(x), len(y))
+    dir_id = dict(DIRECTIONS)[direction]
+    source, target = (y, x) if direction == "x_causes_y" else (x, y)
+    emb = time_delay_embedding(source, config.embedding_dim, config.tau)
+    tgt = adjusted_target(target, config.embedding_dim, config.tau)
+    lib_sizes = config.resolved_lib_sizes(len(x))
+    results = []
+    for lib_size in lib_sizes:
+        corrs = [
+            cross_map_sample(
+                emb, tgt, lib_size, s, dir_id, config.seed, config.embedding_dim
+            )
+            for s in range(config.num_samples)
+        ]
+        # R2: the reference divides by num_samples (lib/ccm.ex:59-67)
+        results.append((lib_size, float(np.sum(corrs) / config.num_samples)))
+    ls = np.array([r[0] for r in results], dtype=np.float64)
+    cs = np.array([r[1] for r in results], dtype=np.float64)
+    slope, convergent = ols_slope(ls, cs)
+    return {
+        "direction": direction,
+        "results": results,
+        "slope": slope,
+        "convergent": convergent,
+    }
+
+
+def bidirectional_ccm(x: np.ndarray, y: np.ndarray, config: CCMConfig) -> dict:
+    """O2 (lib/ccm.ex:79-84)."""
+    return {
+        "x_causes_y": cross_map(x, y, config, "x_causes_y"),
+        "y_causes_x": cross_map(x, y, config, "y_causes_x"),
+    }

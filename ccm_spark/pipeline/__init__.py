@@ -1,0 +1,3 @@
+from ccm_spark.pipeline import dedup, similarity, text, multimodal
+
+__all__ = ["dedup", "similarity", "text", "multimodal"]

@@ -1,0 +1,138 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Two paths, as a 100 TB pipeline needs both:
+  - ``cosine_topk``   — brute-force exact top-k: the correctness baseline.
+    A bounded query set against the full corpus; the score is a pure
+    fixed-order fold (no UDF), the per-query top-k is a window.
+  - ``srp_lsh_*``     — signed-random-projection LSH: hash vectors to
+    sign-bit buckets with deterministic LCG hyperplanes, then only compare
+    within buckets. Turns O(Q*N) into O(Q*N/2^planes) per probe; at scale
+    the bucket join is an equi-join Spark shuffles by bucket key.
+
+Embedding near-duplicate detection (cosine >= threshold within LSH buckets)
+reuses the same machinery — it is the `embedding-cosine near-dup` dedup
+operator of BASELINE.json.
+
+Determinism: hyperplane components come from the same LCG as the CCM
+sampler, so the DuckDB oracle regenerates them exactly; cosines are rounded
+before ranking with doc-id tie-breaks so both engines rank identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ccm_spark.rng import LCG_A, LCG_C, M31
+
+DIM = 64
+SRP_PLANES = 8
+
+
+def _dots(a, b) -> F.Column:
+    """Sequential-fold dot product of two double arrays (fixed order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def as_double_vec(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(a, b) -> F.Column:
+    """Cosine similarity of two double arrays; 0.0 when either norm is 0."""
+    dot = _dots(a, b)
+    na = F.sqrt(_dots(a, a))
+    nb = F.sqrt(_dots(b, b))
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 100, k: int = 5
+) -> DataFrame:
+    """Exact brute-force top-k: for vec_id < n_queries, the k most cosine-
+    similar other vectors. Rank key = (round(cos, 9) desc, target id asc) so
+    near-tie ordering is engine-independent."""
+    q = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), as_double_vec("embedding").alias("qv")
+    )
+    t = embeddings.select(
+        F.col("vec_id").alias("target_id"), as_double_vec("embedding").alias("tv")
+    )
+    scored = (
+        q.crossJoin(t)
+        .where(F.col("query_id") != F.col("target_id"))
+        .select(
+            "query_id",
+            "target_id",
+            F.round(cosine(F.col("qv"), F.col("tv")), 9).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("target_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("rk").alias("rank"), "target_id", "cos_sim")
+    )
+
+
+def srp_plane_values(planes: int = SRP_PLANES, dim: int = DIM, seed: int = 99) -> list[tuple[int, int, float]]:
+    """(plane, dim_idx, component) — deterministic pseudo-random hyperplanes
+    in [-1, 1], LCG-generated so any engine can rebuild them exactly."""
+    out = []
+    state = seed
+    for pl in range(planes):
+        for d in range(dim):
+            state = (LCG_A * state + LCG_C) % M31
+            out.append((pl, d, (state % 2001) / 1000.0 - 1.0))
+    return out
+
+
+def srp_buckets(
+    embeddings: DataFrame, planes: int = SRP_PLANES, seed: int = 99
+) -> DataFrame:
+    """(vec_id, bucket): sign-bit bucket id from dot products with the
+    hyperplanes. dot >= 0 -> bit set."""
+    spark = embeddings.sparkSession
+    plane_rows = srp_plane_values(planes, DIM, seed)
+    planes_df = spark.createDataFrame(plane_rows, "plane int, dim_idx int, comp double")
+    comps = (
+        embeddings.select(
+            "vec_id", F.posexplode(as_double_vec("embedding")).alias("dim_idx", "v")
+        )
+        .join(F.broadcast(planes_df), "dim_idx")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("v") * F.col("comp")).alias("dot"))
+    )
+    bit = F.when(F.col("dot") >= 0.0, F.shiftleft(F.lit(1).cast("long"), F.col("plane"))).otherwise(F.lit(0).cast("long"))
+    return comps.groupBy("vec_id").agg(F.sum(bit).alias("bucket"))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    planes: int = SRP_PLANES,
+    seed: int = 99,
+) -> DataFrame:
+    """Near-dup pairs: same SRP bucket AND exact cosine >= threshold."""
+    b = srp_buckets(embeddings, planes, seed)
+    vecs = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
+    left = b.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("v").alias("va")
+    )
+    right = b.join(vecs, "vec_id").select(
+        F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("v").alias("vb")
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

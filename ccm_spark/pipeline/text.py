@@ -1,0 +1,138 @@
+"""Text analysis over the ``documents`` table — training-data-pipeline ops.
+
+Beyond the reference's surface (the reference has no string functions at
+all, SURVEY.md §2.1); these are the text-quality operators a 100 TB corpus
+pipeline needs. All are pure built-in-function projections/aggregations:
+no UDFs, fully codegen'd, shuffle only where an explode-regroup is inherent
+(fingerprinting). Every computed double is rounded at the query boundary for
+cross-engine hash stability (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ccm_spark.functions.hashing import md5_long, tokens_col
+
+P31 = 2_147_483_647
+
+#: language marker stopwords for the n-gram/stopword language-ID heuristic.
+#: Deliberately tiny and deterministic; ties resolve alphabetically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "for"),
+    "es": ("el", "la", "de", "que", "en", "los", "por", "una"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+#: BPE-ish token estimate: English BPE vocabularies average ~4 chars/token,
+#: so a word of length n contributes ceil(n/4) subword units.
+BPE_CHARS_PER_TOKEN = 4
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token statistics: counts, distinct counts, type-token ratio,
+    mean token length — the raw signals for quality filters."""
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").alias("n_chars_text"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        "n_chars_text",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.col("n_unique") / F.col("n_tokens"))
+        .alias("ttr"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality score in [0, 1]: length saturation x lexical
+    diversity x alpha-token purity. Deterministic arithmetic only."""
+    toks = tokens_col("text")
+    alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_unique"),
+        F.size(alpha).cast("double").alias("n_alpha"),
+    )
+    saturation = F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+    diversity = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("n_unique") / F.col("n_tokens")
+    )
+    purity = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("n_alpha") / F.col("n_tokens")
+    )
+    return base.select(
+        "doc_id",
+        (saturation * (0.5 + 0.5 * diversity) * purity).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID: score each language by marker-token
+    hits; argmax wins, ties break alphabetically, zero hits -> 'und'."""
+    toks = tokens_col("text")
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t, ws=words: t.isin(*ws))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on structs orders by (hits, lang); alphabetical tie-break
+    # needs inverted lang ordering, so pick via sort_array descending on hits
+    # with lang ascending: encode as (hits, negated-lang) is messy — instead
+    # sort structs of (hits desc) by sorting on (-hits) isn't expressible for
+    # strings; use aggregate over the array keeping the better struct.
+    best = F.aggregate(
+        F.array(*scores),
+        F.struct(F.lit(-1).alias("hits"), F.lit("und").alias("lang")),
+        lambda acc, s: F.when(
+            (s["hits"] > acc["hits"]), s
+        ).otherwise(acc),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(best["hits"] <= 0, F.lit("und")).otherwise(best["lang"]).alias("predicted_lang"),
+        "lang",
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens, regex word-units, and a BPE-ish subword estimate."""
+    toks = tokens_col("text")
+    units = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+"), 0)
+    bpe_est = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / BPE_CHARS_PER_TOKEN).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(units).alias("regex_tokens"),
+        bpe_est.alias("bpe_est_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Positional rolling document fingerprint.
+
+    fp = sum_i ((md5_60bit(token_i) mod (2^31-1)) * (i+1)) mod (2^31-1) —
+    order-sensitive, exact integer arithmetic, identical in any engine.
+    Explode-regroup keyed by doc_id: one shuffle, perfectly partitionable.
+    """
+    toks = docs.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok"))
+    term = (md5_long(F.col("tok")) % P31) * (F.col("pos") + 1)
+    return (
+        toks.groupBy("doc_id")
+        .agg((F.sum(term) % P31).alias("fingerprint"))
+    )

@@ -1,0 +1,91 @@
+"""The full bidirectional CCM sweep as ONE lazy Catalyst plan.
+
+Pipeline (SURVEY.md §3.4): series -> E1/A1 lead-window embedding (per
+direction, unioned) -> C2 distributed ladder -> fan-out x samples with LCG
+rank (S1/S2) -> within-group join + unrolled distance (J1/D1) -> top-k
+window (K1) -> simplex weights (W1) -> weighted prediction agg (P1) ->
+per-sample Pearson (R1) -> per-lib-size mean (R2) -> OLS slope (R3).
+
+Nothing here executes — callers get DataFrames and Catalyst plans the whole
+DAG at once (predicate pushdown, partial aggregation, AQE re-planning all
+apply). Shuffle boundaries: the rank window, the kNN join, and the three
+aggregations — all keyed on (pair_id, dir_id, [lib_size, sample_id]), so
+parallelism grows with the pair fleet and no single key ever exceeds one
+series' bootstrap fan-out.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ccm_spark.config import CCMConfig
+from ccm_spark.operators.embedding import DIRECTION_NAMES, embed_bidirectional
+from ccm_spark.operators.knn import knn_candidates, top_k_neighbors
+from ccm_spark.operators.sampling import fan_out_with_rank, lib_sizes_df
+from ccm_spark.operators.simplex import simplex_weights, weighted_prediction
+from ccm_spark.operators.stats import convergence, pearson_by_sample, skill_by_lib_size
+
+
+def _direction_name_col() -> F.Column:
+    return (
+        F.when(F.col("dir_id") == 0, F.lit(DIRECTION_NAMES[0]))
+        .otherwise(F.lit(DIRECTION_NAMES[1]))
+        .alias("direction")
+    )
+
+
+def sample_corr_plan(series: DataFrame, config: CCMConfig) -> tuple[DataFrame, DataFrame]:
+    """Returns (per-sample correlations, lib-size grid spanning both dirs)."""
+    emb = embed_bidirectional(series, config.embedding_dim, config.tau)
+    if config.lib_sizes is not None:
+        spark = series.sparkSession
+        explicit = spark.createDataFrame(
+            [(int(ls),) for ls in config.lib_sizes], "lib_size int"
+        )
+        ladder = series.select("pair_id").distinct().crossJoin(explicit)
+    else:
+        ladder = lib_sizes_df(series, config.embedding_dim, config.tau)
+    fanned = fan_out_with_rank(emb, ladder, config.num_samples, config.seed)
+    cands = knn_candidates(fanned, config.embedding_dim)
+    nn = top_k_neighbors(cands, config.embedding_dim)
+    pred = weighted_prediction(simplex_weights(nn))
+    corr = pearson_by_sample(pred)
+    dirs = series.sparkSession.range(2).select(F.col("id").cast("int").alias("dir_id"))
+    lib_grid = ladder.crossJoin(F.broadcast(dirs))
+    return corr, lib_grid
+
+
+def skill_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
+    """(pair_id, direction, lib_size, correlation) — R2 output."""
+    corr, lib_grid = sample_corr_plan(series, config)
+    skill = skill_by_lib_size(corr, lib_grid, config.num_samples)
+    return skill.select(
+        "pair_id", _direction_name_col(), "lib_size", "correlation"
+    )
+
+
+def convergence_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
+    """(pair_id, direction, slope, convergent) — R3 output."""
+    corr, lib_grid = sample_corr_plan(series, config)
+    skill = skill_by_lib_size(corr, lib_grid, config.num_samples)
+    conv = convergence(skill)
+    return conv.select("pair_id", _direction_name_col(), "slope", "convergent")
+
+
+def ccm_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
+    """Joined skill + convergence: one row per (pair, direction, lib_size)."""
+    corr, lib_grid = sample_corr_plan(series, config)
+    skill = skill_by_lib_size(corr, lib_grid, config.num_samples)
+    conv = convergence(skill)
+    return (
+        skill.join(conv, ["pair_id", "dir_id"])
+        .select(
+            "pair_id",
+            _direction_name_col(),
+            "lib_size",
+            "correlation",
+            "slope",
+            "convergent",
+        )
+    )

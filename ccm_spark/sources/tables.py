@@ -1,0 +1,62 @@
+"""Parquet sources + the events -> aligned-series preparation.
+
+The reference takes in-memory lists (lib/ccm.ex:20); the rebuild's sources
+are parquet scans. ``events_pair_series`` turns the testdata events table
+into the reference's (pair_id, t, x, y) time-series shape: two event types
+become the two series, aligned on a dense per-type row index (the
+reference's implicit index-as-time model, README.md:60).
+
+Determinism: ``ts`` is read as INT64 nanoseconds (session.py nanosAsLong)
+but ordered at microsecond resolution with event_id tiebreak — DuckDB reads
+the same parquet at microsecond precision, so both engines sort identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_pair_series(
+    spark: SparkSession,
+    sf_dir: str,
+    x_event_type: str = "click",
+    y_event_type: str = "view",
+    max_points: int = 300,
+) -> DataFrame:
+    """(pair_id=0, t, x, y): x = value sequence of one event type, y of
+    another, each ordered by (microsecond ts, event_id), inner-aligned on t
+    and truncated to ``max_points`` (CCM cost grows as O(S * sum (P-L)*L),
+    so callers pin the series length; the reference's own workloads use
+    N ~= 300, test/ccm_test.exs:6)."""
+    ev = load_table(spark, sf_dir, "events")
+    # ns -> us with integer floor division (double division would round and
+    # could cross a microsecond boundary, breaking DuckDB order parity)
+    ts_us = F.expr("CAST(ts AS BIGINT) DIV 1000")
+    w = Window.partitionBy("event_type").orderBy(ts_us.asc(), F.col("event_id").asc())
+    ranked = ev.where(
+        F.col("event_type").isin([x_event_type, y_event_type])
+    ).select(
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).alias("t"),
+    ).where(F.col("t") < max_points)
+    xs = ranked.where(F.col("event_type") == x_event_type).select(
+        "t", F.col("value").alias("x")
+    )
+    ys = ranked.where(F.col("event_type") == y_event_type).select(
+        "t", F.col("value").alias("y")
+    )
+    return (
+        xs.join(ys, "t")
+        .select(F.lit(0).cast("long").alias("pair_id"), "t", "x", "y")
+    )
