@@ -1,0 +1,297 @@
+"""Driver-contract queries: one Spark callable + one DuckDB oracle SQL per
+implemented operator (SURVEY.md §2 inventory + BASELINE.json extensions).
+
+Every callable takes (spark, sf_dir) and returns a DataFrame whose column
+names/values match the corresponding ``oracle_sql`` entry (the driver sorts
+columns by name and hash-compares). Derived doubles are rounded to 6 (or 9
+for cosines) with ``+ 0.0`` to normalise -0.0; integers and md5-derived
+hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ccm_spark.config import CCMConfig
+from ccm_spark.operators.embedding import embed_bidirectional
+from ccm_spark.operators.knn import knn_candidates, top_k_neighbors
+from ccm_spark.operators.sampling import fan_out_with_rank, lib_sizes_df
+from ccm_spark.operators.simplex import simplex_weights, weighted_prediction
+from ccm_spark.operators.stats import pearson_by_sample, skill_by_lib_size, convergence
+from ccm_spark.pipeline import dedup, multimodal, similarity, text
+from ccm_spark.plans import oracle_sql as osql
+from ccm_spark.plans import oracle_sql_ext as oext
+from ccm_spark.plans.cross_map import ccm_plan, convergence_plan, sample_corr_plan, skill_plan
+from ccm_spark.plans.oracle_sql import PARAMS, CCMQueryParams
+from ccm_spark.session import configure_existing
+from ccm_spark.sources.tables import events_pair_series, load_table
+
+def _r6(c):
+    return F.round(c, 6) + F.lit(0.0)
+
+
+def _direction():
+    # lazy: building a Column requires an active SparkContext
+    return (
+        F.when(F.col("dir_id") == 0, F.lit("x_causes_y"))
+        .otherwise(F.lit("y_causes_x"))
+        .alias("direction")
+    )
+
+
+def _series(spark: SparkSession, sf_dir: str, p: CCMQueryParams = PARAMS) -> DataFrame:
+    configure_existing(spark)
+    return events_pair_series(
+        spark, sf_dir, p.x_event_type, p.y_event_type, p.n_points
+    )
+
+
+def _config(p: CCMQueryParams = PARAMS) -> CCMConfig:
+    return CCMConfig(
+        embedding_dim=p.embedding_dim,
+        tau=p.tau,
+        num_samples=p.num_samples,
+        lib_sizes=list(p.lib_sizes),
+        seed=p.seed,
+    )
+
+
+def _fanned(spark: SparkSession, sf_dir: str, p: CCMQueryParams = PARAMS) -> DataFrame:
+    series = _series(spark, sf_dir, p)
+    emb = embed_bidirectional(series, p.embedding_dim, p.tau)
+    explicit = spark.createDataFrame([(int(ls),) for ls in p.lib_sizes], "lib_size int")
+    ladder = series.select("pair_id").distinct().crossJoin(explicit)
+    return fan_out_with_rank(emb, ladder, p.num_samples, p.seed)
+
+
+# ------------------------------------------------------------- CCM queries
+
+def q_ccm_embedding(spark, sf_dir):
+    emb = embed_bidirectional(_series(spark, sf_dir), PARAMS.embedding_dim, PARAMS.tau)
+    e_cols = [f"e{j}" for j in range(PARAMS.embedding_dim)]
+    return emb.select("dir_id", "p", *e_cols, "tgt")
+
+
+def q_ccm_lib_ladder(spark, sf_dir):
+    return lib_sizes_df(_series(spark, sf_dir), PARAMS.embedding_dim, PARAMS.tau)
+
+
+def q_ccm_sampling(spark, sf_dir, lib_size=80, max_samples=3):
+    fanned = _fanned(spark, sf_dir)
+    return (
+        fanned.where((F.col("lib_size") == lib_size) & (F.col("sample_id") < max_samples))
+        .select(
+            "dir_id",
+            "sample_id",
+            "p",
+            F.col("rank").cast("int").alias("rnk"),
+            (F.col("rank") <= F.col("lib_size")).alias("is_lib"),
+        )
+    )
+
+
+def q_ccm_knn(spark, sf_dir, lib_size=80, sample_id=0):
+    fanned = _fanned(spark, sf_dir)
+    nn = top_k_neighbors(
+        knn_candidates(fanned, PARAMS.embedding_dim), PARAMS.embedding_dim
+    )
+    return (
+        nn.where((F.col("lib_size") == lib_size) & (F.col("sample_id") == sample_id))
+        .select(
+            "dir_id",
+            "q_p",
+            F.col("nn_rank").cast("int").alias("nn_rank"),
+            "l_p",
+            "dist",
+        )
+    )
+
+
+def q_ccm_correlation(spark, sf_dir):
+    fanned = _fanned(spark, sf_dir)
+    nn = top_k_neighbors(
+        knn_candidates(fanned, PARAMS.embedding_dim), PARAMS.embedding_dim
+    )
+    corr = pearson_by_sample(weighted_prediction(simplex_weights(nn)))
+    return corr.select(_direction(), "lib_size", "sample_id", _r6(F.col("corr")).alias("corr"))
+
+
+def q_ccm_skill(spark, sf_dir):
+    sk = skill_plan(_series(spark, sf_dir), _config())
+    return sk.select("direction", "lib_size", _r6(F.col("correlation")).alias("correlation"))
+
+
+def q_ccm_convergence(spark, sf_dir):
+    cv = convergence_plan(_series(spark, sf_dir), _config())
+    return cv.select("direction", _r6(F.col("slope")).alias("slope"), "convergent")
+
+
+def q_ccm_bidirectional(spark, sf_dir):
+    res = ccm_plan(_series(spark, sf_dir), _config())
+    return res.select(
+        "direction",
+        "lib_size",
+        _r6(F.col("correlation")).alias("correlation"),
+        _r6(F.col("slope")).alias("slope"),
+        "convergent",
+    )
+
+
+# ------------------------------------------------------ extension queries
+
+def _docs(spark, sf_dir):
+    configure_existing(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    configure_existing(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_text_token_stats(spark, sf_dir):
+    st = text.token_stats(_docs(spark, sf_dir))
+    return st.select(
+        "doc_id", "n_tokens", "n_unique", "n_chars_text", _r6(F.col("ttr")).alias("ttr")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    qs = text.quality_score(_docs(spark, sf_dir))
+    return qs.select("doc_id", _r6(F.col("quality")).alias("quality"))
+
+
+def q_text_langid(spark, sf_dir):
+    return text.language_id(_docs(spark, sf_dir))
+
+
+def q_text_token_counts(spark, sf_dir):
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    out = dedup.minhash_lsh_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    out = dedup.ngram_jaccard_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark, sf_dir):
+    out = dedup.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=6)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_embs(spark, sf_dir), n_queries=100, k=5)
+
+
+def q_ann_srp_buckets(spark, sf_dir):
+    return similarity.srp_buckets(_embs(spark, sf_dir))
+
+
+def q_dedup_embedding(spark, sf_dir):
+    # library default is 0.95; the synthetic embeddings max out near cosine
+    # 0.5, so the entry query uses 0.35 to exercise real candidate pairs
+    return similarity.embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.35)
+
+
+def q_multimodal_features(spark, sf_dir):
+    payloads = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    return multimodal.extract_payload_features(payloads)
+
+
+# ----------------------------------------------------------------- export
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "ccm_embedding": q_ccm_embedding,
+        "ccm_lib_ladder": q_ccm_lib_ladder,
+        "ccm_sampling": q_ccm_sampling,
+        "ccm_knn": q_ccm_knn,
+        "ccm_correlation": q_ccm_correlation,
+        "ccm_skill": q_ccm_skill,
+        "ccm_convergence": q_ccm_convergence,
+        "ccm_bidirectional": q_ccm_bidirectional,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_token_counts": q_text_token_counts,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_srp_buckets": q_ann_srp_buckets,
+        "dedup_embedding": q_dedup_embedding,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "ccm_embedding": osql.sql_ccm_embedding(),
+        "ccm_lib_ladder": osql.sql_ccm_lib_ladder(),
+        "ccm_sampling": osql.sql_ccm_sampling(),
+        "ccm_knn": osql.sql_ccm_knn(),
+        "ccm_correlation": osql.sql_ccm_correlation(),
+        "ccm_skill": osql.sql_ccm_skill(),
+        "ccm_convergence": osql.sql_ccm_convergence(),
+        "ccm_bidirectional": osql.sql_ccm_bidirectional(),
+        "text_token_stats": oext.sql_text_token_stats(),
+        "text_quality": oext.sql_text_quality(),
+        "text_langid": oext.sql_text_langid(),
+        "text_token_counts": oext.sql_text_token_counts(),
+        "text_fingerprint": oext.sql_text_fingerprint(),
+        "dedup_exact": oext.sql_dedup_exact(),
+        "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
+        "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
+        "dedup_simhash": oext.sql_dedup_simhash(),
+        "dedup_simhash_pairs": oext.sql_dedup_simhash_pairs(),
+        "ann_cosine_topk": oext.sql_ann_cosine_topk(),
+        "ann_srp_buckets": oext.sql_ann_srp_buckets(),
+        "dedup_embedding": oext.sql_dedup_embedding(0.35),
+        "multimodal_features": oext.sql_multimodal_features(),
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full bidirectional CCM on sf0.001 events-derived series."""
+    p = CCMQueryParams(n_points=150, lib_sizes=(30, 60, 90), num_samples=5)
+    series = events_pair_series(
+        spark, "/root/testdata/sf0.001", p.x_event_type, p.y_event_type, p.n_points
+    )
+    cfg = CCMConfig(
+        embedding_dim=p.embedding_dim,
+        tau=p.tau,
+        num_samples=p.num_samples,
+        lib_sizes=list(p.lib_sizes),
+        seed=p.seed,
+    )
+    res = ccm_plan(series, cfg)
+    return res.select(
+        "direction",
+        "lib_size",
+        _r6(F.col("correlation")).alias("correlation"),
+        _r6(F.col("slope")).alias("slope"),
+        "convergent",
+    )

@@ -107,7 +107,9 @@ def srp_buckets(
         .groupBy("vec_id", "plane")
         .agg(F.sum(F.col("v") * F.col("comp")).alias("dot"))
     )
-    bit = F.when(F.col("dot") >= 0.0, F.shiftleft(F.lit(1).cast("long"), F.col("plane"))).otherwise(F.lit(0).cast("long"))
+    # F.shiftleft needs a literal shift amount; the SQL form takes a column
+    pw = F.expr("shiftleft(CAST(1 AS BIGINT), plane)")
+    bit = F.when(F.col("dot") >= 0.0, pw).otherwise(F.lit(0).cast("long"))
     return comps.groupBy("vec_id").agg(F.sum(bit).alias("bucket"))
 
 

@@ -80,11 +80,14 @@ def language_id(docs: DataFrame) -> DataFrame:
     """Stopword-profile language ID: score each language by marker-token
     hits; argmax wins, ties break alphabetically, zero hits -> 'und'."""
     toks = tokens_col("text")
+
+    def marker_hits(words: tuple[str, ...]) -> F.Column:
+        # closure (not a lambda default arg: pyspark HOFs introspect the
+        # lambda arity, so an extra bound parameter breaks them)
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
     scores = [
-        F.struct(
-            F.size(F.filter(toks, lambda t, ws=words: t.isin(*ws))).alias("hits"),
-            F.lit(lang).alias("lang"),
-        )
+        F.struct(marker_hits(words).alias("hits"), F.lit(lang).alias("lang"))
         for lang, words in sorted(LANG_MARKERS.items())
     ]
     # array_max on structs orders by (hits, lang); alphabetical tie-break

@@ -235,15 +235,19 @@ def sql_ccm_embedding(p: CCMQueryParams = PARAMS) -> str:
 
 def sql_ccm_lib_ladder(p: CCMQueryParams = PARAMS) -> str:
     shift = (p.embedding_dim - 1) * p.tau
+    # DuckDB 1.0's generate_series cannot take lateral column args; the
+    # scalar range() list function + unnest does the same job.
     return (
         _with(_series_ctes(p))
         + f""",
-counts AS (SELECT pair_id, CAST(COUNT(*) - {shift} AS INT) AS maxl FROM series GROUP BY 1)
-SELECT pair_id, CAST(g.generate_series AS INT) AS lib_size
-FROM counts, generate_series(
-  CASE WHEN maxl < 10 THEN maxl ELSE GREATEST(maxl // 10, 5) END,
-  maxl,
-  CASE WHEN maxl < 10 THEN 1 ELSE GREATEST(2, maxl // 20) END) g"""
+counts AS (SELECT pair_id, CAST(COUNT(*) - {shift} AS BIGINT) AS maxl FROM series GROUP BY 1),
+ladders AS (
+  SELECT pair_id,
+         CASE WHEN maxl < 10 THEN [maxl]
+              ELSE range(GREATEST(maxl // 10, 5), maxl + 1, GREATEST(2, maxl // 20)) END AS ladder
+  FROM counts
+)
+SELECT pair_id, CAST(unnest(ladder) AS INT) AS lib_size FROM ladders"""
     )
 
 

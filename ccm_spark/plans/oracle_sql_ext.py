@@ -1,0 +1,304 @@
+"""DuckDB oracle SQL for the training-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal) — mirrors of
+``ccm_spark.pipeline.*``.
+
+Same determinism toolkit as oracle_sql.py: md5-derived integer hashes
+(``functions.hashing``), LCG-generated literal parameter tables shared with
+the Spark side, exact integer arithmetic, and `round(x, n) + 0.0` at double
+boundaries. DuckDB 1.0 quirks handled here: no lateral generate_series
+(scalar range() + zipped unnest instead), list functions for token work.
+"""
+
+from __future__ import annotations
+
+from ccm_spark.pipeline.dedup import (
+    LSH_BANDS,
+    NUM_PERMS,
+    SHINGLE_WIDTH,
+    SIMHASH_BITS,
+    minhash_perm_params,
+)
+from ccm_spark.pipeline.similarity import DIM, SRP_PLANES, srp_plane_values
+from ccm_spark.pipeline.text import BPE_CHARS_PER_TOKEN, LANG_MARKERS
+
+P31 = 2_147_483_647
+
+TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+
+
+def _md5_long(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- text ops
+
+def sql_text_token_stats() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks, length(text) AS nc FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+       CAST(nc AS INT) AS n_chars_text,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) + 0.0
+       END AS ttr
+FROM t"""
+
+
+def sql_text_quality() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_unique,
+         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha
+  FROM (SELECT doc_id, {TOKENS} AS toks FROM documents) s
+)
+SELECT doc_id,
+       round(
+         LEAST(1.0, n_tokens / 100.0)
+         * (0.5 + 0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_unique / n_tokens END))
+         * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_alpha / n_tokens END), 6) + 0.0 AS quality
+FROM t"""
+
+
+def sql_text_langid() -> str:
+    langs = sorted(LANG_MARKERS.items())
+    hit_cols = []
+    for lang, words in langs:
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"CAST(len(list_filter(toks, x -> list_contains([{lst}], x))) AS INT) AS h_{lang}"
+        )
+    names = [lang for lang, _ in langs]
+    greatest = ", ".join(f"h_{l}" for l in names)
+    chain = " ".join(
+        f"WHEN h_{l} >= GREATEST({greatest}) THEN '{l}'" for l in names
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {TOKENS} AS toks FROM documents),
+h AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM t)
+SELECT doc_id,
+       CASE WHEN GREATEST({greatest}) <= 0 THEN 'und' {chain} ELSE 'und' END AS predicted_lang,
+       lang
+FROM h"""
+
+
+def sql_text_token_counts() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS INT) AS regex_tokens,
+       COALESCE(CAST(list_sum(list_transform(toks,
+           x -> CAST(ceil(length(x) / {BPE_CHARS_PER_TOKEN}.0) AS BIGINT))) AS BIGINT), 0) AS bpe_est_tokens
+FROM t"""
+
+
+def sql_text_fingerprint() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+e AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos FROM t
+)
+SELECT doc_id,
+       SUM(({_md5_long('tok')} % {P31}) * (pos + 1)) % {P31} AS fingerprint
+FROM e GROUP BY doc_id"""
+
+
+# --------------------------------------------------------------- dedup ops
+
+def sql_dedup_exact() -> str:
+    return f"""
+SELECT {_md5_long('text')} AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY 1"""
+
+
+def _shingle_ctes(width: int = SHINGLE_WIDTH) -> str:
+    grams = " || ' ' || ".join(
+        f"list_extract(toks, i + {j})" for j in range(width)
+    )
+    return f"""
+t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {width - 2})) AS i FROM t),
+sh AS (
+  SELECT DISTINCT doc_id, ({_md5_long(f"({grams})")} % {P31}) AS shingle_hash
+  FROM pos
+)"""
+
+
+def _jaccard_tail(threshold: float) -> str:
+    return f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM cand_pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle_hash = sa.shingle_hash
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(c.n_common AS DOUBLE) / (na.n + nb.n - c.n_common), 6) + 0.0 AS jaccard
+FROM common c
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (na.n + nb.n - c.n_common) >= {threshold}"""
+
+
+def sql_dedup_minhash_lsh(threshold: float = 0.5, seed: int = 7) -> str:
+    perms = minhash_perm_params(NUM_PERMS, seed)
+    values = ", ".join(f"({j}, {a}, {b})" for j, a, b in perms)
+    rows_per_band = NUM_PERMS // LSH_BANDS
+    return f"""
+WITH {_shingle_ctes()},
+perms AS (SELECT CAST(perm_id AS INT) AS perm_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+          FROM (VALUES {values}) AS v(perm_id, a, b)),
+sig AS (
+  SELECT doc_id, perm_id, MIN((a * shingle_hash + b) % {P31}) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY 1, 2
+),
+band_keys AS (
+  SELECT doc_id, CAST(perm_id // {rows_per_band} AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band_keys a JOIN band_keys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),{_jaccard_tail(threshold)}"""
+
+
+def sql_dedup_ngram_jaccard(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_shingle_ctes()},
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+),{_jaccard_tail(threshold)}"""
+
+
+def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
+    bit_values = ", ".join(f"({b}, {1 << b})" for b in range(bits))
+    return f"""
+t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+th AS (SELECT doc_id, ({_md5_long('tok')} % {1 << bits}) AS h FROM tok),
+bits AS (SELECT CAST(bit AS INT) AS bit, CAST(pw AS BIGINT) AS pw
+         FROM (VALUES {bit_values}) AS v(bit, pw)),
+contrib AS (
+  SELECT doc_id, bit, pw,
+         SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS total
+  FROM th CROSS JOIN bits GROUP BY 1, 2, 3
+),
+fp AS (
+  SELECT doc_id, SUM(CASE WHEN total > 0 THEN pw ELSE 0 END) AS simhash
+  FROM contrib GROUP BY 1
+)"""
+
+
+def sql_dedup_simhash() -> str:
+    return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM fp"
+
+
+def sql_dedup_simhash_pairs(max_hamming: int = 6) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, (simhash // {1 << (8 * i)}) % 256 AS band_key FROM fp"
+        for i in range(4)
+    )
+    return f"""
+WITH {_simhash_ctes()},
+banded AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+
+
+# ---------------------------------------------------------- similarity ops
+
+def sql_ann_cosine_topk(n_queries: int = 100, k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {n_queries}),
+t AS (SELECT vec_id AS target_id, embedding::DOUBLE[] AS tv FROM embeddings),
+scored AS (
+  SELECT query_id, target_id,
+         round(CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 OR sqrt(list_dot_product(tv, tv)) = 0 THEN 0.0
+                    ELSE list_dot_product(qv, tv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(tv, tv)))
+               END, 9) AS cos_sim
+  FROM q CROSS JOIN t WHERE query_id != target_id
+),
+rk AS (
+  SELECT query_id, target_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, target_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INT) AS rank, target_id, cos_sim FROM rk WHERE rk <= {k}"""
+
+
+def _srp_ctes(planes: int = SRP_PLANES, seed: int = 99) -> str:
+    rows = srp_plane_values(planes, DIM, seed)
+    values = ", ".join(f"({pl}, {d}, {c!r})" for pl, d, c in rows)
+    pw_values = ", ".join(f"({pl}, {1 << pl})" for pl in range(planes))
+    return f"""
+planes AS (SELECT CAST(plane AS INT) AS plane, CAST(dim_idx AS INT) AS dim_idx, CAST(comp AS DOUBLE) AS comp
+           FROM (VALUES {values}) AS v(plane, dim_idx, comp)),
+plane_pw AS (SELECT CAST(plane AS INT) AS plane, CAST(pw AS BIGINT) AS pw
+             FROM (VALUES {pw_values}) AS v(plane, pw)),
+dots AS (
+  SELECT e.vec_id, p.plane,
+         SUM(list_extract(e.embedding::DOUBLE[], p.dim_idx + 1) * p.comp) AS dot
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT d.vec_id, SUM(CASE WHEN d.dot >= 0.0 THEN w.pw ELSE 0 END) AS bucket
+  FROM dots d JOIN plane_pw w ON w.plane = d.plane
+  GROUP BY 1
+)"""
+
+
+def sql_ann_srp_buckets() -> str:
+    return f"WITH {_srp_ctes()}\nSELECT vec_id, bucket FROM buckets"
+
+
+def sql_dedup_embedding(threshold: float = 0.95) -> str:
+    return f"""
+WITH {_srp_ctes()},
+v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, va.vec AS va, vb.vec AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(CASE WHEN sqrt(list_dot_product(va, va)) = 0 OR sqrt(list_dot_product(vb, vb)) = 0 THEN 0.0
+                    ELSE list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+               END, 9) AS cos_sim
+  FROM pairs
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}"""
+
+
+# ---------------------------------------------------------- multimodal ops
+
+def sql_multimodal_features() -> str:
+    return """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       md5(text) AS payload_md5,
+       CASE WHEN lower(hex(text::BLOB)) LIKE '89504e47%' THEN 'png'
+            WHEN lower(hex(text::BLOB)) LIKE 'ffd8ff%' THEN 'jpeg'
+            WHEN lower(hex(text::BLOB)) LIKE '47494638%' THEN 'gif'
+            WHEN lower(hex(text::BLOB)) LIKE '52494646%' THEN 'riff'
+            ELSE 'unknown' END AS sniffed_format
+FROM documents"""

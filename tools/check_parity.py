@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and the matching
+``oracle_sql()`` on DuckDB over the same sf dir, then compares row count,
+column names, and an order-insensitive value hash (rows sorted, values
+canonicalised). Usage::
+
+    python tools/check_parity.py [sf_dir] [query ...]
+
+Defaults to sf0.01 (the driver's t2 scale) and all queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from ccm_spark.session import get_spark  # noqa: E402
+from ccm_spark.sources.tables import TABLES  # noqa: E402
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0  # collapse -0.0
+        return repr(v)
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check-parity", master="local[8]", shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_n, s_h = table_hash(s_cols, s_rows)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"OK?   {name}: rows={s_n} (no oracle, rows-only) spark={t1-t0:.1f}s")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+            d_n, d_h = table_hash(d_cols, d_rows)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        t2 = time.time()
+        status = "OK" if (s_n, s_h) == (d_n, d_h) and sorted(s_cols) == sorted(d_cols) else "FAIL"
+        print(
+            f"{status:5s} {name}: spark rows={s_n} hash={s_h} ({t1-t0:.1f}s) | "
+            f"duckdb rows={d_n} hash={d_h} ({t2-t1:.1f}s) cols "
+            f"{'match' if sorted(s_cols)==sorted(d_cols) else f'{sorted(s_cols)} vs {sorted(d_cols)}'}"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if s_n == d_n and sorted(s_cols) == sorted(d_cols):
+                order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                s_set = sorted("\x1f".join(canon(r[i]) for i in order) for r in s_rows)
+                d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                d_set = sorted("\x1f".join(canon(r[i]) for i in d_order) for r in d_rows)
+                diffs = [
+                    (a, b) for a, b in zip(s_set, d_set) if a != b
+                ][:3]
+                for a, b in diffs:
+                    print(f"      spark : {a[:160]}")
+                    print(f"      duckdb: {b[:160]}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
