@@ -24,6 +24,7 @@ from ccm_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "ccm_bidirectional",
+    "ccm_bidirectional_fast",
     "ccm_knn",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -47,10 +48,28 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        spark.catalog.clearCache()  # isolate queries: drop persisted relations
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+
+    # fleet benchmark: 64 independent pairs through the applyInPandas fast
+    # path — the many-series scale story (one shuffle, numpy per pair)
+    from ccm_spark.config import CCMConfig
+    from ccm_spark.fastpath import ccm_apply_in_pandas
+    from ccm_spark.generators import generate_grid_df
+
+    t0 = time.time()
+    grid = [
+        {"pair_id": i, "kind": "g2", "length": 300, "coupling": 0.1 * (i % 5)}
+        for i in range(64)
+    ]
+    fleet = generate_grid_df(spark, grid)
+    cfg = CCMConfig(num_samples=20, seed=7)
+    n = ccm_apply_in_pandas(fleet, cfg).count()
+    timings["ccm_fleet_64x300"] = round(time.time() - t0, 3)
+    print(f"# ccm_fleet_64x300: {timings['ccm_fleet_64x300']:.2f}s rows={n}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -140,6 +140,21 @@ def q_ccm_bidirectional(spark, sf_dir):
     )
 
 
+def q_ccm_bidirectional_fast(spark, sf_dir):
+    """Same result via the applyInPandas fast path (fastpath.py): identical
+    seeded sampling, so it matches the same DuckDB oracle after rounding."""
+    from ccm_spark.fastpath import ccm_apply_in_pandas
+
+    res = ccm_apply_in_pandas(_series(spark, sf_dir), _config())
+    return res.select(
+        "direction",
+        "lib_size",
+        _r6(F.col("correlation")).alias("correlation"),
+        _r6(F.col("slope")).alias("slope"),
+        "convergent",
+    )
+
+
 # ------------------------------------------------------ extension queries
 
 def _docs(spark, sf_dir):
@@ -230,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccm_skill": q_ccm_skill,
         "ccm_convergence": q_ccm_convergence,
         "ccm_bidirectional": q_ccm_bidirectional,
+        "ccm_bidirectional_fast": q_ccm_bidirectional_fast,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -257,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "ccm_skill": osql.sql_ccm_skill(),
         "ccm_convergence": osql.sql_ccm_convergence(),
         "ccm_bidirectional": osql.sql_ccm_bidirectional(),
+        "ccm_bidirectional_fast": osql.sql_ccm_bidirectional(),
         "text_token_stats": oext.sql_text_token_stats(),
         "text_quality": oext.sql_text_quality(),
         "text_langid": oext.sql_text_langid(),

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from ccm_spark.functions.partitioning import spread
 
 #: (magic-prefix hex, format) sniffing table for the metadata extractor
 MAGIC = [
@@ -34,7 +35,7 @@ MAGIC = [
 def with_binary_payload(docs: DataFrame) -> DataFrame:
     """Attach an opaque binary column (UTF-8 bytes of text here — the
     testdata has no real media; the plumbing is payload-agnostic)."""
-    return docs.select(
+    return spread(docs, "doc_id").select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.struct(

@@ -24,6 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from ccm_spark.rng import LCG_A, LCG_C, M31
+from ccm_spark.functions.partitioning import spread
 
 DIM = 64
 SRP_PLANES = 8
@@ -41,11 +42,26 @@ def as_double_vec(col) -> F.Column:
 
 
 def cosine(a, b) -> F.Column:
-    """Cosine similarity of two double arrays; 0.0 when either norm is 0."""
+    """Cosine similarity of two double arrays; 0.0 when either norm is 0.
+
+    Pure-expression form: exactly engine-portable (fixed fold order), but
+    Spark interprets higher-order lambdas per element (~25us/op — they are
+    not codegen'd), so this is only for small candidate sets and tests.
+    The hot paths use :func:`cosine_pandas`."""
     dot = _dots(a, b)
     na = F.sqrt(_dots(a, a))
     nb = F.sqrt(_dots(b, b))
     return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def cosine_pandas():
+    """Vectorised cosine as an Arrow-batched pandas UDF (numpy per batch).
+    Same result to float ulp — the query boundary rounds to 9 decimals, so
+    oracle parity is unaffected. Defined in functions.vector_udfs because
+    pandas_udf cannot live under postponed annotations."""
+    from ccm_spark.functions.vector_udfs import cosine_sim
+
+    return cosine_sim
 
 
 def cosine_topk(
@@ -54,21 +70,44 @@ def cosine_topk(
     """Exact brute-force top-k: for vec_id < n_queries, the k most cosine-
     similar other vectors. Rank key = (round(cos, 9) desc, target id asc) so
     near-tie ordering is engine-independent."""
-    q = embeddings.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), as_double_vec("embedding").alias("qv")
+    import numpy as np
+    import pandas as pd
+
+    # The bounded query set (n_queries rows) ships to executors inside the
+    # mapInPandas closure as one dense numpy matrix; each target batch is a
+    # single matmul against it. No pair-wise array materialisation, no
+    # per-pair Arrow transfer — only (target, query, score) scalars leave.
+    q_rows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .collect()
     )
-    t = embeddings.select(
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+
+    t = spread(embeddings, "vec_id").select(
         F.col("vec_id").alias("target_id"), as_double_vec("embedding").alias("tv")
     )
-    scored = (
-        q.crossJoin(t)
-        .where(F.col("query_id") != F.col("target_id"))
-        .select(
-            "query_id",
-            "target_id",
-            F.round(cosine(F.col("qv"), F.col("tv")), 9).alias("cos_sim"),
-        )
-    )
+
+    def score(batches):
+        for pdf in batches:
+            tm = np.stack(pdf["tv"].to_numpy()).astype(np.float64)
+            tn = np.sqrt(np.einsum("ij,ij->i", tm, tm))
+            denom = np.outer(tn, q_norm)
+            cos = np.where(denom == 0.0, 0.0, (tm @ q_mat.T) / np.where(denom == 0.0, 1.0, denom))
+            nt, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, nt),
+                    "target_id": np.repeat(pdf["target_id"].to_numpy(), nq),
+                    "cos_sim": np.round(cos.ravel(), 9),
+                }
+            )
+
+    scored = t.mapInPandas(
+        score, schema="query_id long, target_id long, cos_sim double"
+    ).where(F.col("query_id") != F.col("target_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("target_id").asc()
     )
@@ -97,6 +136,7 @@ def srp_buckets(
     """(vec_id, bucket): sign-bit bucket id from dot products with the
     hyperplanes. dot >= 0 -> bit set."""
     spark = embeddings.sparkSession
+    embeddings = spread(embeddings, "vec_id")  # spread single-file inputs
     plane_rows = srp_plane_values(planes, DIM, seed)
     planes_df = spark.createDataFrame(plane_rows, "plane int, dim_idx int, comp double")
     comps = (
@@ -120,7 +160,10 @@ def embedding_near_duplicates(
     seed: int = 99,
 ) -> DataFrame:
     """Near-dup pairs: same SRP bucket AND exact cosine >= threshold."""
-    b = srp_buckets(embeddings, planes, seed)
+    from pyspark.storagelevel import StorageLevel
+
+    # bucket relation is read by both join sides — persist over recompute
+    b = srp_buckets(embeddings, planes, seed).persist(StorageLevel.MEMORY_AND_DISK)
     vecs = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
     left = b.join(vecs, "vec_id").select(
         F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("v").alias("va")
@@ -128,13 +171,14 @@ def embedding_near_duplicates(
     right = b.join(vecs, "vec_id").select(
         F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("v").alias("vb")
     )
+    cos = cosine_pandas()
     return (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cos_sim"),
+            F.round(cos(F.col("va"), F.col("vb")), 9).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

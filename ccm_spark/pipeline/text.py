@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ccm_spark.functions.hashing import md5_long, tokens_col
+from ccm_spark.functions.partitioning import spread
 
 P31 = 2_147_483_647
 
@@ -133,6 +134,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     order-sensitive, exact integer arithmetic, identical in any engine.
     Explode-regroup keyed by doc_id: one shuffle, perfectly partitionable.
     """
+    docs = spread(docs, "doc_id")  # spread single-file inputs
     toks = docs.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok"))
     term = (md5_long(F.col("tok")) % P31) * (F.col("pos") + 1)
     return (

@@ -1,0 +1,147 @@
+"""Unit tests for the training-data-pipeline operators on tiny literal
+corpora with hand-computable expectations. (Cross-engine parity vs DuckDB is
+covered separately by tools/check_parity.py.)"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+import pyspark.sql.functions as F
+
+from ccm_spark.pipeline import dedup, multimodal, similarity, text
+
+
+def docs_df(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t, "xx", f"src{i}", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_exact_duplicates(spark):
+    d = docs_df(spark, ["a b c", "a b c", "x y z", "a b c"])
+    rows = {r.keep_doc_id: r for r in dedup.exact_duplicates(d).collect()}
+    assert rows[0].n_copies == 3 and rows[0].n_sources == 3
+    assert rows[2].n_copies == 1
+
+
+def test_shingles_width_guard(spark):
+    d = docs_df(spark, ["one two", "one two three four"])
+    sh = dedup.shingles(d).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, []).append(r.shingle_hash)
+    assert 0 not in by_doc  # 2 tokens < width 3 -> no shingles
+    assert len(by_doc[1]) == 2  # 4 tokens -> 2 trigrams
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words with nothing shared at all here now ok"
+    d = docs_df(spark, [base, near, far])
+    pairs = dedup.minhash_lsh_duplicates(d, threshold=0.3).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+    assert 0.3 <= pairs[0].jaccard < 1.0
+
+
+def test_ngram_jaccard_identical_pair(spark):
+    d = docs_df(spark, ["a b c d e", "a b c d e", "p q r s t"])
+    pairs = dedup.ngram_jaccard_duplicates(d, threshold=0.99).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+    assert pairs[0].jaccard == 1.0
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    d = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta eps zeta"])
+    fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(d).collect()}
+    assert fp[0] == fp[1] != fp[2]
+    assert 0 <= fp[0] < 2**32
+    pairs = dedup.simhash_near_duplicates(d, max_hamming=0).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+
+
+def test_token_stats_and_quality(spark):
+    d = docs_df(spark, ["a a b", ""])
+    st = {r.doc_id: r for r in text.token_stats(d).collect()}
+    assert st[0].n_tokens == 3 and st[0].n_unique == 2
+    assert st[0].ttr == pytest.approx(2 / 3)
+    assert st[1].n_tokens == 0 and st[1].ttr == 0.0
+    q = {r.doc_id: r.quality for r in text.quality_score(d).collect()}
+    # 3 tokens: saturation .03, diversity 2/3, purity 1 -> .03*(0.5+1/3)
+    assert q[0] == pytest.approx(0.03 * (0.5 + 0.5 * 2 / 3))
+    assert q[1] == 0.0
+
+
+def test_language_id(spark):
+    d = docs_df(spark, ["the cat and the dog", "el gato en la casa", "zzz qqq"])
+    out = {r.doc_id: r.predicted_lang for r in text.language_id(d).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    d = docs_df(spark, ["a b", "b a"])
+    fp = {r.doc_id: r.fingerprint for r in text.fingerprint(d).collect()}
+    assert fp[0] != fp[1]
+
+
+def test_token_counts(spark):
+    d = docs_df(spark, ["hello world99 abcdefgh"])
+    r = text.token_counts(d).collect()[0]
+    assert r.ws_tokens == 3
+    assert r.regex_tokens == 4  # hello, world, 99, abcdefgh
+    assert r.bpe_est_tokens == 2 + 2 + 2  # ceil(5/4)+ceil(7/4)+ceil(8/4)
+
+
+def embs_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in vec], 0) for i, vec in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [[1, 0, 0, 0], [0.9, 0.1, 0, 0], [0, 1, 0, 0], [-1, 0, 0, 0]]
+    out = similarity.cosine_topk(embs_df(spark, vecs), n_queries=1, k=3).collect()
+    assert [r.target_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_srp_bucket_identical_vectors_collide(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=64)
+    vecs = [base, base, rng.normal(size=64)]
+    b = {r.vec_id: r.bucket for r in similarity.srp_buckets(embs_df(spark, vecs)).collect()}
+    assert b[0] == b[1]
+    nd = similarity.embedding_near_duplicates(embs_df(spark, vecs), threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in nd} == {(0, 1)}
+
+
+def test_multimodal_features_match_hashlib(spark):
+    d = docs_df(spark, ["hello", "world"])
+    feats = {
+        r.doc_id: r
+        for r in multimodal.extract_payload_features(
+            multimodal.with_binary_payload(d)
+        ).collect()
+    }
+    assert feats[0].payload_md5 == hashlib.md5(b"hello").hexdigest()
+    assert feats[0].byte_len == 5
+    assert feats[0].sniffed_format == "unknown"
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_stub(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    d = docs_df(spark, ["x" * 250])  # 250 bytes -> 2 fake frames, step 10
+    out = multimodal.frame_sample_plan(
+        multimodal.with_binary_payload(d), every_n=1
+    ).collect()
+    assert [r.frame_idx for r in out] == [0, 1]
