@@ -104,6 +104,19 @@ def library_split(
     return np.sort(order[:lib_size]), np.sort(order[lib_size:])
 
 
+#: precompute the full P x P distance matrix once per direction when the
+#: series is at most this long (memory: MAX^2 * 8 bytes = 128 MB at 4000).
+#: Bootstrap samples then reduce to submatrix selection — the distance
+#: arithmetic, the dominant cost, runs once instead of once per
+#: (lib_size, sample). Longer series fall back to per-sample distances.
+PRECOMPUTE_DIST_MAX_P = 4000
+
+
+def _pairwise_distances(emb: np.ndarray) -> np.ndarray:
+    diff = emb[:, None, :] - emb[None, :, :]
+    return np.sqrt((diff * diff).sum(axis=2))
+
+
 def cross_map_sample(
     emb: np.ndarray,
     tgt: np.ndarray,
@@ -112,6 +125,7 @@ def cross_map_sample(
     dir_id: int,
     seed: int,
     embedding_dim: int,
+    dist_matrix: np.ndarray | None = None,
 ) -> float:
     """One bootstrap sample -> Pearson skill (0.0 on any degenerate guard)."""
     p = emb.shape[0]
@@ -120,10 +134,13 @@ def cross_map_sample(
     lib_idx, pred_idx = library_split(p, lib_size, sample_id, dir_id, seed)
     if len(pred_idx) < 2:
         return 0.0
-    lib = emb[lib_idx]  # (L, E)
-    queries = emb[pred_idx]  # (Q, E)
-    # J1/D1: all-pairs euclidean distances (Q, L)
-    d = np.sqrt(((queries[:, None, :] - lib[None, :, :]) ** 2).sum(axis=2))
+    if dist_matrix is not None:
+        d = dist_matrix[np.ix_(pred_idx, lib_idx)]
+    else:
+        lib = emb[lib_idx]  # (L, E)
+        queries = emb[pred_idx]  # (Q, E)
+        # J1/D1: all-pairs euclidean distances (Q, L)
+        d = np.sqrt(((queries[:, None, :] - lib[None, :, :]) ** 2).sum(axis=2))
     k = min(embedding_dim + 1, lib_size)
     # K1: k smallest per query, ties by ascending library position
     nn = np.argsort(d, axis=1, kind="stable")[:, :k]  # (Q, k)
@@ -151,11 +168,15 @@ def cross_map(
     emb = time_delay_embedding(source, config.embedding_dim, config.tau)
     tgt = adjusted_target(target, config.embedding_dim, config.tau)
     lib_sizes = config.resolved_lib_sizes(len(x))
+    dist_matrix = (
+        _pairwise_distances(emb) if 0 < emb.shape[0] <= PRECOMPUTE_DIST_MAX_P else None
+    )
     results = []
     for lib_size in lib_sizes:
         corrs = [
             cross_map_sample(
-                emb, tgt, lib_size, s, dir_id, config.seed, config.embedding_dim
+                emb, tgt, lib_size, s, dir_id, config.seed, config.embedding_dim,
+                dist_matrix=dist_matrix,
             )
             for s in range(config.num_samples)
         ]

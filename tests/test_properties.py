@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the pure-python kernels — no Spark.
+
+Covers the reference-parity invariants that must hold for ANY input:
+the C2 ladder rule (lib/ccm.ex:86-97), the LCG rank determinism/range, the
+R1/R3 guard semantics, and the sampling split partition property.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ccm_spark.config import generate_lib_sizes
+from ccm_spark.oracle import library_split, ols_slope, pearson
+from ccm_spark.rng import M31, lcg_rank_key
+
+
+@given(st.integers(min_value=1, max_value=100_000))
+def test_ladder_rule(max_lib):
+    ladder = generate_lib_sizes(max_lib)
+    assert ladder, "ladder never empty"
+    assert all(1 <= v <= max_lib for v in ladder)
+    if max_lib < 10:
+        assert ladder == [max_lib]
+    else:
+        start = max(max_lib // 10, 5)
+        step = max(2, max_lib // 20)
+        assert ladder[0] == start
+        assert all(b - a == step for a, b in zip(ladder, ladder[1:]))
+        # maximal: one more step would exceed max_lib
+        assert ladder[-1] + step > max_lib
+
+
+@given(
+    st.integers(min_value=0, max_value=1_000_000),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=0, max_value=1_000_000),
+    st.integers(min_value=0, max_value=1),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_lcg_key_range_and_determinism(idx, sample, lib, dirid, seed):
+    k1 = lcg_rank_key(idx, sample, lib, dirid, seed)
+    k2 = lcg_rank_key(idx, sample, lib, dirid, seed)
+    assert k1 == k2
+    assert 0 <= k1 < M31
+
+
+@given(
+    st.integers(min_value=1, max_value=400),
+    st.integers(min_value=0, max_value=400),
+    st.integers(min_value=0, max_value=50),
+    st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=50)
+def test_library_split_partitions(p, lib_size, sample_id, seed):
+    lib, pred = library_split(p, min(lib_size, p), sample_id, 0, seed)
+    assert len(lib) + len(pred) == p
+    assert len(set(lib.tolist()) | set(pred.tolist())) == p
+    assert len(lib) == min(lib_size, p)
+
+
+@given(st.lists(st.floats(-1e6, 1e6), min_size=0, max_size=50))
+def test_pearson_guards(vals):
+    a = np.array(vals)
+    # constant second series -> zero variance -> 0.0, never NaN/inf
+    r = pearson(a, np.zeros_like(a))
+    assert r == 0.0
+    if len(a) >= 2:
+        r2 = pearson(a, a.copy())
+        assert np.isfinite(r2)
+        if np.ptp(a) > 1e-3 and np.max(np.abs(a)) < 1e5:
+            assert abs(r2 - 1.0) < 1e-6  # perfectly correlated with itself
+
+
+@given(st.lists(st.floats(-100, 100), min_size=0, max_size=20))
+def test_slope_guards(ys):
+    y = np.array(ys)
+    x = np.arange(len(y), dtype=float)
+    slope, convergent = ols_slope(x, y)
+    if len(y) < 3:
+        assert (slope, convergent) == (0.0, False)
+    else:
+        assert np.isfinite(slope)
+        assert convergent == (slope > 0.001)
+    # zero x-variance: guard fires regardless of n
+    slope0, conv0 = ols_slope(np.ones(5), np.arange(5.0))
+    assert (slope0, conv0) == (0.0, False)
