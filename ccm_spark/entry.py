@@ -233,6 +233,43 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_payload_features(payloads)
 
 
+def q_gen_logistic_maps(spark, sf_dir):
+    """G1 generator output (sf-independent; deterministic recurrence)."""
+    from ccm_spark.generators import coupled_logistic_maps
+
+    x, y = coupled_logistic_maps(300, 0.15)
+    rows = [(t, float(x[t]), float(y[t])) for t in range(len(x))]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    return df.select("t", _r6(F.col("x")).alias("x"), _r6(F.col("y")).alias("y"))
+
+
+def q_gen_coupled_series(spark, sf_dir):
+    """G2 noise-free recurrence output."""
+    from ccm_spark.generators import coupled_series
+
+    x, y = coupled_series(length=100, coupling=0.3, noise_level=0.0)
+    rows = [(t, float(x[t]), float(y[t])) for t in range(len(x))]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    return df.select("t", _r6(F.col("x")).alias("x"), _r6(F.col("y")).alias("y"))
+
+
+def q_events_hourly_stats(spark, sf_dir):
+    """Batch twin of streaming.windowed_event_stats with engine-portable
+    integer time bucketing (hour index since epoch from the ns timestamp)."""
+    configure_existing(spark)
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr("CAST(ts AS BIGINT) DIV 1000 DIV 3600000000")
+    return (
+        ev.groupBy(bucket.alias("hour_bucket"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+            _r6(F.avg("value")).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- export
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -260,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_buckets": q_ann_srp_buckets,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
+        "events_hourly_stats": q_events_hourly_stats,
+        "gen_logistic_maps": q_gen_logistic_maps,
+        "gen_coupled_series": q_gen_coupled_series,
     }
 
 
@@ -288,6 +328,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_srp_buckets": oext.sql_ann_srp_buckets(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
+        "events_hourly_stats": oext.sql_events_hourly_stats(),
+        "gen_logistic_maps": oext.sql_gen_logistic_maps(),
+        "gen_coupled_series": oext.sql_gen_coupled_series(),
     }
 
 

@@ -289,6 +289,55 @@ scored AS (
 SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}"""
 
 
+# ---------------------------------------------------------- generator ops
+
+def sql_gen_logistic_maps(length: int = 300, coupling: float = 0.15) -> str:
+    """G1 (reference lib/coupled_logistic_maps_generator.ex:6-27) as a
+    recursive CTE — the same IEEE double expressions numpy evaluates, in the
+    same order, so values are bit-identical before the boundary rounding."""
+    return f"""
+WITH RECURSIVE g(t, x, y) AS (
+  SELECT 0 AS t, CAST(0.1 AS DOUBLE) AS x, CAST(0.2 AS DOUBLE) AS y
+  UNION ALL
+  SELECT t + 1,
+         GREATEST(0.0, LEAST(1.0, 3.7 * x * (1.0 - x) + {coupling} * (y - x))),
+         GREATEST(0.0, LEAST(1.0, 3.6 * y * (1.0 - y)))
+  FROM g WHERE t < {length}
+)
+SELECT CAST(t AS BIGINT) AS t, round(x, 6) + 0.0 AS x, round(y, 6) + 0.0 AS y FROM g"""
+
+
+def sql_gen_coupled_series(length: int = 100, coupling: float = 0.3) -> str:
+    """G2 noise-free recurrence (reference lib/coupled_series_generator.ex:
+    46-67; observation noise off — the seeded-noise variant is numpy-only)."""
+    return f"""
+WITH RECURSIVE g(t, x, y) AS (
+  SELECT 0 AS t, CAST(0.3 AS DOUBLE) AS x, CAST(0.4 AS DOUBLE) AS y
+  UNION ALL
+  SELECT t + 1,
+         GREATEST(0.001, LEAST(0.999, 3.8 * x * (1.0 - x))),
+         GREATEST(0.001, LEAST(0.999, 3.6 * y * (1.0 - y) + {coupling} * (x - y)))
+  FROM g WHERE t < {length}
+)
+SELECT CAST(t AS BIGINT) AS t, round(x, 6) + 0.0 AS x, round(y, 6) + 0.0 AS y FROM g"""
+
+
+# -------------------------------------------------------------- events ops
+
+def sql_events_hourly_stats() -> str:
+    # DuckDB reads the ns-parquet timestamp us-truncated; epoch_us // 3600e6
+    # equals Spark's (ns DIV 1000) DIV 3600000000 hour index exactly.
+    return """
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) + 0.0 AS sum_value,
+       round(AVG(value), 6) + 0.0 AS avg_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------- multimodal ops
 
 def sql_multimodal_features() -> str:

@@ -3,5 +3,12 @@ from ccm_spark.streaming.windows import (
     windowed_event_stats,
     windowed_pair_correlation,
 )
+from ccm_spark.streaming.stateful import running_stats_batch, running_value_stats
 
-__all__ = ["event_stream", "windowed_event_stats", "windowed_pair_correlation"]
+__all__ = [
+    "event_stream",
+    "windowed_event_stats",
+    "windowed_pair_correlation",
+    "running_stats_batch",
+    "running_value_stats",
+]

@@ -1,0 +1,47 @@
+"""CSV/pasted-series sources (reference examples.livemd custom-data path)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ccm_spark import CCM
+from ccm_spark.sources.csv_series import parse_pasted_series, read_csv_series
+
+# the livemd's default pasted pair (examples.livemd:190)
+X_TEXT = "1.0,1.2,1.5,1.8,2.0,2.3,2.1,1.9,1.6,1.4"
+Y_TEXT = "0.5,0.8,1.1,1.4,1.6,1.8,1.7,1.5,1.2,1.0"
+
+
+def test_parse_pasted_series(spark):
+    df = parse_pasted_series(spark, X_TEXT, Y_TEXT)
+    rows = df.orderBy("t").collect()
+    assert len(rows) == 10
+    assert rows[0].x == 1.0 and rows[0].y == 0.5
+    assert rows[9].t == 9
+
+
+def test_parse_rejects_unequal_and_short(spark):
+    with pytest.raises(ValueError, match="same length"):
+        parse_pasted_series(spark, "1,2,3", "1,2")
+    with pytest.raises(ValueError, match="at least 10"):
+        parse_pasted_series(spark, "1,2,3", "1,2,3")
+    with pytest.raises(ValueError, match="numeric"):
+        parse_pasted_series(spark, ",".join(["x"] * 10), ",".join(["1"] * 10))
+
+
+def test_pasted_series_runs_ccm(spark):
+    series = parse_pasted_series(spark, X_TEXT, Y_TEXT)
+    res = CCM.from_dataframe(series, num_samples=2, seed=3).bidirectional_ccm()
+    # max_lib_size = 10 - 2 = 8 < 10 -> single-entry ladder [8]
+    assert [ls for ls, _ in res["x_causes_y"]["results"]] == [8]
+
+
+def test_read_csv_series_roundtrip(spark, tmp_path):
+    p = tmp_path / "series.csv"
+    p.write_text(
+        "pair_id,t,x,y\n" + "\n".join(f"0,{t},{t * 0.1},{t * 0.2}" for t in range(12))
+    )
+    df = read_csv_series(spark, str(p))
+    rows = df.orderBy("t").collect()
+    assert len(rows) == 12
+    assert rows[3].x == pytest.approx(0.3)
