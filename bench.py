@@ -37,6 +37,11 @@ HEADLINE = [
     "text_fingerprint",
     "text_langid",
     "multimodal_features",
+    "events_asof_join",
+    "events_sessionize",
+    "events_hourly_stats",
+    "pricing_summary",
+    "top_customers_by_nation",
 ]
 
 

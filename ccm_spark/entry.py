@@ -233,6 +233,65 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_payload_features(payloads)
 
 
+def q_events_asof_join(spark, sf_dir):
+    from ccm_spark.pipeline.events_ops import asof_join_events
+
+    configure_existing(spark)
+    return asof_join_events(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark, sf_dir):
+    from ccm_spark.pipeline.events_ops import sessionize
+
+    configure_existing(spark)
+    out = sessionize(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        "start_us",
+        "end_us",
+        _r6(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+def q_events_quantiles(spark, sf_dir):
+    from ccm_spark.pipeline.events_ops import value_quantiles
+
+    configure_existing(spark)
+    out = value_quantiles(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "event_type",
+        *[_r6(F.col(c)).alias(c) for c in ("p25", "p50", "p75", "p95")],
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    from ccm_spark.pipeline.relational import pricing_summary
+
+    configure_existing(spark)
+    out = pricing_summary(load_table(spark, sf_dir, "lineitem"), "1996-06-30")
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        *[
+            _r6(F.col(c)).alias(c)
+            for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price")
+        ],
+        "count_order",
+    )
+
+
+def q_top_customers_by_nation(spark, sf_dir):
+    from ccm_spark.pipeline.relational import top_customers_by_nation
+
+    configure_existing(spark)
+    out = top_customers_by_nation(spark, sf_dir, k=5)
+    return out.select(
+        "nation", "rank", "c_custkey", "n_orders", _r6(F.col("total_spend")).alias("total_spend")
+    )
+
+
 def q_gen_logistic_maps(spark, sf_dir):
     """G1 generator output (sf-independent; deterministic recurrence)."""
     from ccm_spark.generators import coupled_logistic_maps
@@ -300,6 +359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": q_events_hourly_stats,
         "gen_logistic_maps": q_gen_logistic_maps,
         "gen_coupled_series": q_gen_coupled_series,
+        "events_asof_join": q_events_asof_join,
+        "events_sessionize": q_events_sessionize,
+        "events_quantiles": q_events_quantiles,
+        "pricing_summary": q_pricing_summary,
+        "top_customers_by_nation": q_top_customers_by_nation,
     }
 
 
@@ -331,6 +395,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stats": oext.sql_events_hourly_stats(),
         "gen_logistic_maps": oext.sql_gen_logistic_maps(),
         "gen_coupled_series": oext.sql_gen_coupled_series(),
+        "events_asof_join": oext.sql_events_asof_join(),
+        "events_sessionize": oext.sql_events_sessionize(),
+        "events_quantiles": oext.sql_events_quantiles(),
+        "pricing_summary": oext.sql_pricing_summary(),
+        "top_customers_by_nation": oext.sql_top_customers_by_nation(),
     }
 
 

@@ -1,0 +1,102 @@
+"""Event-stream operators — as-of join, sessionization, quantiles.
+
+Time-series alignment primitives a training-data/feature pipeline needs and
+Spark lacks as built-ins. Both are expressed as window compositions (no
+UDFs, no per-row subqueries):
+
+  - As-of join via the union-tag trick: tag both sides, sort one combined
+    window per user by time, carry the last right-side value forward with
+    ``last(..., ignorenulls)``. One shuffle on user_id, linear work —
+    the classic scalable formulation (a per-left-row subquery would be
+    quadratic; a range join would need binning).
+  - Sessionization via gap detection: lag + cumulative sum of
+    session-start flags over the same per-user window.
+
+Timestamps are compared at microsecond resolution (``ts`` is int64 nanos in
+this engine; DuckDB reads the same parquet at us) — see sources.tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _ts_us() -> F.Column:
+    return F.expr("CAST(ts AS BIGINT) DIV 1000")
+
+
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+) -> DataFrame:
+    """For every ``left_type`` event: the value of the user's most recent
+    strictly-earlier ``right_type`` event (NULL if none).
+
+    Strictness at equal microseconds: left rows sort before right rows, so
+    a simultaneous right event is NOT visible to the left row.
+    """
+    tagged = (
+        events.where(F.col("event_type").isin([left_type, right_type]))
+        .select(
+            "event_id",
+            "user_id",
+            _ts_us().alias("ts_us"),
+            (F.col("event_type") == left_type).alias("is_left"),
+            "value",
+        )
+    )
+    # sort: time, then left-before-right (strict as-of), then event_id
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(),
+        F.when(F.col("is_left"), 0).otherwise(1).asc(),
+        F.col("event_id").asc(),
+    )
+    carried = tagged.withColumn(
+        "asof_value",
+        F.last(F.when(~F.col("is_left"), F.col("value")), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return carried.where(F.col("is_left")).select(
+        "event_id", "user_id", "ts_us", F.col("value").alias("left_value"), "asof_value"
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions split on inactivity gaps: one row per session with
+    (user_id, session_idx, n_events, start_us, end_us, sum_value)."""
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    marked = (
+        events.select("event_id", "user_id", _ts_us().alias("ts_us"), "value")
+        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            (F.col("prev_ts").isNull() | ((F.col("ts_us") - F.col("prev_ts")) > gap_us)).cast("int"),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact per-type value quantiles (linear interpolation — matches
+    quantile_cont in any ANSI engine). Exact quantiles shuffle all values
+    per group; at 100 TB swap in approx_percentile (t-digest) — kept exact
+    here because the oracle gate compares values."""
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    aggs = [
+        F.expr(f"percentile_cont({q}) WITHIN GROUP (ORDER BY value)").alias(name)
+        for name, q in qs.items()
+    ]
+    return events.groupBy("event_type").agg(*aggs)

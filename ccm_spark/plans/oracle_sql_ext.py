@@ -338,6 +338,99 @@ FROM events
 GROUP BY 1, 2"""
 
 
+# ------------------------------------------------- events / relational ops
+
+def sql_events_asof_join(left_type: str = "click", right_type: str = "view") -> str:
+    return f"""
+WITH tagged AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         event_type = '{left_type}' AS is_left, value
+  FROM events WHERE event_type IN ('{left_type}', '{right_type}')
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN NOT is_left THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY ts_us, CASE WHEN is_left THEN 0 ELSE 1 END, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  FROM tagged
+)
+SELECT event_id, user_id, ts_us, value AS left_value, asof_value
+FROM carried WHERE is_left"""
+
+
+def sql_events_sessionize(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH marked AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+         lag(epoch_us(ts)) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > {gap_us} THEN 1 ELSE 0 END AS new_session
+  FROM marked
+),
+sessioned AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       round(SUM(value), 6) + 0.0 AS sum_value
+FROM sessioned GROUP BY 1, 2"""
+
+
+def sql_events_quantiles() -> str:
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) + 0.0 AS p25,
+       round(quantile_cont(value, 0.5), 6) + 0.0 AS p50,
+       round(quantile_cont(value, 0.75), 6) + 0.0 AS p75,
+       round(quantile_cont(value, 0.95), 6) + 0.0 AS p95
+FROM events GROUP BY 1"""
+
+
+def sql_pricing_summary(cutoff_date: str = "1996-06-30") -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 6) + 0.0 AS sum_qty,
+       round(SUM(l_extendedprice), 6) + 0.0 AS sum_base_price,
+       round(SUM(l_extendedprice * (1 - l_discount)), 6) + 0.0 AS sum_disc_price,
+       round(AVG(l_quantity), 6) + 0.0 AS avg_qty,
+       round(AVG(l_extendedprice), 6) + 0.0 AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '{cutoff_date}'
+GROUP BY 1, 2"""
+
+
+def sql_top_customers_by_nation(k: int = 5) -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, SUM(o_totalprice) AS total_spend, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+joined AS (
+  SELECT n.n_name AS nation, p.o_custkey AS c_custkey, p.n_orders, p.total_spend
+  FROM per_cust p
+  JOIN customer c ON c.c_custkey = p.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY nation
+                               ORDER BY round(total_spend, 6) DESC, c_custkey) AS rk
+  FROM joined
+)
+SELECT nation, CAST(rk AS INT) AS rank, c_custkey, n_orders,
+       round(total_spend, 6) + 0.0 AS total_spend
+FROM ranked WHERE rk <= {k}"""
+
+
 # ---------------------------------------------------------- multimodal ops
 
 def sql_multimodal_features() -> str:

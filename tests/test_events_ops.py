@@ -1,0 +1,72 @@
+"""As-of join, sessionization, quantiles — semantics on hand-built streams."""
+
+from __future__ import annotations
+
+import pytest
+
+from ccm_spark.pipeline.events_ops import asof_join_events, sessionize, value_quantiles
+
+US = 1_000  # ns per us helper: ts column is int64 NANOS
+
+
+def events_df(spark, rows):
+    # rows: (event_id, ts_us, user_id, event_type, value)
+    data = [(e, t * 1_000, u, ty, v, "{}") for e, t, u, ty, v in rows]
+    return spark.createDataFrame(
+        data, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+
+
+def test_asof_join_picks_latest_strictly_earlier(spark):
+    ev = events_df(
+        spark,
+        [
+            (0, 100, 1, "view", 10.0),
+            (1, 200, 1, "view", 20.0),
+            (2, 250, 1, "click", 1.0),   # latest earlier view = 20.0
+            (3, 300, 1, "view", 30.0),
+            (4, 300, 1, "click", 2.0),   # simultaneous view NOT visible -> 20.0
+            (5, 50, 2, "click", 3.0),    # no earlier view -> NULL
+        ],
+    )
+    out = {r.event_id: r.asof_value for r in asof_join_events(ev).collect()}
+    assert out[2] == 20.0
+    assert out[4] == 20.0  # strict: the t=300 view is excluded
+    assert out[5] is None
+
+
+def test_sessionize_gap_split(spark):
+    ev = events_df(
+        spark,
+        [
+            (0, 0, 1, "view", 1.0),
+            (1, 10 * 60_000_000, 1, "view", 2.0),   # +10min (us) -> same session
+            (2, 50 * 60_000_000, 1, "view", 4.0),   # +40min gap -> new session
+            (3, 0, 2, "click", 8.0),
+        ],
+    )
+    rows = {(r.user_id, r.session_idx): r for r in sessionize(ev, gap_minutes=30).collect()}
+    assert rows[(1, 1)].n_events == 2 and rows[(1, 1)].sum_value == 3.0
+    assert rows[(1, 2)].n_events == 1 and rows[(1, 2)].sum_value == 4.0
+    assert rows[(2, 1)].n_events == 1
+
+
+def test_quantiles_linear_interpolation(spark):
+    ev = events_df(spark, [(i, i * 100, 1, "view", float(v)) for i, v in enumerate([1, 2, 3, 4])])
+    r = value_quantiles(ev).collect()[0]
+    assert r.p50 == pytest.approx(2.5)
+    assert r.p25 == pytest.approx(1.75)
+
+
+def test_relational_queries_shapes(spark, sf_small):
+    from ccm_spark.pipeline.relational import pricing_summary, top_customers_by_nation
+    from ccm_spark.sources.tables import load_table
+
+    ps = pricing_summary(load_table(spark, sf_small, "lineitem")).collect()
+    assert len(ps) > 0 and all(r.count_order > 0 for r in ps)
+    tc = top_customers_by_nation(spark, sf_small, k=3).collect()
+    by_nation = {}
+    for r in tc:
+        by_nation.setdefault(r.nation, []).append(r.rank)
+    for ranks in by_nation.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
