@@ -50,6 +50,18 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("ccm_spark-bench")
     qs = E.queries()
+
+    # untimed warmup: spin up the JVM stages and the Python worker pool so
+    # per-query numbers measure steady-state execution, not process forks
+    # and cold numpy/pandas imports in 32 workers
+    import pandas as pd  # noqa: F401
+
+    warm = spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    warm.mapInPandas(lambda it: it, schema="id long").count()
+    warm.groupBy((warm.id % 4).alias("k")).count().count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

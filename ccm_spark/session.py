@@ -39,7 +39,8 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions is not None else int(cpus) if cpus.isdigit() else 32),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
