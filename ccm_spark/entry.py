@@ -218,6 +218,10 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_embs(spark, sf_dir), n_queries=100, k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    return similarity.ivf_topk(_embs(spark, sf_dir), n_queries=100, k=5)
+
+
 def q_ann_srp_buckets(spark, sf_dir):
     return similarity.srp_buckets(_embs(spark, sf_dir))
 
@@ -353,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_srp_buckets": q_ann_srp_buckets,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
@@ -389,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oext.sql_dedup_simhash(),
         "dedup_simhash_pairs": oext.sql_dedup_simhash_pairs(),
         "ann_cosine_topk": oext.sql_ann_cosine_topk(),
+        "ann_ivf_topk": oext.sql_ann_ivf_topk(),
         "ann_srp_buckets": oext.sql_ann_srp_buckets(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),

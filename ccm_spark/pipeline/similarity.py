@@ -153,6 +153,107 @@ def srp_buckets(
     return comps.groupBy("vec_id").agg(F.sum(bit).alias("bucket"))
 
 
+IVF_STRIDE = 125  # every 125th vector is a centroid (~16 cells at 2000 vecs)
+IVF_NPROBE = 2
+
+
+def ivf_assignments(embeddings: DataFrame, stride: int = IVF_STRIDE) -> DataFrame:
+    """IVF coarse quantizer: centroids are the deterministic strided subset
+    (vec_id % stride == 0); every vector is assigned to its nearest
+    centroid by euclidean distance (ties -> lowest centroid id).
+
+    A trained k-means would cluster better, but a deterministic quantizer
+    keeps the whole index oracle-checkable; swap the centroid source for a
+    KMeans fit at deployment and nothing downstream changes. Scale: the
+    centroid set is tiny and broadcast; assignment is a map-side cross
+    product, one rank window per vector.
+    """
+    vecs = spread(embeddings, "vec_id").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    cents = embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), as_double_vec("embedding").alias("cv")
+    )
+    cos = cosine_pandas()
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cos(F.col("v"), F.col("cv")), 9).alias("c_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-probed approximate top-k: each query searches only the vectors
+    assigned to its ``nprobe`` most-similar centroids. Approximate by
+    construction (recall depends on cell structure) — the brute-force
+    ``cosine_topk`` is the exact baseline."""
+    from pyspark.storagelevel import StorageLevel
+
+    assign = ivf_assignments(embeddings, stride).persist(StorageLevel.MEMORY_AND_DISK)
+    vecs = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
+    cents = embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), as_double_vec("embedding").alias("cv")
+    )
+    cos = cosine_pandas()
+    q = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # probe list: nprobe nearest centroids per query
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.round(cos(F.col("qv"), F.col("cv")), 9).alias("c_sim"),
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("c_sim").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("crk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    # candidates: vectors in the probed cells
+    cands = (
+        probes.join(assign, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(vecs, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("target_id"),
+            F.round(cos(F.col("qv"), F.col("v")), 9).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("target_id").asc()
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("rk").cast("int").alias("rank"), "target_id", "cos_sim")
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -243,6 +243,51 @@ rk AS (
 SELECT query_id, CAST(rk AS INT) AS rank, target_id, cos_sim FROM rk WHERE rk <= {k}"""
 
 
+def sql_ann_ivf_topk(
+    n_queries: int = 100, k: int = 5, stride: int = 125, nprobe: int = 2
+) -> str:
+    cos = (
+        "round(CASE WHEN sqrt(list_dot_product({a}, {a})) = 0 "
+        "OR sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
+        "ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b}))) END, 9)"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id % {stride} = 0),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos.format(a='a.vec', b='c.cvec')} DESC, c.centroid_id) AS crk
+    FROM v a CROSS JOIN cents c
+  ) r WHERE crk = 1
+),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos.format(a='q.qvec', b='c.cvec')} DESC, c.centroid_id) AS crk
+    FROM q CROSS JOIN cents c
+  ) r WHERE crk <= {nprobe}
+),
+cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS target_id,
+         {cos.format(a='p.qvec', b='t.vec')} AS cos_sim
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id
+  JOIN v t ON t.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, target_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, target_id) AS rk
+  FROM cands
+)
+SELECT query_id, CAST(rk AS INT) AS rank, target_id, cos_sim
+FROM ranked WHERE rk <= {k}"""
+
+
 def _srp_ctes(planes: int = SRP_PLANES, seed: int = 99) -> str:
     rows = srp_plane_values(planes, DIM, seed)
     values = ", ".join(f"({pl}, {d}, {c!r})" for pl, d, c in rows)
