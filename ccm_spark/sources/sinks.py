@@ -1,0 +1,74 @@
+"""Parquet sinks — the write side of the engine.
+
+The reference has no sinks at all (results are in-memory maps,
+SURVEY.md §2.1); a 100 TB pipeline needs opinionated writers:
+
+  - ``write_partitioned``: directory-partitioned parquet with a target
+    file-size control (`repartition` by the partition columns so each
+    directory gets a bounded file count instead of one file per task).
+  - ``write_series_bucketed``: pair-bucketed layout for series data so a
+    later CCM fast path (``fastpath.ccm_fast_iterated``) can run without
+    its groupBy shuffle — the write-side half of a co-located join.
+
+Compression default is zstd (better ratio than snappy at similar speed on
+modern cores).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Write parquet partitioned by ``partition_by`` with a bounded file
+    count per directory."""
+    out = df
+    if partition_by:
+        out = df.repartition(files_per_partition * max(1, len(partition_by)), *partition_by)
+        writer = out.write.partitionBy(*partition_by)
+    else:
+        writer = out.coalesce(files_per_partition).write
+    writer.mode(mode).option("compression", compression).parquet(path)
+
+
+def write_series_bucketed(
+    series: DataFrame,
+    path: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Pair-clustered series layout: rows hash-partitioned by pair_id and
+    sorted by (pair_id, t) within files, so downstream per-pair processing
+    reads each pair contiguously from one file (mapInPandas with no
+    shuffle). Plain directory parquet (no metastore dependency)."""
+    (
+        series.repartition(num_buckets, "pair_id")
+        .sortWithinPartitions("pair_id", "t")
+        .write.mode(mode)
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def read_series_bucketed(spark, path: str) -> DataFrame:
+    """Read back a bucketed series layout (files preserve pair clustering)."""
+    return spark.read.parquet(path)
+
+
+def checksum(df: DataFrame) -> int:
+    """Order-insensitive content checksum of a DataFrame (xor of row
+    hashes) — a cheap distributed integrity check for sink verification."""
+    hashed = df.select(F.xxhash64(F.struct(*df.columns)).alias("h"))
+    # bit_xor: order-insensitive and overflow-free under ANSI mode
+    row = hashed.agg(
+        F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")
+    ).collect()[0]
+    return hash((row.x, row.n))

@@ -1,0 +1,48 @@
+"""Sink round-trips: partitioned write, bucketed series layout."""
+
+from __future__ import annotations
+
+from ccm_spark.config import CCMConfig
+from ccm_spark.fastpath import ccm_apply_in_pandas, ccm_fast_iterated
+from ccm_spark.generators import coupled_series, pairs_to_pdf
+from ccm_spark.sources.sinks import (
+    checksum,
+    read_series_bucketed,
+    write_partitioned,
+    write_series_bucketed,
+)
+from ccm_spark.sources.tables import load_table
+
+
+def test_write_partitioned_roundtrip(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(back.select("lang").distinct().toPandas()["lang"]) == set(
+        docs.select("lang").distinct().toPandas()["lang"]
+    )
+    assert checksum(back.select("doc_id", "text")) == checksum(docs.select("doc_id", "text"))
+
+
+def test_bucketed_series_feeds_shuffle_free_fastpath(spark, tmp_path):
+    pairs = []
+    for pid in range(4):
+        x, y = coupled_series(length=60, coupling=0.2, noise_level=0.02, seed=pid)
+        pairs.append((pid, x, y))
+    series = spark.createDataFrame(pairs_to_pdf(pairs))
+    out = str(tmp_path / "series_bucketed")
+    write_series_bucketed(series, out, num_buckets=4)
+
+    back = read_series_bucketed(spark, out)
+    cfg = CCMConfig(num_samples=3, lib_sizes=[20, 40], seed=5)
+    via_group = {
+        (r.pair_id, r.direction, r.lib_size): r.correlation
+        for r in ccm_apply_in_pandas(series, cfg).collect()
+    }
+    via_bucketed = {
+        (r.pair_id, r.direction, r.lib_size): r.correlation
+        for r in ccm_fast_iterated(back, cfg).collect()
+    }
+    assert via_group == via_bucketed
