@@ -25,7 +25,7 @@ from ccm_spark.pipeline import dedup, multimodal, similarity, text
 from ccm_spark.plans import oracle_sql as osql
 from ccm_spark.plans import oracle_sql_ext as oext
 from ccm_spark.plans.cross_map import ccm_plan, convergence_plan, sample_corr_plan, skill_plan
-from ccm_spark.plans.oracle_sql import PARAMS, CCMQueryParams
+from ccm_spark.plans.oracle_sql import G1_PARAMS, PARAMS, CCMQueryParams
 from ccm_spark.session import configure_existing
 from ccm_spark.sources.tables import events_pair_series, load_table
 
@@ -44,8 +44,28 @@ def _direction():
 
 def _series(spark: SparkSession, sf_dir: str, p: CCMQueryParams = PARAMS) -> DataFrame:
     configure_existing(spark)
+    if p.series_source == "g1":
+        from ccm_spark.generators import coupled_logistic_maps
+
+        x, y = coupled_logistic_maps(p.n_points, p.g1_coupling)
+        rows = [(0, t, float(x[t]), float(y[t])) for t in range(len(x))]
+        return spark.createDataFrame(rows, "pair_id long, t long, x double, y double")
     return events_pair_series(
         spark, sf_dir, p.x_event_type, p.y_event_type, p.n_points
+    )
+
+
+def q_ccm_logistic_bidirectional(spark, sf_dir):
+    """Full bidirectional CCM over the reference's golden-test dynamics
+    (G1, length 300, coupling 0.15) — reference-equivalent behavior on
+    reference-equivalent data, end-to-end oracle-checked."""
+    res = ccm_plan(_series(spark, sf_dir, G1_PARAMS), _config(G1_PARAMS))
+    return res.select(
+        "direction",
+        "lib_size",
+        _r6(F.col("correlation")).alias("correlation"),
+        _r6(F.col("slope")).alias("slope"),
+        "convergent",
     )
 
 
@@ -346,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccm_convergence": q_ccm_convergence,
         "ccm_bidirectional": q_ccm_bidirectional,
         "ccm_bidirectional_fast": q_ccm_bidirectional_fast,
+        "ccm_logistic_bidirectional": q_ccm_logistic_bidirectional,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -383,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "ccm_convergence": osql.sql_ccm_convergence(),
         "ccm_bidirectional": osql.sql_ccm_bidirectional(),
         "ccm_bidirectional_fast": osql.sql_ccm_bidirectional(),
+        "ccm_logistic_bidirectional": osql.sql_ccm_bidirectional(G1_PARAMS),
         "text_token_stats": oext.sql_text_token_stats(),
         "text_quality": oext.sql_text_quality(),
         "text_langid": oext.sql_text_langid(),

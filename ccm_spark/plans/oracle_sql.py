@@ -34,12 +34,35 @@ class CCMQueryParams:
     num_samples: int = 10
     lib_sizes: tuple[int, ...] = (40, 80, 120, 160, 200)
     seed: int = 42
+    #: series source: 'events' (testdata prep) or 'g1' (logistic-map
+    #: recurrence replayed as a recursive CTE; n_points = series length)
+    series_source: str = "events"
+    g1_coupling: float = 0.15
 
 
 PARAMS = CCMQueryParams()
 
+#: the flagship-on-generated-data configuration: CCM over the reference's
+#: own golden-test dynamics (G1, length 300, coupling 0.15)
+G1_PARAMS = CCMQueryParams(
+    n_points=300, series_source="g1", lib_sizes=(30, 80, 130, 180, 230, 280)
+)
+
 
 def _series_ctes(p: CCMQueryParams) -> str:
+    if p.series_source == "g1":
+        # G1 recurrence (reference lib/coupled_logistic_maps_generator.ex:
+        # 6-27) replayed bit-identically; run(length) emits length+1 points
+        return f"""
+gser(t, x, y) AS (
+  SELECT 0 AS t, CAST(0.1 AS DOUBLE) AS x, CAST(0.2 AS DOUBLE) AS y
+  UNION ALL
+  SELECT t + 1,
+         GREATEST(0.0, LEAST(1.0, 3.7 * x * (1.0 - x) + {p.g1_coupling} * (y - x))),
+         GREATEST(0.0, LEAST(1.0, 3.6 * y * (1.0 - y)))
+  FROM gser WHERE t < {p.n_points}
+),
+series AS (SELECT CAST(0 AS BIGINT) AS pair_id, CAST(t AS BIGINT) AS t, x, y FROM gser)"""
     return f"""
 ranked AS (
   SELECT event_type, value,
@@ -202,7 +225,8 @@ DIRECTION_CASE = "CASE WHEN dir_id = 0 THEN 'x_causes_y' ELSE 'y_causes_x' END"
 
 
 def _with(*ctes: str) -> str:
-    return "WITH " + ",".join(ctes)
+    # RECURSIVE is required for the G1 series CTE and harmless otherwise
+    return "WITH RECURSIVE " + ",".join(ctes)
 
 
 def ccm_pipeline_prefix(p: CCMQueryParams = PARAMS, upto: str = "conv") -> str:
