@@ -13,7 +13,7 @@ is a pure function of (seed, direction, lib_size, sample_id, row index).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 def generate_lib_sizes(max_lib_size: int) -> list[int]:

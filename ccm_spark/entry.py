@@ -20,11 +20,11 @@ from ccm_spark.operators.embedding import embed_bidirectional
 from ccm_spark.operators.knn import knn_candidates, top_k_neighbors
 from ccm_spark.operators.sampling import fan_out_with_rank, lib_sizes_df
 from ccm_spark.operators.simplex import simplex_weights, weighted_prediction
-from ccm_spark.operators.stats import pearson_by_sample, skill_by_lib_size, convergence
+from ccm_spark.operators.stats import pearson_by_sample
 from ccm_spark.pipeline import dedup, multimodal, similarity, text
 from ccm_spark.plans import oracle_sql as osql
 from ccm_spark.plans import oracle_sql_ext as oext
-from ccm_spark.plans.cross_map import ccm_plan, convergence_plan, sample_corr_plan, skill_plan
+from ccm_spark.plans.cross_map import ccm_plan, convergence_plan, skill_plan
 from ccm_spark.plans.oracle_sql import G1_PARAMS, PARAMS, CCMQueryParams
 from ccm_spark.session import configure_existing
 from ccm_spark.sources.tables import events_pair_series, load_table

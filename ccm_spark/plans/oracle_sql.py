@@ -17,7 +17,7 @@ derived doubles; integers/strings exactly). The determinism toolkit:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ccm_spark.rng import sql_rank_key_expr
 
