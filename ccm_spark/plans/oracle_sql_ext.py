@@ -102,7 +102,7 @@ e AS (
   SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos FROM t
 )
 SELECT doc_id,
-       SUM(({_md5_long('tok')} % {P31}) * (pos + 1)) % {P31} AS fingerprint
+       CAST(SUM(({_md5_long('tok')} % {P31}) * (pos + 1)) % {P31} AS BIGINT) AS fingerprint
 FROM e GROUP BY doc_id"""
 
 
@@ -195,7 +195,7 @@ contrib AS (
   FROM th CROSS JOIN bits GROUP BY 1, 2, 3
 ),
 fp AS (
-  SELECT doc_id, SUM(CASE WHEN total > 0 THEN pw ELSE 0 END) AS simhash
+  SELECT doc_id, CAST(SUM(CASE WHEN total > 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
   FROM contrib GROUP BY 1
 )"""
 
@@ -304,7 +304,7 @@ dots AS (
   GROUP BY 1, 2
 ),
 buckets AS (
-  SELECT d.vec_id, SUM(CASE WHEN d.dot >= 0.0 THEN w.pw ELSE 0 END) AS bucket
+  SELECT d.vec_id, CAST(SUM(CASE WHEN d.dot >= 0.0 THEN w.pw ELSE 0 END) AS BIGINT) AS bucket
   FROM dots d JOIN plane_pw w ON w.plane = d.plane
   GROUP BY 1
 )"""
@@ -424,7 +424,7 @@ sessioned AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
        round(SUM(value), 6) + 0.0 AS sum_value
 FROM sessioned GROUP BY 1, 2"""

@@ -42,13 +42,32 @@ def events_pair_series(
     # ns -> us with integer floor division (double division would round and
     # could cross a microsecond boundary, breaking DuckDB order parity)
     ts_us = F.expr("CAST(ts AS BIGINT) DIV 1000")
-    w = Window.partitionBy("event_type").orderBy(ts_us.asc(), F.col("event_id").asc())
-    ranked = ev.where(
+    filtered = ev.where(
         F.col("event_type").isin([x_event_type, y_event_type])
     ).select(
+        "event_type", "event_id", "value", ts_us.alias("ts_us")
+    )
+    # Two-phase top-k so the global rank never sorts a whole event type on
+    # one task (at 100 TB that single-task sort is the series-prep
+    # bottleneck). Phase 1 keeps the first max_points rows per
+    # (event_type, input split) — a superset of the global first max_points,
+    # since the global winners from any split are also local winners there.
+    # Phase 2 ranks the survivors: <= max_points * n_splits rows per type,
+    # bounded regardless of data volume. (event_id is unique, so the
+    # (ts_us, event_id) order is strict and both phases are deterministic
+    # for ANY row-to-split assignment.)
+    order = [F.col("ts_us").asc(), F.col("event_id").asc()]
+    local_w = Window.partitionBy("event_type", "split_id").orderBy(*order)
+    survivors = filtered.withColumn(
+        "split_id", F.spark_partition_id()
+    ).withColumn("local_rank", F.row_number().over(local_w)).where(
+        F.col("local_rank") <= max_points
+    )
+    global_w = Window.partitionBy("event_type").orderBy(*order)
+    ranked = survivors.select(
         "event_type",
         "value",
-        (F.row_number().over(w) - 1).alias("t"),
+        (F.row_number().over(global_w) - 1).alias("t"),
     ).where(F.col("t") < max_points)
     xs = ranked.where(F.col("event_type") == x_event_type).select(
         "t", F.col("value").alias("x")

@@ -36,6 +36,37 @@ def test_pasted_series_runs_ccm(spark):
     assert [ls for ls, _ in res["x_causes_y"]["results"]] == [8]
 
 
+def test_events_pair_series_two_phase_topk(spark):
+    """Series prep must not globally sort a whole event type on one task:
+    phase 1 ranks within (event_type, split_id) — a distributed window —
+    and only the bounded survivor set reaches the per-type global rank."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from ccm_spark.sources.tables import events_pair_series, load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = events_pair_series(spark, sf_dir, max_points=120)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+    assert "split_id" in plan, plan
+
+    # equivalent single-window formulation as the correctness oracle
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("CAST(ts AS BIGINT) DIV 1000")
+    w = Window.partitionBy("event_type").orderBy(ts_us.asc(), F.col("event_id").asc())
+    naive = (
+        ev.where(F.col("event_type").isin(["click", "view"]))
+        .select("event_type", "value", (F.row_number().over(w) - 1).alias("t"))
+        .where(F.col("t") < 120)
+    )
+    nx = naive.where(F.col("event_type") == "click").select("t", F.col("value").alias("x"))
+    ny = naive.where(F.col("event_type") == "view").select("t", F.col("value").alias("y"))
+    want = nx.join(ny, "t").select(F.lit(0).cast("long").alias("pair_id"), "t", "x", "y")
+
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_read_csv_series_roundtrip(spark, tmp_path):
     p = tmp_path / "series.csv"
     p.write_text(

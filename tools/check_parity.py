@@ -82,7 +82,25 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = rel.columns
-            d_rows = rel.fetchall()
+            # The driver fetches DuckDB results via Arrow, under which HUGEINT
+            # exports as float64 (hashing "3.0" != "3") while NULLs survive as
+            # None (a plain pandas fetchdf would turn them into NaN — that
+            # combination is the only one consistent with round-1 results).
+            # Replicate that path AND hard-fail on any implicitly-widened
+            # oracle column so the class of bug can't recur.
+            loose = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+            ]
+            if loose:
+                print(f"FAIL  {name}: oracle emits untyped columns {loose} "
+                      f"(cast to BIGINT/DOUBLE explicitly)")
+                failures.append(name)
+                continue
+            d_tbl = rel.fetch_arrow_table()
+            d_pylist = d_tbl.to_pylist()
+            d_rows = [tuple(row[c] for c in d_cols) for row in d_pylist]
             d_n, d_h = table_hash(d_cols, d_rows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
