@@ -15,6 +15,8 @@ from ccm_spark.pipeline.dedup import (
     LSH_BANDS,
     NUM_PERMS,
     SHINGLE_WIDTH,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
     minhash_perm_params,
 )
@@ -204,18 +206,24 @@ def sql_dedup_simhash() -> str:
     return f"WITH {_simhash_ctes()}\nSELECT doc_id, simhash FROM fp"
 
 
-def sql_dedup_simhash_pairs(max_hamming: int = 6) -> str:
+def sql_dedup_simhash_pairs(max_hamming: int = 6, max_bucket_size: int = 1000) -> str:
+    key_mod = 1 << SIMHASH_BAND_BITS
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS band, (simhash // {1 << (8 * i)}) % 256 AS band_key FROM fp"
-        for i in range(4)
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash // {1 << (SIMHASH_BAND_BITS * i)}) % {key_mod} AS band_key FROM fp"
+        for i in range(SIMHASH_BANDS)
     )
     return f"""
 WITH {_simhash_ctes()},
 banded AS ({bands}),
+kept AS (
+  SELECT * FROM banded
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket_size}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.simhash AS sh_a, b.simhash AS sh_b
-  FROM banded a JOIN banded b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming

@@ -57,9 +57,35 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     d = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta eps zeta"])
     fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(d).collect()}
     assert fp[0] == fp[1] != fp[2]
-    assert 0 <= fp[0] < 2**32
+    assert 0 <= fp[0] < 2**dedup.SIMHASH_BITS
     pairs = dedup.simhash_near_duplicates(d, max_hamming=0).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+
+
+def test_simhash_banding_recall_exact_vs_bruteforce(spark):
+    """7 bands x 8 bits is pigeonhole-exact for max_hamming=6: the banded
+    candidate set (uncapped) must reproduce brute-force all-pairs Hamming."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = dedup.simhash_fingerprints(docs).collect()
+    want = set()
+    for i, ri in enumerate(fps):
+        for rj in fps[i + 1:]:
+            a, b = sorted((ri.doc_id, rj.doc_id))
+            if bin(ri.simhash ^ rj.simhash).count("1") <= 6:
+                want.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=6).collect()
+    }
+    assert got == want and want  # non-trivial corpus: expect >=1 true pair
+
+
+def test_simhash_bucket_cap_prunes_hot_bucket(spark):
+    """With the cap below the duplicate-group size, identical docs land in
+    over-full buckets in every band and produce no candidate pairs."""
+    d = docs_df(spark, ["same text here ok", "same text here ok", "same text here ok"])
+    assert dedup.simhash_near_duplicates(d, max_hamming=6).count() == 3
+    assert dedup.simhash_near_duplicates(d, max_hamming=6, max_bucket_size=2).count() == 0
 
 
 def test_token_stats_and_quality(spark):
