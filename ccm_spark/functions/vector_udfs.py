@@ -5,9 +5,55 @@ the type hints at definition time, and postponed (string) annotations from
 that future import break its signature inspection.
 """
 
+import hashlib
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
+
+# Java regex \s (no UNICODE_CHARACTER_CLASS) — what Spark's split(lower(s),
+# '\s+') matches; Python's \s would additionally eat unicode spaces.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+_P31 = 2_147_483_647
+
+
+def shingle_hash_udf(width: int):
+    """Arrow-batched shingler: text -> sorted distinct hashed token
+    w-grams, one array<long> per document.
+
+    Replaces the interpreted HOF chain (transform + slice + concat_ws +
+    md5 at ~25 us/element) with plain Python at ~1 us/shingle. Hash
+    parity with the JVM/DuckDB formulation is bit-exact: md5 of the
+    space-joined lowercase tokens, first 15 hex chars as a 60-bit int,
+    mod 2^31-1 (functions.hashing.md5_long % P31).
+    """
+
+    @pandas_udf("array<long>")
+    def _shingle_hashes(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append([])
+                continue
+            toks = [w for w in _JAVA_WS.split(t.lower()) if w]
+            if len(toks) < width:
+                out.append([])
+                continue
+            hashes = {
+                int(
+                    hashlib.md5(
+                        " ".join(toks[i : i + width]).encode("utf-8")
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % _P31
+                for i in range(len(toks) - width + 1)
+            }
+            out.append(sorted(hashes))
+        return pd.Series(out)
+
+    return _shingle_hashes
 
 
 @pandas_udf("double")

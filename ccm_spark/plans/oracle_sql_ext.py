@@ -174,12 +174,16 @@ cand_pairs AS (
 ),{_jaccard_tail(threshold)}"""
 
 
-def sql_dedup_ngram_jaccard(threshold: float = 0.5) -> str:
+def sql_dedup_ngram_jaccard(threshold: float = 0.5, max_doc_freq: int = 1000) -> str:
     return f"""
 WITH {_shingle_ctes()},
+rare AS (
+  SELECT * FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle_hash) <= {max_doc_freq}
+),
 cand_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  FROM rare a JOIN rare b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
 ),{_jaccard_tail(threshold)}"""
 
 

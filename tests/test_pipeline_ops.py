@@ -53,6 +53,26 @@ def test_ngram_jaccard_identical_pair(spark):
     assert pairs[0].jaccard == 1.0
 
 
+def test_ngram_jaccard_posting_list_cap(spark):
+    """A hot shingle above the df cap must not generate candidate pairs;
+    pairs still found via sub-cap shingles keep their exact full-set
+    Jaccard (the cap gates candidates only, not the measure)."""
+    # every doc contains the hot trigram "x y z"; docs 0/1 also share "a b c"
+    d = docs_df(spark, ["a b c x y z", "a b c x y z", "p q x y z", "m n x y z"])
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_duplicates(d, threshold=0.01).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_duplicates(d, threshold=0.01, max_doc_freq=3).collect()
+    }
+    # "x y z" has df=4 > 3 -> pairs sharing ONLY it disappear
+    assert (0, 1) in capped and (2, 3) not in capped and (2, 3) in uncapped
+    # surviving pair keeps the exact full-set Jaccard
+    assert capped[(0, 1)] == uncapped[(0, 1)]
+
+
 def test_simhash_identical_docs_equal_fingerprints(spark):
     d = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta eps zeta"])
     fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(d).collect()}
