@@ -99,6 +99,32 @@ def q_ccm_lib_ladder(spark, sf_dir):
     return lib_sizes_df(_series(spark, sf_dir), PARAMS.embedding_dim, PARAMS.tau)
 
 
+def q_ccm_config_ladder(spark, sf_dir):
+    """C1: resolved config defaults + C2 ladder for a spread of candidate
+    series lengths (reference lib/ccm.ex:26-42,86-97). sf-independent; the
+    ladder arithmetic runs as DataFrame expressions, mirroring
+    config.generate_lib_sizes / CCMConfig.resolved_lib_sizes."""
+    cfg = CCMConfig()
+    ns = [8, 9, 25, 50, 120, 301, 1000]
+    df = spark.createDataFrame([(n,) for n in ns], "n_points int")
+    max_lib = (F.col("n_points") - (cfg.embedding_dim - 1) * cfg.tau).cast("int")
+    ladder = F.when(max_lib < 10, F.array(max_lib)).otherwise(
+        F.sequence(
+            F.greatest(F.floor(max_lib / 10).cast("int"), F.lit(5)),
+            max_lib,
+            F.greatest(F.lit(2), F.floor(max_lib / 20).cast("int")),
+        )
+    )
+    return df.select(
+        "n_points",
+        F.lit(cfg.embedding_dim).alias("embedding_dim"),
+        F.lit(cfg.tau).alias("tau"),
+        F.lit(cfg.num_samples).alias("num_samples"),
+        max_lib.alias("max_lib_size"),
+        F.explode(ladder).alias("lib_size"),
+    )
+
+
 def q_ccm_sampling(spark, sf_dir, lib_size=80, max_samples=3):
     fanned = _fanned(spark, sf_dir)
     return (
@@ -336,6 +362,17 @@ def q_gen_coupled_series(spark, sf_dir):
     return df.select("t", _r6(F.col("x")).alias("x"), _r6(F.col("y")).alias("y"))
 
 
+def q_gen_coupled_series_noisy(spark, sf_dir):
+    """G2 with LCG observation noise — the last reference behavior
+    (lib/coupled_series_generator.ex:78-83) now hash-checked end-to-end."""
+    from ccm_spark.generators import coupled_series
+
+    x, y = coupled_series(length=100, coupling=0.3, noise_level=0.05, seed=123)
+    rows = [(t, float(x[t]), float(y[t])) for t in range(len(x))]
+    df = spark.createDataFrame(rows, "t long, x double, y double")
+    return df.select("t", _r6(F.col("x")).alias("x"), _r6(F.col("y")).alias("y"))
+
+
 def q_events_hourly_stats(spark, sf_dir):
     """Batch twin of streaming.windowed_event_stats with engine-portable
     integer time bucketing (hour index since epoch from the ns timestamp)."""
@@ -359,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ccm_embedding": q_ccm_embedding,
         "ccm_lib_ladder": q_ccm_lib_ladder,
+        "ccm_config_ladder": q_ccm_config_ladder,
         "ccm_sampling": q_ccm_sampling,
         "ccm_knn": q_ccm_knn,
         "ccm_correlation": q_ccm_correlation,
@@ -385,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stats": q_events_hourly_stats,
         "gen_logistic_maps": q_gen_logistic_maps,
         "gen_coupled_series": q_gen_coupled_series,
+        "gen_coupled_series_noisy": q_gen_coupled_series_noisy,
         "events_asof_join": q_events_asof_join,
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
@@ -397,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ccm_embedding": osql.sql_ccm_embedding(),
         "ccm_lib_ladder": osql.sql_ccm_lib_ladder(),
+        "ccm_config_ladder": osql.sql_ccm_config_ladder(),
         "ccm_sampling": osql.sql_ccm_sampling(),
         "ccm_knn": osql.sql_ccm_knn(),
         "ccm_correlation": osql.sql_ccm_correlation(),
@@ -423,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stats": oext.sql_events_hourly_stats(),
         "gen_logistic_maps": oext.sql_gen_logistic_maps(),
         "gen_coupled_series": oext.sql_gen_coupled_series(),
+        "gen_coupled_series_noisy": oext.sql_gen_coupled_series_noisy(),
         "events_asof_join": oext.sql_events_asof_join(),
         "events_sessionize": oext.sql_events_sessionize(),
         "events_quantiles": oext.sql_events_quantiles(),

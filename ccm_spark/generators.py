@@ -17,13 +17,18 @@ Parity (reference file:line):
      rx=3.8, ry=3.6, c=0.3, noise=0.05, x0=0.3, y0=0.4.
 
 The reference's G2 seeds its RNG only in run/1 (:117); here noise is always
-seeded (numpy default_rng) so fixtures are reproducible.
+seeded AND engine-portable: observation noise comes from the repo's own LCG
+(ccm_spark.rng.lcg_rank_key keyed on (t, series, seed)), so a SQL oracle can
+replay the noisy series bit-for-bit — numpy PCG could not be mirrored in any
+SQL engine.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+from ccm_spark.rng import M31, lcg_rank_key
 
 
 def coupled_logistic_maps(length: int, coupling: float = 0.02) -> tuple[np.ndarray, np.ndarray]:
@@ -47,7 +52,13 @@ def coupled_series(
     y0: float = 0.4,
     seed: int = 123,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """G2: X->Y forced logistic maps with observation noise; length+1 points."""
+    """G2: X->Y forced logistic maps with observation noise; length+1 points.
+
+    Noise is uniform in [-noise_level, +noise_level] (reference
+    lib/coupled_series_generator.ex:78-83) drawn from the LCG keyed on
+    (t, series_id, seed) — a pure scalar function of the row, so the DuckDB
+    oracle replays it exactly (sql_gen_coupled_series_noisy).
+    """
     x = np.empty(length + 1)
     y = np.empty(length + 1)
     x[0], y[0] = x0, y0
@@ -56,9 +67,11 @@ def coupled_series(
         ny = r_y * y[t] * (1.0 - y[t]) + coupling * (x[t] - y[t])
         x[t + 1] = min(0.999, max(0.001, nx))
         y[t + 1] = min(0.999, max(0.001, ny))
-    rng = np.random.default_rng(seed)
-    x = x + noise_level * (rng.random(length + 1) - 0.5) * 2.0
-    y = y + noise_level * (rng.random(length + 1) - 0.5) * 2.0
+    ts = np.arange(length + 1)
+    ux = lcg_rank_key(ts, 0, 0, 0, seed) / M31
+    uy = lcg_rank_key(ts, 0, 0, 1, seed) / M31
+    x = x + noise_level * (ux - 0.5) * 2.0
+    y = y + noise_level * (uy - 0.5) * 2.0
     return x, y
 
 

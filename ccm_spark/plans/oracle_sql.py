@@ -335,3 +335,27 @@ SELECT {DIRECTION_CASE.replace('dir_id', 's.dir_id')} AS direction,
        c.convergent
 FROM skill s JOIN conv c ON s.pair_id = c.pair_id AND s.dir_id = c.dir_id"""
     )
+
+
+def sql_ccm_config_ladder(ns: tuple[int, ...] = (8, 9, 25, 50, 120, 301, 1000)) -> str:
+    """C1 resolved defaults + C2 ladder per candidate length (reference
+    lib/ccm.ex:26-42,86-97) — both engines derive max_lib_size and the
+    ladder arithmetic independently; nothing is a pasted literal except the
+    candidate n_points values themselves."""
+    values = ", ".join(f"({n})" for n in ns)
+    return f"""
+WITH ns AS (SELECT CAST(n_points AS INT) AS n_points FROM (VALUES {values}) AS v(n_points)),
+cfg AS (SELECT n_points, n_points - (3 - 1) * 1 AS maxl FROM ns),
+ladders AS (
+  SELECT n_points, maxl,
+         CASE WHEN maxl < 10 THEN [maxl]
+              ELSE range(GREATEST(maxl // 10, 5), maxl + 1, GREATEST(2, maxl // 20)) END AS ladder
+  FROM cfg
+)
+SELECT n_points,
+       CAST(3 AS INT) AS embedding_dim,
+       CAST(1 AS INT) AS tau,
+       CAST(100 AS INT) AS num_samples,
+       CAST(maxl AS INT) AS max_lib_size,
+       CAST(unnest(ladder) AS INT) AS lib_size
+FROM ladders"""

@@ -379,6 +379,35 @@ WITH RECURSIVE g(t, x, y) AS (
 SELECT CAST(t AS BIGINT) AS t, round(x, 6) + 0.0 AS x, round(y, 6) + 0.0 AS y FROM g"""
 
 
+def sql_gen_coupled_series_noisy(
+    length: int = 100,
+    coupling: float = 0.3,
+    noise_level: float = 0.05,
+    seed: int = 123,
+) -> str:
+    """G2 with observation noise (reference lib/coupled_series_generator.ex:
+    78-83): the recurrence replays as a recursive CTE, and the uniform noise
+    replays as the LCG rank key keyed on (t, series, seed) — the same pure
+    scalar expression numpy evaluates in generators.coupled_series."""
+    from ccm_spark.rng import sql_rank_key_expr
+
+    ux = f"(CAST({sql_rank_key_expr('t', '0', '0', '0', seed)} AS DOUBLE) / 2147483648.0)"
+    uy = f"(CAST({sql_rank_key_expr('t', '0', '0', '1', seed)} AS DOUBLE) / 2147483648.0)"
+    return f"""
+WITH RECURSIVE g(t, x, y) AS (
+  SELECT 0 AS t, CAST(0.3 AS DOUBLE) AS x, CAST(0.4 AS DOUBLE) AS y
+  UNION ALL
+  SELECT t + 1,
+         GREATEST(0.001, LEAST(0.999, 3.8 * x * (1.0 - x))),
+         GREATEST(0.001, LEAST(0.999, 3.6 * y * (1.0 - y) + {coupling} * (x - y)))
+  FROM g WHERE t < {length}
+)
+SELECT CAST(t AS BIGINT) AS t,
+       round(x + {noise_level} * ({ux} - 0.5) * 2.0, 6) + 0.0 AS x,
+       round(y + {noise_level} * ({uy} - 0.5) * 2.0, 6) + 0.0 AS y
+FROM g"""
+
+
 # -------------------------------------------------------------- events ops
 
 def sql_events_hourly_stats() -> str:
