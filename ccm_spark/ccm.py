@@ -12,10 +12,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ccm_spark.config import CCMConfig
-from ccm_spark.plans.cross_map import ccm_plan
+from ccm_spark.operators.embedding import DIRECTION_NAMES
+from ccm_spark.plans.cross_map import ccm_plan, release_cached
 
 
 class CCM:
@@ -69,13 +71,22 @@ class CCM:
         return ccm_plan(self.series, self.config)
 
     def cross_map(self, direction: str = "x_causes_y") -> dict:
-        """Reference-shaped result map for one direction (lib/ccm.ex:69-73)."""
+        """Reference-shaped result map for one direction (lib/ccm.ex:69-73).
+
+        An unknown direction raises (the reference's behavior) instead of
+        silently matching nothing.
+        """
+        if direction not in DIRECTION_NAMES:
+            raise ValueError(
+                f"direction must be one of {DIRECTION_NAMES}, got {direction!r}"
+            )
+        result = self.result_df()
         rows = (
-            self.result_df()
-            .where(f"direction = '{direction}'")
+            result.where(F.col("direction") == F.lit(direction))
             .orderBy("lib_size")
             .collect()
         )
+        release_cached(result)
         return {
             "direction": direction,
             "results": [(r.lib_size, r.correlation) for r in rows],
@@ -84,7 +95,9 @@ class CCM:
 
     def bidirectional_ccm(self) -> dict:
         """Reference-shaped nested map (lib/ccm.ex:79-84), from ONE plan run."""
-        rows = self.result_df().orderBy("direction", "lib_size").collect()
+        result = self.result_df()
+        rows = result.orderBy("direction", "lib_size").collect()
+        release_cached(result)
         out: dict = {}
         for direction in ("x_causes_y", "y_causes_x"):
             sub = [r for r in rows if r.direction == direction]

@@ -20,7 +20,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
 
 from ccm_spark.config import CCMConfig
 from ccm_spark import oracle
@@ -79,10 +80,21 @@ def ccm_apply_in_pandas(series: DataFrame, config: CCMConfig) -> DataFrame:
     return series.groupBy("pair_id").applyInPandas(run_pair, schema=RESULT_SCHEMA)
 
 
-def ccm_fast_iterated(series: DataFrame, config: CCMConfig) -> DataFrame:
+def ccm_fast_iterated(
+    series: DataFrame, config: CCMConfig, check_clustering: bool = True
+) -> DataFrame:
     """mapInPandas variant for pre-partitioned input (series already
     clustered by pair_id within partitions — e.g. bucketed parquet): avoids
-    even the groupBy shuffle."""
+    even the groupBy shuffle.
+
+    If a pair's rows span partition boundaries, each partition computes that
+    pair from its partial series — silently wrong. ``check_clustering``
+    (default on) guards the precondition: duplicate (pair_id, direction,
+    lib_size) output groups fail the job with a clear message. The check
+    windows over the tiny RESULT relation (a few rows per pair), not the
+    series, so the shuffle it adds is negligible; disable it only for
+    maximum-throughput runs on layouts already proven clustered (e.g. just
+    written by sinks.write_series_bucketed)."""
 
     emb_dim, tau = config.embedding_dim, config.tau
     num_samples, seed = config.num_samples, config.seed
@@ -117,4 +129,22 @@ def ccm_fast_iterated(series: DataFrame, config: CCMConfig) -> DataFrame:
                 columns=["pair_id", "direction", "lib_size", "correlation", "slope", "convergent"],
             )
 
-    return series.mapInPandas(run_partition, schema=RESULT_SCHEMA)
+    out = series.mapInPandas(run_partition, schema=RESULT_SCHEMA)
+    if check_clustering:
+        w = Window.partitionBy("pair_id", "direction", "lib_size")
+        out = (
+            out.withColumn("_n_dup", F.count("*").over(w))
+            .where(
+                F.assert_true(
+                    F.col("_n_dup") == 1,
+                    F.lit(
+                        "ccm_fast_iterated: duplicate per-pair result groups — "
+                        "input rows span partition boundaries; cluster by "
+                        "pair_id first (sinks.write_series_bucketed) or use "
+                        "ccm_apply_in_pandas"
+                    ),
+                ).isNull()
+            )
+            .drop("_n_dup")
+        )
+    return out

@@ -64,14 +64,17 @@ def extract_payload_features(payloads: DataFrame) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raw = pdf["payload"]
-            hexes = raw.map(lambda b: b.hex())
-            fmt = hexes.map(
-                lambda h: next((f for m, f in MAGIC if h.startswith(m)), "unknown")
+            # sniff only the first 4 bytes — hex-encoding whole payloads
+            # would double transient memory per blob for a <=4-byte prefix
+            fmt = raw.map(
+                lambda b: next(
+                    (f for m, f in MAGIC if b[:4].hex().startswith(m)), "unknown"
+                )
             )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": raw.map(len).astype("int64"),
+                    "byte_len": raw.str.len().astype("int64"),
                     "payload_md5": raw.map(lambda b: hashlib.md5(b).hexdigest()),
                     "sniffed_format": fmt,
                 }

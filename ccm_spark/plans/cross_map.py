@@ -36,8 +36,20 @@ def _direction_name_col() -> F.Column:
     )
 
 
-def sample_corr_plan(series: DataFrame, config: CCMConfig) -> tuple[DataFrame, DataFrame]:
-    """Returns (per-sample correlations, lib-size grid spanning both dirs).
+def release_cached(result: DataFrame) -> None:
+    """Unpersist the cached subtrees a plan function attached to ``result``
+    (``_ccm_persisted``). Call after the terminal action: repeated API calls
+    in a long-lived session would otherwise accumulate cached blocks on
+    executors. No-op for plans without cached subtrees."""
+    for df in getattr(result, "_ccm_persisted", []):
+        df.unpersist()
+
+
+def sample_corr_plan(
+    series: DataFrame, config: CCMConfig
+) -> tuple[DataFrame, DataFrame, list[DataFrame]]:
+    """Returns (per-sample correlations, lib-size grid spanning both dirs,
+    persisted subtrees for release_cached).
 
     ``series`` and the ranked fan-out are persisted: the series feeds four
     plan branches (two directions x embedding + the ladder + the grid) and
@@ -66,32 +78,36 @@ def sample_corr_plan(series: DataFrame, config: CCMConfig) -> tuple[DataFrame, D
     corr = pearson_by_sample(pred)
     dirs = series.sparkSession.range(2).select(F.col("id").cast("int").alias("dir_id"))
     lib_grid = ladder.crossJoin(F.broadcast(dirs))
-    return corr, lib_grid
+    return corr, lib_grid, [series, fanned]
 
 
 def skill_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
     """(pair_id, direction, lib_size, correlation) — R2 output."""
-    corr, lib_grid = sample_corr_plan(series, config)
+    corr, lib_grid, persisted = sample_corr_plan(series, config)
     skill = skill_by_lib_size(corr, lib_grid, config.num_samples)
-    return skill.select(
+    out = skill.select(
         "pair_id", _direction_name_col(), "lib_size", "correlation"
     )
+    out._ccm_persisted = persisted
+    return out
 
 
 def convergence_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
     """(pair_id, direction, slope, convergent) — R3 output."""
-    corr, lib_grid = sample_corr_plan(series, config)
+    corr, lib_grid, persisted = sample_corr_plan(series, config)
     skill = skill_by_lib_size(corr, lib_grid, config.num_samples)
     conv = convergence(skill)
-    return conv.select("pair_id", _direction_name_col(), "slope", "convergent")
+    out = conv.select("pair_id", _direction_name_col(), "slope", "convergent")
+    out._ccm_persisted = persisted
+    return out
 
 
 def ccm_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
     """Joined skill + convergence: one row per (pair, direction, lib_size)."""
-    corr, lib_grid = sample_corr_plan(series, config)
+    corr, lib_grid, persisted = sample_corr_plan(series, config)
     skill = skill_by_lib_size(corr, lib_grid, config.num_samples)
     conv = convergence(skill)
-    return (
+    out = (
         skill.join(conv, ["pair_id", "dir_id"])
         .select(
             "pair_id",
@@ -102,3 +118,5 @@ def ccm_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
             "convergent",
         )
     )
+    out._ccm_persisted = persisted
+    return out

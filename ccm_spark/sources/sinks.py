@@ -29,10 +29,21 @@ def write_partitioned(
     compression: str = "zstd",
 ) -> None:
     """Write parquet partitioned by ``partition_by`` with a bounded file
-    count per directory."""
+    count per directory (at most ``files_per_partition`` files each)."""
     out = df
     if partition_by:
-        out = df.repartition(files_per_partition * max(1, len(partition_by)), *partition_by)
+        keys = [F.col(c) for c in partition_by]
+        if files_per_partition > 1:
+            # Salt the repartition keys: hashing only the partition columns
+            # would land each directory's rows in ONE task (one file) no
+            # matter the knob. The salt splits a directory across up to
+            # files_per_partition tasks.
+            salt = F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+                F.lit(files_per_partition),
+            )
+            keys = [*keys, salt]
+        out = df.repartition(files_per_partition * max(8, len(partition_by)), *keys)
         writer = out.write.partitionBy(*partition_by)
     else:
         writer = out.coalesce(files_per_partition).write

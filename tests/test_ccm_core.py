@@ -113,3 +113,12 @@ def test_api_shim_shapes(spark):
 def test_unequal_length_raises(spark):
     with pytest.raises(ValueError):
         CCM(spark, [1.0, 2.0, 3.0], [1.0, 2.0])
+
+
+def test_unknown_direction_raises(spark):
+    """A misspelled direction must raise (reference behavior), not silently
+    return an empty non-convergent result."""
+    x, y = coupled_logistic_maps(30, 0.15)
+    c = CCM(spark, x, y, num_samples=2, lib_sizes=[10], seed=9)
+    with pytest.raises(ValueError, match="direction must be one of"):
+        c.cross_map("x_cause_y")

@@ -42,3 +42,14 @@ def test_mapinpandas_variant_matches(spark, two_pairs):
     a = _collect(ccm_apply_in_pandas(two_pairs, cfg))
     b = _collect(ccm_fast_iterated(two_pairs.repartition("pair_id"), cfg))
     assert a == b
+
+
+def test_fast_iterated_rejects_unclustered_input(spark, two_pairs):
+    """Rows of one pair spread across partitions -> partial-series results;
+    the clustering guard must fail the job instead of returning them."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    cfg = CCMConfig(num_samples=2, lib_sizes=[20], seed=21)
+    scattered = two_pairs.repartition(8)  # round-robin: pairs span partitions
+    with pytest.raises(SparkRuntimeException, match="span partition boundaries"):
+        ccm_fast_iterated(scattered, cfg).collect()

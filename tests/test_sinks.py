@@ -26,6 +26,23 @@ def test_write_partitioned_roundtrip(spark, sf_small, tmp_path):
     assert checksum(back.select("doc_id", "text")) == checksum(docs.select("doc_id", "text"))
 
 
+def test_write_partitioned_files_per_partition(spark, sf_small, tmp_path):
+    """files_per_partition > 1 must actually split a directory into multiple
+    files (the salt on the repartition keys), and stay content-identical."""
+    import glob
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "docs_split")
+    write_partitioned(docs, out, partition_by=["lang"], files_per_partition=3)
+    lang_dirs = glob.glob(f"{out}/lang=*")
+    assert lang_dirs
+    per_dir = [len(glob.glob(f"{d}/*.parquet")) for d in lang_dirs]
+    assert max(per_dir) > 1  # the knob has an effect...
+    assert max(per_dir) <= 3  # ...and respects the bound
+    back = spark.read.parquet(out)
+    assert checksum(back.select("doc_id", "text")) == checksum(docs.select("doc_id", "text"))
+
+
 def test_bucketed_series_feeds_shuffle_free_fastpath(spark, tmp_path):
     pairs = []
     for pid in range(4):
