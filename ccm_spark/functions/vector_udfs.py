@@ -18,6 +18,40 @@ _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 _P31 = 2_147_483_647
 
 
+def simhash_udf(bits: int):
+    """Arrow-batched SimHash: text -> sign-sum fingerprint over token md5
+    hashes (with multiplicity), None for token-less docs (they vanish from
+    the fingerprint relation, matching the explode-based formulation and
+    the oracle). Bit-identical to the former tokens x bits explode+join
+    plan, which materialised 56 rows per token before aggregating."""
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _simhash(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = [w for w in _JAVA_WS.split(t.lower()) if w] if t is not None else []
+            if not toks:
+                out.append(None)
+                continue
+            hs = np.array(
+                [
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    % (1 << bits)
+                    for w in toks
+                ],
+                dtype=np.uint64,
+            )
+            set_counts = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            # bit b is set iff sign-sum > 0 iff strictly more ones than zeros
+            fp = int(((2 * set_counts > len(hs)) * (np.uint64(1) << shifts)).sum())
+            out.append(fp)
+        return pd.Series(out, dtype="object")
+
+    return _simhash
+
+
 def shingle_hash_udf(width: int):
     """Arrow-batched shingler: text -> sorted distinct hashed token
     w-grams, one array<long> per document.
