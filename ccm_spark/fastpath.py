@@ -77,7 +77,20 @@ def ccm_apply_in_pandas(series: DataFrame, config: CCMConfig) -> DataFrame:
             ],
         )
 
-    return series.groupBy("pair_id").applyInPandas(run_pair, schema=RESULT_SCHEMA)
+    # Pre-partition on pair_id with an explicit count: series data is tiny
+    # by bytes but each group costs a full bootstrap sweep, so AQE's
+    # byte-based coalescing would fold the groupBy exchange to ONE task and
+    # serialise the fleet (observed: 64 pairs x 0.45s kernel = 28.9s wall).
+    # The explicit repartition satisfies the groupBy's distribution
+    # requirement, is exempt from coalescing, and costs nothing extra — the
+    # shuffle was happening anyway.
+    from ccm_spark.functions.partitioning import spread
+
+    return (
+        spread(series, "pair_id")
+        .groupBy("pair_id")
+        .applyInPandas(run_pair, schema=RESULT_SCHEMA)
+    )
 
 
 def ccm_fast_iterated(

@@ -115,14 +115,17 @@ def generate_grid_df(spark, grid: list[dict]):
     r_x, r_y, seed]}. Each executor task runs the sequential recurrence for
     its pairs only — the scalable pattern for fleets of series.
     """
-    import pyspark.sql.functions as F  # noqa: F401
+    from ccm_spark.functions.partitioning import spread
 
     grid_pdf = pd.DataFrame(grid)
     defaults = {"noise_level": 0.05, "r_x": 3.8, "r_y": 3.6, "seed": 123}
     for k, v in defaults.items():
         if k not in grid_pdf:
             grid_pdf[k] = v
-    grid_df = spark.createDataFrame(grid_pdf).repartition("pair_id")
+    # explicit partition count: the grid is tiny by bytes but each row costs
+    # a full sequential recurrence — a plain repartition(col) would be
+    # AQE-coalesced back to one task and serialise the whole fleet
+    grid_df = spread(spark.createDataFrame(grid_pdf), "pair_id")
 
     def gen(batches):
         for pdf in batches:

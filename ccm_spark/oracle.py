@@ -156,6 +156,68 @@ def cross_map_sample(
     return pearson(actual, predicted)
 
 
+def cross_map_lib_batch(
+    emb: np.ndarray,
+    tgt: np.ndarray,
+    lib_size: int,
+    num_samples: int,
+    dir_id: int,
+    seed: int,
+    embedding_dim: int,
+    dist_matrix: np.ndarray,
+) -> np.ndarray:
+    """All bootstrap samples of one lib_size in a single vectorised pass.
+
+    Identical arithmetic to :func:`cross_map_sample` (same expressions, same
+    dtypes, same stable-sort tie-breaks), batched over the sample axis —
+    this removes the per-sample Python loop that dominated the fleet path.
+    Requires the precomputed distance matrix (all samples share it; the
+    P > PRECOMPUTE_DIST_MAX_P regime keeps the per-sample loop).
+    Returns the (num_samples,) skill vector, 0.0 on degenerate guards.
+    """
+    p = emb.shape[0]
+    if lib_size >= p or (p - lib_size) < 2:
+        return np.zeros(num_samples)
+    idx = np.arange(p)
+    samples = np.arange(num_samples)
+    key = lcg_rank_key(idx[None, :], samples[:, None], lib_size, dir_id, seed)
+    # (key, idx) lexsort == stable argsort of key*P + idx (key < 2^31, so
+    # the combined value stays far below 2^63)
+    order = np.argsort(key * p + idx[None, :], axis=1, kind="stable")
+    lib_idx = np.sort(order[:, :lib_size], axis=1)  # (S, L)
+    pred_idx = np.sort(order[:, lib_size:], axis=1)  # (S, Q)
+    s_n, q_n, l_n = num_samples, pred_idx.shape[1], lib_size
+    d = dist_matrix[pred_idx[:, :, None], lib_idx[:, None, :]]  # (S, Q, L)
+    k = min(embedding_dim + 1, lib_size)
+    nn = np.argsort(d, axis=2, kind="stable")[:, :, :k]  # K1, ties by lib pos
+    nd = np.take_along_axis(d, nn, axis=2)
+    min_d = nd.min(axis=2, keepdims=True)
+    w = np.where(nd < 1e-12, 1.0, np.exp(-nd / (min_d + 1e-8)))  # W1
+    global_nn = np.take_along_axis(
+        np.broadcast_to(lib_idx[:, None, :], (s_n, q_n, l_n)), nn, axis=2
+    )
+    neighbor_targets = tgt[global_nn]  # (S, Q, k)
+    wsum = w.sum(axis=2)
+    predicted = np.where(  # P1
+        wsum == 0,
+        0.0,
+        (w * neighbor_targets).sum(axis=2) / np.where(wsum == 0, 1.0, wsum),
+    )
+    actual = tgt[pred_idx]  # (S, Q)
+    # R1 batched (same raw-sums form and guards as pearson())
+    sa, sb = actual.sum(axis=1), predicted.sum(axis=1)
+    saa = (actual * actual).sum(axis=1)
+    sbb = (predicted * predicted).sum(axis=1)
+    sab = (actual * predicted).sum(axis=1)
+    va = q_n * saa - sa * sa
+    vb = q_n * sbb - sb * sb
+    degen = (va <= VAR_EPS * np.maximum(saa, 1.0)) | (
+        vb <= VAR_EPS * np.maximum(sbb, 1.0)
+    )
+    den = np.sqrt(np.where(degen, 1.0, va)) * np.sqrt(np.where(degen, 1.0, vb))
+    return np.where(degen, 0.0, (q_n * sab - sa * sb) / den)
+
+
 def cross_map(
     x: np.ndarray, y: np.ndarray, config: CCMConfig, direction: str
 ) -> dict:
@@ -173,13 +235,19 @@ def cross_map(
     )
     results = []
     for lib_size in lib_sizes:
-        corrs = [
-            cross_map_sample(
-                emb, tgt, lib_size, s, dir_id, config.seed, config.embedding_dim,
-                dist_matrix=dist_matrix,
+        if dist_matrix is not None:
+            corrs = cross_map_lib_batch(
+                emb, tgt, lib_size, config.num_samples, dir_id, config.seed,
+                config.embedding_dim, dist_matrix,
             )
-            for s in range(config.num_samples)
-        ]
+        else:
+            corrs = [
+                cross_map_sample(
+                    emb, tgt, lib_size, s, dir_id, config.seed,
+                    config.embedding_dim, dist_matrix=None,
+                )
+                for s in range(config.num_samples)
+            ]
         # R2: the reference divides by num_samples (lib/ccm.ex:59-67)
         results.append((lib_size, float(np.sum(corrs) / config.num_samples)))
     ls = np.array([r[0] for r in results], dtype=np.float64)
