@@ -237,6 +237,20 @@ def q_text_fingerprint(spark, sf_dir):
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+def q_text_quality_filter(spark, sf_dir):
+    """Gopher/C4-style rule filter; keep verdict computed on unrounded
+    signals in both engines, signals rounded at the boundary."""
+    out = text.quality_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        _r6(F.col("mean_token_len")).alias("mean_token_len"),
+        _r6(F.col("alpha_frac")).alias("alpha_frac"),
+        _r6(F.col("stopword_frac")).alias("stopword_frac"),
+        "keep",
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
@@ -249,6 +263,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     out = dedup.ngram_jaccard_duplicates(_docs(spark, sf_dir), threshold=0.5)
     return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster assignment: connected components over the MinHash
+    near-dup graph via min-label propagation (iterative; oracle = recursive
+    transitive closure)."""
+    return dedup.duplicate_components(_docs(spark, sf_dir), threshold=0.5)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -410,7 +431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
+        "text_quality_filter": q_text_quality_filter,
         "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -450,7 +473,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": oext.sql_text_langid(),
         "text_token_counts": oext.sql_text_token_counts(),
         "text_fingerprint": oext.sql_text_fingerprint(),
+        "text_quality_filter": oext.sql_text_quality_filter(),
         "dedup_exact": oext.sql_dedup_exact(),
+        "dedup_components": oext.sql_dedup_components(),
         "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
         "dedup_simhash": oext.sql_dedup_simhash(),

@@ -77,6 +77,55 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Gopher/C4-style rule thresholds for the keep/drop quality filter
+QF_MIN_TOKENS = 10
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_TOKEN_LEN = 2.0
+QF_MAX_MEAN_TOKEN_LEN = 12.0
+QF_MIN_ALPHA_FRAC = 0.6
+QF_MIN_STOPWORD_FRAC = 0.05
+
+
+def quality_filter(docs: DataFrame) -> DataFrame:
+    """Rule-based keep/drop document filter (the Gopher/C4 pattern): token
+    count bounds, mean token length bounds, alphabetic-token fraction, and
+    stopword fraction (natural-language signal, en markers). Emits the
+    signals plus the ``keep`` verdict so downstream stages can audit drops.
+
+    Pure projections (mean token length = chars of the token concat / count
+    — no per-token fold), one narrow pass, no shuffle.
+    """
+    toks = tokens_col("text")
+    alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
+    stops = F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(F.concat_ws("", toks)).cast("double").alias("tok_chars"),
+        F.size(alpha).cast("double").alias("n_alpha"),
+        F.size(stops).cast("double").alias("n_stop"),
+    )
+    n = F.col("n_tokens")
+    zero = n == 0
+    mean_len = F.when(zero, F.lit(0.0)).otherwise(F.col("tok_chars") / n)
+    alpha_frac = F.when(zero, F.lit(0.0)).otherwise(F.col("n_alpha") / n)
+    stop_frac = F.when(zero, F.lit(0.0)).otherwise(F.col("n_stop") / n)
+    keep = (
+        n.between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+        & mean_len.between(QF_MIN_MEAN_TOKEN_LEN, QF_MAX_MEAN_TOKEN_LEN)
+        & (alpha_frac >= QF_MIN_ALPHA_FRAC)
+        & (stop_frac >= QF_MIN_STOPWORD_FRAC)
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        mean_len.alias("mean_token_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_frac.alias("stopword_frac"),
+        keep.alias("keep"),
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Stopword-profile language ID: score each language by marker-token
     hits; argmax wins, ties break alphabetically, zero hits -> 'und'."""

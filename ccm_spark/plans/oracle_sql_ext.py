@@ -21,7 +21,16 @@ from ccm_spark.pipeline.dedup import (
     minhash_perm_params,
 )
 from ccm_spark.pipeline.similarity import DIM, SRP_PLANES, srp_plane_values
-from ccm_spark.pipeline.text import BPE_CHARS_PER_TOKEN, LANG_MARKERS
+from ccm_spark.pipeline.text import (
+    BPE_CHARS_PER_TOKEN,
+    LANG_MARKERS,
+    QF_MAX_MEAN_TOKEN_LEN,
+    QF_MAX_TOKENS,
+    QF_MIN_ALPHA_FRAC,
+    QF_MIN_MEAN_TOKEN_LEN,
+    QF_MIN_STOPWORD_FRAC,
+    QF_MIN_TOKENS,
+)
 
 P31 = 2_147_483_647
 
@@ -62,6 +71,32 @@ SELECT doc_id,
          * (0.5 + 0.5 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_unique / n_tokens END))
          * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_alpha / n_tokens END), 6) + 0.0 AS quality
 FROM t"""
+
+
+def sql_text_quality_filter() -> str:
+    stops = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    mean_len = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / n_tokens END"
+    alpha_frac = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_alpha / n_tokens END"
+    stop_frac = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END"
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(length(array_to_string(toks, '')) AS DOUBLE) AS tok_chars,
+         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha,
+         CAST(len(list_filter(toks, x -> list_contains([{stops}], x))) AS DOUBLE) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round({mean_len}, 6) + 0.0 AS mean_token_len,
+       round({alpha_frac}, 6) + 0.0 AS alpha_frac,
+       round({stop_frac}, 6) + 0.0 AS stopword_frac,
+       (n_tokens BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+        AND ({mean_len}) BETWEEN {QF_MIN_MEAN_TOKEN_LEN} AND {QF_MAX_MEAN_TOKEN_LEN}
+        AND ({alpha_frac}) >= {QF_MIN_ALPHA_FRAC}
+        AND ({stop_frac}) >= {QF_MIN_STOPWORD_FRAC}) AS keep
+FROM b"""
 
 
 def sql_text_langid() -> str:
@@ -185,6 +220,27 @@ cand_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM rare a JOIN rare b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
 ),{_jaccard_tail(threshold)}"""
+
+
+def sql_dedup_components(threshold: float = 0.5, seed: int = 7) -> str:
+    """Transitive closure over the MinHash near-dup pair graph; label =
+    smallest reachable doc_id (singletons label themselves) — replays the
+    Spark min-label propagation exactly (both are 'smallest id in the
+    connected component')."""
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a, doc_b FROM ({sql_dedup_minhash_lsh(threshold, seed)})
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+lbl AS (SELECT a AS node, MIN(b) AS m FROM reach GROUP BY 1)
+SELECT d.doc_id,
+       CAST(LEAST(d.doc_id, COALESCE(l.m, d.doc_id)) AS BIGINT) AS component
+FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id"""
 
 
 def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:

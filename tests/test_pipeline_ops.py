@@ -73,7 +73,22 @@ def test_ngram_jaccard_posting_list_cap(spark):
     assert capped[(0, 1)] == uncapped[(0, 1)]
 
 
-def test_simhash_identical_docs_equal_fingerprints(spark):
+def test_duplicate_components_transitive_chain(spark):
+    """a~b and b~c must land in ONE component even if a~c alone would not
+    pass the threshold; unrelated docs stay singletons."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    d = docs_df(
+        spark,
+        [
+            base,                                   # 0
+            base.replace("mu", "nu"),               # 1: near 0
+            base.replace("mu", "nu").replace("alpha", "omega"),  # 2: near 1
+            "totally different content here with no shared trigrams at all",  # 3
+        ],
+    )
+    comp = {r.doc_id: r.component for r in dedup.duplicate_components(d, threshold=0.3).collect()}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[3] == 3
     d = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta eps zeta"])
     fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(d).collect()}
     assert fp[0] == fp[1] != fp[2]
@@ -118,6 +133,21 @@ def test_token_stats_and_quality(spark):
     # 3 tokens: saturation .03, diversity 2/3, purity 1 -> .03*(0.5+1/3)
     assert q[0] == pytest.approx(0.03 * (0.5 + 0.5 * 2 / 3))
     assert q[1] == 0.0
+
+
+def test_quality_filter_rules(spark):
+    good = "the cat and the dog sat in that house for many days together"
+    short = "the cat sat"  # < 10 tokens
+    numeric = "111 222 333 444 555 666 777 888 999 000 123 456"  # alpha_frac 0
+    nostop = "cat dog bird fish lion tiger bear wolf fox deer goat mole"  # no stopwords
+    rows = {r.doc_id: r for r in text.quality_filter(docs_df(spark, [good, short, numeric, nostop])).collect()}
+    assert rows[0].keep is True
+    assert rows[1].keep is False and rows[1].n_tokens == 3
+    assert rows[2].keep is False and rows[2].alpha_frac == 0.0
+    assert rows[3].keep is False and rows[3].stopword_frac == 0.0
+    assert rows[0].mean_token_len == pytest.approx(
+        sum(map(len, good.split())) / len(good.split())
+    )
 
 
 def test_language_id(spark):
