@@ -293,6 +293,12 @@ def q_ann_srp_buckets(spark, sf_dir):
     return similarity.srp_buckets(_embs(spark, sf_dir))
 
 
+def q_embedding_projection(spark, sf_dir):
+    """Normalise + random-project embeddings to 16 dims (JL-style reduction)."""
+    out = similarity.random_projection(_embs(spark, sf_dir), out_dim=16)
+    return out.select("vec_id", "dim_idx", _r6(F.col("comp")).alias("comp"))
+
+
 def q_dedup_embedding(spark, sf_dir):
     # library default is 0.95; the synthetic embeddings max out near cosine
     # 0.5, so the entry query uses 0.35 to exercise real candidate pairs
@@ -441,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_srp_buckets": q_ann_srp_buckets,
+        "embedding_projection": q_embedding_projection,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
         "events_hourly_stats": q_events_hourly_stats,
@@ -483,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oext.sql_ann_cosine_topk(),
         "ann_ivf_topk": oext.sql_ann_ivf_topk(),
         "ann_srp_buckets": oext.sql_ann_srp_buckets(),
+        "embedding_projection": oext.sql_embedding_projection(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
         "events_hourly_stats": oext.sql_events_hourly_stats(),

@@ -130,6 +130,45 @@ def srp_plane_values(planes: int = SRP_PLANES, dim: int = DIM, seed: int = 99) -
     return out
 
 
+def random_projection(
+    embeddings: DataFrame, out_dim: int = 16, seed: int = 177
+) -> DataFrame:
+    """(vec_id, dim_idx, comp): L2-normalised embeddings projected to
+    ``out_dim`` dimensions with deterministic LCG hyperplanes — the
+    dimensionality-reduction step an embedding pipeline runs before
+    clustering/ANN at scale (Johnson-Lindenstrauss style).
+
+    comp_j = dot(v, plane_j) / ||v||, zero-vector guard -> 0.0. Long-form
+    output (one row per component) so the cross-engine hash compares
+    scalars, not array representations. JVM-side explode + sum mirrors the
+    oracle's aggregation exactly; at production scale swap in a pandas-UDF
+    matmul per Arrow batch (same shape as cosine_topk's kernel).
+    """
+    spark = embeddings.sparkSession
+    plane_rows = srp_plane_values(out_dim, DIM, seed)
+    planes = spark.createDataFrame(
+        plane_rows, "plane int, dim_idx int, comp double"
+    )
+    vals = spread(embeddings, "vec_id").select(
+        "vec_id", F.posexplode(as_double_vec("embedding")).alias("d", "val")
+    )
+    norms = vals.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("norm")
+    )
+    dots = (
+        vals.join(F.broadcast(planes), vals.d == planes.dim_idx)
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("val") * F.col("comp")).alias("dot"))
+    )
+    return dots.join(norms, "vec_id").select(
+        "vec_id",
+        F.col("plane").alias("dim_idx"),
+        F.when(F.col("norm") == 0.0, F.lit(0.0))
+        .otherwise(F.col("dot") / F.col("norm"))
+        .alias("comp"),
+    )
+
+
 def srp_buckets(
     embeddings: DataFrame, planes: int = SRP_PLANES, seed: int = 99
 ) -> DataFrame:

@@ -382,6 +382,30 @@ def sql_ann_srp_buckets() -> str:
     return f"WITH {_srp_ctes()}\nSELECT vec_id, bucket FROM buckets"
 
 
+def sql_embedding_projection(out_dim: int = 16, seed: int = 177) -> str:
+    """Random projection oracle: same LCG planes, same SUM-of-products /
+    sqrt(SUM-of-squares) shape as the Spark plan."""
+    rows = srp_plane_values(out_dim, DIM, seed)
+    values = ", ".join(f"({pl}, {d}, {c!r})" for pl, d, c in rows)
+    return f"""
+WITH planes AS (SELECT CAST(plane AS INT) AS plane, CAST(dim_idx AS INT) AS dim_idx, CAST(comp AS DOUBLE) AS comp
+                FROM (VALUES {values}) AS v(plane, dim_idx, comp)),
+dims AS (SELECT CAST(unnest(range(0, {DIM})) AS INT) AS d),
+vals AS (
+  SELECT e.vec_id, dims.d, list_extract(e.embedding::DOUBLE[], dims.d + 1) AS val
+  FROM embeddings e CROSS JOIN dims
+),
+norms AS (SELECT vec_id, sqrt(SUM(val * val)) AS norm FROM vals GROUP BY 1),
+dots AS (
+  SELECT v.vec_id, p.plane, SUM(v.val * p.comp) AS dot
+  FROM vals v JOIN planes p ON p.dim_idx = v.d
+  GROUP BY 1, 2
+)
+SELECT d.vec_id, d.plane AS dim_idx,
+       round(CASE WHEN n.norm = 0 THEN 0.0 ELSE d.dot / n.norm END, 6) + 0.0 AS comp
+FROM dots d JOIN norms n ON n.vec_id = d.vec_id"""
+
+
 def sql_dedup_embedding(threshold: float = 0.95) -> str:
     return f"""
 WITH {_srp_ctes()},

@@ -197,6 +197,26 @@ def test_srp_bucket_identical_vectors_collide(spark):
     assert {(r.id_a, r.id_b) for r in nd} == {(0, 1)}
 
 
+def test_random_projection_known_vectors(spark):
+    """One-hot input e_i projects to plane column i (scaled by 1/||v||=1);
+    a zero vector maps to all-zero components."""
+    import numpy as np
+
+    one_hot = np.zeros(64)
+    one_hot[3] = 1.0
+    out = similarity.random_projection(
+        embs_df(spark, [one_hot, np.zeros(64)]), out_dim=4
+    ).collect()
+    comps = {(r.vec_id, r.dim_idx): r.comp for r in out}
+    planes = dict(
+        ((pl, d), c) for pl, d, c in similarity.srp_plane_values(4, 64, 177)
+    )
+    for j in range(4):
+        assert comps[(0, j)] == pytest.approx(planes[(j, 3)], abs=1e-6)
+        assert comps[(1, j)] == 0.0
+    assert len(out) == 8
+
+
 def test_multimodal_features_match_hashlib(spark):
     d = docs_df(spark, ["hello", "world"])
     feats = {
