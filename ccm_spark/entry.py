@@ -317,6 +317,19 @@ def q_events_asof_join(spark, sf_dir):
     return asof_join_events(load_table(spark, sf_dir, "events"))
 
 
+def q_events_asof_tolerance(spark, sf_dir):
+    """As-of join with a 60-minute staleness bound on the carried value."""
+    from ccm_spark.pipeline.events_ops import asof_join_tolerance
+
+    configure_existing(spark)
+    return asof_join_tolerance(load_table(spark, sf_dir, "events"))
+
+
+def q_text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-50 tokens by total occurrences + doc freq."""
+    return text.vocab_topk(_docs(spark, sf_dir), k=50)
+
+
 def q_events_sessionize(spark, sf_dir):
     from ccm_spark.pipeline.events_ops import sessionize
 
@@ -455,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_coupled_series": q_gen_coupled_series,
         "gen_coupled_series_noisy": q_gen_coupled_series_noisy,
         "events_asof_join": q_events_asof_join,
+        "events_asof_tolerance": q_events_asof_tolerance,
+        "text_vocab_topk": q_text_vocab_topk,
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
         "pricing_summary": q_pricing_summary,
@@ -498,6 +513,8 @@ def oracle_sql() -> dict[str, str]:
         "gen_coupled_series": oext.sql_gen_coupled_series(),
         "gen_coupled_series_noisy": oext.sql_gen_coupled_series_noisy(),
         "events_asof_join": oext.sql_events_asof_join(),
+        "events_asof_tolerance": oext.sql_events_asof_tolerance(),
+        "text_vocab_topk": oext.sql_text_vocab_topk(),
         "events_sessionize": oext.sql_events_sessionize(),
         "events_quantiles": oext.sql_events_quantiles(),
         "pricing_summary": oext.sql_pricing_summary(),

@@ -64,6 +64,53 @@ def asof_join_events(
     )
 
 
+def asof_join_tolerance(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    tolerance_minutes: int = 60,
+) -> DataFrame:
+    """As-of join with a staleness bound: the carried right-side value is
+    NULLed when it is older than ``tolerance_minutes`` — the standard
+    feature-freshness rule (a day-old 'view' should not feature a 'click').
+
+    Same single-window formulation as :func:`asof_join_events`, carrying
+    (value, timestamp) together so the tolerance check is a projection —
+    no second window, no range join.
+    """
+    tol_us = tolerance_minutes * 60_000_000
+    tagged = (
+        events.where(F.col("event_type").isin([left_type, right_type]))
+        .select(
+            "event_id",
+            "user_id",
+            _ts_us().alias("ts_us"),
+            (F.col("event_type") == left_type).alias("is_left"),
+            "value",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(),
+        F.when(F.col("is_left"), 0).otherwise(1).asc(),
+        F.col("event_id").asc(),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    right_val = F.when(~F.col("is_left"), F.col("value"))
+    right_ts = F.when(~F.col("is_left"), F.col("ts_us"))
+    carried = tagged.withColumn(
+        "asof_value", F.last(right_val, ignorenulls=True).over(w)
+    ).withColumn("asof_ts", F.last(right_ts, ignorenulls=True).over(w))
+    fresh = F.col("asof_ts").isNotNull() & (
+        (F.col("ts_us") - F.col("asof_ts")) <= tol_us
+    )
+    return carried.where(F.col("is_left")).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("value").alias("left_value"),
+        F.when(fresh, F.col("asof_value")).alias("asof_value"),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessions split on inactivity gaps: one row per session with
     (user_id, session_idx, n_events, start_us, end_us, sum_value)."""

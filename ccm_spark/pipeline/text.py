@@ -11,7 +11,7 @@ cross-engine hash stability (see __spark_entry__).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ccm_spark.functions.hashing import md5_long, tokens_col
 from ccm_spark.functions.partitioning import spread
@@ -173,6 +173,41 @@ def token_counts(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("ws_tokens"),
         F.size(units).alias("regex_tokens"),
         bpe_est.alias("bpe_est_tokens"),
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """(rank, token, n_docs, n_total): the corpus's top-k tokens by total
+    occurrences (ties by token asc) with document frequencies — the
+    vocabulary/stopword-discovery pass of a corpus pipeline.
+
+    Explode -> two-level aggregate: the per-(doc, token) pre-aggregate runs
+    map-side, so the global token aggregation shuffles one row per distinct
+    (doc, token), not one per occurrence; the final top-k is a single-group
+    window over only the aggregated token relation. Token skew ("the")
+    is absorbed by the partial aggregation.
+    """
+    docs = spread(docs, "doc_id")
+    occ = docs.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    per_doc = occ.groupBy("doc_id", "token").agg(F.count("*").alias("n"))
+    totals = per_doc.groupBy("token").agg(
+        F.count("*").alias("n_docs"), F.sum("n").alias("n_total")
+    )
+    # two-phase top-k (same trick as events_pair_series): at corpus scale
+    # the distinct-token relation is junk-token-huge, so prune each
+    # partition to its local top-k before the single-task global rank
+    order = [F.col("n_total").desc(), F.col("token").asc()]
+    local_w = Window.partitionBy("split_id").orderBy(*order)
+    survivors = (
+        totals.withColumn("split_id", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= k)
+    )
+    w = Window.orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("rank").cast("int").alias("rank"), "token", "n_docs", "n_total")
     )
 
 

@@ -143,6 +143,19 @@ SELECT doc_id,
 FROM e GROUP BY doc_id"""
 
 
+def sql_text_vocab_topk(k: int = 50) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+occ AS (SELECT doc_id, unnest(toks) AS token FROM t),
+per_doc AS (SELECT doc_id, token, COUNT(*) AS n FROM occ GROUP BY 1, 2),
+totals AS (
+  SELECT token, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_total
+  FROM per_doc GROUP BY 1
+),
+r AS (SELECT *, row_number() OVER (ORDER BY n_total DESC, token ASC) AS rank FROM totals)
+SELECT CAST(rank AS INT) AS rank, token, n_docs, n_total FROM r WHERE rank <= {k}"""
+
+
 # --------------------------------------------------------------- dedup ops
 
 def sql_dedup_exact() -> str:
@@ -522,6 +535,31 @@ carried AS (
   FROM tagged
 )
 SELECT event_id, user_id, ts_us, value AS left_value, asof_value
+FROM carried WHERE is_left"""
+
+
+def sql_events_asof_tolerance(
+    left_type: str = "click", right_type: str = "view", tolerance_minutes: int = 60
+) -> str:
+    tol_us = tolerance_minutes * 60_000_000
+    return f"""
+WITH tagged AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         event_type = '{left_type}' AS is_left, value
+  FROM events WHERE event_type IN ('{left_type}', '{right_type}')
+),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN NOT is_left THEN value END IGNORE NULLS) OVER w AS asof_value,
+         last_value(CASE WHEN NOT is_left THEN ts_us END IGNORE NULLS) OVER w AS asof_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts_us, CASE WHEN is_left THEN 0 ELSE 1 END, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts_us, value AS left_value,
+       CASE WHEN asof_ts IS NOT NULL AND ts_us - asof_ts <= {tol_us}
+            THEN asof_value END AS asof_value
 FROM carried WHERE is_left"""
 
 

@@ -4,7 +4,12 @@ from __future__ import annotations
 
 import pytest
 
-from ccm_spark.pipeline.events_ops import asof_join_events, sessionize, value_quantiles
+from ccm_spark.pipeline.events_ops import (
+    asof_join_events,
+    asof_join_tolerance,
+    sessionize,
+    value_quantiles,
+)
 
 US = 1_000  # ns per us helper: ts column is int64 NANOS
 
@@ -33,6 +38,23 @@ def test_asof_join_picks_latest_strictly_earlier(spark):
     assert out[2] == 20.0
     assert out[4] == 20.0  # strict: the t=300 view is excluded
     assert out[5] is None
+
+
+def test_asof_tolerance_nulls_stale_values(spark):
+    ev = events_df(
+        spark,
+        [
+            (0, 0, 1, "view", 10.0),
+            (1, 30 * 60_000_000, 1, "click", 1.0),   # 30min old view -> fresh
+            (2, 120 * 60_000_000, 1, "click", 2.0),  # 120min old -> stale, NULL
+        ],
+    )
+    out = {r.event_id: r.asof_value for r in asof_join_tolerance(ev, tolerance_minutes=60).collect()}
+    assert out[1] == 10.0
+    assert out[2] is None
+    # plain as-of keeps the stale value — the tolerance is the only delta
+    plain = {r.event_id: r.asof_value for r in asof_join_events(ev).collect()}
+    assert plain[2] == 10.0
 
 
 def test_sessionize_gap_split(spark):

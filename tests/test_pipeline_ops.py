@@ -158,6 +158,13 @@ def test_language_id(spark):
     assert out[2] == "und"
 
 
+def test_vocab_topk_counts_and_order(spark):
+    d = docs_df(spark, ["a a b c", "a b", "b z"])
+    rows = [(r.rank, r.token, r.n_docs, r.n_total) for r in text.vocab_topk(d, k=3).collect()]
+    # totals: a=3 (2 docs), b=3 (3 docs), c=1, z=1 -> tie a/b by token asc
+    assert rows == [(1, "a", 2, 3), (2, "b", 3, 3), (3, "c", 1, 1)]
+
+
 def test_fingerprint_order_sensitive(spark):
     d = docs_df(spark, ["a b", "b a"])
     fp = {r.doc_id: r.fingerprint for r in text.fingerprint(d).collect()}
