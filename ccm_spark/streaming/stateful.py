@@ -67,3 +67,67 @@ def running_stats_batch(events: DataFrame) -> DataFrame:
         F.avg("value").alias("mean"),
         (F.var_pop("value") * F.count("value")).alias("m2"),
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id bigint, session_idx bigint, n_events bigint, "
+    "start_us bigint, end_us bigint, sum_value double"
+)
+SESSION_STATE_SCHEMA = (
+    "session_idx bigint, start_us bigint, last_us bigint, n bigint, sum_value double"
+)
+
+
+def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming twin of ``events_ops.sessionize``: per-user gap-split
+    sessions over an unbounded stream via ``applyInPandasWithState``.
+
+    State per user is ONE open-session tuple (idx, start, last, n, sum), so
+    the state store is bounded by user cardinality, not stream length. Each
+    micro-batch emits closed sessions plus an update-mode snapshot of the
+    still-open session; the last row per (user, session_idx) is the final
+    answer, converging to the batch operator on any batch split (events
+    within a batch are processed in (ts, event_id) order, and the open
+    session carries across batches).
+    """
+    gap_us = gap_minutes * 60_000_000
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            idx, start, last, n, sv = state.get
+        else:
+            idx, start, last, n, sv = 0, 0, None, 0, 0.0
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
+            ["ts_us", "event_id"]
+        )
+        rows = []
+        for ts_us, value in zip(pdf["ts_us"], pdf["value"].astype(float)):
+            ts_us = int(ts_us)
+            if last is None or ts_us - last > gap_us:
+                if last is not None:
+                    rows.append((key[0], idx, n, start, last, sv))
+                idx += 1
+                start, n, sv = ts_us, 0, 0.0
+            n += 1
+            sv += value
+            last = ts_us
+        rows.append((key[0], idx, n, start, last, sv))  # open-session snapshot
+        state.update((idx, start, last, n, sv))
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_idx", "n_events", "start_us", "end_us", "sum_value"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
