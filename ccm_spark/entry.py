@@ -293,6 +293,14 @@ def q_ann_srp_buckets(spark, sf_dir):
     return similarity.srp_buckets(_embs(spark, sf_dir))
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Trained IVF coarse centroids: 2 Lloyd iterations (spherical k-means)
+    from the deterministic strided init, centroids re-quantized (round 6)
+    each update so the DuckDB replay stays bit-identical."""
+    out = similarity.ivf_kmeans_centroids(_embs(spark, sf_dir), n_iters=2)
+    return out.select("centroid_id", "dim_idx", _r6(F.col("comp")).alias("comp"))
+
+
 def q_embedding_projection(spark, sf_dir):
     """Normalise + random-project embeddings to 16 dims (JL-style reduction)."""
     out = similarity.random_projection(_embs(spark, sf_dir), out_dim=16)
@@ -461,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_srp_buckets": q_ann_srp_buckets,
         "embedding_projection": q_embedding_projection,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
         "events_hourly_stats": q_events_hourly_stats,
@@ -506,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oext.sql_ann_ivf_topk(),
         "ann_srp_buckets": oext.sql_ann_srp_buckets(),
         "embedding_projection": oext.sql_embedding_projection(),
+        "ann_ivf_kmeans": oext.sql_ann_ivf_kmeans(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
         "events_hourly_stats": oext.sql_events_hourly_stats(),

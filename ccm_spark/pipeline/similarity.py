@@ -229,6 +229,73 @@ def ivf_assignments(embeddings: DataFrame, stride: int = IVF_STRIDE) -> DataFram
     )
 
 
+def ivf_kmeans_centroids(
+    embeddings: DataFrame, stride: int = IVF_STRIDE, n_iters: int = 2
+) -> DataFrame:
+    """(centroid_id, dim_idx, comp): IVF coarse centroids TRAINED with
+    ``n_iters`` Lloyd iterations (spherical k-means: cosine assignment,
+    per-cluster mean update) from the deterministic strided init.
+
+    Cross-engine determinism for an iterative float algorithm: centroids
+    are rounded to 6 decimals after every update, so both engines restart
+    each iteration from bit-identical state and assignment (cosine rounded
+    at 9, centroid-id tie-break) cannot drift. Clusters that lose all
+    members drop out in both engines alike.
+
+    Scale: vectors stay long-form (vec_id, dim, val) and partitioned by
+    vec_id; the centroid relation (k x dim rows) broadcasts into the
+    assignment join each iteration — the classic distributed-KMeans shape
+    (per-iteration cost: one broadcast join + two keyed aggregations).
+    """
+    vals = spread(embeddings, "vec_id").select(
+        "vec_id", F.posexplode(as_double_vec("embedding")).alias("d", "val")
+    ).persist()
+    vnorm = vals.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
+    )
+    cents = vals.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), "d", F.col("val").alias("cval")
+    )
+    for _ in range(n_iters):
+        cnorm = cents.groupBy("centroid_id").agg(
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
+        )
+        dots = (
+            vals.join(F.broadcast(cents), "d")
+            .groupBy("vec_id", "centroid_id")
+            .agg(F.sum(F.col("val") * F.col("cval")).alias("dot"))
+        )
+        cos = (
+            dots.join(vnorm, "vec_id")
+            .join(F.broadcast(cnorm), "centroid_id")
+            .select(
+                "vec_id",
+                "centroid_id",
+                F.round(
+                    F.when((F.col("vn") == 0.0) | (F.col("cn") == 0.0), F.lit(0.0))
+                    .otherwise(F.col("dot") / (F.col("vn") * F.col("cn"))),
+                    9,
+                ).alias("cs"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cs").desc(), F.col("centroid_id").asc()
+        )
+        assign = (
+            cos.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "centroid_id")
+        )
+        cents = (
+            vals.join(assign, "vec_id")
+            .groupBy("centroid_id", "d")
+            .agg(F.round(F.avg("val"), 6).alias("cval"))
+        )
+    return cents.select(
+        "centroid_id", F.col("d").alias("dim_idx"), F.col("cval").alias("comp")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 100,

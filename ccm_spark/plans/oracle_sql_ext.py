@@ -369,6 +369,48 @@ SELECT query_id, CAST(rk AS INT) AS rank, target_id, cos_sim
 FROM ranked WHERE rk <= {k}"""
 
 
+def sql_ann_ivf_kmeans(stride: int = 125, n_iters: int = 2) -> str:
+    """Lloyd iterations unrolled as CTE chains; centroids rounded to 6
+    decimals per update exactly like the Spark plan, so each iteration
+    restarts from identical state in both engines."""
+    parts = [
+        f"dims AS (SELECT CAST(unnest(range(0, {DIM})) AS INT) AS d)",
+        """vals AS (
+  SELECT e.vec_id, dims.d, list_extract(e.embedding::DOUBLE[], dims.d + 1) AS val
+  FROM embeddings e CROSS JOIN dims
+)""",
+        "vnorm AS (SELECT vec_id, sqrt(SUM(val * val)) AS vn FROM vals GROUP BY 1)",
+        f"cent0 AS (SELECT vec_id AS centroid_id, d, val AS cval FROM vals WHERE vec_id % {stride} = 0)",
+    ]
+    for i in range(n_iters):
+        parts += [
+            f"cn{i} AS (SELECT centroid_id, sqrt(SUM(cval * cval)) AS cn FROM cent{i} GROUP BY 1)",
+            f"""dot{i} AS (
+  SELECT v.vec_id, c.centroid_id, SUM(v.val * c.cval) AS dot
+  FROM vals v JOIN cent{i} c ON c.d = v.d GROUP BY 1, 2
+)""",
+            f"""cos{i} AS (
+  SELECT d.vec_id, d.centroid_id,
+         round(CASE WHEN n.vn = 0 OR c.cn = 0 THEN 0.0 ELSE d.dot / (n.vn * c.cn) END, 9) AS cs
+  FROM dot{i} d JOIN vnorm n USING (vec_id) JOIN cn{i} c USING (centroid_id)
+)""",
+            f"""asg{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rk
+    FROM cos{i}
+  ) r WHERE rk = 1
+)""",
+            f"""cent{i + 1} AS (
+  SELECT a.centroid_id, v.d, round(AVG(v.val), 6) AS cval
+  FROM asg{i} a JOIN vals v USING (vec_id) GROUP BY 1, 2
+)""",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT centroid_id, d AS dim_idx, round(cval, 6) + 0.0 AS comp FROM cent{n_iters}"
+    )
+
+
 def _srp_ctes(planes: int = SRP_PLANES, seed: int = 99) -> str:
     rows = srp_plane_values(planes, DIM, seed)
     values = ", ".join(f"({pl}, {d}, {c!r})" for pl, d, c in rows)

@@ -204,6 +204,28 @@ def test_srp_bucket_identical_vectors_collide(spark):
     assert {(r.id_a, r.id_b) for r in nd} == {(0, 1)}
 
 
+def test_ivf_kmeans_converges_to_cluster_means(spark):
+    """Two separable clusters, strided init picking one seed in each:
+    Lloyd iterations must land each centroid on its cluster's mean."""
+    import numpy as np
+
+    a = np.zeros(64); a[0] = 1.0
+    b = np.zeros(64); b[1] = 1.0
+    cluster_a = [a, a * 0.8, a * 1.2]          # ids 0,1,2
+    cluster_b = [b, b * 0.9, b * 1.1]          # ids 3,4,5
+    cents = similarity.ivf_kmeans_centroids(
+        embs_df(spark, cluster_a + cluster_b), stride=3, n_iters=2
+    ).collect()
+    got = {}
+    for r in cents:
+        got.setdefault(r.centroid_id, {})[r.dim_idx] = r.comp
+    assert set(got) == {0, 3}
+    assert got[0][0] == pytest.approx(1.0, abs=1e-6)   # mean of 1, .8, 1.2
+    assert got[0][1] == pytest.approx(0.0, abs=1e-6)
+    assert got[3][1] == pytest.approx(1.0, abs=1e-6)   # mean of 1, .9, 1.1
+    assert got[3][0] == pytest.approx(0.0, abs=1e-6)
+
+
 def test_random_projection_known_vectors(spark):
     """One-hot input e_i projects to plane column i (scaled by 1/||v||=1);
     a zero vector maps to all-zero components."""
