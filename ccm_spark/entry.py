@@ -380,6 +380,26 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_customers_no_urgent_orders(spark, sf_dir):
+    """Left anti join: per-nation stats of customers with no urgent order."""
+    from ccm_spark.pipeline.relational import customers_no_urgent_orders
+
+    configure_existing(spark)
+    out = customers_no_urgent_orders(spark, sf_dir)
+    return out.select(
+        "nation", "n_customers", _r6(F.col("sum_acctbal")).alias("sum_acctbal")
+    )
+
+
+def q_parts_no_bulk_returns(spark, sf_dir):
+    """Left anti join: per-brand stats of parts never bulk-returned."""
+    from ccm_spark.pipeline.relational import parts_no_bulk_returns
+
+    configure_existing(spark)
+    out = parts_no_bulk_returns(spark, sf_dir)
+    return out.select("p_brand", "n_parts", _r6(F.col("avg_retail")).alias("avg_retail"))
+
+
 def q_top_customers_by_nation(spark, sf_dir):
     from ccm_spark.pipeline.relational import top_customers_by_nation
 
@@ -483,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "pricing_summary": q_pricing_summary,
         "top_customers_by_nation": q_top_customers_by_nation,
+        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        "parts_no_bulk_returns": q_parts_no_bulk_returns,
     }
 
 
@@ -529,6 +551,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": oext.sql_events_quantiles(),
         "pricing_summary": oext.sql_pricing_summary(),
         "top_customers_by_nation": oext.sql_top_customers_by_nation(),
+        "customers_no_urgent_orders": oext.sql_customers_no_urgent_orders(),
+        "parts_no_bulk_returns": oext.sql_parts_no_bulk_returns(),
     }
 
 

@@ -33,6 +33,52 @@ def pricing_summary(lineitem: DataFrame, cutoff_date: str = "1998-09-01") -> Dat
     )
 
 
+def customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count + balance of customers who never placed a 1-URGENT
+    order (left anti join). The priority filter pushes down to the orders
+    scan and the key side reduces to distinct custkeys first (map-side
+    combine), so the anti join shuffles one row per matching customer, not
+    one per order; the nation dim broadcasts."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    urgent_custs = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    calm = customer.join(urgent_custs, "c_custkey", "left_anti")
+    return (
+        calm.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            calm.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+def parts_no_bulk_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand count + average retail price of parts with no bulk return
+    (no lineitem with returnflag 'R' and quantity >= 40) — left anti join
+    against the filtered, distinct-keyed lineitem side."""
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    bulk_returned = (
+        lineitem.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 40))
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    clean = part.join(bulk_returned, "p_partkey", "left_anti")
+    return clean.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.avg("p_retailprice").alias("avg_retail"),
+    )
+
+
 def top_customers_by_nation(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Top-k customers by total order value within each nation.
 

@@ -655,6 +655,31 @@ WHERE l_shipdate < TIMESTAMP '{cutoff_date}'
 GROUP BY 1, 2"""
 
 
+def sql_customers_no_urgent_orders() -> str:
+    return """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       round(SUM(c.c_acctbal), 6) + 0.0 AS sum_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1"""
+
+
+def sql_parts_no_bulk_returns() -> str:
+    return """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       round(AVG(p_retailprice), 6) + 0.0 AS avg_retail
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey
+                    AND l.l_returnflag = 'R' AND l.l_quantity >= 40)
+GROUP BY 1"""
+
+
 def sql_top_customers_by_nation(k: int = 5) -> str:
     return f"""
 WITH per_cust AS (
