@@ -318,6 +318,14 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_payload_features(payloads)
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing over the stubbed decoder (deterministic
+    fake frame count = byte_len // 100, every 10th frame)."""
+    payloads = multimodal.with_binary_payload(_docs(spark, sf_dir))
+    out = multimodal.frame_sample_plan(payloads, every_n=10)
+    return out.select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
 def q_events_asof_join(spark, sf_dir):
     from ccm_spark.pipeline.events_ops import asof_join_events
 
@@ -492,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "events_hourly_stats": q_events_hourly_stats,
         "gen_logistic_maps": q_gen_logistic_maps,
         "gen_coupled_series": q_gen_coupled_series,
@@ -540,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans": oext.sql_ann_ivf_kmeans(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
+        "multimodal_frames": oext.sql_multimodal_frames(),
         "events_hourly_stats": oext.sql_events_hourly_stats(),
         "gen_logistic_maps": oext.sql_gen_logistic_maps(),
         "gen_coupled_series": oext.sql_gen_coupled_series(),

@@ -704,6 +704,15 @@ FROM ranked WHERE rk <= {k}"""
 
 # ---------------------------------------------------------- multimodal ops
 
+def sql_multimodal_frames(every_n: int = 10) -> str:
+    """Frame-sampling plumbing oracle: the stubbed decoder reports
+    byte_len // 100 frames; sample every Nth index."""
+    return f"""
+WITH f AS (SELECT doc_id, strlen(text) // 100 AS n_frames FROM documents)
+SELECT doc_id, CAST(unnest(range(0, n_frames, {every_n})) AS INT) AS frame_idx
+FROM f WHERE n_frames >= 1"""
+
+
 def sql_multimodal_features() -> str:
     return """
 SELECT doc_id,
