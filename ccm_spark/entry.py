@@ -272,6 +272,11 @@ def q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_dedup_representatives(spark, sf_dir):
+    """The dedup apply step: one representative per near-dup cluster."""
+    return dedup.dedup_representatives(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -489,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": q_text_quality_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "dedup_representatives": q_dedup_representatives,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
@@ -538,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_filter": oext.sql_text_quality_filter(),
         "dedup_exact": oext.sql_dedup_exact(),
         "dedup_components": oext.sql_dedup_components(),
+        "dedup_representatives": oext.sql_dedup_representatives(),
         "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
         "dedup_simhash": oext.sql_dedup_simhash(),

@@ -256,6 +256,13 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id"""
 
 
+def sql_dedup_representatives(threshold: float = 0.5, seed: int = 7) -> str:
+    return f"""
+SELECT component AS keep_doc_id, COUNT(*) AS n_members
+FROM ({sql_dedup_components(threshold, seed)})
+GROUP BY 1"""
+
+
 def _simhash_ctes(bits: int = SIMHASH_BITS) -> str:
     bit_values = ", ".join(f"({b}, {1 << b})" for b in range(bits))
     return f"""

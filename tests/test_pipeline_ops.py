@@ -89,6 +89,11 @@ def test_duplicate_components_transitive_chain(spark):
     comp = {r.doc_id: r.component for r in dedup.duplicate_components(d, threshold=0.3).collect()}
     assert comp[0] == comp[1] == comp[2] == 0
     assert comp[3] == 3
+    reps = {
+        r.keep_doc_id: r.n_members
+        for r in dedup.dedup_representatives(d, threshold=0.3).collect()
+    }
+    assert reps == {0: 3, 3: 1}
     d = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta eps zeta"])
     fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(d).collect()}
     assert fp[0] == fp[1] != fp[2]
