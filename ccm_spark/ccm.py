@@ -76,9 +76,10 @@ class CCM:
         An unknown direction raises (the reference's behavior) instead of
         silently matching nothing.
         """
-        if direction not in DIRECTION_NAMES:
+        valid = tuple(DIRECTION_NAMES.values())
+        if direction not in valid:
             raise ValueError(
-                f"direction must be one of {DIRECTION_NAMES}, got {direction!r}"
+                f"direction must be one of {valid}, got {direction!r}"
             )
         result = self.result_df()
         rows = (

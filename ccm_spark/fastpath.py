@@ -102,12 +102,18 @@ def ccm_fast_iterated(
 
     If a pair's rows span partition boundaries, each partition computes that
     pair from its partial series — silently wrong. ``check_clustering``
-    (default on) guards the precondition: duplicate (pair_id, direction,
-    lib_size) output groups fail the job with a clear message. The check
-    windows over the tiny RESULT relation (a few rows per pair), not the
-    series, so the shuffle it adds is negligible; disable it only for
-    maximum-throughput runs on layouts already proven clustered (e.g. just
-    written by sinks.write_series_bucketed)."""
+    (default on) guards the precondition with two invariants over the tiny
+    RESULT relation: (a) no duplicate (pair_id, direction, lib_size) rows
+    (fragments with the SAME resolved ladder collide), and (b) one distinct
+    (slope, convergent) per (pair_id, direction) — an intact pair computes
+    exactly one convergence verdict per direction, while fragments of
+    different lengths resolve DIFFERENT auto-ladders (disjoint lib_size
+    sets, so (a) alone would miss them) and almost surely different slopes.
+    A false negative now needs fragments with disjoint ladders AND
+    bit-equal slopes — not a plausible accident. The windows shuffle only
+    the few result rows per pair; disable only for maximum-throughput runs
+    on layouts already proven clustered (e.g. just written by
+    sinks.write_series_bucketed)."""
 
     emb_dim, tau = config.embedding_dim, config.tau
     num_samples, seed = config.num_samples, config.seed
@@ -144,20 +150,32 @@ def ccm_fast_iterated(
 
     out = series.mapInPandas(run_partition, schema=RESULT_SCHEMA)
     if check_clustering:
-        w = Window.partitionBy("pair_id", "direction", "lib_size")
+        msg = F.lit(
+            "ccm_fast_iterated: inconsistent per-pair results — input rows "
+            "span partition boundaries; cluster by pair_id first "
+            "(sinks.write_series_bucketed) or use ccm_apply_in_pandas"
+        )
+        w_row = Window.partitionBy("pair_id", "direction", "lib_size")
+        w_dir = Window.partitionBy("pair_id", "direction")
         out = (
-            out.withColumn("_n_dup", F.count("*").over(w))
+            out.withColumn("_n_dup", F.count("*").over(w_row))
+            .withColumn(
+                "_slope_spread",
+                F.max("slope").over(w_dir) - F.min("slope").over(w_dir),
+            )
+            .withColumn(
+                "_conv_mixed",
+                F.max(F.col("convergent").cast("int")).over(w_dir)
+                != F.min(F.col("convergent").cast("int")).over(w_dir),
+            )
             .where(
                 F.assert_true(
-                    F.col("_n_dup") == 1,
-                    F.lit(
-                        "ccm_fast_iterated: duplicate per-pair result groups — "
-                        "input rows span partition boundaries; cluster by "
-                        "pair_id first (sinks.write_series_bucketed) or use "
-                        "ccm_apply_in_pandas"
-                    ),
+                    (F.col("_n_dup") == 1)
+                    & (F.col("_slope_spread") == 0.0)
+                    & ~F.col("_conv_mixed"),
+                    msg,
                 ).isNull()
             )
-            .drop("_n_dup")
+            .drop("_n_dup", "_slope_spread", "_conv_mixed")
         )
     return out

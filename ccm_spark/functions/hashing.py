@@ -13,11 +13,28 @@ tokenizer both engines' regex dialects agree on.
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 M61 = 2_305_843_009_213_693_951  # 2^61 - 1, Mersenne prime for mixing
 P31 = 2_147_483_647  # 2^31 - 1
+
+# Java regex \s (no UNICODE_CHARACTER_CLASS) — what Spark's split(lower(s),
+# '\s+') matches; Python's \s would additionally eat unicode spaces.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """THE Python-side tokenizer: lowercase, Java-\\s+ split, empties
+    dropped. Must stay semantically identical to :func:`tokens_col`
+    (Spark) and :func:`sql_tokens` (DuckDB) — the hash-parity operators
+    (shingles, simhash) assume the three agree token-for-token, so change
+    them together or not at all."""
+    if text is None:
+        return []
+    return [w for w in _JAVA_WS.split(text.lower()) if w]
 
 
 def md5_long(col: Column | str) -> Column:
@@ -32,7 +49,11 @@ def sql_md5_long(expr: str) -> str:
 
 
 def tokens_col(text_col: Column | str) -> Column:
-    """Lowercased whitespace tokens, empties removed."""
+    """Lowercased whitespace tokens, empties removed.
+
+    Python mirror: ``functions.vector_udfs.py_tokens`` — the UDF-side
+    operators (shingles, simhash) depend on the two tokenizers agreeing
+    token-for-token; change them together."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
 

@@ -6,15 +6,17 @@ that future import break its signature inspection.
 """
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
-# Java regex \s (no UNICODE_CHARACTER_CLASS) — what Spark's split(lower(s),
-# '\s+') matches; Python's \s would additionally eat unicode spaces.
-_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+# the shared Python-side tokenizer lives in hashing (a module with no
+# pandas_udf at import time: UDF closures reference it by module, and the
+# executor imports that module WITHOUT an active session — importing THIS
+# module there would re-run the decorators below and crash)
+from ccm_spark.functions.hashing import py_tokens
+
 _P31 = 2_147_483_647
 
 
@@ -31,7 +33,7 @@ def simhash_udf(bits: int):
     def _simhash(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            toks = [w for w in _JAVA_WS.split(t.lower()) if w] if t is not None else []
+            toks = py_tokens(t)
             if not toks:
                 out.append(None)
                 continue
@@ -67,10 +69,7 @@ def shingle_hash_udf(width: int):
     def _shingle_hashes(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            if t is None:
-                out.append([])
-                continue
-            toks = [w for w in _JAVA_WS.split(t.lower()) if w]
+            toks = py_tokens(t)
             if len(toks) < width:
                 out.append([])
                 continue

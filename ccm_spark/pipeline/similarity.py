@@ -246,6 +246,10 @@ def ivf_kmeans_centroids(
     vec_id; the centroid relation (k x dim rows) broadcasts into the
     assignment join each iteration — the classic distributed-KMeans shape
     (per-iteration cost: one broadcast join + two keyed aggregations).
+    The final centroid relation is k x dim rows BY DESIGN (tiny), so it is
+    materialised on the driver and returned as a literal DataFrame — that
+    truncates the iteration lineage and lets the cached vals relation be
+    released instead of leaking executor cache blocks per call.
     """
     vals = spread(embeddings, "vec_id").select(
         "vec_id", F.posexplode(as_double_vec("embedding")).alias("d", "val")
@@ -291,8 +295,13 @@ def ivf_kmeans_centroids(
             .groupBy("centroid_id", "d")
             .agg(F.round(F.avg("val"), 6).alias("cval"))
         )
-    return cents.select(
+    final = cents.select(
         "centroid_id", F.col("d").alias("dim_idx"), F.col("cval").alias("comp")
+    )
+    rows = [(r.centroid_id, r.dim_idx, r.comp) for r in final.collect()]
+    vals.unpersist()
+    return embeddings.sparkSession.createDataFrame(
+        rows, "centroid_id long, dim_idx int, comp double"
     )
 
 

@@ -43,7 +43,13 @@ def write_partitioned(
                 F.lit(files_per_partition),
             )
             keys = [*keys, salt]
-        out = df.repartition(files_per_partition * max(8, len(partition_by)), *keys)
+        # headroom so distinct (dir, salt) combos rarely hash-collide into
+        # the same shuffle partition (a collision merges files, silently
+        # undercutting the requested file count)
+        shuffle_headroom = 8
+        out = df.repartition(
+            files_per_partition * max(shuffle_headroom, len(partition_by)), *keys
+        )
         writer = out.write.partitionBy(*partition_by)
     else:
         writer = out.coalesce(files_per_partition).write

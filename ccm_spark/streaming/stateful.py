@@ -86,9 +86,15 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the state store is bounded by user cardinality, not stream length. Each
     micro-batch emits closed sessions plus an update-mode snapshot of the
     still-open session; the last row per (user, session_idx) is the final
-    answer, converging to the batch operator on any batch split (events
-    within a batch are processed in (ts, event_id) order, and the open
-    session carries across batches).
+    answer, converging to the batch operator on any TIME-ORDERED batch
+    split (events within a batch are processed in (ts, event_id) order,
+    and the open session carries across batches).
+
+    Precondition: a user's events must not regress in time across
+    micro-batches (true when files/offsets are discovered in time order).
+    A regressing event would silently merge into the newer session, so it
+    fails the query instead; out-of-order sources need a watermark-
+    buffered variant.
     """
     gap_us = gap_minutes * 60_000_000
 
@@ -106,6 +112,13 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
             ["ts_us", "event_id"]
         )
+        if last is not None and int(pdf["ts_us"].iloc[0]) < last:
+            raise ValueError(
+                "streaming_sessionize: event time regressed across "
+                f"micro-batches for user {key[0]} ({int(pdf['ts_us'].iloc[0])} "
+                f"< open-session end {last}) — input files/offsets must be "
+                "discovered in time order"
+            )
         rows = []
         for ts_us, value in zip(pdf["ts_us"], pdf["value"].astype(float)):
             ts_us = int(ts_us)

@@ -117,8 +117,13 @@ def test_unequal_length_raises(spark):
 
 def test_unknown_direction_raises(spark):
     """A misspelled direction must raise (reference behavior), not silently
-    return an empty non-convergent result."""
+    return an empty non-convergent result — and a VALID direction must not
+    (the validation once checked dict keys instead of values, breaking
+    every legitimate call while the invalid-input test still passed)."""
     x, y = coupled_logistic_maps(30, 0.15)
     c = CCM(spark, x, y, num_samples=2, lib_sizes=[10], seed=9)
     with pytest.raises(ValueError, match="direction must be one of"):
         c.cross_map("x_cause_y")
+    res = c.cross_map("x_causes_y")
+    assert res["direction"] == "x_causes_y"
+    assert [ls for ls, _ in res["results"]] == [10]

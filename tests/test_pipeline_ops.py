@@ -94,6 +94,9 @@ def test_duplicate_components_transitive_chain(spark):
         for r in dedup.dedup_representatives(d, threshold=0.3).collect()
     }
     assert reps == {0: 3, 3: 1}
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
     d = docs_df(spark, ["alpha beta gamma", "alpha beta gamma", "delta eps zeta"])
     fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(d).collect()}
     assert fp[0] == fp[1] != fp[2]
