@@ -21,20 +21,25 @@ from pyspark.sql import Column
 M61 = 2_305_843_009_213_693_951  # 2^61 - 1, Mersenne prime for mixing
 P31 = 2_147_483_647  # 2^31 - 1
 
-# Java regex \s (no UNICODE_CHARACTER_CLASS) — what Spark's split(lower(s),
-# '\s+') matches; Python's \s would additionally eat unicode spaces.
-_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+# THE whitespace class, written out explicitly because the engines' \s
+# shorthands disagree: Java \s includes \x0b (vertical tab), DuckDB's RE2
+# \s does NOT, and Python's \s additionally eats unicode spaces. A
+# hypothesis sweep found the \x0b divergence (test_properties.py); every
+# tokenizer below uses this literal class so all three engines split
+# identically on any input.
+WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
+_PY_WS = re.compile("[ \t\n\x0b\f\r]+")
 
 
 def py_tokens(text: str | None) -> list[str]:
-    """THE Python-side tokenizer: lowercase, Java-\\s+ split, empties
-    dropped. Must stay semantically identical to :func:`tokens_col`
+    """THE Python-side tokenizer: lowercase, explicit-whitespace split,
+    empties dropped. Must stay semantically identical to :func:`tokens_col`
     (Spark) and :func:`sql_tokens` (DuckDB) — the hash-parity operators
     (shingles, simhash) assume the three agree token-for-token, so change
     them together or not at all."""
     if text is None:
         return []
-    return [w for w in _JAVA_WS.split(text.lower()) if w]
+    return [w for w in _PY_WS.split(text.lower()) if w]
 
 
 def md5_long(col: Column | str) -> Column:
@@ -55,11 +60,11 @@ def tokens_col(text_col: Column | str) -> Column:
     operators (shingles, simhash) depend on the two tokenizers agreeing
     token-for-token; change them together."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(c), WS_CLASS + "+"), lambda t: t != "")
 
 
 def sql_tokens(expr: str) -> str:
     """DuckDB equivalent of :func:`tokens_col`."""
     return (
-        f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), t -> t != '')"
+        f"list_filter(regexp_split_to_array(lower({expr}), '{WS_CLASS}+'), t -> t != '')"
     )

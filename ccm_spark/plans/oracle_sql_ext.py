@@ -34,7 +34,9 @@ from ccm_spark.pipeline.text import (
 
 P31 = 2_147_483_647
 
-TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')"
+from ccm_spark.functions.hashing import sql_tokens as _sql_tokens
+
+TOKENS = _sql_tokens("text")
 
 
 def _md5_long(expr: str) -> str:

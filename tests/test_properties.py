@@ -86,3 +86,34 @@ def test_slope_guards(ys):
     # zero x-variance: guard fires regardless of n
     slope0, conv0 = ols_slope(np.ones(5), np.arange(5.0))
     assert (slope0, conv0) == (0.0, False)
+
+
+# --- cross-engine tokenizer parity (the hash-parity spine of text/dedup) ---
+
+# quote/backslash excluded (SQL literal escaping artifacts, not split
+# semantics); NUL excluded because DuckDB VARCHARs cannot carry \x00 at
+# all — a parquet column could never deliver one to the oracle either
+_TOKEN_TEXT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="'\\\x00"
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_TOKEN_TEXT)
+def test_py_tokens_matches_duckdb_tokenizer(text):
+    """hashing.py_tokens (the UDF-side tokenizer) must agree token-for-token
+    with the DuckDB oracle tokenizer (sql_tokens) on arbitrary input — the
+    shingle/simhash hash parity silently breaks anywhere they diverge.
+    (Quote/backslash excluded: they'd need SQL literal escaping, and the
+    split semantics don't depend on them.)"""
+    import duckdb
+
+    from ccm_spark.functions.hashing import py_tokens, sql_tokens
+
+    got = py_tokens(text)
+    literal = "'" + text + "'"
+    want = duckdb.sql(f"SELECT {sql_tokens(literal)} AS t").fetchone()[0]
+    assert got == list(want)
