@@ -382,13 +382,17 @@ def q_pricing_summary(spark, sf_dir):
 
     configure_existing(spark)
     out = pricing_summary(load_table(spark, sf_dir, "lineitem"), "1996-06-30")
+    # averages derive from rounded sums / exact counts (see
+    # q_events_hourly_stats for why raw averages boundary-collide at scale)
     return out.select(
         "l_returnflag",
         "l_linestatus",
         *[
             _r6(F.col(c)).alias(c)
-            for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_price")
+            for c in ("sum_qty", "sum_base_price", "sum_disc_price")
         ],
+        _r6(F.round(F.col("sum_qty"), 6) / F.col("count_order")).alias("avg_qty"),
+        _r6(F.round(F.col("sum_base_price"), 6) / F.col("count_order")).alias("avg_price"),
         "count_order",
     )
 
@@ -460,12 +464,16 @@ def q_events_hourly_stats(spark, sf_dir):
     configure_existing(spark)
     ev = load_table(spark, sf_dir, "events")
     bucket = F.expr("CAST(ts AS BIGINT) DIV 1000 DIV 3600000000")
+    # avg derives from the ROUNDED sum and the exact count: raw averages
+    # over ~1e5 doubles carry enough sum-order noise across engines to
+    # land on 6-decimal rounding boundaries at sf0.1 (observed), while the
+    # rounded sum is hash-stable — identical division inputs, identical avg
     return (
         ev.groupBy(bucket.alias("hour_bucket"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             _r6(F.sum("value")).alias("sum_value"),
-            _r6(F.avg("value")).alias("avg_value"),
+            _r6(F.round(F.sum("value"), 6) / F.count("*")).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )

@@ -562,7 +562,7 @@ SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
        event_type,
        COUNT(*) AS n_events,
        round(SUM(value), 6) + 0.0 AS sum_value,
-       round(AVG(value), 6) + 0.0 AS avg_value,
+       round(round(SUM(value), 6) / COUNT(*), 6) + 0.0 AS avg_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 1, 2"""
@@ -656,8 +656,8 @@ SELECT l_returnflag, l_linestatus,
        round(SUM(l_quantity), 6) + 0.0 AS sum_qty,
        round(SUM(l_extendedprice), 6) + 0.0 AS sum_base_price,
        round(SUM(l_extendedprice * (1 - l_discount)), 6) + 0.0 AS sum_disc_price,
-       round(AVG(l_quantity), 6) + 0.0 AS avg_qty,
-       round(AVG(l_extendedprice), 6) + 0.0 AS avg_price,
+       round(round(SUM(l_quantity), 6) / COUNT(*), 6) + 0.0 AS avg_qty,
+       round(round(SUM(l_extendedprice), 6) / COUNT(*), 6) + 0.0 AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '{cutoff_date}'
