@@ -306,6 +306,12 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return out.select("centroid_id", "dim_idx", _r6(F.col("comp")).alias("comp"))
 
 
+def q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """End-to-end trained ANN: the Lloyd-trained quantizer feeding the IVF
+    probe/re-rank — every query searches only its nprobe trained cells."""
+    return similarity.ivf_kmeans_topk(_embs(spark, sf_dir), n_queries=100, k=5)
+
+
 def q_embedding_projection(spark, sf_dir):
     """Normalise + random-project embeddings to 16 dims (JL-style reduction)."""
     out = similarity.random_projection(_embs(spark, sf_dir), out_dim=16)
@@ -512,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_buckets": q_ann_srp_buckets,
         "embedding_projection": q_embedding_projection,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -562,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_srp_buckets": oext.sql_ann_srp_buckets(),
         "embedding_projection": oext.sql_embedding_projection(),
         "ann_ivf_kmeans": oext.sql_ann_ivf_kmeans(),
+        "ann_ivf_kmeans_topk": oext.sql_ann_ivf_kmeans_topk(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
         "multimodal_frames": oext.sql_multimodal_frames(),

@@ -196,23 +196,30 @@ IVF_STRIDE = 125  # every 125th vector is a centroid (~16 cells at 2000 vecs)
 IVF_NPROBE = 2
 
 
-def ivf_assignments(embeddings: DataFrame, stride: int = IVF_STRIDE) -> DataFrame:
-    """IVF coarse quantizer: centroids are the deterministic strided subset
-    (vec_id % stride == 0); every vector is assigned to its nearest
-    centroid by euclidean distance (ties -> lowest centroid id).
+def strided_centroids(embeddings: DataFrame, stride: int = IVF_STRIDE) -> DataFrame:
+    """(centroid_id, cv): the deterministic strided centroid set."""
+    return embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("centroid_id"), as_double_vec("embedding").alias("cv")
+    )
 
-    A trained k-means would cluster better, but a deterministic quantizer
-    keeps the whole index oracle-checkable; swap the centroid source for a
-    KMeans fit at deployment and nothing downstream changes. Scale: the
-    centroid set is tiny and broadcast; assignment is a map-side cross
-    product, one rank window per vector.
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    stride: int = IVF_STRIDE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantizer: every vector is assigned to its nearest
+    centroid by rounded cosine (ties -> lowest centroid id). Centroids
+    default to the deterministic strided subset (vec_id % stride == 0);
+    pass ``centroids`` (centroid_id, cv) — e.g. from
+    :func:`ivf_kmeans_centroids` — for a trained quantizer, and nothing
+    downstream changes. Scale: the centroid set is tiny and broadcast;
+    assignment is a map-side cross product, one rank window per vector.
     """
     vecs = spread(embeddings, "vec_id").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    cents = embeddings.where(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("centroid_id"), as_double_vec("embedding").alias("cv")
-    )
+    cents = centroids if centroids is not None else strided_centroids(embeddings, stride)
     cos = cosine_pandas()
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -311,18 +318,20 @@ def ivf_topk(
     k: int = 5,
     stride: int = IVF_STRIDE,
     nprobe: int = IVF_NPROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probed approximate top-k: each query searches only the vectors
     assigned to its ``nprobe`` most-similar centroids. Approximate by
     construction (recall depends on cell structure) — the brute-force
-    ``cosine_topk`` is the exact baseline."""
+    ``cosine_topk`` is the exact baseline. ``centroids`` swaps in a
+    trained quantizer (see :func:`ivf_kmeans_topk`)."""
     from pyspark.storagelevel import StorageLevel
 
-    assign = ivf_assignments(embeddings, stride).persist(StorageLevel.MEMORY_AND_DISK)
-    vecs = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
-    cents = embeddings.where(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("centroid_id"), as_double_vec("embedding").alias("cv")
+    cents = centroids if centroids is not None else strided_centroids(embeddings, stride)
+    assign = ivf_assignments(embeddings, stride, centroids=cents).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    vecs = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
     cos = cosine_pandas()
     q = vecs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -366,6 +375,33 @@ def ivf_topk(
         cands.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("query_id", F.col("rk").cast("int").alias("rank"), "target_id", "cos_sim")
+    )
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+    n_iters: int = 2,
+) -> DataFrame:
+    """End-to-end trained ANN: Lloyd-trained centroids feeding the IVF
+    probe. The trained centroid relation is k x dim (tiny, already
+    driver-materialised by ivf_kmeans_centroids), so reshaping long-form
+    rows into array vectors happens driver-side at no meaningful cost."""
+    long_rows = ivf_kmeans_centroids(embeddings, stride, n_iters).collect()
+    by_cent: dict[int, dict[int, float]] = {}
+    for r in long_rows:
+        by_cent.setdefault(r.centroid_id, {})[r.dim_idx] = r.comp
+    rows = [
+        (cid, [comps[d] for d in sorted(comps)]) for cid, comps in sorted(by_cent.items())
+    ]
+    cents = embeddings.sparkSession.createDataFrame(
+        rows, "centroid_id long, cv array<double>"
+    )
+    return ivf_topk(
+        embeddings, n_queries, k, stride, nprobe, centroids=F.broadcast(cents)
     )
 
 

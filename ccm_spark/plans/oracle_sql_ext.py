@@ -378,10 +378,7 @@ SELECT query_id, CAST(rk AS INT) AS rank, target_id, cos_sim
 FROM ranked WHERE rk <= {k}"""
 
 
-def sql_ann_ivf_kmeans(stride: int = 125, n_iters: int = 2) -> str:
-    """Lloyd iterations unrolled as CTE chains; centroids rounded to 6
-    decimals per update exactly like the Spark plan, so each iteration
-    restarts from identical state in both engines."""
+def _kmeans_cte_parts(stride: int = 125, n_iters: int = 2) -> list[str]:
     parts = [
         f"dims AS (SELECT CAST(unnest(range(0, {DIM})) AS INT) AS d)",
         """vals AS (
@@ -414,9 +411,69 @@ def sql_ann_ivf_kmeans(stride: int = 125, n_iters: int = 2) -> str:
   FROM asg{i} a JOIN vals v USING (vec_id) GROUP BY 1, 2
 )""",
         ]
+    return parts
+
+
+def sql_ann_ivf_kmeans(stride: int = 125, n_iters: int = 2) -> str:
+    """Lloyd iterations unrolled as CTE chains; centroids rounded to 6
+    decimals per update exactly like the Spark plan, so each iteration
+    restarts from identical state in both engines."""
+    parts = _kmeans_cte_parts(stride, n_iters)
     return (
         "WITH " + ",\n".join(parts)
         + f"\nSELECT centroid_id, d AS dim_idx, round(cval, 6) + 0.0 AS comp FROM cent{n_iters}"
+    )
+
+
+def sql_ann_ivf_kmeans_topk(
+    n_queries: int = 100, k: int = 5, stride: int = 125, nprobe: int = 2, n_iters: int = 2
+) -> str:
+    """Trained-IVF probe: the k-means CTE chain feeds the same
+    assign/probe/rerank shape as sql_ann_ivf_topk."""
+    cos = (
+        "round(CASE WHEN sqrt(list_dot_product({a}, {a})) = 0 "
+        "OR sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
+        "ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b}))) END, 9)"
+    )
+    parts = _kmeans_cte_parts(stride, n_iters)
+    parts += [
+        f"cents AS (SELECT centroid_id, list(cval ORDER BY d) AS cvec FROM cent{n_iters} GROUP BY 1)",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"""assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT a.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos.format(a='a.vec', b='c.cvec')} DESC, c.centroid_id) AS crk
+    FROM v a CROSS JOIN cents c
+  ) r WHERE crk = 1
+)""",
+        f"q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {n_queries})",
+        f"""probes AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos.format(a='q.qvec', b='c.cvec')} DESC, c.centroid_id) AS crk
+    FROM q CROSS JOIN cents c
+  ) r WHERE crk <= {nprobe}
+)""",
+        f"""cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS target_id,
+         {cos.format(a='p.qvec', b='t.vec')} AS cos_sim
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id AND a.vec_id != p.query_id
+  JOIN v t ON t.vec_id = a.vec_id
+)""",
+        """ranked AS (
+  SELECT query_id, target_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, target_id) AS rk
+  FROM cands
+)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT query_id, CAST(rk AS INT) AS rank, target_id, cos_sim"
+        + f"\nFROM ranked WHERE rk <= {k}"
     )
 
 
