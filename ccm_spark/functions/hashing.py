@@ -9,6 +9,16 @@ parsed as a BIGINT. Spark: ``conv(substr(md5(s),1,15),16,10)``; DuckDB:
 
 Tokenisation is a lowercase whitespace split with empties dropped — the one
 tokenizer both engines' regex dialects agree on.
+
+Case-mapping caveat (measured, not assumed): Spark and Python lower() do
+FULL Unicode case mapping (U+0130 'İ' -> 'i' + combining dot, Greek final
+sigma), DuckDB's utf8proc does SIMPLE mapping ('İ' -> 'i', 'Σ' -> 'σ'
+always). Cross-engine token parity is therefore guaranteed only for text
+whose cased characters have simple 1:1 mappings — all ASCII and almost all
+scripts; known divergent inputs are U+0130 and word-final 'Σ'. The
+property test pins parity over the guaranteed domain; a corpus carrying
+such characters needs a case-fold preprocessing step before the DuckDB
+oracle can replay it.
 """
 
 from __future__ import annotations
@@ -28,7 +38,9 @@ P31 = 2_147_483_647  # 2^31 - 1
 # tokenizer below uses this literal class so all three engines split
 # identically on any input.
 WS_CLASS = "[ \\t\\n\\x0b\\f\\r]"
-_PY_WS = re.compile("[ \t\n\x0b\f\r]+")
+# compiled from THE class so the two can never drift (the escape syntax is
+# shared by Python re, Java regex, and RE2)
+_PY_WS = re.compile(WS_CLASS + "+")
 
 
 def py_tokens(text: str | None) -> list[str]:
@@ -56,8 +68,8 @@ def sql_md5_long(expr: str) -> str:
 def tokens_col(text_col: Column | str) -> Column:
     """Lowercased whitespace tokens, empties removed.
 
-    Python mirror: ``functions.vector_udfs.py_tokens`` — the UDF-side
-    operators (shingles, simhash) depend on the two tokenizers agreeing
+    Python mirror: :func:`py_tokens` (this module) — the UDF-side
+    operators (shingles, simhash) depend on the tokenizers agreeing
     token-for-token; change them together."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.filter(F.split(F.lower(c), WS_CLASS + "+"), lambda t: t != "")

@@ -239,7 +239,18 @@ def ivf_assignments(
 def ivf_kmeans_centroids(
     embeddings: DataFrame, stride: int = IVF_STRIDE, n_iters: int = 2
 ) -> DataFrame:
-    """(centroid_id, dim_idx, comp): IVF coarse centroids TRAINED with
+    """(centroid_id, dim_idx, comp) as a DataFrame — see
+    :func:`_kmeans_centroid_rows` for the algorithm."""
+    return embeddings.sparkSession.createDataFrame(
+        _kmeans_centroid_rows(embeddings, stride, n_iters),
+        "centroid_id long, dim_idx int, comp double",
+    )
+
+
+def _kmeans_centroid_rows(
+    embeddings: DataFrame, stride: int = IVF_STRIDE, n_iters: int = 2
+) -> list[tuple]:
+    """(centroid_id, dim_idx, comp) rows: IVF coarse centroids TRAINED with
     ``n_iters`` Lloyd iterations (spherical k-means: cosine assignment,
     per-cluster mean update) from the deterministic strided init.
 
@@ -254,9 +265,10 @@ def ivf_kmeans_centroids(
     assignment join each iteration — the classic distributed-KMeans shape
     (per-iteration cost: one broadcast join + two keyed aggregations).
     The final centroid relation is k x dim rows BY DESIGN (tiny), so it is
-    materialised on the driver and returned as a literal DataFrame — that
-    truncates the iteration lineage and lets the cached vals relation be
-    released instead of leaking executor cache blocks per call.
+    materialised on the driver and returned as plain rows — that truncates
+    the iteration lineage, lets the cached vals relation be released
+    instead of leaking executor cache blocks per call, and lets consumers
+    (ivf_kmeans_topk) reshape without a second collect.
     """
     vals = spread(embeddings, "vec_id").select(
         "vec_id", F.posexplode(as_double_vec("embedding")).alias("d", "val")
@@ -307,9 +319,7 @@ def ivf_kmeans_centroids(
     )
     rows = [(r.centroid_id, r.dim_idx, r.comp) for r in final.collect()]
     vals.unpersist()
-    return embeddings.sparkSession.createDataFrame(
-        rows, "centroid_id long, dim_idx int, comp double"
-    )
+    return rows
 
 
 def ivf_topk(
@@ -388,12 +398,12 @@ def ivf_kmeans_topk(
 ) -> DataFrame:
     """End-to-end trained ANN: Lloyd-trained centroids feeding the IVF
     probe. The trained centroid relation is k x dim (tiny, already
-    driver-materialised by ivf_kmeans_centroids), so reshaping long-form
+    driver-materialised by _kmeans_centroid_rows), so reshaping long-form
     rows into array vectors happens driver-side at no meaningful cost."""
-    long_rows = ivf_kmeans_centroids(embeddings, stride, n_iters).collect()
+    long_rows = _kmeans_centroid_rows(embeddings, stride, n_iters)
     by_cent: dict[int, dict[int, float]] = {}
-    for r in long_rows:
-        by_cent.setdefault(r.centroid_id, {})[r.dim_idx] = r.comp
+    for cid, dim_idx, comp in long_rows:
+        by_cent.setdefault(cid, {})[dim_idx] = comp
     rows = [
         (cid, [comps[d] for d in sorted(comps)]) for cid, comps in sorted(by_cent.items())
     ]
