@@ -433,6 +433,42 @@ def q_top_customers_by_nation(spark, sf_dir):
     )
 
 
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic data-mixing sample: per-language md5-threshold keep.
+    Pure filter — no shuffle at any scale; the kept set is identical on
+    any partitioning (unlike df.sample)."""
+    from ccm_spark.pipeline.mixing import mixture_sample
+
+    return mixture_sample(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy token-budget sequence packing within md5 shards; exact bin
+    placement pinned against a per-shard recursive-CTE oracle."""
+    from ccm_spark.pipeline.mixing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def q_text_redact_pii(spark, sf_dir):
+    """PII redaction. The synthetic corpus has no PII, so the query
+    injects a deterministic doc_id-derived email + long ref number into
+    every doc (same expression in the oracle) and then redacts — the
+    hash pins counts AND the exact redacted text."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ref "),
+            (F.col("doc_id") * 1000003 + 123456).cast("string"),
+        ),
+    )
+    return text.redact_pii(aug)
+
+
 def q_gen_logistic_maps(spark, sf_dir):
     """G1 generator output (sf-independent; deterministic recurrence)."""
     from ccm_spark.generators import coupled_logistic_maps
@@ -506,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": q_text_token_counts,
         "text_fingerprint": q_text_fingerprint,
         "text_quality_filter": q_text_quality_filter,
+        "text_redact_pii": q_text_redact_pii,
+        "sample_mixture": q_sample_mixture,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
@@ -557,6 +596,9 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": oext.sql_text_token_counts(),
         "text_fingerprint": oext.sql_text_fingerprint(),
         "text_quality_filter": oext.sql_text_quality_filter(),
+        "text_redact_pii": oext.sql_text_redact_pii(),
+        "sample_mixture": oext.sql_sample_mixture(),
+        "pack_sequences": oext.sql_pack_sequences(),
         "dedup_exact": oext.sql_dedup_exact(),
         "dedup_components": oext.sql_dedup_components(),
         "dedup_representatives": oext.sql_dedup_representatives(),

@@ -1,0 +1,144 @@
+"""Corpus-assembly operators: deterministic data mixing and sequence packing.
+
+The reference engine has no corpus surface at all (it is a CCM analytics
+library, SURVEY.md §2.1); these are the assembly steps an LLM training-data
+pipeline runs after filtering/dedup:
+
+- :func:`mixture_sample` — per-language sampling rates ("data mixing
+  weights") applied with a deterministic md5 threshold. A pure row-local
+  filter: zero shuffle, pushes into the scan, and the SAME doc set is kept
+  on any cluster size or partitioning — re-runs and backfills are
+  reproducible, which `df.sample()` cannot promise under repartitioning.
+- :func:`pack_sequences` — greedy sequential packing of tokenized docs
+  into fixed token-budget training sequences. Docs are sharded by a stable
+  md5 bucket; packing is sequential WITHIN a shard (the inherent data
+  dependence of first-fit) and embarrassingly parallel ACROSS shards. At
+  100 TB you raise ``n_shards`` so each shard's doc list fits a task
+  comfortably (packing state is O(1) per shard).
+
+Both are hash-checked against DuckDB oracles (mixture: identical md5
+predicate; packing: per-shard recursive CTE carrying the (bin, fill)
+state), so the exact bin assignment — not just row counts — is pinned
+cross-engine.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ccm_spark.functions.hashing import md5_long, tokens_col
+from ccm_spark.functions.partitioning import spread
+
+#: modulus for the mixing key: rates are expressed as integer thresholds
+#: out of MIX_MOD so no floating-point ever touches the keep/drop decision.
+MIX_MOD = 1_000_000
+
+#: default per-language mixing rates for the demo query (en-heavy mix).
+DEFAULT_MIX_RATES: dict[str, float] = {
+    "en": 1.0,
+    "de": 0.5,
+    "fr": 0.35,
+    "es": 0.2,
+    "zh": 0.1,
+}
+DEFAULT_MIX_SALT = "mix1"
+DEFAULT_MIX_FALLBACK = 0.05
+
+PACK_BUDGET = 256
+PACK_SHARDS = 8
+
+
+def mix_key(doc_id_col: str, salt: str) -> F.Column:
+    """Deterministic per-doc sampling key in [0, MIX_MOD): a 60-bit md5 of
+    ``doc_id:salt`` reduced mod MIX_MOD. Changing the salt draws an
+    independent sample; the key is engine-portable (md5 is md5)."""
+    seed = F.concat(F.col(doc_id_col).cast("string"), F.lit(":" + salt))
+    return F.pmod(md5_long(seed), F.lit(MIX_MOD))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    fallback_rate: float = DEFAULT_MIX_FALLBACK,
+    salt: str = DEFAULT_MIX_SALT,
+) -> DataFrame:
+    """Stratified deterministic sampling by language — data-mixing weights.
+
+    Keeps a doc iff ``mix_key < round(rate[lang] * MIX_MOD)``. The whole
+    operator is a narrow projection+filter: at any scale it is one pass
+    over the scan with no shuffle, and the kept set is independent of
+    partitioning, task count, and execution order.
+    """
+    rates = DEFAULT_MIX_RATES if rates is None else rates
+    key = mix_key("doc_id", salt)
+    thr = F.lit(int(round(fallback_rate * MIX_MOD)))
+    for lang, rate in sorted(rates.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(int(round(rate * MIX_MOD)))).otherwise(thr)
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .where(F.col("sample_key") < thr)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Greedy sequential sequence packing within md5 shards.
+
+    Each doc's token count comes from the shared whitespace tokenizer
+    (hashing.tokens_col). Docs are bucketed into ``n_shards`` stable shards
+    and, in doc_id order within a shard, appended to the current bin if it
+    fits (``fill + n <= budget``) else a new bin is opened (a doc larger
+    than the budget gets a bin of its own). Emits one row per doc with its
+    (shard, bin_idx, bin_offset) placement.
+
+    Scale shape: one hash exchange on ``shard``, then a per-shard
+    sequential loop in an Arrow batch — state is two integers. Shard count
+    is the parallelism knob; packing quality is unaffected by shard count
+    (bins never span shards by construction).
+    """
+    prepared = docs.select(
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(n_shards)).alias("shard"),
+        "doc_id",
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    )
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bin_idx = 0
+        fill = -1  # sentinel: first doc always opens bin 0
+        bins, offsets = [], []
+        for n in pdf["n_tokens"]:
+            if fill < 0:
+                offset, fill = 0, int(n)
+            elif fill + n <= budget:
+                offset = fill
+                fill += int(n)
+            else:
+                bin_idx += 1
+                offset, fill = 0, int(n)
+            bins.append(bin_idx)
+            offsets.append(offset)
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"],
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "bin_idx": pd.Series(bins, dtype="int64"),
+                "bin_offset": pd.Series(offsets, dtype="int64"),
+            }
+        )
+
+    return (
+        spread(prepared, "shard")
+        .groupBy("shard")
+        .applyInPandas(
+            _pack,
+            schema="shard long, doc_id long, n_tokens long, bin_idx long, bin_offset long",
+        )
+    )

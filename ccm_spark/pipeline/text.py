@@ -225,3 +225,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         toks.groupBy("doc_id")
         .agg((F.sum(term) % P31).alias("fingerprint"))
     )
+
+
+#: cross-engine-safe PII patterns: no lookarounds/backrefs, so Java regex
+#: (Spark) and RE2 (DuckDB) agree match-for-match. Emails are redacted
+#: BEFORE digit runs so an address's local-part digits don't double-count.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+NUMBER_RE = "[0-9]{6,}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and long digit runs; emit counts + a redacted-text
+    fingerprint. One narrow projection — no shuffle, no UDF: regexp ops
+    are codegen'd JVM-side, so at 100 TB this is a map-only scan pass.
+
+    Returns (doc_id, n_emails, n_numbers, red_len, red_fp) where red_fp is
+    the engine-portable 60-bit md5 of the redacted text (the driver hash
+    then pins the exact redaction output, not just the counts).
+    """
+    c = F.col(text_col)
+    red1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    red2 = F.regexp_replace(red1, NUMBER_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(red1, F.lit(NUMBER_RE), 0)).cast("long").alias("n_numbers"),
+        F.length(red2).cast("long").alias("red_len"),
+        md5_long(red2).alias("red_fp"),
+    )

@@ -790,3 +790,87 @@ SELECT doc_id,
             WHEN lower(hex(text::BLOB)) LIKE '52494646%' THEN 'riff'
             ELSE 'unknown' END AS sniffed_format
 FROM documents"""
+
+
+# ------------------------------------------------- corpus assembly / PII
+
+def sql_sample_mixture() -> str:
+    from ccm_spark.pipeline.mixing import (
+        DEFAULT_MIX_FALLBACK,
+        DEFAULT_MIX_RATES,
+        DEFAULT_MIX_SALT,
+        MIX_MOD,
+    )
+
+    fallback = int(round(DEFAULT_MIX_FALLBACK * MIX_MOD))
+    chain = " ".join(
+        f"WHEN '{lang}' THEN {int(round(rate * MIX_MOD))}"
+        for lang, rate in sorted(DEFAULT_MIX_RATES.items())
+    )
+    key = _md5_long(f"CAST(doc_id AS VARCHAR) || ':{DEFAULT_MIX_SALT}'")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source, CAST({key} % {MIX_MOD} AS BIGINT) AS sample_key
+  FROM documents
+)
+SELECT doc_id, lang, source, sample_key
+FROM keyed
+WHERE sample_key < CASE lang {chain} ELSE {fallback} END"""
+
+
+def sql_pack_sequences() -> str:
+    from ccm_spark.pipeline.mixing import PACK_BUDGET, PACK_SHARDS
+
+    shard = f"CAST({_md5_long('CAST(doc_id AS VARCHAR)')} % {PACK_SHARDS} AS BIGINT)"
+    return f"""
+WITH RECURSIVE numbered AS (
+  SELECT shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM (SELECT {shard} AS shard, doc_id,
+               CAST(len({TOKENS}) AS BIGINT) AS n_tokens
+        FROM documents)
+),
+pack AS (
+  SELECT shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_offset,
+         n_tokens AS fill
+  FROM numbered WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.fill + d.n_tokens <= {PACK_BUDGET} THEN p.bin_idx
+              ELSE p.bin_idx + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= {PACK_BUDGET} THEN p.fill
+              ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.fill + d.n_tokens <= {PACK_BUDGET} THEN p.fill + d.n_tokens
+              ELSE d.n_tokens END
+  FROM pack p JOIN numbered d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT shard, doc_id, n_tokens, bin_idx, bin_offset FROM pack"""
+
+
+def sql_text_redact_pii() -> str:
+    from ccm_spark.pipeline.text import EMAIL_RE, NUMBER_RE
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ref '
+              || CAST(doc_id * 1000003 + 123456 AS VARCHAR) AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS red1
+  FROM aug
+),
+red2 AS (
+  SELECT doc_id, text, red1,
+         regexp_replace(red1, '{NUMBER_RE}', '<NUM>', 'g') AS redacted
+  FROM red
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(red1, '{NUMBER_RE}')) AS BIGINT) AS n_numbers,
+       CAST(length(redacted) AS BIGINT) AS red_len,
+       {_md5_long('redacted')} AS red_fp
+FROM red2"""
