@@ -1,3 +1,14 @@
 from ccm_spark.sources.tables import load_table, events_pair_series
+from ccm_spark.sources.jsonl import (
+    documents_jsonl_stream,
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
 
-__all__ = ["load_table", "events_pair_series"]
+__all__ = [
+    "load_table",
+    "events_pair_series",
+    "documents_jsonl_stream",
+    "read_documents_jsonl",
+    "write_documents_jsonl",
+]

@@ -4,6 +4,10 @@ from ccm_spark.streaming.windows import (
     windowed_pair_correlation,
 )
 from ccm_spark.streaming.stateful import running_stats_batch, running_value_stats
+from ccm_spark.streaming.dedup_stream import (
+    dedup_documents_stream,
+    dedup_events_stream,
+)
 
 __all__ = [
     "event_stream",
@@ -11,4 +15,6 @@ __all__ = [
     "windowed_pair_correlation",
     "running_stats_batch",
     "running_value_stats",
+    "dedup_documents_stream",
+    "dedup_events_stream",
 ]

@@ -1,0 +1,94 @@
+"""JSONL source round-trip and streaming dedup: a doubled source (every
+row delivered twice, as at-least-once ingestion does) must dedup back to
+exactly the batch-distinct result."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from ccm_spark.sources.jsonl import (
+    documents_jsonl_stream,
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
+from ccm_spark.sources.tables import load_table
+from ccm_spark.streaming.dedup_stream import (
+    dedup_documents_stream,
+    dedup_events_stream,
+)
+
+
+def test_jsonl_round_trip(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, path, n_files=4)
+    back = read_documents_jsonl(spark, path)
+    assert back.schema == docs.schema
+    orig = sorted(docs.collect(), key=lambda r: r.doc_id)
+    rt = sorted(back.collect(), key=lambda r: r.doc_id)
+    assert rt == orig  # text (incl. unicode), lang, source all survive
+
+
+@pytest.fixture()
+def doubled_events_dir(spark, sf_small, tmp_path):
+    src = f"{sf_small}/events.parquet"
+    d = tmp_path / "events_doubled"
+    d.mkdir()
+    shutil.copy(src, d / "part-0.parquet")
+    shutil.copy(src, d / "part-1.parquet")
+    return str(d)
+
+
+def test_streaming_event_dedup_matches_batch_distinct(
+    spark, sf_small, doubled_events_dir, tmp_path
+):
+    from ccm_spark.streaming.windows import EVENTS_SCHEMA
+
+    batch = load_table(spark, sf_small, "events")
+    n_distinct = batch.select("event_id").distinct().count()
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(doubled_events_dir)
+    deduped = dedup_events_stream(stream)
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ev_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ev"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM ev_dedup").collect()
+    assert len(got) == n_distinct  # doubled input, each event exactly once
+    assert len(set(r.event_id for r in got)) == n_distinct
+
+
+def test_streaming_document_dedup_matches_batch(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_stream")
+    # two deliveries of the same corpus under different shard names
+    write_documents_jsonl(docs, path, n_files=2)
+    shutil.copytree(path, str(tmp_path / "extra"), dirs_exist_ok=True)
+    for f in (tmp_path / "extra").glob("*.json"):
+        shutil.copy(f, f"{path}/re-{f.name}")
+
+    batch_distinct = dedup_documents_stream(docs).count()
+
+    stream = documents_jsonl_stream(spark, path)
+    deduped = dedup_documents_stream(stream)
+    assert deduped.isStreaming
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("doc_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_doc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT content_md5 FROM doc_dedup").collect()
+    assert len(got) == batch_distinct
+    assert len(set(r.content_md5 for r in got)) == batch_distinct
