@@ -469,6 +469,26 @@ def q_text_redact_pii(spark, sf_dir):
     return text.redact_pii(aug)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style 2-gram repetition signals (map-only scan pass)."""
+    return text.repetition_signals(_docs(spark, sf_dir))
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Per-source boilerplate 3-grams by document frequency (top-20)."""
+    return text.boilerplate_ngrams(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 31st doc plays the eval set; the
+    rest are 'training' docs flagged by any shared 4-gram. Broadcast
+    probe — the training side is never shuffled for the overlap test."""
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 31 != 0)
+    ev = docs.where(F.col("doc_id") % 31 == 0)
+    return dedup.decontaminate(train, ev)
+
+
 def q_gen_logistic_maps(spark, sf_dir):
     """G1 generator output (sf-independent; deterministic recurrence)."""
     from ccm_spark.generators import coupled_logistic_maps
@@ -543,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_quality_filter": q_text_quality_filter,
         "text_redact_pii": q_text_redact_pii,
+        "text_repetition": q_text_repetition,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "sample_mixture": q_sample_mixture,
         "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
@@ -552,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "decontaminate": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_srp_buckets": q_ann_srp_buckets,
@@ -597,6 +620,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oext.sql_text_fingerprint(),
         "text_quality_filter": oext.sql_text_quality_filter(),
         "text_redact_pii": oext.sql_text_redact_pii(),
+        "text_repetition": oext.sql_text_repetition(),
+        "boilerplate_ngrams": oext.sql_boilerplate_ngrams(),
         "sample_mixture": oext.sql_sample_mixture(),
         "pack_sequences": oext.sql_pack_sequences(),
         "dedup_exact": oext.sql_dedup_exact(),
@@ -606,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
         "dedup_simhash": oext.sql_dedup_simhash(),
         "dedup_simhash_pairs": oext.sql_dedup_simhash_pairs(),
+        "decontaminate": oext.sql_decontaminate(),
         "ann_cosine_topk": oext.sql_ann_cosine_topk(),
         "ann_ivf_topk": oext.sql_ann_ivf_topk(),
         "ann_srp_buckets": oext.sql_ann_srp_buckets(),

@@ -102,3 +102,53 @@ def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
     denom = na * nb
     out = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
     return pd.Series(out)
+
+
+def shingle_text_udf(width: int):
+    """Arrow-batched shingler keeping the gram TEXT: text -> sorted
+    distinct token w-grams (space-joined), one array<string> per doc.
+    Same tokenizer as shingle_hash_udf; used where the gram itself is the
+    output (boilerplate/template detection), not a join key."""
+
+    @pandas_udf("array<string>")
+    def _shingle_texts(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = py_tokens(t)
+            if len(toks) < width:
+                out.append([])
+                continue
+            out.append(
+                sorted({" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)})
+            )
+        return pd.Series(out)
+
+    return _shingle_texts
+
+
+def gram_stats_udf(width: int):
+    """Arrow-batched per-doc w-gram repetition stats (Gopher-style):
+    (n_grams, top_count, dup_occ) where dup_occ counts occurrences of
+    grams appearing more than once. Raw gram strings (no hashing), so the
+    oracle's unnest+count formulation matches without collision caveats."""
+
+    from collections import Counter
+
+    @pandas_udf("struct<n_grams:long, top_count:long, dup_occ:long>")
+    def _gram_stats(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            toks = py_tokens(t)
+            if len(toks) < width:
+                rows.append((0, 0, 0))
+                continue
+            counts = Counter(
+                " ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)
+            )
+            n = sum(counts.values())
+            top = max(counts.values())
+            dup = sum(c for c in counts.values() if c > 1)
+            rows.append((n, top, dup))
+        return pd.DataFrame(rows, columns=["n_grams", "top_count", "dup_occ"])
+
+    return _gram_stats

@@ -253,3 +253,64 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(red2).cast("long").alias("red_len"),
         md5_long(red2).alias("red_fp"),
     )
+
+
+def repetition_signals(docs: DataFrame, width: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per doc: 2-gram total/top/duplicated
+    occurrence counts and fractions. High top2_frac or dup2_frac marks
+    machine-generated or boilerplate-heavy text.
+
+    One Arrow-batched pass (the per-doc gram Counter is O(tokens)); no
+    shuffle at all — the signals are row-local, so at 100 TB this is a
+    map-only scan like the other quality projections.
+    """
+    from ccm_spark.functions.vector_udfs import gram_stats_udf
+
+    sig = gram_stats_udf(width)
+    base = spread(docs, "doc_id").select("doc_id", sig(F.col("text")).alias("s"))
+    n = F.col("s.n_grams")
+    frac = lambda c: F.when(n > 0, F.round(c / n, 6) + F.lit(0.0)).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        n.alias("n_2grams"),
+        F.col("s.top_count").alias("top2_count"),
+        F.col("s.dup_occ").alias("dup2_occ"),
+        frac(F.col("s.top_count")).alias("top2_frac"),
+        frac(F.col("s.dup_occ")).alias("dup2_frac"),
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, width: int = 3, min_docs: int = 2, k: int = 20
+) -> DataFrame:
+    """Template/boilerplate detection: top-k token w-grams per source by
+    document frequency (grams counted once per doc). The per-source lists
+    are what a C4-style boilerplate stripper would subtract.
+
+    Plan shape: Arrow-batched distinct-gram extraction, explode, one
+    map-side-combined count keyed on (source, gram) — skew-free because
+    the key includes the gram — then the two-phase local/global top-k
+    (same pattern as vocab_topk) so no task ever sorts a whole source's
+    gram relation.
+    """
+    from ccm_spark.functions.vector_udfs import shingle_text_udf
+
+    sh = shingle_text_udf(width)
+    grams = spread(docs, "doc_id").select(
+        "source", F.explode(sh(F.col("text"))).alias("gram")
+    )
+    counts = grams.groupBy("source", "gram").agg(F.count("*").alias("n_docs"))
+    order = [F.col("n_docs").desc(), F.col("gram").asc()]
+    local_w = Window.partitionBy("source", "split_id").orderBy(*order)
+    survivors = (
+        counts.where(F.col("n_docs") >= min_docs)
+        .withColumn("split_id", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= k)
+    )
+    w = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", F.col("rank").cast("int").alias("rank"), "gram", "n_docs")
+    )

@@ -874,3 +874,76 @@ SELECT doc_id,
        CAST(length(redacted) AS BIGINT) AS red_len,
        {_md5_long('redacted')} AS red_fp
 FROM red2"""
+
+
+def sql_decontaminate(width: int | None = None, mod: int = 31) -> str:
+    from ccm_spark.pipeline.dedup import SHINGLE_WIDTH
+
+    w = SHINGLE_WIDTH if width is None else width
+    grams = " || ' ' || ".join(f"list_extract(toks, i + {j})" for j in range(w))
+    return f"""
+WITH tr AS (SELECT doc_id, {TOKENS} AS toks FROM documents WHERE doc_id % {mod} <> 0),
+ev AS (SELECT doc_id, {TOKENS} AS toks FROM documents WHERE doc_id % {mod} = 0),
+trpos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {w - 2})) AS i FROM tr),
+trsh AS (
+  SELECT DISTINCT doc_id, ({_md5_long(f"({grams})")} % {P31}) AS shingle_hash
+  FROM trpos
+),
+evpos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {w - 2})) AS i FROM ev),
+evsh AS (
+  SELECT DISTINCT ({_md5_long(f"({grams})")} % {P31}) AS shingle_hash
+  FROM evpos
+),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n
+  FROM trsh t JOIN evsh e USING (shingle_hash) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_shingles,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
+def sql_text_repetition() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+g AS (
+  SELECT doc_id, list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS gram
+  FROM pos
+),
+c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_2grams,
+         CAST(MAX(n) AS BIGINT) AS top2_count,
+         CAST(COALESCE(SUM(n) FILTER (WHERE n > 1), 0) AS BIGINT) AS dup2_occ
+  FROM c GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_2grams, 0) AS n_2grams,
+       COALESCE(a.top2_count, 0) AS top2_count,
+       COALESCE(a.dup2_occ, 0) AS dup2_occ,
+       CASE WHEN COALESCE(a.n_2grams, 0) > 0
+            THEN round(CAST(a.top2_count AS DOUBLE) / a.n_2grams, 6) + 0.0
+            ELSE 0.0 END AS top2_frac,
+       CASE WHEN COALESCE(a.n_2grams, 0) > 0
+            THEN round(CAST(a.dup2_occ AS DOUBLE) / a.n_2grams, 6) + 0.0
+            ELSE 0.0 END AS dup2_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def sql_boilerplate_ngrams(width: int = 3, min_docs: int = 2, k: int = 20) -> str:
+    grams = " || ' ' || ".join(f"list_extract(toks, i + {j})" for j in range(width))
+    return f"""
+WITH t AS (SELECT doc_id, source, {TOKENS} AS toks FROM documents),
+pos AS (SELECT doc_id, source, toks, unnest(range(1, len(toks) - {width - 2})) AS i FROM t),
+g AS (SELECT DISTINCT doc_id, source, ({grams}) AS gram FROM pos),
+c AS (SELECT source, gram, COUNT(*) AS n_docs FROM g GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_docs DESC, gram ASC) AS rank
+  FROM c WHERE n_docs >= {min_docs}
+)
+SELECT source, CAST(rank AS INT) AS rank, gram, CAST(n_docs AS BIGINT) AS n_docs
+FROM r WHERE rank <= {k}"""

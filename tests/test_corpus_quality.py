@@ -1,0 +1,70 @@
+"""Decontamination, repetition signals, boilerplate detection — value
+parity is pinned by check_parity/CORRECTNESS; these pin the semantics on
+hand-built corpora."""
+
+from __future__ import annotations
+
+from ccm_spark.pipeline.dedup import decontaminate
+from ccm_spark.pipeline.text import boilerplate_ngrams, repetition_signals
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOCS_SCHEMA
+    )
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon unrelated words here", "s"),
+            (2, "totally different content with no overlap at all", "s"),
+        ],
+    )
+    ev = _docs(spark, [(100, "x alpha beta gamma delta y", "s")])
+    got = {r.doc_id: r for r in decontaminate(train, ev, width=4).collect()}
+    # doc 1 shares 'alpha beta gamma delta' (two 4-grams incl. epsilon? only
+    # the one aligned 4-gram 'alpha beta gamma delta' appears in both)
+    assert got[1].contaminated and got[1].n_contaminated_shingles == 1
+    assert not got[2].contaminated and got[2].n_contaminated_shingles == 0
+
+
+def test_repetition_signals_exact(spark):
+    df = _docs(spark, [(1, "a b a b a", "s"), (2, "w x y z", "s"), (3, "q", "s")])
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # doc 1: grams ab,ba,ab,ba -> n=4, top=2, dup=4
+    assert (got[1].n_2grams, got[1].top2_count, got[1].dup2_occ) == (4, 2, 4)
+    assert (got[1].top2_frac, got[1].dup2_frac) == (0.5, 1.0)
+    # doc 2: all distinct -> dup 0
+    assert (got[2].n_2grams, got[2].top2_count, got[2].dup2_occ) == (3, 1, 0)
+    # doc 3: too short -> zeros, fracs 0.0
+    assert (got[3].n_2grams, got[3].top2_frac, got[3].dup2_frac) == (0, 0.0, 0.0)
+
+
+def test_boilerplate_ngrams_finds_shared_template(spark):
+    template = "click here to subscribe"
+    df = _docs(
+        spark,
+        [
+            (1, f"{template} news about spark", "a"),
+            (2, f"other text {template} more", "a"),
+            (3, f"unique document body one", "a"),
+            (4, f"{template} in another source", "b"),
+        ],
+    )
+    got = boilerplate_ngrams(df, width=3, min_docs=2, k=5).collect()
+    by_source = {}
+    for r in got:
+        by_source.setdefault(r.source, []).append(r)
+    # source a: the template's two 3-grams appear in docs 1 and 2
+    grams_a = {r.gram for r in by_source["a"]}
+    assert "click here to" in grams_a and "here to subscribe" in grams_a
+    assert all(r.n_docs == 2 for r in by_source["a"])
+    # source b has no repeated gram (single doc) -> absent
+    assert "b" not in by_source
+    # ranks are 1..k contiguous and ordered deterministically
+    ranks = sorted(r.rank for r in by_source["a"])
+    assert ranks == list(range(1, len(ranks) + 1))
