@@ -25,7 +25,7 @@ from ccm_spark.pipeline import dedup, multimodal, similarity, text
 from ccm_spark.plans import oracle_sql as osql
 from ccm_spark.plans import oracle_sql_ext as oext
 from ccm_spark.plans.cross_map import ccm_plan, convergence_plan, skill_plan
-from ccm_spark.plans.oracle_sql import G1_PARAMS, PARAMS, CCMQueryParams
+from ccm_spark.plans.oracle_sql import FLEET_PARAMS, G1_PARAMS, PARAMS, CCMQueryParams
 from ccm_spark.session import configure_existing
 from ccm_spark.sources.tables import events_pair_series, load_table
 
@@ -199,6 +199,66 @@ def q_ccm_bidirectional_fast(spark, sf_dir):
         _r6(F.col("slope")).alias("slope"),
         "convergent",
     )
+
+
+def _fleet_series(spark: SparkSession) -> DataFrame:
+    """Distributed multi-pair G1 generation (one task per pair) matching
+    FLEET_PARAMS — the fleet gate's shared input."""
+    from ccm_spark.generators import generate_grid_df
+
+    configure_existing(spark)
+    grid = [
+        {"pair_id": i, "kind": "g1", "length": FLEET_PARAMS.n_points, "coupling": c}
+        for i, c in enumerate(FLEET_PARAMS.fleet_couplings)
+    ]
+    return generate_grid_df(spark, grid)
+
+
+def _fleet_select(res: DataFrame) -> DataFrame:
+    return res.select(
+        "pair_id",
+        "direction",
+        "lib_size",
+        _r6(F.col("correlation")).alias("correlation"),
+        _r6(F.col("slope")).alias("slope"),
+        "convergent",
+    )
+
+
+def q_ccm_fleet_small(spark, sf_dir):
+    """Multi-pair CCM through the pure-DataFrame plan: 4 G1 pairs spanning
+    the reference's coupling spectrum, hash-pinned to the multi-pair DuckDB
+    oracle (plans/oracle_sql.sql_ccm_fleet). The fleet path IS the 100 TB
+    story — this row is its correctness evidence."""
+    return _fleet_select(ccm_plan(_fleet_series(spark), _config(FLEET_PARAMS)))
+
+
+def q_ccm_fleet_small_fast(spark, sf_dir):
+    """Same fleet through the applyInPandas numpy fast path — identical
+    seeded sampling, so it must hash-match the same oracle as the plan
+    path (fastpath.ccm_apply_in_pandas, one shuffle total)."""
+    from ccm_spark.fastpath import ccm_apply_in_pandas
+
+    return _fleet_select(
+        ccm_apply_in_pandas(_fleet_series(spark), _config(FLEET_PARAMS))
+    )
+
+
+def q_ccm_fleet_iterated(spark, sf_dir):
+    """The zero-shuffle path end-to-end: fleet series written with
+    sinks.write_series_bucketed (pair-clustered files), read back, and run
+    through fastpath.ccm_fast_iterated (mapInPandas, no groupBy shuffle;
+    clustering guard ON). Hash-matching the same oracle proves the bucketed
+    layout + mapInPandas composition computes whole pairs."""
+    import tempfile
+
+    from ccm_spark.fastpath import ccm_fast_iterated
+    from ccm_spark.sources.sinks import read_series_bucketed, write_series_bucketed
+
+    path = tempfile.gettempdir() + "/ccm_spark_fleet_bucketed"
+    write_series_bucketed(_fleet_series(spark), path, num_buckets=8)
+    series = read_series_bucketed(spark, path)
+    return _fleet_select(ccm_fast_iterated(series, _config(FLEET_PARAMS)))
 
 
 # ------------------------------------------------------ extension queries
@@ -556,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccm_bidirectional": q_ccm_bidirectional,
         "ccm_bidirectional_fast": q_ccm_bidirectional_fast,
         "ccm_logistic_bidirectional": q_ccm_logistic_bidirectional,
+        "ccm_fleet_small": q_ccm_fleet_small,
+        "ccm_fleet_small_fast": q_ccm_fleet_small_fast,
+        "ccm_fleet_iterated": q_ccm_fleet_iterated,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -613,6 +676,9 @@ def oracle_sql() -> dict[str, str]:
         "ccm_bidirectional": osql.sql_ccm_bidirectional(),
         "ccm_bidirectional_fast": osql.sql_ccm_bidirectional(),
         "ccm_logistic_bidirectional": osql.sql_ccm_bidirectional(G1_PARAMS),
+        "ccm_fleet_small": osql.sql_ccm_fleet(),
+        "ccm_fleet_small_fast": osql.sql_ccm_fleet(),
+        "ccm_fleet_iterated": osql.sql_ccm_fleet(),
         "text_token_stats": oext.sql_text_token_stats(),
         "text_quality": oext.sql_text_quality(),
         "text_langid": oext.sql_text_langid(),

@@ -34,10 +34,13 @@ class CCMQueryParams:
     num_samples: int = 10
     lib_sizes: tuple[int, ...] = (40, 80, 120, 160, 200)
     seed: int = 42
-    #: series source: 'events' (testdata prep) or 'g1' (logistic-map
-    #: recurrence replayed as a recursive CTE; n_points = series length)
+    #: series source: 'events' (testdata prep), 'g1' (logistic-map
+    #: recurrence replayed as a recursive CTE; n_points = series length) or
+    #: 'g1_fleet' (one G1 pair per coupling in fleet_couplings — the
+    #: multi-pair path every 100 TB claim rests on)
     series_source: str = "events"
     g1_coupling: float = 0.15
+    fleet_couplings: tuple[float, ...] = ()
 
 
 PARAMS = CCMQueryParams()
@@ -48,8 +51,40 @@ G1_PARAMS = CCMQueryParams(
     n_points=300, series_source="g1", lib_sizes=(30, 80, 130, 180, 230, 280)
 )
 
+#: multi-pair fleet gate configuration: 4 G1 pairs spanning the reference's
+#: coupling spectrum (none -> strong), small ladder so the DuckDB replay
+#: stays cheap at gate time. pair_id i runs coupling fleet_couplings[i].
+FLEET_PARAMS = CCMQueryParams(
+    n_points=120,
+    series_source="g1_fleet",
+    fleet_couplings=(0.0, 0.05, 0.15, 0.4),
+    lib_sizes=(30, 60, 90),
+    num_samples=5,
+)
+
 
 def _series_ctes(p: CCMQueryParams) -> str:
+    if p.series_source == "g1_fleet":
+        # one recursive branch per pair: the base relation seeds every pair
+        # and the recursion advances them all in lockstep, carrying each
+        # pair's coupling alongside its state — bit-identical to the numpy
+        # recurrence because the update expression is the same fixed-order
+        # IEEE arithmetic
+        pairs = ", ".join(
+            f"({i}, {c!r})" for i, c in enumerate(p.fleet_couplings)
+        )
+        return f"""
+gser(pair_id, coupling, t, x, y) AS (
+  SELECT CAST(v.pair_id AS BIGINT), CAST(v.coupling AS DOUBLE), 0 AS t,
+         CAST(0.1 AS DOUBLE) AS x, CAST(0.2 AS DOUBLE) AS y
+  FROM (VALUES {pairs}) AS v(pair_id, coupling)
+  UNION ALL
+  SELECT pair_id, coupling, t + 1,
+         GREATEST(0.0, LEAST(1.0, 3.7 * x * (1.0 - x) + coupling * (y - x))),
+         GREATEST(0.0, LEAST(1.0, 3.6 * y * (1.0 - y)))
+  FROM gser WHERE t < {p.n_points}
+),
+series AS (SELECT pair_id, CAST(t AS BIGINT) AS t, x, y FROM gser)"""
     if p.series_source == "g1":
         # G1 recurrence (reference lib/coupled_logistic_maps_generator.ex:
         # 6-27) replayed bit-identically; run(length) emits length+1 points
@@ -189,10 +224,15 @@ corr AS (
 
 
 def _skill_ctes(p: CCMQueryParams) -> str:
+    # the (pair x dir x lib_size) grid reinstates fully-degenerate
+    # combinations as 0.0 (R2); pair ids come from the series itself so the
+    # same CTE serves single-pair and fleet configurations
     return f"""
 grid AS (
-  SELECT CAST(0 AS BIGINT) AS pair_id, d.dir_id, l.lib_size
-  FROM libs_dim l CROSS JOIN (SELECT CAST(v.dir_id AS INT) AS dir_id FROM (VALUES (0), (1)) AS v(dir_id)) d
+  SELECT pr.pair_id, d.dir_id, l.lib_size
+  FROM (SELECT DISTINCT pair_id FROM series) pr
+  CROSS JOIN libs_dim l
+  CROSS JOIN (SELECT CAST(v.dir_id AS INT) AS dir_id FROM (VALUES (0), (1)) AS v(dir_id)) d
 ),
 skill AS (
   SELECT g.pair_id, g.dir_id, g.lib_size,
@@ -329,6 +369,24 @@ def sql_ccm_bidirectional(p: CCMQueryParams = PARAMS) -> str:
         ccm_pipeline_prefix(p, "conv")
         + f"""
 SELECT {DIRECTION_CASE.replace('dir_id', 's.dir_id')} AS direction,
+       s.lib_size,
+       round(s.correlation, 6) + 0.0 AS correlation,
+       round(c.slope, 6) + 0.0 AS slope,
+       c.convergent
+FROM skill s JOIN conv c ON s.pair_id = c.pair_id AND s.dir_id = c.dir_id"""
+    )
+
+
+def sql_ccm_fleet(p: CCMQueryParams = FLEET_PARAMS) -> str:
+    """Multi-pair bidirectional CCM — the fleet gate. One row per
+    (pair_id, direction, lib_size); identical SQL serves the pure-DataFrame
+    plan, the applyInPandas fast path, and the bucketed mapInPandas path,
+    so a green row pins all three to each other AND to DuckDB."""
+    return (
+        ccm_pipeline_prefix(p, "conv")
+        + f"""
+SELECT s.pair_id,
+       {DIRECTION_CASE.replace('dir_id', 's.dir_id')} AS direction,
        s.lib_size,
        round(s.correlation, 6) + 0.0 AS correlation,
        round(c.slope, 6) + 0.0 AS slope,
