@@ -380,8 +380,12 @@ def q_embedding_projection(spark, sf_dir):
 
 def q_dedup_embedding(spark, sf_dir):
     # library default is 0.95; the synthetic embeddings max out near cosine
-    # 0.5, so the entry query uses 0.35 to exercise real candidate pairs
-    return similarity.embedding_near_duplicates(_embs(spark, sf_dir), threshold=0.35)
+    # 0.5, so the entry query uses 0.35 to exercise real candidate pairs.
+    # planes pinned to 8 so the oracle's plane literals replay at any sf —
+    # the library default (planes=None) sizes planes to the corpus
+    return similarity.embedding_near_duplicates(
+        _embs(spark, sf_dir), threshold=0.35, planes=similarity.SRP_PLANES
+    )
 
 
 def q_multimodal_features(spark, sf_dir):

@@ -415,17 +415,44 @@ def ivf_kmeans_topk(
     )
 
 
+def adaptive_srp_planes(n: int, target_bucket_size: int = 16) -> int:
+    """Plane count sized to the corpus: ~log2(N / target_bucket) sign bits
+    keep the EXPECTED bucket population near ``target_bucket_size`` however
+    large N grows, so the within-bucket self-join stays ~N * target pairs
+    instead of N^2 / 2^planes blowing up at a fixed plane count. Floor of
+    SRP_PLANES (small corpora), cap 62 (bucket id is a 64-bit long)."""
+    import math
+
+    return min(62, max(SRP_PLANES, math.ceil(math.log2(max(1.0, n / target_bucket_size)))))
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    planes: int = SRP_PLANES,
+    planes: int | None = None,
     seed: int = 99,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs: same SRP bucket AND exact cosine >= threshold."""
+    """Near-dup pairs: same SRP bucket AND exact cosine >= threshold.
+
+    ``planes=None`` (default) derives the plane count from the corpus size
+    (:func:`adaptive_srp_planes`) — pass an explicit count only when a
+    fixed bucketization must be replayed (e.g. the oracle gate). Buckets
+    larger than ``max_bucket_size`` are dropped from candidate generation
+    (same safety valve as dedup.simhash_near_duplicates): a near-constant
+    corpus collapses into one bucket and would otherwise make the
+    self-join quadratic in N; the cap bounds candidates at N * cap while
+    sane corpora never hit it."""
     from pyspark.storagelevel import StorageLevel
 
+    if planes is None:
+        planes = adaptive_srp_planes(embeddings.count())
     # bucket relation is read by both join sides — persist over recompute
     b = srp_buckets(embeddings, planes, seed).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("bucket_n"))
+    b = b.join(sizes.where(F.col("bucket_n") <= max_bucket_size), "bucket").drop(
+        "bucket_n"
+    )
     vecs = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
     left = b.join(vecs, "vec_id").select(
         F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("v").alias("va")

@@ -527,13 +527,22 @@ SELECT d.vec_id, d.plane AS dim_idx,
 FROM dots d JOIN norms n ON n.vec_id = d.vec_id"""
 
 
-def sql_dedup_embedding(threshold: float = 0.95) -> str:
+def sql_dedup_embedding(threshold: float = 0.95, max_bucket_size: int = 1000) -> str:
+    # kept mirrors the Spark side's hot-bucket cap: bucket assignment is
+    # deterministic and engine-identical, so both engines drop the same
+    # oversized buckets and candidate sets stay equal
     return f"""
 WITH {_srp_ctes()},
+kept AS (
+  SELECT b.vec_id, b.bucket
+  FROM buckets b
+  JOIN (SELECT bucket FROM buckets GROUP BY bucket
+        HAVING COUNT(*) <= {max_bucket_size}) ok USING (bucket)
+),
 v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, va.vec AS va, vb.vec AS vb
-  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   JOIN v va ON va.vec_id = a.vec_id
   JOIN v vb ON vb.vec_id = b.vec_id
 ),

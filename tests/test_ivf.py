@@ -32,3 +32,35 @@ def test_ivf_topk_structure_and_recall(spark, sf_small):
     assert recall > 0.2, f"recall@5 = {recall:.2f}"
     # and every reported neighbor is a genuinely computed cosine (sanity)
     assert all(-1.0 <= x.cos_sim <= 1.0 for x in approx)
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """Pathological near-constant corpus: every vector identical -> one SRP
+    bucket holds all N rows. With the cap below N the bucket is dropped
+    (candidates bounded at N * cap, here 0); with the cap at N the full
+    N*(N-1)/2 pair set comes back."""
+    from ccm_spark.pipeline.similarity import embedding_near_duplicates
+
+    n = 40
+    rows = [(i, [1.0] * 64) for i in range(n)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = embedding_near_duplicates(
+        embs, threshold=0.5, planes=8, max_bucket_size=n - 1
+    )
+    assert capped.count() == 0
+    full = embedding_near_duplicates(
+        embs, threshold=0.5, planes=8, max_bucket_size=n
+    )
+    assert full.count() == n * (n - 1) // 2
+
+
+def test_adaptive_srp_planes_scaling():
+    """Planes grow ~log2(N/target): fixed 8 planes would leave N^2/256
+    candidate growth; adaptive sizing pins expected bucket size instead."""
+    from ccm_spark.pipeline.similarity import adaptive_srp_planes
+
+    assert adaptive_srp_planes(0) == 8
+    assert adaptive_srp_planes(2_000) == 8       # small corpora keep floor
+    assert adaptive_srp_planes(100_000) == 13    # ceil(log2(100000/16))
+    assert adaptive_srp_planes(10_000_000) == 20
+    assert adaptive_srp_planes(10**20) == 62     # hard cap: 64-bit bucket id
