@@ -82,8 +82,12 @@ def parts_no_bulk_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_customers_by_nation(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Top-k customers by total order value within each nation.
 
-    Dimensions (customer, nation) broadcast against the orders fact; top-k
-    is a rank window per nation (never a global sort of the fact table).
+    The tiny nation dim broadcasts; customer is deliberately NOT
+    broadcast-hinted — at TPC-H scale it is 150k rows × sf (15M rows at
+    sf100) and a forced broadcast OOMs executors, while the orders side is
+    already reduced to one row per custkey, so AQE picks broadcast when
+    customer is genuinely small and a shuffle join when it isn't. Top-k is
+    a rank window per nation (never a global sort of the fact table).
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -94,7 +98,7 @@ def top_customers_by_nation(spark: SparkSession, sf_dir: str, k: int = 5) -> Dat
     )
     joined = (
         per_cust.join(
-            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+            customer.select("c_custkey", "c_name", "c_nationkey"),
             per_cust.o_custkey == F.col("c_custkey"),
         )
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),

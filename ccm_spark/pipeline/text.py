@@ -217,8 +217,10 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     fp = sum_i ((md5_60bit(token_i) mod (2^31-1)) * (i+1)) mod (2^31-1) —
     order-sensitive, exact integer arithmetic, identical in any engine.
     Explode-regroup keyed by doc_id: one shuffle, perfectly partitionable.
+    No ``spread`` here — the groupBy below shuffles on doc_id anyway, and a
+    pre-explode repartition would move whole documents across the wire
+    while losing map-side partial aggregation of the exploded terms.
     """
-    docs = spread(docs, "doc_id")  # spread single-file inputs
     toks = docs.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok"))
     term = (md5_long(F.col("tok")) % P31) * (F.col("pos") + 1)
     return (
