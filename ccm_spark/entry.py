@@ -372,6 +372,11 @@ def q_ann_ivf_kmeans_topk(spark, sf_dir):
     return similarity.ivf_kmeans_topk(_embs(spark, sf_dir), n_queries=100, k=5)
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@5 of the trained-IVF probe vs exact brute force, per query."""
+    return similarity.ivf_recall(_embs(spark, sf_dir), n_queries=100, k=5)
+
+
 def q_embedding_projection(spark, sf_dir):
     """Normalise + random-project embeddings to 16 dims (JL-style reduction)."""
     out = similarity.random_projection(_embs(spark, sf_dir), out_dim=16)
@@ -648,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_projection": q_embedding_projection,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -708,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_projection": oext.sql_embedding_projection(),
         "ann_ivf_kmeans": oext.sql_ann_ivf_kmeans(),
         "ann_ivf_kmeans_topk": oext.sql_ann_ivf_kmeans_topk(),
+        "ann_ivf_recall": oext.sql_ann_ivf_recall(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
         "multimodal_frames": oext.sql_multimodal_frames(),

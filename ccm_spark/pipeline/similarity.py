@@ -415,6 +415,37 @@ def ivf_kmeans_topk(
     )
 
 
+def ivf_recall(
+    embeddings: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+) -> DataFrame:
+    """Per-query recall@k of the trained-IVF probe against exact brute
+    force — the number an ANN user actually needs before trusting the
+    approximate path at scale.
+
+    Both sides are the already-pinned query surfaces (:func:`cosine_topk`,
+    :func:`ivf_kmeans_topk`), so this is a pure (query_id, target_id)
+    semi-match: left join exact->approx, count hits per query. n_queries
+    rows out; the join keys are (query, target) pairs bounded at
+    n_queries*k rows per side, so the comparison itself is negligible next
+    to the two searches."""
+    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "target_id")
+    approx = (
+        ivf_kmeans_topk(embeddings, n_queries, k)
+        .select("query_id", "target_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "target_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            (F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(k)), 6) + F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
 def adaptive_srp_planes(n: int, target_bucket_size: int = 16) -> int:
     """Plane count sized to the corpus: ~log2(N / target_bucket) sign bits
     keep the EXPECTED bucket population near ``target_bucket_size`` however

@@ -956,3 +956,19 @@ r AS (
 )
 SELECT source, CAST(rank AS INT) AS rank, gram, CAST(n_docs AS BIGINT) AS n_docs
 FROM r WHERE rank <= {k}"""
+
+
+def sql_ann_ivf_recall(n_queries: int = 100, k: int = 5) -> str:
+    """Recall@k of the trained-IVF probe vs exact brute force: the two
+    already-pinned topk queries nested as CTE subqueries (DuckDB allows a
+    WITH inside a parenthesised CTE body), joined on (query_id, target_id)."""
+    return f"""
+WITH exact_tk AS ({sql_ann_cosine_topk(n_queries, k)}),
+approx_tk AS ({sql_ann_ivf_kmeans_topk(n_queries, k)})
+SELECT e.query_id,
+       CAST(COUNT(a.target_id) AS BIGINT) AS n_hits,
+       round(CAST(COUNT(a.target_id) AS DOUBLE) / {float(k)}, 6) + 0.0 AS recall
+FROM exact_tk e
+LEFT JOIN approx_tk a
+  ON a.query_id = e.query_id AND a.target_id = e.target_id
+GROUP BY e.query_id"""
