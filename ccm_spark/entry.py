@@ -452,6 +452,21 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+def q_events_quantiles_approx(spark, sf_dir):
+    """100 TB quantile path: GK sketch (approx_percentile), mergeable
+    map-side partials instead of all values shuffling per group. No
+    DuckDB oracle — the sketch is engine-specific; the exact twin
+    (events_quantiles) is hash-gated and tests pin the rank-error bound."""
+    from ccm_spark.pipeline.events_ops import value_quantiles_approx
+
+    configure_existing(spark)
+    out = value_quantiles_approx(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "event_type",
+        *[_r6(F.col(c)).alias(c) for c in ("p25", "p50", "p75", "p95")],
+    )
+
+
 def q_pricing_summary(spark, sf_dir):
     from ccm_spark.pipeline.relational import pricing_summary
 
@@ -666,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": q_text_vocab_topk,
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
+        "events_quantiles_approx": q_events_quantiles_approx,
         "pricing_summary": q_pricing_summary,
         "top_customers_by_nation": q_top_customers_by_nation,
         "customers_no_urgent_orders": q_customers_no_urgent_orders,

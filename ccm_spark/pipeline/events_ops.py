@@ -147,3 +147,18 @@ def value_quantiles(events: DataFrame) -> DataFrame:
         for name, q in qs.items()
     ]
     return events.groupBy("event_type").agg(*aggs)
+
+
+def value_quantiles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """The 100 TB twin of :func:`value_quantiles`: `approx_percentile`
+    (Greenwald-Khanna sketch, JVM-side, mergeable map-side partials), so
+    per-group state is O(accuracy) instead of every value shuffling to one
+    reducer task. Guaranteed rank error <= n/accuracy per quantile —
+    pinned against the exact path in tests/test_events_ops.py. Same output
+    schema as the exact path so callers can swap freely; not oracle-gated
+    (sketch internals are engine-specific), the exact path is."""
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95}
+    aggs = [
+        F.percentile_approx("value", q, accuracy).alias(name) for name, q in qs.items()
+    ]
+    return events.groupBy("event_type").agg(*aggs)

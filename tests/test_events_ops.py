@@ -92,3 +92,30 @@ def test_relational_queries_shapes(spark, sf_small):
         by_nation.setdefault(r.nation, []).append(r.rank)
     for ranks in by_nation.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+def test_quantiles_approx_within_rank_error(spark):
+    """approx twin tracks the exact path within the GK rank-error bound on
+    real data (events table, ~6k rows at sf0.001): with accuracy=10000 the
+    guaranteed rank error is n/accuracy < 1 rank, so the sketch answer must
+    sit between the exact values one rank either side of the target."""
+    import math
+
+    from ccm_spark.pipeline.events_ops import value_quantiles_approx
+    from ccm_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    approx = {r.event_type: r for r in value_quantiles_approx(ev).collect()}
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for etype, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        a = approx[etype]
+        for name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95)]:
+            err = max(1, math.ceil(n / 10_000))  # GK bound, >=1 rank of slack
+            target = q * (n - 1)
+            lo = xs[max(0, math.floor(target) - err)]
+            hi = xs[min(n - 1, math.ceil(target) + err)]
+            got = getattr(a, name)
+            assert lo <= got <= hi, (etype, name, lo, got, hi)
