@@ -89,21 +89,35 @@ QF_MIN_STOPWORD_FRAC = 0.05
 def quality_filter(docs: DataFrame) -> DataFrame:
     """Rule-based keep/drop document filter (the Gopher/C4 pattern): token
     count bounds, mean token length bounds, alphabetic-token fraction, and
-    stopword fraction (natural-language signal, en markers). Emits the
-    signals plus the ``keep`` verdict so downstream stages can audit drops.
+    stopword fraction. The stopword markers follow the document's ``lang``
+    column — an es/de/fr/zh doc is scored against its own language's
+    markers, not English's (which would systematically drop non-English
+    docs); a lang outside LANG_MARKERS falls back to the union of all
+    markers ("any natural language" signal). Emits the signals plus the
+    ``keep`` verdict so downstream stages can audit drops.
 
     Pure projections (mean token length = chars of the token concat / count
-    — no per-token fold), one narrow pass, no shuffle.
+    — no per-token fold), one narrow pass, no shuffle; the per-language
+    branch is a codegen'd CASE, not a join.
     """
     toks = tokens_col("text")
     alpha = F.filter(toks, lambda t: t.rlike("^[a-z]+$"))
-    stops = F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+
+    def marker_count(words: tuple[str, ...]) -> F.Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    all_markers = tuple(w for _, ws in sorted(LANG_MARKERS.items()) for w in ws)
+    stops = None
+    for lang, words in sorted(LANG_MARKERS.items()):
+        cond, cnt = F.col("lang") == lang, marker_count(words)
+        stops = F.when(cond, cnt) if stops is None else stops.when(cond, cnt)
+    stops = stops.otherwise(marker_count(all_markers))
     base = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length(F.concat_ws("", toks)).cast("double").alias("tok_chars"),
         F.size(alpha).cast("double").alias("n_alpha"),
-        F.size(stops).cast("double").alias("n_stop"),
+        stops.cast("double").alias("n_stop"),
     )
     n = F.col("n_tokens")
     zero = n == 0

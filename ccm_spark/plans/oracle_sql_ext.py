@@ -76,18 +76,32 @@ FROM t"""
 
 
 def sql_text_quality_filter() -> str:
-    stops = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    # per-language stopword markers keyed on the doc's lang column,
+    # mirroring pipeline.text.quality_filter's CASE chain exactly
+    branches = " ".join(
+        "WHEN lang = '{}' THEN CAST(len(list_filter(toks, x -> list_contains([{}], x))) AS DOUBLE)".format(
+            lang, ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    all_markers = ", ".join(
+        f"'{w}'" for _, ws in sorted(LANG_MARKERS.items()) for w in ws
+    )
+    stop_case = (
+        f"CASE {branches} ELSE CAST(len(list_filter(toks, "
+        f"x -> list_contains([{all_markers}], x))) AS DOUBLE) END"
+    )
     mean_len = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE tok_chars / n_tokens END"
     alpha_frac = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_alpha / n_tokens END"
     stop_frac = "CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END"
     return f"""
-WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, lang, {TOKENS} AS toks FROM documents),
 b AS (
   SELECT doc_id,
          CAST(len(toks) AS INT) AS n_tokens,
          CAST(length(array_to_string(toks, '')) AS DOUBLE) AS tok_chars,
          CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) AS n_alpha,
-         CAST(len(list_filter(toks, x -> list_contains([{stops}], x))) AS DOUBLE) AS n_stop
+         {stop_case} AS n_stop
   FROM t
 )
 SELECT doc_id, n_tokens,

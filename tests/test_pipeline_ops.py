@@ -278,3 +278,18 @@ def test_frame_sample_plan(spark):
         multimodal.with_binary_payload(d), every_n=1
     ).collect()
     assert [r.frame_idx for r in out] == [0, 1]
+
+
+def test_quality_filter_uses_doc_language(spark):
+    """Same Spanish text: scored against es markers when lang='es' (kept),
+    against en markers when lang='en' (no hits -> dropped); an unknown
+    lang falls back to the union of all languages' markers (kept)."""
+    es_text = "el gato de la casa que corre en los campos por una senda verde"
+    rows = spark.createDataFrame(
+        [(0, es_text, "es"), (1, es_text, "en"), (2, es_text, "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in text.quality_filter(rows).collect()}
+    assert out[0].stopword_frac > 0 and out[0].keep is True
+    assert out[1].stopword_frac == 0.0 and out[1].keep is False
+    assert out[2].stopword_frac == out[0].stopword_frac and out[2].keep is True
