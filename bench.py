@@ -62,31 +62,41 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema="id long").count()
     warm.groupBy((warm.id % 4).alias("k")).count().count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        spark.catalog.clearCache()  # isolate queries: drop persisted relations
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
-
     # fleet benchmark: 64 independent pairs through the applyInPandas fast
     # path — the many-series scale story (one shuffle, numpy per pair)
     from ccm_spark.config import CCMConfig
     from ccm_spark.fastpath import ccm_apply_in_pandas
     from ccm_spark.generators import generate_grid_df
 
-    t0 = time.time()
-    grid = [
-        {"pair_id": i, "kind": "g2", "length": 300, "coupling": 0.1 * (i % 5)}
-        for i in range(64)
-    ]
-    fleet = generate_grid_df(spark, grid)
-    cfg = CCMConfig(num_samples=20, seed=7)
-    n = ccm_apply_in_pandas(fleet, cfg).count()
-    timings["ccm_fleet_64x300"] = round(time.time() - t0, 3)
-    print(f"# ccm_fleet_64x300: {timings['ccm_fleet_64x300']:.2f}s rows={n}", file=sys.stderr)
+    def fleet_query(spark, sf_dir):
+        grid = [
+            {"pair_id": i, "kind": "g2", "length": 300, "coupling": 0.1 * (i % 5)}
+            for i in range(64)
+        ]
+        return ccm_apply_in_pandas(
+            generate_grid_df(spark, grid), CCMConfig(num_samples=20, seed=7)
+        )
+
+    # median of REPEATS per query, pass-interleaved so a VM-noise burst
+    # (SCALE.md documents ±5x spikes) lands on different queries each pass
+    # instead of poisoning one query's whole sample
+    REPEATS = 3
+    names = HEADLINE + ["ccm_fleet_64x300"]
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(REPEATS):
+        for name in names:
+            fn = fleet_query if name == "ccm_fleet_64x300" else qs[name]
+            spark.catalog.clearCache()  # isolate queries: drop persisted relations
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            samples[name].append(time.time() - t0)
+            print(f"# {name}: {samples[name][-1]:.2f}s rows={n}", file=sys.stderr)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +104,8 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "runs_per_query": REPEATS,
+                "aggregation": "median",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
