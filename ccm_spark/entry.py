@@ -606,10 +606,13 @@ def q_gen_coupled_series_noisy(spark, sf_dir):
 
 def q_events_hourly_stats(spark, sf_dir):
     """Batch twin of streaming.windowed_event_stats with engine-portable
-    integer time bucketing (hour index since epoch from the ns timestamp)."""
+    integer time bucketing (hour index since epoch, ts dtype-dispatched)."""
+    from ccm_spark.sources.tables import ts_micros
+
     configure_existing(spark)
-    ev = load_table(spark, sf_dir, "events")
-    bucket = F.expr("CAST(ts AS BIGINT) DIV 1000 DIV 3600000000")
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.withColumn("ts_us", ts_micros(raw))
+    bucket = F.expr("ts_us DIV 3600000000")
     # avg derives from the ROUNDED sum and the exact count: raw averages
     # over ~1e5 doubles carry enough sum-order noise across engines to
     # land on 6-decimal rounding boundaries at sf0.1 (observed), while the

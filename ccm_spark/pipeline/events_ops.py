@@ -12,8 +12,10 @@ UDFs, no per-row subqueries):
   - Sessionization via gap detection: lag + cumulative sum of
     session-start flags over the same per-user window.
 
-Timestamps are compared at microsecond resolution (``ts`` is int64 nanos in
-this engine; DuckDB reads the same parquet at us) — see sources.tables.
+Timestamps are compared at microsecond resolution whatever the parquet
+physical type of ``ts`` (int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ) —
+``sources.tables.ts_micros`` dispatches on the actual dtype, matching
+DuckDB's ``epoch_us(ts)`` on the same file.
 """
 
 from __future__ import annotations
@@ -21,9 +23,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-
-def _ts_us() -> F.Column:
-    return F.expr("CAST(ts AS BIGINT) DIV 1000")
+from ccm_spark.sources.tables import ts_micros
 
 
 def asof_join_events(
@@ -42,7 +42,7 @@ def asof_join_events(
         .select(
             "event_id",
             "user_id",
-            _ts_us().alias("ts_us"),
+            ts_micros(events).alias("ts_us"),
             (F.col("event_type") == left_type).alias("is_left"),
             "value",
         )
@@ -84,7 +84,7 @@ def asof_join_tolerance(
         .select(
             "event_id",
             "user_id",
-            _ts_us().alias("ts_us"),
+            ts_micros(events).alias("ts_us"),
             (F.col("event_type") == left_type).alias("is_left"),
             "value",
         )
@@ -117,7 +117,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap_us = gap_minutes * 60_000_000
     w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
     marked = (
-        events.select("event_id", "user_id", _ts_us().alias("ts_us"), "value")
+        events.select("event_id", "user_id", ts_micros(events).alias("ts_us"), "value")
         .withColumn("prev_ts", F.lag("ts_us").over(w))
         .withColumn(
             "new_session",

@@ -31,6 +31,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -55,8 +56,11 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     (the driver hands us one in ``__spark_entry__.entry``).
 
     ``nanosAsLong`` is session-settable at read time, so applying it here is
-    enough for ``spark.read.parquet`` on the events table.
+    enough for ``spark.read.parquet`` on the events table. ``timeZone`` is
+    pinned to UTC so TIMESTAMP_NTZ -> epoch-micros conversion (ts_micros)
+    is environment-independent.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     return spark

@@ -6,15 +6,18 @@ into the reference's (pair_id, t, x, y) time-series shape: two event types
 become the two series, aligned on a dense per-type row index (the
 reference's implicit index-as-time model, README.md:60).
 
-Determinism: ``ts`` is read as INT64 nanoseconds (session.py nanosAsLong)
-but ordered at microsecond resolution with event_id tiebreak — DuckDB reads
-the same parquet at microsecond precision, so both engines sort identically.
+Determinism: ``ts`` is normalised to epoch MICROSECONDS (``ts_micros``)
+whatever the parquet physical type — int64 nanos (legacy testdata, read via
+nanosAsLong), TIMESTAMP(us), or TIMESTAMP_NTZ(us) — and ordered with an
+event_id tiebreak. DuckDB reads the same parquet at microsecond precision
+(``epoch_us(ts)``), so both engines sort and bucket identically.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.types import TimestampNTZType, TimestampType
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -23,7 +26,31 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # TIMESTAMP_NTZ -> epoch micros goes through a session-tz-dependent
+    # cast; pin UTC so ts_micros is environment-independent and equal to
+    # DuckDB's epoch_us on the same file.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microseconds column for ``col``, dispatching on the dtype the
+    parquet actually delivered (a user's parquet is micros more often than
+    nanos; the engine must not hard-code one physical type):
+
+      - TIMESTAMP_NTZ: interpret the wall clock in the session timezone
+        (sessions pin UTC) — equals DuckDB's ``epoch_us(ts)``.
+      - TIMESTAMP: already an instant; ``unix_micros`` directly.
+      - integral (int64 nanos via nanosAsLong): floor-divide to micros —
+        double division could round across a microsecond boundary and
+        break DuckDB order parity, so integer DIV only.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampNTZType):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col))
+    return F.expr(f"CAST({col} AS BIGINT) DIV 1000")
 
 
 def events_pair_series(
@@ -39,9 +66,7 @@ def events_pair_series(
     so callers pin the series length; the reference's own workloads use
     N ~= 300, test/ccm_test.exs:6)."""
     ev = load_table(spark, sf_dir, "events")
-    # ns -> us with integer floor division (double division would round and
-    # could cross a microsecond boundary, breaking DuckDB order parity)
-    ts_us = F.expr("CAST(ts AS BIGINT) DIV 1000")
+    ts_us = ts_micros(ev)
     filtered = ev.where(
         F.col("event_type").isin([x_event_type, y_event_type])
     ).select(

@@ -25,6 +25,15 @@ OUTPUT_SCHEMA = "event_type string, n bigint, mean double, m2 double"
 STATE_SCHEMA = "n bigint, mean double, m2 double"
 
 
+def _pdf_ts_us(ts: pd.Series) -> pd.Series:
+    """Pandas-side twin of sources.tables.ts_micros: epoch micros from
+    whatever dtype Arrow delivered — datetime64 (TIMESTAMP[_NTZ] parquet)
+    or int64 nanos (legacy nanosAsLong reads)."""
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        return ts.astype("datetime64[us]").astype("int64")
+    return ts.astype("int64") // 1000
+
+
 def _welford_merge(n, mean, m2, values: pd.Series):
     for v in values:
         n += 1
@@ -109,7 +118,7 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         if not parts:
             return
         pdf = pd.concat(parts)
-        pdf = pdf.assign(ts_us=pdf["ts"].astype("int64") // 1000).sort_values(
+        pdf = pdf.assign(ts_us=_pdf_ts_us(pdf["ts"])).sort_values(
             ["ts_us", "event_id"]
         )
         if last is not None and int(pdf["ts_us"].iloc[0]) < last:

@@ -20,27 +20,33 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ccm_spark.sources.tables import ts_micros
+
+# fallback schema when the stream dir has no files yet to infer from
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ts read as int64 nanos —
-    session config nanosAsLong applies to streaming reads too)."""
+    """readStream over the events parquet. Streaming reads need a declared
+    schema; infer it from a static read of the same directory so the ts
+    physical type (int64 nanos vs TIMESTAMP[_NTZ]) is whatever the files
+    actually carry — downstream ops dispatch on it via ``ts_micros``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}")
-    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        schema = spark.read.parquet(sf_dir).schema
+    except Exception:
+        schema = EVENTS_SCHEMA
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}")
 
 
 def _with_event_time(events: DataFrame) -> DataFrame:
-    # int64 ns -> microsecond timestamp (floor division keeps determinism)
-    return events.withColumn(
-        "event_time", F.timestamp_micros(F.expr("CAST(ts AS BIGINT) DIV 1000"))
-    )
+    # dtype-dispatched epoch micros -> timestamp (keeps determinism for
+    # int64-nanos inputs via integer floor division inside ts_micros)
+    return events.withColumn("event_time", F.timestamp_micros(ts_micros(events)))
 
 
 def windowed_event_stats(

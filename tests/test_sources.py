@@ -42,7 +42,7 @@ def test_events_pair_series_two_phase_topk(spark):
     and only the bounded survivor set reaches the per-type global rank."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
-    from ccm_spark.sources.tables import events_pair_series, load_table
+    from ccm_spark.sources.tables import events_pair_series, load_table, ts_micros
 
     sf_dir = "/root/testdata/sf0.001"
     got = events_pair_series(spark, sf_dir, max_points=120)
@@ -53,7 +53,7 @@ def test_events_pair_series_two_phase_topk(spark):
 
     # equivalent single-window formulation as the correctness oracle
     ev = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("CAST(ts AS BIGINT) DIV 1000")
+    ts_us = ts_micros(ev)
     w = Window.partitionBy("event_type").orderBy(ts_us.asc(), F.col("event_id").asc())
     naive = (
         ev.where(F.col("event_type").isin(["click", "view"]))
