@@ -17,29 +17,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ccm_spark.config import CCMConfig
 from ccm_spark.operators.embedding import embed_bidirectional
-from ccm_spark.operators.knn import knn_candidates, top_k_neighbors
-from ccm_spark.operators.sampling import fan_out_with_rank, lib_sizes_df
-from ccm_spark.operators.simplex import simplex_weights, weighted_prediction
-from ccm_spark.operators.stats import pearson_by_sample
+from ccm_spark.operators.sampling import lib_sizes_df
 from ccm_spark.pipeline import dedup, multimodal, similarity, text
 from ccm_spark.plans import oracle_sql as osql
 from ccm_spark.plans import oracle_sql_ext as oext
-from ccm_spark.plans.cross_map import ccm_plan, convergence_plan, skill_plan
+from ccm_spark.plans.cross_map import ccm_plan
 from ccm_spark.plans.oracle_sql import FLEET_PARAMS, G1_PARAMS, PARAMS, CCMQueryParams
 from ccm_spark.session import configure_existing
 from ccm_spark.sources.tables import events_pair_series, load_table
 
+# The driver's correctness gate checks the FIRST 50 queries() entries in
+# dict order; entries past that silently lose their gate (observed r02 and
+# r03). Keep the registry at <= MAX_GATED_QUERIES — single-stage debug
+# views of already-gated plans live in tests, not here.
+MAX_GATED_QUERIES = 50
+
+
 def _r6(c):
     return F.round(c, 6) + F.lit(0.0)
-
-
-def _direction():
-    # lazy: building a Column requires an active SparkContext
-    return (
-        F.when(F.col("dir_id") == 0, F.lit("x_causes_y"))
-        .otherwise(F.lit("y_causes_x"))
-        .alias("direction")
-    )
 
 
 def _series(spark: SparkSession, sf_dir: str, p: CCMQueryParams = PARAMS) -> DataFrame:
@@ -77,14 +72,6 @@ def _config(p: CCMQueryParams = PARAMS) -> CCMConfig:
         lib_sizes=list(p.lib_sizes),
         seed=p.seed,
     )
-
-
-def _fanned(spark: SparkSession, sf_dir: str, p: CCMQueryParams = PARAMS) -> DataFrame:
-    series = _series(spark, sf_dir, p)
-    emb = embed_bidirectional(series, p.embedding_dim, p.tau)
-    explicit = spark.createDataFrame([(int(ls),) for ls in p.lib_sizes], "lib_size int")
-    ladder = series.select("pair_id").distinct().crossJoin(explicit)
-    return fan_out_with_rank(emb, ladder, p.num_samples, p.seed)
 
 
 # ------------------------------------------------------------- CCM queries
@@ -125,73 +112,8 @@ def q_ccm_config_ladder(spark, sf_dir):
     )
 
 
-def q_ccm_sampling(spark, sf_dir, lib_size=80, max_samples=3):
-    fanned = _fanned(spark, sf_dir)
-    return (
-        fanned.where((F.col("lib_size") == lib_size) & (F.col("sample_id") < max_samples))
-        .select(
-            "dir_id",
-            "sample_id",
-            "p",
-            F.col("rank").cast("int").alias("rnk"),
-            (F.col("rank") <= F.col("lib_size")).alias("is_lib"),
-        )
-    )
-
-
-def q_ccm_knn(spark, sf_dir, lib_size=80, sample_id=0):
-    fanned = _fanned(spark, sf_dir)
-    nn = top_k_neighbors(
-        knn_candidates(fanned, PARAMS.embedding_dim), PARAMS.embedding_dim
-    )
-    return (
-        nn.where((F.col("lib_size") == lib_size) & (F.col("sample_id") == sample_id))
-        .select(
-            "dir_id",
-            "q_p",
-            F.col("nn_rank").cast("int").alias("nn_rank"),
-            "l_p",
-            "dist",
-        )
-    )
-
-
-def q_ccm_correlation(spark, sf_dir):
-    fanned = _fanned(spark, sf_dir)
-    nn = top_k_neighbors(
-        knn_candidates(fanned, PARAMS.embedding_dim), PARAMS.embedding_dim
-    )
-    corr = pearson_by_sample(weighted_prediction(simplex_weights(nn)))
-    return corr.select(_direction(), "lib_size", "sample_id", _r6(F.col("corr")).alias("corr"))
-
-
-def q_ccm_skill(spark, sf_dir):
-    sk = skill_plan(_series(spark, sf_dir), _config())
-    return sk.select("direction", "lib_size", _r6(F.col("correlation")).alias("correlation"))
-
-
-def q_ccm_convergence(spark, sf_dir):
-    cv = convergence_plan(_series(spark, sf_dir), _config())
-    return cv.select("direction", _r6(F.col("slope")).alias("slope"), "convergent")
-
-
 def q_ccm_bidirectional(spark, sf_dir):
     res = ccm_plan(_series(spark, sf_dir), _config())
-    return res.select(
-        "direction",
-        "lib_size",
-        _r6(F.col("correlation")).alias("correlation"),
-        _r6(F.col("slope")).alias("slope"),
-        "convergent",
-    )
-
-
-def q_ccm_bidirectional_fast(spark, sf_dir):
-    """Same result via the applyInPandas fast path (fastpath.py): identical
-    seeded sampling, so it matches the same DuckDB oracle after rounding."""
-    from ccm_spark.fastpath import ccm_apply_in_pandas
-
-    res = ccm_apply_in_pandas(_series(spark, sf_dir), _config())
     return res.select(
         "direction",
         "lib_size",
@@ -452,21 +374,6 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
-def q_events_quantiles_approx(spark, sf_dir):
-    """100 TB quantile path: GK sketch (approx_percentile), mergeable
-    map-side partials instead of all values shuffling per group. No
-    DuckDB oracle — the sketch is engine-specific; the exact twin
-    (events_quantiles) is hash-gated and tests pin the rank-error bound."""
-    from ccm_spark.pipeline.events_ops import value_quantiles_approx
-
-    configure_existing(spark)
-    out = value_quantiles_approx(load_table(spark, sf_dir, "events"))
-    return out.select(
-        "event_type",
-        *[_r6(F.col(c)).alias(c) for c in ("p25", "p50", "p75", "p95")],
-    )
-
-
 def q_pricing_summary(spark, sf_dir):
     from ccm_spark.pipeline.relational import pricing_summary
 
@@ -631,17 +538,17 @@ def q_events_hourly_stats(spark, sf_dir):
 # ----------------------------------------------------------------- export
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly the gated surface: every entry here gets a driver
+    CORRECTNESS row (<= MAX_GATED_QUERIES, the driver's check window).
+    Single-stage debug views of the CCM plan (sampling/knn/correlation/
+    skill/convergence) are pinned by tests/test_ccm_core.py instead;
+    the applyInPandas fast path is gated via ccm_fleet_small_fast and
+    the approx-quantile sketch via tests/test_events_ops.py."""
     return {
         "ccm_embedding": q_ccm_embedding,
         "ccm_lib_ladder": q_ccm_lib_ladder,
         "ccm_config_ladder": q_ccm_config_ladder,
-        "ccm_sampling": q_ccm_sampling,
-        "ccm_knn": q_ccm_knn,
-        "ccm_correlation": q_ccm_correlation,
-        "ccm_skill": q_ccm_skill,
-        "ccm_convergence": q_ccm_convergence,
         "ccm_bidirectional": q_ccm_bidirectional,
-        "ccm_bidirectional_fast": q_ccm_bidirectional_fast,
         "ccm_logistic_bidirectional": q_ccm_logistic_bidirectional,
         "ccm_fleet_small": q_ccm_fleet_small,
         "ccm_fleet_small_fast": q_ccm_fleet_small_fast,
@@ -684,7 +591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": q_text_vocab_topk,
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
-        "events_quantiles_approx": q_events_quantiles_approx,
         "pricing_summary": q_pricing_summary,
         "top_customers_by_nation": q_top_customers_by_nation,
         "customers_no_urgent_orders": q_customers_no_urgent_orders,
@@ -697,13 +603,7 @@ def oracle_sql() -> dict[str, str]:
         "ccm_embedding": osql.sql_ccm_embedding(),
         "ccm_lib_ladder": osql.sql_ccm_lib_ladder(),
         "ccm_config_ladder": osql.sql_ccm_config_ladder(),
-        "ccm_sampling": osql.sql_ccm_sampling(),
-        "ccm_knn": osql.sql_ccm_knn(),
-        "ccm_correlation": osql.sql_ccm_correlation(),
-        "ccm_skill": osql.sql_ccm_skill(),
-        "ccm_convergence": osql.sql_ccm_convergence(),
         "ccm_bidirectional": osql.sql_ccm_bidirectional(),
-        "ccm_bidirectional_fast": osql.sql_ccm_bidirectional(),
         "ccm_logistic_bidirectional": osql.sql_ccm_bidirectional(G1_PARAMS),
         "ccm_fleet_small": osql.sql_ccm_fleet(),
         "ccm_fleet_small_fast": osql.sql_ccm_fleet(),

@@ -211,14 +211,30 @@ def ivf_assignments(
     """IVF coarse quantizer: every vector is assigned to its nearest
     centroid by rounded cosine (ties -> lowest centroid id). Centroids
     default to the deterministic strided subset (vec_id % stride == 0);
-    pass ``centroids`` (centroid_id, cv) — e.g. from
-    :func:`ivf_kmeans_centroids` — for a trained quantizer, and nothing
-    downstream changes. Scale: the centroid set is tiny and broadcast;
-    assignment is a map-side cross product, one rank window per vector.
+    pass ``centroids`` for a trained quantizer and nothing downstream
+    changes — either wide form (centroid_id, cv: array<double>) or the
+    long form :func:`ivf_kmeans_centroids` returns (centroid_id, dim_idx,
+    comp), which is pivoted here (k x dim rows — tiny, one agg). Scale:
+    the centroid set is tiny and broadcast; assignment is a map-side
+    cross product, one rank window per vector.
     """
     vecs = spread(embeddings, "vec_id").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
+    if centroids is not None and "cv" not in centroids.columns:
+        # long form -> wide: components ordered by dim_idx (array_sort on
+        # (dim_idx, comp) structs sorts by the leading field)
+        centroids = (
+            centroids.groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim_idx", "comp"))
+                ).alias("s")
+            )
+            .select(
+                "centroid_id", F.expr("transform(s, p -> p.comp)").alias("cv")
+            )
+        )
     cents = centroids if centroids is not None else strided_centroids(embeddings, stride)
     cos = cosine_pandas()
     scored = vecs.crossJoin(F.broadcast(cents)).select(

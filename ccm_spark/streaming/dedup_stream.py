@@ -23,7 +23,7 @@ uniform md5 keys shard evenly; the watermark horizon is the memory knob.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ccm_spark.streaming.windows import _with_event_time
 
@@ -53,4 +53,11 @@ def dedup_documents_stream(docs: DataFrame, watermark: str = "1 hour") -> DataFr
             .dropDuplicatesWithinWatermark(["content_md5"])
             .drop("ingest_time")
         )
-    return keyed.dropDuplicates(["content_md5"])
+    # batch: "first-seen" = lowest doc_id (ingestion order proxy) — a plain
+    # dropDuplicates keeps an arbitrary partition-dependent row
+    w = Window.partitionBy("content_md5").orderBy(F.col("doc_id").asc())
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

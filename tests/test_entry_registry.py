@@ -1,0 +1,33 @@
+"""Registry-shape guards for the driver contract.
+
+The driver's correctness gate checks only the first MAX_GATED_QUERIES
+entries of ``queries()`` in dict order; in rounds 2 and 3 the registry
+overflowed (52 and 57 entries) and the tail silently lost its gate.
+These tests make registry overflow a test failure, not a round failure.
+"""
+
+from __future__ import annotations
+
+from ccm_spark.entry import MAX_GATED_QUERIES, oracle_sql, queries
+
+
+def test_registry_within_driver_window():
+    qs = queries()
+    assert len(qs) <= MAX_GATED_QUERIES, (
+        f"queries() has {len(qs)} entries but the driver gates only the "
+        f"first {MAX_GATED_QUERIES} — entries past that are silently "
+        "unchecked. Merge or move the extras to tests."
+    )
+
+
+def test_every_query_has_an_oracle():
+    qs, os_ = set(queries()), set(oracle_sql())
+    # rows-only queries (no SQL-expressible oracle) would be listed here
+    # explicitly; currently every gated query is hash-checked
+    assert qs - os_ == set(), f"queries without oracle: {sorted(qs - os_)}"
+    assert os_ - qs == set(), f"oracles without query: {sorted(os_ - qs)}"
+
+
+def test_query_callables_are_distinct():
+    fns = list(queries().values())
+    assert len(fns) == len({id(f) for f in fns})

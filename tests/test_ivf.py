@@ -64,3 +64,23 @@ def test_adaptive_srp_planes_scaling():
     assert adaptive_srp_planes(100_000) == 13    # ceil(log2(100000/16))
     assert adaptive_srp_planes(10_000_000) == 20
     assert adaptive_srp_planes(10**20) == 62     # hard cap: 64-bit bucket id
+
+
+def test_ivf_assignments_accepts_long_form_centroids(spark, sf_small):
+    """ivf_assignments must consume ivf_kmeans_centroids' long-form
+    (centroid_id, dim_idx, comp) output directly — pivoted internally —
+    and agree with the equivalent wide-form (centroid_id, cv) input."""
+    import pyspark.sql.functions as F
+    from ccm_spark.pipeline.similarity import ivf_assignments, ivf_kmeans_centroids
+
+    embs = load_table(spark, sf_small, "embeddings").limit(300)
+    long_form = ivf_kmeans_centroids(embs, stride=50, n_iters=1)
+    wide_form = (
+        long_form.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "comp"))).alias("s"))
+        .select("centroid_id", F.expr("transform(s, p -> p.comp)").alias("cv"))
+    )
+    got_long = sorted(map(tuple, ivf_assignments(embs, centroids=long_form).collect()))
+    got_wide = sorted(map(tuple, ivf_assignments(embs, centroids=wide_form).collect()))
+    assert got_long == got_wide
+    assert len(got_long) == 300

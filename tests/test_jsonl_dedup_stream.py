@@ -92,3 +92,16 @@ def test_streaming_document_dedup_matches_batch(spark, sf_small, tmp_path):
     got = spark.sql("SELECT content_md5 FROM doc_dedup").collect()
     assert len(got) == batch_distinct
     assert len(set(r.content_md5 for r in got)) == batch_distinct
+
+
+def test_batch_document_dedup_keeps_first_seen(spark):
+    """Batch fallback must keep the LOWEST doc_id per content hash — the
+    docstring's first-seen promise — not an arbitrary partition-dependent
+    row (plain dropDuplicates)."""
+    rows = [
+        (7, "alpha text"), (3, "alpha text"), (11, "alpha text"),
+        (5, "beta text"), (9, "beta text"), (1, "gamma text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    kept = {r.text: r.doc_id for r in dedup_documents_stream(docs).collect()}
+    assert kept == {"alpha text": 3, "beta text": 5, "gamma text": 1}
