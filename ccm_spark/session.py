@@ -1,10 +1,12 @@
 """SparkSession construction with the configs this engine relies on.
 
 Centralised so every entry point (tests, bench, driver contract) reads
-parquet the same way. Notably ``spark.sql.legacy.parquet.nanosAsLong``:
-the testdata ``events.ts`` column is INT64 TIMESTAMP(NANOS) which Spark 4
-otherwise refuses to read; as a long it is also deterministic and
-timezone-free, which the DuckDB-oracle parity checks require.
+parquet the same way. Two configs make timestamp handling deterministic
+across every ``ts`` physical type (see sources.tables.ts_micros):
+``spark.sql.legacy.parquet.nanosAsLong`` lets Spark 4 read INT64
+TIMESTAMP(NANOS) parquet (as a timezone-free long), and
+``spark.sql.session.timeZone=UTC`` pins the TIMESTAMP_NTZ -> epoch-micros
+conversion so it matches DuckDB's ``epoch_us`` in any environment.
 """
 
 from __future__ import annotations
