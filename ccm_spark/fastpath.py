@@ -83,11 +83,13 @@ def ccm_apply_in_pandas(series: DataFrame, config: CCMConfig) -> DataFrame:
     # serialise the fleet (observed: 64 pairs x 0.45s kernel = 28.9s wall).
     # The explicit repartition satisfies the groupBy's distribution
     # requirement, is exempt from coalescing, and costs nothing extra — the
-    # shuffle was happening anyway.
+    # shuffle was happening anyway. factor=8: each pair is a multi-hundred-
+    # millisecond kernel, so tasks must be finer than cores or the worst
+    # hash bucket (~4-5 pairs at 64 keys / 32 buckets) sets the wall time.
     from ccm_spark.functions.partitioning import spread
 
     return (
-        spread(series, "pair_id")
+        spread(series, "pair_id", factor=8)
         .groupBy("pair_id")
         .applyInPandas(run_pair, schema=RESULT_SCHEMA)
     )
