@@ -91,3 +91,26 @@ def test_windowed_stats_identical_across_ts_dtypes(spark, dtype_dirs):
     }
     assert got["us"] == got["ns"]
     assert len(got["us"]) > 0
+
+
+def test_streaming_stats_match_batch_on_both_dtypes(spark, dtype_dirs, tmp_path):
+    """The streaming twin must equal the batch op whichever ts physical
+    type the stream's files carry (event_stream infers the schema from
+    the files; r03 hard-coded int64 and broke on micros parquet)."""
+    from ccm_spark.streaming.windows import event_stream
+
+    for unit, d in dtype_dirs.items():
+        batch = _collect_sorted(windowed_event_stats(load_table(spark, d, "events")))
+        stream = windowed_event_stats(event_stream(spark, d))
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(f"ts_dtype_{unit}")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{unit}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = _collect_sorted(spark.sql(f"SELECT * FROM ts_dtype_{unit}"))
+        assert got == batch, f"streaming != batch for ts unit {unit}"
