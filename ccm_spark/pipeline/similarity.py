@@ -494,21 +494,27 @@ def embedding_near_duplicates(
 
     if planes is None:
         planes = adaptive_srp_planes(embeddings.count())
-    # bucket relation is read by both join sides — persist over recompute
-    b = srp_buckets(embeddings, planes, seed).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = b.groupBy("bucket").agg(F.count("*").alias("bucket_n"))
-    b = b.join(sizes.where(F.col("bucket_n") <= max_bucket_size), "bucket").drop(
-        "bucket_n"
-    )
+    b = srp_buckets(embeddings, planes, seed)
     vecs = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
-    left = b.join(vecs, "vec_id").select(
+    # attach vectors ONCE, apply the bucket cap as a window count (single
+    # exchange on bucket, which the self-join below reuses), and persist
+    # the combined relation — it feeds both sides of the self-join
+    bucket_w = Window.partitionBy("bucket")
+    bv = (
+        b.join(vecs, "vec_id")
+        .withColumn("bucket_n", F.count("*").over(bucket_w))
+        .where(F.col("bucket_n") <= max_bucket_size)
+        .drop("bucket_n")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    left = bv.select(
         F.col("vec_id").alias("id_a"), F.col("bucket"), F.col("v").alias("va")
     )
-    right = b.join(vecs, "vec_id").select(
+    right = bv.select(
         F.col("vec_id").alias("id_b"), F.col("bucket"), F.col("v").alias("vb")
     )
     cos = cosine_pandas()
-    return (
+    out = (
         left.join(right, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
@@ -518,3 +524,5 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+    out._ccm_persisted = [bv]
+    return out
