@@ -104,6 +104,30 @@ def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@pandas_udf("long")
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    """Arrow-batched positional rolling fingerprint:
+    fp = sum_i ((md5_60bit(token_i) mod P31) * (i+1)) mod P31, reduced
+    mod P31 every step (exact arbitrary-precision ints — the JVM
+    explode+sum formulation this replaces overflows int64 around 92k
+    tokens per document, a real length in web corpora under ANSI mode).
+    Token-less docs return None (they vanish from the relation, matching
+    the explode semantics and the DuckDB oracle). Zero shuffle: one
+    narrow projection instead of explode -> groupBy(doc_id)."""
+    out = []
+    for t in text:
+        toks = py_tokens(t)
+        if not toks:
+            out.append(None)
+            continue
+        fp = 0
+        for i, w in enumerate(toks):
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) % _P31
+            fp = (fp + h * (i + 1)) % _P31
+        out.append(fp)
+    return pd.Series(out, dtype="object")
+
+
 def shingle_text_udf(width: int):
     """Arrow-batched shingler keeping the gram TEXT: text -> sorted
     distinct token w-grams (space-joined), one array<string> per doc.

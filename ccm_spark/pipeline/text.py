@@ -230,17 +230,22 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
     fp = sum_i ((md5_60bit(token_i) mod (2^31-1)) * (i+1)) mod (2^31-1) —
     order-sensitive, exact integer arithmetic, identical in any engine.
-    Explode-regroup keyed by doc_id: one shuffle, perfectly partitionable.
-    No ``spread`` here — the groupBy below shuffles on doc_id anyway, and a
-    pre-explode repartition would move whole documents across the wire
-    while losing map-side partial aggregation of the exploded terms.
+    Computed per document in an Arrow-batched pandas UDF with the mod
+    applied every step: ZERO shuffle (a narrow projection), and exact for
+    any document length — the explode -> groupBy formulation this replaces
+    shuffled every token's partial term and its int64 sum overflows around
+    92k tokens per document (a real length in web corpora). ``spread``
+    first: single-file local inputs otherwise run the UDF on one core.
+    Token-less docs drop out (parity with the explode semantics and the
+    DuckDB oracle).
     """
-    toks = docs.select("doc_id", F.posexplode(tokens_col("text")).alias("pos", "tok"))
-    term = (md5_long(F.col("tok")) % P31) * (F.col("pos") + 1)
-    return (
-        toks.groupBy("doc_id")
-        .agg((F.sum(term) % P31).alias("fingerprint"))
-    )
+    from ccm_spark.functions.partitioning import spread
+    from ccm_spark.functions.vector_udfs import fingerprint_udf
+
+    docs = spread(docs, "doc_id")
+    return docs.select(
+        "doc_id", fingerprint_udf(F.col("text")).alias("fingerprint")
+    ).where(F.col("fingerprint").isNotNull())
 
 
 #: cross-engine-safe PII patterns: no lookarounds/backrefs, so Java regex
