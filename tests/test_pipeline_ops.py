@@ -293,3 +293,61 @@ def test_quality_filter_uses_doc_language(spark):
     assert out[0].stopword_frac > 0 and out[0].keep is True
     assert out[1].stopword_frac == 0.0 and out[1].keep is False
     assert out[2].stopword_frac == out[0].stopword_frac and out[2].keep is True
+
+
+def test_dedup_against_index_incremental(spark, tmp_path):
+    """The production incremental shape: index a base corpus once, probe an
+    ingestion increment against the parquet round-trip of the index."""
+    base = docs_df(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog again and again today",
+            "completely different words with nothing shared at all here now ok",
+        ],
+    )
+    index = dedup.minhash_index(base)
+    path = str(tmp_path / "mh_index")
+    index.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    increment = spark.createDataFrame(
+        [
+            # near-dup of base doc 0 (one token changed)
+            (100, "the quick brown fox jumps over the lazy dog again and again tomorrow",
+             "xx", "inc", 70),
+            # novel document
+            (101, "unrelated fresh text about completely novel topics entirely elsewhere",
+             "xx", "inc", 70),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    hits = dedup.dedup_against_index(increment, stored, threshold=0.3).collect()
+    assert {(r.new_doc_id, r.index_doc_id) for r in hits} == {(100, 0)}
+    assert 0.3 <= hits[0].est_jaccard <= 1.0
+
+    # an exact copy agrees on every permutation -> estimate exactly 1.0
+    copy = spark.createDataFrame(
+        [(200, "the quick brown fox jumps over the lazy dog again and again today",
+          "xx", "inc", 66)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    exact = dedup.dedup_against_index(copy, stored, threshold=0.99).collect()
+    assert [(r.new_doc_id, r.index_doc_id, r.est_jaccard) for r in exact] == [
+        (200, 0, 1.0)
+    ]
+
+
+def test_fingerprint_long_document_no_overflow(spark):
+    """A document past the int64-sum overflow point (~92k tokens in the old
+    explode formulation) must fingerprint exactly; pinned against a direct
+    bignum computation of the same definition."""
+    n = 100_000
+    toks = [f"w{i % 997}" for i in range(n)]
+    d = docs_df(spark, [" ".join(toks)])
+    got = {r.doc_id: r.fingerprint for r in text.fingerprint(d).collect()}
+    P31 = 2_147_483_647
+    fp = 0
+    for i, w in enumerate(toks):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % P31
+        fp = (fp + h * (i + 1)) % P31
+    assert got == {0: fp}
