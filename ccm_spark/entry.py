@@ -242,6 +242,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup probe: a deterministic doc_id split stands in
+    for index corpus (doc_id % 10 != 0) vs ingestion increment (the
+    rest); the oracle replays the same split."""
+    docs = _docs(spark, sf_dir)
+    index = dedup.minhash_index(docs.where(F.col("doc_id") % 10 != 0))
+    increment = docs.where(F.col("doc_id") % 10 == 0)
+    return dedup.dedup_against_index(increment, index, threshold=0.25)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     out = dedup.ngram_jaccard_duplicates(_docs(spark, sf_dir), threshold=0.5)
     return out.select("doc_a", "doc_b", _r6(F.col("jaccard")).alias("jaccard"))
@@ -568,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_representatives": q_dedup_representatives,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -584,7 +595,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "events_hourly_stats": q_events_hourly_stats,
         "gen_logistic_maps": q_gen_logistic_maps,
-        "gen_coupled_series": q_gen_coupled_series,
+        # gen_coupled_series (noise-free G2) is the zero-noise special case
+        # of the still-gated gen_coupled_series_noisy; its slot went to
+        # dedup_incremental (50-entry driver window). Pinned by
+        # tests/test_statistical.py + the fleet gates that consume G2.
         "gen_coupled_series_noisy": q_gen_coupled_series_noisy,
         "events_asof_join": q_events_asof_join,
         "events_asof_tolerance": q_events_asof_tolerance,
@@ -623,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": oext.sql_dedup_components(),
         "dedup_representatives": oext.sql_dedup_representatives(),
         "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
+        "dedup_incremental": oext.sql_dedup_against_index(),
         "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
         "dedup_simhash": oext.sql_dedup_simhash(),
         "dedup_simhash_pairs": oext.sql_dedup_simhash_pairs(),
@@ -639,7 +654,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": oext.sql_multimodal_frames(),
         "events_hourly_stats": oext.sql_events_hourly_stats(),
         "gen_logistic_maps": oext.sql_gen_logistic_maps(),
-        "gen_coupled_series": oext.sql_gen_coupled_series(),
         "gen_coupled_series_noisy": oext.sql_gen_coupled_series_noisy(),
         "events_asof_join": oext.sql_events_asof_join(),
         "events_asof_tolerance": oext.sql_events_asof_tolerance(),

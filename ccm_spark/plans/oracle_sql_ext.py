@@ -238,6 +238,48 @@ cand_pairs AS (
 ),{_jaccard_tail(threshold)}"""
 
 
+def sql_dedup_against_index(
+    threshold: float = 0.25, modulus: int = 10, seed: int = 7
+) -> str:
+    """Incremental probe twin (pipeline/dedup.py dedup_against_index):
+    index = docs with doc_id % modulus != 0, increment = the rest;
+    similarity is the signature estimate (agreeing perms / NUM_PERMS)."""
+    perms = minhash_perm_params(NUM_PERMS, seed)
+    values = ", ".join(f"({j}, {a}, {b})" for j, a, b in perms)
+    rows_per_band = NUM_PERMS // LSH_BANDS
+    return f"""
+WITH {_shingle_ctes()},
+perms AS (SELECT CAST(perm_id AS INT) AS perm_id, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+          FROM (VALUES {values}) AS v(perm_id, a, b)),
+sig AS (
+  SELECT doc_id, perm_id, MIN((a * shingle_hash + b) % {P31}) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY 1, 2
+),
+band_keys AS (
+  SELECT doc_id, CAST(perm_id // {rows_per_band} AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY minhash) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, i.doc_id AS index_doc_id
+  FROM band_keys n JOIN band_keys i
+    ON n.band = i.band AND n.band_key = i.band_key
+  WHERE n.doc_id % {modulus} = 0 AND i.doc_id % {modulus} != 0
+),
+agree AS (
+  SELECT c.new_doc_id, c.index_doc_id,
+         SUM(CASE WHEN sn.minhash = si.minhash THEN 1 ELSE 0 END) AS k
+  FROM cand c
+  JOIN sig sn ON sn.doc_id = c.new_doc_id
+  JOIN sig si ON si.doc_id = c.index_doc_id AND si.perm_id = sn.perm_id
+  GROUP BY 1, 2
+)
+SELECT new_doc_id, index_doc_id,
+       CAST(k AS DOUBLE) / {NUM_PERMS} AS est_jaccard
+FROM agree
+WHERE CAST(k AS DOUBLE) / {NUM_PERMS} >= {threshold}"""
+
+
 def sql_dedup_ngram_jaccard(threshold: float = 0.5, max_doc_freq: int = 1000) -> str:
     return f"""
 WITH {_shingle_ctes()},
