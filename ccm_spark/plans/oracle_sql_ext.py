@@ -214,7 +214,9 @@ JOIN sizes nb ON nb.doc_id = c.doc_b
 WHERE CAST(c.n_common AS DOUBLE) / (na.n + nb.n - c.n_common) >= {threshold}"""
 
 
-def sql_dedup_minhash_lsh(threshold: float = 0.5, seed: int = 7) -> str:
+def sql_dedup_minhash_lsh(
+    threshold: float = 0.5, seed: int = 7, max_bucket_size: int = 1000
+) -> str:
     perms = minhash_perm_params(NUM_PERMS, seed)
     values = ", ".join(f"({j}, {a}, {b})" for j, a, b in perms)
     rows_per_band = NUM_PERMS // LSH_BANDS
@@ -226,10 +228,14 @@ sig AS (
   SELECT doc_id, perm_id, MIN((a * shingle_hash + b) % {P31}) AS minhash
   FROM sh CROSS JOIN perms GROUP BY 1, 2
 ),
-band_keys AS (
+band_keys0 AS (
   SELECT doc_id, CAST(perm_id // {rows_per_band} AS INT) AS band,
          string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY minhash) AS band_key
   FROM sig GROUP BY 1, 2
+),
+band_keys AS (
+  SELECT doc_id, band, band_key FROM band_keys0
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {max_bucket_size}
 ),
 cand_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -351,3 +351,16 @@ def test_fingerprint_long_document_no_overflow(spark):
         h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % P31
         fp = (fp + h * (i + 1)) % P31
     assert got == {0: fp}
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    """Identical docs collapse into one band bucket per band; over the cap
+    the bucket is dropped from candidate generation (the quadratic-blowup
+    safety valve shared with the SimHash and embedding families)."""
+    same = "the quick brown fox jumps over the lazy dog again and again today"
+    d = docs_df(spark, [same] * 4)
+    assert dedup.minhash_lsh_duplicates(d, threshold=0.9).count() == 6
+    assert (
+        dedup.minhash_lsh_duplicates(d, threshold=0.9, max_bucket_size=3).count()
+        == 0
+    )
