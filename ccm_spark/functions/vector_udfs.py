@@ -89,6 +89,38 @@ def shingle_hash_udf(width: int):
     return _shingle_hashes
 
 
+def minhash_sig_udf(perm_params):
+    """Arrow-batched per-document MinHash signature: array<long> shingle
+    hashes -> array<long> of min((a*h + b) mod P31) per permutation, None
+    for empty shingle sets (docs under the shingle width vanish, matching
+    the aggregate formulation). One numpy (S x P) broadcast per doc; all
+    values < 2^62, exact in int64.
+
+    Computing the signature per row (instead of explode + groupBy(doc_id))
+    removes the signature exchange from every batch consumer and — because
+    no stateful aggregation remains — makes the signature computable on a
+    STREAMING increment, which is what the stream index probe needs.
+    ``perm_params`` is the (perm_id, a, b) list from
+    ``dedup.minhash_perm_params`` (passed in to keep this module free of
+    session-dependent imports)."""
+
+    a_arr = np.array([a for _, a, _ in perm_params], dtype=np.int64)
+    b_arr = np.array([b for _, _, b in perm_params], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _sig(shingle_hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingle_hashes:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            h = np.asarray(arr, dtype=np.int64)[:, None]
+            out.append(((a_arr * h + b_arr) % _P31).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
 @pandas_udf("double")
 def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise cosine similarity of two array<double> columns, vectorised

@@ -105,3 +105,47 @@ def test_batch_document_dedup_keeps_first_seen(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
     kept = {r.text: r.doc_id for r in dedup_documents_stream(docs).collect()}
     assert kept == {"alpha text": 3, "beta text": 5, "gamma text": 1}
+
+
+def test_streaming_index_probe_matches_batch(spark, sf_small, tmp_path):
+    """Streaming increment probed against a static MinHash index must emit
+    exactly the batch probe's pairs (signature computed per doc in the
+    Arrow UDF — no stateful agg — so the probe runs append-mode)."""
+    from ccm_spark.pipeline.dedup import (
+        dedup_against_index,
+        dedup_stream_against_index,
+        minhash_index,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    index_docs = docs.where("doc_id % 10 != 0")
+    increment = docs.where("doc_id % 10 = 0")
+    index = minhash_index(index_docs)
+
+    expected = {
+        (r.new_doc_id, r.index_doc_id, r.est_jaccard)
+        for r in dedup_against_index(increment, index, threshold=0.25).collect()
+    }
+    assert expected  # the corpus has cross-split near-dups at this threshold
+
+    path = str(tmp_path / "inc_jsonl")
+    write_documents_jsonl(increment, path, n_files=2)
+    stream = documents_jsonl_stream(spark, path)
+    probed = dedup_stream_against_index(stream, index, threshold=0.25)
+    assert probed.isStreaming
+    q = (
+        probed.writeStream.format("memory")
+        .queryName("idx_probe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_probe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.new_doc_id, r.index_doc_id, r.est_jaccard)
+        for r in spark.sql(
+            "SELECT new_doc_id, index_doc_id, est_jaccard FROM idx_probe"
+        ).collect()
+    }
+    assert got == expected
