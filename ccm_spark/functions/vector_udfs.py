@@ -121,6 +121,25 @@ def minhash_sig_udf(perm_params):
     return _sig
 
 
+def shingle_hits_udf(eval_set: frozenset):
+    """Arrow-batched contamination counter: array<long> shingle hashes ->
+    how many are in ``eval_set`` (shipped in the closure; bounded by the
+    eval corpus, which is tiny by definition). Defined here because
+    pandas_udf cannot resolve postponed annotations (see module note)."""
+
+    @pandas_udf("long")
+    def _n_hits(shingle_hashes: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                0 if arr is None else sum(1 for h in arr if h in eval_set)
+                for arr in shingle_hashes
+            ],
+            dtype="int64",
+        )
+
+    return _n_hits
+
+
 @pandas_udf("double")
 def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise cosine similarity of two array<double> columns, vectorised

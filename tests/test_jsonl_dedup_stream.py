@@ -149,3 +149,39 @@ def test_streaming_index_probe_matches_batch(spark, sf_small, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_streaming_decontaminate_matches_batch(spark, sf_small, tmp_path):
+    """Streaming decontamination must emit exactly the batch verdicts
+    (eval shingle set shipped as a UDF closure — no stateful agg)."""
+    from ccm_spark.pipeline.dedup import decontaminate, decontaminate_stream
+
+    docs = load_table(spark, sf_small, "documents")
+    train = docs.where("doc_id % 31 != 0")
+    ev = docs.where("doc_id % 31 = 0")
+
+    expected = {
+        (r.doc_id, r.n_contaminated_shingles, r.contaminated)
+        for r in decontaminate(train, ev).collect()
+    }
+    assert any(c for _, _, c in expected)  # corpus has real contamination
+
+    path = str(tmp_path / "train_jsonl")
+    write_documents_jsonl(train, path, n_files=2)
+    stream = documents_jsonl_stream(spark, path)
+    flagged = decontaminate_stream(stream, ev)
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("decontam")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_decontam"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_contaminated_shingles, r.contaminated)
+        for r in spark.sql("SELECT * FROM decontam").collect()
+    }
+    assert got == expected
