@@ -364,3 +364,27 @@ def test_minhash_lsh_bucket_cap(spark):
         dedup.minhash_lsh_duplicates(d, threshold=0.9, max_bucket_size=3).count()
         == 0
     )
+
+
+def test_minhash_signature_narrow_equals_aggregate(spark):
+    """The per-doc UDF signature (narrow path) must be bit-identical to the
+    wide-aggregation form over exploded shingles — the invariant that lets
+    batch and streaming consumers share one index."""
+    d = docs_df(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "a completely different document with its own words here",
+            "short",  # under shingle width -> no signature in either form
+            "the quick brown fox jumps over the lazy dog again and again",
+        ],
+    )
+    arrays = dedup.shingle_arrays(d)
+    narrow = sorted(
+        dedup.minhash_signatures_narrow(arrays).collect(), key=lambda r: r.doc_id
+    )
+    agg = sorted(
+        dedup.minhash_signatures(dedup.shingles(d)).collect(), key=lambda r: r.doc_id
+    )
+    assert [tuple(r) for r in narrow] == [tuple(r) for r in agg]
+    assert {r.doc_id for r in narrow} == {0, 1, 3}

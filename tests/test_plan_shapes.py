@@ -1,0 +1,41 @@
+"""Physical-plan regression guards: the scan-level optimizations the scale
+story depends on (predicate pushdown, column pruning) must survive
+refactors — a plan that silently reads all columns or post-filters in
+Spark would still be CORRECT, so only a plan-shape test catches it."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_events_scan_pushes_filter_and_prunes_columns(spark, sf_small):
+    from ccm_spark.sources.tables import events_pair_series
+
+    plan = _formatted_plan(events_pair_series(spark, sf_small))
+    # the event-type filter must reach the parquet scan
+    assert "PushedFilters" in plan and "In(event_type" in plan
+    # series prep needs 4 of 6 event columns; props/user_id must be pruned
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 400]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_documents_scan_prunes_to_needed_columns(spark, sf_small):
+    from ccm_spark.pipeline import dedup
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    plan = _formatted_plan(dedup.minhash_index(docs))
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 400]
+    # the signature needs only (doc_id, text); lang/source/n_chars pruned
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
