@@ -185,3 +185,35 @@ def test_streaming_decontaminate_matches_batch(spark, sf_small, tmp_path):
         for r in spark.sql("SELECT * FROM decontam").collect()
     }
     assert got == expected
+
+
+def test_streaming_quality_filter_matches_batch(spark, sf_small, tmp_path):
+    """The Gopher/C4-style quality filter is a pure projection, so it runs
+    unchanged on a streaming source in append mode — ingestion-time
+    filtering with zero state. Pinned to equal the batch verdicts."""
+    from ccm_spark.pipeline.text import quality_filter
+
+    docs = load_table(spark, sf_small, "documents")
+    expected = {
+        (r.doc_id, r.keep) for r in quality_filter(docs).select("doc_id", "keep").collect()
+    }
+
+    path = str(tmp_path / "qf_jsonl")
+    write_documents_jsonl(docs, path, n_files=2)
+    filtered = quality_filter(documents_jsonl_stream(spark, path))
+    assert filtered.isStreaming
+    q = (
+        filtered.select("doc_id", "keep")
+        .writeStream.format("memory")
+        .queryName("qf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.keep)
+        for r in spark.sql("SELECT doc_id, keep FROM qf_stream").collect()
+    }
+    assert got == expected
