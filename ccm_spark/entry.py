@@ -177,7 +177,15 @@ def q_ccm_fleet_iterated(spark, sf_dir):
     from ccm_spark.fastpath import ccm_fast_iterated
     from ccm_spark.sources.sinks import read_series_bucketed, write_series_bucketed
 
-    path = tempfile.gettempdir() + "/ccm_spark_fleet_bucketed"
+    # mkdtemp, not a fixed name: two concurrent runs on one host must not
+    # race on the same directory. The dir is tiny (a 4-pair fleet) and lives
+    # until process exit — the returned DataFrame lazily re-reads it, so it
+    # cannot be deleted here; register cleanup for interpreter shutdown.
+    path = tempfile.mkdtemp(prefix="ccm_spark_fleet_bucketed_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     write_series_bucketed(_fleet_series(spark), path, num_buckets=8)
     series = read_series_bucketed(spark, path)
     return _fleet_select(ccm_fast_iterated(series, _config(FLEET_PARAMS)))
@@ -436,11 +444,16 @@ def q_top_customers_by_nation(spark, sf_dir):
 
 def q_sample_mixture(spark, sf_dir):
     """Deterministic data-mixing sample: per-language md5-threshold keep.
-    Pure filter — no shuffle at any scale; the kept set is identical on
-    any partitioning (unlike df.sample)."""
+    Pure narrow plan — no shuffle at any scale; the kept set is identical
+    on any partitioning (unlike df.sample). The operator also upsamples
+    (rates > 1, emitting copy_idx); the gated default rates are <= 1, so
+    copy_idx is constant 0 here and dropped to keep the oracle's shape —
+    the upsampling path is pinned by tests/test_mixing.py."""
     from ccm_spark.pipeline.mixing import mixture_sample
 
-    return mixture_sample(_docs(spark, sf_dir))
+    return mixture_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "sample_key"
+    )
 
 
 def q_pack_sequences(spark, sf_dir):

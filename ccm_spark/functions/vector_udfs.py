@@ -89,6 +89,41 @@ def shingle_hash_udf(width: int):
     return _shingle_hashes
 
 
+def shingle_seq_udf(width: int):
+    """Arrow-batched POSITIONAL shingler: text -> hashed token w-grams in
+    document order, duplicates kept — one array<long> per document (the
+    i-th element is the shingle starting at token i). The substring-level
+    dedup needs the sequence (run detection is positional); the set-based
+    families use :func:`shingle_hash_udf`, which dedups and sorts. Same
+    tokenizer and hash as shingle_hash_udf (md5 60-bit % P31), so the two
+    relations are join-compatible. Docs shorter than ``width`` tokens
+    produce an empty array."""
+
+    @pandas_udf("array<long>")
+    def _shingle_seq(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = py_tokens(t)
+            if len(toks) < width:
+                out.append([])
+                continue
+            out.append(
+                [
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + width]).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    % _P31
+                    for i in range(len(toks) - width + 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return _shingle_seq
+
+
 def minhash_sig_udf(perm_params):
     """Arrow-batched per-document MinHash signature: array<long> shingle
     hashes -> array<long> of min((a*h + b) mod P31) per permutation, None
@@ -121,17 +156,26 @@ def minhash_sig_udf(perm_params):
     return _sig
 
 
-def shingle_hits_udf(eval_set: frozenset):
+def shingle_hits_udf(eval_shingles):
     """Arrow-batched contamination counter: array<long> shingle hashes ->
-    how many are in ``eval_set`` (shipped in the closure; bounded by the
-    eval corpus, which is tiny by definition). Defined here because
-    pandas_udf cannot resolve postponed annotations (see module note)."""
+    how many are in the eval set. ``eval_shingles`` is either a plain
+    set/frozenset (pickled into every task closure — fine for tests) or a
+    ``SparkContext.broadcast`` handle (resolved lazily via ``.value``, so
+    the set ships ONCE per executor instead of once per task — the right
+    form for production callers; decontaminate_stream uses it). Defined
+    here because pandas_udf cannot resolve postponed annotations (see
+    module note)."""
 
     @pandas_udf("long")
     def _n_hits(shingle_hashes: pd.Series) -> pd.Series:
+        s = (
+            eval_shingles.value
+            if hasattr(eval_shingles, "value")
+            else eval_shingles
+        )
         return pd.Series(
             [
-                0 if arr is None else sum(1 for h in arr if h in eval_set)
+                0 if arr is None else sum(1 for h in arr if h in s)
                 for arr in shingle_hashes
             ],
             dtype="int64",

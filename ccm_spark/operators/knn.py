@@ -16,8 +16,13 @@ Scale notes:
     a single series' footprint, so no executor OOM at 1000x pairs.
   - The distance is an unrolled fixed-order codegen expression (no UDF, no
     array allocation in the hot loop).
-  - Exact kNN is the oracle-matching default; the scale alternative
-    (LSH / applyInPandas+KDTree) lives in fastpath.py as an opt-in.
+  - Exact kNN is the oracle-matching default and the right plan when a
+    SINGLE series is large (its join groups distribute; no task ever holds
+    a whole group). The many-small-pairs regime has the opt-in fast path in
+    fastpath.py (per-pair numpy kernel, one shuffle total) — same results,
+    no join materialisation. A sub-quadratic single-series index (KD-tree /
+    LSH) is deliberately not provided: it would need scipy (absent here)
+    or approximate results that break the bit-exact oracle contract.
 """
 
 from __future__ import annotations

@@ -15,9 +15,10 @@ Scale notes:
   - The ladder is computed distributedly from per-pair counts with
     ``sequence()`` + ``explode`` — no driver round-trip, works for millions
     of pairs with heterogeneous lengths.
-  - The fan-out (embedding x lib_sizes x samples) is a broadcast nested-loop
-    join against two tiny dims; the row explosion is the algorithm's real
-    cost (it IS the bootstrap), not overhead.
+  - The fan-out (embedding x lib_sizes x samples) joins the per-pair ladder
+    (AQE picks broadcast vs shuffle — the ladder grows with the fleet) and
+    broadcasts the fixed-size samples dim; the row explosion is the
+    algorithm's real cost (it IS the bootstrap), not overhead.
   - The rank window partitions by (pair_id, dir_id, lib_size, sample_id):
     at most P rows per partition, so no skew regardless of fleet size.
 """
@@ -62,8 +63,14 @@ def fan_out_with_rank(
     """
     spark = emb.sparkSession
     samples = spark.range(num_samples).select(F.col("id").cast("int").alias("sample_id"))
+    # lib_sizes is ~20 rows PER PAIR — tiny locally, but unbounded in the
+    # pair dimension (a million-pair fleet makes it a 20M-row relation), so
+    # no broadcast hint: AQE broadcasts it while it is genuinely small and
+    # falls back to a shuffled equi-join on pair_id when it is not. The
+    # samples dim is a fixed num_samples rows regardless of scale — that
+    # broadcast is always safe.
     fanned = (
-        emb.join(F.broadcast(lib_sizes), "pair_id")
+        emb.join(lib_sizes, "pair_id")
         .crossJoin(F.broadcast(samples))
     )
     key = F.expr(sql_rank_key_expr("p", "sample_id", "lib_size", "dir_id", seed))

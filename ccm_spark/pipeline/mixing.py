@@ -5,10 +5,12 @@ library, SURVEY.md §2.1); these are the assembly steps an LLM training-data
 pipeline runs after filtering/dedup:
 
 - :func:`mixture_sample` — per-language sampling rates ("data mixing
-  weights") applied with a deterministic md5 threshold. A pure row-local
-  filter: zero shuffle, pushes into the scan, and the SAME doc set is kept
-  on any cluster size or partitioning — re-runs and backfills are
-  reproducible, which `df.sample()` cannot promise under repartitioning.
+  weights"), down- AND up-sampling (rates > 1 emit deterministic repeat
+  copies), applied with a deterministic md5 threshold. A pure row-local
+  plan: zero shuffle, filter pushes into the scan, and the SAME doc
+  multiset is kept on any cluster size or partitioning — re-runs and
+  backfills are reproducible, which `df.sample()` cannot promise under
+  repartitioning.
 - :func:`pack_sequences` — greedy sequential packing of tokenized docs
   into fixed token-budget training sequences. Docs are sharded by a stable
   md5 bucket; packing is sequential WITHIN a shard (the inherent data
@@ -63,21 +65,48 @@ def mixture_sample(
     fallback_rate: float = DEFAULT_MIX_FALLBACK,
     salt: str = DEFAULT_MIX_SALT,
 ) -> DataFrame:
-    """Stratified deterministic sampling by language — data-mixing weights.
+    """Stratified deterministic sampling by language — data-mixing weights,
+    DOWN- and UP-sampling in one rule.
 
-    Keeps a doc iff ``mix_key < round(rate[lang] * MIX_MOD)``. The whole
-    operator is a narrow projection+filter: at any scale it is one pass
-    over the scan with no shuffle, and the kept set is independent of
-    partitioning, task count, and execution order.
+    A doc with rate r is emitted ``floor(r)`` times unconditionally, plus
+    one extra copy iff ``mix_key < round(frac(r) * MIX_MOD)`` — so
+    E[copies] = r exactly, per-doc multiplicities are deterministic under
+    any partitioning, and for r <= 1 this reduces to the original
+    keep-iff-below-threshold rule. Rates above 1 are how real mixing
+    weights express epoch repetition (e.g. r=2.3: every doc twice, 30%
+    of docs a third time). Output has one row per COPY with ``copy_idx``
+    in [0, n); callers that only downsample can drop the column.
+
+    The whole operator stays narrow: one pass over the scan, a generator
+    explode of a per-row integer range, no shuffle at any scale; the kept
+    multiset is independent of partitioning, task count, and execution
+    order (unlike ``df.sample``).
     """
     rates = DEFAULT_MIX_RATES if rates is None else rates
     key = mix_key("doc_id", salt)
     thr = F.lit(int(round(fallback_rate * MIX_MOD)))
     for lang, rate in sorted(rates.items()):
         thr = F.when(F.col("lang") == lang, F.lit(int(round(rate * MIX_MOD)))).otherwise(thr)
+    n_copies = (
+        F.floor(thr / F.lit(MIX_MOD)).cast("int")
+        + (key < F.pmod(thr, F.lit(MIX_MOD))).cast("int")
+    )
     return (
-        docs.select("doc_id", "lang", "source", key.alias("sample_key"))
-        .where(F.col("sample_key") < thr)
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            key.alias("sample_key"),
+            n_copies.alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "sample_key",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy_idx"),
+        )
     )
 
 

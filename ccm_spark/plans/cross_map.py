@@ -103,9 +103,20 @@ def convergence_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
 
 
 def ccm_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
-    """Joined skill + convergence: one row per (pair, direction, lib_size)."""
+    """Joined skill + convergence: one row per (pair, direction, lib_size).
+
+    ``skill`` is persisted: it feeds BOTH join branches (directly, and via
+    ``convergence``), and everything upstream of it — the fan-out, the kNN
+    self-join (the workload's dominant cost), the top-k window, and three
+    aggregations — would otherwise be planned and EXECUTED twice, once per
+    branch (Catalyst does not de-duplicate common subtrees across join
+    inputs). The relation is tiny (pairs x dirs x ladder rows), so the
+    cache is effectively free at any scale and halves the heavy chain.
+    """
     corr, lib_grid, persisted = sample_corr_plan(series, config)
-    skill = skill_by_lib_size(corr, lib_grid, config.num_samples)
+    skill = skill_by_lib_size(corr, lib_grid, config.num_samples).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     conv = convergence(skill)
     out = (
         skill.join(conv, ["pair_id", "dir_id"])
@@ -118,5 +129,5 @@ def ccm_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
             "convergent",
         )
     )
-    out._ccm_persisted = persisted
+    out._ccm_persisted = persisted + [skill]
     return out

@@ -34,6 +34,55 @@ def test_mixture_sample_deterministic_and_stratified(spark, sf_small):
     assert sorted(r.doc_id for r in c.collect()) != rows_a
 
 
+def test_mixture_sample_upsamples_exact_multiset(spark, sf_small):
+    """Rates > 1 (epoch repetition): the exact (doc_id, copy_idx) multiset
+    must match an independent DuckDB replay of the md5-threshold rule —
+    floor(r) copies always, one more iff key < frac(r)*MOD."""
+    import duckdb
+
+    from ccm_spark.pipeline.mixing import MIX_MOD
+
+    rates = {"en": 2.3, "de": 1.0, "fr": 0.5}
+    docs = load_table(spark, sf_small, "documents")
+    out = mixture_sample(docs, rates=rates, fallback_rate=0.1, salt="up1")
+    got = sorted((r.doc_id, r.copy_idx) for r in out.collect())
+
+    chain = " ".join(
+        f"WHEN '{lang}' THEN {int(round(rate * MIX_MOD))}"
+        for lang, rate in sorted(rates.items())
+    )
+    sf_small_path = sf_small + "/documents.parquet"
+    want = sorted(
+        (int(d), int(c))
+        for d, c in duckdb.sql(
+            f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':up1'), 1, 15)) AS BIGINT) % {MIX_MOD} AS BIGINT) AS k,
+         CAST(CASE lang {chain} ELSE {int(round(0.1 * MIX_MOD))} END AS BIGINT) AS thr
+  FROM read_parquet('{sf_small_path}')
+),
+counted AS (
+  SELECT doc_id, thr // {MIX_MOD} + CASE WHEN k < thr % {MIX_MOD} THEN 1 ELSE 0 END AS n
+  FROM keyed
+)
+SELECT doc_id, unnest(range(n)) AS copy_idx FROM counted WHERE n > 0
+"""
+        ).fetchall()
+    )
+    assert got == want
+    # E[copies] = r: en docs appear 2 or 3 times each, de exactly once
+    per_doc = {}
+    for d, _ in got:
+        per_doc[d] = per_doc.get(d, 0) + 1
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    for d, n in per_doc.items():
+        if langs[d] == "en":
+            assert n in (2, 3)
+        elif langs[d] == "de":
+            assert n == 1
+
+
 def test_mixture_sample_is_shuffle_free(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     plan = mixture_sample(docs)._jdf.queryExecution().executedPlan().toString()

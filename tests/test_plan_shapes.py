@@ -28,6 +28,29 @@ def test_events_scan_pushes_filter_and_prunes_columns(spark, sf_small):
     assert "props" not in read_schema and "user_id" not in read_schema
 
 
+def test_jaccard_verify_broadcasts_via_aqe_without_hint(spark, sf_small):
+    """The 100 TB-safe form of the LSH verify join: NO forced broadcast of
+    the (unbounded) candidate-pair relation anywhere in the plan — AQE
+    alone must still pick a broadcast join at test scale, where the pair
+    set is genuinely small. Pins both halves: hint absent, broadcast
+    chosen."""
+    from ccm_spark.pipeline import dedup
+    from ccm_spark.plans.cross_map import release_cached
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = dedup.minhash_lsh_duplicates(docs)
+    try:
+        out.collect()
+        qe = out._jdf.queryExecution()
+        # no broadcast hint survives anywhere in the analyzed plan
+        assert "ResolvedHint" not in qe.analyzed().toString()
+        # ...and AQE still picked a broadcast join for the verify step
+        assert "BroadcastHashJoin" in qe.executedPlan().toString()
+    finally:
+        release_cached(out)
+
+
 def test_documents_scan_prunes_to_needed_columns(spark, sf_small):
     from ccm_spark.pipeline import dedup
     from ccm_spark.sources.tables import load_table
