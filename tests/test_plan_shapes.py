@@ -28,6 +28,29 @@ def test_events_scan_pushes_filter_and_prunes_columns(spark, sf_small):
     assert "props" not in read_schema and "user_id" not in read_schema
 
 
+def test_ccm_plan_reuses_skill_cache_across_join_branches(spark):
+    """ccm_plan joins skill with convergence(skill): without the persist,
+    Catalyst executes the ENTIRE kNN -> aggregation chain once per join
+    branch (it does not dedup common subtrees across join inputs). Pin
+    that the skill relation is served from cache: both join branches must
+    read an InMemoryTableScan, so the heavy chain executes only when the
+    cache is first populated."""
+    from ccm_spark.config import CCMConfig
+    from ccm_spark.generators import coupled_series
+    from ccm_spark.plans.cross_map import ccm_plan, release_cached
+
+    x, y = coupled_series(length=60, coupling=0.4, noise_level=0.0)
+    rows = [(0, t, float(x[t]), float(y[t])) for t in range(len(x))]
+    series = spark.createDataFrame(rows, "pair_id long, t long, x double, y double")
+    out = ccm_plan(series, CCMConfig(num_samples=3, lib_sizes=[20, 40], seed=1))
+    try:
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2  # both join branches cached
+    finally:
+        release_cached(out)
+
+
 def test_jaccard_verify_broadcasts_via_aqe_without_hint(spark, sf_small):
     """The 100 TB-safe form of the LSH verify join: NO forced broadcast of
     the (unbounded) candidate-pair relation anywhere in the plan — AQE
