@@ -196,6 +196,56 @@ sh AS (
 )"""
 
 
+def sql_shared_span_pairs(
+    min_run: int = 8, width: int = SHINGLE_WIDTH, max_doc_freq: int = 1000
+) -> str:
+    """DuckDB replay of pipeline.dedup.shared_span_pairs: positional
+    shingles (0-based, duplicates kept), df-capped matching, per-diagonal
+    gaps-and-islands. Not in the driver gate (50-entry window full);
+    exercised by tests/test_oracle_local.py against the Spark op."""
+    grams = " || ' ' || ".join(
+        f"list_extract(toks, i + {j})" for j in range(width)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+p AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {width - 2})) AS i FROM t),
+sq AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         ({_md5_long(f"({grams})")} % {P31}) AS shingle_hash
+  FROM p
+),
+hot AS (
+  SELECT shingle_hash FROM sq GROUP BY 1
+  HAVING COUNT(DISTINCT doc_id) > {max_doc_freq}
+),
+rare AS (
+  SELECT * FROM sq WHERE shingle_hash NOT IN (SELECT shingle_hash FROM hot)
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM rare a JOIN rare b
+    ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, diag,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+         ) AS island
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+  HAVING COUNT(*) >= {min_run}
+)
+SELECT doc_a, doc_b,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(MAX(run_len) + {width - 1} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM runs GROUP BY 1, 2"""
+
+
 def _jaccard_tail(threshold: float) -> str:
     return f"""
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),

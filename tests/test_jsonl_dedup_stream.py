@@ -153,7 +153,8 @@ def test_streaming_index_probe_matches_batch(spark, sf_small, tmp_path):
 
 def test_streaming_decontaminate_matches_batch(spark, sf_small, tmp_path):
     """Streaming decontamination must emit exactly the batch verdicts
-    (eval shingle set shipped as a UDF closure — no stateful agg)."""
+    (eval shingle set shipped once per executor as a Spark broadcast —
+    no stateful agg)."""
     from ccm_spark.pipeline.dedup import decontaminate, decontaminate_stream
 
     docs = load_table(spark, sf_small, "documents")

@@ -12,6 +12,36 @@ from __future__ import annotations
 import duckdb
 
 
+def test_shared_span_pairs_sql_oracle_matches_spark(spark, sf_small):
+    """shared_span_pairs vs its DuckDB replay on the REAL sf0.001 corpus
+    (the fixture test pins semantics; this pins them on production-shaped
+    data with its genuine near-dup structure)."""
+    from ccm_spark.pipeline.dedup import shared_span_pairs
+    from ccm_spark.plans.cross_map import release_cached
+    from ccm_spark.plans.oracle_sql_ext import sql_shared_span_pairs
+    from ccm_spark.sources.tables import load_table
+
+    min_run = 5
+    docs = load_table(spark, sf_small, "documents")
+    out = shared_span_pairs(docs, min_run=min_run)
+    try:
+        got = sorted(tuple(r) for r in out.collect())
+    finally:
+        release_cached(out)
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(int(v) for v in row)
+        for row in con.sql(sql_shared_span_pairs(min_run=min_run)).fetchall()
+    )
+    assert got  # the corpus's constructed near-dups share long spans
+    assert got == want
+
+
 def test_gen_coupled_series_sql_oracle_matches_spark(spark):
     from ccm_spark.entry import q_gen_coupled_series
     from ccm_spark.plans.oracle_sql_ext import sql_gen_coupled_series
