@@ -17,7 +17,7 @@ series' bootstrap fan-out.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.storagelevel import StorageLevel
 
 from ccm_spark.config import CCMConfig
@@ -103,31 +103,42 @@ def convergence_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
 
 
 def ccm_plan(series: DataFrame, config: CCMConfig) -> DataFrame:
-    """Joined skill + convergence: one row per (pair, direction, lib_size).
+    """Skill + convergence: one row per (pair, direction, lib_size).
 
-    ``skill`` is persisted: it feeds BOTH join branches (directly, and via
-    ``convergence``), and everything upstream of it — the fan-out, the kNN
-    self-join (the workload's dominant cost), the top-k window, and three
-    aggregations — would otherwise be planned and EXECUTED twice, once per
-    branch (Catalyst does not de-duplicate common subtrees across join
-    inputs). The relation is tiny (pairs x dirs x ladder rows), so the
-    cache is effectively free at any scale and halves the heavy chain.
+    R3 (the per-(pair, dir) OLS slope, identical guards and formula to
+    :func:`operators.stats.convergence`) is computed as WINDOW aggregates
+    over the skill relation rather than a separate aggregation joined
+    back. The join formulation planned the entire fan-out -> kNN ->
+    aggregation chain — the workload's dominant cost — into BOTH join
+    branches (Catalyst does not de-duplicate common subtrees across join
+    inputs), executing it twice; even persisting skill still paid a cache
+    round-trip plus the join's exchanges. The window adds ONE exchange on
+    (pair_id, dir_id) — partitions of ladder-size rows, skew-free at any
+    fleet size — and eliminates the join, the duplicate chain, and the
+    cache outright.
     """
     corr, lib_grid, persisted = sample_corr_plan(series, config)
-    skill = skill_by_lib_size(corr, lib_grid, config.num_samples).persist(
-        StorageLevel.MEMORY_AND_DISK
+    skill = skill_by_lib_size(corr, lib_grid, config.num_samples)
+    w = Window.partitionBy("pair_id", "dir_id")
+    n = F.count("*").over(w).cast("double")
+    x = F.col("lib_size").cast("double")
+    y = F.col("correlation")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    sxy = F.sum(x * y).over(w)
+    den = n * sxx - sx * sx
+    degenerate = (n < 3) | (den == 0.0)
+    slope_val = (n * sxy - sx * sy) / den
+    out = skill.select(
+        "pair_id",
+        _direction_name_col(),
+        "lib_size",
+        "correlation",
+        F.when(degenerate, F.lit(0.0)).otherwise(slope_val).alias("slope"),
+        F.when(degenerate, F.lit(False))
+        .otherwise(slope_val > 0.001)
+        .alias("convergent"),
     )
-    conv = convergence(skill)
-    out = (
-        skill.join(conv, ["pair_id", "dir_id"])
-        .select(
-            "pair_id",
-            _direction_name_col(),
-            "lib_size",
-            "correlation",
-            "slope",
-            "convergent",
-        )
-    )
-    out._ccm_persisted = persisted + [skill]
+    out._ccm_persisted = persisted
     return out
