@@ -54,6 +54,24 @@ def py_tokens(text: str | None) -> list[str]:
     return [w for w in _PY_WS.split(text.lower()) if w]
 
 
+_PY_NONWS = re.compile("[^ \\t\\n\\x0b\\f\\r]+")
+
+
+def py_token_spans(text: str | None) -> list[tuple[int, int]]:
+    """Character (start, end) offsets of each token in the ORIGINAL text.
+
+    The i-th span is the i-th token of :func:`py_tokens`: lowercasing
+    never maps a character into or out of the ASCII whitespace class
+    (WS_CLASS), so whitespace structure — and therefore token count and
+    order — is identical on the original and lowered text even when
+    ``str.lower()`` changes a token's length. Used by byte-faithful text
+    surgery (span removal) that must cut the user's original text, not a
+    normalised reconstruction."""
+    if text is None:
+        return []
+    return [(m.start(), m.end()) for m in _PY_NONWS.finditer(text)]
+
+
 def md5_long(col: Column | str) -> Column:
     """60-bit integer from md5 — identical in Spark and DuckDB."""
     c = F.col(col) if isinstance(col, str) else col

@@ -15,7 +15,7 @@ from pyspark.sql.functions import pandas_udf
 # pandas_udf at import time: UDF closures reference it by module, and the
 # executor imports that module WITHOUT an active session — importing THIS
 # module there would re-run the decorators below and crash)
-from ccm_spark.functions.hashing import py_tokens
+from ccm_spark.functions.hashing import py_token_spans, py_tokens
 
 _P31 = 2_147_483_647
 
@@ -271,3 +271,50 @@ def gram_stats_udf(width: int):
         return pd.DataFrame(rows, columns=["n_grams", "top_count", "dup_occ"])
 
     return _gram_stats
+
+
+def span_cut_udf():
+    """Arrow-batched byte-faithful span removal: (text, sorted token
+    positions to cut) -> text with those tokens excised from the ORIGINAL
+    string — original case, punctuation, and whitespace outside the cut
+    ranges are untouched (token offsets from
+    :func:`hashing.py_token_spans`, which is position-exact on the raw
+    text). Each maximal run of consecutive cut positions deletes from the
+    run's first token start to the next kept token's start (to end of
+    string for a trailing run), so the whitespace that glued the removed
+    span to its successor goes with it. Positions beyond the token count
+    are ignored (a doc shortened upstream cannot crash the cutter)."""
+
+    @pandas_udf("string")
+    def _cut(text: pd.Series, cut_pos: pd.Series) -> pd.Series:
+        out = []
+        for t, cuts in zip(text, cut_pos):
+            if t is None:
+                out.append(None)
+                continue
+            spans = py_token_spans(t)
+            n = len(spans)
+            pos = sorted({int(p) for p in cuts if 0 <= int(p) < n}) if cuts is not None else []
+            if not pos:
+                out.append(t)
+                continue
+            # maximal runs of consecutive positions -> char deletion ranges
+            dels = []
+            i = 0
+            while i < len(pos):
+                j = i
+                while j + 1 < len(pos) and pos[j + 1] == pos[j] + 1:
+                    j += 1
+                start = spans[pos[i]][0]
+                end = spans[pos[j] + 1][0] if pos[j] + 1 < n else len(t)
+                dels.append((start, end))
+                i = j + 1
+            pieces, prev = [], 0
+            for s, e in dels:
+                pieces.append(t[prev:s])
+                prev = e
+            pieces.append(t[prev:])
+            out.append("".join(pieces))
+        return pd.Series(out)
+
+    return _cut

@@ -10,9 +10,14 @@ control pair.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from ccm_spark.functions.hashing import py_tokens
-from ccm_spark.pipeline.dedup import SHINGLE_WIDTH, shared_span_pairs
+from ccm_spark.pipeline.dedup import (
+    SHINGLE_WIDTH,
+    remove_shared_spans,
+    shared_span_pairs,
+)
 
 P31 = 2_147_483_647
 
@@ -95,3 +100,87 @@ def test_shared_span_pairs_respects_min_run(spark):
     n_shingles = 24 - SHINGLE_WIDTH + 1  # shingles inside SHARED alone
     out = shared_span_pairs(docs, min_run=n_shingles + 10).collect()
     assert out == []
+
+
+# --- remove_shared_spans: independent brute-force cut oracle ---------------
+
+_NONWS = re.compile(r"[^ \t\n\x0b\f\r]+")
+
+
+def _brute_runs_pos(a: list[int], b: list[int], min_run: int):
+    """Maximal qualifying runs as (start_in_b, run_len) per diagonal."""
+    runs = []
+    for diag in range(-len(b) + 1, len(a)):
+        i = max(0, diag)
+        run = 0
+        while i < len(a) and i - diag < len(b):
+            if a[i] == b[i - diag]:
+                run += 1
+            else:
+                if run >= min_run:
+                    runs.append((i - diag - run, run))
+                run = 0
+            i += 1
+        if run >= min_run:
+            runs.append((i - diag - run, run))
+    return runs
+
+
+def _brute_cut(text: str, cut_positions: set[int]) -> str:
+    """Delete each maximal run of cut token positions from the run's first
+    token start to the next kept token's start (end of string for a
+    trailing run)."""
+    spans = [(m.start(), m.end()) for m in _NONWS.finditer(text)]
+    pos = sorted(p for p in cut_positions if 0 <= p < len(spans))
+    pieces, prev, i = [], 0, 0
+    while i < len(pos):
+        j = i
+        while j + 1 < len(pos) and pos[j + 1] == pos[j] + 1:
+            j += 1
+        start = spans[pos[i]][0]
+        end = spans[pos[j] + 1][0] if pos[j] + 1 < len(spans) else len(text)
+        pieces.append(text[prev:start])
+        prev = end
+        i = j + 1
+    pieces.append(text[prev:])
+    return "".join(pieces)
+
+
+def test_remove_shared_spans_matches_bruteforce(spark):
+    # add a sub-shingle-width doc: must pass through verbatim
+    docs_rows = DOCS + [(6, "tiny doc")]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    min_run = 8
+    got = {
+        r.doc_id: (r.text, r.n_tokens_removed)
+        for r in remove_shared_spans(docs, min_run=min_run).collect()
+    }
+
+    seqs = {d: _shingle_seq(t, SHINGLE_WIDTH) for d, t in docs_rows}
+    cuts: dict[int, set[int]] = {d: set() for d, _ in docs_rows}
+    ids = sorted(seqs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            for start_b, run_len in _brute_runs_pos(seqs[a], seqs[b], min_run):
+                cuts[b].update(
+                    range(start_b, start_b + run_len + SHINGLE_WIDTH - 1)
+                )
+    want = {
+        d: (_brute_cut(t, cuts[d]), len(cuts[d])) for d, t in docs_rows
+    }
+
+    assert got == want
+    # untouched docs pass through byte-identically
+    assert got[1][0] == docs_rows[0][1] and got[1][1] == 0
+    assert got[3][0] == DOCS[2][1]
+    assert got[6] == ("tiny doc", 0)
+    # exactly ONE occurrence of the shared span survives corpus-wide
+    survivors = sum(t.count("shared0 shared1") for t, _ in got.values())
+    assert survivors == 1 and "shared0" in got[1][0]
+    # the cut is real: doc 2 lost exactly the 24 span tokens
+    assert got[2][1] == 24
+    assert "shared0" not in got[2][0]
+    # everything outside the cut is byte-faithful (case/punct preserved):
+    # doc 2 = its beta prefix + single space + gamma suffix
+    assert got[2][0] == _words("beta", 55) + " " + _words("gamma", 25)
