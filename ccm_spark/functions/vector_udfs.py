@@ -318,3 +318,42 @@ def span_cut_udf():
         return pd.Series(out)
 
     return _cut
+
+
+def pq_encode_udf(codebooks):
+    """Arrow-batched PQ encoder: array<double> vector -> array<int> of
+    per-subspace nearest-codebook-row indices (L2 on the L2-normalised
+    vector, ties -> lowest code). ``codebooks`` is the list of (ksub x
+    dim/m) float64 arrays from ``similarity.pq_codebooks``; it rides the
+    closure (a few KB). None vectors encode to None."""
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            nrm = np.sqrt((a * a).sum())
+            if nrm != 0.0:
+                a = a / nrm
+            out.append(
+                [
+                    int(
+                        np.argmin(
+                            ((books[s] - a[s * dsub : (s + 1) * dsub]) ** 2).sum(
+                                axis=1
+                            )
+                        )
+                    )
+                    for s in range(m)
+                ]
+            )
+        return pd.Series(out)
+
+    return _encode

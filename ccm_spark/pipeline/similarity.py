@@ -526,3 +526,197 @@ def embedding_near_duplicates(
     )
     out._ccm_persisted = [bv]
     return out
+
+
+# --- Product quantization (PQ): the ANN memory-compression scale path ------
+#
+# IVF bounds the SEARCH cost; PQ bounds the MEMORY cost. A 64-dim float64
+# vector is 512 bytes; its PQ code (PQ_M subspace bytes) is PQ_M bytes — 64x
+# smaller at the default m=8, which is the difference between a 100 TB
+# embedding corpus fitting executor memory as codes (~1.5 TB at 1e9 docs,
+# comfortably partitioned) or not fitting at all. The reference engine has
+# no similarity surface (SURVEY.md §2.1); this follows Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search" (TPAMI 2011).
+
+PQ_M = 8  # subspaces (must divide the embedding dim)
+PQ_KSUB = 256  # codes per subspace — the standard one-byte PQ code
+PQ_TRAIN_STRIDE = 1  # every vector trains by default (small fixtures)
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iters: int = 5,
+    train_stride: int = PQ_TRAIN_STRIDE,
+) -> list:
+    """Train per-subspace codebooks: a list of ``m`` float64 numpy arrays,
+    each (ksub x dim/m), learned by Lloyd k-means (L2, per subspace) on
+    L2-NORMALISED vectors — normalising first makes the quantised inner
+    product estimate cosine, the metric every other family here uses.
+
+    Training follows standard PQ practice (faiss trains on a bounded
+    sample, not the corpus): a deterministic strided sample
+    (``vec_id % train_stride == 0``) is collected driver-side — callers at
+    scale set ``train_stride`` so the sample is ~100k vectors, the
+    published sweet spot — and trained in numpy. Determinism across runs
+    and engines: sample ordered by vec_id, centroids initialised from the
+    first ksub sample rows strided across the sample, every update rounded
+    to 6 decimals (same discipline as the IVF Lloyd trainer), assignment
+    ties -> lowest code. Empty clusters keep their previous centroid (no
+    resampling, no RNG anywhere).
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.where(F.col("vec_id") % train_stride == 0)
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+    x = x / np.where(norms == 0.0, 1.0, norms)[:, None]
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, n)
+        init_idx = [(i * n) // k for i in range(k)]
+        cents = np.round(sub[init_idx], 6)
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            codes = np.argmin(d2, axis=1)  # first (lowest) index on ties
+            for c in range(k):
+                members = sub[codes == c]
+                if len(members):
+                    cents[c] = np.round(members.mean(axis=0), 6)
+        books.append(cents)
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks: list) -> DataFrame:
+    """(vec_id, codes): every vector's PQ code — the nearest codebook row
+    per subspace by L2 on the L2-normalised vector (ties -> lowest code).
+    A pure narrow Arrow-batched projection of the scan: the codebooks ride
+    the UDF closure (m * ksub * dsub floats — a few KB), NOTHING shuffles,
+    and the output is the 64x-compressed relation a 100 TB corpus persists
+    instead of raw vectors. The UDF lives in functions.vector_udfs
+    (pandas_udf cannot be defined under this module's postponed
+    annotations)."""
+    from ccm_spark.functions.vector_udfs import pq_encode_udf
+
+    return spread(embeddings, "vec_id").select(
+        "vec_id", pq_encode_udf(codebooks)(as_double_vec("embedding")).alias("codes")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iters: int = 5,
+    train_stride: int = PQ_TRAIN_STRIDE,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries stay exact,
+    targets are their codes. Per query the inner product against every
+    sub-centroid is precomputed as an (m x ksub) lookup table; a
+    candidate's score is then m table lookups summed — independent of the
+    embedding dim, over a corpus stored at 1/64th the footprint.
+
+    Same streaming shape as :func:`cosine_topk`: the bounded query tables
+    ship in the mapInPandas closure, the CODE relation streams through
+    executors (one numpy gather+sum per Arrow batch), only
+    (query, target, score) scalars shuffle into the top-k window. Scores
+    are the cosine of the quantised target with the exact query — rounded
+    at 9 like every similarity here; ranking quality vs exact search is
+    measured by :func:`pq_recall`, not assumed."""
+    import numpy as np
+    import pandas as pd
+
+    books = codebooks if codebooks is not None else pq_codebooks(
+        embeddings, m, ksub, n_iters, train_stride
+    )
+    books = [np.asarray(b, dtype=np.float64) for b in books]
+    m = len(books)
+    dsub = books[0].shape[1]
+
+    q_rows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    q_mat = q_mat / np.where(qn == 0.0, 1.0, qn)[:, None]
+    # tables[s]: (n_queries x ksub) inner products in subspace s
+    tables = [
+        q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)
+    ]
+
+    codes = pq_encode(embeddings, books)
+
+    def score(batches):
+        for pdf in batches:
+            cm = np.stack(pdf["codes"].to_numpy())  # (batch x m)
+            acc = tables[0][:, cm[:, 0]]  # (n_queries x batch)
+            for s in range(1, m):
+                acc = acc + tables[s][:, cm[:, s]]
+            nq, nt = acc.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, nt),
+                    "target_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
+                    "adc_sim": np.round(acc.T.ravel(), 9),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, schema="query_id long, target_id long, adc_sim double"
+    ).where(F.col("query_id") != F.col("target_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("target_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("rk").alias("rank"), "target_id", "adc_sim")
+    )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+) -> DataFrame:
+    """Per-query recall@k of PQ-ADC search against exact brute force —
+    same gate discipline as :func:`ivf_recall`: the compression path is
+    only trusted at scale with its measured recall next to it."""
+    exact = cosine_topk(embeddings, n_queries, k).select("query_id", "target_id")
+    approx = (
+        pq_topk(embeddings, n_queries, k, m, ksub)
+        .select("query_id", "target_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "target_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            (
+                F.round(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(k)), 6
+                )
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )

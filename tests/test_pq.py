@@ -1,0 +1,105 @@
+"""Product quantization: exact-regime equivalence, an independent numpy
+training replay, and measured ADC recall on the real embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ccm_spark.pipeline.similarity import (
+    cosine_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_recall,
+    pq_topk,
+)
+from ccm_spark.sources.tables import load_table
+
+# well-separated integer vectors (dim 8): rounding at 6 decimals cannot
+# move any centroid, so the ksub >= n regime is bit-exact
+_VECS = [
+    (0, [4.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+    (1, [4.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]),
+    (2, [0.0, 0.0, 5.0, 0.0, 0.0, 0.0, 2.0, 0.0]),
+    (3, [0.0, 0.0, 5.0, 1.0, 0.0, 0.0, 2.0, 0.0]),
+    (4, [0.0, 2.0, 0.0, 0.0, 0.0, 7.0, 0.0, 0.0]),
+    (5, [1.0, 2.0, 0.0, 0.0, 0.0, 7.0, 0.0, 0.0]),
+]
+
+
+def test_pq_exact_when_ksub_covers_corpus(spark):
+    """With ksub >= n every (sub)vector becomes its own centroid after one
+    Lloyd pass, quantisation is lossless (up to 6-decimal rounding on
+    well-separated data), and ADC top-k must equal exact brute force."""
+    embs = spark.createDataFrame(_VECS, "vec_id long, embedding array<double>")
+    books = pq_codebooks(embs, m=4, ksub=16, n_iters=2)
+    exact = {
+        (r.query_id, r.rank): r.target_id
+        for r in cosine_topk(embs, n_queries=6, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.target_id
+        for r in pq_topk(embs, n_queries=6, k=3, codebooks=books).collect()
+    }
+    assert approx == exact
+
+
+def test_pq_codebooks_match_independent_replay(spark):
+    """Train the documented spec independently (plain numpy, written from
+    the docstring, different code path) and require identical books."""
+    embs = spark.createDataFrame(_VECS, "vec_id long, embedding array<double>")
+    m, ksub, n_iters = 2, 3, 4
+    got = pq_codebooks(embs, m=m, ksub=ksub, n_iters=n_iters)
+
+    x = np.array([v for _, v in sorted(_VECS)], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    n, dim = x.shape
+    dsub = dim // m
+    want = []
+    for s in range(m):
+        sub = x[:, s * dsub : (s + 1) * dsub]
+        k = min(ksub, n)
+        cents = np.round(sub[[(i * n) // k for i in range(k)]], 6)
+        for _ in range(n_iters):
+            codes = np.array(
+                [int(np.argmin(((cents - row) ** 2).sum(axis=1))) for row in sub]
+            )
+            for c in range(k):
+                if (codes == c).any():
+                    cents[c] = np.round(sub[codes == c].mean(axis=0), 6)
+        want.append(cents)
+
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert np.array_equal(np.asarray(g), w)
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark, sf_small):
+    embs = load_table(spark, sf_small, "embeddings")
+    books = pq_codebooks(embs, m=8, ksub=16, n_iters=2, train_stride=4)
+    a = {r.vec_id: r.codes for r in pq_encode(embs, books).collect()}
+    b = {r.vec_id: r.codes for r in pq_encode(embs, books).collect()}
+    assert a == b
+    assert len(a) == embs.count()
+    ksub_actual = max(len(bk) for bk in (np.asarray(x) for x in books))
+    for codes in a.values():
+        assert len(codes) == 8
+        assert all(0 <= c < ksub_actual for c in codes)
+
+
+def test_pq_recall_on_real_embeddings(spark, sf_small):
+    """The number a user needs before trusting the 64x-compressed path:
+    recall@5 of ADC vs exact on the real (near-random — the hardest case
+    for PQ) corpus. Deterministic end to end, so the floor cannot flake."""
+    embs = load_table(spark, sf_small, "embeddings")
+    rows = pq_recall(embs, n_queries=15, k=5).collect()
+    assert len(rows) == 15
+    avg = sum(r.recall for r in rows) / len(rows)
+    # measured 0.653 with the default one-byte code (ksub=256) on this
+    # corpus; 0.5 leaves margin without accepting a broken encoder (the
+    # 4-bit ksub=16 configuration scores ~0.16 here)
+    assert avg >= 0.5, f"avg recall@5 = {avg:.2f}"
+    # and the run is reproducible bit-for-bit
+    again = pq_recall(embs, n_queries=15, k=5).collect()
+    assert sorted((r.query_id, r.n_hits) for r in again) == sorted(
+        (r.query_id, r.n_hits) for r in rows
+    )
