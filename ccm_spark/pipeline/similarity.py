@@ -720,3 +720,106 @@ def pq_recall(
             ).alias("recall"),
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 100,
+    k: int = 5,
+    stride: int = IVF_STRIDE,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iters: int = 5,
+    train_stride: int = PQ_TRAIN_STRIDE,
+) -> DataFrame:
+    """The composed faiss-style index (IVF-PQ): the coarse quantizer
+    bounds which vectors are LOOKED AT (nprobe cells per query), PQ
+    bounds what is STORED (one-byte codes per subspace) — together the
+    shape that searches 1e9+ vectors from executor memory.
+
+    Plan: the IVF probe list and cell assignments are exactly
+    :func:`ivf_topk`'s (broadcast centroids, one rank window), but
+    candidates join the 64x-compressed CODE relation instead of raw
+    vectors and are scored by one Arrow-batched ADC gather
+    (``pq_adc_udf`` — per-candidate cost m table lookups). Raw embeddings
+    are read only by training/encoding and the bounded query collect;
+    the search itself never touches them. With ``nprobe`` >= the cell
+    count the result is exactly :func:`pq_topk` (test-pinned); recall
+    composes multiplicatively (IVF's candidate recall x PQ's ranking
+    recall), so gate both halves with their recall queries before
+    trusting the composition at scale."""
+    import numpy as np
+
+    from ccm_spark.functions.vector_udfs import pq_adc_udf
+    from pyspark.storagelevel import StorageLevel
+
+    books = pq_codebooks(embeddings, m, ksub, n_iters, train_stride)
+    books = [np.asarray(b, dtype=np.float64) for b in books]
+    dsub = books[0].shape[1]
+
+    q_rows = (
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .collect()
+    )
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    q_mat = q_mat / np.where(qn == 0.0, 1.0, qn)[:, None]
+    q_index = {r.vec_id: i for i, r in enumerate(q_rows)}
+    # (n_queries x m x ksub): per-query inner products with every codebook row
+    tables = np.stack(
+        [q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(len(books))],
+        axis=1,
+    )
+
+    cents = strided_centroids(embeddings, stride)
+    assign = ivf_assignments(embeddings, stride, centroids=cents).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    codes = pq_encode(embeddings, books)
+    vecs = embeddings.select("vec_id", as_double_vec("embedding").alias("v"))
+    cos = cosine_pandas()
+    q = vecs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(cos(F.col("qv"), F.col("cv")), 9).alias("c_sim"),
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("c_sim").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .where(F.col("crk") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    adc = pq_adc_udf(q_index, tables)
+    cands = (
+        probes.join(assign, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("target_id"),
+            adc(F.col("query_id"), F.col("codes")).alias("adc_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("target_id").asc()
+    )
+    out = (
+        cands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("rk").alias("rank"), "target_id", "adc_sim")
+    )
+    out._ccm_persisted = [assign]
+    return out

@@ -103,3 +103,46 @@ def test_pq_recall_on_real_embeddings(spark, sf_small):
     assert sorted((r.query_id, r.n_hits) for r in again) == sorted(
         (r.query_id, r.n_hits) for r in rows
     )
+
+
+def test_ivf_pq_equals_pq_when_probing_all_cells(spark, sf_small):
+    """With nprobe >= the cell count the coarse quantizer excludes
+    nothing, so IVF-PQ must return exactly the full-ADC pq_topk result —
+    pins that the composition changes WHICH vectors are scored, never how
+    they are scored."""
+    from ccm_spark.pipeline.similarity import ivf_pq_topk
+
+    embs = load_table(spark, sf_small, "embeddings")
+    n_cells = embs.count() // 50 + 1
+    full = {
+        (r.query_id, r.rank): (r.target_id, r.adc_sim)
+        for r in pq_topk(embs, n_queries=10, k=5, ksub=64).collect()
+    }
+    composed = {
+        (r.query_id, r.rank): (r.target_id, r.adc_sim)
+        for r in ivf_pq_topk(
+            embs, n_queries=10, k=5, stride=50, nprobe=n_cells, ksub=64
+        ).collect()
+    }
+    assert composed == full
+
+
+def test_ivf_pq_structure_with_narrow_probe(spark, sf_small):
+    """nprobe=3: ranks are contiguous from 1, scores non-increasing, and
+    every returned target really lives in a probed cell (subset of the
+    full-probe result's candidate space)."""
+    from ccm_spark.pipeline.similarity import ivf_pq_topk
+
+    embs = load_table(spark, sf_small, "embeddings")
+    rows = ivf_pq_topk(
+        embs, n_queries=10, k=5, stride=50, nprobe=3, ksub=64
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 10
+    for q, rs in by_q.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        sims = [x.adc_sim for x in sorted(rs, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
