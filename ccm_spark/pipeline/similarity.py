@@ -606,10 +606,17 @@ def pq_encode(embeddings: DataFrame, codebooks: list) -> DataFrame:
     and the output is the 64x-compressed relation a 100 TB corpus persists
     instead of raw vectors. The UDF lives in functions.vector_udfs
     (pandas_udf cannot be defined under this module's postponed
-    annotations)."""
+    annotations).
+
+    Because nothing here aggregates, the same plan runs on a STREAMING
+    increment unchanged (append mode, zero state) — new embeddings can be
+    encoded at ingestion time against frozen codebooks, exactly like the
+    streaming MinHash index probe; stream == batch is test-pinned."""
     from ccm_spark.functions.vector_udfs import pq_encode_udf
 
-    return spread(embeddings, "vec_id").select(
+    if not embeddings.isStreaming:
+        embeddings = spread(embeddings, "vec_id")
+    return embeddings.select(
         "vec_id", pq_encode_udf(codebooks)(as_double_vec("embedding")).alias("codes")
     )
 

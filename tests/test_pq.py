@@ -146,3 +146,34 @@ def test_ivf_pq_structure_with_narrow_probe(spark, sf_small):
         assert ranks == list(range(1, len(ranks) + 1))
         sims = [x.adc_sim for x in sorted(rs, key=lambda x: x.rank)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_pq_encode_stream_equals_batch(spark, sf_small, tmp_path):
+    """pq_encode is a pure narrow projection, so a streaming embeddings
+    source must encode to exactly the batch codes — new vectors can be
+    PQ-compressed at ingestion time against frozen codebooks."""
+    embs = load_table(spark, sf_small, "embeddings")
+    books = pq_codebooks(embs, m=8, ksub=16, n_iters=2, train_stride=4)
+    batch = {r.vec_id: r.codes for r in pq_encode(embs, books).collect()}
+
+    import shutil
+
+    src_dir = tmp_path / "emb_stream_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_small}/embeddings.parquet", src_dir / "part-0.parquet")
+    stream = spark.readStream.schema(embs.schema).parquet(str(src_dir))
+    enc = pq_encode(stream, books)
+    assert enc.isStreaming
+    q = (
+        enc.writeStream.format("memory")
+        .queryName("pq_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: r.codes for r in spark.sql("select * from pq_stream").collect()
+    }
+    assert got == batch
