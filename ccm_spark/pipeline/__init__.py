@@ -1,3 +1,10 @@
-from ccm_spark.pipeline import dedup, similarity, text, multimodal
+from ccm_spark.pipeline import (
+    dedup,
+    events_ops,
+    mixing,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["dedup", "events_ops", "mixing", "multimodal", "similarity", "text"]

@@ -565,12 +565,26 @@ def pq_codebooks(
     to 6 decimals (same discipline as the IVF Lloyd trainer), assignment
     ties -> lowest code. Empty clusters keep their previous centroid (no
     resampling, no RNG anywhere).
+
+    The bounded-sample assumption is ENFORCED (same guard discipline as
+    decontaminate_stream): a distributed count runs before the collect,
+    and a stride that would pull more than ``max_train_sample`` vectors
+    to the driver raises a clear ValueError instead of failing as a
+    driver OOM mid-collect.
     """
     import numpy as np
 
+    max_train_sample = 1_000_000
+    sample = embeddings.where(F.col("vec_id") % train_stride == 0)
+    n_sample = sample.count()
+    if n_sample > max_train_sample:
+        raise ValueError(
+            f"PQ training sample is {n_sample} vectors (stride {train_stride}); "
+            f"raise train_stride so at most {max_train_sample} collect to the "
+            "driver — PQ codebooks train on a bounded sample by design"
+        )
     rows = (
-        embeddings.where(F.col("vec_id") % train_stride == 0)
-        .select("vec_id", as_double_vec("embedding").alias("v"))
+        sample.select("vec_id", as_double_vec("embedding").alias("v"))
         .orderBy("vec_id")
         .collect()
     )
