@@ -98,3 +98,58 @@ def sql_tokens(expr: str) -> str:
     return (
         f"list_filter(regexp_split_to_array(lower({expr}), '{WS_CLASS}+'), t -> t != '')"
     )
+
+
+def bloom_positions(hashes, n_hashes: int, log2_m: int):
+    """(n, n_hashes) Bloom-filter bit positions for int64 hash values.
+
+    A splitmix64 finalizer over ``hash + (i+1)*golden`` per probe — the
+    standard avalanche mix (public domain, Steele et al. "Fast Splittable
+    PRNGs"), vectorised in numpy. Engine-internal (never replayed in SQL):
+    the Bloom operators' correctness contract is no-false-negatives +
+    exact verify, not cross-engine hash parity, so the mix only needs to
+    be deterministic and well-spread. Returns uint64 positions in
+    [0, 2**log2_m). Lives in this module (not vector_udfs) because UDF
+    closures must reference executor-importable modules only — importing
+    vector_udfs on an executor re-runs its pandas_udf decorators.
+    """
+    import numpy as np
+
+    mask = np.uint64((1 << log2_m) - 1)
+    h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    out = np.empty((h.shape[0], n_hashes), dtype=np.uint64)
+    golden = 0x9E3779B97F4A7C15
+    for i in range(n_hashes):
+        # the per-probe offset wraps in Python-int space (numpy scalar
+        # uint64 multiply warns on intended overflow)
+        x = h + np.uint64(((i + 1) * golden) & 0xFFFFFFFFFFFFFFFF)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+        out[:, i] = x & mask
+    return out
+
+
+def py_hashed_features(tokens: list[str], log2_f: int, bigrams: bool = True):
+    """Hashing-trick feature indices for a token list: md5-derived 60-bit
+    integers of each unigram (and each space-joined bigram) reduced mod
+    2**log2_f. The Python mirror of the engine's md5 hashing (same 15-hex
+    parse as :func:`md5_long`), so feature identity is reproducible
+    anywhere. Returns an int64 numpy array, one index per feature
+    occurrence (with multiplicity — term frequency is the caller's
+    pooling choice)."""
+    import hashlib
+
+    import numpy as np
+
+    mask = (1 << log2_f) - 1
+    feats = list(tokens)
+    if bigrams:
+        feats += [a + " " + b for a, b in zip(tokens, tokens[1:])]
+    return np.array(
+        [
+            int(hashlib.md5(f.encode("utf-8")).hexdigest()[:15], 16) & mask
+            for f in feats
+        ],
+        dtype=np.int64,
+    )

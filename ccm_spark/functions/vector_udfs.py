@@ -379,3 +379,55 @@ def pq_adc_udf(q_index, tables):
         return pd.Series(np.round(scores, 9))
 
     return _adc
+
+
+def bloom_hits_udf(bc_words, n_hashes: int, log2_m: int):
+    """Arrow-batched Bloom membership counter: array<long> shingle hashes
+    -> how many MAY be in the filter (no false negatives; false positives
+    at the filter's designed rate). ``bc_words`` is a
+    ``SparkContext.broadcast`` of the uint64 word array (2**log2_m bits as
+    2**(log2_m-6) words) — shipped once per executor, megabytes even for
+    billion-shingle eval corpora, which is the whole point vs shipping the
+    shingle set itself (``shingle_hits_udf``)."""
+    from ccm_spark.functions.hashing import bloom_positions
+
+    @pandas_udf("long")
+    def _n_maybe(shingle_hashes: pd.Series) -> pd.Series:
+        words = bc_words.value
+        out = np.zeros(len(shingle_hashes), dtype=np.int64)
+        for i, arr in enumerate(shingle_hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            pos = bloom_positions(arr, n_hashes, log2_m)
+            w = words[(pos >> np.uint64(6)).astype(np.int64)]
+            bits = (w >> (pos & np.uint64(63))) & np.uint64(1)
+            out[i] = int(np.count_nonzero(bits.all(axis=1)))
+        return pd.Series(out)
+
+    return _n_maybe
+
+
+def linear_score_udf(bc_weights, log2_f: int, bias: float, bigrams: bool):
+    """Arrow-batched hashed-linear-model scorer: text -> sigmoid(mean of
+    the weights at the doc's hashed unigram+bigram features + bias) — the
+    serving path of a fasttext-style quality classifier (mean-pooled bag
+    of hashed n-grams through a linear head). ``bc_weights`` is a
+    ``SparkContext.broadcast`` float64 array of size 2**log2_f (or a plain
+    array for tests). None for token-less docs."""
+    from ccm_spark.functions.hashing import py_hashed_features
+
+    @pandas_udf("double")
+    def _score(text: pd.Series) -> pd.Series:
+        w = bc_weights.value if hasattr(bc_weights, "value") else bc_weights
+        out = []
+        for t in text:
+            toks = py_tokens(t)
+            if not toks:
+                out.append(None)
+                continue
+            idx = py_hashed_features(toks, log2_f, bigrams)
+            z = float(w[idx].mean()) + bias
+            out.append(1.0 / (1.0 + np.exp(-z)))
+        return pd.Series(out, dtype="float64")
+
+    return _score

@@ -27,7 +27,7 @@ cross-engine.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ccm_spark.functions.hashing import md5_long, tokens_col
 from ccm_spark.functions.partitioning import spread
@@ -170,4 +170,84 @@ def pack_sequences(
             _pack,
             schema="shard long, doc_id long, n_tokens long, bin_idx long, bin_offset long",
         )
+    )
+
+
+def shuffle_key(doc_id_col: str, seed: str) -> F.Column:
+    """Full-width deterministic shuffle key: the 60-bit md5 integer of
+    ``doc_id:shuf:seed``. Engine-portable (md5 is md5), so a DuckDB
+    ``ORDER BY`` on the same expression replays the exact global order.
+    A new seed draws an independent permutation (per-epoch reshuffle)."""
+    return md5_long(
+        F.concat(F.col(doc_id_col).cast("string"), F.lit(":shuf:" + seed))
+    )
+
+
+def global_shuffle(
+    docs: DataFrame, seed: str = "epoch0", num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global shuffle of a corpus — the "shuffle the training
+    data" step, as a total pseudo-random ORDER, not an ORDER BY.
+
+    ``repartitionByRange`` on the md5 shuffle key range-partitions the
+    corpus (Spark samples the key distribution — md5 keys are uniform, so
+    ranges balance within sampling error) and a ``sortWithinPartitions``
+    orders each range locally: together, partition index then row order IS
+    the global permutation — written out, files concatenate into globally
+    shuffled order. No single-task global sort ever happens (an ``orderBy``
+    would plan the same exchange + local sort, but this form states the
+    contract explicitly and survives writers that would strip a top-level
+    sort). Each epoch's reshuffle is one exchange of the corpus — the
+    unavoidable minimum for a global permutation; doc_id breaks the
+    (improbable) 60-bit key ties so the order is total and reproducible
+    on any cluster size.
+    """
+    out = docs.withColumn("shuffle_key", shuffle_key("doc_id", seed))
+    if num_partitions is None:
+        out = out.repartitionByRange(F.col("shuffle_key"), F.col("doc_id"))
+    else:
+        out = out.repartitionByRange(
+            num_partitions, F.col("shuffle_key"), F.col("doc_id")
+        )
+    return out.sortWithinPartitions("shuffle_key", "doc_id")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    n_per_group: int,
+    group_col: str = "lang",
+    salt: str = "strat1",
+) -> DataFrame:
+    """Exact-count deterministic stratified sampling: the ``n_per_group``
+    docs with the smallest md5 sample keys per group — a uniform draw
+    without replacement whose membership is a pure function of (doc_id,
+    salt), independent of partitioning and cluster size (what
+    ``df.sampleBy`` cannot promise, and it only approximates fractions,
+    never exact counts).
+
+    Two-phase top-k (the :func:`~ccm_spark.pipeline.text.vocab_topk`
+    shape): each scan partition keeps its local n smallest keys per group,
+    so the per-group window that ranks globally sees at most
+    n x num_partitions rows per group — a billion-doc group never lands
+    on one task, which a naive per-group window would force. Emits the
+    sampled docs with their ``sample_rank`` in [1, n].
+    """
+    key = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    )
+    keyed = docs.select(
+        group_col, "doc_id", key.alias("sample_key")
+    )
+    order = [F.col("sample_key").asc(), F.col("doc_id").asc()]
+    local_w = Window.partitionBy("split_id", group_col).orderBy(*order)
+    survivors = (
+        keyed.withColumn("split_id", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= n_per_group)
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_group)
+        .select(group_col, "doc_id", "sample_key", "sample_rank")
     )

@@ -335,3 +335,59 @@ def boilerplate_ngrams(
         .where(F.col("rank") <= k)
         .select("source", F.col("rank").cast("int").alias("rank"), "gram", "n_docs")
     )
+
+
+def classifier_weights(log2_features: int = 18, seed: int = 11):
+    """Deterministic demo weight vector for :func:`classifier_score` —
+    splitmix-mixed uniforms in [-1, 1), a stand-in for offline-trained
+    quality-classifier weights (the engine ships the SERVING path; training
+    happens elsewhere). Same seed -> same model on any host."""
+    import numpy as np
+
+    from ccm_spark.functions.hashing import bloom_positions
+
+    idx = np.arange(1 << log2_features, dtype=np.int64) + np.int64(seed) * np.int64(1 << 40)
+    pos = bloom_positions(idx, 1, 63)[:, 0]
+    return (pos.astype(np.float64) / float(1 << 62)) - 1.0
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights=None,
+    log2_features: int = 18,
+    bias: float = 0.0,
+    bigrams: bool = True,
+    seed: int = 11,
+    score_col: str = "model_score",
+) -> DataFrame:
+    """Model-based quality scoring: sigmoid(mean-pooled hashed
+    unigram+bigram weights + bias) per document — the serving path of a
+    fasttext-style linear quality classifier (hashing trick, no
+    vocabulary file), complementing the rule-based
+    :func:`quality_score`/:func:`quality_filter`.
+
+    Pass ``weights`` (float64, size 2**log2_features) from an offline
+    training run; the default is the deterministic
+    :func:`classifier_weights` demo model. Scale shape: the weight vector
+    ships ONCE per executor via ``SparkContext.broadcast`` (2 MB at the
+    default 2^18 features; 2^24 = 128 MB is still executor-trivial), and
+    scoring is one narrow Arrow pass — no join, no shuffle, runs
+    unchanged on a streaming source. Token-less docs score NULL.
+    """
+    import numpy as np
+
+    from ccm_spark.functions.vector_udfs import linear_score_udf
+
+    if weights is None:
+        weights = classifier_weights(log2_features, seed)
+    w = np.ascontiguousarray(np.asarray(weights, dtype=np.float64))
+    if w.shape != (1 << log2_features,):
+        raise ValueError(
+            f"classifier_score: weights shape {w.shape} != (2**{log2_features},)"
+        )
+    bc = docs.sparkSession.sparkContext.broadcast(w)
+    score = linear_score_udf(bc, log2_features, bias, bigrams)
+    out = docs
+    if not docs.isStreaming:
+        out = spread(out, "doc_id")
+    return out.select("doc_id", score(F.col("text")).alias(score_col))

@@ -1,0 +1,130 @@
+"""Bloom-filter decontamination: the no-broadcast-set scale path must be
+bit-identical to the exact operator (no false negatives + exact verify),
+and the flag-only probe must be a superset that works on a stream."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ccm_spark.functions.hashing import bloom_positions
+from ccm_spark.pipeline.dedup import (
+    _bloom_filter_words,
+    decontaminate,
+    decontaminate_bloom,
+)
+from ccm_spark.plans.cross_map import release_cached
+from ccm_spark.sources.tables import load_table
+
+
+def _split(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    return docs.where("doc_id % 31 != 0"), docs.where("doc_id % 31 = 0")
+
+
+def test_bloom_exact_verify_matches_decontaminate(spark, sf_small):
+    train, ev = _split(spark, sf_small)
+    expected = sorted(
+        tuple(r) for r in decontaminate(train, ev).collect()
+    )
+    assert any(r[2] for r in expected)  # real contamination exists
+    out = decontaminate_bloom(train, ev)
+    got = sorted(tuple(r) for r in out.collect())
+    release_cached(out)
+    assert got == expected
+
+
+def test_bloom_exact_under_heavy_false_positives(spark, sf_small):
+    """A deliberately tiny filter (2^10 bits for ~1e5 eval shingles —
+    nearly every probe is a false positive) must STILL produce exact
+    results: the verify join adjudicates every flagged doc."""
+    train, ev = _split(spark, sf_small)
+    expected = sorted(tuple(r) for r in decontaminate(train, ev).collect())
+    out = decontaminate_bloom(train, ev, log2_m=10, n_hashes=2)
+    got = sorted(tuple(r) for r in out.collect())
+    release_cached(out)
+    assert got == expected
+
+
+def test_bloom_flag_only_is_superset(spark, sf_small):
+    train, ev = _split(spark, sf_small)
+    exact = {
+        r.doc_id for r in decontaminate(train, ev).collect() if r.contaminated
+    }
+    probe = decontaminate_bloom(train, ev, exact_verify=False)
+    assert probe.columns == ["doc_id", "n_bloom_hits", "maybe_contaminated"]
+    flagged = {
+        r.doc_id for r in probe.collect() if r.maybe_contaminated
+    }
+    # no false negatives: every truly contaminated doc is flagged
+    assert exact <= flagged
+
+
+def test_bloom_words_match_positions(spark, sf_small):
+    """The distributed build sets exactly the bits bloom_positions says —
+    pinned against a driver-side numpy replay of the same shingle set."""
+    from ccm_spark.pipeline.dedup import shingles
+
+    _, ev = _split(spark, sf_small)
+    sh = shingles(ev).select("shingle_hash").distinct()
+    hashes = [r.shingle_hash for r in sh.collect()]
+    words = _bloom_filter_words(sh, log2_m=16, n_hashes=3)
+    expected = np.zeros(1 << 10, dtype=np.uint64)
+    pos = bloom_positions(hashes, 3, 16).ravel()
+    np.bitwise_or.at(
+        expected,
+        (pos >> np.uint64(6)).astype(np.int64),
+        np.uint64(1) << (pos & np.uint64(63)),
+    )
+    assert (words == expected).all()
+
+
+def test_bloom_streaming_probe_matches_batch(spark, sf_small, tmp_path):
+    """The flag-only probe is a narrow projection, so it runs unchanged on
+    a streaming source and emits the batch verdicts."""
+    from ccm_spark.sources.jsonl import (
+        documents_jsonl_stream,
+        write_documents_jsonl,
+    )
+
+    train, ev = _split(spark, sf_small)
+    expected = {
+        (r.doc_id, r.n_bloom_hits, r.maybe_contaminated)
+        for r in decontaminate_bloom(train, ev, exact_verify=False).collect()
+    }
+    path = str(tmp_path / "train_jsonl")
+    write_documents_jsonl(train, path, n_files=2)
+    stream = documents_jsonl_stream(spark, path)
+    flagged = decontaminate_bloom(stream, ev, exact_verify=False)
+    assert flagged.isStreaming
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("bloom_decontam")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_bloom_hits, r.maybe_contaminated)
+        for r in spark.sql(
+            "SELECT doc_id, n_bloom_hits, maybe_contaminated FROM bloom_decontam"
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_bloom_exact_verify_rejects_stream(spark, sf_small, tmp_path):
+    import pytest
+
+    from ccm_spark.sources.jsonl import (
+        documents_jsonl_stream,
+        write_documents_jsonl,
+    )
+
+    train, ev = _split(spark, sf_small)
+    path = str(tmp_path / "train_jsonl2")
+    write_documents_jsonl(train, path, n_files=1)
+    stream = documents_jsonl_stream(spark, path)
+    with pytest.raises(ValueError, match="exact_verify"):
+        decontaminate_bloom(stream, ev, exact_verify=True)

@@ -68,3 +68,50 @@ def test_boilerplate_ngrams_finds_shared_template(spark):
     # ranks are 1..k contiguous and ordered deterministically
     ranks = sorted(r.rank for r in by_source["a"])
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_classifier_score_matches_numpy_replay(spark, sf_small):
+    """The Arrow-batched serving path must equal a driver-side numpy
+    replay of the same model (tokens -> hashed features -> mean-pooled
+    weights -> sigmoid) on the real corpus."""
+    import numpy as np
+
+    from ccm_spark.functions.hashing import py_hashed_features, py_tokens
+    from ccm_spark.pipeline.text import classifier_score, classifier_weights
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {r.doc_id: r.model_score for r in classifier_score(docs).collect()}
+    w = classifier_weights()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert set(got) == set(texts)
+    n_mid = 0
+    for doc_id, text in texts.items():
+        toks = py_tokens(text)
+        if not toks:
+            assert got[doc_id] is None
+            continue
+        z = float(w[py_hashed_features(toks, 18)].mean())
+        want = 1.0 / (1.0 + np.exp(-z))
+        assert abs(got[doc_id] - want) < 1e-12
+        if 0.4 < want < 0.6:
+            n_mid += 1
+    # zero-mean random weights: scores concentrate near 0.5 (sanity that
+    # the pooling is a mean, not a sum that saturates the sigmoid)
+    assert n_mid > len(texts) // 2
+
+
+def test_classifier_score_custom_weights_and_empty_docs(spark):
+    import pytest
+
+    from ccm_spark.pipeline.text import classifier_score
+
+    df = _docs(spark, [(1, "alpha beta", "s"), (2, "   ", "s")])
+    out = {
+        r.doc_id: r.model_score
+        for r in classifier_score(df, weights=[0.0] * (1 << 10), log2_features=10).collect()
+    }
+    assert out[1] == 0.5  # zero weights -> sigmoid(0)
+    assert out[2] is None  # token-less doc
+    with pytest.raises(ValueError, match="weights shape"):
+        classifier_score(df, weights=[0.0] * 7, log2_features=10)

@@ -131,3 +131,83 @@ def test_redact_pii_exact_counts(spark):
     assert (rows[3].n_emails, rows[3].n_numbers) == (2, 2)
     # redacted text for doc 1: 'mail me at <EMAIL> or <NUM> now'
     assert rows[1].red_len == len("mail me at <EMAIL> or <NUM> now")
+
+
+def test_global_shuffle_total_order_matches_duckdb(spark, sf_small):
+    """Partition index + within-partition order must BE the md5-keyed
+    global permutation — replayed independently by a DuckDB ORDER BY on
+    the same engine-portable key expression."""
+    import duckdb
+
+    from ccm_spark.pipeline.mixing import global_shuffle
+
+    docs = load_table(spark, sf_small, "documents")
+    gs = global_shuffle(docs, seed="e1", num_partitions=5)
+    rows = gs.select(
+        F.spark_partition_id().alias("pid"), "shuffle_key", "doc_id"
+    ).collect()
+    # within each partition the rows are key-sorted, and partitions hold
+    # disjoint ascending key ranges (range partitioner contract)
+    by_pid: dict[int, list] = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append((r.shuffle_key, r.doc_id))
+    assert len(by_pid) > 1
+    for seq in by_pid.values():
+        assert seq == sorted(seq)
+    bounds = sorted((min(seq), max(seq), pid) for pid, seq in by_pid.items())
+    for (_, hi, _), (lo, _, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo
+    # collect() concatenates partitions in index order — flatten that way
+    got = []
+    for pid in sorted(by_pid):
+        got.extend(d for _, d in by_pid[pid])
+    want = [
+        int(d)
+        for (d,) in duckdb.sql(
+            f"""
+SELECT doc_id FROM read_parquet('{sf_small}/documents.parquet')
+ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:e1'), 1, 15)) AS BIGINT), doc_id
+"""
+        ).fetchall()
+    ]
+    assert got == want
+    # a new seed draws a different permutation of the same multiset
+    gs2 = global_shuffle(docs, seed="e2", num_partitions=5)
+    got2 = [r.doc_id for r in gs2.select("doc_id").collect()]
+    assert sorted(got2) == sorted(got) and got2 != got
+
+
+def test_stratified_sample_exact_counts_and_membership(spark, sf_small):
+    """Exactly n per group (or the whole group when smaller), membership
+    replayed by a DuckDB window over the same md5 keys, invariant under
+    repartitioning."""
+    import duckdb
+
+    from ccm_spark.pipeline.mixing import stratified_sample
+
+    docs = load_table(spark, sf_small, "documents")
+    n = 20
+    out = stratified_sample(docs, n_per_group=n, salt="s9")
+    got = sorted((r.lang, r.doc_id, r.sample_rank) for r in out.collect())
+    sizes = {r.lang: r["c"] for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    per_group: dict[str, int] = {}
+    for lang, _, _ in got:
+        per_group[lang] = per_group.get(lang, 0) + 1
+    assert per_group == {lang: min(n, c) for lang, c in sizes.items()}
+    want = sorted(
+        (lang, int(d), int(rk))
+        for lang, d, rk in duckdb.sql(
+            f"""
+SELECT lang, doc_id,
+       row_number() OVER (
+         PARTITION BY lang
+         ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s9'), 1, 15)) AS BIGINT), doc_id
+       ) AS rk
+FROM read_parquet('{sf_small}/documents.parquet')
+QUALIFY rk <= {n}
+"""
+        ).fetchall()
+    )
+    assert got == want
+    reparts = stratified_sample(docs.repartition(7), n_per_group=n, salt="s9")
+    assert sorted((r.lang, r.doc_id, r.sample_rank) for r in reparts.collect()) == got
