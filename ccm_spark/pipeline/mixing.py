@@ -251,3 +251,99 @@ def stratified_sample(
         .where(F.col("sample_rank") <= n_per_group)
         .select(group_col, "doc_id", "sample_key", "sample_rank")
     )
+
+
+def budget_select(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    salt: str = "budget1",
+    n_buckets_log2: int = 12,
+) -> DataFrame:
+    """Exact token-budget corpus selection: per group, keep documents in
+    deterministic md5-key order until the NEXT doc would push the running
+    token total over the group's budget — "give me 50B tokens of English,
+    10B of German" as one reproducible operator (groups without a budget
+    are dropped).
+
+    Semantics (replayed exactly by a DuckDB cumulative-window twin): a doc
+    is kept iff its inclusive running ``n_tokens`` sum, ordered by
+    (sample_key, doc_id) within the group, is <= the group budget.
+
+    A naive formulation is a per-group global cumulative window — one
+    task per group, unusable when a group is most of a 100 TB corpus.
+    Here the key space is cut into 2**n_buckets_log2 range buckets:
+    (1) one hash-aggregate builds the per-(group, bucket) token histogram
+    (NOTE: an eager Spark job at call time; ~4096 rows per group reach
+    the driver regardless of corpus size), (2) the driver walks each
+    group's cumulative histogram to find the single BOUNDARY bucket where
+    the budget crosses, (3) one pass joins the tiny boundary table
+    (broadcast), prunes every past-boundary bucket BEFORE the exchange,
+    and runs the cumulative window partitioned by (group, bucket) — each
+    window partition is a 1/4096 sliver of its group; below-boundary
+    buckets keep everything, the boundary bucket keeps rows while the
+    exact prefix total + local cumulative stays within budget. Raise
+    ``n_buckets_log2`` to thin the slivers; results are identical for
+    any bucket count and any partitioning.
+    """
+    spark = docs.sparkSession
+    key = md5_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
+    )
+    shift = 60 - n_buckets_log2  # md5_long keys are 60-bit
+    keyed = docs.select(
+        F.col(group_col).alias("grp"),
+        "doc_id",
+        key.alias("sample_key"),
+        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.shiftright("sample_key", shift))
+
+    hist = (
+        keyed.where(F.col("grp").isin(list(budgets)))
+        .groupBy("grp", "bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .collect()
+    )
+    by_grp: dict[str, list] = {}
+    for r in hist:
+        by_grp.setdefault(r["grp"], []).append((r["bucket"], r["bucket_tokens"]))
+    # (grp, boundary_bucket, prefix_tokens_below_boundary, budget)
+    bounds = []
+    for grp, buckets in by_grp.items():
+        budget = int(budgets[grp])
+        cum = 0
+        boundary, prefix = None, 0
+        for bucket, toks in sorted(buckets):
+            if cum + toks > budget:
+                boundary, prefix = bucket, cum
+                break
+            cum += toks
+        if boundary is None:
+            boundary, prefix = 1 << n_buckets_log2, cum  # whole group fits
+        bounds.append((grp, int(boundary), int(prefix), budget))
+    if not bounds:
+        return keyed.select("grp", "doc_id", "sample_key", "n_tokens").where(F.lit(False))
+    bdf = spark.createDataFrame(
+        bounds, "grp string, boundary long, prefix long, budget long"
+    )
+    # one pass: prune past-boundary buckets BEFORE the exchange, then a
+    # cumulative window partitioned by (grp, bucket) — below-boundary
+    # buckets are kept wholesale (their cum is irrelevant), only the
+    # boundary bucket's rows consult prefix + cum. Every window partition
+    # is a 1/2**n_buckets_log2 sliver of its group.
+    joined = keyed.join(F.broadcast(bdf), "grp").where(
+        F.col("bucket") <= F.col("boundary")
+    )
+    w = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy("sample_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("cum", F.sum("n_tokens").over(w))
+        .where(
+            (F.col("bucket") < F.col("boundary"))
+            | (F.col("prefix") + F.col("cum") <= F.col("budget"))
+        )
+        .select(F.col("grp").alias(group_col), "doc_id", "sample_key", "n_tokens")
+    )

@@ -211,3 +211,53 @@ QUALIFY rk <= {n}
     assert got == want
     reparts = stratified_sample(docs.repartition(7), n_per_group=n, salt="s9")
     assert sorted((r.lang, r.doc_id, r.sample_rank) for r in reparts.collect()) == got
+
+
+def test_budget_select_matches_duckdb_cumsum(spark, sf_small):
+    """The bucket-histogram + boundary-refinement plan must keep EXACTLY
+    the docs a global cumulative window keeps (inclusive running token
+    total in (sample_key, doc_id) order <= group budget), for budgets
+    that land mid-bucket, and stay invariant under bucket count and
+    repartitioning."""
+    import duckdb
+
+    from ccm_spark.functions.hashing import sql_tokens
+    from ccm_spark.pipeline.mixing import budget_select
+
+    docs = load_table(spark, sf_small, "documents")
+    budgets = {"en": 5000, "de": 1, "fr": 10**12}  # mid-bucket, tiny, all
+    out = budget_select(docs, budgets, salt="b7")
+    got = sorted((r.lang, r.doc_id, r.n_tokens) for r in out.collect())
+
+    cases = " ".join(f"WHEN '{g}' THEN {b}" for g, b in budgets.items())
+    want = sorted(
+        (g, int(d), int(n))
+        for g, d, n in duckdb.sql(
+            f"""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b7'), 1, 15)) AS BIGINT) AS k,
+         len({sql_tokens('text')}) AS n
+  FROM read_parquet('{sf_small}/documents.parquet')
+  WHERE lang IN ('en', 'de', 'fr')
+),
+c AS (
+  SELECT lang, doc_id, n,
+         sum(n) OVER (PARTITION BY lang ORDER BY k, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keyed
+)
+SELECT lang, doc_id, n FROM c
+WHERE cum <= CASE lang {cases} END
+"""
+        ).fetchall()
+    )
+    assert got == want
+    # the fr budget exceeds the whole group: every fr doc kept
+    n_fr = docs.where("lang = 'fr'").count()
+    assert sum(1 for g, _, _ in got if g == "fr") == n_fr
+    # en budget is partial, de keeps at most its smallest-keyed doc
+    assert 0 < sum(1 for g, _, _ in got if g == "en") < docs.where("lang='en'").count()
+    # invariant under bucket granularity and input partitioning
+    alt = budget_select(docs.repartition(7), budgets, salt="b7", n_buckets_log2=5)
+    assert sorted((r.lang, r.doc_id, r.n_tokens) for r in alt.collect()) == got
