@@ -347,3 +347,66 @@ def budget_select(
         )
         .select(F.col("grp").alias(group_col), "doc_id", "sample_key", "n_tokens")
     )
+
+
+def with_global_positions(df: DataFrame, position_col: str = "global_pos") -> DataFrame:
+    """Assign each row its 0-based GLOBAL position in the DataFrame's
+    current (partition index, within-partition) order — e.g. the training
+    step number after :func:`global_shuffle` — with ZERO additional
+    shuffle.
+
+    The naive ``row_number() OVER (ORDER BY ...)`` is a single-task global
+    sort. Here: one lightweight counting pass collects per-partition row
+    counts (an eager Spark job; one integer per partition reaches the
+    driver), the driver prefix-sums them into offsets, and a narrow Arrow
+    pass stamps ``offset[pid] + local_index`` — the distributed
+    zipWithIndex, kept in the DataFrame/Arrow world. Positions are
+    deterministic iff the input's partitioning and row order are (true
+    for ``global_shuffle`` output: range partitioner + local sort; NOT
+    true for an arbitrary shuffled relation — document your ordering
+    contract before using this). The count pass and the stamp pass are
+    two separate jobs over the input lineage — ``persist()`` the input
+    first when its plan is expensive to recompute.
+    """
+    import pandas as pd
+
+    n_parts = df.rdd.getNumPartitions()
+
+    def count_rows(it):
+        n = 0
+        pid = None
+        for pdf in it:
+            if len(pdf) and pid is None:
+                pid = int(pdf["__pid"].iloc[0])
+            n += len(pdf)
+        if pid is not None:
+            yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    sizes = {
+        r.pid: r.n
+        for r in with_pid.mapInPandas(count_rows, "pid long, n long").collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+
+    cols = df.columns
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+
+    def stamp(it):
+        local = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            off = offsets[int(pdf["__pid"].iloc[0])]
+            out = pdf[cols].copy()
+            out[position_col] = pd.Series(
+                range(off + local, off + local + len(pdf)), dtype="int64"
+            ).values
+            local += len(pdf)
+            yield out
+
+    return with_pid.mapInPandas(stamp, f"{fields}, {position_col} long")

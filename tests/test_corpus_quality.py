@@ -115,3 +115,38 @@ def test_classifier_score_custom_weights_and_empty_docs(spark):
     assert out[2] is None  # token-less doc
     with pytest.raises(ValueError, match="weights shape"):
         classifier_score(df, weights=[0.0] * 7, log2_features=10)
+
+
+def test_classifier_score_streaming_matches_batch(spark, sf_small, tmp_path):
+    """classifier_score is a narrow projection, so it runs unchanged on a
+    streaming source and emits the batch scores."""
+    from ccm_spark.pipeline.text import classifier_score
+    from ccm_spark.sources.jsonl import (
+        documents_jsonl_stream,
+        write_documents_jsonl,
+    )
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").where("doc_id % 11 = 0")
+    expected = {
+        (r.doc_id, r.model_score) for r in classifier_score(docs).collect()
+    }
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, path, n_files=2)
+    stream = documents_jsonl_stream(spark, path)
+    scored = classifier_score(stream)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("clf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_clf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.model_score)
+        for r in spark.sql("SELECT doc_id, model_score FROM clf_stream").collect()
+    }
+    assert got == expected

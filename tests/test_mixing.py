@@ -261,3 +261,28 @@ WHERE cum <= CASE lang {cases} END
     # invariant under bucket granularity and input partitioning
     alt = budget_select(docs.repartition(7), budgets, salt="b7", n_buckets_log2=5)
     assert sorted((r.lang, r.doc_id, r.n_tokens) for r in alt.collect()) == got
+
+
+def test_with_global_positions_is_the_permutation(spark, sf_small):
+    """global_pos must be 0..N-1 and rank rows exactly by the shuffle
+    order (shuffle_key, doc_id) — and the stamp pass must add no
+    exchange beyond the shuffle itself."""
+    from ccm_spark.pipeline.mixing import global_shuffle, with_global_positions
+
+    docs = load_table(spark, sf_small, "documents")
+    gs = global_shuffle(docs, seed="gp1", num_partitions=5).persist()
+    try:
+        out = with_global_positions(gs)
+        rows = out.select("global_pos", "shuffle_key", "doc_id").collect()
+        n = docs.count()
+        assert sorted(r.global_pos for r in rows) == list(range(n))
+        by_pos = sorted(rows, key=lambda r: r.global_pos)
+        keys = [(r.shuffle_key, r.doc_id) for r in by_pos]
+        assert keys == sorted(keys)
+        # the stamp pass is narrow: no Exchange ABOVE the cached shuffle
+        # (the InMemoryRelation's stored plan text repeats the range
+        # exchange — only the segment above it is the stamp's own plan)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.split("InMemoryRelation")[0].count("Exchange") == 0
+    finally:
+        gs.unpersist()
