@@ -10,6 +10,8 @@ Reference surface (see SURVEY.md §2 for the full operator inventory):
   - ``generators``           — G1/G2 coupled logistic-map data generators
   - ``pipeline``             — large-scale training-data ops (dedup, similarity
     search, text analysis, multimodal) beyond the reference's own surface
+  - ``significance``         — surrogate-data null model for cross-map skill
+    (extension; the reference reports skill with no significance test)
 """
 
 from ccm_spark.config import CCMConfig, generate_lib_sizes

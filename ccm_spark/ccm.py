@@ -54,6 +54,7 @@ class CCM:
             rows, "pair_id long, t long, x double, y double"
         )
         self.n_points = len(x_series)
+        self._xy = ([float(v) for v in x_series], [float(v) for v in y_series])
 
     @classmethod
     def from_dataframe(cls, series: DataFrame, **kwargs) -> "CCM":
@@ -63,6 +64,7 @@ class CCM:
         obj.spark = series.sparkSession
         obj.series = series
         obj.n_points = None
+        obj._xy = None
         return obj
 
     def result_df(self) -> DataFrame:
@@ -108,3 +110,36 @@ class CCM:
                 "convergent": bool(sub[0].convergent) if sub else False,
             }
         return out
+
+    def significance(
+        self,
+        direction: str = "x_causes_y",
+        n_surrogates: int = 19,
+        surrogate_seed: int = 97,
+        alpha: float = 0.05,
+    ) -> dict:
+        """Surrogate-data significance of the cross-map skill (an
+        extension beyond the reference, which reports skill with no null
+        model): circular-shift surrogates of the putative cause, one-sided
+        rank p-value. See :mod:`ccm_spark.significance`. Single-pair mode
+        only — the many-series ``from_dataframe`` path should call
+        :func:`ccm_spark.significance.ccm_significance` per pair of
+        interest."""
+        if self._xy is None:
+            raise ValueError(
+                "significance() needs the raw series; construct CCM(spark, "
+                "x, y, ...) or call ccm_spark.significance.ccm_significance "
+                "directly for DataFrame-mode pairs."
+            )
+        from ccm_spark.significance import ccm_significance
+
+        return ccm_significance(
+            self.spark,
+            self._xy[0],
+            self._xy[1],
+            config=self.config,
+            direction=direction,
+            n_surrogates=n_surrogates,
+            surrogate_seed=surrogate_seed,
+            alpha=alpha,
+        )

@@ -1,0 +1,161 @@
+"""Surrogate-data significance testing for CCM skill.
+
+The reference library reports cross-map skill and a convergence verdict
+but no null model (SURVEY.md §2.1 — `lib/ccm.ex` has no significance
+surface); standard CCM practice (Sugihara et al. 2012 SI; Tsonis et al.
+2015 PNAS) compares the observed skill against skills obtained on
+SURROGATE series that preserve each series' own dynamics while
+destroying the cross-coupling under test.
+
+Null model here: circular-shift surrogates of the TARGET series — the
+putative cause (direction ``x_causes_y`` embeds Y and predicts X, so X
+is shifted and the manifold M_y is reused unchanged). A circular shift
+preserves the marginal distribution and (up to wraparound) the full
+autocorrelation structure, so the null is "M_y carries no information
+about x beyond what any equally-structured, temporally-decoupled series
+would yield". Offsets are deterministic LCG draws bounded away from 0
+and N (small shifts retain alignment), so the whole test is exactly
+reproducible — same seed, same p-value, any cluster size.
+
+Scale shape: one tiny grid relation (one row per surrogate), spread
+with an explicit partition count (each row costs a full CCM kernel —
+AQE would coalesce the byte-small exchange to one task), the series
+shipped once per executor via ``SparkContext.broadcast``, and one
+vectorised :mod:`ccm_spark.oracle` kernel per surrogate inside
+``mapInPandas``. n_surrogates=999 parallelises across the fleet like
+any other pair sweep; only (K+1) scalar skills return to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ccm_spark.config import CCMConfig
+from ccm_spark.rng import LCG_A, LCG_C, M31
+
+
+def surrogate_offsets(
+    n_points: int, n_surrogates: int, seed: int, min_shift: int | None = None
+) -> list[int]:
+    """Deterministic circular-shift offsets in [min_shift, n - min_shift]:
+    LCG draws keyed on (seed, k), bounded away from 0/n so a surrogate
+    never nearly re-aligns with the original. Default min_shift is n//10
+    (at least 1)."""
+    if n_points < 4:
+        raise ValueError("surrogate_offsets: series too short")
+    if min_shift is None:
+        min_shift = max(1, n_points // 10)
+    span = n_points - 2 * min_shift + 1
+    if span < 1:
+        raise ValueError(
+            f"surrogate_offsets: min_shift={min_shift} leaves no valid "
+            f"offsets for n={n_points}"
+        )
+    out = []
+    for k in range(n_surrogates):
+        draw = (LCG_A * ((seed + 1) * 7919 + k) + LCG_C) % M31
+        out.append(min_shift + int(draw % span))
+    return out
+
+
+def ccm_significance(
+    spark,
+    x,
+    y,
+    config: CCMConfig | None = None,
+    direction: str = "x_causes_y",
+    n_surrogates: int = 19,
+    surrogate_seed: int = 97,
+    alpha: float = 0.05,
+) -> dict:
+    """Permutation-style significance of the cross-map skill at the
+    largest library size.
+
+    Runs the actual (x, y) pair plus ``n_surrogates`` target-shifted
+    surrogates as one distributed sweep and returns the one-sided
+    p-value ``(1 + #{surrogate skill >= actual}) / (n_surrogates + 1)``
+    — the standard rank statistic, exact under the null, minimum
+    1/(K+1) (19 surrogates bottom out at p=0.05; pass 99 or 999 for
+    finer resolution).
+    """
+    if direction not in ("x_causes_y", "y_causes_x"):
+        raise ValueError(f"ccm_significance: unknown direction {direction!r}")
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    cfg = config if config is not None else CCMConfig()
+    cfg.validate_series(len(x), len(y))
+    lib_size = int(cfg.resolved_lib_sizes(len(x))[-1])
+    run_cfg = CCMConfig(
+        embedding_dim=cfg.embedding_dim,
+        tau=cfg.tau,
+        num_samples=cfg.num_samples,
+        lib_sizes=[lib_size],
+        seed=cfg.seed,
+    )
+    offsets = surrogate_offsets(len(x), n_surrogates, surrogate_seed)
+    # surrogate 0 = the actual pair (offset 0 is excluded from draws)
+    grid = [(0, 0)] + [(k + 1, off) for k, off in enumerate(offsets)]
+
+    sc = spark.sparkContext
+    bc = sc.broadcast((x, y))
+    emb_dim, tau, num_samples, seed = (
+        run_cfg.embedding_dim,
+        run_cfg.tau,
+        run_cfg.num_samples,
+        run_cfg.seed,
+    )
+
+    def run(batches):
+        from ccm_spark import oracle
+        from ccm_spark.config import CCMConfig as _Cfg
+
+        bx, by = bc.value
+        kcfg = _Cfg(
+            embedding_dim=emb_dim,
+            tau=tau,
+            num_samples=num_samples,
+            lib_sizes=[lib_size],
+            seed=seed,
+        )
+        for pdf in batches:
+            rows = []
+            for sid, off in zip(pdf["surrogate_id"], pdf["offset"]):
+                # shift the TARGET series (the putative cause); the
+                # library manifold is the unshifted source series
+                if direction == "x_causes_y":
+                    res = oracle.cross_map(np.roll(bx, int(off)), by, kcfg, direction)
+                else:
+                    res = oracle.cross_map(bx, np.roll(by, int(off)), kcfg, direction)
+                rows.append((int(sid), int(off), float(res["results"][0][1])))
+            yield pd.DataFrame(
+                rows, columns=["surrogate_id", "offset", "skill"]
+            )
+
+    from ccm_spark.functions.partitioning import spread
+
+    grid_df = spread(
+        spark.createDataFrame(grid, "surrogate_id long, offset long"),
+        "surrogate_id",
+    )
+    rows = grid_df.mapInPandas(
+        run, "surrogate_id long, offset long, skill double"
+    ).collect()
+    skills = {r.surrogate_id: r.skill for r in rows}
+    actual = skills[0]
+    surr = np.array(
+        [skills[i] for i in range(1, n_surrogates + 1)], dtype=np.float64
+    )
+    p_value = (1 + int(np.sum(surr >= actual))) / (n_surrogates + 1)
+    return {
+        "direction": direction,
+        "lib_size": lib_size,
+        "num_samples": run_cfg.num_samples,
+        "actual_skill": float(actual),
+        "n_surrogates": n_surrogates,
+        "p_value": float(p_value),
+        "surrogate_mean": float(surr.mean()),
+        "surrogate_std": float(surr.std()),
+        "surrogate_max": float(surr.max()),
+        "significant": bool(p_value <= alpha),
+    }

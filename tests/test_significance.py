@@ -1,0 +1,79 @@
+"""Surrogate significance testing: deterministic, kernel-pinned, and
+statistically sane on coupled vs decoupled dynamics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ccm_spark.config import CCMConfig
+from ccm_spark.generators import coupled_series
+from ccm_spark.significance import ccm_significance, surrogate_offsets
+
+
+def test_offsets_deterministic_and_bounded():
+    a = surrogate_offsets(200, 19, seed=97)
+    b = surrogate_offsets(200, 19, seed=97)
+    assert a == b and len(a) == 19
+    assert all(20 <= off <= 180 for off in a)  # min_shift = n//10
+    assert len(set(a)) > 10  # draws actually vary
+    assert surrogate_offsets(200, 19, seed=98) != a
+    with pytest.raises(ValueError):
+        surrogate_offsets(3, 5, seed=1)
+
+
+def test_significance_coupled_is_significant(spark):
+    x, y = coupled_series(length=150, coupling=0.6, noise_level=0.01, seed=7)
+    cfg = CCMConfig(num_samples=10, seed=5)
+    res = ccm_significance(spark, x, y, cfg, n_surrogates=19)
+    assert res["actual_skill"] > res["surrogate_mean"] + 2 * res["surrogate_std"]
+    assert res["p_value"] <= 0.05 and res["significant"]
+    # exactly reproducible
+    res2 = ccm_significance(spark, x, y, cfg, n_surrogates=19)
+    assert res == res2
+
+
+def test_significance_decoupled_is_not(spark):
+    x, y = coupled_series(length=150, coupling=0.0, noise_level=0.01, seed=11)
+    cfg = CCMConfig(num_samples=10, seed=5)
+    res = ccm_significance(spark, x, y, cfg, n_surrogates=19)
+    assert res["p_value"] > 0.05 and not res["significant"]
+
+
+def test_surrogate_skills_pin_the_kernel(spark):
+    """Each surrogate's skill must equal a driver-side oracle run on the
+    same rolled target — the distributed sweep adds nothing."""
+    from ccm_spark import oracle
+
+    x, y = coupled_series(length=120, coupling=0.4, noise_level=0.02, seed=3)
+    cfg = CCMConfig(num_samples=5, seed=9)
+    lib = cfg.resolved_lib_sizes(len(x))[-1]
+    single = CCMConfig(num_samples=5, seed=9, lib_sizes=[lib])
+    res = ccm_significance(spark, x, y, cfg, direction="y_causes_x", n_surrogates=3)
+    offs = surrogate_offsets(len(x), 3, 97)
+    want = [
+        oracle.cross_map(x, np.roll(y, off), single, "y_causes_x")["results"][0][1]
+        for off in offs
+    ]
+    # recompute the distributed surrogate skills from the summary pieces:
+    # mean/max/std over exactly the three pinned values
+    surr = np.array(want)
+    assert abs(res["surrogate_mean"] - surr.mean()) < 1e-12
+    assert abs(res["surrogate_max"] - surr.max()) < 1e-12
+    assert abs(res["surrogate_std"] - surr.std()) < 1e-12
+    actual = oracle.cross_map(x, y, single, "y_causes_x")["results"][0][1]
+    assert abs(res["actual_skill"] - actual) < 1e-12
+
+
+def test_ccm_api_significance_method(spark):
+    from ccm_spark import CCM
+    from ccm_spark.sources.tables import load_table  # noqa: F401
+
+    x, y = coupled_series(length=120, coupling=0.5, noise_level=0.02, seed=7)
+    c = CCM(spark, x, y, num_samples=8, seed=5)
+    # 9 surrogates bottom out at p=0.1 — test at alpha matching that floor
+    res = c.significance(n_surrogates=9, alpha=0.1)
+    assert res["significant"] and res["n_surrogates"] == 9
+    df_mode = CCM.from_dataframe(c.series, num_samples=8, seed=5)
+    with pytest.raises(ValueError, match="raw series"):
+        df_mode.significance()
