@@ -143,3 +143,26 @@ class CCM:
             surrogate_seed=surrogate_seed,
             alpha=alpha,
         )
+
+    def lag_scan(self, direction: str = "x_causes_y", max_lag: int = 8) -> dict:
+        """Time-lagged CCM (extension; see
+        :func:`ccm_spark.significance.ccm_lag_scan`): skill vs prediction
+        lag — a negative-lag peak corroborates true causality, a
+        positive-lag peak flags generalized-synchrony false positives.
+        Single-pair mode only."""
+        if self._xy is None:
+            raise ValueError(
+                "lag_scan() needs the raw series; construct CCM(spark, x, "
+                "y, ...) or call ccm_spark.significance.ccm_lag_scan "
+                "directly for DataFrame-mode pairs."
+            )
+        from ccm_spark.significance import ccm_lag_scan
+
+        return ccm_lag_scan(
+            self.spark,
+            self._xy[0],
+            self._xy[1],
+            config=self.config,
+            direction=direction,
+            max_lag=max_lag,
+        )

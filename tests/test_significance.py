@@ -77,3 +77,49 @@ def test_ccm_api_significance_method(spark):
     df_mode = CCM.from_dataframe(c.series, num_samples=8, seed=5)
     with pytest.raises(ValueError, match="raw series"):
         df_mode.significance()
+
+
+def test_lag_scan_recovers_causal_delay(spark):
+    """G2 couples x into y with a 1-step delay: the true direction's lag
+    scan must peak at lag -1 (cause precedes effect), and the spurious
+    reverse direction must peak at a POSITIVE lag — the Ye et al. 2015
+    discrimination pattern."""
+    from ccm_spark.significance import ccm_lag_scan
+
+    x, y = coupled_series(length=200, coupling=0.6, noise_level=0.01, seed=7)
+    cfg = CCMConfig(num_samples=10, seed=5)
+    fwd = ccm_lag_scan(spark, x, y, cfg, max_lag=5)
+    assert fwd["best_lag"] == -1 and fwd["causal_delay_consistent"]
+    assert fwd["best_skill"] > 0.9
+    skills = dict(fwd["skills"])
+    assert sorted(skills) == list(range(-5, 6))
+    # skill decays on both sides of the peak
+    assert skills[-1] > skills[-3] > skills[-5]
+    assert skills[-1] > skills[1] > skills[3]
+    rev = ccm_lag_scan(spark, x, y, cfg, direction="y_causes_x", max_lag=5)
+    assert rev["best_lag"] > 0 and not rev["causal_delay_consistent"]
+
+
+def test_lag_scan_pins_the_kernel(spark):
+    from ccm_spark import oracle
+    from ccm_spark.significance import ccm_lag_scan, lag_aligned
+
+    x, y = coupled_series(length=150, coupling=0.4, noise_level=0.02, seed=3)
+    cfg = CCMConfig(num_samples=5, seed=9)
+    res = ccm_lag_scan(spark, x, y, cfg, max_lag=3)
+    single = CCMConfig(num_samples=5, seed=9, lib_sizes=[res["lib_size"]])
+    for lag, skill in res["skills"]:
+        xl, yl = lag_aligned(x, y, lag, "x_causes_y")
+        want = oracle.cross_map(xl, yl, single, "x_causes_y")["results"][0][1]
+        assert abs(skill - want) < 1e-12
+    with pytest.raises(ValueError, match="max_lag"):
+        ccm_lag_scan(spark, x, y, cfg, max_lag=0)
+
+
+def test_ccm_api_lag_scan_method(spark):
+    from ccm_spark import CCM
+
+    x, y = coupled_series(length=150, coupling=0.5, noise_level=0.02, seed=7)
+    c = CCM(spark, x, y, num_samples=5, seed=5)
+    res = c.lag_scan(max_lag=3)
+    assert res["best_lag"] <= 0 and len(res["skills"]) == 7
