@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import DataFrame
 
 from ccm_spark.config import CCMConfig
 from ccm_spark.rng import LCG_A, LCG_C, M31
@@ -59,6 +60,20 @@ def surrogate_offsets(
     return out
 
 
+def holdout_lib_size(cfg: CCMConfig, n_points: int, min_holdout: int = 20) -> int:
+    """The library size the hypothesis-testing operators evaluate at: the
+    LARGEST ladder entry that still leaves ``min_holdout`` embedding
+    points outside the library. At the ladder maximum the prediction
+    complement (S2) shrinks to a couple of points and Pearson over it
+    degenerates to ±1 — a quantized, noise-dominated statistic no test
+    should stand on. Falls back to the ladder maximum when no entry
+    leaves the holdout (short series)."""
+    ladder = cfg.resolved_lib_sizes(n_points)
+    n_emb = n_points - (cfg.embedding_dim - 1) * cfg.tau
+    ok = [lib for lib in ladder if n_emb - lib >= min_holdout]
+    return int(ok[-1] if ok else ladder[-1])
+
+
 def ccm_significance(
     spark,
     x,
@@ -85,7 +100,7 @@ def ccm_significance(
     y = np.asarray(y, dtype=np.float64)
     cfg = config if config is not None else CCMConfig()
     cfg.validate_series(len(x), len(y))
-    lib_size = int(cfg.resolved_lib_sizes(len(x))[-1])
+    lib_size = holdout_lib_size(cfg, len(x))
     run_cfg = CCMConfig(
         embedding_dim=cfg.embedding_dim,
         tau=cfg.tau,
@@ -203,7 +218,7 @@ def ccm_lag_scan(
     cfg.validate_series(len(x), len(y))
     if max_lag < 1 or max_lag >= len(x) // 2:
         raise ValueError(f"ccm_lag_scan: max_lag {max_lag} out of range")
-    lib_size = int(cfg.resolved_lib_sizes(len(x) - max_lag)[-1])
+    lib_size = holdout_lib_size(cfg, len(x) - max_lag)
     emb_dim, tau, num_samples, seed = (
         cfg.embedding_dim,
         cfg.tau,
@@ -248,3 +263,129 @@ def ccm_lag_scan(
         "best_skill": float(best_skill),
         "causal_delay_consistent": bool(best_lag <= 0),
     }
+
+
+SIGNIFICANCE_FLEET_SCHEMA = (
+    "pair_id long, direction string, lib_size int, actual_skill double, "
+    "n_surrogates int, p_value double, surrogate_mean double, "
+    "surrogate_max double, significant boolean"
+)
+
+
+def ccm_significance_fleet(
+    series: DataFrame,
+    config: CCMConfig | None = None,
+    direction: str = "x_causes_y",
+    n_surrogates: int = 19,
+    surrogate_seed: int = 97,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Fleet-mode surrogate testing: one significance verdict per pair of
+    a ``(pair_id, t, x, y)`` relation — the many-series regime where
+    millions of pairs each get a p-value.
+
+    Same null model and rank statistic as :func:`ccm_significance`; the
+    K+1 kernels for a pair run INSIDE that pair's ``applyInPandas`` task
+    (the surrogate sweep multiplies per-task compute by K+1, not shuffle
+    volume — the one exchange is still the pair repartition, fastpath
+    style). Offsets are keyed on (surrogate_seed, pair_id, k), so every
+    pair draws an independent, reproducible surrogate set, and pair
+    verdicts are identical to running :func:`ccm_significance` per pair
+    with that pair's derived seed. ``spread(factor=8)``: each task is
+    K+1 kernels — finer-than-core granularity rebalances stragglers
+    (SCALE.md, fleet section).
+    """
+    if direction not in ("x_causes_y", "y_causes_x"):
+        raise ValueError(
+            f"ccm_significance_fleet: unknown direction {direction!r}"
+        )
+    cfg = config if config is not None else CCMConfig()
+    emb_dim, tau, num_samples, seed = (
+        cfg.embedding_dim,
+        cfg.tau,
+        cfg.num_samples,
+        cfg.seed,
+    )
+    lib_sizes = cfg.lib_sizes
+
+    def run_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ccm_spark import oracle
+        from ccm_spark.config import CCMConfig as _Cfg
+
+        pdf = pdf.sort_values("t")
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        pair_id = int(pdf["pair_id"].iloc[0])
+        base = _Cfg(
+            embedding_dim=emb_dim,
+            tau=tau,
+            num_samples=num_samples,
+            lib_sizes=list(lib_sizes) if lib_sizes is not None else None,
+            seed=seed,
+        )
+        lib_size = holdout_lib_size(base, len(x))
+        kcfg = _Cfg(
+            embedding_dim=emb_dim,
+            tau=tau,
+            num_samples=num_samples,
+            lib_sizes=[lib_size],
+            seed=seed,
+        )
+        offsets = surrogate_offsets(
+            len(x), n_surrogates, surrogate_seed + 104729 * pair_id
+        )
+        if direction == "x_causes_y":
+            actual = oracle.cross_map(x, y, kcfg, direction)["results"][0][1]
+            surr = np.array(
+                [
+                    oracle.cross_map(np.roll(x, off), y, kcfg, direction)[
+                        "results"
+                    ][0][1]
+                    for off in offsets
+                ]
+            )
+        else:
+            actual = oracle.cross_map(x, y, kcfg, direction)["results"][0][1]
+            surr = np.array(
+                [
+                    oracle.cross_map(x, np.roll(y, off), kcfg, direction)[
+                        "results"
+                    ][0][1]
+                    for off in offsets
+                ]
+            )
+        p_value = (1 + int(np.sum(surr >= actual))) / (n_surrogates + 1)
+        return pd.DataFrame(
+            [
+                (
+                    pair_id,
+                    direction,
+                    lib_size,
+                    float(actual),
+                    n_surrogates,
+                    float(p_value),
+                    float(surr.mean()),
+                    float(surr.max()),
+                    bool(p_value <= alpha),
+                )
+            ],
+            columns=[
+                "pair_id",
+                "direction",
+                "lib_size",
+                "actual_skill",
+                "n_surrogates",
+                "p_value",
+                "surrogate_mean",
+                "surrogate_max",
+                "significant",
+            ],
+        )
+
+    from ccm_spark.functions.partitioning import spread
+
+    return (
+        spread(series, "pair_id", factor=8)
+        .groupBy("pair_id")
+        .applyInPandas(run_pair, schema=SIGNIFICANCE_FLEET_SCHEMA)
+    )

@@ -128,3 +128,62 @@ def test_bloom_exact_verify_rejects_stream(spark, sf_small, tmp_path):
     stream = documents_jsonl_stream(spark, path)
     with pytest.raises(ValueError, match="exact_verify"):
         decontaminate_bloom(stream, ev, exact_verify=True)
+
+
+def test_contamination_report_matches_duckdb(spark, sf_small):
+    """The eval-side report must match an independent DuckDB replay of
+    the shingle-overlap aggregation on the real corpus."""
+    import duckdb
+
+    from ccm_spark.pipeline.dedup import contamination_report
+
+    from ccm_spark.plans.oracle_sql_ext import _shingle_ctes
+
+    train, ev = _split(spark, sf_small)
+    got = sorted(tuple(r) for r in contamination_report(train, ev).collect())
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), float(d), int(e))
+        for a, b, c, d, e in con.sql(
+            f"""
+WITH {_shingle_ctes()},
+ev_sh AS (
+  SELECT * FROM sh WHERE doc_id % 31 = 0
+),
+tr_sh AS (
+  SELECT * FROM sh WHERE doc_id % 31 != 0
+),
+sizes AS (
+  SELECT doc_id AS eval_doc_id, count(*) AS n_shingles FROM ev_sh GROUP BY 1
+),
+hits AS (
+  SELECT e.doc_id AS eval_doc_id,
+         count(DISTINCT e.shingle_hash) AS n_hit,
+         count(DISTINCT t.doc_id) AS n_train
+  FROM ev_sh e JOIN tr_sh t USING (shingle_hash)
+  GROUP BY 1
+)
+SELECT s.eval_doc_id, s.n_shingles,
+       coalesce(h.n_hit, 0), round(coalesce(h.n_hit, 0) / s.n_shingles, 6),
+       coalesce(h.n_train, 0)
+FROM sizes s LEFT JOIN hits h USING (eval_doc_id)
+"""
+        ).fetchall()
+    )
+    assert got == want
+    assert any(r[2] > 0 for r in got)  # real leakage exists in the corpus
+
+
+def test_bloom_probe_plan_is_narrow(spark, sf_small):
+    """The flag-only probe must stay a pure narrow pipeline: the only
+    exchange allowed is the explicit spread repartition of the single-file
+    local input — no aggregation or join may appear."""
+    train, ev = _split(spark, sf_small)
+    probe = decontaminate_bloom(train, ev, exact_verify=False)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan
+    assert plan.count("Exchange") <= 1  # the spread() repartition only

@@ -47,7 +47,8 @@ def test_surrogate_skills_pin_the_kernel(spark):
 
     x, y = coupled_series(length=120, coupling=0.4, noise_level=0.02, seed=3)
     cfg = CCMConfig(num_samples=5, seed=9)
-    lib = cfg.resolved_lib_sizes(len(x))[-1]
+    from ccm_spark.significance import holdout_lib_size
+    lib = holdout_lib_size(cfg, len(x))
     single = CCMConfig(num_samples=5, seed=9, lib_sizes=[lib])
     res = ccm_significance(spark, x, y, cfg, direction="y_causes_x", n_surrogates=3)
     offs = surrogate_offsets(len(x), 3, 97)
@@ -123,3 +124,47 @@ def test_ccm_api_lag_scan_method(spark):
     c = CCM(spark, x, y, num_samples=5, seed=5)
     res = c.lag_scan(max_lag=3)
     assert res["best_lag"] <= 0 and len(res["skills"]) == 7
+
+
+def test_significance_fleet_per_pair_verdicts(spark):
+    """Fleet mode: coupled pairs significant, decoupled pairs not, and a
+    pair's verdict matches the single-pair function run with that pair's
+    derived surrogate seed."""
+    from ccm_spark.generators import pairs_to_pdf
+    from ccm_spark.significance import ccm_significance, ccm_significance_fleet
+
+    # decoupled pairs need DISTINCT initial conditions: with coupling=0
+    # the trajectory is a fixed deterministic sequence per (x0, y0) —
+    # same-default pairs would all be the same data
+    cases = [
+        (0, 0.6, 0.3, 0.4),
+        (1, 0.0, 0.52, 0.81),
+        (2, 0.5, 0.3, 0.4),
+        (3, 0.0, 0.17, 0.66),
+    ]
+    pairs = []
+    for pid, coupling, x0, y0 in cases:
+        x, y = coupled_series(
+            length=150, coupling=coupling, noise_level=0.01,
+            x0=x0, y0=y0, seed=20 + pid,
+        )
+        pairs.append((pid, x, y))
+    series = spark.createDataFrame(
+        pairs_to_pdf(pairs), "pair_id long, t long, x double, y double"
+    )
+    cfg = CCMConfig(num_samples=8, seed=5)
+    out = {
+        r.pair_id: r
+        for r in ccm_significance_fleet(series, cfg, n_surrogates=19).collect()
+    }
+    assert out[0].significant and out[2].significant
+    assert not out[1].significant and not out[3].significant
+    # pair 2's row == the single-pair path with the derived seed
+    x2, y2 = pairs[2][1], pairs[2][2]
+    single = ccm_significance(
+        spark, x2, y2, cfg, n_surrogates=19, surrogate_seed=97 + 104729 * 2
+    )
+    r2 = out[2]
+    assert abs(r2.actual_skill - single["actual_skill"]) < 1e-12
+    assert abs(r2.p_value - single["p_value"]) < 1e-12
+    assert abs(r2.surrogate_mean - single["surrogate_mean"]) < 1e-12
