@@ -287,16 +287,30 @@ def budget_select(
     any bucket count and any partitioning.
     """
     spark = docs.sparkSession
+    # tokenisation dominates both passes and happens BEFORE any exchange —
+    # spread single-split local inputs or it runs on one core
+    docs = spread(docs, "doc_id")
     key = md5_long(
         F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt))
     )
     shift = 60 - n_buckets_log2  # md5_long keys are 60-bit
-    keyed = docs.select(
-        F.col(group_col).alias("grp"),
-        "doc_id",
-        key.alias("sample_key"),
-        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
-    ).withColumn("bucket", F.shiftright("sample_key", shift))
+    # keyed is the text-free projection (5 narrow columns) consumed by
+    # BOTH passes — persist it so the 100 TB text is scanned and
+    # tokenised ONCE, not once per pass (~40 bytes/doc cached;
+    # MEMORY_AND_DISK spills). Attached as _ccm_persisted for
+    # release_cached.
+    from pyspark.storagelevel import StorageLevel
+
+    keyed = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            "doc_id",
+            key.alias("sample_key"),
+            F.size(tokens_col("text")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("bucket", F.shiftright("sample_key", shift))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     hist = (
         keyed.where(F.col("grp").isin(list(budgets)))
@@ -322,6 +336,7 @@ def budget_select(
             boundary, prefix = 1 << n_buckets_log2, cum  # whole group fits
         bounds.append((grp, int(boundary), int(prefix), budget))
     if not bounds:
+        keyed.unpersist()
         return keyed.select("grp", "doc_id", "sample_key", "n_tokens").where(F.lit(False))
     bdf = spark.createDataFrame(
         bounds, "grp string, boundary long, prefix long, budget long"
@@ -339,7 +354,7 @@ def budget_select(
         .orderBy("sample_key", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         joined.withColumn("cum", F.sum("n_tokens").over(w))
         .where(
             (F.col("bucket") < F.col("boundary"))
@@ -347,6 +362,8 @@ def budget_select(
         )
         .select(F.col("grp").alias(group_col), "doc_id", "sample_key", "n_tokens")
     )
+    out._ccm_persisted = [keyed]
+    return out
 
 
 def with_global_positions(df: DataFrame, position_col: str = "global_pos") -> DataFrame:
