@@ -389,3 +389,85 @@ def ccm_significance_fleet(
         .groupBy("pair_id")
         .applyInPandas(run_pair, schema=SIGNIFICANCE_FLEET_SCHEMA)
     )
+
+
+def embedding_scan(
+    spark,
+    x,
+    e_values: list[int] | None = None,
+    tau_values: list[int] | None = None,
+    num_samples: int = 20,
+    seed: int = 42,
+) -> dict:
+    """Embedding-parameter selection by simplex self-prediction — the
+    standard EDM workflow step before any CCM run (Sugihara & May 1990;
+    rEDM's EmbedDimension/PredictInterval): for each (E, tau) candidate,
+    embed the series on ITS OWN manifold and measure one-step-ahead
+    forecast skill; the E where skill saturates is the attractor's
+    operating dimension, and running CCM at a wrong E is the most common
+    user error the reference API silently allows.
+
+    Self-prediction reuses the cross-map kernel verbatim: predicting
+    x(t+1) from M_x is ``cross_map`` with the manifold series x[:-1] and
+    the target aligned one step ahead (x[1:]) — no new numerics, so every
+    cell of the scan inherits the kernel's test pins. Library size per
+    cell comes from :func:`holdout_lib_size` on the truncated length.
+    Scale shape: the (E, tau) grid fans out like the surrogate sweep —
+    spread grid, series broadcast once, scalars back.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    e_values = list(e_values) if e_values is not None else [2, 3, 4, 5, 6, 7, 8]
+    tau_values = list(tau_values) if tau_values is not None else [1]
+    if len(x) < 30:
+        raise ValueError("embedding_scan: series too short")
+    for e in e_values:
+        if e < 2:
+            raise ValueError(f"embedding_scan: E must be >= 2, got {e}")
+    for tau in tau_values:
+        if tau < 1:
+            raise ValueError(f"embedding_scan: tau must be >= 1, got {tau}")
+
+    sc = spark.sparkContext
+    bc = sc.broadcast(x)
+
+    def run(batches):
+        from ccm_spark import oracle
+        from ccm_spark.config import CCMConfig as _Cfg
+
+        bx = bc.value
+        for pdf in batches:
+            rows = []
+            for e, tau in zip(pdf["e"], pdf["tau"]):
+                e, tau = int(e), int(tau)
+                # one-step self-prediction: manifold on x[:-1], target x[1:]
+                src, tgt = bx[:-1], bx[1:]
+                probe = _Cfg(embedding_dim=e, tau=tau, num_samples=num_samples, seed=seed)
+                lib = holdout_lib_size(probe, len(src))
+                kcfg = _Cfg(
+                    embedding_dim=e,
+                    tau=tau,
+                    num_samples=num_samples,
+                    lib_sizes=[lib],
+                    seed=seed,
+                )
+                res = oracle.cross_map(tgt, src, kcfg, "x_causes_y")
+                rows.append((e, tau, lib, float(res["results"][0][1])))
+            yield pd.DataFrame(rows, columns=["e", "tau", "lib_size", "skill"])
+
+    from ccm_spark.functions.partitioning import spread
+
+    grid = [(e, tau) for e in e_values for tau in tau_values]
+    grid_df = spread(spark.createDataFrame(grid, "e long, tau long"), "e", "tau")
+    rows = grid_df.mapInPandas(
+        run, "e long, tau long, lib_size long, skill double"
+    ).collect()
+    cells = sorted((r.e, r.tau, r.lib_size, r.skill) for r in rows)
+    best_e, best_tau, _, best_skill = max(
+        cells, key=lambda c: (c[3], -c[0], -c[1])
+    )
+    return {
+        "cells": cells,
+        "best_e": int(best_e),
+        "best_tau": int(best_tau),
+        "best_skill": float(best_skill),
+    }

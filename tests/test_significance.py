@@ -168,3 +168,43 @@ def test_significance_fleet_per_pair_verdicts(spark):
     assert abs(r2.actual_skill - single["actual_skill"]) < 1e-12
     assert abs(r2.p_value - single["p_value"]) < 1e-12
     assert abs(r2.surrogate_mean - single["surrogate_mean"]) < 1e-12
+
+
+def test_embedding_scan_finds_attractor_dimension(spark):
+    """The logistic map is a 1-D attractor: self-prediction skill must
+    saturate immediately (E=2-3, rho ~ 1) and DECAY as E over-embeds;
+    white noise must stay unpredictable at every E."""
+    import numpy as np
+
+    from ccm_spark.significance import embedding_scan
+
+    x, _ = coupled_series(length=200, coupling=0.3, noise_level=0.01, seed=7)
+    r = embedding_scan(spark, x, num_samples=10)
+    assert r["best_e"] in (2, 3) and r["best_skill"] > 0.99
+    skills = {e: s for e, _, _, s in r["cells"]}
+    assert sorted(skills) == [2, 3, 4, 5, 6, 7, 8]
+    assert skills[8] < skills[r["best_e"]]  # over-embedding hurts
+    rng = np.random.default_rng(1)
+    r2 = embedding_scan(spark, rng.random(201), num_samples=10)
+    assert r2["best_skill"] < 0.4
+
+
+def test_embedding_scan_pins_the_kernel(spark):
+    from ccm_spark import oracle
+    from ccm_spark.significance import embedding_scan, holdout_lib_size
+
+    x, _ = coupled_series(length=150, coupling=0.2, noise_level=0.02, seed=3)
+    r = embedding_scan(spark, x, e_values=[2, 4], tau_values=[1, 2], num_samples=5, seed=9)
+    assert len(r["cells"]) == 4
+    for e, tau, lib, skill in r["cells"]:
+        probe = CCMConfig(embedding_dim=e, tau=tau, num_samples=5, seed=9)
+        assert lib == holdout_lib_size(probe, len(x) - 1)
+        kcfg = CCMConfig(
+            embedding_dim=e, tau=tau, num_samples=5, seed=9, lib_sizes=[lib]
+        )
+        want = oracle.cross_map(x[1:], x[:-1], kcfg, "x_causes_y")["results"][0][1]
+        assert abs(skill - want) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="E must be"):
+        embedding_scan(spark, x, e_values=[1])
