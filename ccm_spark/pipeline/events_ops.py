@@ -162,3 +162,31 @@ def value_quantiles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFra
         F.percentile_approx("value", q, accuracy).alias(name) for name, q in qs.items()
     ]
     return events.groupBy("event_type").agg(*aggs)
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Multi-level rollup — (event_type, hour) cells, per-event_type
+    totals, and the grand total in ONE aggregation pass, the grouping-sets
+    family the reference has no analogue for (SURVEY.md §2.1: "no
+    distinct, grouping sets, cube, rollup").
+
+    Expressed as Spark's native ``rollup`` so Catalyst plans a single
+    Expand + hash-aggregate with map-side partial aggregation — the
+    scalable form (three separate groupBys would scan and shuffle the
+    fact relation three times; the Expand multiplies rows by the number
+    of grouping sets BEFORE the partial agg, which combines them
+    map-side, so the exchange still carries only aggregated cells).
+    ``grouping_id`` disambiguates subtotal rows from genuine NULL keys.
+    Hour is derived from the µs-resolution dispatcher (ts dtype-robust).
+    """
+    hour = F.floor(ts_micros(events) / F.lit(3_600_000_000)).alias("hour_idx")
+    return (
+        events.select("event_type", hour, "value")
+        .rollup("event_type", "hour_idx")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

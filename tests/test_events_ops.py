@@ -119,3 +119,41 @@ def test_quantiles_approx_within_rank_error(spark):
             hi = xs[min(n - 1, math.ceil(target) + err)]
             got = getattr(a, name)
             assert lo <= got <= hi, (etype, name, lo, got, hi)
+
+
+def test_hourly_rollup_matches_duckdb(spark, sf_small):
+    """Spark's single-pass Expand rollup must emit exactly DuckDB's
+    GROUP BY ROLLUP cells — per-(type, hour) rows, per-type subtotals,
+    and the grand total, with matching grouping ids."""
+    import duckdb
+
+    from ccm_spark.pipeline.events_ops import hourly_rollup
+    from ccm_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    def norm(t, h, g, n, sv, av):
+        return (t or "", -1 if h is None else int(h), int(g), int(n), float(sv), float(av))
+
+    got = sorted(
+        norm(r.event_type, r.hour_idx, r.gid, r.n_events, r.sum_value, r.avg_value)
+        for r in hourly_rollup(ev).collect()
+    )
+    want = sorted(
+        norm(t, h, g, n, s, a)
+        for t, h, g, n, s, a in duckdb.sql(
+            f"""
+SELECT event_type,
+       floor(epoch_us(ts) / 3600000000) AS hour_idx,
+       GROUPING(event_type, hour_idx) AS gid,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM read_parquet('{sf_small}/events.parquet')
+GROUP BY ROLLUP (event_type, hour_idx)
+"""
+        ).fetchall()
+    )
+    assert got == want
+    # the three levels are all present
+    gids = {g for _, _, g, _, _, _ in got}
+    assert gids == {0, 1, 3}
