@@ -153,3 +153,31 @@ def py_hashed_features(tokens: list[str], log2_f: int, bigrams: bool = True):
         ],
         dtype=np.int64,
     )
+
+
+def py_wordpiece(word: str, vocab: dict, unk_id: int = 0, max_piece: int = 32):
+    """Greedy longest-match-first wordpiece segmentation of ONE whitespace
+    word (the BERT-style serving algorithm): repeatedly take the longest
+    vocab piece matching at the cursor — continuation pieces are looked up
+    with a '##' prefix — and emit ``unk_id`` for the WHOLE word if any
+    position has no match. Pure function of (word, vocab); the Spark UDF
+    and tests share it."""
+    ids = []
+    pos = 0
+    n = len(word)
+    first = True
+    while pos < n:
+        end = min(n, pos + max_piece)
+        piece_id = None
+        while end > pos:
+            piece = word[pos:end] if first else "##" + word[pos:end]
+            if piece in vocab:
+                piece_id = vocab[piece]
+                break
+            end -= 1
+        if piece_id is None:
+            return [unk_id]
+        ids.append(piece_id)
+        pos = end
+        first = False
+    return ids

@@ -5,6 +5,15 @@ from ccm_spark.pipeline import (
     multimodal,
     similarity,
     text,
+    tokenize,
 )
 
-__all__ = ["dedup", "events_ops", "mixing", "multimodal", "similarity", "text"]
+__all__ = [
+    "dedup",
+    "events_ops",
+    "mixing",
+    "multimodal",
+    "similarity",
+    "text",
+    "tokenize",
+]

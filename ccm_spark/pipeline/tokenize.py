@@ -1,0 +1,98 @@
+"""Vocabulary-based subword tokenization — the tokenize step of an LLM
+training pipeline, as a serving-path operator.
+
+Real pipelines train a tokenizer offline and APPLY it at corpus scale;
+this module is that apply step: a greedy longest-match wordpiece
+segmenter (the BERT-family serving algorithm — public domain knowledge,
+Wu et al. 2016) whose vocabulary ships once per executor as a Spark
+broadcast and runs in one narrow Arrow pass — no shuffle, identical on a
+streaming source. :func:`build_wordpiece_vocab` derives a deterministic
+demo vocabulary from the corpus itself (top words + suffix pieces +
+character fallback) so the operator is runnable and testable without an
+external artifact; production callers pass their trained vocab dict.
+
+The reference engine has no text surface at all (SURVEY.md §2.1); the
+greedy-merge loop is inherently sequential per WORD, so it belongs in an
+Arrow kernel (`mapInPandas`), not SQL — there is deliberately no DuckDB
+oracle here; the segmentation is pinned against the shared pure-Python
+function instead (`tests/test_tokenize.py`).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ccm_spark.functions.partitioning import spread
+
+UNK_ID = 0
+
+TOKENIZED_SCHEMA = (
+    "doc_id long, token_ids array<int>, n_words long, n_pieces long, "
+    "oov_frac double"
+)
+
+
+def build_wordpiece_vocab(
+    docs: DataFrame, size: int = 2000, charset: str = "abcdefghijklmnopqrstuvwxyz0123456789'"
+) -> dict:
+    """Deterministic demo vocabulary: the corpus's top-``size`` whole
+    words (via the two-phase :func:`~ccm_spark.pipeline.text.vocab_topk`),
+    plus every charset character as BOTH a word-initial and a '##'
+    continuation piece so any in-charset word decomposes (true OOV only
+    for out-of-charset characters). Ids are assigned by sorted piece
+    string, starting at 1 (0 = unk) — a pure function of the piece set,
+    so the same corpus yields the same vocab on any cluster. NOTE: runs
+    the top-k aggregation eagerly (one Spark job); the collected vocab is
+    bounded by ``size`` + 2*len(charset)."""
+    from ccm_spark.pipeline.text import vocab_topk
+
+    words = [r.token for r in vocab_topk(docs, k=size).collect()]
+    pieces = set(words)
+    for ch in charset:
+        pieces.add(ch)
+        pieces.add("##" + ch)
+    return {p: i + 1 for i, p in enumerate(sorted(pieces))}
+
+
+def tokenize_docs(docs: DataFrame, vocab: dict) -> DataFrame:
+    """(doc_id, token_ids, n_words, n_pieces, oov_frac): greedy wordpiece
+    ids per document. The vocab dict broadcasts once per executor; the
+    pass is narrow (streaming-safe) and Arrow-batched, with the
+    per-word greedy loop in :func:`ccm_spark.functions.hashing.py_wordpiece`
+    — the same function the tests replay driver-side."""
+    import pandas as pd
+
+    bc = docs.sparkSession.sparkContext.broadcast(dict(vocab))
+
+    def run(batches):
+        from ccm_spark.functions.hashing import py_tokens, py_wordpiece
+
+        v = bc.value
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = py_tokens(text)
+                ids: list[int] = []
+                n_oov = 0
+                for w in words:
+                    piece_ids = py_wordpiece(w, v, UNK_ID)
+                    if piece_ids == [UNK_ID]:
+                        n_oov += 1
+                    ids.extend(piece_ids)
+                out.append(
+                    (
+                        int(doc_id),
+                        ids,
+                        len(words),
+                        len(ids),
+                        round(n_oov / len(words), 6) if words else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "token_ids", "n_words", "n_pieces", "oov_frac"],
+            )
+
+    src = docs if docs.isStreaming else spread(docs, "doc_id")
+    return src.select("doc_id", "text").mapInPandas(run, TOKENIZED_SCHEMA)

@@ -89,3 +89,72 @@ def checksum(df: DataFrame) -> int:
         F.expr("bit_xor(h)").alias("x"), F.count("*").alias("n")
     ).collect()[0]
     return hash((row.x, row.n))
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    seed: str = "epoch0",
+    compression: str = "zstd",
+) -> dict:
+    """Write a corpus as numbered training shards in deterministic
+    shuffled order, with a machine-readable manifest — the hand-off
+    artifact from the data pipeline to a training job.
+
+    Layout: ``shard=K/`` directories, one file each, where K is the
+    global-shuffle partition index — so reading shard 0, 1, 2, ... and
+    each file top-to-bottom IS the epoch's global permutation (rows carry
+    ``shuffle_key`` and their absolute ``global_pos``). The manifest
+    (returned AND written as ``_manifest.json``) records per-shard row
+    and token counts plus the totals a trainer needs for scheduling;
+    counts are derived from the same DataFrame that was written. NOTE:
+    runs eagerly (the write + two counting jobs).
+
+    Scale: the one exchange is the range partition of the shuffle;
+    manifest aggregation touches only (shard, n_tokens) projections.
+    """
+    import json
+
+    from ccm_spark.functions.hashing import tokens_col
+    from ccm_spark.pipeline.mixing import global_shuffle, with_global_positions
+
+    gs = with_global_positions(global_shuffle(docs, seed=seed, num_partitions=n_shards))
+    out = gs.withColumn("shard", F.spark_partition_id()).withColumn(
+        "n_tokens", F.size(tokens_col("text")).cast("long")
+    )
+    out.write.mode("overwrite").partitionBy("shard").option(
+        "compression", compression
+    ).parquet(path)
+    spark = docs.sparkSession
+    written = spark.read.parquet(path)
+    per_shard = [
+        {
+            "shard": int(r["shard"]),
+            "n_docs": int(r["n_docs"]),
+            "n_tokens": int(r["n_tokens"]),
+            "min_pos": int(r["min_pos"]),
+            "max_pos": int(r["max_pos"]),
+        }
+        for r in written.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("global_pos").alias("min_pos"),
+            F.max("global_pos").alias("max_pos"),
+        )
+        .orderBy("shard")
+        .collect()
+    ]
+    manifest = {
+        "seed": seed,
+        "n_shards": len(per_shard),
+        "n_docs": sum(s["n_docs"] for s in per_shard),
+        "n_tokens": sum(s["n_tokens"] for s in per_shard),
+        "shards": per_shard,
+    }
+    import os
+
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

@@ -63,3 +63,51 @@ def test_bucketed_series_feeds_shuffle_free_fastpath(spark, tmp_path):
         for r in ccm_fast_iterated(back, cfg).collect()
     }
     assert via_group == via_bucketed
+
+
+def test_write_training_shards_manifest_and_order(spark, sf_small, tmp_path):
+    """Shards + manifest: totals match the corpus, each shard dir holds
+    one file, and (shard, global_pos) order replays the md5 permutation."""
+    import glob
+    import json
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.sources.sinks import write_training_shards
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, n_shards=5, seed="ep1")
+    assert manifest["n_docs"] == docs.count()
+    want_tokens = docs.select(
+        F.sum(F.size(F.filter(F.split(F.lower("text"), "[ \\t\\n\\x0b\\f\\r]+"), lambda t: t != "")))
+    ).collect()[0][0]
+    assert manifest["n_tokens"] == want_tokens
+    assert manifest["n_shards"] == 5
+    on_disk = json.load(open(path + "/_manifest.json"))
+    assert on_disk == manifest
+    # positions tile 0..N-1 across shards in shard order
+    edges = [(s["min_pos"], s["max_pos"]) for s in manifest["shards"]]
+    assert edges[0][0] == 0 and edges[-1][1] == manifest["n_docs"] - 1
+    for (_, hi), (lo, _) in zip(edges, edges[1:]):
+        assert lo == hi + 1
+    for s in manifest["shards"]:
+        files = glob.glob(f"{path}/shard={s['shard']}/*.parquet")
+        assert len(files) == 1
+    # reading back in (shard, global_pos) order replays the permutation
+    back = spark.read.parquet(path)
+    got = [
+        r.doc_id for r in back.orderBy("shard", "global_pos").select("doc_id").collect()
+    ]
+    want = [
+        int(d)
+        for (d,) in duckdb.sql(
+            f"""
+SELECT doc_id FROM read_parquet('{sf_small}/documents.parquet')
+ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:ep1'), 1, 15)) AS BIGINT), doc_id
+"""
+        ).fetchall()
+    ]
+    assert got == want

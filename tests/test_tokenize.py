@@ -1,0 +1,58 @@
+"""Wordpiece tokenization: greedy semantics, corpus-scale replay, vocab
+determinism."""
+
+from __future__ import annotations
+
+from ccm_spark.functions.hashing import py_tokens, py_wordpiece
+from ccm_spark.pipeline.tokenize import (
+    UNK_ID,
+    build_wordpiece_vocab,
+    tokenize_docs,
+)
+from ccm_spark.sources.tables import load_table
+
+
+def test_py_wordpiece_greedy_semantics():
+    v = {"un": 1, "##aff": 2, "##able": 3, "##a": 4, "##f": 5, "the": 6}
+    assert py_wordpiece("unaffable", v) == [1, 2, 3]
+    # greedy longest-first backs off per position
+    assert py_wordpiece("unafable", v) == [1, 4, 5, 3]
+    assert py_wordpiece("the", v) == [6]
+    # any position without a match collapses the WHOLE word to unk
+    assert py_wordpiece("zzz", v) == [UNK_ID]
+    assert py_wordpiece("thez", v) == [UNK_ID]
+
+
+def test_tokenize_docs_matches_python_replay(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").where("doc_id % 7 = 0")
+    vocab = build_wordpiece_vocab(docs, size=300)
+    out = {r.doc_id: r for r in tokenize_docs(docs, vocab).collect()}
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert set(out) == set(texts)
+    n_checked_pieces = 0
+    for doc_id, text in texts.items():
+        words = py_tokens(text)
+        want_ids: list[int] = []
+        n_oov = 0
+        for w in words:
+            pid = py_wordpiece(w, vocab, UNK_ID)
+            if pid == [UNK_ID]:
+                n_oov += 1
+            want_ids.extend(pid)
+        r = out[doc_id]
+        assert list(r.token_ids) == want_ids
+        assert (r.n_words, r.n_pieces) == (len(words), len(want_ids))
+        assert abs(r.oov_frac - (round(n_oov / len(words), 6) if words else 0.0)) < 1e-12
+        n_checked_pieces += len(want_ids)
+    assert n_checked_pieces > 3_000  # the replay actually covered content
+    # charset fallback: in-charset words never go unk, so corpus oov ~ 0
+    assert sum(r.oov_frac for r in out.values()) / len(out) < 0.05
+
+
+def test_vocab_is_deterministic_and_partitioning_invariant(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    a = build_wordpiece_vocab(docs, size=100)
+    b = build_wordpiece_vocab(docs.repartition(7), size=100)
+    assert a == b
+    # ids are dense from 1 with 0 reserved for unk
+    assert sorted(a.values()) == list(range(1, len(a) + 1))
