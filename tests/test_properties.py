@@ -122,3 +122,85 @@ def test_py_tokens_matches_duckdb_tokenizer(text):
     literal = "'" + text + "'"
     want = duckdb.sql(f"SELECT {sql_tokens(literal)} AS t").fetchone()[0]
     assert got == list(want)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**31 - 1), min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=8, max_value=30),
+)
+@settings(deadline=None)
+def test_bloom_positions_bounds_and_determinism(hashes, k, log2_m):
+    from ccm_spark.functions.hashing import bloom_positions
+
+    a = bloom_positions(hashes, k, log2_m)
+    b = bloom_positions(hashes, k, log2_m)
+    assert a.shape == (len(hashes), k)
+    assert (a == b).all()
+    assert (a < (1 << log2_m)).all()
+    # equal inputs map to equal rows (membership testing relies on it)
+    if len(hashes) >= 2 and hashes[0] == hashes[1]:
+        assert (a[0] == a[1]).all()
+
+
+_WP_ALPHA = "ab"
+
+
+@given(st.text(alphabet=_WP_ALPHA, min_size=1, max_size=24))
+@settings(deadline=None)
+def test_wordpiece_char_vocab_reconstructs(word):
+    """With a full character vocab, segmentation never UNKs and the
+    pieces (## stripped) concatenate back to the word; with the word
+    itself in vocab, greedy takes it whole."""
+    from ccm_spark.functions.hashing import py_wordpiece
+
+    vocab = {}
+    for ch in _WP_ALPHA:
+        vocab[ch] = len(vocab) + 1
+        vocab["##" + ch] = len(vocab) + 1
+    ids = py_wordpiece(word, vocab, 0)
+    assert 0 not in ids
+    inv = {v: k for k, v in vocab.items()}
+    rebuilt = "".join(inv[i].removeprefix("##") for i in ids)
+    assert rebuilt == word
+    vocab2 = dict(vocab)
+    vocab2[word] = 999
+    assert py_wordpiece(word, vocab2, 0) == [999]
+
+
+@given(
+    st.integers(min_value=30, max_value=5000),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**20),
+)
+@settings(deadline=None)
+def test_surrogate_offsets_properties(n, k, seed):
+    from ccm_spark.significance import surrogate_offsets
+
+    offs = surrogate_offsets(n, k, seed)
+    assert len(offs) == k
+    ms = max(1, n // 10)
+    assert all(ms <= o <= n - ms for o in offs)
+    assert offs == surrogate_offsets(n, k, seed)
+
+
+@given(
+    st.integers(min_value=30, max_value=2000),
+    st.integers(min_value=1, max_value=200),
+)
+@settings(deadline=None)
+def test_holdout_lib_size_leaves_holdout(n, holdout):
+    from ccm_spark.config import CCMConfig
+    from ccm_spark.significance import holdout_lib_size
+
+    cfg = CCMConfig()
+    lib = holdout_lib_size(cfg, n, min_holdout=holdout)
+    ladder = cfg.resolved_lib_sizes(n)
+    assert lib in ladder
+    n_emb = n - (cfg.embedding_dim - 1) * cfg.tau
+    if any(n_emb - v >= holdout for v in ladder):
+        assert n_emb - lib >= holdout
+        # maximal: no larger ladder entry also satisfies the holdout
+        assert all(v <= lib or n_emb - v < holdout for v in ladder)
+    else:
+        assert lib == ladder[-1]
