@@ -267,3 +267,22 @@ def bidirectional_ccm(x: np.ndarray, y: np.ndarray, config: CCMConfig) -> dict:
         "x_causes_y": cross_map(x, y, config, "x_causes_y"),
         "y_causes_x": cross_map(x, y, config, "y_causes_x"),
     }
+
+
+def block_embedding(
+    columns: list[np.ndarray], embedding_dim: int, tau: int
+) -> np.ndarray:
+    """Generalized (multivariate) state-space embedding: ``embedding_dim``
+    lags of EACH observable, horizontally stacked — row i is
+    [c1[i..i+(E-1)tau], c2[i..], ...], total dimension E * len(columns).
+    Deyle & Sugihara 2011 (generalized embedding theorems): mixed-lag
+    coordinate maps are generically valid reconstructions, so cross-map
+    machinery (kNN, simplex weights, Pearson) applies unchanged on the
+    stacked block — :func:`cross_map_lib_batch` takes any (emb, tgt)."""
+    if not columns:
+        raise ValueError("block_embedding: need at least one column")
+    parts = [
+        time_delay_embedding(np.asarray(c, dtype=np.float64), embedding_dim, tau)
+        for c in columns
+    ]
+    return np.hstack(parts)
