@@ -56,3 +56,38 @@ def test_vocab_is_deterministic_and_partitioning_invariant(spark, sf_small):
     assert a == b
     # ids are dense from 1 with 0 reserved for unk
     assert sorted(a.values()) == list(range(1, len(a) + 1))
+
+
+def test_tokenize_streaming_matches_batch(spark, sf_small, tmp_path):
+    """tokenize_docs is a narrow Arrow pass, so it runs unchanged on a
+    streaming source and emits the batch segmentation."""
+    from ccm_spark.sources.jsonl import (
+        documents_jsonl_stream,
+        write_documents_jsonl,
+    )
+
+    docs = load_table(spark, sf_small, "documents").where("doc_id % 13 = 0")
+    vocab = build_wordpiece_vocab(docs, size=200)
+    expected = {
+        (r.doc_id, tuple(r.token_ids), r.n_words, r.n_pieces, r.oov_frac)
+        for r in tokenize_docs(docs, vocab).collect()
+    }
+    path = str(tmp_path / "tok_jsonl")
+    write_documents_jsonl(docs, path, n_files=2)
+    stream = documents_jsonl_stream(spark, path)
+    toks = tokenize_docs(stream, vocab)
+    assert toks.isStreaming
+    q = (
+        toks.writeStream.format("memory")
+        .queryName("tok_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tok"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, tuple(r.token_ids), r.n_words, r.n_pieces, r.oov_frac)
+        for r in spark.sql("SELECT * FROM tok_stream").collect()
+    }
+    assert got == expected
