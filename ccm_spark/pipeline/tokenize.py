@@ -96,3 +96,82 @@ def tokenize_docs(docs: DataFrame, vocab: dict) -> DataFrame:
 
     src = docs if docs.isStreaming else spread(docs, "doc_id")
     return src.select("doc_id", "text").mapInPandas(run, TOKENIZED_SCHEMA)
+
+
+CHUNKED_SCHEMA = (
+    "doc_id long, chunk_idx long, chunk_text string, n_tokens long, "
+    "char_start long, char_end long"
+)
+
+
+def chunk_docs(
+    docs: DataFrame, max_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """Split long documents into token-bounded chunks with overlap — the
+    pretraining/RAG chunker: each chunk holds at most ``max_tokens``
+    whitespace tokens, consecutive chunks share ``overlap`` tokens, and
+    ``chunk_text`` is a byte-faithful slice of the ORIGINAL text (cut at
+    token boundaries via the shared span tokenizer, never re-joined from
+    normalised tokens — the
+    :func:`~ccm_spark.functions.hashing.py_token_spans` guarantee).
+    Emits (doc_id, chunk_idx, chunk_text, n_tokens, char_start,
+    char_end); token-less docs produce no chunks, docs at or under the
+    budget produce exactly one.
+
+    One narrow Arrow pass (streaming-safe); the fan-out is a per-row
+    explode, so output rows ~ corpus_tokens / (max_tokens - overlap) —
+    no shuffle at any scale.
+    """
+    import pandas as pd
+
+    if max_tokens < 1 or not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"chunk_docs: need max_tokens >= 1 and 0 <= overlap < "
+            f"max_tokens (got {max_tokens}, {overlap})"
+        )
+    stride = max_tokens - overlap
+
+    def run(batches):
+        from ccm_spark.functions.hashing import py_token_spans
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                spans = py_token_spans(text)
+                n = len(spans)
+                if n == 0:
+                    continue
+                idx = 0
+                start_tok = 0
+                while True:
+                    end_tok = min(n, start_tok + max_tokens)
+                    cs = spans[start_tok][0]
+                    ce = spans[end_tok - 1][1]
+                    out.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            text[cs:ce],
+                            end_tok - start_tok,
+                            cs,
+                            ce,
+                        )
+                    )
+                    if end_tok >= n:
+                        break
+                    idx += 1
+                    start_tok += stride
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "chunk_idx",
+                    "chunk_text",
+                    "n_tokens",
+                    "char_start",
+                    "char_end",
+                ],
+            )
+
+    src = docs if docs.isStreaming else spread(docs, "doc_id")
+    return src.select("doc_id", "text").mapInPandas(run, CHUNKED_SCHEMA)

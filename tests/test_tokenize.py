@@ -91,3 +91,46 @@ def test_tokenize_streaming_matches_batch(spark, sf_small, tmp_path):
         for r in spark.sql("SELECT * FROM tok_stream").collect()
     }
     assert got == expected
+
+
+def test_chunk_docs_invariants_and_replay(spark, sf_small):
+    """Chunks tile each doc with the configured stride, slice the
+    ORIGINAL text byte-faithfully, and match a driver-side replay."""
+    import pytest
+
+    from ccm_spark.functions.hashing import py_token_spans, py_tokens
+    from ccm_spark.pipeline.tokenize import chunk_docs
+
+    docs = load_table(spark, sf_small, "documents").where("doc_id % 9 = 0")
+    max_tokens, overlap = 40, 10
+    out = chunk_docs(docs, max_tokens=max_tokens, overlap=overlap).collect()
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every doc with tokens chunked; multi-chunk docs exist in the corpus
+    assert set(by_doc) == {d for d, t in texts.items() if py_tokens(t)}
+    assert any(len(v) > 1 for v in by_doc.values())
+    for doc_id, chunks in by_doc.items():
+        text = texts[doc_id]
+        spans = py_token_spans(text)
+        n = len(spans)
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        stride = max_tokens - overlap
+        for i, c in enumerate(chunks):
+            start_tok = i * stride
+            end_tok = min(n, start_tok + max_tokens)
+            assert c.n_tokens == end_tok - start_tok
+            assert c.char_start == spans[start_tok][0]
+            assert c.char_end == spans[end_tok - 1][1]
+            # byte-faithful: the chunk is literally text[start:end]
+            assert c.chunk_text == text[c.char_start : c.char_end]
+        # the last chunk reaches the last token
+        assert chunks[-1].char_end == spans[-1][1]
+        # consecutive chunks overlap by `overlap` tokens (unless the tail
+        # chunk is shorter than the overlap itself)
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.char_start <= a.char_end
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_docs(docs, max_tokens=10, overlap=10)
