@@ -286,3 +286,25 @@ def test_with_global_positions_is_the_permutation(spark, sf_small):
         assert plan.split("InMemoryRelation")[0].count("Exchange") == 0
     finally:
         gs.unpersist()
+
+
+def test_budget_select_caches_the_keyed_projection(spark, sf_small):
+    """Regression pin for the single-scan fix: the selection plan must
+    read the cached keyed relation (InMemoryTableScan), not re-run the
+    scan+tokenise chain, and the cache handle must be released via the
+    _ccm_persisted convention."""
+    from ccm_spark.pipeline.mixing import budget_select
+    from ccm_spark.plans.cross_map import release_cached
+
+    docs = load_table(spark, sf_small, "documents")
+    out = budget_select(docs, {"en": 5000, "de": 1000})
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        # the stamping side reads the cache, so the interpreted tokenizer
+        # appears only inside the cached relation's stored plan
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert "split(lower(" not in above_cache
+        assert getattr(out, "_ccm_persisted", [])
+    finally:
+        release_cached(out)
