@@ -1,0 +1,114 @@
+"""End-to-end corpus-preparation walkthrough — the training-data
+pipeline assembled from the engine's operators, runnable documentation
+(the PySpark analogue of the reference's examples.livemd notebook, which
+demos the CCM surface; this demos the corpus surface).
+
+    python examples/corpus_pipeline.py [sf_dir]
+
+Stages (each one operator, each individually oracle- or replay-pinned):
+  1. quality filter        (rule-based keep/drop)
+  2. exact dedup           (md5 hash-aggregate, keep representative)
+  3. near-dup removal      (MinHash+LSH clusters -> keep min doc_id)
+  4. decontamination       (Bloom probe + exact verify vs an eval split)
+  5. mixing                (per-language rates, deterministic)
+  6. tokenize + budget     (wordpiece ids; exact per-language token caps)
+  7. shuffle + shards      (global permutation, manifest hand-off)
+"""
+
+from __future__ import annotations
+
+
+def run(spark, sf_dir: str, shard_path: str) -> dict:
+    """Run the whole pipeline; returns the stage-by-stage row counts and
+    the final shard manifest (collected — demo scale)."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.dedup import (
+        decontaminate_bloom,
+        duplicate_components,
+        exact_duplicates,
+    )
+    from ccm_spark.pipeline.mixing import budget_select, mixture_sample
+    from ccm_spark.pipeline.text import quality_filter
+    from ccm_spark.pipeline.tokenize import build_wordpiece_vocab, tokenize_docs
+    from ccm_spark.plans.cross_map import release_cached
+    from ccm_spark.sources.sinks import write_training_shards
+    from ccm_spark.sources.tables import load_table
+
+    counts: dict = {}
+
+    def checkpoint(new_docs):
+        """Materialise AND truncate lineage at each stage boundary
+        (eager localCheckpoint). persist() is NOT enough here: it caches
+        data but the logical plan keeps nesting, and with the iterative
+        near-dup stage embedded, every later action paid a driver-side
+        walk of that tree (measured 30-80s per stage before the switch);
+        worse, unpersisting a superseded stage CASCADES into dependent
+        caches. At production scale the equivalent boundary is writing
+        each stage to a table and reading it back (durable, restartable);
+        localCheckpoint is the in-session twin."""
+        new_docs = new_docs.localCheckpoint(eager=True)
+        return new_docs, new_docs.count()
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts["input"] = docs.count()
+
+    # eval split for decontamination (stand-in for a benchmark suite)
+    eval_docs = docs.where("doc_id % 31 = 0")
+    docs = docs.where("doc_id % 31 != 0")
+
+    # 1. rule-based quality filter
+    kept = quality_filter(docs).where("keep").select("doc_id")
+    docs, counts["after_quality"] = checkpoint(docs.join(kept, "doc_id"))
+
+    # 2. exact dedup: keep each content hash's representative
+    reps = exact_duplicates(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    docs, counts["after_exact_dedup"] = checkpoint(docs.join(reps, "doc_id"))
+
+    # 3. near-dup clusters -> keep the component label (min doc_id)
+    comp = duplicate_components(docs, threshold=0.5)
+    keep = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
+    docs, counts["after_near_dedup"] = checkpoint(docs.join(keep, "doc_id"))
+    release_cached(comp)
+
+    # 4. decontaminate against the eval split (Bloom + exact verify)
+    verdicts = decontaminate_bloom(docs, eval_docs)
+    clean = verdicts.where(~F.col("contaminated")).select("doc_id")
+    docs, counts["after_decontamination"] = checkpoint(docs.join(clean, "doc_id"))
+    release_cached(verdicts)
+
+    # 5. language mixing (drop copy_idx: demo rates are <= 1)
+    mixed = mixture_sample(docs).select("doc_id").distinct()
+    docs, counts["after_mixing"] = checkpoint(docs.join(mixed, "doc_id"))
+
+    # 6. tokenize (broadcast wordpiece vocab) + exact token budgets
+    vocab = build_wordpiece_vocab(docs, size=1000)
+    toks = tokenize_docs(docs, vocab)
+    counts["total_pieces"] = toks.agg(F.sum("n_pieces")).collect()[0][0]
+    budgeted = budget_select(
+        docs, {"en": 50_000, "de": 20_000, "fr": 10_000, "es": 5_000, "zh": 5_000}
+    )
+    docs, counts["after_budget"] = checkpoint(docs.join(budgeted.select("doc_id"), "doc_id"))
+    release_cached(budgeted)
+
+    # 7. deterministic shuffle -> training shards + manifest
+    manifest = write_training_shards(docs, shard_path, n_shards=4, seed="epoch0")
+    counts["shards"] = manifest["n_shards"]
+    counts["final_docs"] = manifest["n_docs"]
+    counts["final_tokens"] = manifest["n_tokens"]
+    return {"counts": counts, "manifest": manifest}
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+    import tempfile
+
+    from ccm_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("corpus-pipeline-demo")
+    out = run(spark, sf_dir, tempfile.mkdtemp(prefix="ccm_spark_shards_"))
+    print(json.dumps(out["counts"], indent=2))

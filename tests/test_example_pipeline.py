@@ -1,0 +1,34 @@
+"""The worked corpus-pipeline example must run end-to-end and shrink
+the corpus monotonically through its filter stages."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_corpus_pipeline_example_runs(spark, sf_small, tmp_path):
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from corpus_pipeline import run
+    finally:
+        sys.path.pop(0)
+
+    out = run(spark, sf_small, str(tmp_path / "shards"))
+    c = out["counts"]
+    # every filter stage can only shrink the corpus
+    assert (
+        c["input"]
+        > c["after_quality"]
+        >= c["after_exact_dedup"]
+        >= c["after_near_dedup"]
+        >= c["after_decontamination"]
+        >= c["after_mixing"]
+        >= c["after_budget"]
+        == c["final_docs"]
+        > 0
+    )
+    assert c["total_pieces"] > 0 and c["final_tokens"] > 0
+    assert c["shards"] >= 1
+    m = out["manifest"]
+    assert m["n_docs"] == c["final_docs"]
+    assert sum(s["n_docs"] for s in m["shards"]) == m["n_docs"]
