@@ -166,3 +166,33 @@ class CCM:
             direction=direction,
             max_lag=max_lag,
         )
+
+    def suggest_embedding(
+        self, e_values=None, tau_values=None, num_samples: int = 20
+    ) -> dict:
+        """Scan (E, tau) by simplex self-prediction for BOTH series
+        (:func:`ccm_spark.significance.embedding_scan`) and recommend the
+        conservative choice for a CCM run: the larger of the two best Es
+        (under-embedding loses causal signal; mild over-embedding only
+        costs a little noise). Single-pair mode only."""
+        if self._xy is None:
+            raise ValueError(
+                "suggest_embedding() needs the raw series; construct "
+                "CCM(spark, x, y, ...) or call embedding_scan directly."
+            )
+        from ccm_spark.significance import embedding_scan
+
+        sx = embedding_scan(
+            self.spark, self._xy[0], e_values, tau_values,
+            num_samples=num_samples, seed=self.config.seed,
+        )
+        sy = embedding_scan(
+            self.spark, self._xy[1], e_values, tau_values,
+            num_samples=num_samples, seed=self.config.seed,
+        )
+        return {
+            "x_scan": sx,
+            "y_scan": sy,
+            "recommended_e": max(sx["best_e"], sy["best_e"]),
+            "recommended_tau": max(sx["best_tau"], sy["best_tau"]),
+        }

@@ -208,3 +208,18 @@ def test_embedding_scan_pins_the_kernel(spark):
 
     with _pytest.raises(ValueError, match="E must be"):
         embedding_scan(spark, x, e_values=[1])
+
+
+def test_ccm_api_suggest_embedding(spark):
+    from ccm_spark import CCM
+
+    x, y = coupled_series(length=150, coupling=0.4, noise_level=0.02, seed=7)
+    c = CCM(spark, x, y, num_samples=5, seed=5)
+    rec = c.suggest_embedding(e_values=[2, 3, 4], num_samples=5)
+    assert rec["recommended_e"] in (2, 3, 4)
+    assert rec["recommended_e"] == max(
+        rec["x_scan"]["best_e"], rec["y_scan"]["best_e"]
+    )
+    # logistic dynamics: self-prediction is excellent for both series
+    assert rec["x_scan"]["best_skill"] > 0.9
+    assert rec["y_scan"]["best_skill"] > 0.9
