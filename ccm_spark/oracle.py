@@ -286,3 +286,37 @@ def block_embedding(
         for c in columns
     ]
     return np.hstack(parts)
+
+
+def smap_forecast_skill(
+    series: np.ndarray, theta: float, embedding_dim: int, tau: int
+) -> float:
+    """S-map (Sugihara 1994, "Nonlinear forecasting for the
+    classification of natural time series"): one-step self-forecast skill
+    using sequentially locally-weighted global linear maps. For each
+    embedding point, every OTHER point is weighted by
+    exp(-theta * d / d_mean) and a weighted least-squares linear map
+    predicts the next value; theta=0 is the global autoregressive
+    (linear) model, larger theta localises the map — skill RISING with
+    theta is the operational signature of state-dependent (nonlinear)
+    dynamics. Deterministic (no sampling)."""
+    series = np.asarray(series, dtype=np.float64)
+    src, tgt_series = series[:-1], series[1:]
+    emb = time_delay_embedding(src, embedding_dim, tau)
+    tgt = adjusted_target(tgt_series, embedding_dim, tau)
+    p = emb.shape[0]
+    if p < embedding_dim + 2:
+        raise ValueError("smap_forecast_skill: series too short")
+    d = _pairwise_distances(emb)
+    preds = np.empty(p)
+    design = np.hstack([np.ones((p, 1)), emb])
+    for i in range(p):
+        di = np.delete(d[i], i)
+        rows = np.delete(design, i, axis=0)
+        ys = np.delete(tgt, i)
+        dbar = di.mean()
+        w = np.exp(-theta * di / dbar) if dbar > 0 else np.ones_like(di)
+        sw = np.sqrt(w)
+        coef, *_ = np.linalg.lstsq(rows * sw[:, None], ys * sw, rcond=None)
+        preds[i] = design[i] @ coef
+    return pearson(preds, tgt)

@@ -471,3 +471,73 @@ def embedding_scan(
         "best_tau": int(best_tau),
         "best_skill": float(best_skill),
     }
+
+
+DEFAULT_THETAS = [0.0, 0.1, 0.3, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0, 8.0]
+
+
+def smap_theta_scan(
+    spark,
+    x,
+    thetas: list[float] | None = None,
+    embedding_dim: int = 3,
+    tau: int = 1,
+) -> dict:
+    """Nonlinearity test via the S-map theta scan (Sugihara 1994; the
+    rEDM ``PredictNonlinear`` surface): one-step S-map forecast skill at
+    each localisation theta. theta=0 is the best GLOBAL linear
+    (autoregressive) model; skill rising for theta > 0 means the dynamics
+    are state-dependent — the standard check that CCM's nonlinear
+    machinery is even applicable to a series, which the reference never
+    asks. Deterministic (no sampling anywhere in the S-map).
+
+    Scale shape: the theta grid fans out exactly like
+    :func:`embedding_scan` — spread grid, series broadcast once, one
+    :func:`ccm_spark.oracle.smap_forecast_skill` kernel per cell.
+    Returns the per-theta skills, the best theta, and
+    ``nonlinear = skill(best theta) > skill(0)``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    thetas = list(DEFAULT_THETAS) if thetas is None else [float(t) for t in thetas]
+    if 0.0 not in thetas:
+        raise ValueError(
+            "smap_theta_scan: thetas must include 0.0 — the linear "
+            "baseline the verdict compares against"
+        )
+    sc = spark.sparkContext
+    bc = sc.broadcast(x)
+
+    def run(batches):
+        from ccm_spark import oracle
+
+        bx = bc.value
+        for pdf in batches:
+            rows = [
+                (
+                    float(theta),
+                    float(
+                        oracle.smap_forecast_skill(bx, float(theta), embedding_dim, tau)
+                    ),
+                )
+                for theta in pdf["theta"]
+            ]
+            yield pd.DataFrame(rows, columns=["theta", "skill"])
+
+    from ccm_spark.functions.partitioning import spread
+
+    grid_df = spread(
+        spark.createDataFrame([(t,) for t in thetas], "theta double"), "theta"
+    )
+    rows = grid_df.mapInPandas(run, "theta double, skill double").collect()
+    skills = sorted((r.theta, r.skill) for r in rows)
+    best_theta, best_skill = max(skills, key=lambda p: (p[1], -p[0]))
+    linear_skill = dict(skills)[0.0]
+    return {
+        "embedding_dim": embedding_dim,
+        "tau": tau,
+        "skills": skills,
+        "best_theta": float(best_theta),
+        "best_skill": float(best_skill),
+        "linear_skill": float(linear_skill),
+        "nonlinear": bool(best_theta > 0 and best_skill > linear_skill),
+    }

@@ -223,3 +223,47 @@ def test_ccm_api_suggest_embedding(spark):
     # logistic dynamics: self-prediction is excellent for both series
     assert rec["x_scan"]["best_skill"] > 0.9
     assert rec["y_scan"]["best_skill"] > 0.9
+
+
+def test_smap_theta_scan_separates_nonlinear_from_linear(spark):
+    """S-map theta scan: the logistic map's skill must RISE with
+    localisation (state-dependent dynamics), an AR(1) series must not —
+    Sugihara 1994's operational nonlinearity test."""
+    import numpy as np
+
+    from ccm_spark.significance import smap_theta_scan
+
+    x, _ = coupled_series(length=200, coupling=0.3, noise_level=0.02, seed=7)
+    r = smap_theta_scan(spark, x)
+    assert r["nonlinear"]
+    assert r["best_theta"] >= 2.0
+    assert r["best_skill"] > r["linear_skill"] + 0.2
+    skills = dict(r["skills"])
+    assert skills[8.0] > skills[1.0] > skills[0.0]
+
+    rng = np.random.default_rng(3)
+    n = 201
+    ar = np.empty(n)
+    ar[0] = 0.0
+    eps = rng.normal(size=n)
+    for t in range(n - 1):
+        ar[t + 1] = 0.7 * ar[t] + eps[t]
+    r2 = smap_theta_scan(spark, ar)
+    # linear dynamics: localisation never buys meaningful skill
+    assert r2["best_skill"] < r2["linear_skill"] + 0.02
+
+
+def test_smap_scan_pins_the_kernel(spark):
+    import pytest as _pytest
+
+    from ccm_spark import oracle
+    from ccm_spark.significance import smap_theta_scan
+
+    x, _ = coupled_series(length=120, coupling=0.2, noise_level=0.02, seed=3)
+    r = smap_theta_scan(spark, x, thetas=[0.0, 1.0, 4.0], embedding_dim=2)
+    assert len(r["skills"]) == 3
+    for theta, skill in r["skills"]:
+        want = oracle.smap_forecast_skill(x, theta, 2, 1)
+        assert abs(skill - want) < 1e-12
+    with _pytest.raises(ValueError, match="thetas must include"):
+        smap_theta_scan(spark, x, thetas=[1.0, 2.0])
