@@ -541,3 +541,70 @@ def smap_theta_scan(
         "linear_skill": float(linear_skill),
         "nonlinear": bool(best_theta > 0 and best_skill > linear_skill),
     }
+
+
+def forecast_horizon_scan(
+    spark,
+    x,
+    horizons: list[int] | None = None,
+    embedding_dim: int = 3,
+    tau: int = 1,
+    num_samples: int = 20,
+    seed: int = 42,
+) -> dict:
+    """Prediction-decay scan (Sugihara & May 1990's second diagnostic;
+    rEDM's PredictInterval): simplex self-forecast skill as a function of
+    the forecast horizon h. Chaotic dynamics are the signature case —
+    skill high at h=1 and DECAYING with horizon (error grows with the
+    Lyapunov exponent), while uncorrelated noise is uniformly
+    unpredictable and periodic/linear signals hold their skill. Same
+    spread-grid fan-out as the sibling scans; library size per cell from
+    :func:`holdout_lib_size` on the truncated length.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    horizons = list(horizons) if horizons is not None else [1, 2, 3, 4, 6, 8, 12]
+    for h in horizons:
+        if h < 1 or h >= len(x) // 2:
+            raise ValueError(f"forecast_horizon_scan: horizon {h} out of range")
+    sc = spark.sparkContext
+    bc = sc.broadcast(x)
+
+    def run(batches):
+        from ccm_spark import oracle
+        from ccm_spark.config import CCMConfig as _Cfg
+
+        bx = bc.value
+        for pdf in batches:
+            rows = []
+            for h in pdf["h"]:
+                h = int(h)
+                src, tgt = bx[:-h], bx[h:]
+                probe = _Cfg(
+                    embedding_dim=embedding_dim, tau=tau,
+                    num_samples=num_samples, seed=seed,
+                )
+                lib = holdout_lib_size(probe, len(src))
+                kcfg = _Cfg(
+                    embedding_dim=embedding_dim, tau=tau,
+                    num_samples=num_samples, lib_sizes=[lib], seed=seed,
+                )
+                res = oracle.cross_map(tgt, src, kcfg, "x_causes_y")
+                rows.append((h, float(res["results"][0][1])))
+            yield pd.DataFrame(rows, columns=["h", "skill"])
+
+    from ccm_spark.functions.partitioning import spread
+
+    grid_df = spread(
+        spark.createDataFrame([(int(h),) for h in horizons], "h long"), "h"
+    )
+    rows = grid_df.mapInPandas(run, "h long, skill double").collect()
+    skills = sorted((r.h, r.skill) for r in rows)
+    return {
+        "embedding_dim": embedding_dim,
+        "tau": tau,
+        "skills": skills,
+        "skill_h1": float(dict(skills).get(1, float("nan"))),
+        "decaying": bool(
+            len(skills) >= 2 and skills[0][1] > skills[-1][1]
+        ),
+    }

@@ -267,3 +267,42 @@ def test_smap_scan_pins_the_kernel(spark):
         assert abs(skill - want) < 1e-12
     with _pytest.raises(ValueError, match="thetas must include"):
         smap_theta_scan(spark, x, thetas=[1.0, 2.0])
+
+
+def test_forecast_horizon_decay_separates_chaos_from_noise(spark):
+    """Sugihara & May 1990: chaos predicts well at h=1 and decays with
+    horizon; white noise is uniformly unpredictable."""
+    import numpy as np
+
+    from ccm_spark.significance import forecast_horizon_scan
+
+    x, _ = coupled_series(length=250, coupling=0.3, noise_level=0.01, seed=7)
+    r = forecast_horizon_scan(spark, x)
+    skills = dict(r["skills"])
+    assert r["skill_h1"] > 0.95
+    assert r["decaying"] and skills[12] < skills[1] - 0.3
+    # decay is (noisily) monotone over octaves
+    assert skills[1] > skills[4] > skills[12]
+
+    rng = np.random.default_rng(5)
+    r2 = forecast_horizon_scan(spark, rng.random(250))
+    assert all(s < 0.35 for _, s in r2["skills"])  # never predictable
+
+
+def test_forecast_horizon_pins_kernel_and_validates(spark):
+    import pytest as _pytest
+
+    from ccm_spark import oracle
+    from ccm_spark.significance import forecast_horizon_scan, holdout_lib_size
+
+    x, _ = coupled_series(length=120, coupling=0.2, noise_level=0.02, seed=3)
+    r = forecast_horizon_scan(spark, x, horizons=[1, 5], num_samples=5, seed=9)
+    for h, skill in r["skills"]:
+        src, tgt = x[:-h], x[h:]
+        probe = CCMConfig(num_samples=5, seed=9)
+        lib = holdout_lib_size(probe, len(src))
+        kcfg = CCMConfig(num_samples=5, seed=9, lib_sizes=[lib])
+        want = oracle.cross_map(tgt, src, kcfg, "x_causes_y")["results"][0][1]
+        assert abs(skill - want) < 1e-12
+    with _pytest.raises(ValueError, match="out of range"):
+        forecast_horizon_scan(spark, x, horizons=[0])
