@@ -24,13 +24,38 @@ TABLES = (
 ).split()
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Load one of the engine's tables. ``fmt`` accepts any Spark batch
+    source ("parquet" default; "orc" / "json" / "csv" round-trip via
+    :func:`convert_table`) — every downstream operator is
+    format-agnostic because it only sees the DataFrame."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # TIMESTAMP_NTZ -> epoch micros goes through a session-tz-dependent
     # cast; pin UTC so ts_micros is environment-independent and equal to
     # DuckDB's epoch_us on the same file.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.{fmt}"
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    return reader.format(fmt).load(path)
+
+
+def convert_table(
+    spark: SparkSession, sf_dir: str, name: str, out_dir: str, fmt: str
+) -> str:
+    """Re-materialise a parquet table in another format (ORC/JSON/CSV)
+    under ``out_dir`` so format-robustness can be exercised end-to-end;
+    returns the written path (layout matches what ``load_table`` expects)."""
+    df = load_table(spark, sf_dir, name)
+    path = f"{out_dir}/{name}.{fmt}"
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+    return path
 
 
 def ts_micros(df: DataFrame, col: str = "ts") -> Column:

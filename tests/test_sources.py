@@ -76,3 +76,23 @@ def test_read_csv_series_roundtrip(spark, tmp_path):
     rows = df.orderBy("t").collect()
     assert len(rows) == 12
     assert rows[3].x == pytest.approx(0.3)
+
+
+def test_load_table_orc_and_json_round_trip(spark, sf_small, tmp_path):
+    """Operators are format-agnostic: the documents table re-materialised
+    as ORC or JSON loads back value-identical, and a pipeline operator
+    produces the same result on it."""
+    from ccm_spark.pipeline.text import token_stats
+    from ccm_spark.sources.tables import convert_table, load_table
+
+    base = load_table(spark, sf_small, "documents")
+    want_rows = sorted(tuple(r) for r in base.collect())
+    want_stats = sorted(tuple(r) for r in token_stats(base).collect())
+    for fmt in ("orc", "json"):
+        convert_table(spark, sf_small, "documents", str(tmp_path), fmt)
+        got = load_table(spark, str(tmp_path), "documents", fmt=fmt)
+        got = got.select(*base.columns)  # json alphabetises columns
+        assert sorted(tuple(r) for r in got.collect()) == want_rows
+        assert (
+            sorted(tuple(r) for r in token_stats(got).collect()) == want_stats
+        )
