@@ -320,3 +320,40 @@ def smap_forecast_skill(
         coef, *_ = np.linalg.lstsq(rows * sw[:, None], ys * sw, rcond=None)
         preds[i] = design[i] @ coef
     return pearson(preds, tgt)
+
+
+def simplex_point_predictions(
+    emb_lib: np.ndarray,
+    tgt_lib: np.ndarray,
+    emb_pred: np.ndarray,
+    exclude_self: bool = False,
+) -> np.ndarray:
+    """Pointwise simplex predictions of a target over a FIXED library —
+    the deterministic forecasting core shared by the multiview ensemble:
+    k = dim+1 nearest library points per query, the W1 weight rule
+    (exp(-d/d_min), the same guards as :func:`cross_map_sample`), P1
+    weighted mean. ``exclude_self=True`` is the leave-one-out ranking
+    mode (emb_pred is emb_lib row-for-row; the self-match is masked).
+    Returns one prediction per row of ``emb_pred``."""
+    dim = emb_lib.shape[1]
+    d = np.sqrt(
+        ((emb_pred[:, None, :] - emb_lib[None, :, :]) ** 2).sum(axis=2)
+    )
+    if exclude_self:
+        # leave-one-out ranking mode: emb_pred IS emb_lib row-for-row;
+        # mask the self-match (distance 0 would copy the own target)
+        np.fill_diagonal(d, np.inf)
+    k = min(dim + 1, emb_lib.shape[0] - (1 if exclude_self else 0))
+    if k < 1:
+        raise ValueError("simplex_point_predictions: library too small")
+    nn = np.argsort(d, axis=1, kind="stable")[:, :k]
+    nd = np.take_along_axis(d, nn, axis=1)
+    min_d = nd.min(axis=1, keepdims=True)
+    w = np.where(nd < 1e-12, 1.0, np.exp(-nd / (min_d + 1e-8)))
+    neighbor_targets = tgt_lib[nn]
+    wsum = w.sum(axis=1)
+    return np.where(
+        wsum == 0,
+        0.0,
+        (w * neighbor_targets).sum(axis=1) / np.where(wsum == 0, 1.0, wsum),
+    )

@@ -48,3 +48,61 @@ def test_block_validation_errors(spark):
         block_cross_map(spark, {"x": x, "y": y}, "x", [])
     with pytest.raises(ValueError, match="unequal"):
         block_cross_map(spark, {"x": x, "y": y[:-1]}, "x", ["y"])
+
+
+def test_multiview_ensemble_structure_and_value(spark):
+    """Multiview: lag-0 rule respected, deterministic, the top-sqrt(n)
+    ensemble at least matches the best single view on a noisy series
+    (the Ye & Sugihara 2016 claim), and forecasting skill is high on
+    predictable dynamics."""
+    from ccm_spark.multivariate import multiview_forecast
+
+    x, y = coupled_series(length=120, coupling=0.4, noise_level=0.05, seed=11)
+    r = multiview_forecast(spark, {"x": x, "y": y}, "y", view_dim=3, max_lag=3)
+    # pool = 6 coords; C(6,3)=20 minus 4 all-lagged views = 16; top_k=4
+    assert r["n_views"] == 16 and r["top_k"] == 4
+    for view in r["views"]:
+        assert any(lag == 0 for _, lag in view)
+    assert r["ensemble_skill"] > 0.95
+    assert r["ensemble_skill"] >= r["best_single_view_skill"]
+    assert multiview_forecast(
+        spark, {"x": x, "y": y}, "y", view_dim=3, max_lag=3
+    ) == r
+
+
+def test_multiview_rank_skill_pins_kernel(spark):
+    import numpy as np
+
+    from ccm_spark import oracle
+    from ccm_spark.multivariate import multiview_forecast
+
+    x, y = coupled_series(length=100, coupling=0.3, noise_level=0.03, seed=5)
+    r = multiview_forecast(
+        spark, {"x": x, "y": y}, "y", view_dim=2, max_lag=2, top_k=1
+    )
+    # replay the TOP view's rank skill driver-side
+    (view,) = r["views"]
+    series = {"x": np.asarray(x), "y": np.asarray(y)}
+    shift, p = 1, len(x) - 2
+    emb = np.column_stack(
+        [series[c][shift - lag : shift - lag + p] for c, lag in view]
+    )
+    target = series["y"][shift + 1 : shift + 1 + p]
+    lib = p // 2
+    loo = oracle.simplex_point_predictions(
+        emb[:lib], target[:lib], emb[:lib], exclude_self=True
+    )
+    want = oracle.pearson(target[:lib], loo)
+    assert abs(r["rank_skills"][0] - want) < 1e-12
+
+
+def test_multiview_validation(spark):
+    x, y = coupled_series(length=100, coupling=0.3, noise_level=0.03, seed=5)
+    from ccm_spark.multivariate import multiview_forecast
+
+    with pytest.raises(ValueError, match="unknown column"):
+        multiview_forecast(spark, {"x": x, "y": y}, "z")
+    with pytest.raises(ValueError, match="max_views"):
+        multiview_forecast(
+            spark, {"x": x, "y": y}, "y", view_dim=3, max_lag=6, max_views=10
+        )
