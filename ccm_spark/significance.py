@@ -608,3 +608,69 @@ def forecast_horizon_scan(
             len(skills) >= 2 and skills[0][1] > skills[-1][1]
         ),
     }
+
+
+NONLINEARITY_FLEET_SCHEMA = (
+    "series_id long, best_theta double, best_skill double, "
+    "linear_skill double, nonlinear boolean"
+)
+
+
+def smap_nonlinearity_fleet(
+    series: DataFrame,
+    thetas: list[float] | None = None,
+    embedding_dim: int = 3,
+    tau: int = 1,
+    value_col: str = "value",
+) -> DataFrame:
+    """Fleet-mode nonlinearity screening: one S-map theta-scan verdict
+    per series of a ``(series_id, t, value)`` relation — the pre-filter a
+    million-series corpus runs BEFORE paying for CCM pairs (state-
+    dependence is a prerequisite for cross mapping to mean anything).
+
+    The whole theta grid runs INSIDE each series' ``applyInPandas`` task
+    (fastpath shape: one shuffle on series_id, ``spread(factor=8)``
+    for scheduler rebalancing, numpy kernels in-task); emits one verdict
+    row per series.
+    """
+    th = list(DEFAULT_THETAS) if thetas is None else [float(t) for t in thetas]
+    if 0.0 not in th:
+        raise ValueError("smap_nonlinearity_fleet: thetas must include 0.0")
+
+    def run_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ccm_spark import oracle
+
+        pdf = pdf.sort_values("t")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        sid = int(pdf["series_id"].iloc[0])
+        skills = [
+            (t, oracle.smap_forecast_skill(x, t, embedding_dim, tau)) for t in th
+        ]
+        best_theta, best_skill = max(skills, key=lambda p: (p[1], -p[0]))
+        linear = dict(skills)[0.0]
+        return pd.DataFrame(
+            [
+                (
+                    sid,
+                    float(best_theta),
+                    float(best_skill),
+                    float(linear),
+                    bool(best_theta > 0 and best_skill > linear),
+                )
+            ],
+            columns=[
+                "series_id",
+                "best_theta",
+                "best_skill",
+                "linear_skill",
+                "nonlinear",
+            ],
+        )
+
+    from ccm_spark.functions.partitioning import spread
+
+    return (
+        spread(series, "series_id", factor=8)
+        .groupBy("series_id")
+        .applyInPandas(run_series, schema=NONLINEARITY_FLEET_SCHEMA)
+    )

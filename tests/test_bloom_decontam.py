@@ -187,3 +187,17 @@ def test_bloom_probe_plan_is_narrow(spark, sf_small):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Aggregate" not in plan
     assert plan.count("Exchange") <= 1  # the spread() repartition only
+
+
+def test_bloom_empty_eval_corpus_flags_nothing(spark, sf_small):
+    """Degenerate input: an empty eval corpus builds an all-zero filter
+    and every training doc comes back clean, in both modes."""
+    train, ev = _split(spark, sf_small)
+    empty = ev.where("doc_id < 0")
+    out = decontaminate_bloom(train, empty)
+    rows = out.collect()
+    release_cached(out)
+    assert len(rows) == train.count()
+    assert all(not r.contaminated and r.n_contaminated_shingles == 0 for r in rows)
+    probe = decontaminate_bloom(train, empty, exact_verify=False).collect()
+    assert all(not r.maybe_contaminated for r in probe)

@@ -306,3 +306,39 @@ def test_forecast_horizon_pins_kernel_and_validates(spark):
         assert abs(skill - want) < 1e-12
     with _pytest.raises(ValueError, match="out of range"):
         forecast_horizon_scan(spark, x, horizons=[0])
+
+
+def test_smap_nonlinearity_fleet_verdicts(spark):
+    """Fleet screening: per-series verdicts match the single-series scan
+    — logistic series flagged nonlinear, AR(1) not."""
+    import numpy as np
+    import pandas as pd
+
+    from ccm_spark.significance import smap_nonlinearity_fleet, smap_theta_scan
+
+    x, _ = coupled_series(length=200, coupling=0.3, noise_level=0.02, seed=7)
+    rng = np.random.default_rng(3)
+    n = 201
+    ar = np.empty(n)
+    ar[0] = 0.0
+    eps = rng.normal(size=n)
+    for t in range(n - 1):
+        ar[t + 1] = 0.7 * ar[t] + eps[t]
+    frames = []
+    for sid, s in [(0, x), (1, ar)]:
+        frames.append(
+            pd.DataFrame(
+                {"series_id": sid, "t": range(len(s)), "value": s}
+            )
+        )
+    df = spark.createDataFrame(
+        pd.concat(frames), "series_id long, t long, value double"
+    )
+    out = {r.series_id: r for r in smap_nonlinearity_fleet(df).collect()}
+    assert out[0].nonlinear and not (
+        out[1].best_skill > out[1].linear_skill + 0.02
+    )
+    # per-series rows bit-match the single-series scan
+    single = smap_theta_scan(spark, x)
+    assert abs(out[0].best_skill - single["best_skill"]) < 1e-12
+    assert out[0].best_theta == single["best_theta"]
