@@ -114,3 +114,20 @@ def test_streaming_stats_match_batch_on_both_dtypes(spark, dtype_dirs, tmp_path)
         q.awaitTermination(120)
         got = _collect_sorted(spark.sql(f"SELECT * FROM ts_dtype_{unit}"))
         assert got == batch, f"streaming != batch for ts unit {unit}"
+
+
+def test_hourly_rollup_identical_across_ts_dtypes(spark, dtype_dirs):
+    from ccm_spark.pipeline.events_ops import hourly_rollup
+
+    got = {
+        unit: _collect_sorted(
+            hourly_rollup(load_table(spark, d, "events")).fillna(
+                {"hour_idx": -1, "event_type": ""}
+            )
+        )
+        for unit, d in dtype_dirs.items()
+    }
+    assert got["us"] == got["ns"]
+    # per-(type, hour) cells + subtotals + grand total all present
+    gids = {r[2] for r in got["us"]}
+    assert gids == {0, 1, 3}
