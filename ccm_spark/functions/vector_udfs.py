@@ -359,20 +359,22 @@ def pq_encode_udf(codebooks):
     return _encode
 
 
-def pq_adc_udf(q_index, tables):
+def pq_adc_udf(bc_query_tables):
     """Arrow-batched ADC scorer for candidate-restricted PQ search:
-    (query_id, codes) -> sum of per-subspace table lookups. ``q_index``
-    maps query_id -> row in ``tables``, a (n_queries x m x ksub) float64
-    array of precomputed query-vs-codebook inner products (a few MB at
-    100 queries — rides the closure). One fancy-index gather per batch;
+    (query_id, codes) -> sum of per-subspace table lookups.
+    ``bc_query_tables`` is a ``SparkContext.broadcast`` of
+    ``(q_index, tables)`` where ``q_index`` maps query_id -> row in
+    ``tables``, a (n_queries x m x ksub) float64 array of precomputed
+    query-vs-codebook inner products — shipped once per executor, not
+    re-pickled into every task binary (at production query counts the
+    stack is hundreds of MB). One fancy-index gather per batch;
     per-candidate cost is m lookups, independent of embedding dim."""
-
-    tbl = np.asarray(tables, dtype=np.float64)
-    m = tbl.shape[1]
-    sub_idx = np.arange(m)
 
     @pandas_udf("double")
     def _adc(query_id: pd.Series, codes: pd.Series) -> pd.Series:
+        q_index, tables = bc_query_tables.value
+        tbl = np.asarray(tables, dtype=np.float64)
+        sub_idx = np.arange(tbl.shape[1])
         qi = np.array([q_index[q] for q in query_id], dtype=np.int64)
         cm = np.stack(codes.to_numpy()).astype(np.int64)
         scores = tbl[qi[:, None], sub_idx, cm].sum(axis=1)

@@ -73,10 +73,12 @@ def cosine_topk(
     import numpy as np
     import pandas as pd
 
-    # The bounded query set (n_queries rows) ships to executors inside the
-    # mapInPandas closure as one dense numpy matrix; each target batch is a
-    # single matmul against it. No pair-wise array materialisation, no
-    # per-pair Arrow transfer — only (target, query, score) scalars leave.
+    # The bounded query set (n_queries rows) is collected once and shipped
+    # via SparkContext.broadcast — ONCE per executor, not re-pickled into
+    # every task binary (at a production query load, 1e5 queries x 512 dims
+    # is ~400 MB; closure capture would multiply that by task count). Each
+    # target batch is a single matmul against it. No pair-wise array
+    # materialisation — only (target, query, score) scalars leave.
     q_rows = (
         embeddings.where(F.col("vec_id") < n_queries)
         .select("vec_id", as_double_vec("embedding").alias("v"))
@@ -85,12 +87,14 @@ def cosine_topk(
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    bc = embeddings.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     t = spread(embeddings, "vec_id").select(
         F.col("vec_id").alias("target_id"), as_double_vec("embedding").alias("tv")
     )
 
     def score(batches):
+        q_ids, q_mat, q_norm = bc.value
         for pdf in batches:
             tm = np.stack(pdf["tv"].to_numpy()).astype(np.float64)
             tn = np.sqrt(np.einsum("ij,ij->i", tm, tm))
@@ -677,14 +681,19 @@ def pq_topk(
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
     qn = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
     q_mat = q_mat / np.where(qn == 0.0, 1.0, qn)[:, None]
-    # tables[s]: (n_queries x ksub) inner products in subspace s
+    # tables[s]: (n_queries x ksub) inner products in subspace s — shipped
+    # once per executor via SparkContext.broadcast, not once per task (same
+    # fix as decontaminate_stream; at production query counts the table
+    # stack is n_queries * m * ksub floats).
     tables = [
         q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)
     ]
+    bc = embeddings.sparkSession.sparkContext.broadcast((q_ids, tables))
 
     codes = pq_encode(embeddings, books)
 
     def score(batches):
+        q_ids, tables = bc.value
         for pdf in batches:
             cm = np.stack(pdf["codes"].to_numpy())  # (batch x m)
             acc = tables[0][:, cm[:, 0]]  # (n_queries x batch)
@@ -788,11 +797,13 @@ def ivf_pq_topk(
     qn = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
     q_mat = q_mat / np.where(qn == 0.0, 1.0, qn)[:, None]
     q_index = {r.vec_id: i for i, r in enumerate(q_rows)}
-    # (n_queries x m x ksub): per-query inner products with every codebook row
+    # (n_queries x m x ksub): per-query inner products with every codebook
+    # row — broadcast once per executor (see pq_adc_udf), not closure-shipped
     tables = np.stack(
         [q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(len(books))],
         axis=1,
     )
+    bc_qt = embeddings.sparkSession.sparkContext.broadcast((q_index, tables))
 
     cents = strided_centroids(embeddings, stride)
     assign = ivf_assignments(embeddings, stride, centroids=cents).persist(
@@ -822,7 +833,7 @@ def ivf_pq_topk(
         .where(F.col("crk") <= nprobe)
         .select("query_id", "centroid_id")
     )
-    adc = pq_adc_udf(q_index, tables)
+    adc = pq_adc_udf(bc_qt)
     cands = (
         probes.join(assign, "centroid_id")
         .where(F.col("vec_id") != F.col("query_id"))

@@ -85,6 +85,31 @@ def test_jaccard_verify_broadcasts_via_aqe_without_hint(spark, sf_small):
         release_cached(out)
 
 
+def test_ann_query_payloads_are_broadcast_not_closure_shipped():
+    """The bounded-query ANN kernels must ship their query matrices / ADC
+    tables via SparkContext.broadcast (once per executor), NOT capture the
+    raw numpy arrays in the mapInPandas/UDF closure (re-pickled into every
+    task binary — at a production query load, 1e5 queries x 512 dims is
+    ~400 MB per task). Correctness is identical either way, so only a
+    source-form pin catches a regression. Same fix as decontaminate_stream
+    (round 4 -> 5); this pins cosine_topk / pq_topk / ivf_pq_topk /
+    pq_adc_udf to the broadcast form."""
+    import inspect
+
+    from ccm_spark.functions import vector_udfs
+    from ccm_spark.pipeline import similarity
+
+    for fn in (similarity.cosine_topk, similarity.pq_topk, similarity.ivf_pq_topk):
+        src = inspect.getsource(fn)
+        assert "sparkContext.broadcast" in src, fn.__name__
+    # ...and the inner kernels dereference the broadcast, proving the
+    # arrays themselves are not ALSO captured alongside it
+    for fn in (similarity.cosine_topk, similarity.pq_topk):
+        src = inspect.getsource(fn)
+        assert "bc.value" in src, fn.__name__
+    assert "bc_query_tables.value" in inspect.getsource(vector_udfs.pq_adc_udf)
+
+
 def test_documents_scan_prunes_to_needed_columns(spark, sf_small):
     from ccm_spark.pipeline import dedup
     from ccm_spark.sources.tables import load_table
