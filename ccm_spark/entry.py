@@ -172,23 +172,36 @@ def q_ccm_fleet_iterated(spark, sf_dir):
     through fastpath.ccm_fast_iterated (mapInPandas, no groupBy shuffle;
     clustering guard ON). Hash-matching the same oracle proves the bucketed
     layout + mapInPandas composition computes whole pairs."""
-    import tempfile
-
     from ccm_spark.fastpath import ccm_fast_iterated
     from ccm_spark.sources.sinks import read_series_bucketed, write_series_bucketed
 
-    # mkdtemp, not a fixed name: two concurrent runs on one host must not
-    # race on the same directory. The dir is tiny (a 4-pair fleet) and lives
-    # until process exit — the returned DataFrame lazily re-reads it, so it
-    # cannot be deleted here; register cleanup for interpreter shutdown.
-    path = tempfile.mkdtemp(prefix="ccm_spark_fleet_bucketed_")
-    import atexit
-    import shutil
-
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    path = _fleet_bucketed_dir()
     write_series_bucketed(_fleet_series(spark), path, num_buckets=8)
     series = read_series_bucketed(spark, path)
     return _fleet_select(ccm_fast_iterated(series, _config(FLEET_PARAMS)))
+
+
+_FLEET_BUCKETED_DIR: str | None = None
+
+
+def _fleet_bucketed_dir() -> str:
+    """One process-lifetime scratch dir for q_ccm_fleet_iterated, created
+    lazily with ONE atexit cleanup. mkdtemp, not a fixed name: two
+    concurrent runs on one host must not race on the same directory. The
+    dir is tiny (a 4-pair fleet) and lives until process exit — the
+    returned DataFrame lazily re-reads it, so it cannot be deleted per
+    call; the write overwrites in place, so repeated in-session calls
+    reuse the same dir instead of leaking one dir + one atexit handler
+    each."""
+    global _FLEET_BUCKETED_DIR
+    if _FLEET_BUCKETED_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _FLEET_BUCKETED_DIR = tempfile.mkdtemp(prefix="ccm_spark_fleet_bucketed_")
+        atexit.register(shutil.rmtree, _FLEET_BUCKETED_DIR, ignore_errors=True)
+    return _FLEET_BUCKETED_DIR
 
 
 # ------------------------------------------------------ extension queries

@@ -100,6 +100,20 @@ def sql_tokens(expr: str) -> str:
     )
 
 
+def splitmix64(x: int) -> int:
+    """Scalar splitmix64 finalizer (Steele et al., public domain) — full
+    avalanche over a 64-bit input, pure Python ints. The driver-side twin
+    of the vectorised mix in :func:`bloom_positions`; used where a
+    sequence of draws keyed on (seed, k) must be decorrelated in k (an
+    LCG applied to consecutive k values is affine in k, so raw draws form
+    an arithmetic progression modulo the reduction span)."""
+    mask = 0xFFFFFFFFFFFFFFFF
+    x = (x + 0x9E3779B97F4A7C15) & mask
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+    return x ^ (x >> 31)
+
+
 def bloom_positions(hashes, n_hashes: int, log2_m: int):
     """(n, n_hashes) Bloom-filter bit positions for int64 hash values.
 

@@ -83,9 +83,20 @@ def block_cross_map(
             rows = []
             for lib in pdf["lib_size"]:
                 lib = int(lib)
-                corrs = _o.cross_map_lib_batch(
-                    bemb, btgt, lib, num_samples, 0, seed, eff_dim, dist
-                )
+                if dist is not None:
+                    corrs = _o.cross_map_lib_batch(
+                        bemb, btgt, lib, num_samples, 0, seed, eff_dim, dist
+                    )
+                else:
+                    # P > PRECOMPUTE_DIST_MAX_P: the (P x P) matrix would
+                    # not fit; per-sample distances, same as oracle.cross_map
+                    corrs = [
+                        _o.cross_map_sample(
+                            bemb, btgt, lib, s, 0, seed, eff_dim,
+                            dist_matrix=None,
+                        )
+                        for s in range(num_samples)
+                    ]
                 rows.append((lib, float(np.sum(corrs) / num_samples)))
             yield pd.DataFrame(rows, columns=["lib_size", "skill"])
 

@@ -337,7 +337,13 @@ def budget_select(
         bounds.append((grp, int(boundary), int(prefix), budget))
     if not bounds:
         keyed.unpersist()
-        return keyed.select("grp", "doc_id", "sample_key", "n_tokens").where(F.lit(False))
+        # same contract as the main path: group_col name restored, empty
+        # _ccm_persisted so release_cached works uniformly
+        empty = keyed.select(
+            F.col("grp").alias(group_col), "doc_id", "sample_key", "n_tokens"
+        ).where(F.lit(False))
+        empty._ccm_persisted = []
+        return empty
     bdf = spark.createDataFrame(
         bounds, "grp string, boundary long, prefix long, budget long"
     )
@@ -378,12 +384,15 @@ def with_global_positions(df: DataFrame, position_col: str = "global_pos") -> Da
     driver), the driver prefix-sums them into offsets, and a narrow Arrow
     pass stamps ``offset[pid] + local_index`` — the distributed
     zipWithIndex, kept in the DataFrame/Arrow world. Positions are
-    deterministic iff the input's partitioning and row order are (true
-    for ``global_shuffle`` output: range partitioner + local sort; NOT
-    true for an arbitrary shuffled relation — document your ordering
-    contract before using this). The count pass and the stamp pass are
-    two separate jobs over the input lineage — ``persist()`` the input
-    first when its plan is expensive to recompute.
+    deterministic iff the input's partitioning and row order are STABLE
+    ACROSS JOBS. Raw ``global_shuffle`` output is NOT automatically
+    stable: ``repartitionByRange`` re-samples its range boundaries per
+    execution (seeded by RDD id), so with partial sampling at scale the
+    count pass and the stamp pass can place boundary rows in different
+    partitions. ``localCheckpoint(eager=True)`` (or persist + materialize)
+    the input first so both passes — and any downstream write — read the
+    same materialized partitions; this also avoids recomputing an
+    expensive upstream plan twice.
     """
     import pandas as pd
 

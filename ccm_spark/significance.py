@@ -33,16 +33,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ccm_spark.config import CCMConfig
-from ccm_spark.rng import LCG_A, LCG_C, M31
 
 
 def surrogate_offsets(
     n_points: int, n_surrogates: int, seed: int, min_shift: int | None = None
 ) -> list[int]:
     """Deterministic circular-shift offsets in [min_shift, n - min_shift]:
-    LCG draws keyed on (seed, k), bounded away from 0/n so a surrogate
-    never nearly re-aligns with the original. Default min_shift is n//10
-    (at least 1)."""
+    splitmix64-mixed draws keyed on (seed, k), bounded away from 0/n so a
+    surrogate never nearly re-aligns with the original. Default min_shift
+    is n//10 (at least 1). The (seed, k) key is avalanche-mixed BEFORE the
+    span reduction — consecutive raw LCG draws are affine in k, so
+    reducing them mod span yields an arithmetic progression whose lattice
+    can collide or cluster for unlucky (n, seed); the finalizer
+    decorrelates the draws (64-bit draws also make the mod-span bias
+    negligible, < 2**-40 for any realistic series length)."""
     if n_points < 4:
         raise ValueError("surrogate_offsets: series too short")
     if min_shift is None:
@@ -53,9 +57,11 @@ def surrogate_offsets(
             f"surrogate_offsets: min_shift={min_shift} leaves no valid "
             f"offsets for n={n_points}"
         )
+    from ccm_spark.functions.hashing import splitmix64
+
     out = []
     for k in range(n_surrogates):
-        draw = (LCG_A * ((seed + 1) * 7919 + k) + LCG_C) % M31
+        draw = splitmix64(((seed + 1) << 32) ^ k)
         out.append(min_shift + int(draw % span))
     return out
 

@@ -119,7 +119,16 @@ def write_training_shards(
     from ccm_spark.functions.hashing import tokens_col
     from ccm_spark.pipeline.mixing import global_shuffle, with_global_positions
 
-    gs = with_global_positions(global_shuffle(docs, seed=seed, num_partitions=n_shards))
+    # Materialize the shuffled partitioning ONCE before stamping positions:
+    # with_global_positions runs a counting job and the write runs a second
+    # job, and repartitionByRange re-samples its range boundaries per
+    # execution (seeded by RDD id) — at scale the sample is partial, so two
+    # independent executions can place boundary rows in different
+    # partitions, silently misaligning the count-derived offsets with the
+    # written shards. localCheckpoint pins both jobs to the same
+    # materialized partitions (and truncates the upstream lineage).
+    shuffled = global_shuffle(docs, seed=seed, num_partitions=n_shards)
+    gs = with_global_positions(shuffled.localCheckpoint(eager=True))
     out = gs.withColumn("shard", F.spark_partition_id()).withColumn(
         "n_tokens", F.size(tokens_col("text")).cast("long")
     )

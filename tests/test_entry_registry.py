@@ -31,3 +31,16 @@ def test_every_query_has_an_oracle():
 def test_query_callables_are_distinct():
     fns = list(queries().values())
     assert len(fns) == len({id(f) for f in fns})
+
+
+def test_fleet_iterated_scratch_dir_is_process_lifetime():
+    """Repeated calls must reuse ONE temp dir (overwritten in place), not
+    mkdtemp + register a fresh atexit handler per call — a long-lived
+    session would otherwise leak N dirs and N handler entries."""
+    import os
+
+    from ccm_spark.entry import _fleet_bucketed_dir
+
+    a = _fleet_bucketed_dir()
+    b = _fleet_bucketed_dir()
+    assert a == b and os.path.isdir(a)

@@ -263,6 +263,23 @@ WHERE cum <= CASE lang {cases} END
     assert sorted((r.lang, r.doc_id, r.n_tokens) for r in alt.collect()) == got
 
 
+def test_budget_select_degenerate_keeps_group_col_contract(spark, sf_small):
+    """No budgeted group present (or empty budget dict) -> an EMPTY result
+    with the SAME columns as the main path (group_col restored — callers
+    selecting by it must not hit AnalysisException only in the empty
+    case) and an empty _ccm_persisted for uniform release_cached."""
+    from ccm_spark.pipeline.mixing import budget_select
+    from ccm_spark.plans.cross_map import release_cached
+
+    docs = load_table(spark, sf_small, "documents")
+    for budgets in ({}, {"zz_no_such_lang": 1000}):
+        out = budget_select(docs, budgets)
+        assert out.columns == ["lang", "doc_id", "sample_key", "n_tokens"]
+        assert out.select("lang").count() == 0
+        assert getattr(out, "_ccm_persisted") == []
+        release_cached(out)
+
+
 def test_with_global_positions_is_the_permutation(spark, sf_small):
     """global_pos must be 0..N-1 and rank rows exactly by the shuffle
     order (shuffle_key, doc_id) — and the stamp pass must add no

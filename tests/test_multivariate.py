@@ -38,6 +38,34 @@ def test_added_observable_improves_skill(spark):
     assert multi["results"][-1][1] > uni["results"][-1][1]
 
 
+def test_block_long_series_beyond_dist_precompute(spark):
+    """A block whose embedding exceeds PRECOMPUTE_DIST_MAX_P rows must take
+    the per-sample-distance fallback (the (P x P) matrix would not fit),
+    not crash — and match a driver-side cross_map_sample replay bit-exact.
+    Regression: the block path used to pass dist=None straight into
+    cross_map_lib_batch, which unconditionally subscripts it."""
+    import numpy as np
+
+    n = oracle.PRECOMPUTE_DIST_MAX_P + 150
+    x, y = coupled_series(length=n, coupling=0.4, noise_level=0.02, seed=13)
+    cfg = CCMConfig(num_samples=2, lib_sizes=[50, 100], seed=9)
+    res = block_cross_map(spark, {"x": x, "y": y}, "x", ["y"], cfg)
+    emb = oracle.block_embedding([np.asarray(y)], cfg.embedding_dim, cfg.tau)
+    tgt = oracle.adjusted_target(np.asarray(x), cfg.embedding_dim, cfg.tau)
+    assert emb.shape[0] > oracle.PRECOMPUTE_DIST_MAX_P
+    want = []
+    for lib in cfg.lib_sizes:
+        corrs = [
+            oracle.cross_map_sample(
+                emb, tgt, lib, s, 0, cfg.seed, cfg.embedding_dim,
+                dist_matrix=None,
+            )
+            for s in range(cfg.num_samples)
+        ]
+        want.append((lib, float(np.sum(corrs) / cfg.num_samples)))
+    assert res["results"] == want
+
+
 def test_block_validation_errors(spark):
     x, y = coupled_series(length=60, coupling=0.3, noise_level=0.02, seed=3)
     with pytest.raises(ValueError, match="unknown target"):

@@ -20,6 +20,12 @@ def test_offsets_deterministic_and_bounded():
     assert surrogate_offsets(200, 19, seed=98) != a
     with pytest.raises(ValueError):
         surrogate_offsets(3, 5, seed=1)
+    # draws must be decorrelated in k, not an arithmetic progression mod
+    # span (the affine-LCG signature: all consecutive differences equal)
+    for n, seed in [(200, 97), (200, 98), (1000, 1), (97, 12345)]:
+        offs = surrogate_offsets(n, 19, seed)
+        diffs = {offs[i + 1] - offs[i] for i in range(len(offs) - 1)}
+        assert len(diffs) > 1, (n, seed)
 
 
 def test_significance_coupled_is_significant(spark):
@@ -34,7 +40,14 @@ def test_significance_coupled_is_significant(spark):
 
 
 def test_significance_decoupled_is_not(spark):
-    x, y = coupled_series(length=150, coupling=0.0, noise_level=0.01, seed=11)
+    # noise 0.1, not ~0: two NOISE-FREE deterministic logistic maps from
+    # fixed initial conditions are not exchangeable with their circular
+    # shifts (the lag-0 alignment of the deterministic backbones carries
+    # real cross information — at noise 0.01 the actual skill beats a
+    # 99-surrogate null at p~0.01 for multiple seeds, a textbook caveat of
+    # shift surrogates on deterministic data, not a bug). Moderate
+    # observation noise restores exchangeability under H0.
+    x, y = coupled_series(length=150, coupling=0.0, noise_level=0.1, seed=11)
     cfg = CCMConfig(num_samples=10, seed=5)
     res = ccm_significance(spark, x, y, cfg, n_surrogates=19)
     assert res["p_value"] > 0.05 and not res["significant"]
