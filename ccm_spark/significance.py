@@ -616,6 +616,241 @@ def forecast_horizon_scan(
     }
 
 
+EMBEDDING_FLEET_SCHEMA = (
+    "series_id long, best_e int, best_tau int, lib_size int, best_skill double"
+)
+
+
+def embedding_scan_fleet(
+    series: DataFrame,
+    e_values: list[int] | None = None,
+    tau_values: list[int] | None = None,
+    num_samples: int = 20,
+    seed: int = 42,
+    value_col: str = "value",
+    min_points: int = 30,
+) -> DataFrame:
+    """Fleet-mode (E, tau) selection: one embedding verdict per series of
+    a ``(series_id, t, value)`` relation — step 1 of the corpus screening
+    workflow (README "EDM workflow") in the million-series regime, where
+    the single-series :func:`embedding_scan` driver API cannot go.
+
+    Same cell semantics as :func:`embedding_scan` (simplex one-step
+    self-prediction per (E, tau), library from :func:`holdout_lib_size`,
+    identical best-cell tie-break), so each fleet row bit-matches the
+    single-series scan on that series' values (test-pinned). The whole
+    grid runs INSIDE each series' ``applyInPandas`` task — fastpath
+    shape: one shuffle on series_id, ``spread(factor=8)`` for scheduler
+    rebalancing, numpy kernels in-task, one verdict row back per series.
+    Series shorter than ``min_points`` are dropped (a corpus screen must
+    not abort on one degenerate member; filter/inspect them separately).
+    """
+    evs = list(e_values) if e_values is not None else [2, 3, 4, 5, 6, 7, 8]
+    tvs = list(tau_values) if tau_values is not None else [1]
+    for e in evs:
+        if e < 2:
+            raise ValueError(f"embedding_scan_fleet: E must be >= 2, got {e}")
+    for tau in tvs:
+        if tau < 1:
+            raise ValueError(f"embedding_scan_fleet: tau must be >= 1, got {tau}")
+
+    cols = ["series_id", "best_e", "best_tau", "lib_size", "best_skill"]
+
+    def run_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ccm_spark import oracle
+        from ccm_spark.config import CCMConfig as _Cfg
+
+        pdf = pdf.sort_values("t")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        if len(x) < min_points:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+        sid = int(pdf["series_id"].iloc[0])
+        src, tgt = x[:-1], x[1:]
+        cells = []
+        for e in evs:
+            for tau in tvs:
+                probe = _Cfg(
+                    embedding_dim=e, tau=tau, num_samples=num_samples, seed=seed
+                )
+                lib = holdout_lib_size(probe, len(src))
+                kcfg = _Cfg(
+                    embedding_dim=e, tau=tau, num_samples=num_samples,
+                    lib_sizes=[lib], seed=seed,
+                )
+                res = oracle.cross_map(tgt, src, kcfg, "x_causes_y")
+                cells.append((e, tau, lib, float(res["results"][0][1])))
+        best_e, best_tau, lib, best_skill = max(
+            cells, key=lambda c: (c[3], -c[0], -c[1])
+        )
+        return pd.DataFrame(
+            [(sid, int(best_e), int(best_tau), int(lib), float(best_skill))],
+            columns=cols,
+        )
+
+    from ccm_spark.functions.partitioning import spread
+
+    return (
+        spread(series, "series_id", factor=8)
+        .groupBy("series_id")
+        .applyInPandas(run_series, schema=EMBEDDING_FLEET_SCHEMA)
+    )
+
+
+LAG_FLEET_SCHEMA = (
+    "pair_id long, direction string, lib_size int, best_lag int, "
+    "best_skill double, causal_delay_consistent boolean"
+)
+
+
+def ccm_lag_scan_fleet(
+    series: DataFrame,
+    config: CCMConfig | None = None,
+    direction: str = "x_causes_y",
+    max_lag: int = 8,
+    min_points: int = 30,
+) -> DataFrame:
+    """Fleet-mode lagged CCM: one best-lag verdict per pair of a
+    ``(pair_id, t, x, y)`` relation — Ye et al. 2015's delayed-causality
+    diagnostic at corpus scale. Same per-lag semantics, shared library
+    size, and best-lag tie-break as :func:`ccm_lag_scan` (fleet rows
+    bit-match the single-series scan per pair, test-pinned); the whole
+    (2*max_lag+1)-lag sweep runs inside each pair's task. Pairs shorter
+    than ``min_points`` (or <= 2*max_lag) are dropped, not fatal.
+    """
+    if direction not in ("x_causes_y", "y_causes_x"):
+        raise ValueError(f"ccm_lag_scan_fleet: unknown direction {direction!r}")
+    if max_lag < 1:
+        raise ValueError(f"ccm_lag_scan_fleet: max_lag {max_lag} out of range")
+    cfg = config if config is not None else CCMConfig()
+    emb_dim, tau, num_samples, seed = (
+        cfg.embedding_dim, cfg.tau, cfg.num_samples, cfg.seed,
+    )
+    lib_sizes = cfg.lib_sizes
+    cols = [
+        "pair_id", "direction", "lib_size", "best_lag", "best_skill",
+        "causal_delay_consistent",
+    ]
+
+    def run_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ccm_spark import oracle
+        from ccm_spark.config import CCMConfig as _Cfg
+
+        pdf = pdf.sort_values("t")
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        if len(x) < min_points or max_lag >= len(x) // 2:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+        pair_id = int(pdf["pair_id"].iloc[0])
+        base = _Cfg(
+            embedding_dim=emb_dim, tau=tau, num_samples=num_samples,
+            lib_sizes=list(lib_sizes) if lib_sizes is not None else None,
+            seed=seed,
+        )
+        lib_size = holdout_lib_size(base, len(x) - max_lag)
+        kcfg = _Cfg(
+            embedding_dim=emb_dim, tau=tau, num_samples=num_samples,
+            lib_sizes=[lib_size], seed=seed,
+        )
+        skills = []
+        for lag in range(-max_lag, max_lag + 1):
+            xl, yl = lag_aligned(x, y, lag, direction)
+            res = oracle.cross_map(xl, yl, kcfg, direction)
+            skills.append((lag, float(res["results"][0][1])))
+        best_lag, best_skill = max(skills, key=lambda p: (p[1], -abs(p[0])))
+        return pd.DataFrame(
+            [
+                (
+                    pair_id, direction, lib_size, int(best_lag),
+                    float(best_skill), bool(best_lag <= 0),
+                )
+            ],
+            columns=cols,
+        )
+
+    from ccm_spark.functions.partitioning import spread
+
+    return (
+        spread(series, "pair_id", factor=8)
+        .groupBy("pair_id")
+        .applyInPandas(run_pair, schema=LAG_FLEET_SCHEMA)
+    )
+
+
+HORIZON_FLEET_SCHEMA = (
+    "series_id long, skill_h1 double, last_skill double, decaying boolean"
+)
+
+
+def forecast_horizon_scan_fleet(
+    series: DataFrame,
+    horizons: list[int] | None = None,
+    embedding_dim: int = 3,
+    tau: int = 1,
+    num_samples: int = 20,
+    seed: int = 42,
+    value_col: str = "value",
+    min_points: int = 30,
+) -> DataFrame:
+    """Fleet-mode prediction-decay screening: one horizon-decay verdict
+    per series of a ``(series_id, t, value)`` relation — the chaos-vs-
+    noise-vs-periodic triage of :func:`forecast_horizon_scan` at corpus
+    scale. Same per-horizon kernel and the same ``decaying`` verdict
+    (first-horizon skill > last-horizon skill); horizons that do not fit
+    a series (h >= len/2) are skipped for that series, and series with
+    fewer than ``min_points`` points (or < 2 usable horizons) are
+    dropped, not fatal.
+    """
+    hs = list(horizons) if horizons is not None else [1, 2, 3, 4, 6, 8, 12]
+    for h in hs:
+        if h < 1:
+            raise ValueError(f"forecast_horizon_scan_fleet: horizon {h} < 1")
+    cols = ["series_id", "skill_h1", "last_skill", "decaying"]
+
+    def run_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ccm_spark import oracle
+        from ccm_spark.config import CCMConfig as _Cfg
+
+        pdf = pdf.sort_values("t")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        usable = [h for h in hs if h < len(x) // 2]
+        if len(x) < min_points or len(usable) < 2:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+        sid = int(pdf["series_id"].iloc[0])
+        skills = []
+        for h in usable:
+            src, tgt = x[:-h], x[h:]
+            probe = _Cfg(
+                embedding_dim=embedding_dim, tau=tau,
+                num_samples=num_samples, seed=seed,
+            )
+            lib = holdout_lib_size(probe, len(src))
+            kcfg = _Cfg(
+                embedding_dim=embedding_dim, tau=tau,
+                num_samples=num_samples, lib_sizes=[lib], seed=seed,
+            )
+            res = oracle.cross_map(tgt, src, kcfg, "x_causes_y")
+            skills.append((h, float(res["results"][0][1])))
+        skills.sort()
+        h1 = dict(skills).get(1, float("nan"))
+        return pd.DataFrame(
+            [
+                (
+                    sid, float(h1), float(skills[-1][1]),
+                    bool(skills[0][1] > skills[-1][1]),
+                )
+            ],
+            columns=cols,
+        )
+
+    from ccm_spark.functions.partitioning import spread
+
+    return (
+        spread(series, "series_id", factor=8)
+        .groupBy("series_id")
+        .applyInPandas(run_series, schema=HORIZON_FLEET_SCHEMA)
+    )
+
+
 NONLINEARITY_FLEET_SCHEMA = (
     "series_id long, best_theta double, best_skill double, "
     "linear_skill double, nonlinear boolean"

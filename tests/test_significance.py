@@ -355,3 +355,97 @@ def test_smap_nonlinearity_fleet_verdicts(spark):
     single = smap_theta_scan(spark, x)
     assert abs(out[0].best_skill - single["best_skill"]) < 1e-12
     assert out[0].best_theta == single["best_theta"]
+
+
+def test_embedding_scan_fleet_matches_single_series(spark):
+    """Fleet (E, tau) selection: each row bit-matches embedding_scan on
+    that series' values; too-short series are dropped, not fatal."""
+    import numpy as np
+    import pandas as pd
+
+    from ccm_spark.significance import embedding_scan, embedding_scan_fleet
+
+    x, y = coupled_series(length=200, coupling=0.3, noise_level=0.02, seed=7)
+    frames = [
+        pd.DataFrame({"series_id": 0, "t": range(len(x)), "value": x}),
+        pd.DataFrame({"series_id": 1, "t": range(len(y)), "value": y}),
+        pd.DataFrame({"series_id": 2, "t": range(10), "value": np.arange(10.0)}),
+    ]
+    df = spark.createDataFrame(
+        pd.concat(frames), "series_id long, t long, value double"
+    )
+    evs, tvs = [2, 3, 4, 5], [1, 2]
+    out = {
+        r.series_id: r
+        for r in embedding_scan_fleet(df, evs, tvs, num_samples=8).collect()
+    }
+    assert set(out) == {0, 1}  # the 10-point series is dropped
+    for sid, s in [(0, x), (1, y)]:
+        single = embedding_scan(spark, s, evs, tvs, num_samples=8)
+        assert out[sid].best_e == single["best_e"]
+        assert out[sid].best_tau == single["best_tau"]
+        assert abs(out[sid].best_skill - single["best_skill"]) < 1e-12
+
+
+def test_ccm_lag_scan_fleet_matches_single_series(spark):
+    """Fleet lagged CCM: per-pair verdict bit-matches ccm_lag_scan."""
+    import pandas as pd
+
+    from ccm_spark.significance import ccm_lag_scan, ccm_lag_scan_fleet
+
+    frames = []
+    pairs = {}
+    for pid, seed in [(0, 7), (1, 23)]:
+        x, y = coupled_series(length=180, coupling=0.5, noise_level=0.02, seed=seed)
+        pairs[pid] = (x, y)
+        frames.append(
+            pd.DataFrame({"pair_id": pid, "t": range(len(x)), "x": x, "y": y})
+        )
+    df = spark.createDataFrame(
+        pd.concat(frames), "pair_id long, t long, x double, y double"
+    )
+    cfg = CCMConfig(num_samples=8, seed=5)
+    out = {r.pair_id: r for r in ccm_lag_scan_fleet(df, cfg, max_lag=4).collect()}
+    assert set(out) == {0, 1}
+    for pid, (x, y) in pairs.items():
+        single = ccm_lag_scan(spark, x, y, cfg, max_lag=4)
+        assert out[pid].best_lag == single["best_lag"]
+        assert abs(out[pid].best_skill - single["best_skill"]) < 1e-12
+        assert out[pid].lib_size == single["lib_size"]
+        assert (
+            out[pid].causal_delay_consistent == single["causal_delay_consistent"]
+        )
+
+
+def test_forecast_horizon_scan_fleet_matches_single_series(spark):
+    """Fleet horizon decay: verdicts match forecast_horizon_scan; the
+    chaotic series decays, and oversized horizons are skipped per series
+    rather than fatal."""
+    import numpy as np
+    import pandas as pd
+
+    from ccm_spark.significance import (
+        forecast_horizon_scan,
+        forecast_horizon_scan_fleet,
+    )
+
+    x, _ = coupled_series(length=200, coupling=0.3, noise_level=0.02, seed=7)
+    # 40 points: horizons up to 12 still fit (< len//2), but the series
+    # exercises the per-series usable-horizon filtering path
+    short = np.sin(np.arange(40) * 0.3)
+    frames = [
+        pd.DataFrame({"series_id": 0, "t": range(len(x)), "value": x}),
+        pd.DataFrame({"series_id": 1, "t": range(len(short)), "value": short}),
+    ]
+    df = spark.createDataFrame(
+        pd.concat(frames), "series_id long, t long, value double"
+    )
+    out = {
+        r.series_id: r
+        for r in forecast_horizon_scan_fleet(df, num_samples=8).collect()
+    }
+    assert set(out) == {0, 1}
+    single = forecast_horizon_scan(spark, x, num_samples=8)
+    assert abs(out[0].skill_h1 - single["skill_h1"]) < 1e-12
+    assert out[0].decaying == single["decaying"]
+    assert out[0].decaying  # chaotic logistic dynamics decay with horizon
