@@ -216,6 +216,43 @@ def _embs(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _url_fixture(spark, sf_dir) -> DataFrame:
+    """Deterministic synthetic URL per document (documents has no URL
+    column): doc pairs (doc_id DIV 2) share a target URL, the odd member
+    carrying one normalisation hazard chosen by (pair % 5) — scheme/host
+    case, default port, tracking params, fragment, or unsorted query
+    params. Mirrored expression-for-expression by
+    plans.oracle_sql_ext._sql_url_fixture."""
+    g = F.expr("doc_id DIV 2")
+    v = F.expr("doc_id % 2")
+    k = F.expr("(doc_id DIV 2) % 5")
+    host = F.concat(
+        F.lit("example"), F.expr("(doc_id DIV 2) % 7").cast("string"), F.lit(".com")
+    )
+    tail = F.concat(F.lit("/page/"), g.cast("string"))
+    base = F.concat(F.lit("http://"), host, tail)
+    url = F.when(
+        v == 0,
+        F.when(k == 4, F.concat(base, F.lit("?a=1&b=2"))).otherwise(base),
+    ).otherwise(
+        F.when(k == 0, F.concat(F.lit("HTTP://"), F.upper(host), tail))
+        .when(k == 1, F.concat(F.lit("http://"), host, F.lit(":80"), tail))
+        .when(k == 2, F.concat(base, F.lit("?utm_source=x&utm_medium=y")))
+        .when(k == 3, F.concat(base, F.lit("#frag")))
+        .otherwise(F.concat(base, F.lit("?b=2&a=1")))
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-exact dedup after canonicalisation (pipeline.urls): every doc
+    pair's messy variant must collapse onto its canonical sibling — the
+    metadata-level first pass of corpus hygiene, all codegen regex."""
+    from ccm_spark.pipeline.urls import url_duplicates
+
+    return url_duplicates(_url_fixture(spark, sf_dir))
+
+
 def q_text_token_stats(spark, sf_dir):
     st = text.token_stats(_docs(spark, sf_dir))
     return st.select(
@@ -578,8 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row (<= MAX_GATED_QUERIES, the driver's check window).
     Single-stage debug views of the CCM plan (sampling/knn/correlation/
     skill/convergence) are pinned by tests/test_ccm_core.py instead;
-    the applyInPandas fast path is gated via ccm_fleet_small_fast and
-    the approx-quantile sketch via tests/test_events_ops.py."""
+    the applyInPandas fast path by tests/test_fastpath.py (rotated out
+    r06, see QUERIES.md) and the approx-quantile sketch by
+    tests/test_events_ops.py."""
     return {
         "ccm_embedding": q_ccm_embedding,
         "ccm_lib_ladder": q_ccm_lib_ladder,
@@ -587,8 +625,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccm_bidirectional": q_ccm_bidirectional,
         "ccm_logistic_bidirectional": q_ccm_logistic_bidirectional,
         "ccm_fleet_small": q_ccm_fleet_small,
-        "ccm_fleet_small_fast": q_ccm_fleet_small_fast,
+        # ccm_fleet_small_fast rotated out r06 (QUERIES.md rotation
+        # policy): its oracle was shared verbatim with ccm_fleet_small /
+        # ccm_fleet_iterated, and the applyInPandas path stays pinned to
+        # the plan path by tests/test_fastpath.py (and timed in bench.py
+        # as ccm_bidirectional_fast). Slot went to url_dedup.
         "ccm_fleet_iterated": q_ccm_fleet_iterated,
+        "url_dedup": q_url_dedup,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -646,8 +689,8 @@ def oracle_sql() -> dict[str, str]:
         "ccm_bidirectional": osql.sql_ccm_bidirectional(),
         "ccm_logistic_bidirectional": osql.sql_ccm_bidirectional(G1_PARAMS),
         "ccm_fleet_small": osql.sql_ccm_fleet(),
-        "ccm_fleet_small_fast": osql.sql_ccm_fleet(),
         "ccm_fleet_iterated": osql.sql_ccm_fleet(),
+        "url_dedup": oext.sql_url_dedup(),
         "text_token_stats": oext.sql_text_token_stats(),
         "text_quality": oext.sql_text_quality(),
         "text_langid": oext.sql_text_langid(),

@@ -6,6 +6,7 @@ from ccm_spark.pipeline import (
     similarity,
     text,
     tokenize,
+    urls,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "similarity",
     "text",
     "tokenize",
+    "urls",
 ]

@@ -1084,3 +1084,85 @@ FROM exact_tk e
 LEFT JOIN approx_tk a
   ON a.query_id = e.query_id AND a.target_id = e.target_id
 GROUP BY e.query_id"""
+
+
+URL_TRACKING_RE = (
+    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|igshid|mc_cid|mc_eid"
+    "|ref|ref_src|spm)="
+)
+
+
+def _sql_url_fixture() -> str:
+    """The deterministic synthetic URL per document (documents has no URL
+    column) — MUST mirror ccm_spark.entry._url_fixture expression for
+    expression: doc pairs (doc_id DIV 2) share a target URL, the odd member
+    carrying one normalisation hazard chosen by (pair % 5): scheme/host
+    case, default port, tracking params, fragment, or unsorted params."""
+    return """
+uf AS (
+  SELECT doc_id,
+         doc_id // 2 AS g, doc_id % 2 AS v, (doc_id // 2) % 5 AS k,
+         'example' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.com' AS host,
+         '/page/' || CAST(doc_id // 2 AS VARCHAR) AS tail
+  FROM documents
+),
+urls AS (
+  SELECT doc_id,
+    CASE WHEN v = 0 THEN
+      CASE WHEN k = 4 THEN 'http://' || host || tail || '?a=1&b=2'
+           ELSE 'http://' || host || tail END
+    ELSE
+      CASE k
+        WHEN 0 THEN 'HTTP://' || upper(host) || tail
+        WHEN 1 THEN 'http://' || host || ':80' || tail
+        WHEN 2 THEN 'http://' || host || tail || '?utm_source=x&utm_medium=y'
+        WHEN 3 THEN 'http://' || host || tail || '#frag'
+        ELSE 'http://' || host || tail || '?b=2&a=1'
+      END
+    END AS url
+  FROM uf
+)"""
+
+
+def sql_url_dedup() -> str:
+    """DuckDB twin of pipeline.urls.url_duplicates over the synthetic URL
+    fixture: the full normalisation contract (case, userinfo, default
+    ports, fragments, tracking-param removal, param sort, empty path)
+    replayed with the same regexes, then the URL-exact group-by."""
+    return f"""
+WITH {_sql_url_fixture()},
+p AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^[ \t]*([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme0,
+    regexp_extract(url, '^[ \t]*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+    regexp_extract(url, '^[ \t]*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query0
+  FROM urls
+),
+c AS (
+  SELECT doc_id,
+    lower(scheme0) AS scheme,
+    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)), '\\.$', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    COALESCE(array_to_string(
+      list_sort(
+        list_filter(string_split(query0, '&'),
+                    kv -> kv <> '' AND NOT regexp_matches(kv, '{URL_TRACKING_RE}'))
+      ), '&'), '') AS kept
+  FROM p
+),
+n AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+      scheme || '://' || host ||
+      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+           THEN '' ELSE ':' || port END ||
+      path ||
+      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+    END AS url_norm
+  FROM c
+)
+SELECT url_norm, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM n WHERE url_norm IS NOT NULL GROUP BY 1"""
