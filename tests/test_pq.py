@@ -177,3 +177,37 @@ def test_pq_encode_stream_equals_batch(spark, sf_small, tmp_path):
         r.vec_id: r.codes for r in spark.sql("select * from pq_stream").collect()
     }
     assert got == batch
+
+def test_pq_recall_floors_at_bench_scale(spark):
+    """Recall floors at the BENCH scale factor (sf0.1: 2000 vectors), not
+    just the small fixture — ranking quality of compressed search must be
+    measured where the data grows, or the approximate paths silently rot.
+    Measured on this corpus (random-ish embeddings — the hardest case for
+    PQ): m=8 -> 0.34, m=16 -> 0.71, IVF-PQ(m=8, nprobe=2) -> 0.25; floors
+    pinned with margin below each (deterministic end to end, no flake).
+    SCALE.md documents the m-vs-recall trade."""
+    sf_bench = "/root/testdata/sf0.1"
+    embs = load_table(spark, sf_bench, "embeddings")
+    rows = pq_recall(embs, n_queries=20, k=5).collect()
+    avg8 = sum(r.recall for r in rows) / len(rows)
+    assert avg8 >= 0.25, f"m=8 avg recall@5 = {avg8:.2f}"
+    rows16 = pq_recall(embs, n_queries=20, k=5, m=16).collect()
+    avg16 = sum(r.recall for r in rows16) / len(rows16)
+    assert avg16 >= 0.6, f"m=16 avg recall@5 = {avg16:.2f}"
+    # doubling the subspaces must not REDUCE quality — the tuning story
+    assert avg16 > avg8
+    # composed index: IVF candidate recall x PQ ranking recall
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.similarity import cosine_topk, ivf_pq_topk
+
+    exact = cosine_topk(embs, 20, 5).select("query_id", "target_id")
+    approx = (
+        ivf_pq_topk(embs, 20, 5)
+        .select("query_id", "target_id")
+        .withColumn("hit", F.lit(1))
+    )
+    hits = exact.join(approx, ["query_id", "target_id"], "left").where(
+        "hit is not null"
+    ).count()
+    assert hits / 100.0 >= 0.15, f"ivf_pq recall@5 = {hits / 100.0:.2f}"
