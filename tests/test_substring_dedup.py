@@ -184,3 +184,108 @@ def test_remove_shared_spans_matches_bruteforce(spark):
     # everything outside the cut is byte-faithful (case/punct preserved):
     # doc 2 = its beta prefix + single space + gamma suffix
     assert got[2][0] == _words("beta", 55) + " " + _words("gamma", 25)
+
+
+# ---------------------------------------------------------- exact refinement
+
+def _brute_token_runs(ta: str, tb: str, min_tokens: int):
+    """Independent oracle for shared_span_pairs_exact: maximal common token
+    runs with char offsets, straight O(diagonals x length) scan."""
+    A = [m.group().lower() for m in re.finditer(r"[^ \t\n\x0b\f\r]+", ta)]
+    B = [m.group().lower() for m in re.finditer(r"[^ \t\n\x0b\f\r]+", tb)]
+    sa = [(m.start(), m.end()) for m in re.finditer(r"[^ \t\n\x0b\f\r]+", ta)]
+    sb = [(m.start(), m.end()) for m in re.finditer(r"[^ \t\n\x0b\f\r]+", tb)]
+    out = []
+
+    def emit(end_i, d, run):
+        i0, j0 = end_i - run, end_i - run - d
+        out.append(
+            (run, sa[i0][0], sa[i0 + run - 1][1], sb[j0][0], sb[j0 + run - 1][1])
+        )
+
+    for d in range(-len(B) + 1, len(A)):
+        i, run = max(0, d), 0
+        while i < len(A) and i - d < len(B):
+            if A[i] == B[i - d]:
+                run += 1
+            else:
+                if run >= min_tokens:
+                    emit(i, d, run)
+                run = 0
+            i += 1
+        if run >= min_tokens:
+            emit(i, d, run)
+    return sorted(out)
+
+
+def test_shared_span_pairs_exact_matches_bruteforce(spark):
+    """Every emitted span must equal the brute-force token alignment —
+    offsets, lengths, and the doc_a-verbatim span text."""
+    from ccm_spark.pipeline.dedup import shared_span_pairs_exact
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    min_run = 8
+    min_tokens = min_run + SHINGLE_WIDTH - 1
+    rows = shared_span_pairs_exact(docs, min_run=min_run).collect()
+    texts = dict(DOCS)
+    by_pair = {}
+    for r in rows:
+        assert r.span_text == texts[r.doc_a][r.a_start:r.a_end]
+        # the two sides hold the same tokens (case/ws-insensitive match)
+        assert (
+            py_tokens(r.span_text)
+            == py_tokens(texts[r.doc_b][r.b_start:r.b_end])
+        )
+        by_pair.setdefault((r.doc_a, r.doc_b), []).append(
+            (r.span_tokens, r.a_start, r.a_end, r.b_start, r.b_end)
+        )
+    for (a, b), got in by_pair.items():
+        assert sorted(got) == _brute_token_runs(texts[a], texts[b], min_tokens)
+    # the control doc shares no span with anyone
+    assert all(3 not in pair for pair in by_pair)
+    # pair (4,5): the periodic doc matches the span at BOTH positions
+    assert len(by_pair[(4, 5)]) == 2
+
+
+def test_shared_span_pairs_exact_recovers_df_hot_span(spark):
+    """The df-hot blind spot: a span whose MIDDLE is boilerplate hot
+    enough to be df-capped splits (or vanishes) in the shingle detector,
+    but the exact pass — seeded by the span's rare edges — recovers the
+    FULL span with exact offsets."""
+    from ccm_spark.pipeline.dedup import shared_span_pairs, shared_span_pairs_exact
+
+    hot = _words("hot", 12)  # the boilerplate middle, shared by many docs
+    span = _words("rare", 6) + " " + hot + " " + _words("edge", 6)
+    fixture = [
+        (101, _words("pre", 30) + " " + span + " " + _words("post", 30)),
+        (102, _words("left", 25) + " " + span + " " + _words("right", 35)),
+        # 10 unrelated docs carrying ONLY the hot middle -> its shingles
+        # exceed max_doc_freq=3 and are excluded from detection
+        *[(200 + i, _words(f"f{i}", 20) + " " + hot) for i in range(10)],
+    ]
+    docs = spark.createDataFrame(fixture, "doc_id long, text string")
+    min_run = 8
+    min_tokens = min_run + SHINGLE_WIDTH - 1  # 10
+    # shingle-level detector: hot middle capped away -> no run of >= 8
+    # consecutive sub-cap shingles survives for the pair
+    got_shingle = {
+        (r.doc_a, r.doc_b)
+        for r in shared_span_pairs(docs, min_run=min_run, max_doc_freq=3).collect()
+    }
+    assert (101, 102) not in got_shingle
+    # exact pass: seeded by the rare edges, the WHOLE span comes back
+    rows = [
+        r
+        for r in shared_span_pairs_exact(
+            docs, min_run=min_run, max_doc_freq=3
+        ).collect()
+        if (r.doc_a, r.doc_b) == (101, 102)
+    ]
+    texts = dict(fixture)
+    want = _brute_token_runs(texts[101], texts[102], min_tokens)
+    assert sorted(
+        (r.span_tokens, r.a_start, r.a_end, r.b_start, r.b_end) for r in rows
+    ) == want
+    full = max(rows, key=lambda r: r.span_tokens)
+    assert full.span_tokens == 24  # rare6 + hot12 + edge6, nothing split
+    assert full.span_text == span
