@@ -6,6 +6,7 @@ demos the CCM surface; this demos the corpus surface).
     python examples/corpus_pipeline.py [sf_dir]
 
 Stages (each one operator, each individually oracle- or replay-pinned):
+  0. URL hygiene           (canonicalise, URL-exact dedup, domain caps)
   1. quality filter        (rule-based keep/drop)
   2. exact dedup           (md5 hash-aggregate, keep representative)
   3. near-dup removal      (MinHash+LSH clusters -> keep min doc_id)
@@ -52,6 +53,31 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
 
     docs = load_table(spark, sf_dir, "documents")
     counts["input"] = docs.count()
+
+    # 0. URL hygiene — the metadata-level first pass, run before any text
+    # is read. The test corpus carries no URL column, so derive a demo one
+    # (doc pairs share a page; odd members arrive with tracking params —
+    # the crawl-twice case canonicalisation exists for), then keep each
+    # canonical URL's representative and cap docs per domain.
+    from ccm_spark.pipeline.urls import domain_cap, url_duplicates
+
+    with_urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"),
+            F.expr("(doc_id DIV 2) % 37"),
+            F.lit(".example.org/doc/"),
+            F.expr("doc_id DIV 2"),
+            F.when(F.expr("doc_id % 2 = 1"), F.lit("?utm_source=feed")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    url_reps = url_duplicates(with_urls).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    capped = domain_cap(with_urls.join(url_reps, "doc_id"), 12).select("doc_id")
+    docs, counts["after_url_hygiene"] = checkpoint(docs.join(capped, "doc_id"))
 
     # eval split for decontamination (stand-in for a benchmark suite)
     eval_docs = docs.where("doc_id % 31 = 0")

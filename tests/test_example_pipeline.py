@@ -18,7 +18,8 @@ def test_corpus_pipeline_example_runs(spark, sf_small, tmp_path):
     # every filter stage can only shrink the corpus
     assert (
         c["input"]
-        > c["after_quality"]
+        > c["after_url_hygiene"]
+        >= c["after_quality"]
         >= c["after_exact_dedup"]
         >= c["after_near_dedup"]
         >= c["after_decontamination"]

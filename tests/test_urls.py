@@ -127,6 +127,41 @@ def test_url_duplicates_contract(spark):
     assert sum(n for _, n in out.values()) == 17  # 20 rows - 3 unparseable
 
 
+def test_url_normalize_stream_equals_batch(spark, tmp_path):
+    """with_url_normalized is a pure narrow projection, so a streaming
+    source must normalise to exactly the batch rows — URL hygiene can run
+    at ingestion time (append mode, zero state)."""
+    from ccm_spark.pipeline.urls import with_url_normalized
+
+    pdf = _fixture_pdf()
+    batch_df = spark.createDataFrame(pdf, "doc_id long, url string")
+    batch = {
+        r.doc_id: (r.url_norm, r.domain)
+        for r in with_url_normalized(batch_df).collect()
+    }
+
+    src = tmp_path / "url_stream_src"
+    src.mkdir()
+    batch_df.coalesce(1).write.parquet(str(src / "part0"))
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src / "part0"))
+    out = with_url_normalized(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("url_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_url"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.url_norm, r.domain)
+        for r in spark.sql("select * from url_stream").collect()
+    }
+    assert got == batch
+
+
 def test_domain_cap_matches_duckdb_replay(spark, sf_small):
     """Cap = 2 per domain on a fixture where example.com has many docs:
     kept set matches the DuckDB md5-key window replay exactly, and the
