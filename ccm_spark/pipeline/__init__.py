@@ -1,6 +1,7 @@
 from ccm_spark.pipeline import (
     dedup,
     events_ops,
+    lm,
     mixing,
     multimodal,
     similarity,
@@ -12,6 +13,7 @@ from ccm_spark.pipeline import (
 __all__ = [
     "dedup",
     "events_ops",
+    "lm",
     "mixing",
     "multimodal",
     "similarity",
