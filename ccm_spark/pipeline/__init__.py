@@ -4,6 +4,7 @@ from ccm_spark.pipeline import (
     lm,
     mixing,
     multimodal,
+    search,
     similarity,
     text,
     tokenize,
@@ -16,6 +17,7 @@ __all__ = [
     "lm",
     "mixing",
     "multimodal",
+    "search",
     "similarity",
     "text",
     "tokenize",

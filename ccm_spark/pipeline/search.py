@@ -1,0 +1,133 @@
+"""Lexical (BM25) search over the document corpus — the keyword-side
+complement to the embedding ANN family in :mod:`pipeline.similarity`.
+
+A training-data pipeline needs lexical retrieval wherever embeddings are
+unavailable or wrong for the job: eval-set leakage hunts beyond exact
+n-grams ("find every document that looks like this benchmark question"),
+targeted corpus audits, and hybrid (lexical + vector) retrieval for data
+curation. No reference analogue (SURVEY.md §2.1 — the reference has no
+text surface); part of the driver-mandated extension.
+
+Scoring is Robertson/Sparck-Jones BM25:
+    score(q, d) = sum_{t in q} idf(t) * tf * (k1 + 1)
+                                / (tf + k1 * (1 - b + b * dl/avgdl))
+    idf(t)      = ln((N - df + 0.5) / (df + 0.5) + 1)     [always > 0]
+
+Scale shape: the inverted-index relation (term, doc_id, tf) comes from
+one explode + one map-side-combined aggregate (term skew absorbed by the
+per-(doc, term) pre-aggregate, exactly like ``text.vocab_topk``); the
+query relation is tiny and BROADCAST into the postings join, so the only
+corpus-sized shuffles are the index build itself; per-query top-k uses
+the two-phase local-then-global rank so a stopword-laden query matching
+half the corpus never lands on one task. All heavy arithmetic is
+JVM-side codegen (no UDFs); scores round at 6. Spark's ``ln`` and a
+reference replay can differ in the last ulp, so tests pin scores to 1e-9
+tolerance and everything integer (tf, df, dl, ranks) exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ccm_spark.functions.hashing import tokens_col
+from ccm_spark.functions.partitioning import spread
+
+
+def bm25_index(docs: DataFrame) -> dict:
+    """Build the BM25 relations once for many queries:
+    ``postings`` (term, doc_id, tf), ``doc_lens`` (doc_id, dl), plus the
+    corpus scalars N and avgdl (two driver doubles — the only collect).
+    The returned dict feeds :func:`bm25_topk`; persist the two
+    DataFrames yourself if you will issue many query batches."""
+    d = spread(docs, "doc_id")
+    occ = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    postings = occ.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    doc_lens = occ.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    row = doc_lens.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    if row.n == 0:
+        raise ValueError("bm25_index: corpus has no tokenized documents")
+    return {
+        "postings": postings,
+        "doc_lens": doc_lens,
+        "n_docs": int(row.n),
+        "avgdl": float(row.avgdl),
+    }
+
+
+def bm25_topk(
+    docs_or_index,
+    queries: list[str] | DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query by BM25: (query_id, rank, doc_id,
+    score). ``queries`` is a list of query strings (query_id = list
+    position) or a (query_id, text) DataFrame; duplicate terms within a
+    query count once (the standard bag-of-distinct-terms form).
+    ``docs_or_index`` is either the documents DataFrame or a prebuilt
+    :func:`bm25_index` dict. Ties rank by doc_id asc; scores round at 6.
+    """
+    if isinstance(docs_or_index, dict):
+        idx = docs_or_index
+    else:
+        idx = bm25_index(docs_or_index)
+    postings, doc_lens = idx["postings"], idx["doc_lens"]
+    n_docs, avgdl = idx["n_docs"], idx["avgdl"]
+    spark = postings.sparkSession
+    if isinstance(queries, list):
+        qdf = spark.createDataFrame(
+            list(enumerate(queries)), "query_id long, text string"
+        )
+    else:
+        qdf = queries
+    q_terms = qdf.select(
+        "query_id", F.explode(tokens_col("text")).alias("term")
+    ).distinct()
+
+    # df only for the QUERY terms — the df relation entering the score
+    # join is bounded by the query vocabulary, not the corpus vocabulary
+    q_df = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(q_terms.select("term").distinct()), "term")
+    )
+    # the query-side relations are tiny -> broadcast them; the postings
+    # relation streams through unchanged
+    matched = (
+        postings.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(q_df), "term")
+        .join(doc_lens, "doc_id")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = matched.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("score")
+    )
+    # two-phase top-k: a stopword query matches most of the corpus, so
+    # prune each partition to its local k before the per-query rank
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    local_w = Window.partitionBy("split_id", "query_id").orderBy(*order)
+    survivors = (
+        scored.withColumn("split_id", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= k)
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score"
+        )
+    )

@@ -1,0 +1,121 @@
+"""BM25 lexical search: integer relations pinned exactly vs DuckDB,
+scores pinned to 1e-9 vs an independent Python replay (ln may differ in
+the last ulp across engines), ranking semantics hand-checked."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from ccm_spark.functions.hashing import py_tokens, sql_tokens
+from ccm_spark.pipeline.search import bm25_index, bm25_topk
+from ccm_spark.sources.tables import load_table
+
+
+def test_bm25_index_relations_match_duckdb(spark, sf_small):
+    idx = bm25_index(load_table(spark, sf_small, "documents"))
+    got_post = sorted(
+        (r.term, r.doc_id, r.tf) for r in idx["postings"].collect()
+    )
+    got_lens = sorted((r.doc_id, r.dl) for r in idx["doc_lens"].collect())
+    want_post = sorted(
+        (t, int(d), int(n))
+        for t, d, n in duckdb.sql(
+            f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks
+           FROM read_parquet('{sf_small}/documents.parquet')),
+u AS (SELECT unnest(toks) AS term, doc_id FROM t)
+SELECT term, doc_id, count(*) FROM u GROUP BY 1, 2"""
+        ).fetchall()
+    )
+    want_lens = sorted(
+        (int(d), int(n))
+        for d, n in duckdb.sql(
+            f"""
+WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks
+           FROM read_parquet('{sf_small}/documents.parquet'))
+SELECT doc_id, len(toks) FROM t WHERE len(toks) > 0"""
+        ).fetchall()
+    )
+    assert got_post == want_post
+    assert got_lens == want_lens
+    assert idx["n_docs"] == len(want_lens)
+    assert idx["avgdl"] == pytest.approx(
+        sum(n for _, n in want_lens) / len(want_lens)
+    )
+
+
+def _py_bm25(texts: dict, query: str, k1=1.2, b=0.75):
+    """Independent driver replay of the scoring formula."""
+    toks = {d: py_tokens(t) for d, t in texts.items()}
+    toks = {d: ts for d, ts in toks.items() if ts}
+    n = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    scores = {}
+    for term in sorted(set(py_tokens(query))):
+        df = sum(1 for ts in toks.values() if term in ts)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for d, ts in toks.items():
+            tf = ts.count(term)
+            if tf == 0:
+                continue
+            denom = tf + k1 * (1 - b + b * len(ts) / avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (k1 + 1) / denom
+    return scores
+
+
+def test_bm25_scores_match_python_replay(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    queries = ["spark shuffle partition", "the data", "zzz-nowhere"]
+    out = bm25_topk(docs, queries, k=8).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, query in enumerate(queries):
+        want = _py_bm25(texts, query)
+        got = by_q.get(qid, [])
+        # the k returned docs are the k best by (score desc, doc_id asc)
+        want_rank = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
+            d for d, _ in want_rank
+        ]
+        for r in got:
+            assert r.score == pytest.approx(want[r.doc_id], abs=1e-6)
+    assert len(by_q.get(2, [])) == 0  # no-match query returns no rows
+
+
+def test_bm25_ranking_semantics(spark):
+    """Hand-built corpus: rarity wins (idf), repetition saturates (k1),
+    and length normalisation (b) demotes padded documents."""
+    docs = spark.createDataFrame(
+        [
+            (1, "rareword alpha beta"),
+            (2, "common common common alpha beta"),
+            (3, "common " + " ".join(f"pad{i}" for i in range(50))),
+            (4, "common alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.query_id, r.rank): r
+        for r in bm25_topk(docs, ["rareword", "common"], k=4).collect()
+    }
+    # the rare term hits exactly its one doc
+    assert out[(0, 1)].doc_id == 1 and (0, 2) not in out
+    # for "common": tf=3 in a short doc beats tf=1; the padded doc ranks
+    # below the short tf=1 doc despite equal tf (length normalisation)
+    ranks = [out[(1, i)].doc_id for i in range(1, 4)]
+    assert ranks[0] == 2
+    assert ranks.index(4) < ranks.index(3)
+    # reuse a prebuilt index: identical output
+    idx = bm25_index(docs)
+    again = {
+        (r.query_id, r.rank): r.doc_id
+        for r in bm25_topk(idx, ["rareword", "common"], k=4).collect()
+    }
+    assert again == {k: v.doc_id for k, v in out.items()}
