@@ -110,6 +110,42 @@ def mixture_sample(
     )
 
 
+def temperature_rates(
+    docs: DataFrame,
+    tau: float = 0.7,
+    group_col: str = "lang",
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Temperature-based mixing rates (the mT5/XLM-R multilingual
+    reweighting): sampling mass q_i ∝ p_i^tau over the groups' natural
+    shares p_i, converted to the PER-DOC rates :func:`mixture_sample`
+    consumes — ``rate_i = q_i * T / n_i`` with T = ``target_total``
+    (default: the corpus size, so the mixed corpus keeps its scale).
+    tau=1 reproduces the natural distribution (every rate 1.0 at the
+    default T); tau→0 approaches uniform-by-group, upsampling small
+    groups above 1 (multi-copy repetition) and downsampling large ones.
+
+    One map-side-combined count aggregate; the driver sees one row per
+    GROUP (languages/domains — dozens, not documents), computes the
+    closed-form rates, and the result plugs straight into the narrow
+    sampling pass. Deterministic; groups are whatever ``group_col``
+    holds (language, source domain, quality bucket...)."""
+    if not 0 < tau <= 1:
+        raise ValueError(f"temperature_rates: tau must be in (0, 1], got {tau}")
+    counts = {
+        r[group_col]: r.n
+        for r in docs.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+        if r[group_col] is not None
+    }
+    if not counts:
+        raise ValueError("temperature_rates: no groups found")
+    total = sum(counts.values())
+    t = total if target_total is None else int(target_total)
+    mass = {g: (n / total) ** tau for g, n in counts.items()}
+    z = sum(mass.values())
+    return {g: (mass[g] / z) * t / counts[g] for g in sorted(counts)}
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = PACK_BUDGET,

@@ -325,3 +325,42 @@ def test_budget_select_caches_the_keyed_projection(spark, sf_small):
         assert getattr(out, "_ccm_persisted", [])
     finally:
         release_cached(out)
+
+
+def test_temperature_rates_closed_form_and_composition(spark, sf_small):
+    """tau=1 -> every rate exactly 1 (natural distribution, scale kept);
+    tau<1 -> small groups upsampled above large ones; rates match the
+    closed form and compose with mixture_sample to the expected totals."""
+    import pytest
+
+    from ccm_spark.pipeline.mixing import mixture_sample, temperature_rates
+
+    docs = load_table(spark, sf_small, "documents")
+    counts = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+
+    natural = temperature_rates(docs, tau=1.0)
+    assert set(natural) == set(counts)
+    for g, rate in natural.items():
+        assert rate == pytest.approx(1.0)
+
+    tau = 0.5
+    rates = temperature_rates(docs, tau=tau)
+    mass = {g: (n / total) ** tau for g, n in counts.items()}
+    z = sum(mass.values())
+    for g in counts:
+        assert rates[g] == pytest.approx(mass[g] / z * total / counts[g])
+    # smaller groups get strictly larger per-doc rates
+    ordered = sorted(counts, key=counts.get)
+    assert rates[ordered[0]] > rates[ordered[-1]]
+    # expected doc mass is conserved: sum(n_g * rate_g) == total
+    assert sum(counts[g] * rates[g] for g in counts) == pytest.approx(total)
+    # composes with the sampler: realized copies hit the expectation
+    # within the bernoulli noise of the fractional parts
+    out = mixture_sample(docs, rates, fallback_rate=0.0, salt="temp1")
+    realized = {r.lang: r.n for r in out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for g in counts:
+        expect = counts[g] * rates[g]
+        assert abs(realized.get(g, 0) - expect) <= 4 * (expect ** 0.5) + 2, g
+    with pytest.raises(ValueError, match="tau"):
+        temperature_rates(docs, tau=0.0)

@@ -110,6 +110,21 @@ def test_ann_query_payloads_are_broadcast_not_closure_shipped():
     assert "bc_query_tables.value" in inspect.getsource(vector_udfs.pq_adc_udf)
 
 
+def test_bm25_query_joins_broadcast_no_cartesian(spark, sf_small):
+    """Serving a query batch must add no corpus-sized shuffle: the query
+    relations broadcast into the postings join and nothing plans a
+    cartesian product."""
+    from ccm_spark.pipeline.search import bm25_topk
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = bm25_topk(docs, ["spark shuffle partition"], k=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_documents_scan_prunes_to_needed_columns(spark, sf_small):
     from ccm_spark.pipeline import dedup
     from ccm_spark.sources.tables import load_table
