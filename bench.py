@@ -45,9 +45,17 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = _loadavg()
     spark = get_spark("ccm_spark-bench")
     qs = E.queries()
 
@@ -163,6 +171,11 @@ def main() -> None:
                     for name, xs in samples.items()
                 },
                 "queries_nruns": {name: len(xs) for name, xs in samples.items()},
+                # host-load context: SCALE.md documents ±5x co-tenant
+                # bursts on this VM; a cross-round comparison should read
+                # these before calling a delta a regression
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
