@@ -33,3 +33,22 @@ def test_corpus_pipeline_example_runs(spark, sf_small, tmp_path):
     m = out["manifest"]
     assert m["n_docs"] == c["final_docs"]
     assert sum(s["n_docs"] for s in m["shards"]) == m["n_docs"]
+
+
+def test_causal_screening_example_runs(spark):
+    """The EDM screening walkthrough must run end-to-end, screen out the
+    uncoupled pair before the expensive stages, and recover the true
+    directed couplings in its edge list."""
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from causal_screening import run
+    finally:
+        sys.path.pop(0)
+
+    out = run(spark)
+    assert set(out["embedding"]) == set(range(6))
+    assert set(out["survivors"]) <= set(range(6))
+    # the screening keeps the coupled systems' members
+    assert {0, 1, 2, 3} <= set(out["survivors"])
+    drivers = {(d, r) for d, r, _ in out["edges"]}
+    assert (0, 1) in drivers and (2, 3) in drivers
