@@ -337,6 +337,39 @@ def boilerplate_ngrams(
     )
 
 
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """The corpus report card: per-(lang, source) cell AND every margin
+    (lang totals, source totals, grand total — one CUBE pass, the
+    events ``hourly_rollup`` shape) of document count, token mass, and
+    token-length extremes. The aggregate a pipeline prints before and
+    after every filter stage to see what each stage did to the mix —
+    exactly the numbers ``mixing.temperature_rates`` and
+    ``mixing.budget_select`` consume.
+
+    One narrow tokenize projection + one Expand aggregate (4 grouping
+    sets); all outputs are exact integers except ``avg_tokens``
+    (rounded at 6). NULL lang/source in a margin row means "all";
+    ``is_total`` disambiguates a real NULL group value from a margin.
+    """
+    per_doc = spread(docs, "doc_id").select(
+        "lang", "source", F.size(tokens_col("text")).cast("long").alias("n")
+    )
+    return (
+        per_doc.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("n_tokens"),
+            F.round(F.avg("n"), 6).alias("avg_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+            # grouping() is only legal inside the cube aggregate
+            (F.grouping("lang") + F.grouping("source"))
+            .cast("int")
+            .alias("is_total"),
+        )
+    )
+
+
 def classifier_weights(log2_features: int = 18, seed: int = 11):
     """Deterministic demo weight vector for :func:`classifier_score` —
     splitmix-mixed uniforms in [-1, 1), a stand-in for offline-trained

@@ -388,3 +388,40 @@ def test_minhash_signature_narrow_equals_aggregate(spark):
     )
     assert [tuple(r) for r in narrow] == [tuple(r) for r in agg]
     assert {r.doc_id for r in narrow} == {0, 1, 3}
+
+
+def test_corpus_profile_matches_duckdb_cube(spark, sf_small):
+    """Every cell and margin of the report card must equal a DuckDB
+    GROUP BY CUBE replay — exact ints, avg at 1e-6."""
+    import duckdb
+
+    from ccm_spark.functions.hashing import sql_tokens
+    from ccm_spark.pipeline.text import corpus_profile
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    got = {
+        (r.lang, r.source, r.is_total): (
+            r.n_docs, r.n_tokens, r.avg_tokens, r.min_tokens, r.max_tokens
+        )
+        for r in corpus_profile(docs).collect()
+    }
+    want = {
+        (lang, source, int(tot)): (
+            int(nd), int(nt), float(avg), int(mn), int(mx)
+        )
+        for lang, source, tot, nd, nt, avg, mn, mx in duckdb.sql(
+            f"""
+WITH t AS (SELECT lang, source, len({sql_tokens('text')}) AS n
+           FROM read_parquet('{sf_small}/documents.parquet'))
+SELECT lang, source,
+       (CASE WHEN GROUPING(lang) = 1 THEN 1 ELSE 0 END
+        + CASE WHEN GROUPING(source) = 1 THEN 1 ELSE 0 END) AS is_total,
+       count(*), sum(n), round(avg(n), 6), min(n), max(n)
+FROM t GROUP BY CUBE (lang, source)"""
+        ).fetchall()
+    }
+    assert got == want
+    # the grand total row exists and sums the corpus
+    grand = got[(None, None, 2)]
+    assert grand[0] == docs.count()
