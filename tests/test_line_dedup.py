@@ -112,3 +112,16 @@ LEFT JOIN n ON f.doc_id = n.doc_id
         for r in remove_duplicated_lines(docs.repartition(5)).collect()
     )
     assert alt == got
+
+
+def test_remove_duplicated_lines_is_idempotent(spark):
+    """After one pass every eligible line is corpus-unique, so a second
+    pass must be a no-op — the keep-one-occurrence contract converges in
+    one step like the substring family's pairwise rule."""
+    _, docs = _fixture_df(spark)
+    once = remove_duplicated_lines(docs)
+    once_rows = sorted((r.doc_id, r.text) for r in once.collect())
+    twice = remove_duplicated_lines(once.select("doc_id", "text"))
+    twice_rows = sorted((r.doc_id, r.text, r.n_lines_removed) for r in twice.collect())
+    assert [(d, t) for d, t, _ in twice_rows] == once_rows
+    assert all(n == 0 for _, _, n in twice_rows)

