@@ -148,6 +148,38 @@ def url_duplicates(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def url_index(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """The corpus's canonical-URL set: one row per distinct ``url_norm``
+    with its representative doc and copy count — persist/write this once
+    and probe ingestion increments against it (the URL twin of
+    ``dedup.minhash_index``)."""
+    return url_duplicates(df, url_col)
+
+
+def probe_url_index(increment: DataFrame, index: DataFrame, url_col: str = "url") -> DataFrame:
+    """Ingestion-time URL dedup: flag each increment document whose
+    canonical URL already exists in a (static, persisted) index —
+    (doc_id, url_norm, is_known, known_doc_id). A pure stream-static
+    LEFT JOIN after the narrow normalisation, so it runs identically on
+    a STREAMING increment in append mode with zero state (stream ==
+    batch test-pinned); unparseable URLs probe as not-known with NULL
+    url_norm. The index side is the bounded-by-corpus distinct-URL
+    relation; Spark re-broadcasts or shuffles it per its size, exactly
+    like the MinHash index probe."""
+    inc = with_url_normalized(increment, url_col).select(
+        "doc_id", "url_norm"
+    )
+    idx = index.select(
+        "url_norm", F.col("keep_doc_id").alias("known_doc_id")
+    )
+    return inc.join(idx, "url_norm", "left").select(
+        "doc_id",
+        "url_norm",
+        F.col("known_doc_id").isNotNull().alias("is_known"),
+        "known_doc_id",
+    )
+
+
 def domain_cap(
     df: DataFrame,
     max_per_domain: int,

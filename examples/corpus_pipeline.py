@@ -8,6 +8,8 @@ demos the CCM surface; this demos the corpus surface).
 Stages (each one operator, each individually oracle- or replay-pinned):
   0. URL hygiene           (canonicalise, URL-exact dedup, domain caps)
   1. quality filter        (rule-based keep/drop)
+  1b. perplexity filter    (bigram LM on the rule-clean docs; drop the
+                            least reference-like tail bucket)
   2. exact dedup           (md5 hash-aggregate, keep representative)
   3. near-dup removal      (MinHash+LSH clusters -> keep min doc_id)
   4. decontamination       (Bloom probe + exact verify vs an eval split)
@@ -86,6 +88,18 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     # 1. rule-based quality filter
     kept = quality_filter(docs).where("keep").select("doc_id")
     docs, counts["after_quality"] = checkpoint(docs.join(kept, "doc_id"))
+
+    # 1b. perplexity filter (CCNet-style): train the reference LM on the
+    # rule-clean docs themselves (a real pipeline trains on trusted text,
+    # e.g. wikipedia) and drop the least reference-like tail bucket
+    from ccm_spark.pipeline.lm import perplexity, perplexity_buckets, train_bigram_lm
+
+    lm = train_bigram_lm(docs, vocab_size=2_000, max_bigrams=20_000)
+    buckets = perplexity_buckets(perplexity(docs, lm))
+    keep_ppl = buckets.where(
+        F.col("bucket").isNull() | (F.col("bucket") != "tail")
+    ).select("doc_id")
+    docs, counts["after_perplexity"] = checkpoint(docs.join(keep_ppl, "doc_id"))
 
     # 2. exact dedup: keep each content hash's representative
     reps = exact_duplicates(docs).select(

@@ -20,6 +20,7 @@ def test_corpus_pipeline_example_runs(spark, sf_small, tmp_path):
         c["input"]
         > c["after_url_hygiene"]
         >= c["after_quality"]
+        > c["after_perplexity"]
         >= c["after_exact_dedup"]
         >= c["after_near_dedup"]
         >= c["after_decontamination"]

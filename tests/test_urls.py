@@ -240,3 +240,52 @@ def test_url_normalize_is_idempotent(spark):
     for r in rows:
         assert r.once is not None  # the grid is all parseable
         assert r.twice == r.once, r.once
+
+
+def test_probe_url_index_stream_equals_batch(spark, tmp_path):
+    """Ingestion-time URL dedup: a streaming increment probed against the
+    static canonical-URL index must flag exactly the batch verdicts —
+    known URLs (under any messy variant) hit, new URLs miss."""
+    from ccm_spark.pipeline.urls import probe_url_index, url_index
+
+    corpus_pdf = _fixture_pdf()
+    corpus = spark.createDataFrame(corpus_pdf, "doc_id long, url string")
+    idx = url_index(corpus)
+
+    inc_pdf = pd.DataFrame(
+        [
+            (100, "HTTP://EXAMPLE.COM:80/a#other"),   # messy variant of known
+            (101, "http://example.com/brand-new"),    # unknown
+            (102, "garbage"),                         # unparseable
+        ],
+        columns=["doc_id", "url"],
+    ).astype({"doc_id": "int64"})
+    inc = spark.createDataFrame(inc_pdf, "doc_id long, url string")
+    batch = {
+        r.doc_id: (r.url_norm, r.is_known, r.known_doc_id)
+        for r in probe_url_index(inc, idx).collect()
+    }
+    assert batch[100] == ("http://example.com/a", True, 0)
+    assert batch[101] == ("http://example.com/brand-new", False, None)
+    assert batch[102] == (None, False, None)
+
+    src = tmp_path / "url_inc_src"
+    src.mkdir()
+    inc.coalesce(1).write.parquet(str(src / "p0"))
+    stream = spark.readStream.schema(inc.schema).parquet(str(src / "p0"))
+    out = probe_url_index(stream, idx)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("url_probe_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_probe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.url_norm, r.is_known, r.known_doc_id)
+        for r in spark.sql("select * from url_probe_stream").collect()
+    }
+    assert got == batch
