@@ -851,6 +851,108 @@ def forecast_horizon_scan_fleet(
     )
 
 
+def simplex_forecast(
+    x,
+    horizons: list[int] | None = None,
+    embedding_dim: int = 3,
+    tau: int = 1,
+) -> dict:
+    """Out-of-sample simplex forecasts of a series' FUTURE values — the
+    prediction the EDM workflow's diagnostics (embedding_scan,
+    forecast_horizon_scan) exist to justify. For each horizon h the
+    library holds every (state, h-steps-later outcome) pair the series
+    contains, the query is the LAST observed state, and the forecast is
+    the W1/P1 simplex projection — direct multi-horizon forecasting
+    (one library per h, the rEDM ``tp`` convention), not iterated
+    feedback, so long-horizon forecasts degrade gracefully instead of
+    compounding. Deterministic: no sampling anywhere.
+
+    Driver-side (one series is trivial compute); the corpus form is
+    :func:`simplex_forecast_fleet`. Returns
+    ``{"forecasts": [(h, value), ...], "embedding_dim": E, "tau": tau}``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    hs = list(horizons) if horizons is not None else [1, 2, 3]
+    from ccm_spark import oracle
+
+    emb = oracle.time_delay_embedding(x, embedding_dim, tau)
+    p = emb.shape[0]
+    shift = (embedding_dim - 1) * tau
+    if p < 2:
+        raise ValueError("simplex_forecast: series too short to embed")
+    out = []
+    query = emb[-1:, :]
+    for h in hs:
+        if h < 1:
+            raise ValueError(f"simplex_forecast: horizon {h} < 1")
+        lib_rows = p - h  # rows whose outcome x[i + shift + h] exists
+        if lib_rows < embedding_dim + 1:
+            raise ValueError(
+                f"simplex_forecast: horizon {h} leaves {lib_rows} library "
+                f"rows (< E+1={embedding_dim + 1})"
+            )
+        pred = oracle.simplex_point_predictions(
+            emb[:lib_rows], x[shift + h : shift + h + lib_rows], query
+        )
+        out.append((int(h), float(pred[0])))
+    return {"forecasts": out, "embedding_dim": embedding_dim, "tau": tau}
+
+
+FORECAST_FLEET_SCHEMA = "series_id long, h int, prediction double"
+
+
+def simplex_forecast_fleet(
+    series: DataFrame,
+    horizons: list[int] | None = None,
+    embedding_dim: int = 3,
+    tau: int = 1,
+    value_col: str = "value",
+    min_points: int = 30,
+) -> DataFrame:
+    """Fleet-mode :func:`simplex_forecast`: one forecast row per
+    (series_id, horizon) over a long-form corpus — the "predict every
+    sensor's next values" op, kernels in-task like every fleet scan.
+    Rows bit-match the single-series function (test-pinned); series too
+    short for a horizon skip that horizon, series shorter than
+    ``min_points`` are dropped entirely."""
+    hs = list(horizons) if horizons is not None else [1, 2, 3]
+    for h in hs:
+        if h < 1:
+            raise ValueError(f"simplex_forecast_fleet: horizon {h} < 1")
+    cols = ["series_id", "h", "prediction"]
+
+    def run_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ccm_spark import oracle
+
+        pdf = pdf.sort_values("t")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        if len(x) < min_points:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+        sid = int(pdf["series_id"].iloc[0])
+        emb = oracle.time_delay_embedding(x, embedding_dim, tau)
+        p = emb.shape[0]
+        shift = (embedding_dim - 1) * tau
+        query = emb[-1:, :]
+        rows = []
+        for h in hs:
+            lib_rows = p - h
+            if lib_rows < embedding_dim + 1:
+                continue
+            pred = oracle.simplex_point_predictions(
+                emb[:lib_rows], x[shift + h : shift + h + lib_rows], query
+            )
+            rows.append((sid, int(h), float(pred[0])))
+        return pd.DataFrame(rows, columns=cols)
+
+    from ccm_spark.functions.partitioning import spread
+
+    return (
+        spread(series, "series_id", factor=8)
+        .groupBy("series_id")
+        .applyInPandas(run_series, schema=FORECAST_FLEET_SCHEMA)
+    )
+
+
 NONLINEARITY_FLEET_SCHEMA = (
     "series_id long, best_theta double, best_skill double, "
     "linear_skill double, nonlinear boolean"

@@ -167,3 +167,32 @@ def write_training_shards(
     with open(os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+def read_training_shards(spark, path: str, start_pos: int = 0):
+    """The read half of the trainer hand-off: load a
+    :func:`write_training_shards` layout as ``(manifest, df)`` where
+    ``df`` holds every row with ``global_pos >= start_pos`` — resuming
+    an epoch mid-stream (a restarted training job knows only its step
+    number, which IS the global position).
+
+    The manifest's per-shard ``[min_pos, max_pos]`` ranges make the
+    resume a PARTITION-PRUNED read: shards entirely below ``start_pos``
+    are excluded by a ``shard IN (...)`` predicate on the partition
+    column (never opened — directory pruning, visible as a partition
+    filter in the plan), and only the one boundary shard pays a row
+    filter. Ordering contract: ``ORDER BY global_pos`` is the epoch
+    permutation; within-shard file order already matches it, so a
+    sequential consumer can read shard by shard without a sort."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    live = [
+        s["shard"] for s in manifest["shards"] if s["max_pos"] >= start_pos
+    ]
+    df = spark.read.parquet(path).where(F.col("shard").isin(live))
+    if start_pos > 0:
+        df = df.where(F.col("global_pos") >= start_pos)
+    return manifest, df

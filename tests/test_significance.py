@@ -449,3 +449,42 @@ def test_forecast_horizon_scan_fleet_matches_single_series(spark):
     assert abs(out[0].skill_h1 - single["skill_h1"]) < 1e-12
     assert out[0].decaying == single["decaying"]
     assert out[0].decaying  # chaotic logistic dynamics decay with horizon
+
+
+def test_simplex_forecast_accuracy_and_fleet_parity(spark):
+    """One-step forecasts of a noise-free logistic map land near the
+    true next value (the map is deterministic and the attractor densely
+    sampled); fleet rows bit-match the single-series function; horizon
+    guards fire."""
+    import numpy as np
+    import pandas as pd
+
+    from ccm_spark.significance import simplex_forecast, simplex_forecast_fleet
+
+    x, y = coupled_series(length=400, coupling=0.4, noise_level=0.0, seed=7)
+    res = simplex_forecast(x, horizons=[1, 2, 5])
+    preds = dict(res["forecasts"])
+    assert set(preds) == {1, 2, 5}
+    # the true next value of the G2 map: r_x * x_n * (1 - x_n), clamped
+    truth = min(0.999, max(0.001, 3.8 * x[-1] * (1.0 - x[-1])))
+    assert abs(preds[1] - truth) < 0.05
+    with pytest.raises(ValueError, match="horizon"):
+        simplex_forecast(x, horizons=[0])
+    with pytest.raises(ValueError, match="library"):
+        simplex_forecast(x[:10], horizons=[8])
+
+    frames = [
+        pd.DataFrame({"series_id": 0, "t": range(len(x)), "value": x}),
+        pd.DataFrame({"series_id": 1, "t": range(len(y)), "value": y}),
+    ]
+    df = spark.createDataFrame(
+        pd.concat(frames), "series_id long, t long, value double"
+    )
+    fleet = {
+        (r.series_id, r.h): r.prediction
+        for r in simplex_forecast_fleet(df, horizons=[1, 2, 5]).collect()
+    }
+    for sid, s in [(0, x), (1, y)]:
+        single = dict(simplex_forecast(s, horizons=[1, 2, 5])["forecasts"])
+        for h, v in single.items():
+            assert fleet[(sid, h)] == v, (sid, h)

@@ -111,3 +111,29 @@ ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuf:ep1'), 1, 15
         ).fetchall()
     ]
     assert got == want
+
+
+def test_read_training_shards_resume_prunes_and_completes(spark, sf_small, tmp_path):
+    """Resume from a mid-epoch position: exactly the rows at
+    global_pos >= start come back, the below-start shards are pruned at
+    the PARTITION level (plan shows the shard predicate), and
+    start_pos=0 reproduces the full epoch."""
+    from ccm_spark.sources.sinks import read_training_shards, write_training_shards
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "shards_resume")
+    manifest = write_training_shards(docs, path, n_shards=4, seed="ep1")
+    n = manifest["n_docs"]
+
+    m2, full = read_training_shards(spark, path)
+    assert m2 == manifest
+    assert sorted(r.global_pos for r in full.select("global_pos").collect()) == list(range(n))
+
+    # resume from inside the THIRD shard: shards 0-1 pruned
+    start = manifest["shards"][2]["min_pos"] + 3
+    _, resumed = read_training_shards(spark, path, start_pos=start)
+    got = sorted(r.global_pos for r in resumed.select("global_pos").collect())
+    assert got == list(range(start, n))
+    plan = resumed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
