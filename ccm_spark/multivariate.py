@@ -119,6 +119,74 @@ def block_cross_map(
     }
 
 
+def smap_interactions(
+    spark,
+    block: dict,
+    target_col: str,
+    embed_cols: list[str],
+    theta: float = 2.0,
+    chunk: int = 64,
+) -> DataFrame:
+    """Time-varying interaction strengths via S-map coefficients (Deyle
+    et al. 2016): predict ``target_col``(t+1) from the lag-0 state
+    vector of ``embed_cols``; the locally-weighted regression around
+    each time point yields per-time coefficients c_j(t) ≈ the partial
+    derivative ∂target(t+1)/∂x_j(t) — the interaction of x_j on the
+    target AT that state, the quantity ecosystem/market EDM papers
+    track through time. theta localises the map (theta=0 collapses to
+    one global linear fit whose coefficients are constant).
+
+    Emits the long-form relation (t, term, coefficient) with term ∈
+    {"intercept"} ∪ embed_cols, t indexing the state time (the
+    prediction is of t+1). Distributed by CHUNKS of time points: the
+    (state, outcome) arrays broadcast once per executor, each task
+    computes only its chunk-to-library distance block (chunk x P, never
+    P x P) and ``chunk`` weighted lstsq solves — the fan-out shape of
+    every scan in :mod:`ccm_spark.significance`. Rows bit-match the
+    driver kernel :func:`ccm_spark.oracle.smap_coefficients`
+    (test-pinned)."""
+    if not embed_cols:
+        raise ValueError("smap_interactions: embed_cols must be non-empty")
+    for c in list(embed_cols) + [target_col]:
+        if c not in block:
+            raise ValueError(f"smap_interactions: unknown column {c!r}")
+    series = {k: np.asarray(v, dtype=np.float64) for k, v in block.items()}
+    lengths = {len(v) for v in series.values()}
+    if len(lengths) != 1:
+        raise ValueError(f"smap_interactions: unequal column lengths {lengths}")
+    n = lengths.pop()
+    if n < len(embed_cols) + 3:
+        raise ValueError("smap_interactions: series too short")
+    emb = np.column_stack([series[c][:-1] for c in embed_cols])
+    tgt = series[target_col][1:]
+    p = emb.shape[0]
+    terms = ["intercept", *embed_cols]
+
+    sc = spark.sparkContext
+    bc = sc.broadcast((emb, tgt))
+
+    def run(batches):
+        from ccm_spark import oracle as _o
+
+        bemb, btgt = bc.value
+        for pdf in batches:
+            rows = []
+            for start in pdf["start"]:
+                start = int(start)
+                idx = np.arange(start, min(start + chunk, p))
+                coefs = _o.smap_coefficients(bemb, btgt, theta, idx)
+                for row, i in enumerate(idx):
+                    for j, term in enumerate(terms):
+                        rows.append((int(i), term, float(coefs[row, j])))
+            yield pd.DataFrame(rows, columns=["t", "term", "coefficient"])
+
+    from ccm_spark.functions.partitioning import spread
+
+    starts = [(s,) for s in range(0, p, chunk)]
+    grid = spread(spark.createDataFrame(starts, "start long"), "start")
+    return grid.mapInPandas(run, "t long, term string, coefficient double")
+
+
 def multiview_forecast(
     spark,
     block: dict,

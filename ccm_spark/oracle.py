@@ -322,6 +322,45 @@ def smap_forecast_skill(
     return pearson(preds, tgt)
 
 
+def smap_coefficients(
+    emb: np.ndarray,
+    tgt: np.ndarray,
+    theta: float,
+    query_idx: np.ndarray | None = None,
+) -> np.ndarray:
+    """Per-point S-map regression COEFFICIENTS (Deyle et al. 2016,
+    "Tracking and forecasting ecosystem interactions in real time"): for
+    each query row i the locally-weighted least-squares linear map
+    fitted around state i, returned as (len(query_idx), 1 + E) rows of
+    ``[intercept, c_1..c_E]`` — c_j approximates the partial derivative
+    of the target w.r.t. embedding coordinate j AT that state, i.e. the
+    time-varying interaction strength. Same weighting and
+    leave-self-out convention as :func:`smap_forecast_skill`
+    (exp(-theta * d / d_mean), lstsq on sqrt-weighted rows);
+    deterministic. Distances are computed only from the query rows to
+    the library (len(idx) x P, never P x P), so a chunk of queries
+    costs a chunk-sized matrix — the property the distributed form
+    partitions on."""
+    p = emb.shape[0]
+    if p < emb.shape[1] + 2:
+        raise ValueError("smap_coefficients: series too short")
+    idx = np.arange(p) if query_idx is None else np.asarray(query_idx)
+    design = np.hstack([np.ones((p, 1)), emb])
+    diff = emb[idx][:, None, :] - emb[None, :, :]
+    d = np.sqrt((diff * diff).sum(axis=2))  # (len(idx), P)
+    out = np.empty((len(idx), design.shape[1]))
+    for row, i in enumerate(idx):
+        di = np.delete(d[row], i)
+        rows = np.delete(design, i, axis=0)
+        ys = np.delete(tgt, i)
+        dbar = di.mean()
+        w = np.exp(-theta * di / dbar) if dbar > 0 else np.ones_like(di)
+        sw = np.sqrt(w)
+        coef, *_ = np.linalg.lstsq(rows * sw[:, None], ys * sw, rcond=None)
+        out[row] = coef
+    return out
+
+
 def simplex_point_predictions(
     emb_lib: np.ndarray,
     tgt_lib: np.ndarray,

@@ -134,3 +134,75 @@ def test_multiview_validation(spark):
         multiview_forecast(
             spark, {"x": x, "y": y}, "y", view_dim=3, max_lag=6, max_views=10
         )
+
+
+def test_smap_interactions_linear_system_recovers_constants(spark):
+    """A linear stochastic system has CONSTANT partials: every per-time
+    coefficient must sit at the true values regardless of theta."""
+    import numpy as np
+
+    from ccm_spark.multivariate import smap_interactions
+
+    rng = np.random.default_rng(5)
+    n = 120
+    a = rng.normal(size=n)
+    b = rng.normal(size=n)
+    tgt = np.empty(n)
+    tgt[0] = 0.0
+    # target(t+1) = 0.5*a(t) - 0.3*b(t) + 0.1 (noise-free linear map)
+    for t in range(n - 1):
+        tgt[t + 1] = 0.5 * a[t] - 0.3 * b[t] + 0.1
+    out = smap_interactions(
+        spark, {"a": a, "b": b, "y": tgt}, "y", ["a", "b"], theta=2.0
+    ).collect()
+    by_term: dict = {}
+    for r in out:
+        by_term.setdefault(r.term, []).append(r.coefficient)
+    assert len(by_term["a"]) == n - 1
+    for v in by_term["a"]:
+        assert abs(v - 0.5) < 1e-6
+    for v in by_term["b"]:
+        assert abs(v - (-0.3)) < 1e-6
+    for v in by_term["intercept"]:
+        assert abs(v - 0.1) < 1e-6
+
+
+def test_smap_interactions_tracks_state_dependent_coupling(spark):
+    """The Deyle et al. readout on G2: predicting y(t+1) from (x, y)(t),
+    the x coefficient hovers at the true coupling c (∂y'/∂x = c) while
+    the y coefficient is state-DEPENDENT (∂y'/∂y = r_y(1-2y) - c) —
+    and matches that analytic partial pointwise. Rows bit-match the
+    driver kernel."""
+    import numpy as np
+
+    from ccm_spark import oracle
+    from ccm_spark.generators import coupled_series
+    from ccm_spark.multivariate import smap_interactions
+
+    c, r_y = 0.4, 3.6
+    x, y = coupled_series(length=300, coupling=c, noise_level=0.0, seed=7)
+    out = smap_interactions(
+        spark, {"x": x, "y": y}, "y", ["x", "y"], theta=8.0
+    ).collect()
+    coefs: dict = {}
+    for r in out:
+        coefs.setdefault(r.term, {})[r.t] = r.coefficient
+    xs = np.array([coefs["x"][t] for t in sorted(coefs["x"])])
+    ys = np.array([coefs["y"][t] for t in sorted(coefs["y"])])
+    # the x partial is c = 0.4 where the map does not clamp; the
+    # regression estimate recovers its sign and scale but blurs toward
+    # zero (clamped transitions have zero true partial, and x/y are
+    # correlated regressors on a 1-D attractor) — measured 0.34 +- 0.1
+    assert 0.2 < xs.mean() < 0.5
+    assert xs.std() < ys.std() / 3            # x partial ~constant vs y's
+    analytic = r_y * (1.0 - 2.0 * y[:-1]) - c  # state-dependent partial
+    corr = np.corrcoef(ys, analytic)[0, 1]
+    assert corr > 0.95                        # tracks the true Jacobian
+    assert ys.std() > 0.5                     # genuinely time-varying
+    # distributed rows == driver kernel
+    emb = np.column_stack([x[:-1], y[:-1]])
+    want = oracle.smap_coefficients(emb, y[1:], 8.0)
+    for row, t in enumerate(range(len(x) - 1)):
+        assert coefs["intercept"][t] == want[row, 0]
+        assert coefs["x"][t] == want[row, 1]
+        assert coefs["y"][t] == want[row, 2]
