@@ -139,16 +139,22 @@ def test_contamination_report_matches_duckdb(spark, sf_small):
 
     from ccm_spark.plans.oracle_sql_ext import _shingle_ctes
 
+    from ccm_spark.plans.cross_map import release_cached
+
     train, ev = _split(spark, sf_small)
-    got = sorted(tuple(r) for r in contamination_report(train, ev).collect())
+    rep = contamination_report(train, ev)
+    got = sorted(tuple(r) for r in rep.collect())
+    release_cached(rep)
     con = duckdb.connect()
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_small}/documents.parquet')"
     )
     want = sorted(
-        (int(a), int(b), int(c), float(d), int(e))
-        for a, b, c, d, e in con.sql(
+        (int(a), int(b), int(c), float(d), int(e),
+         int(f) if f is not None else None,
+         int(g) if g is not None else None)
+        for a, b, c, d, e, f, g in con.sql(
             f"""
 WITH {_shingle_ctes()},
 ev_sh AS (
@@ -166,11 +172,24 @@ hits AS (
          count(DISTINCT t.doc_id) AS n_train
   FROM ev_sh e JOIN tr_sh t USING (shingle_hash)
   GROUP BY 1
+),
+pairs AS (
+  SELECT e.doc_id AS eval_doc_id, t.doc_id AS train_doc_id,
+         count(DISTINCT e.shingle_hash) AS n_overlap
+  FROM ev_sh e JOIN tr_sh t USING (shingle_hash)
+  GROUP BY 1, 2
+),
+worst AS (
+  SELECT eval_doc_id,
+         first(train_doc_id ORDER BY n_overlap DESC, train_doc_id ASC) AS worst_id,
+         max(n_overlap) AS worst_n
+  FROM pairs GROUP BY 1
 )
 SELECT s.eval_doc_id, s.n_shingles,
        coalesce(h.n_hit, 0), round(coalesce(h.n_hit, 0) / s.n_shingles, 6),
-       coalesce(h.n_train, 0)
+       coalesce(h.n_train, 0), w.worst_id, w.worst_n
 FROM sizes s LEFT JOIN hits h USING (eval_doc_id)
+LEFT JOIN worst w USING (eval_doc_id)
 """
         ).fetchall()
     )
