@@ -119,6 +119,135 @@ def block_cross_map(
     }
 
 
+def multispatial_ccm(
+    spark,
+    series: DataFrame,
+    config: CCMConfig | None = None,
+    direction: str = "x_causes_y",
+    max_points: int = 100_000,
+) -> dict:
+    """Multispatial CCM (Clark et al. 2015, Ecology: "Spatial
+    convergent cross mapping to detect causal relationships from short
+    time series"): one causal verdict from MANY SHORT replicates of the
+    same system — field plots, patients, sensors — none long enough for
+    CCM alone. Each replicate embeds SEPARATELY (no embedding vector
+    spans a replicate boundary), the (state, target) pairs pool into one
+    library universe, and the untouched kernel chain — seeded bootstrap
+    library draws over POOLED rows, kNN, simplex, guarded Pearson, R3
+    slope — runs over the ladder resolved on the pooled size. With a
+    single replicate this reduces BIT-FOR-BIT to ``oracle.cross_map`` on
+    that series (test-pinned), so every univariate pin transfers.
+
+    Input: a long-form ``(replicate_id, t, x, y)`` relation. Replicates
+    too short to embed (< (E-1)*tau + 2 points) are dropped and counted
+    in the result. The pooled arrays are collected driver-side behind a
+    ``max_points`` count guard (the method exists BECAUSE replicates are
+    short — a pool that large should use the per-pair fleet instead),
+    broadcast once, and the ladder fans out as a spread grid exactly
+    like :func:`block_cross_map`; beyond PRECOMPUTE_DIST_MAX_P pooled
+    rows the per-sample distance fallback applies.
+
+    CAVEAT on the ``convergent`` flag: R3's threshold is an ABSOLUTE
+    slope per library-size unit (reference parity, > 0.001), calibrated
+    for single-series ladders of tens-to-hundreds of points. A pooled
+    ladder spans the whole pool, so the same skill GAIN spreads over a
+    longer lib axis and the slope dilutes — judge pooled convergence on
+    the skill curve (``results``) or restrict ``lib_sizes`` to the span
+    a single replicate's ladder would cover.
+    """
+    if direction not in ("x_causes_y", "y_causes_x"):
+        raise ValueError(f"multispatial_ccm: unknown direction {direction!r}")
+    cfg = config if config is not None else CCMConfig()
+    n_rows = series.count()
+    if n_rows > max_points:
+        raise ValueError(
+            f"multispatial_ccm: {n_rows} pooled points exceeds "
+            f"max_points={max_points} — replicates this long should use the "
+            "per-pair fleet (fastpath/network) instead of pooling"
+        )
+    rows = series.select("replicate_id", "t", "x", "y").collect()
+    by_rep: dict = {}
+    for r in rows:
+        by_rep.setdefault(r.replicate_id, []).append((r.t, r.x, r.y))
+    min_len = (cfg.embedding_dim - 1) * cfg.tau + 2
+    embs, tgts = [], []
+    n_dropped = 0
+    for rep in sorted(by_rep):
+        seq = sorted(by_rep[rep])
+        x = np.array([v for _, v, _ in seq], dtype=np.float64)
+        y = np.array([v for _, _, v in seq], dtype=np.float64)
+        if len(x) < min_len:
+            n_dropped += 1
+            continue
+        source, target = (y, x) if direction == "x_causes_y" else (x, y)
+        embs.append(
+            oracle.time_delay_embedding(source, cfg.embedding_dim, cfg.tau)
+        )
+        tgts.append(oracle.adjusted_target(target, cfg.embedding_dim, cfg.tau))
+    if not embs:
+        raise ValueError("multispatial_ccm: no replicate long enough to embed")
+    emb = np.vstack(embs)
+    tgt = np.concatenate(tgts)
+    # resolve the ladder on the pooled "virtual series" length so a
+    # single replicate reduces exactly to cross_map on that series
+    pooled_n = emb.shape[0] + (cfg.embedding_dim - 1) * cfg.tau
+    lib_sizes = cfg.resolved_lib_sizes(pooled_n)
+    dir_id = dict(oracle.DIRECTIONS)[direction]
+    emb_dim, num_samples, seed = cfg.embedding_dim, cfg.num_samples, cfg.seed
+
+    sc = spark.sparkContext
+    bc = sc.broadcast((emb, tgt))
+
+    def run(batches):
+        from ccm_spark import oracle as _o
+
+        bemb, btgt = bc.value
+        dist = (
+            _o._pairwise_distances(bemb)
+            if 0 < bemb.shape[0] <= _o.PRECOMPUTE_DIST_MAX_P
+            else None
+        )
+        for pdf in batches:
+            out = []
+            for lib in pdf["lib_size"]:
+                lib = int(lib)
+                if dist is not None:
+                    corrs = _o.cross_map_lib_batch(
+                        bemb, btgt, lib, num_samples, dir_id, seed, emb_dim, dist
+                    )
+                else:
+                    corrs = [
+                        _o.cross_map_sample(
+                            bemb, btgt, lib, s, dir_id, seed, emb_dim,
+                            dist_matrix=None,
+                        )
+                        for s in range(num_samples)
+                    ]
+                out.append((lib, float(np.sum(corrs) / num_samples)))
+            yield pd.DataFrame(out, columns=["lib_size", "skill"])
+
+    from ccm_spark.functions.partitioning import spread
+
+    grid = spread(
+        spark.createDataFrame([(int(l),) for l in lib_sizes], "lib_size long"),
+        "lib_size",
+    )
+    res = grid.mapInPandas(run, "lib_size long, skill double").collect()
+    results = sorted((r.lib_size, r.skill) for r in res)
+    ls = np.array([r[0] for r in results], dtype=np.float64)
+    cs = np.array([r[1] for r in results], dtype=np.float64)
+    slope, convergent = oracle.ols_slope(ls, cs)
+    return {
+        "direction": direction,
+        "n_replicates": len(embs),
+        "n_dropped": n_dropped,
+        "pooled_points": int(emb.shape[0]),
+        "results": [(int(a), float(b)) for a, b in results],
+        "slope": float(slope),
+        "convergent": bool(convergent),
+    }
+
+
 def smap_interactions(
     spark,
     block: dict,

@@ -206,3 +206,84 @@ def test_smap_interactions_tracks_state_dependent_coupling(spark):
         assert coefs["intercept"][t] == want[row, 0]
         assert coefs["x"][t] == want[row, 1]
         assert coefs["y"][t] == want[row, 2]
+
+
+def test_multispatial_single_replicate_reduces_to_cross_map(spark):
+    """One replicate == plain CCM on that series, bit-for-bit — ladder,
+    skills, slope, verdict."""
+    import pandas as pd
+
+    from ccm_spark.multivariate import multispatial_ccm
+
+    x, y = coupled_series(length=120, coupling=0.4, noise_level=0.02, seed=7)
+    df = spark.createDataFrame(
+        pd.DataFrame({"replicate_id": 0, "t": range(len(x)), "x": x, "y": y}),
+        "replicate_id long, t long, x double, y double",
+    )
+    cfg = CCMConfig(num_samples=8, seed=5)
+    res = multispatial_ccm(spark, df, cfg)
+    want = oracle.cross_map(x, y, cfg, "x_causes_y")
+    assert res["results"] == [(int(a), float(b)) for a, b in want["results"]]
+    assert res["slope"] == want["slope"]
+    assert res["convergent"] == want["convergent"]
+    assert res["n_replicates"] == 1 and res["n_dropped"] == 0
+
+
+def test_multispatial_detects_coupling_from_short_replicates(spark):
+    """The Clark et al. claim: 12 replicates of 25 points each — far too
+    short individually (the ladder barely exists) — pooled into one
+    library recover the causal verdict; pooling matches a driver-side
+    kernel replay bit-for-bit; too-short replicates are dropped."""
+    import numpy as np
+    import pandas as pd
+
+    from ccm_spark.multivariate import multispatial_ccm
+
+    frames = []
+    for rep in range(12):
+        x, y = coupled_series(
+            length=24, coupling=0.6, noise_level=0.02,
+            x0=0.2 + 0.05 * rep, y0=0.7 - 0.04 * rep, seed=100 + rep,
+        )
+        frames.append(
+            pd.DataFrame({"replicate_id": rep, "t": range(len(x)), "x": x, "y": y})
+        )
+    # one 3-point runt: dropped, not fatal
+    frames.append(
+        pd.DataFrame({"replicate_id": 99, "t": [0, 1, 2], "x": [0.1, 0.2, 0.3],
+                      "y": [0.4, 0.5, 0.6]})
+    )
+    df = spark.createDataFrame(
+        pd.concat(frames), "replicate_id long, t long, x double, y double"
+    )
+    cfg = CCMConfig(num_samples=8, seed=5, lib_sizes=[50, 120, 200])
+    res = multispatial_ccm(spark, df, cfg)
+    assert res["n_replicates"] == 12 and res["n_dropped"] == 1
+    assert res["pooled_points"] == 12 * 23  # 25 points -> 23 embedding rows
+    skills = dict(res["results"])
+    # skill rises with pooled library size and ends high — the
+    # convergence evidence (the binary R3 flag uses an absolute
+    # per-lib-unit slope threshold that dilutes on pooled ladders; see
+    # the docstring caveat)
+    assert skills[50] < skills[120] < skills[200]
+    assert skills[200] > 0.8
+    assert res["slope"] > 0
+
+    # driver replay: same pooled arrays through the same kernel
+    embs, tgts = [], []
+    for rep in range(12):
+        x, y = coupled_series(
+            length=24, coupling=0.6, noise_level=0.02,
+            x0=0.2 + 0.05 * rep, y0=0.7 - 0.04 * rep, seed=100 + rep,
+        )
+        embs.append(oracle.time_delay_embedding(np.asarray(y), cfg.embedding_dim, cfg.tau))
+        tgts.append(oracle.adjusted_target(np.asarray(x), cfg.embedding_dim, cfg.tau))
+    emb, tgt = np.vstack(embs), np.concatenate(tgts)
+    dist = oracle._pairwise_distances(emb)
+    for lib, skill in res["results"]:
+        corrs = oracle.cross_map_lib_batch(
+            emb, tgt, lib, cfg.num_samples, 0, cfg.seed, cfg.embedding_dim, dist
+        )
+        assert skill == float(np.sum(corrs) / cfg.num_samples)
+    with pytest.raises(ValueError, match="max_points"):
+        multispatial_ccm(spark, df, cfg, max_points=10)
