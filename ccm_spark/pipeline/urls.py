@@ -148,6 +148,45 @@ def url_duplicates(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: list[str] | DataFrame,
+    url_col: str = "url",
+    include_subdomains: bool = True,
+) -> DataFrame:
+    """Drop documents whose domain is on a blocklist (licensing
+    takedowns, spam lists, opted-out publishers) — the policy filter
+    that runs right after canonicalisation. ``blocklist`` is a list of
+    domains or a one-column DataFrame; ``include_subdomains`` also
+    blocks ``*.blocked.com`` (suffix match on a dot boundary — the
+    registrable-domain convention). Unparseable URLs pass through (the
+    hygiene layer never silently drops what it could not classify).
+
+    Plan: the blocklist joins BROADCAST (block lists are thousands of
+    rows, corpora are billions); subdomain matching is an inequality
+    join on the suffix expression, still against the broadcast side —
+    no corpus shuffle either way."""
+    spark = df.sparkSession
+    if isinstance(blocklist, list):
+        bdf = spark.createDataFrame(
+            [(d.lower(),) for d in blocklist], "blocked string"
+        )
+    else:
+        bdf = blocklist.select(F.lower(F.col(blocklist.columns[0])).alias("blocked"))
+    base = with_url_normalized(df, url_col)
+    if include_subdomains:
+        cond = (F.col("domain") == F.col("blocked")) | F.col("domain").endswith(
+            F.concat(F.lit("."), F.col("blocked"))
+        )
+    else:
+        cond = F.col("domain") == F.col("blocked")
+    hits = (
+        base.join(F.broadcast(bdf), cond, "left_semi")
+        .select("doc_id")
+    )
+    return base.join(hits, "doc_id", "left_anti").drop("url_norm", "domain")
+
+
 def url_index(df: DataFrame, url_col: str = "url") -> DataFrame:
     """The corpus's canonical-URL set: one row per distinct ``url_norm``
     with its representative doc and copy count — persist/write this once

@@ -289,3 +289,38 @@ def test_probe_url_index_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("select * from url_probe_stream").collect()
     }
     assert got == batch
+
+
+def test_filter_blocked_domains(spark):
+    """Blocklist semantics: exact domain, subdomain on a dot boundary
+    (never substring), www-folding via the domain key, unparseable rows
+    pass through, and the original schema comes back."""
+    from ccm_spark.pipeline.urls import filter_blocked_domains
+
+    rows = [
+        (0, "http://blocked.com/a"),
+        (1, "http://sub.blocked.com/b"),        # subdomain -> blocked
+        (2, "http://notblocked.com/c"),         # substring is NOT a match
+        (3, "http://www.blocked.com/d"),        # www folds into the domain
+        (4, "http://fine.org/e"),
+        (5, "not a url"),                       # passes through
+        (6, None),                              # passes through
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r.doc_id for r in filter_blocked_domains(df, ["Blocked.com"]).collect()
+    )
+    assert kept == [2, 4, 5, 6]
+    assert filter_blocked_domains(df, ["blocked.com"]).columns == ["doc_id", "url"]
+    # exact-only mode keeps the subdomain
+    kept2 = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(
+            df, ["blocked.com"], include_subdomains=False
+        ).collect()
+    )
+    assert kept2 == [1, 2, 4, 5, 6]
+    # DataFrame-shaped blocklist behaves identically
+    bdf = spark.createDataFrame([("blocked.com",)], "d string")
+    kept3 = sorted(r.doc_id for r in filter_blocked_domains(df, bdf).collect())
+    assert kept3 == kept
