@@ -125,3 +125,52 @@ def test_remove_duplicated_lines_is_idempotent(spark):
     twice_rows = sorted((r.doc_id, r.text, r.n_lines_removed) for r in twice.collect())
     assert [(d, t) for d, t, _ in twice_rows] == once_rows
     assert all(n == 0 for _, _, n in twice_rows)
+
+
+def test_corpus_diff_statuses(spark):
+    """Every status class on a hand-built pair of snapshots, including
+    the NULL-text cases, pinned vs a DuckDB replay."""
+    import duckdb
+
+    from ccm_spark.pipeline.dedup import corpus_diff
+
+    old = pd.DataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish"), (5, None),
+         (6, None)],
+        columns=["doc_id", "text"],
+    ).astype({"doc_id": "int64"})
+    new = pd.DataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new"), (5, None),
+         (6, "text now")],
+        columns=["doc_id", "text"],
+    ).astype({"doc_id": "int64"})
+    got = {
+        r.doc_id: r.status
+        for r in corpus_diff(
+            spark.createDataFrame(old, "doc_id long, text string"),
+            spark.createDataFrame(new, "doc_id long, text string"),
+        ).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "unchanged",  # NULL both times: no content either time
+        6: "changed",    # NULL -> text
+    }
+    duckdb.register("diff_old", old)
+    duckdb.register("diff_new", new)
+    want = dict(
+        duckdb.sql(
+            """
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM diff_old o FULL OUTER JOIN diff_new n ON o.doc_id = n.doc_id
+"""
+        ).fetchall()
+    )
+    assert got == {int(k): v for k, v in want.items()}
