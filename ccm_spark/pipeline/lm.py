@@ -105,6 +105,11 @@ def train_bigram_lm(
     """
     if vocab_size < 1 or max_bigrams < 0:
         raise ValueError("train_bigram_lm: caps must be positive")
+    if alpha <= 0:
+        raise ValueError(
+            f"train_bigram_lm: alpha must be > 0 (got {alpha}) — unsmoothed "
+            "models divide by zero on any unseen bigram"
+        )
     uni, bi = ngram_counts(docs)
     vocab_rows = (
         uni.orderBy(F.col("n").desc(), F.col("token").asc())

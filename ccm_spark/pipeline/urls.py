@@ -162,10 +162,14 @@ def filter_blocked_domains(
     registrable-domain convention). Unparseable URLs pass through (the
     hygiene layer never silently drops what it could not classify).
 
-    Plan: the blocklist joins BROADCAST (block lists are thousands of
-    rows, corpora are billions); subdomain matching is an inequality
-    join on the suffix expression, still against the broadcast side —
-    no corpus shuffle either way."""
+    Plan: ONE corpus pass — a broadcast LEFT join against the blocklist
+    (block lists are thousands of rows, corpora are billions; subdomain
+    matching is an inequality condition, still against the broadcast
+    side) keeps the rows with no match. A doc matching several
+    blocklist rows produces several matched rows, but every one of them
+    is filtered, so the kept set never duplicates — and the corpus is
+    scanned once, where a semi-then-anti formulation would scan it
+    twice."""
     spark = df.sparkSession
     if isinstance(blocklist, list):
         bdf = spark.createDataFrame(
@@ -180,11 +184,11 @@ def filter_blocked_domains(
         )
     else:
         cond = F.col("domain") == F.col("blocked")
-    hits = (
-        base.join(F.broadcast(bdf), cond, "left_semi")
-        .select("doc_id")
+    return (
+        base.join(F.broadcast(bdf), cond, "left")
+        .where(F.col("blocked").isNull())
+        .drop("blocked", "url_norm", "domain")
     )
-    return base.join(hits, "doc_id", "left_anti").drop("url_norm", "domain")
 
 
 def url_index(df: DataFrame, url_col: str = "url") -> DataFrame:

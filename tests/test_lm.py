@@ -164,3 +164,9 @@ def test_perplexity_stream_equals_batch(spark, sf_small, tmp_path):
         for r in spark.sql("select * from lm_stream").collect()
     }
     assert got == batch
+
+
+def test_train_rejects_unsmoothed_alpha(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    with pytest.raises(ValueError, match="alpha"):
+        train_bigram_lm(docs, alpha=0.0)

@@ -404,6 +404,15 @@ def test_ccm_lag_scan_fleet_matches_single_series(spark):
     df = spark.createDataFrame(
         pd.concat(frames), "pair_id long, t long, x double, y double"
     )
+    # plus a 10-point runt: dropped per task (exercises the empty-frame
+    # path through the string-typed schema), not fatal
+    frames.append(
+        pd.DataFrame({"pair_id": 9, "t": range(10),
+                      "x": pairs[0][0][:10], "y": pairs[0][1][:10]})
+    )
+    df = spark.createDataFrame(
+        pd.concat(frames), "pair_id long, t long, x double, y double"
+    )
     cfg = CCMConfig(num_samples=8, seed=5)
     out = {r.pair_id: r for r in ccm_lag_scan_fleet(df, cfg, max_lag=4).collect()}
     assert set(out) == {0, 1}
