@@ -112,3 +112,23 @@ def test_network_recovers_true_edges(spark):
         if (d, r) not in true_edges and {d, r} not in ({0, 1}, {2, 3})
     ]
     assert all(skills[e][0] < floor for e in cross_system)
+
+
+def test_pair_series_inner_join_truncates_to_shared_range(spark):
+    """Members covering different time ranges align on the INTERSECTION
+    (a pair only spans what both cover) — no NULL-padded rows."""
+    import pandas as pd
+
+    rows = pd.concat(
+        [
+            pd.DataFrame({"series_id": 0, "t": range(0, 50),
+                          "value": [float(i) for i in range(50)]}),
+            pd.DataFrame({"series_id": 1, "t": range(20, 80),
+                          "value": [float(i) * 2 for i in range(20, 80)]}),
+        ]
+    )
+    df = spark.createDataFrame(rows, "series_id long, t long, value double")
+    ptab = pair_table(df, [(0, 1)])
+    out = pair_series(df, ptab).collect()
+    assert sorted(r.t for r in out) == list(range(20, 50))
+    assert all(r.x is not None and r.y is not None for r in out)
