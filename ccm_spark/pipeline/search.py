@@ -131,3 +131,48 @@ def bm25_topk(
             "query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "score"
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several per-query
+    rankings — the standard HYBRID retrieval combiner (e.g.
+    :func:`bm25_topk` + an ANN top-k over the same ids): each input
+    contributes ``1 / (k + rank)`` per (query, id), summed scores
+    re-rank. Rank-based, so incomparable score scales (BM25 vs cosine)
+    fuse without calibration; k=60 is the paper's default damping.
+
+    Inputs are (query_id, rank, <id_col>, ...) relations; an id missing
+    from one ranking simply contributes nothing (no outer-join NULL
+    handling needed — union semantics). Ties break by id asc. All
+    JVM-side: one union, one sum aggregate, one per-query rank window
+    over at most ``sum(len(inputs))`` rows per query — the inputs are
+    already top-k-bounded, so this never touches corpus-sized data."""
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking required")
+    parts = [
+        r.select(
+            "query_id",
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy("query_id", id_col).agg(
+        F.round(F.sum("contrib"), 9).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), id_col, "rrf_score")
+    )

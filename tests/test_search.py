@@ -119,3 +119,53 @@ def test_bm25_ranking_semantics(spark):
         for r in bm25_topk(idx, ["rareword", "common"], k=4).collect()
     }
     assert again == {k: v.doc_id for k, v in out.items()}
+
+
+def test_rrf_fusion_matches_duckdb_and_hybrid_semantics(spark):
+    """RRF of a lexical and a 'vector' ranking: contribution formula and
+    tie-breaks pinned vs a DuckDB replay; an id ranked well by BOTH
+    systems outranks one ranked well by only one."""
+    import duckdb
+    import pandas as pd
+
+    from ccm_spark.pipeline.search import rrf_fuse
+
+    lex = pd.DataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12), (1, 1, 20)],
+        columns=["query_id", "rank", "doc_id"],
+    )
+    vec = pd.DataFrame(
+        [(0, 1, 11), (0, 2, 13), (0, 3, 10), (1, 1, 21)],
+        columns=["query_id", "rank", "doc_id"],
+    )
+    a = spark.createDataFrame(lex, "query_id long, rank int, doc_id long")
+    b = spark.createDataFrame(vec, "query_id long, rank int, doc_id long")
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.rrf_score)
+        for r in rrf_fuse([a, b], k=60, top_k=5).collect()
+    )
+    duckdb.register("rrf_lex", lex)
+    duckdb.register("rrf_vec", vec)
+    want = sorted(
+        (int(q), int(rk), int(d), float(s))
+        for q, rk, d, s in duckdb.sql(
+            """
+WITH u AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM rrf_lex
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM rrf_vec
+),
+f AS (
+  SELECT query_id, doc_id, round(sum(c), 9) AS s FROM u GROUP BY 1, 2
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rk,
+       doc_id, s
+FROM f QUALIFY rk <= 5
+"""
+        ).fetchall()
+    )
+    assert got == want
+    # doc 11 (ranks 2+1) beats doc 10 (rank 1 lexical only) for query 0
+    by_rank = {r[1]: r[2] for r in got if r[0] == 0}
+    assert by_rank[1] == 11
