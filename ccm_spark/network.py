@@ -60,16 +60,18 @@ def pair_table(
             [(i, int(a), int(b)) for i, (a, b) in enumerate(pairs)],
             "pair_id long, a_id long, b_id long",
         )
-    ids = sorted(
-        r.series_id for r in series.select("series_id").distinct().collect()
-    )
-    if len(ids) > max_series:
+    distinct_ids = series.select("series_id").distinct()
+    # count BEFORE collecting: a million-series corpus must fail the
+    # guard without ever shipping its id set to the driver
+    n_ids = distinct_ids.count()
+    if n_ids > max_series:
         raise ValueError(
-            f"pair_table: {len(ids)} series -> "
-            f"{len(ids) * (len(ids) - 1) // 2} all-pairs combinations exceeds "
+            f"pair_table: {n_ids} series -> "
+            f"{n_ids * (n_ids - 1) // 2} all-pairs combinations exceeds "
             f"max_series={max_series}; pass an explicit pair list (screen "
             "with the significance fleet scans first) or raise the guard"
         )
+    ids = sorted(r.series_id for r in distinct_ids.collect())
     all_pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(all_pairs)],
