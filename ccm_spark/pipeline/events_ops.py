@@ -111,6 +111,90 @@ def asof_join_tolerance(
     )
 
 
+def resample_ffill(
+    events: DataFrame,
+    step_us: int,
+    key_col: str = "user_id",
+    max_grid_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Irregular observations -> a REGULAR per-key grid with
+    last-observation-carried-forward values: (key, t_idx, grid_ts,
+    value) where ``grid_ts = key_min_ts + t_idx * step_us`` and
+    ``value`` is the latest observation at or before the grid point —
+    the resampling every EDM/forecasting operator here assumes (their
+    ``t`` is a uniform index; real sensors are not).
+
+    Semantics: each key's grid spans [min ts, max ts] inclusive of the
+    last full step; observation ties at one microsecond resolve to the
+    LAST by event_id (the newest write wins); grid points never precede
+    the first observation, so no leading NULLs exist.
+
+    Plan: per-key bounds are one aggregate; the grid is a generator
+    explode of ``sequence`` (bounded per key by span/step — the
+    ``max_grid_per_key`` guard fails fast on a step that would explode
+    a key into millions of rows); carrying values is the SAME
+    union-tag + single-window as-of used by :func:`asof_join_events`
+    (grid rows sort after observations at equal ts: at-or-before
+    semantics), so the whole op is one explode + one window on the key
+    — no range join, no per-key driver work."""
+    if step_us < 1:
+        raise ValueError(f"resample_ffill: step_us must be >= 1, got {step_us}")
+    obs = events.select(
+        F.col(key_col).alias("key"),
+        ts_micros(events).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
+    )
+    n_steps = ((F.col("t1") - F.col("t0")) / F.lit(step_us)).cast("long")
+    guarded = bounds.withColumn("n_steps", n_steps)
+    # fail fast, distributedly, on grids that would explode a key
+    too_big = guarded.where(F.col("n_steps") > max_grid_per_key).limit(1).collect()
+    if too_big:
+        r = too_big[0]
+        raise ValueError(
+            f"resample_ffill: key {r.key!r} spans {int(r.n_steps)} grid steps "
+            f"(> max_grid_per_key={max_grid_per_key}); raise step_us or the guard"
+        )
+    grid = guarded.select(
+        "key",
+        "t0",
+        F.explode(F.sequence(F.lit(0), F.col("n_steps"))).alias("t_idx"),
+    ).select(
+        "key",
+        "t_idx",
+        (F.col("t0") + F.col("t_idx") * F.lit(step_us)).alias("ts_us"),
+    )
+    tagged = obs.select(
+        "key", "ts_us", F.lit(False).alias("is_grid"),
+        F.lit(None).cast("long").alias("t_idx"), "event_id", "value",
+    ).unionByName(
+        grid.select(
+            "key", "ts_us", F.lit(True).alias("is_grid"),
+            "t_idx", F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast(obs.schema["value"].dataType).alias("value"),
+        )
+    )
+    # observations before grid rows at equal ts (at-or-before); ties
+    # among observations resolve to the newest event_id
+    w = Window.partitionBy("key").orderBy(
+        F.col("ts_us").asc(),
+        F.col("is_grid").cast("int").asc(),
+        F.col("event_id").asc_nulls_last(),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = tagged.withColumn(
+        "ffill", F.last(F.when(~F.col("is_grid"), F.col("value")), ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("is_grid")).select(
+        F.col("key").alias(key_col),
+        "t_idx",
+        F.col("ts_us").alias("grid_ts"),
+        F.col("ffill").alias("value"),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Per-user sessions split on inactivity gaps: one row per session with
     (user_id, session_idx, n_events, start_us, end_us, sum_value)."""

@@ -157,3 +157,57 @@ GROUP BY ROLLUP (event_type, hour_idx)
     # the three levels are all present
     gids = {g for _, _, g, _, _, _ in got}
     assert gids == {0, 1, 3}
+
+
+def test_resample_ffill_matches_duckdb_asof(spark, sf_small):
+    """The regular-grid resample: grid construction and carried values
+    must match a DuckDB correlated as-of replay; no leading NULLs; ties
+    at one microsecond resolve to the newest event_id."""
+    import duckdb
+
+    from ccm_spark.pipeline.events_ops import resample_ffill
+    from ccm_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    step = 6 * 3600 * 1_000_000  # 6-hour grid
+    out = resample_ffill(ev, step)
+    got = sorted(
+        (r.user_id, r.t_idx, r.grid_ts, r.value) for r in out.collect()
+    )
+    want = sorted(
+        (int(k), int(i), int(g), float(v))
+        for k, i, g, v in duckdb.sql(
+            f"""
+WITH obs AS (
+  SELECT user_id AS key, epoch_us(ts) AS ts_us, event_id, value
+  FROM read_parquet('{sf_small}/events.parquet')
+),
+b AS (SELECT key, min(ts_us) AS t0, max(ts_us) AS t1 FROM obs GROUP BY 1),
+grid AS (
+  SELECT key, t0,
+         unnest(range(0, CAST((t1 - t0) // {step} AS BIGINT) + 1)) AS t_idx
+  FROM b
+),
+g AS (SELECT key, t_idx, t0 + t_idx * {step} AS grid_ts FROM grid)
+SELECT g.key, g.t_idx, g.grid_ts,
+       (SELECT o.value FROM obs o
+        WHERE o.key = g.key AND o.ts_us <= g.grid_ts
+        ORDER BY o.ts_us DESC, o.event_id DESC LIMIT 1) AS value
+FROM g
+"""
+        ).fetchall()
+    )
+    assert got == want
+    assert all(v is not None for _, _, _, v in got)  # no leading NULLs
+    # grids are per-key regular: t_idx contiguous from 0
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for k, i, _, _ in got:
+        per_key[k].append(i)
+    for idxs in per_key.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+    with pytest.raises(ValueError, match="step_us"):
+        resample_ffill(ev, 0)
+    with pytest.raises(ValueError, match="max_grid_per_key"):
+        resample_ffill(ev, 1, max_grid_per_key=10)
