@@ -11,7 +11,11 @@ Reference surface (see SURVEY.md §2 for the full operator inventory):
   - ``pipeline``             — large-scale training-data ops (dedup, similarity
     search, text analysis, multimodal) beyond the reference's own surface
   - ``significance``         — surrogate-data null model for cross-map skill
-    (extension; the reference reports skill with no significance test)
+    plus the fleet screening scans and simplex forecasting (extension;
+    the reference reports skill with no significance test)
+  - ``multivariate``         — block CCM, multiview ensembles, S-map
+    interaction tracking, multispatial CCM (extensions)
+  - ``network``              — causal-network discovery over a series corpus
 """
 
 from ccm_spark.config import CCMConfig, generate_lib_sizes
