@@ -204,3 +204,46 @@ def test_holdout_lib_size_leaves_holdout(n, holdout):
         assert all(v <= lib or n_emb - v < holdout for v in ladder)
     else:
         assert lib == ladder[-1]
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=2,
+                max_size=200, unique=True))
+@settings(deadline=None)
+def test_splitmix64_injective_and_dispersed(xs):
+    from ccm_spark.functions.hashing import splitmix64
+
+    out = [splitmix64(x) for x in xs]
+    # splitmix64 is a bijection on 64-bit ints: distinct in -> distinct out
+    assert len(set(out)) == len(xs)
+    assert out == [splitmix64(x) for x in xs]  # deterministic
+    assert all(0 <= o < 2**64 for o in out)
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "c", "dd", "eee"]), max_size=40),
+    st.floats(min_value=0.01, max_value=2.0),
+)
+@settings(deadline=None)
+def test_lm_score_model_invariants(tokens, alpha):
+    """Perplexity is always >= 1 (every smoothed probability <= 1),
+    2**cross_entropy == perplexity, and the kernel is deterministic."""
+    import math
+
+    from ccm_spark.pipeline.lm import UNK, score_model
+
+    model = {
+        "alpha": alpha,
+        "vocab": {"a": 10, "b": 5, "c": 3},
+        "unk_count": 2,
+        "total": 20,
+        "n_classes": 4,
+        "bigrams": {("a", "b"): 4, ("b", "a"): 2, (UNK, "a"): 1},
+    }
+    n, h, ppl = score_model(model, tokens)
+    assert n == len(tokens)
+    if not tokens:
+        assert math.isnan(h) and math.isnan(ppl)
+    else:
+        assert ppl >= 1.0 - 1e-12
+        assert abs(2.0**h - ppl) < 1e-9 * max(1.0, ppl)
+        assert score_model(model, tokens) == (n, h, ppl)
