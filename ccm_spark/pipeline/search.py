@@ -36,14 +36,22 @@ from ccm_spark.functions.partitioning import spread
 
 def bm25_index(docs: DataFrame) -> dict:
     """Build the BM25 relations once for many queries:
-    ``postings`` (term, doc_id, tf), ``doc_lens`` (doc_id, dl), plus the
-    corpus scalars N and avgdl (two driver doubles — the only collect).
-    The returned dict feeds :func:`bm25_topk`; persist the two
-    DataFrames yourself if you will issue many query batches."""
+    ``postings`` (term, doc_id, tf, dl) — the document length is
+    DENORMALISED into every posting at build time (one doc_id-keyed
+    join here, +8 bytes per posting) so SERVING never joins the
+    corpus-sized length relation again; ``doc_lens`` (doc_id, dl) is
+    still returned for callers that want it, plus the corpus scalars N
+    and avgdl (two driver doubles — the only collect). The returned
+    dict feeds :func:`bm25_topk`; persist ``postings`` yourself if you
+    will issue many query batches."""
     d = spread(docs, "doc_id")
     occ = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-    postings = occ.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     doc_lens = occ.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    postings = (
+        occ.groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .join(doc_lens, "doc_id")
+    )
     row = doc_lens.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -75,7 +83,7 @@ def bm25_topk(
         idx = docs_or_index
     else:
         idx = bm25_index(docs_or_index)
-    postings, doc_lens = idx["postings"], idx["doc_lens"]
+    postings = idx["postings"]
     n_docs, avgdl = idx["n_docs"], idx["avgdl"]
     spark = postings.sparkSession
     if isinstance(queries, list):
@@ -96,11 +104,10 @@ def bm25_topk(
         .join(F.broadcast(q_terms.select("term").distinct()), "term")
     )
     # the query-side relations are tiny -> broadcast them; the postings
-    # relation streams through unchanged
-    matched = (
-        postings.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(q_df), "term")
-        .join(doc_lens, "doc_id")
+    # relation (which already carries dl) streams through unchanged —
+    # serving adds ZERO doc_id-keyed joins against corpus-sized relations
+    matched = postings.join(F.broadcast(q_terms), "term").join(
+        F.broadcast(q_df), "term"
     )
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))

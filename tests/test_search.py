@@ -41,6 +41,9 @@ SELECT doc_id, len(toks) FROM t WHERE len(toks) > 0"""
     )
     assert got_post == want_post
     assert got_lens == want_lens
+    # dl is denormalised into every posting (serving never joins lengths)
+    lens = dict(got_lens)
+    assert all(r.dl == lens[r.doc_id] for r in idx["postings"].collect())
     assert idx["n_docs"] == len(want_lens)
     assert idx["avgdl"] == pytest.approx(
         sum(n for _, n in want_lens) / len(want_lens)
