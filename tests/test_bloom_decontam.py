@@ -220,3 +220,47 @@ def test_bloom_empty_eval_corpus_flags_nothing(spark, sf_small):
     assert all(not r.contaminated and r.n_contaminated_shingles == 0 for r in rows)
     probe = decontaminate_bloom(train, empty, exact_verify=False).collect()
     assert all(not r.maybe_contaminated for r in probe)
+
+
+def test_decontaminate_neardup_flags_paraphrased_copy(spark):
+    """A lightly-edited eval copy of a training doc is flagged with a
+    high signature estimate against ITS source; unrelated training docs
+    are not flagged; the verdict matches a driver replay through the
+    already-pinned incremental probe."""
+    from ccm_spark.pipeline.dedup import (
+        dedup_against_index,
+        decontaminate_neardup,
+        minhash_index,
+    )
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{i}" for i in range(n))
+
+    src = words("shared", 40)
+    train = spark.createDataFrame(
+        [
+            (1, src + " " + words("trail", 5)),     # near-dup of eval 100
+            (2, words("other", 45)),                # unrelated
+            (3, words("third", 45)),                # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, src + " " + words("edited", 5)), (101, words("quiz", 30))],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate_neardup(train, ev, 0.5).collect()}
+    assert out[1].near_contaminated and out[1].best_eval_doc_id == 100
+    assert out[1].est_jaccard >= 0.5
+    assert not out[2].near_contaminated and out[2].best_eval_doc_id is None
+    assert not out[3].near_contaminated
+    # replay through the pinned probe primitive: same pairs, same max
+    idx = minhash_index(ev)
+    pairs = {
+        (r.new_doc_id, r.index_doc_id): r.est_jaccard
+        for r in dedup_against_index(
+            train, idx, 0.5, broadcast_increment=False
+        ).collect()
+    }
+    assert pairs[(1, 100)] == out[1].est_jaccard
+    assert all(k[0] != 2 for k in pairs)
