@@ -121,15 +121,23 @@ class CCM:
         """Surrogate-data significance of the cross-map skill (an
         extension beyond the reference, which reports skill with no null
         model): circular-shift surrogates of the putative cause, one-sided
-        rank p-value. See :mod:`ccm_spark.significance`. Single-pair mode
-        only — the many-series ``from_dataframe`` path should call
-        :func:`ccm_spark.significance.ccm_significance` per pair of
-        interest."""
+        rank p-value. See :mod:`ccm_spark.significance`.
+
+        Single-pair mode returns the reference-shaped dict; a
+        ``from_dataframe`` instance dispatches to the FLEET
+        implementation and returns the lazy per-pair verdict RELATION
+        (`ccm_significance_fleet` — one row per pair_id, offsets keyed
+        per pair), because a million-pair corpus has no single dict."""
         if self._xy is None:
-            raise ValueError(
-                "significance() needs the raw series; construct CCM(spark, "
-                "x, y, ...) or call ccm_spark.significance.ccm_significance "
-                "directly for DataFrame-mode pairs."
+            from ccm_spark.significance import ccm_significance_fleet
+
+            return ccm_significance_fleet(
+                self.series,
+                self.config,
+                direction=direction,
+                n_surrogates=n_surrogates,
+                surrogate_seed=surrogate_seed,
+                alpha=alpha,
             )
         from ccm_spark.significance import ccm_significance
 
@@ -149,12 +157,15 @@ class CCM:
         :func:`ccm_spark.significance.ccm_lag_scan`): skill vs prediction
         lag — a negative-lag peak corroborates true causality, a
         positive-lag peak flags generalized-synchrony false positives.
-        Single-pair mode only."""
+
+        Single-pair mode returns the scan dict; a ``from_dataframe``
+        instance dispatches to ``ccm_lag_scan_fleet`` and returns the
+        lazy per-pair verdict relation."""
         if self._xy is None:
-            raise ValueError(
-                "lag_scan() needs the raw series; construct CCM(spark, x, "
-                "y, ...) or call ccm_spark.significance.ccm_lag_scan "
-                "directly for DataFrame-mode pairs."
+            from ccm_spark.significance import ccm_lag_scan_fleet
+
+            return ccm_lag_scan_fleet(
+                self.series, self.config, direction=direction, max_lag=max_lag
             )
         from ccm_spark.significance import ccm_lag_scan
 

@@ -88,9 +88,24 @@ def test_ccm_api_significance_method(spark):
     # 9 surrogates bottom out at p=0.1 — test at alpha matching that floor
     res = c.significance(n_surrogates=9, alpha=0.1)
     assert res["significant"] and res["n_surrogates"] == 9
+    # DataFrame mode dispatches to the fleet implementation: a lazy
+    # per-pair relation (one row for this single-pair frame), same
+    # verdict machinery with the pair-derived surrogate seed
     df_mode = CCM.from_dataframe(c.series, num_samples=8, seed=5)
-    with pytest.raises(ValueError, match="raw series"):
-        df_mode.significance()
+    fleet = df_mode.significance(n_surrogates=9, alpha=0.1)
+    rows = fleet.collect()
+    assert len(rows) == 1 and rows[0].pair_id == 0
+    assert rows[0].n_surrogates == 9
+    want = ccm_significance(
+        spark, x, y, c.config, n_surrogates=9,
+        surrogate_seed=97 + 104729 * 0, alpha=0.1,
+    )
+    assert rows[0].p_value == want["p_value"]
+    assert abs(rows[0].actual_skill - want["actual_skill"]) < 1e-12
+    # ...and DataFrame-mode lag_scan returns the fleet relation too
+    lag_rel = df_mode.lag_scan(max_lag=3)
+    lag_rows = lag_rel.collect()
+    assert len(lag_rows) == 1 and lag_rows[0].pair_id == 0
 
 
 def test_lag_scan_recovers_causal_delay(spark):
