@@ -185,11 +185,33 @@ class CCM:
         (:func:`ccm_spark.significance.embedding_scan`) and recommend the
         conservative choice for a CCM run: the larger of the two best Es
         (under-embedding loses causal signal; mild over-embedding only
-        costs a little noise). Single-pair mode only."""
+        costs a little noise).
+
+        A ``from_dataframe`` instance dispatches to
+        ``embedding_scan_fleet`` over the pair relation MELTED into one
+        series per (pair, side) and returns the lazy verdict relation
+        with ``pair_id``/``side`` columns — per-pair recommendations are
+        then one max() away."""
         if self._xy is None:
-            raise ValueError(
-                "suggest_embedding() needs the raw series; construct "
-                "CCM(spark, x, y, ...) or call embedding_scan directly."
+            from ccm_spark.significance import embedding_scan_fleet
+
+            melted = self.series.selectExpr(
+                "pair_id * 2 AS series_id", "t", "x AS value"
+            ).unionByName(
+                self.series.selectExpr(
+                    "pair_id * 2 + 1 AS series_id", "t", "y AS value"
+                )
+            )
+            return (
+                embedding_scan_fleet(
+                    melted, e_values, tau_values,
+                    num_samples=num_samples, seed=self.config.seed,
+                )
+                .selectExpr(
+                    "series_id DIV 2 AS pair_id",
+                    "CASE WHEN series_id % 2 = 0 THEN 'x' ELSE 'y' END AS side",
+                    "best_e", "best_tau", "lib_size", "best_skill",
+                )
             )
         from ccm_spark.significance import embedding_scan
 

@@ -512,3 +512,25 @@ def test_simplex_forecast_accuracy_and_fleet_parity(spark):
         single = dict(simplex_forecast(s, horizons=[1, 2, 5])["forecasts"])
         for h, v in single.items():
             assert fleet[(sid, h)] == v, (sid, h)
+
+
+def test_ccm_api_suggest_embedding_df_mode(spark):
+    """DataFrame mode: per-(pair, side) embedding verdicts via the fleet
+    scan over the melted pair relation, matching the single-series scan
+    for each side."""
+    from ccm_spark import CCM
+    from ccm_spark.significance import embedding_scan
+
+    x, y = coupled_series(length=150, coupling=0.4, noise_level=0.02, seed=7)
+    c = CCM(spark, x, y, num_samples=8, seed=5)
+    df_mode = CCM.from_dataframe(c.series, num_samples=8, seed=5)
+    evs, tvs = [2, 3, 4], [1]
+    out = {
+        (r.pair_id, r.side): r
+        for r in df_mode.suggest_embedding(evs, tvs, num_samples=8).collect()
+    }
+    assert set(out) == {(0, "x"), (0, "y")}
+    for side, s in (("x", x), ("y", y)):
+        single = embedding_scan(spark, s, evs, tvs, num_samples=8, seed=5)
+        assert out[(0, side)].best_e == single["best_e"]
+        assert abs(out[(0, side)].best_skill - single["best_skill"]) < 1e-12
