@@ -155,17 +155,6 @@ def q_ccm_fleet_small(spark, sf_dir):
     return _fleet_select(ccm_plan(_fleet_series(spark), _config(FLEET_PARAMS)))
 
 
-def q_ccm_fleet_small_fast(spark, sf_dir):
-    """Same fleet through the applyInPandas numpy fast path — identical
-    seeded sampling, so it must hash-match the same oracle as the plan
-    path (fastpath.ccm_apply_in_pandas, one shuffle total)."""
-    from ccm_spark.fastpath import ccm_apply_in_pandas
-
-    return _fleet_select(
-        ccm_apply_in_pandas(_fleet_series(spark), _config(FLEET_PARAMS))
-    )
-
-
 def q_ccm_fleet_iterated(spark, sf_dir):
     """The zero-shuffle path end-to-end: fleet series written with
     sinks.write_series_bucketed (pair-clustered files), read back, and run
