@@ -98,6 +98,40 @@ def tokenize_docs(docs: DataFrame, vocab: dict) -> DataFrame:
     return src.select("doc_id", "text").mapInPandas(run, TOKENIZED_SCHEMA)
 
 
+def detokenize_docs(tokenized: DataFrame, vocab: dict) -> DataFrame:
+    """(doc_id, text): the inverse pass for shard AUDITING — ids back to
+    pieces (the reversed vocab broadcasts once), '##' continuations
+    merged into their word, words joined by single spaces, unknown ids
+    rendered '[UNK]'. Round-trips :func:`tokenize_docs` exactly on
+    whitespace-normalised lowercase text whenever ``oov_frac == 0``
+    (test-pinned) — the check a training job runs on a sample of every
+    shard before burning compute on it. Narrow, Arrow-batched,
+    streaming-safe like the forward pass."""
+    import pandas as pd
+
+    rev = {i: p for p, i in dict(vocab).items()}
+    bc = tokenized.sparkSession.sparkContext.broadcast(rev)
+
+    def run(batches):
+        r = bc.value
+        for pdf in batches:
+            out = []
+            for doc_id, ids in zip(pdf["doc_id"], pdf["token_ids"]):
+                words: list[str] = []
+                for i in ids:
+                    piece = r.get(int(i), "[UNK]")
+                    if piece.startswith("##") and words:
+                        words[-1] += piece[2:]
+                    else:
+                        words.append(piece)
+                out.append((int(doc_id), " ".join(words)))
+            yield pd.DataFrame(out, columns=["doc_id", "text"])
+
+    return tokenized.select("doc_id", "token_ids").mapInPandas(
+        run, "doc_id long, text string"
+    )
+
+
 CHUNKED_SCHEMA = (
     "doc_id long, chunk_idx long, chunk_text string, n_tokens long, "
     "char_start long, char_end long"

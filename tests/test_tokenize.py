@@ -134,3 +134,34 @@ def test_chunk_docs_invariants_and_replay(spark, sf_small):
             assert b.char_start <= a.char_end
     with pytest.raises(ValueError, match="max_tokens"):
         chunk_docs(docs, max_tokens=10, overlap=10)
+
+
+def test_detokenize_round_trips_in_charset_docs(spark):
+    """For zero-OOV docs, detokenize(tokenize(doc)) == the
+    whitespace-normalised lowercase text — the per-shard audit check.
+    OOV words render [UNK]."""
+    from ccm_spark.pipeline.tokenize import (
+        build_wordpiece_vocab,
+        detokenize_docs,
+        tokenize_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick   brown fox\njumps"),
+            (2, "Mixed CASE and  numbers 42"),
+        ],
+        "doc_id long, text string",
+    )
+    # vocab from the clean docs only, so the out-of-charset probe word
+    # below is genuinely absent from it
+    vocab = build_wordpiece_vocab(docs, size=50)
+    probe = spark.createDataFrame(
+        [(3, "emoji ☃ word")], "doc_id long, text string"
+    )
+    toks = tokenize_docs(docs.unionByName(probe), vocab)
+    back = {r.doc_id: r.text for r in detokenize_docs(toks, vocab).collect()}
+    oov = {r.doc_id: r.oov_frac for r in toks.collect()}
+    assert oov[1] == 0.0 and back[1] == "the quick brown fox jumps"
+    assert oov[2] == 0.0 and back[2] == "mixed case and numbers 42"
+    assert "[UNK]" in back[3] and back[3].endswith("word")
