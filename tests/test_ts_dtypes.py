@@ -131,3 +131,19 @@ def test_hourly_rollup_identical_across_ts_dtypes(spark, dtype_dirs):
     # per-(type, hour) cells + subtotals + grand total all present
     gids = {r[2] for r in got["us"]}
     assert gids == {0, 1, 3}
+
+
+def test_resample_ffill_identical_across_ts_dtypes(spark, dtype_dirs):
+    """The regular-grid resample must produce identical rows whether ts
+    is TIMESTAMP(us) or INT64 nanos — ts_micros dispatch, not a
+    hard-coded cast."""
+    from ccm_spark.pipeline.events_ops import resample_ffill
+
+    results = {}
+    for unit, d in dtype_dirs.items():
+        ev = load_table(spark, d, "events")
+        results[unit] = _collect_sorted(
+            resample_ffill(ev, 10 * 60_000_000)  # 10-minute grid
+        )
+    assert results["us"] == results["ns"]
+    assert len(results["us"]) > 0
