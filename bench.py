@@ -152,6 +152,46 @@ def main() -> None:
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+
+    # Families added after the headline set froze: timed ONCE each and
+    # reported separately so cross-round totals stay same-set comparable
+    # while new operators still get a recorded baseline.
+    def extra_lm(spark, sf_dir):
+        from ccm_spark.pipeline.lm import perplexity, train_bigram_lm
+        from ccm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        return perplexity(docs, train_bigram_lm(docs))
+
+    def extra_bm25(spark, sf_dir):
+        from ccm_spark.pipeline.search import bm25_topk
+        from ccm_spark.sources.tables import load_table
+
+        return bm25_topk(
+            load_table(spark, sf_dir, "documents"),
+            ["data processing pipeline", "the spark shuffle"],
+            k=10,
+        )
+
+    def extra_line_dedup(spark, sf_dir):
+        from ccm_spark.pipeline.dedup import remove_duplicated_lines
+        from ccm_spark.sources.tables import load_table
+
+        return remove_duplicated_lines(load_table(spark, sf_dir, "documents"))
+
+    extras = {
+        "url_dedup": qs["url_dedup"],
+        "lm_perplexity": extra_lm,
+        "bm25_topk": extra_bm25,
+        "line_dedup": extra_line_dedup,
+    }
+    extra_timings = {}
+    for name, fn in extras.items():
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        extra_timings[name] = round(time.time() - t0, 3)
+        print(f"# extra {name}: {extra_timings[name]:.2f}s rows={n}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -171,6 +211,10 @@ def main() -> None:
                     for name, xs in samples.items()
                 },
                 "queries_nruns": {name: len(xs) for name, xs in samples.items()},
+                # post-freeze operator families, single-shot timings,
+                # EXCLUDED from "value" (cross-round totals compare the
+                # same headline set)
+                "extra_queries": extra_timings,
                 # host-load context: SCALE.md documents ±5x co-tenant
                 # bursts on this VM; a cross-round comparison should read
                 # these before calling a delta a regression
