@@ -80,3 +80,74 @@ def test_streaming_sessionize_matches_batch(spark, sf_small, tmp_path):
     for k in batch:
         assert final[k][:3] == batch[k][:3], k
         assert final[k][3] == pytest.approx(batch[k][3], abs=1e-9), k
+
+
+def test_streaming_ccm_final_verdicts_match_batch(spark, tmp_path):
+    """Continuous causal monitoring: after the stream drains, each
+    pair's LAST emission must equal the batch fast path on the same
+    points at the ladder maximum — and arrival order must not matter
+    (points sort into t order inside the state)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ccm_spark.config import CCMConfig
+    from ccm_spark.fastpath import ccm_apply_in_pandas
+    from ccm_spark.generators import generate_grid_df
+    from ccm_spark.streaming.ccm_monitor import streaming_ccm
+
+    grid = [
+        {"pair_id": i, "kind": "g2", "length": 120, "coupling": 0.2 * i}
+        for i in range(3)
+    ]
+    series = generate_grid_df(spark, grid)
+    cfg = CCMConfig(num_samples=6, seed=5)
+
+    batch = {
+        (r.pair_id, r.direction): (r.lib_size, r.correlation, r.slope, r.convergent)
+        for r in ccm_apply_in_pandas(series, cfg)
+        .withColumn(
+            "max_lib",
+            F.max("lib_size").over(Window.partitionBy("pair_id", "direction")),
+        )
+        .where("lib_size = max_lib")
+        .collect()
+    }
+
+    # two files, REVERSED time order inside -> two micro-batches with
+    # out-of-order arrival
+    d = tmp_path / "ccm_stream_src"
+    d.mkdir()
+    rows = series.collect()
+    half = [r for r in rows if r.t % 2 == 0]
+    rest = [r for r in rows if r.t % 2 == 1]
+    schema = "pair_id long, t long, x double, y double"
+    spark.createDataFrame([tuple(r) for r in half], schema).coalesce(1).write.parquet(
+        str(d / "f0")
+    )
+    spark.createDataFrame([tuple(r) for r in rest], schema).coalesce(1).write.parquet(
+        str(d / "f1")
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(d / "*"))
+    q = (
+        streaming_ccm(stream, cfg, min_points=30)
+        .writeStream.format("memory")
+        .queryName("ccm_monitor")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ccm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("select * from ccm_monitor").collect()
+    assert len(emitted) > 0
+    final = {}
+    for r in emitted:
+        cur = final.get((r.pair_id, r.direction))
+        if cur is None or r.n_points > cur.n_points:
+            final[(r.pair_id, r.direction)] = r
+    assert set(final) == set(batch)
+    for k, r in final.items():
+        assert r.n_points == 121
+        assert (r.lib_size, r.correlation, r.slope, r.convergent) == batch[k], k
