@@ -5,6 +5,7 @@ from ccm_spark.pipeline import (
     mixing,
     multimodal,
     search,
+    series_search,
     similarity,
     text,
     tokenize,
@@ -18,6 +19,7 @@ __all__ = [
     "mixing",
     "multimodal",
     "search",
+    "series_search",
     "similarity",
     "text",
     "tokenize",

@@ -1,0 +1,182 @@
+"""Data-series similarity search — z-normalised Euclidean top-k over a
+SERIES corpus with PAA lower-bound pruning (the Agrawal/Keogh family the
+distributed-series-search literature builds on: "Time Series Similarity
+Search for Streaming Data in Distributed Systems", EDBT 2019; "Odyssey",
+VLDB 2023 — see PAPERS.md).
+
+The embedding ANN family (:mod:`pipeline.similarity`) searches VECTORS;
+this searches raw equal-length series by shape (z-normalisation removes
+offset/scale, the standard whole-matching semantics). The prune is the
+classic two-phase EXACT algorithm:
+
+  1. every series reduces once to a PAA sketch (segment means of the
+     z-normalised values) — per-series Arrow work, one shuffle, sketch
+     persists for any number of queries;
+  2. a query's LOWER BOUND to every series is the weighted sketch
+     distance ``sqrt(sum_j len_j * (q_j - s_j)^2)`` — by the PAA
+     lower-bounding lemma this never exceeds the true z-normalised ED,
+     so: take the k best sketches, pay exact distance for just those,
+     set the threshold to the k-th exact, and pay exact distance ONLY
+     for series whose lower bound beats it. The result is EXACTLY the
+     brute-force top-k (test-pinned), with the exact-distance work
+     bounded by how tight the sketches are instead of corpus size.
+
+Scale shape: sketches are a fleet applyInPandas (one shuffle on
+series_id); lower bounds are one narrow pass over the sketch relation
+(segments ~ 16 doubles per series — the 100 TB corpus reduces to a GB-
+scale sketch table); the two exact phases join only CANDIDATE series'
+points, with the query broadcast. Driver traffic: k exact distances,
+one threshold scalar, and the candidate id list (bounded by sketch
+tightness).
+
+NOTE: no ``from __future__ import annotations`` here — the module
+defines a ``pandas_udf`` whose signature inspection breaks under
+postponed annotations (the vector_udfs rule).
+"""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ccm_spark.functions.partitioning import spread
+
+PAA_SEGMENTS = 16
+
+
+def _znorm(v: np.ndarray) -> np.ndarray:
+    mu = v.mean()
+    sd = v.std()
+    return (v - mu) / sd if sd > 0 else np.zeros_like(v)
+
+
+def _paa(v: np.ndarray, segments: int) -> np.ndarray:
+    n = len(v)
+    bounds = [(i * n) // segments for i in range(segments + 1)]
+    return np.array(
+        [v[bounds[j]: bounds[j + 1]].mean() for j in range(segments)]
+    )
+
+
+def _seg_lens(n: int, segments: int) -> np.ndarray:
+    bounds = [(i * n) // segments for i in range(segments + 1)]
+    return np.array([bounds[j + 1] - bounds[j] for j in range(segments)], dtype=np.float64)
+
+
+def paa_sketches(series: DataFrame, segments: int = PAA_SEGMENTS) -> DataFrame:
+    """(series_id, n, sketch): each series' PAA sketch of its z-normalised
+    values — build once, persist, serve many queries. One shuffle on
+    series_id; per-series cost is one pass over its points."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        v = _znorm(pdf["value"].to_numpy(dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "series_id": [int(pdf["series_id"].iloc[0])],
+                "n": [len(v)],
+                "sketch": [[float(x) for x in _paa(v, segments)]],
+            }
+        )
+
+    return (
+        spread(series, "series_id")
+        .groupBy("series_id")
+        .applyInPandas(run, "series_id long, n long, sketch array<double>")
+    )
+
+
+def series_topk(
+    series: DataFrame,
+    query: "np.ndarray | list[float]",
+    k: int = 10,
+    segments: int = PAA_SEGMENTS,
+    sketches: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT z-normalised-ED top-k of a query series against the corpus:
+    (rank, series_id, distance), PAA-pruned as described in the module
+    docstring. All series (and the query) must share one length — whole
+    matching; window/split longer series upstream. Pass a prebuilt
+    ``sketches`` relation to amortise the sketch pass across queries.
+    Ties rank by series_id asc; distances round at 9."""
+    q = np.asarray(query, dtype=np.float64)
+    n = len(q)
+    if n < segments:
+        raise ValueError(
+            f"series_topk: query length {n} < segments {segments}"
+        )
+    zq = _znorm(q)
+    q_paa = _paa(zq, segments)
+    lens = _seg_lens(n, segments)
+    spark = series.sparkSession
+
+    sk = sketches if sketches is not None else paa_sketches(series, segments)
+    bad = sk.where(F.col("n") != n).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"series_topk: series {bad[0].series_id} has length "
+            f"{bad[0].n} != query length {n} (whole matching needs one length)"
+        )
+    qp = spark.sparkContext.broadcast((q_paa, lens, zq))
+
+    @F.pandas_udf("double")
+    def lb_udf(sketch: pd.Series) -> pd.Series:
+        q_paa_, lens_, _ = qp.value
+        out = [
+            float(np.sqrt((lens_ * (q_paa_ - np.asarray(s)) ** 2).sum()))
+            for s in sketch
+        ]
+        return pd.Series(out)
+
+    lbs = sk.select("series_id", lb_udf(F.col("sketch")).alias("lb"))
+
+    def exact_for(ids: list[int]) -> dict[int, float]:
+        sub = series.join(
+            F.broadcast(
+                spark.createDataFrame([(int(i),) for i in ids], "series_id long")
+            ),
+            "series_id",
+        )
+
+        def dist(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("t")
+            _, _, zq_ = qp.value
+            zv = _znorm(pdf["value"].to_numpy(dtype=np.float64))
+            return pd.DataFrame(
+                {
+                    "series_id": [int(pdf["series_id"].iloc[0])],
+                    "distance": [float(np.sqrt(((zq_ - zv) ** 2).sum()))],
+                }
+            )
+
+        return {
+            r.series_id: r.distance
+            for r in spread(sub, "series_id")
+            .groupBy("series_id")
+            .applyInPandas(dist, "series_id long, distance double")
+            .collect()
+        }
+
+    # phase 1: exact distances for the k best lower bounds -> threshold
+    seed_ids = [
+        r.series_id
+        for r in lbs.orderBy(F.col("lb").asc(), F.col("series_id").asc())
+        .limit(k)
+        .collect()
+    ]
+    seed_exact = exact_for(seed_ids)
+    threshold = sorted(seed_exact.values())[min(k, len(seed_exact)) - 1]
+    # phase 2: exact only where the lower bound can still beat the k-th
+    cand_ids = [
+        r.series_id
+        for r in lbs.where(F.col("lb") <= F.lit(float(threshold))).collect()
+        if r.series_id not in seed_exact
+    ]
+    exact = dict(seed_exact)
+    if cand_ids:
+        exact.update(exact_for(cand_ids))
+    top = sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    return spark.createDataFrame(
+        [(i + 1, int(sid), round(float(d), 9)) for i, (sid, d) in enumerate(top)],
+        "rank int, series_id long, distance double",
+    )
