@@ -180,3 +180,119 @@ def series_topk(
         [(i + 1, int(sid), round(float(d), 9)) for i, (sid, d) in enumerate(top)],
         "rank int, series_id long, distance double",
     )
+
+
+def _dtw_band(a: np.ndarray, b: np.ndarray, w: int) -> float:
+    """Exact DTW distance (sqrt of summed squared steps) under a
+    Sakoe-Chiba band of half-width ``w`` — the O(n*w) DP."""
+    n = len(a)
+    inf = np.inf
+    prev = np.full(n + 1, inf)
+    prev[0] = 0.0
+    cur = np.empty(n + 1)
+    for i in range(1, n + 1):
+        cur[:] = inf
+        lo, hi = max(1, i - w), min(n, i + w)
+        for j in range(lo, hi + 1):
+            cost = (a[i - 1] - b[j - 1]) ** 2
+            cur[j] = cost + min(prev[j], cur[j - 1], prev[j - 1])
+        prev, cur = cur, prev
+    return float(np.sqrt(prev[n]))
+
+
+def _keogh_envelope(q: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    n = len(q)
+    u = np.array([q[max(0, i - w): i + w + 1].max() for i in range(n)])
+    lo = np.array([q[max(0, i - w): i + w + 1].min() for i in range(n)])
+    return u, lo
+
+
+def dtw_topk(
+    series: DataFrame,
+    query: "np.ndarray | list[float]",
+    k: int = 10,
+    band_frac: float = 0.1,
+) -> DataFrame:
+    """EXACT DTW top-k of a query series against the corpus under a
+    Sakoe-Chiba band (half-width ``band_frac * n``), z-normalised —
+    the UCR-suite search shape: LB_Keogh (the query-envelope lower
+    bound, one O(n) pass per series) prunes, exact O(n*band) DP runs
+    only where the bound can still win, via the same two-phase
+    threshold scheme as :func:`series_topk`. ``band_frac=0`` collapses
+    DTW to plain ED. Emits (rank, series_id, distance); ties by
+    series_id; result pinned equal to brute-force DTW."""
+    q = np.asarray(query, dtype=np.float64)
+    n = len(q)
+    if n < 4:
+        raise ValueError("dtw_topk: query too short")
+    w = max(0, int(round(band_frac * n)))
+    zq = _znorm(q)
+    u, lo = _keogh_envelope(zq, w)
+    spark = series.sparkSession
+    bc = spark.sparkContext.broadcast((zq, u, lo, w, n))
+
+    def per_series(compute_exact: bool):
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            zq_, u_, lo_, w_, n_ = bc.value
+            pdf = pdf.sort_values("t")
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            if len(v) != n_:
+                raise ValueError(
+                    f"dtw_topk: series {int(pdf['series_id'].iloc[0])} has "
+                    f"length {len(v)} != query length {n_}"
+                )
+            zv = _znorm(v)
+            if compute_exact:
+                d = _dtw_band(zq_, zv, w_)
+            else:
+                over = np.where(zv > u_, zv - u_, 0.0)
+                under = np.where(zv < lo_, lo_ - zv, 0.0)
+                d = float(np.sqrt(((over + under) ** 2).sum()))
+            return pd.DataFrame(
+                {"series_id": [int(pdf["series_id"].iloc[0])], "d": [d]}
+            )
+
+        return run
+
+    lbs = (
+        spread(series, "series_id")
+        .groupBy("series_id")
+        .applyInPandas(per_series(False), "series_id long, d double")
+    )
+
+    def exact_for(ids: list[int]) -> dict[int, float]:
+        sub = series.join(
+            F.broadcast(
+                spark.createDataFrame([(int(i),) for i in ids], "series_id long")
+            ),
+            "series_id",
+        )
+        return {
+            r.series_id: r.d
+            for r in spread(sub, "series_id")
+            .groupBy("series_id")
+            .applyInPandas(per_series(True), "series_id long, d double")
+            .collect()
+        }
+
+    seed_ids = [
+        r.series_id
+        for r in lbs.orderBy(F.col("d").asc(), F.col("series_id").asc())
+        .limit(k)
+        .collect()
+    ]
+    seed_exact = exact_for(seed_ids)
+    threshold = sorted(seed_exact.values())[min(k, len(seed_exact)) - 1]
+    cand_ids = [
+        r.series_id
+        for r in lbs.where(F.col("d") <= F.lit(float(threshold))).collect()
+        if r.series_id not in seed_exact
+    ]
+    exact = dict(seed_exact)
+    if cand_ids:
+        exact.update(exact_for(cand_ids))
+    top = sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+    return spark.createDataFrame(
+        [(i + 1, int(sid), round(float(d), 9)) for i, (sid, d) in enumerate(top)],
+        "rank int, series_id long, distance double",
+    )

@@ -88,3 +88,54 @@ def test_series_topk_guards(spark):
     )
     with pytest.raises(ValueError, match="length"):
         series_topk(df.unionByName(short), np.ones(96), k=2)
+
+
+def test_dtw_topk_equals_bruteforce_and_band_zero_is_ed(spark):
+    """PAA... no: LB_Keogh-pruned DTW equals brute-force banded DTW;
+    with band 0 the warping collapses to plain z-normalised ED."""
+    from ccm_spark.pipeline.series_search import _dtw_band, dtw_topk
+
+    df, vals = _corpus(spark, n_series=30)
+    rng = np.random.default_rng(9)
+    # a time-warped sinusoid: DTW should find the sinusoid family close
+    warp = np.interp(np.linspace(0, 95, 96) ** 1.03 / (95 ** 0.03),
+                     np.arange(96), np.sin(np.linspace(0, 6 * np.pi, 96)))
+    q = warp + rng.normal(0, 0.05, 96)
+
+    w = int(round(0.1 * 96))
+    zq = _znorm(np.asarray(q))
+    want = sorted(
+        (
+            (sid, float(_dtw_band(zq, _znorm(np.asarray(v)), w)))
+            for sid, v in vals.items()
+        ),
+        key=lambda kv: (kv[1], kv[0]),
+    )[:6]
+    got = [
+        (r.series_id, r.distance)
+        for r in dtw_topk(df, q, k=6, band_frac=0.1).orderBy("rank").collect()
+    ]
+    assert got == [(sid, round(d, 9)) for sid, d in want]
+    # warping absorbs the time distortion: best DTW hit is a sinusoid
+    assert got[0][0] % 3 != 2
+
+    # band 0 == plain ED, but the DP accumulates in a different order
+    # than the vector sum, so EXACT ties (the z-norm-identical sinusoid
+    # family) can order differently in the last ulp — compare the tie-
+    # canonicalised form (rounded distance, id)
+    ed = _brute_topk(vals, q, 6)
+    got0 = [
+        (r.series_id, r.distance)
+        for r in dtw_topk(df, q, k=6, band_frac=0.0).orderBy("rank").collect()
+    ]
+    # ten sinusoids are z-norm IDENTICAL, so which six of the exact tie
+    # enter the top-k is sub-ulp-order dependent — the defensible
+    # contract is the distance MULTISET plus validity of every member
+    # (no unselected series strictly beats a selected one at 1e-9)
+    assert sorted(round(d, 9) for _, d in got0) == sorted(
+        round(d, 9) for _, d in ed
+    )
+    all_d = {sid: d for sid, d in _brute_topk(vals, q, len(vals))}
+    selected = {sid for sid, _ in got0}
+    min_unselected = min(d for sid, d in all_d.items() if sid not in selected)
+    assert all(all_d[sid] <= min_unselected + 1e-9 for sid in selected)
