@@ -143,7 +143,11 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
 
 if __name__ == "__main__":
     import json
+    import os
     import sys
+
+    # running as a script puts examples/ on sys.path, not the repo root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import tempfile
 
     from ccm_spark.session import get_spark
