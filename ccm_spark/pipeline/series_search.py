@@ -296,3 +296,101 @@ def dtw_topk(
         [(i + 1, int(sid), round(float(d), 9)) for i, (sid, d) in enumerate(top)],
         "rank int, series_id long, distance double",
     )
+
+
+# classic SAX breakpoint tables: N(0,1) quantiles splitting the line into
+# `a` equiprobable regions (Lin et al. 2003) — published constants, so any
+# engine (or a SQL replay) reproduces the words exactly
+SAX_BREAKPOINTS = {
+    3: [-0.43, 0.43],
+    4: [-0.67, 0.0, 0.67],
+    5: [-0.84, -0.25, 0.25, 0.84],
+    6: [-0.97, -0.43, 0.0, 0.43, 0.97],
+    7: [-1.07, -0.57, -0.18, 0.18, 0.57, 1.07],
+    8: [-1.15, -0.67, -0.32, 0.0, 0.32, 0.67, 1.15],
+}
+
+
+def sax_words(
+    sketches: DataFrame, alphabet: int = 8
+) -> DataFrame:
+    """(series_id, n, word): each series' SAX word — its PAA sketch
+    discretised by the fixed N(0,1) breakpoints (valid because sketches
+    are built over z-normalised values). A pure codegen projection of
+    the sketch relation (nested CASE per segment, no UDF)."""
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"sax_words: alphabet must be one of {sorted(SAX_BREAKPOINTS)}"
+        )
+    bps = SAX_BREAKPOINTS[alphabet]
+
+    def symbol(x):
+        expr = F.lit(chr(ord("a") + len(bps)))
+        for i in range(len(bps) - 1, -1, -1):
+            expr = F.when(x < F.lit(bps[i]), F.lit(chr(ord("a") + i))).otherwise(expr)
+        return expr
+
+    return sketches.select(
+        "series_id",
+        "n",
+        F.array_join(F.transform(F.col("sketch"), symbol), "").alias("word"),
+    )
+
+
+def series_neardup(
+    series: DataFrame,
+    max_dist: float,
+    segments: int = PAA_SEGMENTS,
+    alphabet: int = 8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Series-level near-duplicate pairs — the "two sensors reporting the
+    same signal" / "stuck channel" detector, the series twin of document
+    near-dup: (series_a, series_b, distance) for every pair with
+    z-normalised ED <= ``max_dist``, candidates restricted to pairs
+    sharing their full SAX WORD (the iSAX bucket trick: near-identical
+    shapes discretise identically). Entirely JVM dataflow — per-series
+    stats, a z-value projection, the word equi-join with a hot-bucket
+    cap (constant/flatlined series all share one word — the same safety
+    valve as every dedup family), and one aggregate per candidate pair.
+
+    RECALL caveat, honestly: a single-resolution word misses a near-dup
+    whose sketch straddles a breakpoint in any segment; lower
+    ``alphabet``/``segments`` to coarsen buckets (more candidates, more
+    recall), or run the exact :func:`series_topk` per suspect for a
+    guarantee. Precision is exact — every emitted pair is verified."""
+    from pyspark.sql import Window
+
+    stats = series.groupBy("series_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sd"),
+        F.count("*").alias("n"),
+    )
+    z = (
+        series.join(stats, "series_id")
+        .select(
+            "series_id",
+            "t",
+            F.when(F.col("sd") > 0, (F.col("value") - F.col("mu")) / F.col("sd"))
+            .otherwise(F.lit(0.0))
+            .alias("z"),
+        )
+    )
+    words = sax_words(paa_sketches(series, segments), alphabet)
+    w = Window.partitionBy("word")
+    capped = (
+        words.withColumn("bucket_n", F.count("*").over(w))
+        .where(F.col("bucket_n") <= max_bucket_size)
+    )
+    a = capped.select(F.col("series_id").alias("series_a"), "word")
+    b = capped.select(F.col("series_id").alias("series_b"), "word")
+    cands = a.join(b, "word").where(F.col("series_a") < F.col("series_b"))
+    za = z.select(F.col("series_id").alias("series_a"), "t", F.col("z").alias("za"))
+    zb = z.select(F.col("series_id").alias("series_b"), "t", F.col("z").alias("zb"))
+    return (
+        cands.join(za, "series_a")
+        .join(zb, ["series_b", "t"])
+        .groupBy("series_a", "series_b")
+        .agg(F.round(F.sqrt(F.sum((F.col("za") - F.col("zb")) ** 2)), 9).alias("distance"))
+        .where(F.col("distance") <= max_dist)
+    )

@@ -139,3 +139,24 @@ def test_dtw_topk_equals_bruteforce_and_band_zero_is_ed(spark):
     selected = {sid for sid, _ in got0}
     min_unselected = min(d for sid, d in all_d.items() if sid not in selected)
     assert all(all_d[sid] <= min_unselected + 1e-9 for sid in selected)
+
+
+def test_series_neardup_finds_shape_duplicates(spark):
+    """Scaled/shifted copies of one signal (z-norm-identical) are found
+    at distance ~0; verified pairs match a brute-force distance replay;
+    precision is exact (no pair above the threshold is emitted)."""
+    from ccm_spark.pipeline.series_search import series_neardup
+
+    df, vals = _corpus(spark, n_series=24)
+    out = series_neardup(df, max_dist=2.0)
+    got = {(r.series_a, r.series_b): r.distance for r in out.collect()}
+    # every % 3 == 0 series is a scaled/shifted sinusoid: all pairs found
+    sins = [sid for sid in vals if sid % 3 == 0]
+    for i, a in enumerate(sins):
+        for b in sins[i + 1:]:
+            assert (a, b) in got and got[(a, b)] < 1e-6, (a, b)
+    # emitted distances match brute force and respect the threshold
+    for (a, b), d in got.items():
+        za, zb = _znorm(np.asarray(vals[a])), _znorm(np.asarray(vals[b]))
+        assert d == round(float(np.sqrt(((za - zb) ** 2).sum())), 9)
+        assert d <= 2.0
