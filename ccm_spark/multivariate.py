@@ -316,6 +316,54 @@ def smap_interactions(
     return grid.mapInPandas(run, "t long, term string, coefficient double")
 
 
+INTERACTIONS_FLEET_SCHEMA = (
+    "pair_id long, t long, term string, coefficient double"
+)
+
+
+def smap_interactions_fleet(
+    series: DataFrame,
+    theta: float = 2.0,
+    min_points: int = 30,
+) -> DataFrame:
+    """Fleet-mode :func:`smap_interactions` over a ``(pair_id, t, x, y)``
+    corpus: per pair, the time-varying S-map coefficients of predicting
+    y(t+1) from the (x, y)(t) state — (pair_id, t, term, coefficient)
+    with term in {intercept, x, y}. The whole per-pair coefficient track
+    runs INSIDE that pair's ``applyInPandas`` task (fastpath shape, one
+    shuffle on pair_id); rows bit-match the single-pair operator per
+    member (test-pinned); pairs shorter than ``min_points`` are dropped,
+    not fatal. The monitoring companion to :func:`ccm_spark.network.
+    ccm_network`: the network says WHICH edges exist, this tracks HOW
+    HARD each drives through time."""
+    cols = ["pair_id", "t", "term", "coefficient"]
+
+    def run_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ccm_spark import oracle as _o
+
+        pdf = pdf.sort_values("t")
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
+        if len(x) < min_points:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in cols})
+        pair_id = int(pdf["pair_id"].iloc[0])
+        emb = np.column_stack([x[:-1], y[:-1]])
+        coefs = _o.smap_coefficients(emb, y[1:], theta)
+        rows = []
+        for t in range(coefs.shape[0]):
+            for j, term in enumerate(("intercept", "x", "y")):
+                rows.append((pair_id, t, term, float(coefs[t, j])))
+        return pd.DataFrame(rows, columns=cols)
+
+    from ccm_spark.functions.partitioning import spread
+
+    return (
+        spread(series, "pair_id", factor=8)
+        .groupBy("pair_id")
+        .applyInPandas(run_pair, schema=INTERACTIONS_FLEET_SCHEMA)
+    )
+
+
 def multiview_forecast(
     spark,
     block: dict,

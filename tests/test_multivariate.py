@@ -287,3 +287,40 @@ def test_multispatial_detects_coupling_from_short_replicates(spark):
         assert skill == float(np.sum(corrs) / cfg.num_samples)
     with pytest.raises(ValueError, match="max_points"):
         multispatial_ccm(spark, df, cfg, max_points=10)
+
+
+def test_smap_interactions_fleet_matches_single_pair(spark):
+    """Fleet Jacobian tracking: per-pair rows bit-match the single-pair
+    operator; runts are dropped, not fatal."""
+    import numpy as np
+    import pandas as pd
+
+    from ccm_spark.generators import coupled_series
+    from ccm_spark.multivariate import smap_interactions, smap_interactions_fleet
+
+    frames, pairs = [], {}
+    for pid, seed in [(0, 7), (1, 23)]:
+        x, y = coupled_series(length=120, coupling=0.4, noise_level=0.02, seed=seed)
+        pairs[pid] = (x, y)
+        frames.append(
+            pd.DataFrame({"pair_id": pid, "t": range(len(x)), "x": x, "y": y})
+        )
+    frames.append(
+        pd.DataFrame({"pair_id": 9, "t": range(5), "x": [0.1] * 5, "y": [0.2] * 5})
+    )
+    df = spark.createDataFrame(
+        pd.concat(frames), "pair_id long, t long, x double, y double"
+    )
+    out = {}
+    for r in smap_interactions_fleet(df, theta=3.0).collect():
+        out.setdefault(r.pair_id, {})[(r.t, r.term)] = r.coefficient
+    assert set(out) == {0, 1}
+    for pid, (x, y) in pairs.items():
+        single = {
+            (r.t, r.term): r.coefficient
+            for r in smap_interactions(
+                spark, {"x": np.asarray(x), "y": np.asarray(y)}, "y", ["x", "y"],
+                theta=3.0,
+            ).collect()
+        }
+        assert out[pid] == single, pid
