@@ -100,11 +100,17 @@ def test_streaming_ccm_final_verdicts_match_batch(spark, tmp_path):
         for i in range(3)
     ]
     series = generate_grid_df(spark, grid)
+    # a 10-point runt: below min_points, must NEVER emit a verdict
+    runt = spark.createDataFrame(
+        [(9, t, 0.1 * t, 0.2 * t) for t in range(10)],
+        "pair_id long, t long, x double, y double",
+    )
+    series = series.unionByName(runt)
     cfg = CCMConfig(num_samples=6, seed=5)
 
     batch = {
         (r.pair_id, r.direction): (r.lib_size, r.correlation, r.slope, r.convergent)
-        for r in ccm_apply_in_pandas(series, cfg)
+        for r in ccm_apply_in_pandas(series.where("pair_id != 9"), cfg)
         .withColumn(
             "max_lib",
             F.max("lib_size").over(Window.partitionBy("pair_id", "direction")),
@@ -142,6 +148,7 @@ def test_streaming_ccm_final_verdicts_match_batch(spark, tmp_path):
     q.awaitTermination(180)
     emitted = spark.sql("select * from ccm_monitor").collect()
     assert len(emitted) > 0
+    assert all(r.pair_id != 9 for r in emitted)  # the runt stayed silent
     final = {}
     for r in emitted:
         cur = final.get((r.pair_id, r.direction))
