@@ -7,6 +7,7 @@ the README "EDM workflow" section).
 
 Stages (all one-shuffle fleet ops; a million-series corpus runs the
 same code):
+  0. sensor dedup          (SAX-bucketed series near-dup; drop echoes)
   1. embedding selection   (per-series (E, tau) by simplex self-pred)
   2. nonlinearity triage   (S-map theta scan; linear series drop out)
   3. decay triage          (forecast-horizon decay; noise drops out)
@@ -43,6 +44,8 @@ def run(spark) -> dict:
     values = {
         0: sys1[0], 1: sys1[1], 2: sys2[0], 3: sys2[1], 4: lone[0], 5: lone[1]
     }
+    # series 6 is a scaled+shifted ECHO of series 0 (a mirrored sensor)
+    values[6] = 2.5 * values[0] + 10.0
     series = spark.createDataFrame(
         pd.concat(
             pd.DataFrame({"series_id": sid, "t": range(len(v)), "value": v})
@@ -50,6 +53,15 @@ def run(spark) -> dict:
         ),
         "series_id long, t long, value double",
     )
+
+    # 0. sensor dedup: z-norm-identical channels collapse to the lower id
+    # (an echoed sensor would otherwise fabricate a perfect causal edge)
+    from ccm_spark.pipeline.series_search import series_neardup
+
+    dup_pairs = series_neardup(series, max_dist=0.5)
+    drop = {r.series_b for r in dup_pairs.collect()}
+    out["dropped_echo_sensors"] = sorted(drop)
+    series = series.where(~F.col("series_id").isin(list(drop)))
 
     # 1. per-series embedding verdicts — the E each later stage would use
     emb = {r.series_id: r for r in embedding_scan_fleet(

@@ -47,6 +47,9 @@ def test_causal_screening_example_runs(spark):
         sys.path.pop(0)
 
     out = run(spark)
+    # the echoed sensor (6, a scaled copy of 0) is dropped before any
+    # EDM stage runs
+    assert out["dropped_echo_sensors"] == [6]
     assert set(out["embedding"]) == set(range(6))
     assert set(out["survivors"]) <= set(range(6))
     # the screening keeps the coupled systems' members
