@@ -160,3 +160,16 @@ def test_series_neardup_finds_shape_duplicates(spark):
         za, zb = _znorm(np.asarray(vals[a])), _znorm(np.asarray(vals[b]))
         assert d == round(float(np.sqrt(((za - zb) ** 2).sum())), 9)
         assert d <= 2.0
+
+
+def test_series_topk_non_divisible_length(spark):
+    """PAA segment boundaries on a length (50) the segment count (16)
+    does not divide: the lower bound must still hold and the result
+    still equals brute force."""
+    df, vals = _corpus(spark, n_series=15, length=50, seed=11)
+    q = 2.0 * np.sin(np.linspace(0, 6 * np.pi, 50)) - 1.0
+    got = [
+        (r.series_id, r.distance)
+        for r in series_topk(df, q, k=5).orderBy("rank").collect()
+    ]
+    assert got == [(sid, round(d, 9)) for sid, d in _brute_topk(vals, q, 5)]
