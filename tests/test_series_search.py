@@ -173,3 +173,11 @@ def test_series_topk_non_divisible_length(spark):
         for r in series_topk(df, q, k=5).orderBy("rank").collect()
     ]
     assert got == [(sid, round(d, 9)) for sid, d in _brute_topk(vals, q, 5)]
+
+
+def test_dtw_topk_guards(spark):
+    from ccm_spark.pipeline.series_search import dtw_topk
+
+    df, _ = _corpus(spark, n_series=4)
+    with pytest.raises(ValueError, match="too short"):
+        dtw_topk(df, np.ones(3), k=2)
