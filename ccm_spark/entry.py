@@ -208,15 +208,25 @@ def _embs(spark, sf_dir):
 def _url_fixture(spark, sf_dir) -> DataFrame:
     """Deterministic synthetic URL per document (documents has no URL
     column): doc pairs (doc_id DIV 2) share a target URL, the odd member
-    carrying one normalisation hazard chosen by (pair % 5) — scheme/host
-    case, default port, tracking params, fragment, or unsorted query
-    params. Mirrored expression-for-expression by
-    plans.oracle_sql_ext._sql_url_fixture."""
+    carrying one normalisation hazard chosen by (pair % 7) — scheme/host
+    case, default port, tracking params, fragment, unsorted query params,
+    bracketed-IPv6 host case, or a '?' inside the fragment (the last two
+    gate the r6-advice host/query regex fixes). Mirrored
+    expression-for-expression by plans.oracle_sql_ext._sql_url_fixture."""
     g = F.expr("doc_id DIV 2")
     v = F.expr("doc_id % 2")
-    k = F.expr("(doc_id DIV 2) % 5")
-    host = F.concat(
-        F.lit("example"), F.expr("(doc_id DIV 2) % 7").cast("string"), F.lit(".com")
+    k = F.expr("(doc_id DIV 2) % 7")
+    host = F.when(
+        k == 5,
+        F.concat(
+            F.lit("[2001:db8::"),
+            F.expr("(doc_id DIV 2) % 9").cast("string"),
+            F.lit("]"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("example"), F.expr("(doc_id DIV 2) % 7").cast("string"), F.lit(".com")
+        )
     )
     tail = F.concat(F.lit("/page/"), g.cast("string"))
     base = F.concat(F.lit("http://"), host, tail)
@@ -228,7 +238,9 @@ def _url_fixture(spark, sf_dir) -> DataFrame:
         .when(k == 1, F.concat(F.lit("http://"), host, F.lit(":80"), tail))
         .when(k == 2, F.concat(base, F.lit("?utm_source=x&utm_medium=y")))
         .when(k == 3, F.concat(base, F.lit("#frag")))
-        .otherwise(F.concat(base, F.lit("?b=2&a=1")))
+        .when(k == 4, F.concat(base, F.lit("?b=2&a=1")))
+        .when(k == 5, F.concat(F.lit("HTTP://"), F.upper(host), tail))
+        .otherwise(F.concat(base, F.lit("#sec?a=1")))
     )
     return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
 

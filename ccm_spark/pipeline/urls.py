@@ -19,7 +19,10 @@ that could be different resources):
   - scheme and host lowercased; trailing dot on the host dropped
   - userinfo (``user:pass@``) dropped
   - default ports dropped (http:80, https:443); other ports kept
-  - fragment dropped (never sent to the server)
+  - fragment dropped (never sent to the server); a '?' inside the
+    fragment is fragment text, not a query
+  - bracketed IPv6 hosts ('[::1]') kept whole; a host opening an
+    unclosed/empty bracket is unparseable (NULL), never truncated
   - tracking query parameters dropped (utm_*, gclid, fbclid, msclkid,
     igshid, mc_cid, mc_eid, ref, ref_src, spm), remaining parameters
     sorted byte-lexicographically; empty query dropped
@@ -48,9 +51,21 @@ TRACKING_PARAM_RE = (
 _SCHEME_RE = "^[ \\t]*([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = "^[ \\t]*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = "^[ \\t]*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
-_HOST_RE = "^(?:[^@]*@)?([^:]*)"
+# lazy prefix anchors the query BEFORE any fragment: a '?' inside the
+# fragment ('/p#sec?a=1') is not a query (r6 advice)
+_QUERY_RE = "^[^#]*?\\?([^#]*)"
+# bracketed IPv6 literals ('[::1]') tried first so the colon-based
+# host/port split never truncates them (r6 advice); leftmost-first
+# alternation holds in both Java regex and RE2
+_HOST_RE = "^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)"
 _PORT_RE = ":([0-9]+)$"
+# a host that OPENS a bracket must be a complete non-empty '[...]'
+# literal; '[::1' (unclosed) or '[]' is unparseable, not host '['
+_VALID_BRACKET_RE = "^\\[[^\\]]+\\]$"
+
+
+def _host_invalid(host: Column) -> Column:
+    return host.startswith("[") & ~host.rlike(_VALID_BRACKET_RE)
 
 
 def url_parts(url: Column) -> dict[str, Column]:
@@ -90,7 +105,8 @@ def url_normalize(url: Column) -> Column:
         F.size(kept) == 0, F.lit("")
     ).otherwise(F.concat(F.lit("?"), F.array_join(kept, "&")))
     return F.when(
-        (scheme == "") | (host == ""), F.lit(None).cast("string")
+        (scheme == "") | (host == "") | _host_invalid(host),
+        F.lit(None).cast("string"),
     ).otherwise(F.concat(scheme, F.lit("://"), host, port_part, path, query_part))
 
 
@@ -101,7 +117,8 @@ def url_domain(url: Column) -> Column:
     host = F.regexp_replace(F.lower(p["host"]), "\\.$", "")
     dom = F.regexp_replace(host, "^www\\.", "")
     return F.when(
-        (F.lower(p["scheme"]) == "") | (dom == ""), F.lit(None).cast("string")
+        (F.lower(p["scheme"]) == "") | (dom == "") | _host_invalid(host),
+        F.lit(None).cast("string"),
     ).otherwise(dom)
 
 
@@ -111,10 +128,10 @@ def url_parseable(url: Column) -> Column:
     separately because a pushed-down ``url_norm IS NOT NULL`` filter
     re-inlines the ENTIRE normalisation expression into the Filter node
     (Catalyst does not CSE across Filter/Project), doubling the regex
-    work per row; this predicate is 3 regex ops instead of ~12."""
+    work per row; this predicate is 4 regex ops instead of ~12."""
     p = url_parts(url)
     host = F.regexp_replace(F.lower(p["host"]), "\\.$", "")
-    return (p["scheme"] != "") & (host != "")
+    return (p["scheme"] != "") & (host != "") & ~_host_invalid(host)
 
 
 def with_url_normalized(df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -1096,13 +1096,18 @@ def _sql_url_fixture() -> str:
     """The deterministic synthetic URL per document (documents has no URL
     column) — MUST mirror ccm_spark.entry._url_fixture expression for
     expression: doc pairs (doc_id DIV 2) share a target URL, the odd member
-    carrying one normalisation hazard chosen by (pair % 5): scheme/host
-    case, default port, tracking params, fragment, or unsorted params."""
+    carrying one normalisation hazard chosen by (pair % 7): scheme/host
+    case, default port, tracking params, fragment, unsorted params,
+    bracketed-IPv6 host case, or a '?' inside the fragment (the last two
+    gate the r6-advice host/query regex fixes)."""
     return """
 uf AS (
   SELECT doc_id,
-         doc_id // 2 AS g, doc_id % 2 AS v, (doc_id // 2) % 5 AS k,
-         'example' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.com' AS host,
+         doc_id // 2 AS g, doc_id % 2 AS v, (doc_id // 2) % 7 AS k,
+         CASE WHEN (doc_id // 2) % 7 = 5
+              THEN '[2001:db8::' || CAST((doc_id // 2) % 9 AS VARCHAR) || ']'
+              ELSE 'example' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.com'
+         END AS host,
          '/page/' || CAST(doc_id // 2 AS VARCHAR) AS tail
   FROM documents
 ),
@@ -1117,7 +1122,9 @@ urls AS (
         WHEN 1 THEN 'http://' || host || ':80' || tail
         WHEN 2 THEN 'http://' || host || tail || '?utm_source=x&utm_medium=y'
         WHEN 3 THEN 'http://' || host || tail || '#frag'
-        ELSE 'http://' || host || tail || '?b=2&a=1'
+        WHEN 4 THEN 'http://' || host || tail || '?b=2&a=1'
+        WHEN 5 THEN 'HTTP://' || upper(host) || tail
+        ELSE 'http://' || host || tail || '#sec?a=1'
       END
     END AS url
   FROM uf
@@ -1136,13 +1143,13 @@ p AS (
     regexp_extract(url, '^[ \t]*([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme0,
     regexp_extract(url, '^[ \t]*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
     regexp_extract(url, '^[ \t]*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-    regexp_extract(url, '\\?([^#]*)', 1) AS query0
+    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query0
   FROM urls
 ),
 c AS (
   SELECT doc_id,
     lower(scheme0) AS scheme,
-    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)), '\\.$', '') AS host,
+    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)', 1)), '\\.$', '') AS host,
     regexp_extract(auth, ':([0-9]+)$', 1) AS port,
     CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
     COALESCE(array_to_string(
@@ -1154,7 +1161,9 @@ c AS (
 ),
 n AS (
   SELECT doc_id,
-    CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+    CASE WHEN scheme = '' OR host = ''
+              OR (host LIKE '[%' AND NOT regexp_matches(host, '^\\[[^\\]]+\\]$'))
+         THEN NULL ELSE
       scheme || '://' || host ||
       CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                 OR (scheme = 'https' AND port = '443')

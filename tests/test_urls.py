@@ -34,6 +34,13 @@ FIXTURE = [
     (17, "  http://example.com/a"),                    # leading whitespace
     (18, "ftp://Files.Example.net/pub"),               # non-http scheme, port rules untouched
     (19, "http://example.com/a?ref=promo&a=1"),        # ref dropped → dup of ?a=1... distinct from 7
+    # r6-advice regressions: bracketed IPv6 hosts and '?' inside fragments
+    (20, "http://[::1]/x"),                            # IPv6 literal kept whole
+    (21, "http://[::9]/x"),                            # MUST stay distinct from 20
+    (22, "http://[2001:DB8::1]:8080/x"),               # bracket + case + explicit port
+    (23, "http://[::1/x"),                             # unclosed bracket → unparseable
+    (24, "http://h/p#sec?a=1"),                        # '?' in fragment is NOT a query → /p
+    (25, "http://h/p?a=1#sec?b=2"),                    # real query kept, fragment dropped
 ]
 
 
@@ -50,12 +57,12 @@ WITH p AS (
     regexp_extract(url, '^[ \t]*([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme0,
     regexp_extract(url, '^[ \t]*[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
     regexp_extract(url, '^[ \t]*[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-    regexp_extract(url, '\\?([^#]*)', 1) AS query0
+    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query0
   FROM {rel}
 ), c AS (
   SELECT doc_id, url,
     lower(scheme0) AS scheme,
-    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)), '\\.$', '') AS host,
+    regexp_replace(lower(regexp_extract(auth, '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)', 1)), '\\.$', '') AS host,
     regexp_extract(auth, ':([0-9]+)$', 1) AS port,
     CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
     COALESCE(array_to_string(
@@ -66,7 +73,9 @@ WITH p AS (
   FROM p
 )
 SELECT doc_id,
-  CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+  CASE WHEN scheme = '' OR host = ''
+            OR (host LIKE '[%' AND NOT regexp_matches(host, '^\\[[^\\]]+\\]$'))
+       THEN NULL ELSE
     scheme || '://' || host ||
     CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
               OR (scheme = 'https' AND port = '443')
@@ -75,6 +84,7 @@ SELECT doc_id,
     CASE WHEN kept = '' THEN '' ELSE '?' || kept END
   END AS url_norm,
   CASE WHEN scheme = '' OR regexp_replace(host, '^www\\.', '') = ''
+            OR (host LIKE '[%' AND NOT regexp_matches(host, '^\\[[^\\]]+\\]$'))
        THEN NULL ELSE regexp_replace(host, '^www\\.', '') END AS domain
 FROM c
 """
@@ -112,6 +122,15 @@ def test_url_normalize_matches_duckdb_replay(spark):
     assert got[16] == (None, None)
     assert got[18] == ("ftp://files.example.net/pub", "files.example.net")
     assert got[19][0] == "http://example.com/a?a=1"
+    # r6-advice pins: bracketed hosts never truncate or merge...
+    assert got[20] == ("http://[::1]/x", "[::1]")
+    assert got[21] == ("http://[::9]/x", "[::9]")
+    assert got[20] != got[21]
+    assert got[22] == ("http://[2001:db8::1]:8080/x", "[2001:db8::1]")
+    assert got[23] == (None, None)  # unclosed bracket is unparseable
+    # ...and a '?' inside the fragment is never a query
+    assert got[24] == ("http://h/p", "h")
+    assert got[25] == ("http://h/p?a=1", "h")
 
 
 def test_url_duplicates_contract(spark):
@@ -122,9 +141,12 @@ def test_url_duplicates_contract(spark):
     # 0,1,2,6,9,10,11,17 all normalise to the same URL; min doc_id wins
     assert out["http://example.com/a"] == (0, 8)
     assert out["http://example.com/a?a=1&b=2"] == (7, 2)
-    # unparseable/NULL rows (14, 15, 16) are not identities
+    # unparseable/NULL rows (14, 15, 16, 23) are not identities
     assert None not in out
-    assert sum(n for _, n in out.values()) == 17  # 20 rows - 3 unparseable
+    assert sum(n for _, n in out.values()) == 22  # 26 rows - 4 unparseable
+    # IPv6 literals are distinct identities, never merged
+    assert out["http://[::1]/x"] == (20, 1)
+    assert out["http://[::9]/x"] == (21, 1)
 
 
 def test_url_normalize_stream_equals_batch(spark, tmp_path):
@@ -203,7 +225,7 @@ SELECT doc_id, NULL, NULL FROM n WHERE n.domain IS NULL
 
     counts = Counter(dom for _, dom, rk in got if dom is not None)
     assert all(v <= 2 for v in counts.values())
-    assert sum(1 for _, dom, _ in got if dom is None) == 3
+    assert sum(1 for _, dom, _ in got if dom is None) == 4
     # partitioning-invariant membership
     alt = domain_cap(df.repartition(7), 2, salt="s1")
     assert sorted((r.doc_id, r.domain, r.cap_rank) for r in alt.collect()) == got
