@@ -103,8 +103,13 @@ def train_bigram_lm(
     Both collects are bounded by the caps via distributed TakeOrdered,
     never by corpus size. Token-less corpora raise.
     """
-    if vocab_size < 1 or max_bigrams < 0:
-        raise ValueError("train_bigram_lm: caps must be positive")
+    if vocab_size < 1 or max_bigrams < 1:
+        raise ValueError(
+            f"train_bigram_lm: vocab_size and max_bigrams must be >= 1 "
+            f"(got vocab_size={vocab_size}, max_bigrams={max_bigrams}) — a "
+            "bigram-free model scores pure smoothed unigram counts, which "
+            "is never what a perplexity filter wants"
+        )
     if alpha <= 0:
         raise ValueError(
             f"train_bigram_lm: alpha must be > 0 (got {alpha}) — unsmoothed "

@@ -170,3 +170,13 @@ def test_train_rejects_unsmoothed_alpha(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     with pytest.raises(ValueError, match="alpha"):
         train_bigram_lm(docs, alpha=0.0)
+
+
+def test_train_rejects_degenerate_caps(spark, sf_small):
+    """r6 advice: max_bigrams=0 silently trained a bigram-free model —
+    the guard's accepted domain must match its message (both caps >= 1)."""
+    docs = load_table(spark, sf_small, "documents")
+    with pytest.raises(ValueError, match="max_bigrams"):
+        train_bigram_lm(docs, vocab_size=20, max_bigrams=0)
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_bigram_lm(docs, vocab_size=0, max_bigrams=100)
