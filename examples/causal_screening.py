@@ -11,7 +11,7 @@ same code):
   1. embedding selection   (per-series (E, tau) by simplex self-pred)
   2. nonlinearity triage   (S-map theta scan; linear series drop out)
   3. decay triage          (forecast-horizon decay; noise drops out)
-  4. pair significance     (surrogate null on candidate pairs)
+  4. pair significance     (surrogate null + BH-FDR across the fleet)
   5. causal network        (bidirectional CCM on the survivors)
 """
 
@@ -91,9 +91,15 @@ def run(spark) -> dict:
         pair_series(series, ptab), CCMConfig(num_samples=8, seed=5),
         n_surrogates=19,
     )
-    sig_pairs = sorted(
-        r.pair_id for r in psig.where("significant").collect()
-    )
+    # ... corrected for multiple testing: thresholding RAW p-values
+    # across a fleet admits ~alpha * n_pairs false links by construction;
+    # BH keeps the expected false-discovery fraction at alpha instead
+    from ccm_spark.significance import benjamini_hochberg
+
+    fdr = benjamini_hochberg(psig, alpha=0.05, tiebreak_cols=["pair_id"])
+    sig_rows = fdr.where("keep_fdr").select("pair_id", "q_value").collect()
+    sig_pairs = sorted(r.pair_id for r in sig_rows)
+    out["q_values"] = {str(pairs[r.pair_id]): round(r.q_value, 4) for r in sig_rows}
     out["significant_pairs"] = [pairs[i] for i in sig_pairs]
 
     # 5. the causal network on significant pairs only

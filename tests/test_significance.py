@@ -534,3 +534,68 @@ def test_ccm_api_suggest_embedding_df_mode(spark):
         single = embedding_scan(spark, s, evs, tvs, num_samples=8, seed=5)
         assert out[(0, side)].best_e == single["best_e"]
         assert abs(out[(0, side)].best_skill - single["best_skill"]) < 1e-12
+
+
+def _bh_replay(ps: list[float], alpha: float):
+    """Textbook BH on the driver: q_i = min_{j>=i} p_(j)*m/j clamped at 1."""
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: ps[i])
+    q = [0.0] * m
+    running = float("inf")
+    for rank in range(m, 0, -1):
+        i = order[rank - 1]
+        running = min(running, ps[i] * m / rank)
+        q[i] = min(running, 1.0)
+    return q, [qi <= alpha for qi in q]
+
+
+def test_benjamini_hochberg_matches_replay_and_beats_raw_threshold(spark):
+    """BH over a fixture with KNOWN positives: the three real signals
+    survive, the borderline raw-threshold p-values (0.04..0.049, which a
+    naive `p <= alpha` screen would all admit) do not; q-values match
+    the textbook driver replay bit-for-bit."""
+    from ccm_spark.significance import benjamini_hochberg
+
+    ps = [0.001, 0.002, 0.008, 0.04, 0.045, 0.049, 0.2, 0.5, 0.9, 1.0]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "pair_id long, p_value double"
+    )
+    out = {
+        r.pair_id: (r.bh_rank, r.q_value, r.keep_fdr)
+        for r in benjamini_hochberg(
+            df, alpha=0.05, tiebreak_cols=["pair_id"]
+        ).collect()
+    }
+    want_q, want_keep = _bh_replay(ps, 0.05)
+    for i, p in enumerate(ps):
+        assert out[i][1] == want_q[i], (i, out[i][1], want_q[i])
+        assert out[i][2] == want_keep[i]
+    kept = sorted(i for i in out if out[i][2])
+    assert kept == [0, 1, 2]  # raw thresholding would keep [0..5]
+    assert [out[i][0] for i in range(10)] == list(range(1, 11))  # ranks
+
+
+def test_benjamini_hochberg_ties_and_groups(spark):
+    """Tied p-values share one q (the step-up min makes the tiebreak
+    order irrelevant to the verdict), and group_cols corrects within
+    each family independently."""
+    from ccm_spark.significance import benjamini_hochberg
+
+    rows = [
+        ("a", 0, 0.01), ("a", 1, 0.01), ("a", 2, 0.8),
+        ("b", 3, 0.04), ("b", 4, 0.9), ("b", 5, 0.95),
+    ]
+    df = spark.createDataFrame(rows, "fam string, pair_id long, p_value double")
+    out = {
+        r.pair_id: (r.q_value, r.keep_fdr)
+        for r in benjamini_hochberg(
+            df, alpha=0.05, group_cols=["fam"], tiebreak_cols=["pair_id"]
+        ).collect()
+    }
+    assert out[0] == out[1]  # tied p -> identical q and verdict
+    for fam, ids in (("a", [0, 1, 2]), ("b", [3, 4, 5])):
+        want_q, want_keep = _bh_replay(
+            [dict((i, p) for f, i, p in rows if f == fam)[i] for i in ids], 0.05
+        )
+        for j, i in enumerate(ids):
+            assert out[i] == (want_q[j], want_keep[j]), (fam, i)
