@@ -1,6 +1,7 @@
 from ccm_spark.pipeline import (
     dedup,
     events_ops,
+    html,
     lm,
     mixing,
     multimodal,
@@ -15,6 +16,7 @@ from ccm_spark.pipeline import (
 __all__ = [
     "dedup",
     "events_ops",
+    "html",
     "lm",
     "mixing",
     "multimodal",
