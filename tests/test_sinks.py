@@ -137,3 +137,93 @@ def test_read_training_shards_resume_prunes_and_completes(spark, sf_small, tmp_p
     assert got == list(range(start, n))
     plan = resumed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan
+
+
+def test_ivf_index_roundtrip_probe_matches_in_session(spark, sf_small, tmp_path):
+    """Persist trained IVF centroids, reload, probe: the loaded-index
+    ivf_topk must match the in-session build row-for-row (the embedding
+    side's dedup_against_index story — r6 verdict missing #3)."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.similarity import ivf_kmeans_centroids, ivf_topk
+    from ccm_spark.sources.sinks import read_ivf_index, write_ivf_index
+
+    embs = load_table(spark, sf_small, "embeddings")
+    cents = ivf_kmeans_centroids(embs, stride=40, n_iters=2)
+    path = str(tmp_path / "ivf_idx")
+    manifest = write_ivf_index(cents, path, params={"stride": 40, "n_iters": 2})
+    assert manifest["kind"] == "ivf_centroids" and manifest["params"]["stride"] == 40
+
+    m2, loaded = read_ivf_index(spark, path)
+    assert m2 == manifest
+    in_session = sorted(
+        (r.query_id, r.rank, r.target_id, r.cos_sim)
+        for r in ivf_topk(
+            embs, n_queries=20, k=5, centroids=F.broadcast(cents)
+        ).collect()
+    )
+    from_disk = sorted(
+        (r.query_id, r.rank, r.target_id, r.cos_sim)
+        for r in ivf_topk(
+            embs, n_queries=20, k=5, centroids=F.broadcast(loaded)
+        ).collect()
+    )
+    assert from_disk == in_session and len(from_disk) == 100
+
+
+def test_pq_codebooks_roundtrip_bit_exact(spark, sf_small, tmp_path):
+    """Codebooks reload float64-bit-exact, so a loaded index encodes
+    identically to the in-session build."""
+    import numpy as np
+
+    from ccm_spark.pipeline.similarity import pq_codebooks, pq_encode
+    from ccm_spark.sources.sinks import read_pq_codebooks, write_pq_codebooks
+
+    embs = load_table(spark, sf_small, "embeddings")
+    books = pq_codebooks(embs, m=4, ksub=16, train_stride=7)
+    path = str(tmp_path / "pq_idx")
+    manifest = write_pq_codebooks(books, path, params={"train_stride": 7})
+    assert manifest["params"]["m"] == 4 and manifest["params"]["ksub"] == 16
+
+    m2, loaded = read_pq_codebooks(spark, path)
+    assert m2 == manifest
+    assert len(loaded) == len(books)
+    for a, b in zip(books, loaded):
+        assert a.dtype == b.dtype == np.float64
+        assert (a == b).all()
+    codes_mem = {r.vec_id: r.codes for r in pq_encode(embs, books).collect()}
+    codes_disk = {r.vec_id: r.codes for r in pq_encode(embs, loaded).collect()}
+    assert codes_mem == codes_disk
+
+
+def test_srp_planes_roundtrip_and_drift_guard(spark, tmp_path):
+    """Planes round-trip; a manifest whose params no longer reproduce the
+    stored values (generator drift) must fail loudly, and reading the
+    wrong artifact kind must refuse."""
+    import json
+    import os
+
+    import pytest
+
+    from ccm_spark.pipeline.similarity import srp_plane_values
+    from ccm_spark.sources.sinks import (
+        read_ivf_index,
+        read_srp_planes,
+        write_srp_planes,
+    )
+
+    path = str(tmp_path / "srp_idx")
+    manifest = write_srp_planes(path, planes=8, dim=32, seed=99)
+    m2, vals = read_srp_planes(spark, path)
+    assert m2 == manifest
+    assert vals == sorted(srp_plane_values(8, 32, 99))
+    # kind mismatch refuses
+    with pytest.raises(ValueError, match="kind"):
+        read_ivf_index(spark, path)
+    # drift: same values, manifest claims another seed -> loud failure
+    mpath = os.path.join(path, "_manifest.json")
+    tampered = dict(manifest, params={**manifest["params"], "seed": 7})
+    with open(mpath, "w") as f:
+        json.dump(tampered, f)
+    with pytest.raises(ValueError, match="drifted"):
+        read_srp_planes(spark, path)
