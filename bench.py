@@ -179,11 +179,31 @@ def main() -> None:
 
         return remove_duplicated_lines(load_table(spark, sf_dir, "documents"))
 
+    def extra_dtw(spark, sf_dir):
+        # 128 generated series x 512 points: sized so LB_Keogh pruning and
+        # the banded DP (not JVM overhead) dominate the timing
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.series_search import dtw_topk
+
+        grid = [
+            {"pair_id": i, "kind": "g2", "length": 512, "coupling": 0.1 * (i % 5)}
+            for i in range(128)
+        ]
+        series = generate_grid_df(spark, grid).select(
+            F.col("pair_id").alias("series_id"), "t", F.col("x").alias("value")
+        )
+        # the generator emits t = 0..length inclusive -> 513 points
+        q = np.sin(np.linspace(0, 6 * np.pi, 513))
+        return dtw_topk(series, q, k=10, band_frac=0.1)
+
     extras = {
         "url_dedup": qs["url_dedup"],
         "lm_perplexity": extra_lm,
         "bm25_topk": extra_bm25,
         "line_dedup": extra_line_dedup,
+        "dtw_topk": extra_dtw,
     }
     extra_timings = {}
     for name, fn in extras.items():
@@ -192,9 +212,8 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         extra_timings[name] = round(time.time() - t0, 3)
         print(f"# extra {name}: {extra_timings[name]:.2f}s rows={n}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
+    summary = json.dumps(
+        {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
@@ -221,9 +240,17 @@ def main() -> None:
                 "loadavg_before": load_before,
                 "loadavg_after": _loadavg(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+        }
     )
+    print(summary)
+    # the r06 driver's stdout tail truncated the headline line (parsed:
+    # null) — persist the same JSON to a file so the summary survives any
+    # stdout-volume truncation
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(summary + "\n")
 
 
 if __name__ == "__main__":
