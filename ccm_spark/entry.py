@@ -254,6 +254,40 @@ def q_url_dedup(spark, sf_dir):
     return url_duplicates(_url_fixture(spark, sf_dir))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Lexical BM25 top-k over the documents corpus (pipeline.search) —
+    the decontamination/audit retrieval surface (examples/corpus_pipeline
+    stage 4); parameters shared with the DuckDB twin via oracle_sql_ext
+    constants."""
+    from ccm_spark.pipeline.search import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir),
+        list(oext.BM25_QUERIES),
+        k=oext.BM25_K,
+        k1=oext.BM25_K1,
+        b=oext.BM25_B,
+    )
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity (pipeline.lm), trained and scored
+    on the same documents table for a closed deterministic loop — the
+    whole train + score path (exact counts, deterministic tiebreaks,
+    add-alpha smoothing, Arrow scoring kernel) hash-checked against a
+    full SQL replay of the model."""
+    from ccm_spark.pipeline.lm import perplexity, train_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    model = train_bigram_lm(
+        docs,
+        vocab_size=oext.LM_VOCAB_SIZE,
+        max_bigrams=oext.LM_MAX_BIGRAMS,
+        alpha=oext.LM_ALPHA,
+    )
+    return perplexity(docs, model)
+
+
 def q_text_token_stats(spark, sf_dir):
     st = text.token_stats(_docs(spark, sf_dir))
     return st.select(
@@ -625,14 +659,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccm_config_ladder": q_ccm_config_ladder,
         "ccm_bidirectional": q_ccm_bidirectional,
         "ccm_logistic_bidirectional": q_ccm_logistic_bidirectional,
-        "ccm_fleet_small": q_ccm_fleet_small,
-        # ccm_fleet_small_fast rotated out r06 (QUERIES.md rotation
-        # policy): its oracle was shared verbatim with ccm_fleet_small /
-        # ccm_fleet_iterated, and the applyInPandas path stays pinned to
-        # the plan path by tests/test_fastpath.py (and timed in bench.py
-        # as ccm_bidirectional_fast). Slot went to url_dedup.
+        # ccm_fleet_small rotated out r07 (QUERIES.md policy): its oracle
+        # was shared VERBATIM with the still-gated ccm_fleet_iterated
+        # (same plan, same hash), and the fleet path keeps stage pins in
+        # tests/test_fastpath.py + tests/test_statistical.py. Slot went
+        # to bm25_topk. ccm_fleet_small_fast rotated out r06 for the same
+        # shared-oracle reason (slot went to url_dedup); it stays timed
+        # in bench.py as ccm_bidirectional_fast.
         "ccm_fleet_iterated": q_ccm_fleet_iterated,
         "url_dedup": q_url_dedup,
+        "bm25_topk": q_bm25_topk,
+        "lm_perplexity": q_lm_perplexity,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -664,7 +701,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         "events_hourly_stats": q_events_hourly_stats,
-        "gen_logistic_maps": q_gen_logistic_maps,
+        # gen_logistic_maps rotated out r07 (QUERIES.md policy): the G1
+        # generator stays end-to-end hash-checked through the still-gated
+        # ccm_logistic_bidirectional (same recursive-CTE replay of the
+        # same series) and test-pinned by tests/test_statistical.py. Slot
+        # went to lm_perplexity.
         # gen_coupled_series (noise-free G2) is the zero-noise special case
         # of the still-gated gen_coupled_series_noisy; its slot went to
         # dedup_incremental (50-entry driver window). Pinned by
@@ -689,9 +730,10 @@ def oracle_sql() -> dict[str, str]:
         "ccm_config_ladder": osql.sql_ccm_config_ladder(),
         "ccm_bidirectional": osql.sql_ccm_bidirectional(),
         "ccm_logistic_bidirectional": osql.sql_ccm_bidirectional(G1_PARAMS),
-        "ccm_fleet_small": osql.sql_ccm_fleet(),
         "ccm_fleet_iterated": osql.sql_ccm_fleet(),
         "url_dedup": oext.sql_url_dedup(),
+        "bm25_topk": oext.sql_bm25_topk(),
+        "lm_perplexity": oext.sql_lm_perplexity(),
         "text_token_stats": oext.sql_text_token_stats(),
         "text_quality": oext.sql_text_quality(),
         "text_langid": oext.sql_text_langid(),
@@ -723,7 +765,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oext.sql_multimodal_features(),
         "multimodal_frames": oext.sql_multimodal_frames(),
         "events_hourly_stats": oext.sql_events_hourly_stats(),
-        "gen_logistic_maps": oext.sql_gen_logistic_maps(),
         "gen_coupled_series_noisy": oext.sql_gen_coupled_series_noisy(),
         "events_asof_join": oext.sql_events_asof_join(),
         "events_asof_tolerance": oext.sql_events_asof_tolerance(),

@@ -1175,3 +1175,131 @@ n AS (
 )
 SELECT url_norm, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM n WHERE url_norm IS NOT NULL GROUP BY 1"""
+
+
+# --------------------------------------------------- lexical search + LM
+
+# shared with entry.q_bm25_topk / entry.q_lm_perplexity so the two
+# engines always run the same parameters
+BM25_QUERIES = ["data processing pipeline", "the spark shuffle"]
+BM25_K = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+LM_VOCAB_SIZE = 1000
+LM_MAX_BIGRAMS = 5000
+LM_ALPHA = 0.1
+
+
+def sql_bm25_topk() -> str:
+    """DuckDB twin of pipeline.search.bm25_topk over the documents table:
+    same tokenizer, same postings/df/dl relations, same
+    Robertson/Sparck-Jones formula with identical literal arithmetic
+    (k1+1, 1-b precomputed like the Spark plan), ranks on the
+    6-rounded score with doc_id tiebreak."""
+    qvals = ", ".join(f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES))
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {qvals}),
+occ AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id, {TOKENS} AS toks FROM documents) s
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM occ GROUP BY 1),
+post AS (
+  SELECT o.term, o.doc_id, COUNT(*) AS tf, ANY_VALUE(d.dl) AS dl
+  FROM occ o JOIN dl d USING (doc_id) GROUP BY 1, 2
+),
+scal AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+qt AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest({_sql_tokens('qtext')}) AS term FROM q) u
+),
+qdf AS (
+  SELECT term, COUNT(*) AS df FROM post
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(SUM(
+           ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * p.tf * {BM25_K1 + 1.0}
+           / (p.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * p.dl / s.avgdl))
+         ), 6) + 0.0 AS score
+  FROM post p JOIN qt ON p.term = qt.term
+  JOIN qdf f ON p.term = f.term CROSS JOIN scal s
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= {BM25_K}"""
+
+
+def sql_lm_perplexity() -> str:
+    """DuckDB twin of pipeline.lm train_bigram_lm + perplexity, trained
+    and scored on the same documents table: exact-count vocab/bigram
+    tables with the Spark plan's deterministic tiebreaks
+    (count desc, token asc / count desc, w1, w2), OOV folded to <unk> on
+    both sides, add-alpha smoothing with K = vocab+1 classes, first
+    token under the smoothed unigram and every next token under the
+    smoothed bigram — the same arithmetic score_model runs in the Arrow
+    pass. Token-less docs emit NULL scores."""
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+uni AS (
+  SELECT term, COUNT(*) AS n
+  FROM (SELECT unnest(toks) AS term FROM nz) GROUP BY 1
+),
+vocab AS (SELECT term, n FROM uni ORDER BY n DESC, term ASC LIMIT {LM_VOCAB_SIZE}),
+scal AS (
+  SELECT CAST((SELECT SUM(n) FROM uni) AS DOUBLE) AS total,
+         CAST((SELECT SUM(n) FROM uni) - (SELECT SUM(n) FROM vocab) AS DOUBLE) AS unk_count,
+         CAST((SELECT COUNT(*) FROM vocab) + 1 AS DOUBLE) AS k
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN z[1] IN (SELECT term FROM vocab) THEN z[1] ELSE '<unk>' END AS w1,
+         CASE WHEN z[2] IN (SELECT term FROM vocab) THEN z[2] ELSE '<unk>' END AS w2
+  FROM (
+    SELECT doc_id, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z
+    FROM nz WHERE len(toks) > 1
+  ) s
+),
+bi AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+bigrams AS (
+  SELECT w1, w2, n FROM bi ORDER BY n DESC, w1 ASC, w2 ASC LIMIT {LM_MAX_BIGRAMS}
+),
+firsts AS (
+  SELECT doc_id, len(toks) AS n_scored,
+         CASE WHEN toks[1] IN (SELECT term FROM vocab) THEN toks[1] ELSE '<unk>' END AS w
+  FROM nz
+),
+uni_term AS (
+  SELECT f.doc_id,
+         -log2((CASE WHEN f.w = '<unk>' THEN s.unk_count ELSE v.n END + {LM_ALPHA})
+               / (s.total + {LM_ALPHA} * s.k)) AS bits
+  FROM firsts f LEFT JOIN vocab v ON f.w = v.term CROSS JOIN scal s
+),
+pair_terms AS (
+  SELECT g.doc_id,
+         SUM(-log2((COALESCE(b.n, 0) + {LM_ALPHA}) /
+             (CASE WHEN g.w1 = '<unk>' THEN s.unk_count ELSE v.n END + {LM_ALPHA} * s.k))) AS bits
+  FROM bg g
+  LEFT JOIN bigrams b ON g.w1 = b.w1 AND g.w2 = b.w2
+  LEFT JOIN vocab v ON g.w1 = v.term
+  CROSS JOIN scal s
+  GROUP BY 1
+),
+scored AS (
+  SELECT f.doc_id, f.n_scored,
+         (u.bits + COALESCE(p.bits, 0.0)) / f.n_scored AS h
+  FROM firsts f JOIN uni_term u USING (doc_id)
+  LEFT JOIN pair_terms p USING (doc_id)
+)
+SELECT doc_id, CAST(n_scored AS BIGINT) AS n_scored,
+       round(h, 6) + 0.0 AS cross_entropy,
+       round(2.0 ** h, 6) + 0.0 AS perplexity
+FROM scored
+UNION ALL
+SELECT doc_id, 0, NULL, NULL FROM toks WHERE len(toks) = 0"""
