@@ -270,6 +270,49 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_series_topk(spark, sf_dir):
+    """Exact PAA-pruned series similarity search
+    (pipeline.series_search.series_topk) over an events-derived fleet —
+    the ORACLE is brute force, so the hash certifies the pruned
+    two-phase search returns exactly the exhaustive top-k. Fixture:
+    series_id = user_id % SID_MOD, t = dense (ts, event_id) rank,
+    first SERIES_N points, incomplete series dropped; the query series
+    is an integer-LCG sequence both engines derive exactly."""
+    from pyspark.sql import Window
+
+    from ccm_spark.pipeline.series_search import series_topk
+    from ccm_spark.sources.tables import ts_micros
+
+    configure_existing(spark)
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % oext.SERIES_SID_MOD).alias("series_id"),
+        ts_micros(ev).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("series_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    pts = (
+        base.withColumn("t", F.row_number().over(w) - 1)
+        .where(F.col("t") < oext.SERIES_N)
+        .select("series_id", "t", "value")
+    )
+    com = (
+        pts.groupBy("series_id")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") == oext.SERIES_N)
+        .select("series_id")
+    )
+    series = pts.join(com, "series_id")
+    q = [
+        ((1103515245 * (t + 7) + 12345) % 2147483647 % 2001) / 1000.0 - 1.0
+        for t in range(oext.SERIES_N)
+    ]
+    return series_topk(series, q, k=oext.SERIES_K)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style bigram-LM perplexity (pipeline.lm), trained and scored
     on the same documents table for a closed deterministic loop — the
@@ -687,8 +730,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
+        # dedup_simhash rotated out r07 (QUERIES.md policy): its 56-bit
+        # fingerprint relation is the DIRECT input of the still-gated
+        # dedup_simhash_pairs (xor-Hamming over those fingerprints — a
+        # fingerprint perturbation changes the gated pair hashes), and
+        # the fingerprints keep a DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to series_topk, whose
+        # oracle is brute force (algorithm-independent evidence).
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "series_topk": q_series_topk,
         "decontaminate": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -751,8 +801,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
         "dedup_incremental": oext.sql_dedup_against_index(),
         "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
-        "dedup_simhash": oext.sql_dedup_simhash(),
         "dedup_simhash_pairs": oext.sql_dedup_simhash_pairs(),
+        "series_topk": oext.sql_series_topk(),
         "decontaminate": oext.sql_decontaminate(),
         "ann_cosine_topk": oext.sql_ann_cosine_topk(),
         "ann_ivf_topk": oext.sql_ann_ivf_topk(),

@@ -1303,3 +1303,65 @@ SELECT doc_id, CAST(n_scored AS BIGINT) AS n_scored,
 FROM scored
 UNION ALL
 SELECT doc_id, 0, NULL, NULL FROM toks WHERE len(toks) = 0"""
+
+
+# ---------------------------------------------------- series search gate
+
+# shared with entry.q_series_topk: series fixture geometry + LCG query
+SERIES_SID_MOD = 32
+SERIES_N = 64
+SERIES_K = 10
+
+
+def sql_series_topk() -> str:
+    """DuckDB twin of pipeline.series_search.series_topk over an
+    events-derived series fixture — deliberately ALGORITHM-INDEPENDENT:
+    the SQL is plain brute-force z-normalised ED over every complete
+    series, while the Spark side runs the PAA-pruned two-phase search,
+    so a hash match certifies the pruning machinery returns EXACTLY the
+    exhaustive answer (the PAA lower-bound lemma, end-to-end). Fixture:
+    series_id = user_id % SID_MOD, t = dense rank by (epoch-us ts,
+    event_id), first SERIES_N points, incomplete series dropped; query =
+    a deterministic integer-LCG sequence both engines derive exactly."""
+    return f"""
+WITH ev AS (
+  SELECT user_id % {SERIES_SID_MOD} AS series_id, epoch_us(ts) AS ts_us,
+         event_id, value
+  FROM events
+),
+ranked AS (
+  SELECT series_id, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY ts_us, event_id) - 1 AS t
+  FROM ev
+),
+pts AS (SELECT * FROM ranked WHERE t < {SERIES_N}),
+com AS (SELECT series_id FROM pts GROUP BY 1 HAVING COUNT(*) = {SERIES_N}),
+q AS (
+  SELECT t, ((1103515245 * (t + 7) + 12345) % 2147483647 % 2001) / 1000.0 - 1.0 AS qv
+  FROM range({SERIES_N}) r(t)
+),
+qs AS (SELECT avg(qv) AS mu, stddev_pop(qv) AS sd FROM q),
+qz AS (
+  SELECT t, CASE WHEN (SELECT sd FROM qs) > 0
+                 THEN (qv - (SELECT mu FROM qs)) / (SELECT sd FROM qs)
+                 ELSE 0.0 END AS zq
+  FROM q
+),
+st AS (
+  SELECT series_id, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM pts WHERE series_id IN (SELECT series_id FROM com) GROUP BY 1
+),
+sz AS (
+  SELECT p.series_id, p.t,
+         CASE WHEN s.sd > 0 THEN (p.value - s.mu) / s.sd ELSE 0.0 END AS zs
+  FROM pts p JOIN st s USING (series_id)
+),
+d AS (
+  SELECT series_id, round(sqrt(SUM((zq - zs) * (zq - zs))), 9) + 0.0 AS distance
+  FROM sz JOIN qz USING (t) GROUP BY 1
+)
+SELECT CAST(rank AS INT) AS rank, series_id, distance FROM (
+  SELECT series_id, distance,
+         row_number() OVER (ORDER BY distance, series_id) AS rank
+  FROM d
+) WHERE rank <= {SERIES_K}"""

@@ -105,6 +105,26 @@ def test_simhash_identical_docs_equal_fingerprints(spark):
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
 
 
+def test_simhash_fingerprints_match_duckdb_replay(spark):
+    """Hash-parity pin for the fingerprint relation itself (the gated
+    query rotated to series_topk in r07; the still-gated
+    dedup_simhash_pairs consumes these fingerprints, and this test keeps
+    their per-doc values cross-engine-checked at full resolution)."""
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_dedup_simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(docs).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = {int(d): int(s) for d, s in con.sql(sql_dedup_simhash()).fetchall()}
+    assert got == want and len(got) == 500
+
+
 def test_simhash_banding_recall_exact_vs_bruteforce(spark):
     """7 bands x 8 bits is pigeonhole-exact for max_hamming=6: the banded
     candidate set (uncapped) must reproduce brute-force all-pairs Hamming."""
