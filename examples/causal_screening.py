@@ -87,9 +87,16 @@ def run(spark) -> dict:
     from ccm_spark.network import pair_series, pair_table
 
     ptab = pair_table(series, pairs)
+    # 159 surrogates, not 19: the rank-test p-value floor is 1/(K+1) and
+    # BH multiplies it by m/rank, so with m = 15 pairs and K = 19 even a
+    # perfect pair bottoms out at q = 0.05 * 15/2 = 0.375 — the correction
+    # could never keep anything. K = 159 puts the floor at 0.00625, which
+    # clears q <= 0.05 with a few real hits among 15 pairs. The general
+    # rule this example teaches: size the surrogate budget to the FDR
+    # target TIMES the family size, or the fleet screens itself to zero.
     psig = ccm_significance_fleet(
         pair_series(series, ptab), CCMConfig(num_samples=8, seed=5),
-        n_surrogates=19,
+        n_surrogates=159,
     )
     # ... corrected for multiple testing: thresholding RAW p-values
     # across a fleet admits ~alpha * n_pairs false links by construction;
