@@ -433,3 +433,31 @@ def linear_score_udf(bc_weights, log2_f: int, bias: float, bigrams: bool):
         return pd.Series(out, dtype="float64")
 
     return _score
+
+
+def srp_bucket_udf(plane_values, planes: int, dim: int):
+    """Arrow-batched SRP bucketing against FIXED plane values (the
+    persisted-index probe path): dot each raw vector with the plane
+    matrix, sign bits -> bucket id. ``plane_values`` is the
+    [(plane, dim_idx, comp), ...] list ``srp_plane_values`` emits /
+    ``sources.sinks.read_srp_planes`` loads. Bit semantics match
+    ``pipeline.similarity.srp_buckets`` exactly (dot >= 0 -> bit set;
+    the explode plan also dots the raw vector). Bit sums run in uint64 —
+    a float accumulation would lose exactness past 2^53 at high plane
+    counts. A pure narrow kernel — no explode, no aggregate — so it runs
+    on a STREAMING increment in append mode."""
+    mat = np.zeros((planes, dim), dtype=np.float64)
+    for pl, d, comp in plane_values:
+        mat[pl, d] = comp
+    pows = np.uint64(1) << np.arange(planes, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _bucket(embedding: pd.Series) -> pd.Series:
+        out = []
+        for v in embedding:
+            x = np.asarray(v, dtype=np.float64)
+            dots = mat @ x
+            out.append(int(pows[dots >= 0.0].sum()))
+        return pd.Series(out, dtype="int64")
+
+    return _bucket

@@ -863,3 +863,85 @@ def ivf_pq_topk(
     )
     out._ccm_persisted = [assign]
     return out
+
+
+def embedding_index(
+    embeddings: DataFrame, planes: int | None = None, seed: int = 99
+) -> dict:
+    """The corpus-side half of ingestion-time embedding near-dup — the
+    vector twin of ``dedup.minhash_index`` / ``urls.url_index``:
+    ``buckets`` is the (vec_id, bucket, embedding) relation (persist it
+    as parquet), ``plane_values`` the SRP geometry (persist via
+    ``sources.sinks.write_srp_planes`` so tomorrow's probe buckets with
+    the index's OWN planes, guarded against generator drift)."""
+    if planes is None:
+        planes = adaptive_srp_planes(embeddings.count())
+    vals = srp_plane_values(planes, DIM, seed)
+    b = srp_buckets(embeddings, planes, seed)
+    return {
+        "buckets": embeddings.join(b, "vec_id").select(
+            "vec_id", "bucket", "embedding"
+        ),
+        "plane_values": vals,
+        "planes": planes,
+        "seed": seed,
+    }
+
+
+def probe_embedding_index(
+    increment: DataFrame,
+    index_buckets: DataFrame,
+    plane_values: list,
+    threshold: float = 0.95,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Ingestion-time embedding near-dup: (vec_id, match_id, cos_sim)
+    for every increment vector whose cosine to an indexed vector in its
+    SRP bucket reaches ``threshold`` — new data probes a FROZEN index
+    (never rebucketed, never shuffled by the increment).
+
+    Plan shape: the increment buckets via a narrow Arrow kernel against
+    the index's stored plane values (``srp_bucket_udf`` — no explode, no
+    aggregate), then one stream-static-joinable equi-join on bucket plus
+    the exact cosine verify. No aggregation anywhere, so the SAME plan
+    runs on a STREAMING increment in append mode with zero state
+    (stream == batch test-pinned), exactly like ``urls.probe_url_index``
+    and the MinHash probe. Hot buckets in the INDEX are capped with the
+    usual window count (computed on the static side only — the
+    streaming side never windows).
+
+    Recall caveat (same as every SRP family): only the increment
+    vector's own bucket is probed; a true near-dup straddling a
+    hyperplane is missed. Sign bits come from the same raw-vector dots
+    as the explode plan; agreement is exact except for dots within one
+    ulp of zero (measure-zero on real embeddings)."""
+    from ccm_spark.functions.vector_udfs import srp_bucket_udf
+
+    n_planes = 1 + max(pl for pl, _, _ in plane_values)
+    dim = 1 + max(d for _, d, _ in plane_values)
+    bucket = srp_bucket_udf(plane_values, n_planes, dim)
+    inc = increment.select(
+        "vec_id",
+        bucket(as_double_vec("embedding")).alias("bucket"),
+        as_double_vec("embedding").alias("v"),
+    )
+    w = Window.partitionBy("bucket")
+    idx = (
+        index_buckets.withColumn("bucket_n", F.count("*").over(w))
+        .where(F.col("bucket_n") <= max_bucket_size)
+        .select(
+            "bucket",
+            F.col("vec_id").alias("match_id"),
+            as_double_vec("embedding").alias("iv"),
+        )
+    )
+    cos = cosine_pandas()
+    return (
+        inc.join(idx, "bucket")
+        .select(
+            "vec_id",
+            "match_id",
+            F.round(cos(F.col("v"), F.col("iv")), 9).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

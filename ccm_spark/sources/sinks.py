@@ -350,3 +350,61 @@ def read_srp_planes(spark, path: str):
             "pin the old generator) before probing with it"
         )
     return manifest, stored
+
+
+def write_bm25_index(index: dict, path: str) -> dict:
+    """Persist a ``pipeline.search.bm25_index`` build — the postings
+    relation (term, doc_id, tf, dl) as parquet plus the corpus scalars
+    (n_docs, avgdl) in the manifest — so many query batches across many
+    sessions amortise the one corpus-sized build, the lexical twin of
+    the ANN artifacts above. Postings scale with corpus tokens, so the
+    write is partitioned parquet (no coalesce-to-one)."""
+    index["postings"].write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(path)
+    return _write_ann_manifest(
+        path,
+        "bm25_index",
+        {"n_docs": index["n_docs"], "avgdl": index["avgdl"]},
+        index["n_docs"],
+    )
+
+
+def read_bm25_index(spark, path: str) -> dict:
+    """Reload a persisted BM25 index as the same dict shape
+    ``bm25_topk`` consumes (``doc_lens`` is re-derived lazily from the
+    postings — it is a projection, never re-shuffled unless used)."""
+    manifest = _read_ann_manifest(path, "bm25_index")
+    postings = spark.read.parquet(path)
+    return {
+        "postings": postings,
+        "doc_lens": postings.select("doc_id", "dl").distinct(),
+        "n_docs": int(manifest["params"]["n_docs"]),
+        "avgdl": float(manifest["params"]["avgdl"]),
+    }
+
+
+def write_paa_sketches(sketches: DataFrame, path: str, segments: int) -> dict:
+    """Persist a ``pipeline.series_search.paa_sketches`` relation —
+    (series_id, n, sketch) — with its segment count in the manifest, so
+    the GB-scale sketch table a 100 TB series corpus reduces to is built
+    once and served to every later query (pass it via the ``sketches``
+    parameter of ``series_topk``)."""
+    sketches.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    n = sketches.sparkSession.read.parquet(path).count()
+    return _write_ann_manifest(path, "paa_sketches", {"segments": segments}, n)
+
+
+def read_paa_sketches(spark, path: str, segments: int | None = None):
+    """(manifest, sketches_df); pass the ``segments`` you are about to
+    query with to fail loudly on a geometry mismatch instead of
+    producing lower bounds that silently stop being lower bounds."""
+    manifest = _read_ann_manifest(path, "paa_sketches")
+    if segments is not None and manifest["params"]["segments"] != segments:
+        raise ValueError(
+            f"PAA sketches at {path} were built with "
+            f"segments={manifest['params']['segments']}, not {segments} — "
+            "querying across geometries breaks the lower-bound lemma; "
+            "rebuild or query with the index's own segment count"
+        )
+    return manifest, spark.read.parquet(path)

@@ -84,3 +84,77 @@ def test_ivf_assignments_accepts_long_form_centroids(spark, sf_small):
     got_wide = sorted(map(tuple, ivf_assignments(embs, centroids=wide_form).collect()))
     assert got_long == got_wide
     assert len(got_long) == 300
+
+
+def test_probe_embedding_index_batch_and_stream(spark, sf_small, tmp_path):
+    """Ingestion-time embedding near-dup: an increment that contains an
+    exact copy of an indexed vector must flag it at cos ~= 1; a fresh
+    orthogonal-ish vector must not match; the narrow-probe buckets agree
+    with the explode-plan buckets; and the SAME plan runs on a streaming
+    increment (append mode) with identical rows."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.functions.vector_udfs import srp_bucket_udf
+    from ccm_spark.pipeline.similarity import (
+        embedding_index,
+        probe_embedding_index,
+        srp_buckets,
+    )
+
+    embs = load_table(spark, sf_small, "embeddings").limit(400)
+    idx = embedding_index(embs, planes=8, seed=99)
+    buckets = idx["buckets"]
+
+    # narrow-UDF buckets == explode-plan buckets on the whole corpus
+    narrow = srp_bucket_udf(idx["plane_values"], idx["planes"], 64)
+    got = {
+        r.vec_id: r.bucket
+        for r in embs.select(
+            "vec_id",
+            narrow(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "bucket"
+            ),
+        ).collect()
+    }
+    want = {r.vec_id: r.bucket for r in srp_buckets(embs, 8, 99).collect()}
+    assert got == want
+
+    # increment: vec 100000 copies indexed vec 7; vec 100001 is novel
+    copy_row = embs.where(F.col("vec_id") == 7).select(
+        F.lit(100000).cast("long").alias("vec_id"), "embedding"
+    )
+    novel = embs.where(F.col("vec_id") == 7).select(
+        F.lit(100001).cast("long").alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i % 2 == 0, x).otherwise(-x)
+        ).alias("embedding"),
+    )
+    inc = copy_row.unionByName(novel)
+    out = probe_embedding_index(inc, buckets, idx["plane_values"], threshold=0.95)
+    batch = sorted((r.vec_id, r.match_id, r.cos_sim) for r in out.collect())
+    assert (100000, 7, 1.0) in batch
+    assert all(v != 100001 for v, _, _ in batch)
+
+    # stream == batch
+    src = tmp_path / "emb_inc"
+    src.mkdir()
+    inc.coalesce(1).write.parquet(str(src / "p0"))
+    stream = spark.readStream.schema(inc.schema).parquet(str(src / "p0"))
+    s_out = probe_embedding_index(
+        stream, buckets, idx["plane_values"], threshold=0.95
+    )
+    assert s_out.isStreaming
+    q = (
+        s_out.writeStream.format("memory")
+        .queryName("emb_probe_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_emb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_s = sorted(
+        (r.vec_id, r.match_id, r.cos_sim)
+        for r in spark.sql("select * from emb_probe_stream").collect()
+    )
+    assert got_s == batch

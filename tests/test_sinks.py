@@ -227,3 +227,70 @@ def test_srp_planes_roundtrip_and_drift_guard(spark, tmp_path):
         json.dump(tampered, f)
     with pytest.raises(ValueError, match="drifted"):
         read_srp_planes(spark, path)
+
+
+def test_bm25_index_roundtrip_serves_identical_topk(spark, sf_small, tmp_path):
+    """A reloaded BM25 index must serve the exact same top-k as the
+    in-session build — many query batches amortise one corpus build."""
+    from ccm_spark.pipeline.search import bm25_index, bm25_topk
+    from ccm_spark.sources.sinks import read_bm25_index, write_bm25_index
+
+    docs = load_table(spark, sf_small, "documents")
+    idx = bm25_index(docs)
+    path = str(tmp_path / "bm25_idx")
+    manifest = write_bm25_index(idx, path)
+    assert manifest["params"]["n_docs"] == idx["n_docs"]
+
+    loaded = read_bm25_index(spark, path)
+    assert loaded["n_docs"] == idx["n_docs"]
+    assert loaded["avgdl"] == idx["avgdl"]
+    queries = ["data processing pipeline", "the spark shuffle"]
+    mem = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk(idx, queries, k=10).collect()
+    )
+    disk = sorted(
+        (r.query_id, r.rank, r.doc_id, r.score)
+        for r in bm25_topk(loaded, queries, k=10).collect()
+    )
+    assert disk == mem and len(disk) == 20
+
+
+def test_paa_sketches_roundtrip_and_geometry_guard(spark, tmp_path):
+    """Persisted sketches serve series_topk identically to a fresh
+    build; querying with the wrong segment count refuses."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from ccm_spark.pipeline.series_search import paa_sketches, series_topk
+    from ccm_spark.sources.sinks import read_paa_sketches, write_paa_sketches
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for sid in range(20):
+        v = np.sin(np.linspace(0, 4 * np.pi, 96)) * (1 + sid / 10) + rng.normal(
+            0, 0.2, 96
+        )
+        rows.append(pd.DataFrame({"series_id": sid, "t": range(96), "value": v}))
+    series = spark.createDataFrame(
+        pd.concat(rows), "series_id long, t long, value double"
+    )
+    sk = paa_sketches(series, segments=16)
+    path = str(tmp_path / "paa_idx")
+    manifest = write_paa_sketches(sk, path, segments=16)
+    assert manifest["params"]["segments"] == 16 and manifest["n_rows"] == 20
+
+    _, loaded = read_paa_sketches(spark, path, segments=16)
+    q = np.sin(np.linspace(0, 4 * np.pi, 96))
+    fresh = [
+        (r.rank, r.series_id, r.distance)
+        for r in series_topk(series, q, k=5).orderBy("rank").collect()
+    ]
+    served = [
+        (r.rank, r.series_id, r.distance)
+        for r in series_topk(series, q, k=5, sketches=loaded).orderBy("rank").collect()
+    ]
+    assert served == fresh
+    with pytest.raises(ValueError, match="segments"):
+        read_paa_sketches(spark, path, segments=8)
