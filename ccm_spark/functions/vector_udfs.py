@@ -461,3 +461,25 @@ def srp_bucket_udf(plane_values, planes: int, dim: int):
         return pd.Series(out, dtype="int64")
 
     return _bucket
+
+
+def kmeans_assign_udf(bc_centroids):
+    """Arrow-batched nearest-centroid assignment for the distributed
+    Lloyd trainer (pipeline.clustering): L2-normalise each vector, then
+    argmin squared-L2 against the broadcast (k x dim) centroid matrix —
+    batch matmul, ties -> lowest cluster id (np.argmin first-occurrence).
+    Centroids arrive via SparkContext.broadcast (once per executor, the
+    plan-shape discipline test_ann_query_payloads pins elsewhere)."""
+
+    @pandas_udf("long")
+    def _assign(embedding: pd.Series) -> pd.Series:
+        cents = bc_centroids.value
+        x = np.stack(embedding.to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        x = x / np.where(norms == 0.0, 1.0, norms)[:, None]
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 is constant
+        # per row, so the argmin needs only the last two terms
+        d2 = (np.einsum("ij,ij->i", cents, cents))[None, :] - 2.0 * (x @ cents.T)
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int64))
+
+    return _assign

@@ -1,0 +1,85 @@
+"""Distributed Lloyd k-means: recovers planted structure, deterministic
+under repartitioning, guards degenerate inputs, streams the assignment."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _blob_corpus(spark, n_per=40, dim=64, seed=11):
+    """Three well-separated blobs in 64-dim (unit-ish directions)."""
+    rng = np.random.default_rng(seed)
+    centers = np.zeros((3, dim))
+    centers[0, 0] = 1.0
+    centers[1, 1] = 1.0
+    centers[2, 2] = 1.0
+    rows = []
+    truth = {}
+    vid = 0
+    for b in range(3):
+        for _ in range(n_per):
+            v = centers[b] + rng.normal(0, 0.05, dim)
+            rows.append((vid, [float(x) for x in v]))
+            truth[vid] = b
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, truth
+
+
+def test_kmeans_recovers_blobs_and_is_partitioning_invariant(spark):
+    from ccm_spark.pipeline.clustering import cluster_sizes, kmeans_assign, kmeans_fit
+
+    df, truth = _blob_corpus(spark)
+    cents = kmeans_fit(df, k=3, n_iters=5)
+    assert cents.shape == (3, 64)
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, cents).collect()}
+    # every blob lands in ONE cluster, and different blobs in different ones
+    blob_to_cluster = {}
+    for vid, b in truth.items():
+        blob_to_cluster.setdefault(b, set()).add(got[vid])
+    assert all(len(cs) == 1 for cs in blob_to_cluster.values())
+    assert len({next(iter(cs)) for cs in blob_to_cluster.values()}) == 3
+    sizes = {r.cluster: r.n_members for r in cluster_sizes(kmeans_assign(df, cents)).collect()}
+    assert sorted(sizes.values()) == [40, 40, 40]
+    # bit-identical training on a repartitioned input
+    cents2 = kmeans_fit(df.repartition(13), k=3, n_iters=5)
+    assert (cents == cents2).all()
+
+
+def test_kmeans_guards(spark):
+    from ccm_spark.pipeline.clustering import kmeans_fit
+
+    df, _ = _blob_corpus(spark, n_per=1)  # 3 vectors total
+    with pytest.raises(ValueError, match="< k"):
+        kmeans_fit(df, k=10)
+    with pytest.raises(ValueError, match=">= 1"):
+        kmeans_fit(df, k=0)
+
+
+def test_kmeans_assign_stream_equals_batch(spark, tmp_path):
+    from ccm_spark.pipeline.clustering import kmeans_assign, kmeans_fit
+
+    df, _ = _blob_corpus(spark, n_per=20)
+    cents = kmeans_fit(df, k=3, n_iters=3)
+    batch = {r.vec_id: r.cluster for r in kmeans_assign(df, cents).collect()}
+    src = tmp_path / "km_src"
+    src.mkdir()
+    df.coalesce(1).write.parquet(str(src / "p0"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "p0"))
+    out = kmeans_assign(stream, cents)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("km_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_km"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: r.cluster for r in spark.sql("select * from km_stream").collect()
+    }
+    assert got == batch

@@ -136,3 +136,55 @@ def test_documents_scan_prunes_to_needed_columns(spark, sf_small):
     # the signature needs only (doc_id, text); lang/source/n_chars pruned
     assert "doc_id" in read_schema and "text" in read_schema
     assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_html_extraction_is_one_narrow_projection(spark, sf_small):
+    """extract_text must plan as a single stage: no Exchange anywhere (a
+    shuffle in a per-row regex projection would be a plan bug), and the
+    scan prunes to the consumed columns."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.html import extract_text
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", F.col("text").alias("html")
+    )
+    out = extract_text(docs)
+    plan = _formatted_plan(out)
+    assert "Exchange" not in plan
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 400]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_probe_embedding_index_streaming_plan_is_stateless(spark, sf_small, tmp_path):
+    """The ingestion-time embedding probe must stay a stateless
+    stream-static join: no state store operator may appear in the
+    streaming physical plan (state would mean an aggregation crept into
+    the streaming side and the probe no longer runs in append mode with
+    zero state)."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.similarity import embedding_index, probe_embedding_index
+    from ccm_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_small, "embeddings").limit(200)
+    idx = embedding_index(embs, planes=8, seed=99)
+    inc = embs.where(F.col("vec_id") < 5)
+    src = tmp_path / "probe_plan_src"
+    src.mkdir()
+    inc.coalesce(1).write.parquet(str(src / "p0"))
+    stream = spark.readStream.schema(inc.schema).parquet(str(src / "p0"))
+    out = probe_embedding_index(stream, idx["buckets"], idx["plane_values"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("probe_plan_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_plan"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    plan = q.lastProgress["stateOperators"] if q.lastProgress else None
+    assert plan == []  # zero stateful operators in the streaming plan
