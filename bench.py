@@ -180,23 +180,44 @@ def main() -> None:
         return remove_duplicated_lines(load_table(spark, sf_dir, "documents"))
 
     def extra_dtw(spark, sf_dir):
-        # 128 generated series x 512 points: sized so LB_Keogh pruning and
-        # the banded DP (not JVM overhead) dominate the timing
+        # 128 smooth series x 513 points, query = a time-warped member,
+        # band << period: the UCR search regime where LB_Keogh actually
+        # prunes (~90% here — chaotic/noise corpora degenerate to full
+        # brute-force DTW because a wiggly query's envelope covers the
+        # whole z-range; the stats field reports the realised ratio).
+        # The corpus persists first: a real search serves a materialised
+        # relation, not three regenerations (one per search phase).
         import numpy as np
         import pyspark.sql.functions as F
 
         from ccm_spark.pipeline.series_search import dtw_topk
 
-        grid = [
-            {"pair_id": i, "kind": "g2", "length": 512, "coupling": 0.1 * (i % 5)}
-            for i in range(128)
-        ]
-        series = generate_grid_df(spark, grid).select(
-            F.col("pair_id").alias("series_id"), "t", F.col("x").alias("value")
+        n, s = 513, 128
+        base = spark.range(s).selectExpr("id AS series_id").crossJoin(
+            spark.range(n).selectExpr("id AS t")
         )
-        # the generator emits t = 0..length inclusive -> 513 points
-        q = np.sin(np.linspace(0, 6 * np.pi, 513))
-        return dtw_topk(series, q, k=10, band_frac=0.1)
+        pi = 3.141592653589793
+        series = base.select(
+            "series_id",
+            "t",
+            (
+                F.sin(
+                    2 * pi * (F.col("series_id") % 4 + 1) * F.col("t") / n
+                    + (F.col("series_id") % 32) * (pi / 16)
+                )
+                + 0.05 * F.sin(F.col("t") * 1.7 + F.col("series_id"))
+            ).alias("value"),
+        ).persist()
+        series.count()
+        v7 = np.array(
+            [r.value for r in series.where("series_id = 7").orderBy("t").collect()]
+        )
+        warped_t = np.linspace(0, n - 1, n) ** 1.01 / ((n - 1) ** 0.01)
+        q = np.interp(warped_t, np.arange(n), v7)
+        stats = {}
+        out = dtw_topk(series, q, k=5, band_frac=0.05, stats=stats)
+        print(f"# dtw_topk prune stats: {stats}", file=sys.stderr)
+        return out
 
     extras = {
         "url_dedup": qs["url_dedup"],

@@ -120,9 +120,21 @@ def series_topk(
     lens = _seg_lens(n, segments)
     spark = series.sparkSession
 
+    from pyspark.storagelevel import StorageLevel
+
+    # the sketch relation (a handful of doubles per series) backs FOUR
+    # jobs below (length check, seed top-k, guard aggregate, survivor
+    # collect); without a persist each one re-runs the corpus-wide
+    # sketch pass. Persist only what WE built — a caller-provided
+    # ``sketches`` relation manages its own caching.
+    own_sk = sketches is None
     sk = sketches if sketches is not None else paa_sketches(series, segments)
+    if own_sk:
+        sk = sk.persist(StorageLevel.MEMORY_AND_DISK)
     bad = sk.where(F.col("n") != n).limit(1).collect()
     if bad:
+        if own_sk:
+            sk.unpersist()
         raise ValueError(
             f"series_topk: series {bad[0].series_id} has length "
             f"{bad[0].n} != query length {n} (whole matching needs one length)"
@@ -167,22 +179,26 @@ def series_topk(
             .collect()
         }
 
-    # phase 1: exact distances for the k best lower bounds -> threshold
-    seed_ids = [
-        r.series_id
-        for r in lbs.orderBy(F.col("lb").asc(), F.col("series_id").asc())
-        .limit(k)
-        .collect()
-    ]
-    seed_exact = exact_for(seed_ids)
-    threshold = sorted(seed_exact.values())[min(k, len(seed_exact)) - 1]
-    # phase 2: exact only where the lower bound can still beat the k-th;
-    # count survivors DISTRIBUTED before any driver collect
-    surv = lbs.where(F.col("lb") <= F.lit(float(threshold)))
-    cand_ids = _guarded_candidates(
-        lbs, surv, "lb", threshold, max_candidates, stats, "series_topk",
-        f"raise segments (currently {segments}) for tighter sketches",
-    )
+    try:
+        # phase 1: exact distances for the k best lower bounds -> threshold
+        seed_ids = [
+            r.series_id
+            for r in lbs.orderBy(F.col("lb").asc(), F.col("series_id").asc())
+            .limit(k)
+            .collect()
+        ]
+        seed_exact = exact_for(seed_ids)
+        threshold = sorted(seed_exact.values())[min(k, len(seed_exact)) - 1]
+        # phase 2: exact only where the lower bound can still beat the
+        # k-th; count survivors DISTRIBUTED before any driver collect
+        surv = lbs.where(F.col("lb") <= F.lit(float(threshold)))
+        cand_ids = _guarded_candidates(
+            lbs, surv, "lb", threshold, max_candidates, stats, "series_topk",
+            f"raise segments (currently {segments}) for tighter sketches",
+        )
+    finally:
+        if own_sk:
+            sk.unpersist()
     cand_ids = [i for i in cand_ids if i not in seed_exact]
     exact = dict(seed_exact)
     if cand_ids:
@@ -315,10 +331,16 @@ def dtw_topk(
 
         return run
 
+    from pyspark.storagelevel import StorageLevel
+
+    # the per-series LB_Keogh relation is one corpus pass; it backs THREE
+    # jobs (seed top-k, guard aggregate, survivor collect) — persist the
+    # tiny (series_id, d) result so the envelope pass runs once
     lbs = (
         spread(series, "series_id")
         .groupBy("series_id")
         .applyInPandas(per_series(False), "series_id long, d double")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def exact_for(ids: list[int]) -> dict[int, float]:
@@ -336,20 +358,23 @@ def dtw_topk(
             .collect()
         }
 
-    seed_ids = [
-        r.series_id
-        for r in lbs.orderBy(F.col("d").asc(), F.col("series_id").asc())
-        .limit(k)
-        .collect()
-    ]
-    seed_exact = exact_for(seed_ids)
-    threshold = sorted(seed_exact.values())[min(k, len(seed_exact)) - 1]
-    surv = lbs.where(F.col("d") <= F.lit(float(threshold)))
-    cand_ids = _guarded_candidates(
-        lbs, surv, "d", threshold, max_candidates, stats, "dtw_topk",
-        f"widen band_frac pruning power by z-normalising upstream noise "
-        f"or lower k (threshold currently {threshold:.6g})",
-    )
+    try:
+        seed_ids = [
+            r.series_id
+            for r in lbs.orderBy(F.col("d").asc(), F.col("series_id").asc())
+            .limit(k)
+            .collect()
+        ]
+        seed_exact = exact_for(seed_ids)
+        threshold = sorted(seed_exact.values())[min(k, len(seed_exact)) - 1]
+        surv = lbs.where(F.col("d") <= F.lit(float(threshold)))
+        cand_ids = _guarded_candidates(
+            lbs, surv, "d", threshold, max_candidates, stats, "dtw_topk",
+            f"widen band_frac pruning power by z-normalising upstream noise "
+            f"or lower k (threshold currently {threshold:.6g})",
+        )
+    finally:
+        lbs.unpersist()
     cand_ids = [i for i in cand_ids if i not in seed_exact]
     exact = dict(seed_exact)
     if cand_ids:

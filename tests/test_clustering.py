@@ -83,3 +83,27 @@ def test_kmeans_assign_stream_equals_batch(spark, tmp_path):
         r.vec_id: r.cluster for r in spark.sql("select * from km_stream").collect()
     }
     assert got == batch
+
+
+def test_cluster_balanced_curation_composes_with_mixing(spark):
+    """The advertised curation flow: cluster-tag the corpus, then draw an
+    exact per-cluster sample with mixing.stratified_sample (group_col =
+    cluster) — balanced topic representation from two existing ops."""
+    from ccm_spark.pipeline.clustering import kmeans_assign, kmeans_fit
+    from ccm_spark.pipeline.mixing import stratified_sample
+
+    df, _ = _blob_corpus(spark, n_per=30)
+    cents = kmeans_fit(df, k=3, n_iters=3)
+    tagged = df.join(kmeans_assign(df, cents), "vec_id").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    picked = stratified_sample(tagged, 10, group_col="cluster")
+    from collections import Counter
+
+    counts = Counter(r.cluster for r in picked.collect())
+    assert sorted(counts.values()) == [10, 10, 10]
+    # deterministic: same members on a repartitioned input
+    again = stratified_sample(tagged.repartition(7), 10, group_col="cluster")
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in picked.collect()
+    )
