@@ -119,6 +119,23 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     docs, counts["after_decontamination"] = checkpoint(docs.join(clean, "doc_id"))
     release_cached(verdicts)
 
+    # 4b. topic balance REPORT (non-filtering): cluster the surviving
+    # docs' embeddings with the distributed Lloyd trainer and record the
+    # per-cluster population — the number a curator reads before deciding
+    # to cap/upsample topics (the cap itself would be
+    # mixing.stratified_sample on the cluster column)
+    from ccm_spark.pipeline.clustering import cluster_sizes, kmeans_assign, kmeans_fit
+    from ccm_spark.sources.tables import load_table as _lt
+
+    embs = _lt(spark, sf_dir, "embeddings").join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    cents = kmeans_fit(embs, k=4, n_iters=3)
+    counts["topic_clusters"] = {
+        int(r.cluster): int(r.n_members)
+        for r in cluster_sizes(kmeans_assign(embs, cents)).collect()
+    }
+
     # 5. language mixing (drop copy_idx: demo rates are <= 1)
     mixed = mixture_sample(docs).select("doc_id").distinct()
     docs, counts["after_mixing"] = checkpoint(docs.join(mixed, "doc_id"))

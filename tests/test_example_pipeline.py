@@ -31,6 +31,8 @@ def test_corpus_pipeline_example_runs(spark, sf_small, tmp_path):
     )
     assert c["total_pieces"] > 0 and c["final_tokens"] > 0
     assert c["shards"] >= 1
+    # the topic-balance report covers every doc alive at that stage
+    assert sum(c["topic_clusters"].values()) == c["after_decontamination"]
     m = out["manifest"]
     assert m["n_docs"] == c["final_docs"]
     assert sum(s["n_docs"] for s in m["shards"]) == m["n_docs"]
