@@ -95,3 +95,35 @@ def extract_text(
     shape the rest of the pipeline (quality_filter, every dedup family,
     tokenize) consumes. One pass, no shuffle, streaming-safe."""
     return df.withColumn(out_col, strip_html(F.col(html_col)))
+
+
+# a meta robots tag, any attribute order: captures the content= value of
+# a <meta ... name="robots" ... > element (single or double quotes)
+_ROBOTS_RES = [
+    "(?is)<meta\\b[^>]*name\\s*=\\s*[\"']robots[\"'][^>]*content\\s*=\\s*[\"']([^\"']*)[\"']",
+    "(?is)<meta\\b[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']robots[\"']",
+]
+# a directive token on a comma/whitespace boundary; "none" means
+# noindex + nofollow per the robots spec
+_NOINDEX_RE = "(?i)(^|[,\\s])(noindex|none)([,\\s]|$)"
+_NOFOLLOW_RE = "(?i)(^|[,\\s])(nofollow|none)([,\\s]|$)"
+
+
+def robots_flags(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Adds ``robots_noindex`` / ``robots_nofollow`` booleans from the
+    page's ``<meta name="robots">`` directive (either attribute order,
+    either quote style, ``none`` implying both) — the publisher opt-out
+    signal a compliant crawl pipeline honours BEFORE any content
+    processing; documents with no robots meta get false/false. Pure
+    codegen regex (one narrow projection, streaming-safe); NULL html
+    yields false/false (nothing to opt out of)."""
+    content = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(F.col(html_col), pat, 1), F.lit(""))
+            for pat in _ROBOTS_RES
+        ],
+        F.lit(""),
+    )
+    return df.withColumn(
+        "robots_noindex", content.rlike(_NOINDEX_RE)
+    ).withColumn("robots_nofollow", content.rlike(_NOFOLLOW_RE))

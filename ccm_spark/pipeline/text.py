@@ -424,3 +424,44 @@ def classifier_score(
     if not docs.isStreaming:
         out = spread(out, "doc_id")
     return out.select("doc_id", score(F.col("text")).alias(score_col))
+
+
+# encoding-damage signatures (escapes keep the source ASCII; the pattern
+# strings hold literal characters, so Java regex and RE2 match them
+# identically with no engine-specific escape syntax):
+#   Ã ("A-tilde") + a Latin-1-supplement / cp1252-remap char — the
+#     classic UTF-8-decoded-as-Latin-1 two-byte sequence ("Ã©"
+#     where the text meant "é");
+#   â€ — the cp1252 rendering of a mangled three-byte UTF-8
+#     punctuation char (right quotes, dashes, ellipses);
+#   � — the replacement character a lossy decode leaves behind.
+_CP1252_REMAP = (
+    "\u0080-\u00bf\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030"
+    "\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+MOJIBAKE_PAT = f"(\u00c3[{_CP1252_REMAP}])|(\u00e2\u20ac)|(\ufffd)"
+
+
+def mojibake_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_mojibake, mojibake_frac): occurrences of
+    encoding-damage signatures — U+FFFD replacement characters plus the
+    classic UTF-8-read-as-Latin-1/cp1252 double-decode sequences — per
+    document, and their fraction of the text length. The third standard
+    cleaning signal next to :func:`quality_filter` (surface rules) and
+    the LM perplexity score (likelihood): a high fraction means the
+    document was mangled UPSTREAM, and no downstream filter repairs it —
+    drop or re-fetch. Count = split-boundary count (pure codegen, no
+    UDF), one narrow pass, streaming-safe; empty/NULL text scores 0.
+    False positives are possible but bounded honestly: real French text
+    containing "Ã© " as words is vanishingly rare because the
+    signature requires the remap char DIRECTLY after A-tilde."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_hits = F.size(F.split(t, MOJIBAKE_PAT)) - 1
+    return docs.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_mojibake"),
+        F.when(F.length(t) == 0, F.lit(0.0))
+        .otherwise(F.round(n_hits / F.length(t), 6) + F.lit(0.0))
+        .alias("mojibake_frac"),
+    )

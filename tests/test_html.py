@@ -135,3 +135,78 @@ def test_extract_text_stream_equals_batch(spark, tmp_path):
         r.doc_id: r.text for r in spark.sql("select * from html_stream").collect()
     }
     assert got == batch
+
+
+def test_robots_flags(spark):
+    """Robots meta directives: both attribute orders, both quote styles,
+    'none' implies both flags, directives are token-bounded (noindexed is
+    not noindex), absent/NULL html means no opt-out."""
+    from ccm_spark.pipeline.html import robots_flags
+
+    rows = [
+        (0, '<meta name="robots" content="noindex, nofollow">'),
+        (1, "<meta content='NOINDEX' name='robots'>"),
+        (2, '<meta name="robots" content="none">'),
+        (3, '<meta name="robots" content="index, follow">'),
+        (4, '<meta name="robots" content="noindexed">'),  # not a directive
+        (5, '<meta name="viewport" content="noindex">'),  # wrong meta
+        (6, "<p>no meta at all</p>"),
+        (7, None),
+        (8, '<META NAME="ROBOTS" CONTENT="nofollow">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r.doc_id: (r.robots_noindex, r.robots_nofollow)
+        for r in robots_flags(df).collect()
+    }
+    assert got[0] == (True, True)
+    assert got[1] == (True, False)
+    assert got[2] == (True, True)
+    assert got[3] == (False, False)
+    assert got[4] == (False, False)
+    assert got[5] == (False, False)
+    assert got[6] == (False, False)
+    assert got[7] == (False, False)
+    assert got[8] == (False, True)
+
+
+def test_mojibake_signals_match_duckdb_replay(spark):
+    """Encoding-damage detection: double-decode sequences and U+FFFD
+    count; clean accented text does NOT trigger; counts match a DuckDB
+    replay of the same pattern."""
+    import duckdb
+    import pandas as pd
+
+    from ccm_spark.pipeline.text import MOJIBAKE_PAT, mojibake_signals
+
+    rows = [
+        (0, "cafÃ© and another cafÃ©"),   # 2x mangled e-acute
+        (1, "itâ€™s fineâ€¦"),  # 2x mangled punctuation
+        (2, "hard � failure ��"),              # 3x replacement char
+        (3, "clean café résumé naïve"),   # real accents: clean
+        (4, ""),
+        (5, None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"]).astype({"doc_id": "int64"})
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_mojibake, r.mojibake_frac)
+        for r in mojibake_signals(df).collect()
+    }
+    assert got[0][0] == 2 and got[1][0] == 2 and got[2][0] == 3
+    assert got[3] == (0, 0.0) and got[4] == (0, 0.0) and got[5] == (0, 0.0)
+    duckdb.register("moji_fixture", pdf)
+    want = {
+        int(d): (int(n), float(f))
+        for d, n, f in duckdb.sql(
+            f"""
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN 0
+            ELSE len(regexp_split_to_array(text, '{MOJIBAKE_PAT}')) - 1 END AS n,
+       CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+            ELSE round((len(regexp_split_to_array(text, '{MOJIBAKE_PAT}')) - 1)
+                       / length(text), 6) + 0.0 END AS f
+FROM moji_fixture"""
+        ).fetchall()
+    }
+    assert got == want
