@@ -465,3 +465,59 @@ def mojibake_signals(docs: DataFrame) -> DataFrame:
         .otherwise(F.round(n_hits / F.length(t), 6) + F.lit(0.0))
         .alias("mojibake_frac"),
     )
+
+
+def corpus_report(docs: DataFrame) -> dict:
+    """One-pass corpus health report — the summary a curator reads
+    before and after every pipeline stage: document/token totals, text
+    length distribution, language mix, exact-duplicate rate, and
+    encoding damage, as one plain dict.
+
+    Cost discipline: ONE full scan computing a single multi-aggregate
+    (tokens, lengths, mojibake — all codegen), plus one hash aggregate
+    each for the language mix (bounded by #languages) and the
+    content-hash distinct count (the only shuffle that grows with the
+    corpus, the same one exact dedup pays). Runs eagerly; returns
+    driver-side scalars only. At 100 TB every number here is a
+    map-side-combined aggregate — nothing collects per-document rows.
+    """
+    t = F.coalesce(F.col("text"), F.lit(""))
+    toks = tokens_col(t)  # NULL text counts as empty, not as NULL-sized
+    moji = F.size(F.split(t, MOJIBAKE_PAT)) - 1
+    row = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+        F.sum(F.length(t)).alias("n_chars"),
+        F.min(F.length(t)).alias("min_chars"),
+        F.expr("percentile_approx(length(coalesce(text, '')), 0.5)").alias(
+            "median_chars"
+        ),
+        F.max(F.length(t)).alias("max_chars"),
+        F.sum((F.size(toks) == 0).cast("long")).alias("n_empty"),
+        F.sum((moji > 0).cast("long")).alias("n_mojibake_docs"),
+    ).collect()[0]
+    langs = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    } if "lang" in docs.columns else {}
+    n_distinct = (
+        docs.select(F.md5(t).alias("h")).agg(F.countDistinct("h")).collect()[0][0]
+    )
+    n_docs = int(row.n_docs)
+    return {
+        "n_docs": n_docs,
+        "n_tokens": int(row.n_tokens or 0),
+        "n_chars": int(row.n_chars or 0),
+        "chars_min_median_max": [
+            int(row.min_chars or 0),
+            int(row.median_chars or 0),
+            int(row.max_chars or 0),
+        ],
+        "n_empty_docs": int(row.n_empty or 0),
+        "n_mojibake_docs": int(row.n_mojibake_docs or 0),
+        "languages": langs,
+        "n_distinct_texts": int(n_distinct),
+        "exact_dup_rate": (
+            round(1.0 - n_distinct / n_docs, 6) if n_docs else 0.0
+        ),
+    }

@@ -150,3 +150,30 @@ def test_classifier_score_streaming_matches_batch(spark, sf_small, tmp_path):
         for r in spark.sql("SELECT doc_id, model_score FROM clf_stream").collect()
     }
     assert got == expected
+
+
+def test_corpus_report_numbers(spark):
+    """The one-pass health report: every scalar verified against a
+    hand-computed fixture (dups, empties, mojibake, language mix)."""
+    from ccm_spark.pipeline.text import corpus_report
+
+    rows = [
+        (0, "the quick brown fox", "en"),
+        (1, "the quick brown fox", "en"),       # exact dup of 0
+        (2, "el perro grande", "es"),
+        (3, "", "en"),                          # empty
+        (4, "brokÃ©n encoding here", "en"),  # mojibake
+        (5, None, "es"),                        # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rep = corpus_report(df)
+    assert rep["n_docs"] == 6
+    assert rep["n_tokens"] == 4 + 4 + 3 + 0 + 3 + 0
+    assert rep["n_empty_docs"] == 2  # "" and NULL both tokenless
+    assert rep["n_mojibake_docs"] == 1
+    assert rep["languages"] == {"en": 4, "es": 2}
+    # distinct texts: fox, perro, "", broken -> "" and NULL share the hash
+    assert rep["n_distinct_texts"] == 4
+    assert rep["exact_dup_rate"] == round(1.0 - 4 / 6, 6)
+    assert rep["chars_min_median_max"][0] == 0
+    assert rep["chars_min_median_max"][2] == max(len(t or "") for _, t, _ in rows)
