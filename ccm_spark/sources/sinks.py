@@ -408,3 +408,64 @@ def read_paa_sketches(spark, path: str, segments: int | None = None):
             "rebuild or query with the index's own segment count"
         )
     return manifest, spark.read.parquet(path)
+
+
+def write_bigram_lm(model: dict, path: str) -> dict:
+    """Persist a ``pipeline.lm.train_bigram_lm`` model: vocab and bigram
+    count tables as one parquet file each, scalars in the manifest —
+    train the reference LM once, score every future crawl shard (batch
+    or streaming) against the FROZEN artifact, the perplexity twin of
+    the index writers above."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    vdf = spark.createDataFrame(
+        [(t, int(n)) for t, n in model["vocab"].items()], "token string, n long"
+    )
+    bdf = spark.createDataFrame(
+        [(w1, w2, int(n)) for (w1, w2), n in model["bigrams"].items()],
+        "w1 string, w2 string, n long",
+    )
+    vdf.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(path, "vocab")
+    )
+    bdf.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(path, "bigrams")
+    )
+    scalars = {
+        k: model[k]
+        for k in ("alpha", "unk_count", "total", "n_classes", "vocab_size", "max_bigrams")
+    }
+    return _write_ann_manifest(
+        path, "bigram_lm", scalars, len(model["vocab"]) + len(model["bigrams"])
+    )
+
+
+def read_bigram_lm(spark, path: str) -> dict:
+    """Reload a persisted bigram LM as the exact dict shape ``perplexity``
+    / ``score_model`` consume; counts are integers, so the round trip is
+    lossless and a loaded model scores bit-identically (test-pinned)."""
+    import os
+
+    manifest = _read_ann_manifest(path, "bigram_lm")
+    p = manifest["params"]
+    vocab = {
+        r.token: int(r.n)
+        for r in spark.read.parquet(os.path.join(path, "vocab")).collect()
+    }
+    bigrams = {
+        (r.w1, r.w2): int(r.n)
+        for r in spark.read.parquet(os.path.join(path, "bigrams")).collect()
+    }
+    return {
+        "alpha": float(p["alpha"]),
+        "vocab": vocab,
+        "unk_count": int(p["unk_count"]),
+        "total": int(p["total"]),
+        "n_classes": int(p["n_classes"]),
+        "bigrams": bigrams,
+        "vocab_size": int(p["vocab_size"]),
+        "max_bigrams": int(p["max_bigrams"]),
+    }

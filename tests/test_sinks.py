@@ -294,3 +294,29 @@ def test_paa_sketches_roundtrip_and_geometry_guard(spark, tmp_path):
     assert served == fresh
     with pytest.raises(ValueError, match="segments"):
         read_paa_sketches(spark, path, segments=8)
+
+
+def test_bigram_lm_roundtrip_scores_identically(spark, sf_small, tmp_path):
+    """A reloaded LM must score every document bit-identically to the
+    freshly trained model — the perplexity filter can run against a
+    frozen artifact across sessions."""
+    from ccm_spark.pipeline.lm import perplexity, train_bigram_lm
+    from ccm_spark.sources.sinks import read_bigram_lm, write_bigram_lm
+
+    docs = load_table(spark, sf_small, "documents")
+    model = train_bigram_lm(docs, vocab_size=200, max_bigrams=2000)
+    path = str(tmp_path / "lm_artifact")
+    manifest = write_bigram_lm(model, path)
+    assert manifest["params"]["total"] == model["total"]
+
+    loaded = read_bigram_lm(spark, path)
+    assert loaded == model
+    mem = {
+        r.doc_id: (r.n_scored, r.cross_entropy, r.perplexity)
+        for r in perplexity(docs, model).collect()
+    }
+    disk = {
+        r.doc_id: (r.n_scored, r.cross_entropy, r.perplexity)
+        for r in perplexity(docs, loaded).collect()
+    }
+    assert disk == mem and len(disk) == 500
