@@ -35,6 +35,7 @@ class CCM:
         lib_sizes: Sequence[int] | None = None,
         num_samples: int = 100,
         seed: int = 42,
+        exclusion_radius: int = 0,
     ):
         self.config = CCMConfig(
             embedding_dim=embedding_dim,
@@ -42,6 +43,7 @@ class CCM:
             num_samples=num_samples,
             lib_sizes=list(lib_sizes) if lib_sizes is not None else None,
             seed=seed,
+            exclusion_radius=exclusion_radius,
         )
         # V1: equal-length validation (lib/ccm.ex:22-24)
         self.config.validate_series(len(x_series), len(y_series))

@@ -33,13 +33,28 @@ def generate_lib_sizes(max_lib_size: int) -> list[int]:
 @dataclass
 class CCMConfig:
     """Analysis parameters (C1). ``lib_sizes=None`` auto-generates the ladder
-    from ``max_lib_size = n_points - (embedding_dim - 1) * tau``."""
+    from ``max_lib_size = n_points - (embedding_dim - 1) * tau``.
+
+    ``exclusion_radius`` (rEDM's Theiler window; NOT in the reference,
+    which always uses 0): library points within ``exclusion_radius`` time
+    steps of the query point are excluded from its nearest-neighbour set,
+    so autocorrelation cannot inflate cross-map skill via trivially-close
+    temporal neighbours. 0 (the default) reproduces the reference
+    bit-for-bit; a query left with no admissible neighbours predicts 0.0
+    (the engine's uniform degenerate-guard convention)."""
 
     embedding_dim: int = 3
     tau: int = 1
     num_samples: int = 100
     lib_sizes: list[int] | None = None
     seed: int = 42
+    exclusion_radius: int = 0
+
+    def __post_init__(self) -> None:
+        if self.exclusion_radius < 0:
+            raise ValueError(
+                f"exclusion_radius must be >= 0 (got {self.exclusion_radius})"
+            )
 
     def resolved_lib_sizes(self, n_points: int) -> list[int]:
         if self.lib_sizes is not None:

@@ -38,6 +38,7 @@ def ccm_apply_in_pandas(series: DataFrame, config: CCMConfig) -> DataFrame:
     emb_dim, tau = config.embedding_dim, config.tau
     num_samples, seed = config.num_samples, config.seed
     lib_sizes = config.lib_sizes
+    radius = config.exclusion_radius
 
     def run_pair(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t")
@@ -50,6 +51,7 @@ def ccm_apply_in_pandas(series: DataFrame, config: CCMConfig) -> DataFrame:
             num_samples=num_samples,
             lib_sizes=list(lib_sizes) if lib_sizes is not None else None,
             seed=seed,
+            exclusion_radius=radius,
         )
         rows = []
         for direction in ("x_causes_y", "y_causes_x"):
@@ -120,6 +122,7 @@ def ccm_fast_iterated(
     emb_dim, tau = config.embedding_dim, config.tau
     num_samples, seed = config.num_samples, config.seed
     lib_sizes = config.lib_sizes
+    radius = config.exclusion_radius
 
     def run_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: dict[int, list[pd.DataFrame]] = {}
@@ -132,6 +135,7 @@ def ccm_fast_iterated(
             num_samples=num_samples,
             lib_sizes=list(lib_sizes) if lib_sizes is not None else None,
             seed=seed,
+            exclusion_radius=radius,
         )
         for pid, parts in buf.items():
             pdf = pd.concat(parts).sort_values("t")

@@ -44,11 +44,27 @@ def distance_expr(embedding_dim: int, q_prefix: str = "q_e", l_prefix: str = "l_
     return F.sqrt(acc)
 
 
-def knn_candidates(fanned: DataFrame, embedding_dim: int) -> DataFrame:
+def knn_candidates(
+    fanned: DataFrame, embedding_dim: int, exclusion_radius: int = 0
+) -> DataFrame:
     """J1: join prediction points against library points within each group.
 
     ``fanned`` is the output of fan_out_with_rank. Returns one row per
     (query point, library point) with the euclidean distance.
+
+    ``exclusion_radius`` (the Theiler window, rEDM-style — no reference
+    analogue; default 0 keeps reference parity bit-for-bit): candidate
+    pairs within that many time steps are dropped BEFORE the distance
+    ranking, a pushdown-friendly predicate on the join output (Catalyst
+    folds it into the join), mirroring the numpy oracle's +inf masking.
+    Boundary convention, stated honestly: a query with ZERO admissible
+    neighbours has no candidate row here, so it drops out of the
+    sample's correlation pairs, while the numpy oracle keeps it with
+    prediction 0.0 — the two paths are bit-equal (test-pinned) whenever
+    every query retains at least one admissible neighbour, which any
+    realistic radius (a few steps vs. library points spread over the
+    whole series) guarantees; an all-excluded query needs every one of
+    the sample's library points inside +-radius of it.
     """
     e_cols = [f"e{j}" for j in range(embedding_dim)]
     libs = fanned.where(F.col("rank") <= F.col("lib_size")).select(
@@ -64,6 +80,10 @@ def knn_candidates(fanned: DataFrame, embedding_dim: int) -> DataFrame:
         F.col("tgt").alias("q_tgt"),
     )
     joined = preds.join(libs, GROUP_KEYS)
+    if exclusion_radius > 0:
+        joined = joined.where(
+            F.abs(F.col("q_p") - F.col("l_p")) > exclusion_radius
+        )
     return joined.withColumn("dist", distance_expr(embedding_dim))
 
 

@@ -126,8 +126,15 @@ def cross_map_sample(
     seed: int,
     embedding_dim: int,
     dist_matrix: np.ndarray | None = None,
+    exclusion_radius: int = 0,
 ) -> float:
-    """One bootstrap sample -> Pearson skill (0.0 on any degenerate guard)."""
+    """One bootstrap sample -> Pearson skill (0.0 on any degenerate guard).
+
+    ``exclusion_radius`` (the Theiler window — an rEDM-style extension,
+    no reference analogue): library points within that many time steps of
+    the query are masked to +inf distance, so they can never enter the
+    bounding simplex; an all-masked query gets weight 0 everywhere and
+    predicts 0.0 (P1's existing zero-weight-sum guard)."""
     p = emb.shape[0]
     if lib_size >= p:
         return 0.0
@@ -141,6 +148,12 @@ def cross_map_sample(
         queries = emb[pred_idx]  # (Q, E)
         # J1/D1: all-pairs euclidean distances (Q, L)
         d = np.sqrt(((queries[:, None, :] - lib[None, :, :]) ** 2).sum(axis=2))
+    if exclusion_radius > 0:
+        d = np.where(
+            np.abs(pred_idx[:, None] - lib_idx[None, :]) <= exclusion_radius,
+            np.inf,
+            d,
+        )
     k = min(embedding_dim + 1, lib_size)
     # K1: k smallest per query, ties by ascending library position
     nn = np.argsort(d, axis=1, kind="stable")[:, :k]  # (Q, k)
@@ -148,6 +161,10 @@ def cross_map_sample(
     # W1
     min_d = nd.min(axis=1, keepdims=True)
     w = np.where(nd < 1e-12, 1.0, np.exp(-nd / (min_d + 1e-8)))
+    if exclusion_radius > 0:
+        # masked neighbours contribute nothing; an all-inf row would
+        # otherwise produce exp(-inf/inf) = nan
+        w = np.where(np.isinf(nd), 0.0, w)
     # P1
     neighbor_targets = tgt[lib_idx[nn]]
     wsum = w.sum(axis=1)
@@ -165,11 +182,13 @@ def cross_map_lib_batch(
     seed: int,
     embedding_dim: int,
     dist_matrix: np.ndarray,
+    exclusion_radius: int = 0,
 ) -> np.ndarray:
     """All bootstrap samples of one lib_size in a single vectorised pass.
 
     Identical arithmetic to :func:`cross_map_sample` (same expressions, same
-    dtypes, same stable-sort tie-breaks), batched over the sample axis —
+    dtypes, same stable-sort tie-breaks, same Theiler-window masking),
+    batched over the sample axis —
     this removes the per-sample Python loop that dominated the fleet path.
     Requires the precomputed distance matrix (all samples share it; the
     P > PRECOMPUTE_DIST_MAX_P regime keeps the per-sample loop).
@@ -188,11 +207,20 @@ def cross_map_lib_batch(
     pred_idx = np.sort(order[:, lib_size:], axis=1)  # (S, Q)
     s_n, q_n, l_n = num_samples, pred_idx.shape[1], lib_size
     d = dist_matrix[pred_idx[:, :, None], lib_idx[:, None, :]]  # (S, Q, L)
+    if exclusion_radius > 0:
+        d = np.where(
+            np.abs(pred_idx[:, :, None] - lib_idx[:, None, :])
+            <= exclusion_radius,
+            np.inf,
+            d,
+        )
     k = min(embedding_dim + 1, lib_size)
     nn = np.argsort(d, axis=2, kind="stable")[:, :, :k]  # K1, ties by lib pos
     nd = np.take_along_axis(d, nn, axis=2)
     min_d = nd.min(axis=2, keepdims=True)
     w = np.where(nd < 1e-12, 1.0, np.exp(-nd / (min_d + 1e-8)))  # W1
+    if exclusion_radius > 0:
+        w = np.where(np.isinf(nd), 0.0, w)
     global_nn = np.take_along_axis(
         np.broadcast_to(lib_idx[:, None, :], (s_n, q_n, l_n)), nn, axis=2
     )
@@ -234,17 +262,19 @@ def cross_map(
         _pairwise_distances(emb) if 0 < emb.shape[0] <= PRECOMPUTE_DIST_MAX_P else None
     )
     results = []
+    radius = config.exclusion_radius
     for lib_size in lib_sizes:
         if dist_matrix is not None:
             corrs = cross_map_lib_batch(
                 emb, tgt, lib_size, config.num_samples, dir_id, config.seed,
-                config.embedding_dim, dist_matrix,
+                config.embedding_dim, dist_matrix, exclusion_radius=radius,
             )
         else:
             corrs = [
                 cross_map_sample(
                     emb, tgt, lib_size, s, dir_id, config.seed,
                     config.embedding_dim, dist_matrix=None,
+                    exclusion_radius=radius,
                 )
                 for s in range(config.num_samples)
             ]

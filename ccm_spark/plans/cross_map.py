@@ -72,7 +72,9 @@ def sample_corr_plan(
     fanned = fan_out_with_rank(emb, ladder, config.num_samples, config.seed).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = knn_candidates(fanned, config.embedding_dim)
+    cands = knn_candidates(
+        fanned, config.embedding_dim, config.exclusion_radius
+    )
     nn = top_k_neighbors(cands, config.embedding_dim)
     pred = weighted_prediction(simplex_weights(nn))
     corr = pearson_by_sample(pred)

@@ -127,3 +127,86 @@ def test_unknown_direction_raises(spark):
     res = c.cross_map("x_causes_y")
     assert res["direction"] == "x_causes_y"
     assert [ls for ls, _ in res["results"]] == [10]
+
+
+@pytest.mark.parametrize("direction", ["x_causes_y", "y_causes_x"])
+def test_exclusion_radius_plan_matches_oracle(spark, direction):
+    """Theiler window (r07 extension): with a nonzero exclusion_radius
+    the DataFrame plan must still equal the numpy oracle cell-for-cell,
+    and the radius must actually change results vs radius 0 (temporal
+    neighbours really are excluded)."""
+    x, y = coupled_series(length=80, coupling=0.4, noise_level=0.02, seed=7)
+    df = make_series_df(spark, x, y)
+    base = dict(
+        oracle.cross_map(
+            x, y,
+            CCMConfig(embedding_dim=3, tau=1, num_samples=5,
+                      lib_sizes=[20, 40, 60], seed=11),
+            direction,
+        )["results"]
+    )
+    cfg = CCMConfig(
+        embedding_dim=3, tau=1, num_samples=5, lib_sizes=[20, 40, 60],
+        seed=11, exclusion_radius=3,
+    )
+    got = {
+        r.lib_size: r.correlation
+        for r in skill_plan(df, cfg).where(f"direction = '{direction}'").collect()
+    }
+    want = dict(oracle.cross_map(x, y, cfg, direction)["results"])
+    assert set(got) == set(want)
+    for ls in want:
+        assert got[ls] == pytest.approx(want[ls], abs=1e-9), f"lib_size={ls}"
+    assert want != base  # the window changed the neighbour sets
+
+
+def test_exclusion_radius_batched_kernel_matches_per_sample():
+    """The vectorised lib-batch kernel and the per-sample kernel must
+    agree bit-for-bit under masking (incl. the inf-row weight guard)."""
+    x, y = coupled_series(length=70, coupling=0.3, noise_level=0.0)
+    emb = oracle.time_delay_embedding(np.asarray(y), 3, 1)
+    tgt = oracle.adjusted_target(np.asarray(x), 3, 1)
+    dm = oracle._pairwise_distances(emb)
+    for radius in (1, 5, 20):
+        batch = oracle.cross_map_lib_batch(
+            emb, tgt, 25, 6, 0, 11, 3, dm, exclusion_radius=radius
+        )
+        singles = [
+            oracle.cross_map_sample(
+                emb, tgt, 25, s, 0, 11, 3, dist_matrix=dm,
+                exclusion_radius=radius,
+            )
+            for s in range(6)
+        ]
+        np.testing.assert_array_equal(batch, np.array(singles))
+
+
+def test_exclusion_radius_fastpath_and_api(spark):
+    """The applyInPandas fast path carries the radius through its
+    closure-rebuilt config; the CCM API exposes it; negatives raise."""
+    from ccm_spark.fastpath import ccm_apply_in_pandas
+
+    x, y = coupled_series(length=80, coupling=0.4, noise_level=0.02, seed=7)
+    df = make_series_df(spark, x, y)
+    cfg = CCMConfig(
+        embedding_dim=3, tau=1, num_samples=5, lib_sizes=[20, 40, 60],
+        seed=11, exclusion_radius=3,
+    )
+    fast = {
+        (r.direction, r.lib_size): r.correlation
+        for r in ccm_apply_in_pandas(df, cfg).collect()
+    }
+    for direction in ("x_causes_y", "y_causes_x"):
+        want = dict(oracle.cross_map(x, y, cfg, direction)["results"])
+        for ls, corr in want.items():
+            assert fast[(direction, ls)] == pytest.approx(corr, abs=1e-12)
+
+    from ccm_spark import CCM
+
+    api = CCM(
+        spark, x, y, num_samples=5, lib_sizes=[20, 40, 60], seed=11,
+        exclusion_radius=3,
+    )
+    assert api.config.exclusion_radius == 3
+    with pytest.raises(ValueError, match="exclusion_radius"):
+        CCMConfig(exclusion_radius=-1)
