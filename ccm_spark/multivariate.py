@@ -66,6 +66,7 @@ def block_cross_map(
     eff_dim = cfg.embedding_dim * len(embed_cols)
     lib_sizes = cfg.resolved_lib_sizes(n)
     num_samples, seed = cfg.num_samples, cfg.seed
+    radius = cfg.exclusion_radius
 
     sc = spark.sparkContext
     bc = sc.broadcast((emb, tgt))
@@ -85,7 +86,8 @@ def block_cross_map(
                 lib = int(lib)
                 if dist is not None:
                     corrs = _o.cross_map_lib_batch(
-                        bemb, btgt, lib, num_samples, 0, seed, eff_dim, dist
+                        bemb, btgt, lib, num_samples, 0, seed, eff_dim, dist,
+                        exclusion_radius=radius,
                     )
                 else:
                     # P > PRECOMPUTE_DIST_MAX_P: the (P x P) matrix would
@@ -93,7 +95,7 @@ def block_cross_map(
                     corrs = [
                         _o.cross_map_sample(
                             bemb, btgt, lib, s, 0, seed, eff_dim,
-                            dist_matrix=None,
+                            dist_matrix=None, exclusion_radius=radius,
                         )
                         for s in range(num_samples)
                     ]
@@ -193,6 +195,10 @@ def multispatial_ccm(
     pooled_n = emb.shape[0] + (cfg.embedding_dim - 1) * cfg.tau
     lib_sizes = cfg.resolved_lib_sizes(pooled_n)
     dir_id = dict(oracle.DIRECTIONS)[direction]
+    # exclusion_radius deliberately NOT threaded here: pooled-replicate
+    # row indices are not temporal distances across replicate
+    # boundaries, so a Theiler window on them would exclude the wrong
+    # neighbours; apply the window per replicate upstream if needed
     emb_dim, num_samples, seed = cfg.embedding_dim, cfg.num_samples, cfg.seed
 
     sc = spark.sparkContext

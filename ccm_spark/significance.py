@@ -113,6 +113,7 @@ def ccm_significance(
         num_samples=cfg.num_samples,
         lib_sizes=[lib_size],
         seed=cfg.seed,
+        exclusion_radius=cfg.exclusion_radius,
     )
     offsets = surrogate_offsets(len(x), n_surrogates, surrogate_seed)
     # surrogate 0 = the actual pair (offset 0 is excluded from draws)
@@ -120,11 +121,12 @@ def ccm_significance(
 
     sc = spark.sparkContext
     bc = sc.broadcast((x, y))
-    emb_dim, tau, num_samples, seed = (
+    emb_dim, tau, num_samples, seed, radius = (
         run_cfg.embedding_dim,
         run_cfg.tau,
         run_cfg.num_samples,
         run_cfg.seed,
+        run_cfg.exclusion_radius,
     )
 
     def run(batches):
@@ -138,6 +140,7 @@ def ccm_significance(
             num_samples=num_samples,
             lib_sizes=[lib_size],
             seed=seed,
+            exclusion_radius=radius,
         )
         for pdf in batches:
             rows = []
@@ -225,11 +228,12 @@ def ccm_lag_scan(
     if max_lag < 1 or max_lag >= len(x) // 2:
         raise ValueError(f"ccm_lag_scan: max_lag {max_lag} out of range")
     lib_size = holdout_lib_size(cfg, len(x) - max_lag)
-    emb_dim, tau, num_samples, seed = (
+    emb_dim, tau, num_samples, seed, radius = (
         cfg.embedding_dim,
         cfg.tau,
         cfg.num_samples,
         cfg.seed,
+        cfg.exclusion_radius,
     )
     sc = spark.sparkContext
     bc = sc.broadcast((x, y))
@@ -245,6 +249,7 @@ def ccm_lag_scan(
             num_samples=num_samples,
             lib_sizes=[lib_size],
             seed=seed,
+            exclusion_radius=radius,
         )
         for pdf in batches:
             rows = []
@@ -306,11 +311,12 @@ def ccm_significance_fleet(
             f"ccm_significance_fleet: unknown direction {direction!r}"
         )
     cfg = config if config is not None else CCMConfig()
-    emb_dim, tau, num_samples, seed = (
+    emb_dim, tau, num_samples, seed, radius = (
         cfg.embedding_dim,
         cfg.tau,
         cfg.num_samples,
         cfg.seed,
+        cfg.exclusion_radius,
     )
     lib_sizes = cfg.lib_sizes
 
@@ -336,6 +342,7 @@ def ccm_significance_fleet(
             num_samples=num_samples,
             lib_sizes=[lib_size],
             seed=seed,
+            exclusion_radius=radius,
         )
         offsets = surrogate_offsets(
             len(x), n_surrogates, surrogate_seed + 104729 * pair_id
@@ -722,8 +729,9 @@ def ccm_lag_scan_fleet(
     if max_lag < 1:
         raise ValueError(f"ccm_lag_scan_fleet: max_lag {max_lag} out of range")
     cfg = config if config is not None else CCMConfig()
-    emb_dim, tau, num_samples, seed = (
+    emb_dim, tau, num_samples, seed, radius = (
         cfg.embedding_dim, cfg.tau, cfg.num_samples, cfg.seed,
+        cfg.exclusion_radius,
     )
     lib_sizes = cfg.lib_sizes
     cols = [
@@ -749,7 +757,7 @@ def ccm_lag_scan_fleet(
         lib_size = holdout_lib_size(base, len(x) - max_lag)
         kcfg = _Cfg(
             embedding_dim=emb_dim, tau=tau, num_samples=num_samples,
-            lib_sizes=[lib_size], seed=seed,
+            lib_sizes=[lib_size], seed=seed, exclusion_radius=radius,
         )
         skills = []
         for lag in range(-max_lag, max_lag + 1):

@@ -51,8 +51,9 @@ def streaming_ccm(
     window). Update output mode; the ladder re-resolves as the buffer
     grows, exactly as a batch run on the same points would."""
     cfg = config if config is not None else CCMConfig()
-    emb_dim, tau, num_samples, seed = (
+    emb_dim, tau, num_samples, seed, radius = (
         cfg.embedding_dim, cfg.tau, cfg.num_samples, cfg.seed,
+        cfg.exclusion_radius,
     )
     lib_sizes = list(cfg.lib_sizes) if cfg.lib_sizes is not None else None
 
@@ -79,7 +80,7 @@ def streaming_ccm(
         kcfg = _Cfg(
             embedding_dim=emb_dim, tau=tau, num_samples=num_samples,
             lib_sizes=list(lib_sizes) if lib_sizes is not None else None,
-            seed=seed,
+            seed=seed, exclusion_radius=radius,
         )
         res = oracle.bidirectional_ccm(
             np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64), kcfg

@@ -599,3 +599,40 @@ def test_benjamini_hochberg_ties_and_groups(spark):
         )
         for j, i in enumerate(ids):
             assert out[i] == (want_q[j], want_keep[j]), (fam, i)
+
+
+def test_exclusion_radius_threads_into_significance(spark):
+    """The Theiler window must actually reach the surrogate kernels: a
+    config with a radius yields a different actual skill than radius 0
+    (same seed, same surrogates), and the fleet path agrees with the
+    single-pair path under the same radius."""
+    from ccm_spark.significance import ccm_significance
+
+    x, y = coupled_series(length=120, coupling=0.5, noise_level=0.02, seed=7)
+    base = ccm_significance(
+        spark, x, y, CCMConfig(num_samples=6, seed=5), n_surrogates=5
+    )
+    windowed = ccm_significance(
+        spark, x, y,
+        CCMConfig(num_samples=6, seed=5, exclusion_radius=4),
+        n_surrogates=5,
+    )
+    assert windowed["actual_skill"] != base["actual_skill"]
+
+    import pandas as pd
+
+    from ccm_spark.significance import ccm_significance_fleet
+
+    series = spark.createDataFrame(
+        pd.DataFrame(
+            {"pair_id": 0, "t": range(len(x)), "x": x, "y": y}
+        ),
+        "pair_id long, t long, x double, y double",
+    )
+    fleet = ccm_significance_fleet(
+        series, CCMConfig(num_samples=6, seed=5, exclusion_radius=4),
+        n_surrogates=5, surrogate_seed=97,
+    ).collect()[0]
+    assert fleet.actual_skill == pytest.approx(
+        windowed["actual_skill"], abs=1e-12
+    )
