@@ -521,3 +521,92 @@ def corpus_report(docs: DataFrame) -> dict:
             round(1.0 - n_distinct / n_docs, 6) if n_docs else 0.0
         ),
     }
+
+
+def train_classifier(
+    docs: DataFrame,
+    label_col: str = "label",
+    log2_features: int = 18,
+    bigrams: bool = True,
+    n_iters: int = 10,
+    lr: float = 0.5,
+    l2: float = 1e-6,
+):
+    """Distributed training for the :func:`classifier_score` serving
+    model — full-batch logistic regression on mean-pooled hashed
+    unigram+bigram features (the fasttext shape), so the quality
+    classifier can be TRAINED on a labelled corpus at any scale instead
+    of shipping weights from elsewhere. Returns ``(weights, bias)``
+    ready for ``classifier_score(docs, weights=w, bias=b)``.
+
+    Per iteration: the current weights broadcast once per executor; an
+    Arrow pass computes each doc's residual ``sigmoid(z) - y`` and emits
+    (feature, residual * multiplicity / n_features_doc) contributions
+    (bias rides along as feature -1); one map-side-combined hash
+    aggregate reduces them to at most ``2**log2_features + 1`` rows,
+    which is ALL the driver ever receives — the corpus itself never
+    moves. Deterministic by the engine's trainer discipline (kmeans/PQ):
+    no sampling, fixed iterations, weights rounded at 6 decimals per
+    update so float sum-order across partitions cannot leak into the
+    model (repartition-invariance is test-pinned). Docs with no tokens
+    are skipped (they would contribute nothing).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_iters < 1 or not 0 < lr:
+        raise ValueError(
+            f"train_classifier: need n_iters >= 1 and lr > 0 "
+            f"(got {n_iters}, {lr})"
+        )
+    n_feat = 1 << log2_features
+    spark = docs.sparkSession
+    # spread on text, not the label: hashing by a binary label would land
+    # the whole corpus in two partitions
+    base = spread(docs.select(F.col(label_col).alias("y"), "text"), "text")
+    n_docs = base.count()
+    if n_docs == 0:
+        raise ValueError("train_classifier: empty corpus")
+    w = np.zeros(n_feat, dtype=np.float64)
+    bias = 0.0
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast((w, bias))
+
+        def grad(batches):
+            from ccm_spark.functions.hashing import py_hashed_features, py_tokens
+
+            bw, bb = bc.value
+            for pdf in batches:
+                feats, gs = [], []
+                for y, t in zip(pdf["y"], pdf["text"]):
+                    toks = py_tokens(t)
+                    if not toks:
+                        continue
+                    idx = py_hashed_features(toks, log2_features, bigrams)
+                    z = float(bw[idx].mean()) + bb
+                    r = 1.0 / (1.0 + np.exp(-z)) - float(y)
+                    uniq, counts = np.unique(idx, return_counts=True)
+                    feats.extend(int(u) for u in uniq)
+                    gs.extend(float(r * c / len(idx)) for c in counts)
+                    feats.append(-1)
+                    gs.append(float(r))
+                yield pd.DataFrame({"feature": pd.Series(feats, dtype="int64"),
+                                    "g": pd.Series(gs, dtype="float64")})
+
+        rows = (
+            base.mapInPandas(grad, "feature long, g double")
+            .groupBy("feature")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        bc.destroy()
+        gvec = np.zeros(n_feat, dtype=np.float64)
+        gb = 0.0
+        for r in rows:
+            if r.feature == -1:
+                gb = r.g
+            else:
+                gvec[r.feature] = r.g
+        w = np.round(w - lr * (gvec / n_docs + l2 * w), 6)
+        bias = round(bias - lr * gb / n_docs, 6)
+    return w, bias

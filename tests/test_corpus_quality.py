@@ -177,3 +177,52 @@ def test_corpus_report_numbers(spark):
     assert rep["exact_dup_rate"] == round(1.0 - 4 / 6, 6)
     assert rep["chars_min_median_max"][0] == 0
     assert rep["chars_min_median_max"][2] == max(len(t or "") for _, t, _ in rows)
+
+
+def test_train_classifier_separates_and_is_partitioning_invariant(spark):
+    """Distributed logistic training on hashed features: a separable
+    synthetic corpus (English prose vs gibberish) trains to a model
+    whose serving scores separate the classes; training is bit-identical
+    under repartitioning (the engine's trainer determinism discipline);
+    degenerate args raise."""
+    import numpy as np
+    import pytest
+
+    from ccm_spark.pipeline.text import classifier_score, train_classifier
+
+    good = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "this is a perfectly normal english sentence about the weather today",
+        "we went to the market and bought some fresh bread and cheese",
+        "the children played in the park until the sun went down slowly",
+    ]
+    bad = [
+        "zxq vbn mlkj qwerty asdf zxcv plm okn ijb uhv ygc tfx",
+        "qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss",
+        "kfj dhs lqo wmx bzn ytr vcp qus eid jgh rkl wpz",
+        "xoxo zzz qpw eirut ylkj mnbv cxza qsed rfgt hyju kilo",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(good)] + [
+        (100 + i, t, 0) for i, t in enumerate(bad)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_classifier(docs, log2_features=14, n_iters=15, lr=1.0)
+    assert w.shape == (1 << 14,) and np.isfinite(w).all()
+
+    scores = {
+        r.doc_id: r.model_score
+        for r in classifier_score(
+            docs, weights=w, log2_features=14, bias=b
+        ).collect()
+    }
+    good_scores = [scores[i] for i in range(4)]
+    bad_scores = [scores[100 + i] for i in range(4)]
+    assert min(good_scores) > max(bad_scores)
+
+    w2, b2 = train_classifier(docs.repartition(9), log2_features=14, n_iters=15, lr=1.0)
+    assert b2 == b and (w2 == w).all()
+
+    with pytest.raises(ValueError, match="n_iters"):
+        train_classifier(docs, n_iters=0)
+    with pytest.raises(ValueError, match="empty"):
+        train_classifier(docs.where("doc_id > 9999"))
