@@ -69,8 +69,14 @@ def kmeans_fit(
         )
     cents = np.round(np.array([r.nv for r in init_rows], dtype=np.float64), KMEANS_ROUND)
     dim = cents.shape[1]
-    base = spread(embeddings, "vec_id").select(
-        _normalized_vec("embedding").alias("nv")
+    from pyspark.storagelevel import StorageLevel
+
+    # every iteration reads the same normalised relation; persist so the
+    # scan + normalisation run once, not once per iteration
+    base = (
+        spread(embeddings, "vec_id")
+        .select(_normalized_vec("embedding").alias("nv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sc = embeddings.sparkSession.sparkContext
     for _ in range(n_iters):
@@ -99,6 +105,7 @@ def kmeans_fit(
             nxt[c] = np.round(vec / counts[c], KMEANS_ROUND)
         bc.destroy()
         cents = nxt
+    base.unpersist()
     return cents
 
 

@@ -480,6 +480,9 @@ def corpus_report(docs: DataFrame) -> dict:
     corpus, the same one exact dedup pays). Runs eagerly; returns
     driver-side scalars only. At 100 TB every number here is a
     map-side-combined aggregate — nothing collects per-document rows.
+    ``median_chars`` is percentile_approx ON PURPOSE: the exact
+    percentile materialises every value in one aggregation buffer,
+    which does not survive a 100 TB corpus; the sketch does.
     """
     t = F.coalesce(F.col("text"), F.lit(""))
     toks = tokens_col(t)  # NULL text counts as empty, not as NULL-sized
@@ -561,11 +564,18 @@ def train_classifier(
         )
     n_feat = 1 << log2_features
     spark = docs.sparkSession
+    from pyspark.storagelevel import StorageLevel
+
     # spread on text, not the label: hashing by a binary label would land
-    # the whole corpus in two partitions
-    base = spread(docs.select(F.col(label_col).alias("y"), "text"), "text")
+    # the whole corpus in two partitions. Persist: every iteration reads
+    # the SAME relation — without the persist each gradient pass would
+    # re-shuffle the corpus.
+    base = spread(docs.select(F.col(label_col).alias("y"), "text"), "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_docs = base.count()
     if n_docs == 0:
+        base.unpersist()
         raise ValueError("train_classifier: empty corpus")
     w = np.zeros(n_feat, dtype=np.float64)
     bias = 0.0
@@ -609,4 +619,5 @@ def train_classifier(
                 gvec[r.feature] = r.g
         w = np.round(w - lr * (gvec / n_docs + l2 * w), 6)
         bias = round(bias - lr * gb / n_docs, 6)
+    base.unpersist()
     return w, bias
