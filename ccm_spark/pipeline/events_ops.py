@@ -137,45 +137,8 @@ def resample_ffill(
     (grid rows sort after observations at equal ts: at-or-before
     semantics), so the whole op is one explode + one window on the key
     — no range join, no per-key driver work."""
-    if step_us < 1:
-        raise ValueError(f"resample_ffill: step_us must be >= 1, got {step_us}")
-    obs = events.select(
-        F.col(key_col).alias("key"),
-        ts_micros(events).alias("ts_us"),
-        "event_id",
-        "value",
-    )
-    bounds = obs.groupBy("key").agg(
-        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
-    )
-    n_steps = ((F.col("t1") - F.col("t0")) / F.lit(step_us)).cast("long")
-    guarded = bounds.withColumn("n_steps", n_steps)
-    # fail fast, distributedly, on grids that would explode a key
-    too_big = guarded.where(F.col("n_steps") > max_grid_per_key).limit(1).collect()
-    if too_big:
-        r = too_big[0]
-        raise ValueError(
-            f"resample_ffill: key {r.key!r} spans {int(r.n_steps)} grid steps "
-            f"(> max_grid_per_key={max_grid_per_key}); raise step_us or the guard"
-        )
-    grid = guarded.select(
-        "key",
-        "t0",
-        F.explode(F.sequence(F.lit(0), F.col("n_steps"))).alias("t_idx"),
-    ).select(
-        "key",
-        "t_idx",
-        (F.col("t0") + F.col("t_idx") * F.lit(step_us)).alias("ts_us"),
-    )
-    tagged = obs.select(
-        "key", "ts_us", F.lit(False).alias("is_grid"),
-        F.lit(None).cast("long").alias("t_idx"), "event_id", "value",
-    ).unionByName(
-        grid.select(
-            "key", "ts_us", F.lit(True).alias("is_grid"),
-            "t_idx", F.lit(None).cast("long").alias("event_id"),
-            F.lit(None).cast(obs.schema["value"].dataType).alias("value"),
-        )
+    tagged = _tagged_resample_grid(
+        events, step_us, key_col, max_grid_per_key, "resample_ffill"
     )
     # observations before grid rows at equal ts (at-or-before); ties
     # among observations resolve to the newest event_id
@@ -192,6 +155,120 @@ def resample_ffill(
         "t_idx",
         F.col("ts_us").alias("grid_ts"),
         F.col("ffill").alias("value"),
+    )
+
+
+def _tagged_resample_grid(
+    events: DataFrame,
+    step_us: int,
+    key_col: str,
+    max_grid_per_key: int,
+    op: str,
+) -> DataFrame:
+    """Shared grid scaffolding for the resamplers: per-key [min, max]
+    bounds (one aggregate), the distributed fail-fast guard on grid
+    explosion, the sequence-explode grid, and the observation/grid
+    union-tag relation the value-carrying windows run over."""
+    if step_us < 1:
+        raise ValueError(f"{op}: step_us must be >= 1, got {step_us}")
+    obs = events.select(
+        F.col(key_col).alias("key"),
+        ts_micros(events).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1")
+    )
+    n_steps = ((F.col("t1") - F.col("t0")) / F.lit(step_us)).cast("long")
+    guarded = bounds.withColumn("n_steps", n_steps)
+    # fail fast, distributedly, on grids that would explode a key
+    too_big = guarded.where(F.col("n_steps") > max_grid_per_key).limit(1).collect()
+    if too_big:
+        r = too_big[0]
+        raise ValueError(
+            f"{op}: key {r.key!r} spans {int(r.n_steps)} grid steps "
+            f"(> max_grid_per_key={max_grid_per_key}); raise step_us or the guard"
+        )
+    grid = guarded.select(
+        "key",
+        "t0",
+        F.explode(F.sequence(F.lit(0), F.col("n_steps"))).alias("t_idx"),
+    ).select(
+        "key",
+        "t_idx",
+        (F.col("t0") + F.col("t_idx") * F.lit(step_us)).alias("ts_us"),
+    )
+    return obs.select(
+        "key", "ts_us", F.lit(False).alias("is_grid"),
+        F.lit(None).cast("long").alias("t_idx"), "event_id", "value",
+    ).unionByName(
+        grid.select(
+            "key", "ts_us", F.lit(True).alias("is_grid"),
+            "t_idx", F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast(obs.schema["value"].dataType).alias("value"),
+        )
+    )
+
+
+def resample_interpolate(
+    events: DataFrame,
+    step_us: int,
+    key_col: str = "user_id",
+    max_grid_per_key: int = 1_000_000,
+) -> DataFrame:
+    """Irregular observations -> a regular per-key grid with LINEAR
+    INTERPOLATION between the bracketing observations — the smoother
+    events-to-EDM-series bridge for continuous signals, where
+    :func:`resample_ffill`'s step function would inject artificial
+    flat segments into an attractor reconstruction.
+
+    value(grid_ts) = prev + (next - prev) * (grid_ts - prev_ts)
+                                          / (next_ts - prev_ts)
+    where prev is the newest observation at-or-before and next the
+    newest observation at-or-after the grid point; a grid point sitting
+    exactly on an observation takes that observation; trailing grid
+    points past the last observation carry it forward (degenerating to
+    ffill — no extrapolation is invented). Same guard, grid, and
+    union-tag machinery as resample_ffill: one aggregate, one guarded
+    explode, and two windows over the key — no range join.
+    """
+    tagged = _tagged_resample_grid(
+        events, step_us, key_col, max_grid_per_key, "resample_interpolate"
+    )
+    obs_val = F.when(~F.col("is_grid"), F.col("value"))
+    obs_ts = F.when(~F.col("is_grid"), F.col("ts_us"))
+    back = Window.partitionBy("key").orderBy(
+        F.col("ts_us").asc(),
+        F.col("is_grid").cast("int").asc(),
+        F.col("event_id").asc_nulls_last(),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # forward frame: grid BEFORE observations at equal ts (at-or-after),
+    # ties among observations at one ts resolve to the newest event_id
+    fwd = Window.partitionBy("key").orderBy(
+        F.col("ts_us").asc(),
+        F.col("is_grid").cast("int").desc(),
+        F.col("event_id").desc_nulls_last(),
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = (
+        tagged.withColumn("pv", F.last(obs_val, ignorenulls=True).over(back))
+        .withColumn("pt", F.last(obs_ts, ignorenulls=True).over(back))
+        .withColumn("nv", F.first(obs_val, ignorenulls=True).over(fwd))
+        .withColumn("nt", F.first(obs_ts, ignorenulls=True).over(fwd))
+    )
+    interp = F.when(
+        F.col("nt").isNull() | (F.col("nt") == F.col("pt")), F.col("pv")
+    ).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.col("ts_us") - F.col("pt"))
+        / (F.col("nt") - F.col("pt"))
+    )
+    return carried.where(F.col("is_grid")).select(
+        F.col("key").alias(key_col),
+        "t_idx",
+        F.col("ts_us").alias("grid_ts"),
+        interp.alias("value"),
     )
 
 

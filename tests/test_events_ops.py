@@ -211,3 +211,77 @@ FROM g
         resample_ffill(ev, 0)
     with pytest.raises(ValueError, match="max_grid_per_key"):
         resample_ffill(ev, 1, max_grid_per_key=10)
+
+
+def test_resample_interpolate_matches_numpy(spark):
+    """Linear resampling pinned against np.interp per key: interior grid
+    points interpolate between bracketing observations, exact hits take
+    the observation, trailing points carry the last value forward."""
+    import numpy as np
+    import pandas as pd
+
+    from ccm_spark.pipeline.events_ops import resample_interpolate
+
+    import datetime as dt
+
+    def us(t):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(t))
+
+    rng = np.random.default_rng(3)
+    rows = []
+    truth = {}
+    eid = 0
+    for key in (1, 2):
+        # irregular timestamps incl. a duplicate-ts pair for tie rules
+        ts = np.sort(rng.choice(np.arange(0, 1000, 7), size=12, replace=False))
+        vals = rng.normal(size=12)
+        truth[key] = (ts, vals)
+        for t, v in zip(ts, vals):
+            rows.append((eid, key, us(t), float(v)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    step = 13
+    out = resample_interpolate(ev, step_us=step)
+    got = {
+        (r.user_id, r.t_idx): (r.grid_ts, r.value) for r in out.collect()
+    }
+    for key, (ts, vals) in truth.items():
+        t0, t1 = int(ts.min()), int(ts.max())
+        n = (t1 - t0) // step
+        grid = t0 + np.arange(n + 1) * step
+        want = np.interp(grid, ts.astype(float), vals)
+        for i, g in enumerate(grid):
+            gts, v = got[(key, i)]
+            assert gts == g
+            assert v == pytest.approx(want[i], abs=1e-12), (key, i)
+        # every grid point for the key is accounted for
+        assert sum(1 for k in got if k[0] == key) == n + 1
+
+
+def test_resample_interpolate_duplicate_ts_and_guard(spark):
+    """Two observations at one microsecond: the newest event_id wins on
+    BOTH sides of the bracket (same rule as ffill); the grid-explosion
+    guard fires distributedly."""
+    import datetime as dt
+
+    from ccm_spark.pipeline.events_ops import resample_interpolate
+
+    def us(t):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(t))
+
+    rows = [
+        (0, 1, us(0), 10.0),
+        (1, 1, us(0), 20.0),   # newest at ts=0
+        (2, 1, us(100), 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {r.t_idx: r.value for r in resample_interpolate(ev, step_us=50).collect()}
+    assert got[0] == 20.0                 # exact hit -> newest observation
+    assert got[1] == pytest.approx(20.0 + (40.0 - 20.0) * 50 / 100)
+    assert got[2] == 40.0
+    with pytest.raises(ValueError, match="grid steps"):
+        resample_interpolate(ev, step_us=50, max_grid_per_key=1)
