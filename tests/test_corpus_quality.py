@@ -226,3 +226,63 @@ def test_train_classifier_separates_and_is_partitioning_invariant(spark):
         train_classifier(docs, n_iters=0)
     with pytest.raises(ValueError, match="empty"):
         train_classifier(docs.where("doc_id > 9999"))
+
+
+def test_classifier_metrics_match_bruteforce_auc(spark):
+    """Histogram AUC equals the brute-force pairwise definition
+    (half credit on ties), confusion counts check out, NULL-scored docs
+    are excluded and reported."""
+    rows = [
+        # (doc_id, score, label)
+        (0, 0.9, 1), (1, 0.8, 1), (2, 0.8, 0), (3, 0.6, 1),
+        (4, 0.4, 0), (5, 0.4, 1), (6, 0.2, 0), (7, 0.1, 0),
+        (8, None, 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, model_score double, label int")
+    from ccm_spark.pipeline.text import classifier_metrics
+
+    m = classifier_metrics(df)
+    scored = [(s, y) for _, s, y in rows if s is not None]
+    pos = [s for s, y in scored if y == 1]
+    neg = [s for s, y in scored if y == 0]
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert m["auc"] == round(brute, 6)
+    assert m["n_scored"] == 8 and m["n_unscored"] == 1
+    assert m["confusion"] == {"tp": 3, "fp": 1, "fn": 1, "tn": 3}
+    assert m["accuracy"] == round(6 / 8, 6)
+    assert m["precision"] == round(3 / 4, 6)
+    assert m["recall"] == round(3 / 4, 6)
+
+
+def test_classifier_metrics_close_the_training_loop(spark):
+    """End-to-end: train on the separable fixture, score, evaluate —
+    the loop a real curation pipeline runs (train -> serve -> audit)."""
+    from ccm_spark.pipeline.text import (
+        classifier_metrics,
+        classifier_score,
+        train_classifier,
+    )
+
+    good = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "this is a perfectly normal english sentence about the weather today",
+        "we went to the market and bought some fresh bread and cheese",
+    ]
+    bad = [
+        "zxq vbn mlkj qwerty asdf zxcv plm okn ijb uhv ygc tfx",
+        "qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss",
+        "kfj dhs lqo wmx bzn ytr vcp qus eid jgh rkl wpz",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(good)] + [
+        (100 + i, t, 0) for i, t in enumerate(bad)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_classifier(docs, log2_features=14, n_iters=15, lr=1.0)
+    scored = classifier_score(docs, weights=w, log2_features=14, bias=b).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    m = classifier_metrics(scored)
+    assert m["auc"] == 1.0  # fully separable fixture
+    assert m["recall"] == 1.0
