@@ -483,3 +483,18 @@ def kmeans_assign_udf(bc_centroids):
         return pd.Series(np.argmin(d2, axis=1).astype(np.int64))
 
     return _assign
+
+
+def pca_project_udf(bc_model):
+    """Arrow-batched PCA projection: (x - mean) @ components.T per batch
+    matmul. ``bc_model`` is a SparkContext.broadcast of (components
+    (k x dim), mean (dim,)); returns array<double> of length k."""
+
+    @pandas_udf("array<double>")
+    def _project(embedding: pd.Series) -> pd.Series:
+        comps, mu = bc_model.value
+        x = np.stack(embedding.to_numpy()).astype(np.float64) - mu
+        out = x @ comps.T
+        return pd.Series([row.tolist() for row in out])
+
+    return _project

@@ -945,3 +945,97 @@ def probe_embedding_index(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def pca_fit(embeddings: DataFrame, out_dim: int = 16):
+    """Fit the corpus's top-``out_dim`` principal axes — the
+    variance-OPTIMAL linear reduction next to the variance-agnostic
+    :func:`random_projection` (JL planes preserve distances in
+    expectation; PCA concentrates them, the right call before
+    clustering or IVF training when the corpus has structure).
+
+    Returns ``(components, mean)``: a (out_dim x dim) float64 row-matrix
+    (descending eigenvalue order) and the corpus mean.
+
+    Scale shape (the trainer discipline): ONE Arrow pass emits per-batch
+    flattened partial sums (n, sum_x, sum of outer products — dim^2+dim+1
+    doubles per BATCH, not per row), one hash aggregate reduces them,
+    and the driver sees a single (dim x dim) covariance — eigendecomposed
+    locally (dim = 64 here; even 4096-dim is a driver triviality).
+    Determinism: the aggregated moments round at 9 before the
+    eigendecomposition, so float sum-order across partitions cannot
+    reach the model; component signs are fixed (largest-|component|
+    entry positive) because eigenvectors are sign-ambiguous.
+    Repartition-invariance is test-pinned."""
+    import numpy as np
+    import pandas as pd
+
+    if out_dim < 1:
+        raise ValueError(f"pca_fit: out_dim must be >= 1, got {out_dim}")
+
+    def partials(batches):
+        for pdf in batches:
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n, d = x.shape
+            packed = np.concatenate(
+                [[float(n)], x.sum(axis=0), (x.T @ x).ravel()]
+            )
+            yield pd.DataFrame(
+                {"idx": np.arange(len(packed), dtype=np.int64), "p": packed}
+            )
+
+    base = spread(embeddings, "vec_id").select(
+        as_double_vec("embedding").alias("v")
+    )
+    rows = (
+        base.mapInPandas(partials, "idx long, p double")
+        .groupBy("idx")
+        .agg(F.sum("p").alias("p"))
+        .collect()
+    )
+    packed = np.zeros(max(r.idx for r in rows) + 1)
+    for r in rows:
+        packed[r.idx] = r.p
+    n = packed[0]
+    if n < 2:
+        raise ValueError(f"pca_fit: need at least 2 vectors, got {int(n)}")
+    dim = int(round((-1 + np.sqrt(1 + 4 * (len(packed) - 1))) / 2))
+    sum_x = np.round(packed[1 : 1 + dim], 9)
+    outer = np.round(packed[1 + dim :].reshape(dim, dim), 9)
+    if out_dim > dim:
+        raise ValueError(f"pca_fit: out_dim {out_dim} > embedding dim {dim}")
+    mu = sum_x / n
+    cov = outer / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:out_dim]
+    comps = vecs[:, order].T  # (out_dim, dim)
+    # sign convention: the largest-|.| entry of each component positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return np.ascontiguousarray(comps), mu
+
+
+def pca_transform(embeddings: DataFrame, components, mean) -> DataFrame:
+    """(vec_id, projection): each vector centred and projected onto the
+    fitted axes — one narrow Arrow matmul per batch against the
+    broadcast model, no shuffle, so the SAME plan projects a STREAMING
+    increment at ingestion time (like pq_encode / kmeans_assign)."""
+    import numpy as np
+
+    from ccm_spark.functions.vector_udfs import pca_project_udf
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        (
+            np.ascontiguousarray(np.asarray(components, dtype=np.float64)),
+            np.asarray(mean, dtype=np.float64),
+        )
+    )
+    project = pca_project_udf(bc)
+    out = embeddings
+    if not embeddings.isStreaming:
+        out = spread(embeddings, "vec_id")
+    return out.select(
+        "vec_id", project(as_double_vec("embedding")).alias("projection")
+    )

@@ -158,3 +158,45 @@ def test_probe_embedding_index_batch_and_stream(spark, sf_small, tmp_path):
         for r in spark.sql("select * from emb_probe_stream").collect()
     )
     assert got_s == batch
+
+
+def test_pca_recovers_planted_axes_and_is_partitioning_invariant(spark):
+    """PCA on anisotropic synthetic data: components align with the
+    planted high-variance axes in order; projection matches the numpy
+    replay; the fit is bit-identical under repartitioning; guards
+    raise."""
+    import numpy as np
+    import pytest
+
+    from ccm_spark.pipeline.similarity import pca_fit, pca_transform
+
+    rng = np.random.default_rng(13)
+    n, dim = 300, 64
+    x = rng.normal(0, 0.05, (n, dim))
+    x[:, 5] += rng.normal(0, 3.0, n)   # dominant axis
+    x[:, 20] += rng.normal(0, 1.5, n)  # second axis
+    x += rng.normal(0.7, 0.01, dim)    # nonzero mean
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    comps, mu = pca_fit(df, out_dim=4)
+    assert comps.shape == (4, dim)
+    # top components point (almost) exactly along the planted axes
+    assert abs(comps[0][5]) > 0.99
+    assert abs(comps[1][20]) > 0.99
+    # sign convention: dominant entry positive
+    assert comps[0][5] > 0 and comps[1][20] > 0
+
+    got = {r.vec_id: np.array(r.projection) for r in pca_transform(df, comps, mu).collect()}
+    want = (x - mu) @ comps.T
+    for i in range(n):
+        np.testing.assert_allclose(got[i], want[i], rtol=0, atol=1e-9)
+
+    comps2, mu2 = pca_fit(df.repartition(11), out_dim=4)
+    assert (comps2 == comps).all() and (mu2 == mu).all()
+
+    with pytest.raises(ValueError, match="out_dim"):
+        pca_fit(df, out_dim=100)
+    with pytest.raises(ValueError, match="out_dim"):
+        pca_fit(df, out_dim=0)
