@@ -472,3 +472,45 @@ def with_global_positions(df: DataFrame, position_col: str = "global_pos") -> Da
             yield out
 
     return with_pid.mapInPandas(stamp, f"{fields}, {position_col} long")
+
+
+def score_weighted_sample(
+    scored: DataFrame,
+    score_col: str = "model_score",
+    gamma: float = 1.0,
+    floor_rate: float = 0.0,
+    salt: str = "qsample1",
+) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep each document with
+    probability ``max(floor_rate, score^gamma)`` — the curation move
+    that samples a corpus TOWARD its quality distribution instead of
+    thresholding it (a hard cutoff discards every borderline document;
+    weighted sampling keeps them at reduced rate, preserving diversity
+    — the standard soft-filter used with classifier quality scores).
+
+    ``gamma`` sharpens (>1) or flattens (<1) the preference;
+    ``floor_rate`` guarantees even zero-scored documents a minimum
+    acceptance (set it > 0 when total distribution coverage matters
+    more than purity). Scores must lie in [0, 1] (what
+    ``text.classifier_score`` emits); NULL scores use the floor.
+
+    Same determinism contract as :func:`mixture_sample`: acceptance
+    compares the md5 ``mix_key`` against round(p * MIX_MOD), so the
+    kept SET is a pure function of (doc_id, salt, score) — independent
+    of partitioning, reproducible on any cluster, and a fresh salt
+    draws an independent sample. One narrow pass, no shuffle,
+    streaming-safe."""
+    if not 0 <= floor_rate <= 1:
+        raise ValueError(f"score_weighted_sample: floor_rate must be in [0, 1], got {floor_rate}")
+    if gamma <= 0:
+        raise ValueError(f"score_weighted_sample: gamma must be > 0, got {gamma}")
+    key = mix_key("doc_id", salt)
+    p = F.greatest(
+        F.lit(float(floor_rate)),
+        F.coalesce(
+            F.pow(F.col(score_col).cast("double"), F.lit(float(gamma))),
+            F.lit(float(floor_rate)),
+        ),
+    )
+    thr = F.round(p * F.lit(MIX_MOD), 0).cast("long")
+    return scored.withColumn("keep", key < thr)

@@ -364,3 +364,40 @@ def test_temperature_rates_closed_form_and_composition(spark, sf_small):
         assert abs(realized.get(g, 0) - expect) <= 4 * (expect ** 0.5) + 2, g
     with pytest.raises(ValueError, match="tau"):
         temperature_rates(docs, tau=0.0)
+
+
+def test_score_weighted_sample_rates_and_determinism(spark):
+    """Acceptance tracks score^gamma within binomial noise, the kept set
+    is partitioning-invariant, NULL scores fall to the floor, and
+    guards raise."""
+    import pytest
+
+    from ccm_spark.pipeline.mixing import score_weighted_sample
+
+    n = 4000
+    rows = [(i, (i % 100) / 100.0) for i in range(n)] + [(n, None)]
+    df = spark.createDataFrame(rows, "doc_id long, model_score double")
+    out = score_weighted_sample(df, gamma=1.0, floor_rate=0.0)
+    kept = {r.doc_id for r in out.collect() if r.keep}
+    # overall acceptance ~ mean score = ~0.495; binomial sd ~ 0.008
+    rate = len(kept) / n
+    assert abs(rate - 0.495) < 0.03
+    # high scores keep much more often than low scores
+    hi = sum(1 for i in kept if i % 100 >= 90) / (n // 100 * 10)
+    lo = sum(1 for i in kept if i % 100 < 10) / (n // 100 * 10)
+    assert hi > 0.85 and lo < 0.15
+    # NULL score with floor 0 -> never kept; with floor 1 -> always
+    assert n not in kept
+    out_floor = score_weighted_sample(df, floor_rate=1.0)
+    assert all(r.keep for r in out_floor.collect())
+    # deterministic under repartitioning
+    again = {
+        r.doc_id
+        for r in score_weighted_sample(df.repartition(13)).collect()
+        if r.keep
+    }
+    assert again == kept
+    with pytest.raises(ValueError, match="gamma"):
+        score_weighted_sample(df, gamma=0)
+    with pytest.raises(ValueError, match="floor_rate"):
+        score_weighted_sample(df, floor_rate=2.0)
