@@ -58,3 +58,48 @@ def test_causal_screening_example_runs(spark):
     assert {0, 1, 2, 3} <= set(out["survivors"])
     drivers = {(d, r) for d, r, _ in out["edges"]}
     assert (0, 1) in drivers and (2, 3) in drivers
+
+
+def test_streaming_ingestion_example_stream_equals_batch(spark, sf_small, tmp_path):
+    """Every enrichment relation of the ingestion walkthrough must
+    produce IDENTICAL rows from a streaming source and a batch read of
+    the same shard — the backfill == live guarantee the example
+    advertises."""
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from streaming_ingestion import build_frozen_artifacts, enrichments, with_demo_urls
+    finally:
+        sys.path.pop(0)
+
+    from ccm_spark.sources.tables import load_table
+
+    artifacts = build_frozen_artifacts(spark, sf_small)
+    docs = with_demo_urls(load_table(spark, sf_small, "documents")).select(
+        "doc_id", "url", "text", "lang"
+    )
+    batch_rels = enrichments(docs, artifacts)
+    batch = {
+        name: sorted(tuple(r) for r in rel.collect())
+        for name, rel in batch_rels.items()
+    }
+
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    docs.coalesce(2).write.parquet(str(src / "shard0"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src / "shard0"))
+    stream_rels = enrichments(stream, artifacts)
+    for name, rel in stream_rels.items():
+        assert rel.isStreaming, name
+        q = (
+            rel.writeStream.format("memory")
+            .queryName(f"ingest_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            tuple(r) for r in spark.sql(f"select * from ingest_{name}").collect()
+        )
+        assert got == batch[name], name
