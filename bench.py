@@ -219,12 +219,50 @@ def main() -> None:
         print(f"# dtw_topk prune stats: {stats}", file=sys.stderr)
         return out
 
+    def extra_kmeans(spark, sf_dir):
+        from ccm_spark.pipeline.clustering import kmeans_assign, kmeans_fit
+        from ccm_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_fit(embs, k=16, n_iters=2)
+        return kmeans_assign(embs, cents)
+
+    def extra_pca(spark, sf_dir):
+        from ccm_spark.pipeline.similarity import pca_fit, pca_transform
+        from ccm_spark.sources.tables import load_table
+
+        embs = load_table(spark, sf_dir, "embeddings")
+        comps, mu = pca_fit(embs, out_dim=16)
+        return pca_transform(embs, comps, mu)
+
+    def extra_html(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.html import extract_text
+        from ccm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        # wrap the corpus in markup so the whole regex chain does real work
+        wrapped = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><style>p{}</style></head><body>"
+                      "<script>var x = 1;</script><div><p>"),
+                F.regexp_replace("text", "\\. ", ".</p><p>"),
+                F.lit("</p></div></body></html>"),
+            ).alias("html"),
+        )
+        return extract_text(wrapped)
+
     extras = {
         "url_dedup": qs["url_dedup"],
         "lm_perplexity": extra_lm,
         "bm25_topk": extra_bm25,
         "line_dedup": extra_line_dedup,
         "dtw_topk": extra_dtw,
+        "kmeans_cluster": extra_kmeans,
+        "pca_project": extra_pca,
+        "html_extract": extra_html,
     }
     extra_timings = {}
     for name, fn in extras.items():
