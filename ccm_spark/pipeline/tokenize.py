@@ -209,3 +209,179 @@ def chunk_docs(
 
     src = docs if docs.isStreaming else spread(docs, "doc_id")
     return src.select("doc_id", "text").mapInPandas(run, CHUNKED_SCHEMA)
+
+
+def train_bpe(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    max_words: int = 1_000_000,
+    end_marker: str = "</w>",
+) -> dict:
+    """Train a byte-pair-encoding merge table on the corpus — the
+    TRAINING half of subword tokenization (Sennrich et al. 2016),
+    complementing the wordpiece APPLY path above.
+
+    The industry-standard scale trick (HF tokenizers do the same):
+    BPE statistics depend only on the WORD HISTOGRAM, not on word order
+    or document boundaries — so the distributed part is ONE
+    map-side-combined word count, and the merge loop runs driver-side
+    over that bounded histogram (each merge touches only the words
+    containing its pair, tracked by an index). The corpus is read once
+    however many merges are trained.
+
+    Determinism: merge choice = (count desc, pair lexicographic asc);
+    the histogram itself is exact integer counts. The word-count collect
+    is guarded like every bounded-artifact trainer: a distributed count
+    runs first and a corpus with more than ``max_words`` DISTINCT words
+    raises with the fix instead of collecting unbounded rows.
+
+    Returns {"merges": [(a, b), ...] in training order,
+    "vocab": {piece: rank}, "end_marker": ...} — feed to
+    :func:`bpe_encode`.
+    """
+    from ccm_spark.functions.hashing import tokens_col
+
+    if n_merges < 1:
+        raise ValueError(f"train_bpe: n_merges must be >= 1, got {n_merges}")
+    wc = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    n_distinct = wc.count()
+    if n_distinct == 0:
+        raise ValueError("train_bpe: corpus has no tokens")
+    if n_distinct > max_words:
+        raise ValueError(
+            f"train_bpe: corpus has {n_distinct} distinct words > max_words="
+            f"{max_words}; raise the cap (the histogram is the driver-side "
+            "training set) or pre-filter rare words upstream"
+        )
+    rows = wc.collect()
+    # word -> (symbol tuple, count); end marker closes the last symbol so
+    # merges cannot cross word boundaries when decoded
+    words: dict[int, tuple[tuple[str, ...], int]] = {}
+    for i, r in enumerate(sorted(rows, key=lambda r: r.w)):
+        words[i] = (tuple(r.w) + (end_marker,), int(r.n))
+
+    import heapq
+
+    stats: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
+
+    def bump(pair: tuple[str, str], delta: int, wid: int | None) -> None:
+        c = stats.get(pair, 0) + delta
+        if c <= 0:
+            stats.pop(pair, None)
+        else:
+            stats[pair] = c
+            if delta > 0:
+                heapq.heappush(heap, (-c, pair))
+        if wid is not None:
+            if delta > 0:
+                index.setdefault(pair, set()).add(wid)
+            else:
+                index.get(pair, set()).discard(wid)
+
+    for wid, (syms, n) in words.items():
+        for a, b in zip(syms, syms[1:]):
+            bump((a, b), n, wid)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        # lazy-invalidation max-heap: entries go stale when counts move;
+        # pop until the top matches the live count (ties break
+        # lexicographic via the tuple ordering of equal -count entries)
+        best = None
+        while heap:
+            c, pair = heap[0]
+            if stats.get(pair) == -c:
+                best = pair
+                break
+            heapq.heappop(heap)
+        if best is None or stats[best] < 2:
+            break  # nothing left worth merging
+        merges.append(best)
+        new_sym = best[0] + best[1]
+        for wid in list(index.get(best, ())):
+            syms, n = words[wid]
+            # retract the word's old pairs, rewrite, re-add the new ones
+            for a, b in zip(syms, syms[1:]):
+                bump((a, b), -n, wid)
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = tuple(out)
+            words[wid] = (syms, n)
+            for a, b in zip(syms, syms[1:]):
+                bump((a, b), n, wid)
+    vocab_set: set[str] = set()
+    for syms, _ in words.values():
+        vocab_set.update(syms)
+    return {
+        "merges": merges,
+        "vocab": {p: i for i, p in enumerate(sorted(vocab_set))},
+        "end_marker": end_marker,
+    }
+
+
+def py_bpe_encode(word: str, merges_rank: dict, end_marker: str) -> list[str]:
+    """Pure-Python BPE segmentation of one word — lowest-rank merge
+    first, the canonical apply algorithm; shared by the Arrow kernel and
+    the tests' driver replay so the two are identical by construction."""
+    syms = list(word) + [end_marker]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = merges_rank.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(docs: DataFrame, model: dict) -> DataFrame:
+    """(doc_id, pieces, n_pieces): every document segmented by the
+    trained merge table — one narrow Arrow pass with the model in the
+    closure (merge tables are KBs), no shuffle, streaming-safe like
+    tokenize_docs. Token-less docs emit empty arrays."""
+    import pandas as pd
+
+    merges_rank = {tuple(m): i for i, m in enumerate(model["merges"])}
+    end_marker = model["end_marker"]
+
+    def run(batches):
+        from ccm_spark.functions.hashing import py_tokens
+        from ccm_spark.pipeline.tokenize import py_bpe_encode
+
+        for pdf in batches:
+            pieces_out, n_out = [], []
+            for text in pdf["text"]:
+                pieces: list[str] = []
+                for w in py_tokens(text):
+                    pieces.extend(py_bpe_encode(w, merges_rank, end_marker))
+                pieces_out.append(pieces)
+                n_out.append(len(pieces))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pieces": pieces_out,
+                    "n_pieces": pd.Series(n_out, dtype="int64"),
+                }
+            )
+
+    out = docs.select("doc_id", "text")
+    if not docs.isStreaming:
+        out = spread(out, "doc_id")
+    return out.mapInPandas(
+        run, "doc_id long, pieces array<string>, n_pieces long"
+    )

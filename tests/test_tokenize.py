@@ -165,3 +165,88 @@ def test_detokenize_round_trips_in_charset_docs(spark):
     assert oov[1] == 0.0 and back[1] == "the quick brown fox jumps"
     assert oov[2] == 0.0 and back[2] == "mixed case and numbers 42"
     assert "[UNK]" in back[3] and back[3].endswith("word")
+
+
+def test_train_bpe_learns_expected_merges_and_roundtrips(spark):
+    """BPE on a hand-sized corpus: the first merges are the dominant
+    pairs (hand-checkable), frequent words collapse to single pieces,
+    every encoding concatenates back to word + end marker, and training
+    is partitioning-invariant (the histogram is exact)."""
+    from ccm_spark.pipeline.tokenize import bpe_encode, py_bpe_encode, train_bpe
+
+    texts = ["low low low lower lower newest newest newest newest widest"]
+    docs = spark.createDataFrame(
+        [(0, texts[0])], "doc_id long, text string"
+    )
+    model = train_bpe(docs, n_merges=50)
+    # 'newest' (4x) dominates: its pairs merge first; 'es' or 'st</w>'
+    # family leads depending on counts — check the hand-computable first
+    # merge: pair counts: ('e','s') appears in newest(4)+widest(1)=5,
+    # ('s','t') 5, ('t','</w>') 5, ('w','e') in newest+widest... 'we' in
+    # lower? l-o-w-e-r yes: 2 + newest 4 + widest 1 = 7 -> ('w','e') wins
+    assert model["merges"][0] == ("w", "e")
+    # frequent training words become one piece under the trained table
+    rank = {tuple(m): i for i, m in enumerate(model["merges"])}
+    assert py_bpe_encode("newest", rank, model["end_marker"]) == ["newest</w>"]
+    assert py_bpe_encode("low", rank, model["end_marker"]) == ["low</w>"]
+
+    out = {r.doc_id: r.pieces for r in bpe_encode(docs, model).collect()}
+    joined = "".join(out[0])
+    assert joined == "".join(
+        w + model["end_marker"] for w in texts[0].split()
+    )
+
+    model2 = train_bpe(docs.repartition(5), n_merges=50)
+    assert model2["merges"] == model["merges"]
+    assert model2["vocab"] == model["vocab"]
+
+
+def test_train_bpe_guards_and_unseen_words(spark):
+    import pytest
+
+    from ccm_spark.pipeline.tokenize import bpe_encode, train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb aaa"), (1, "aaa ccc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n_merges"):
+        train_bpe(docs, n_merges=0)
+    with pytest.raises(ValueError, match="max_words"):
+        train_bpe(docs, max_words=1)
+    model = train_bpe(docs, n_merges=10)
+    # an UNSEEN word degrades gracefully to whatever merges apply
+    unseen = spark.createDataFrame([(9, "aab zzz")], "doc_id long, text string")
+    out = {r.doc_id: r.pieces for r in bpe_encode(unseen, model).collect()}
+    assert "".join(out[9]) == "aab" + model["end_marker"] + "zzz" + model["end_marker"]
+
+
+def test_bpe_encode_stream_equals_batch(spark, sf_small, tmp_path):
+    from ccm_spark.pipeline.tokenize import bpe_encode, train_bpe
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(80)
+    model = train_bpe(docs, n_merges=200)
+    batch = {
+        r.doc_id: (tuple(r.pieces), r.n_pieces)
+        for r in bpe_encode(docs, model).collect()
+    }
+    src = tmp_path / "bpe_src"
+    src.mkdir()
+    docs.select("doc_id", "text").coalesce(1).write.parquet(str(src / "p0"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src / "p0"))
+    out = bpe_encode(stream, model)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bpe_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bpe"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (tuple(r.pieces), r.n_pieces)
+        for r in spark.sql("select * from bpe_stream").collect()
+    }
+    assert got == batch
