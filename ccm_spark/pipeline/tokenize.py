@@ -359,22 +359,29 @@ def bpe_encode(docs: DataFrame, model: dict) -> DataFrame:
     merges_rank = {tuple(m): i for i, m in enumerate(model["merges"])}
     end_marker = model["end_marker"]
 
+    vocab = model["vocab"]
+
     def run(batches):
         from ccm_spark.functions.hashing import py_tokens
         from ccm_spark.pipeline.tokenize import py_bpe_encode
 
         for pdf in batches:
-            pieces_out, n_out = [], []
+            pieces_out, ids_out, n_out = [], [], []
             for text in pdf["text"]:
                 pieces: list[str] = []
                 for w in py_tokens(text):
                     pieces.extend(py_bpe_encode(w, merges_rank, end_marker))
                 pieces_out.append(pieces)
+                # -1 marks a piece outside the trained vocab (an unseen
+                # character survives as its own symbol) — the trainer
+                # hand-off can count/replace these explicitly
+                ids_out.append([vocab.get(p, -1) for p in pieces])
                 n_out.append(len(pieces))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "pieces": pieces_out,
+                    "piece_ids": ids_out,
                     "n_pieces": pd.Series(n_out, dtype="int64"),
                 }
             )
@@ -383,5 +390,5 @@ def bpe_encode(docs: DataFrame, model: dict) -> DataFrame:
     if not docs.isStreaming:
         out = spread(out, "doc_id")
     return out.mapInPandas(
-        run, "doc_id long, pieces array<string>, n_pieces long"
+        run, "doc_id long, pieces array<string>, piece_ids array<int>, n_pieces long"
     )

@@ -469,3 +469,60 @@ def read_bigram_lm(spark, path: str) -> dict:
         "vocab_size": int(p["vocab_size"]),
         "max_bigrams": int(p["max_bigrams"]),
     }
+
+
+def write_bpe_model(model: dict, path: str) -> dict:
+    """Persist a ``pipeline.tokenize.train_bpe`` model: the ordered merge
+    table and the piece vocabulary as parquet, end marker in the
+    manifest — train the tokenizer once, encode every future shard
+    against the frozen table (merge ORDER is the model, so rows carry
+    their rank explicitly)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    import os
+
+    mdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(model["merges"])],
+        "rank int, a string, b string",
+    )
+    vdf = spark.createDataFrame(
+        [(p, i) for p, i in model["vocab"].items()], "piece string, id int"
+    )
+    mdf.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(path, "merges")
+    )
+    vdf.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(path, "vocab")
+    )
+    return _write_ann_manifest(
+        path,
+        "bpe_model",
+        {"end_marker": model["end_marker"], "n_merges": len(model["merges"])},
+        len(model["merges"]) + len(model["vocab"]),
+    )
+
+
+def read_bpe_model(spark, path: str) -> dict:
+    """Reload a persisted BPE model in the exact shape ``bpe_encode``
+    consumes; merge order restores from the explicit rank column, so a
+    loaded model encodes bit-identically (test-pinned)."""
+    import os
+
+    manifest = _read_ann_manifest(path, "bpe_model")
+    merges = [
+        (r.a, r.b)
+        for r in sorted(
+            spark.read.parquet(os.path.join(path, "merges")).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    vocab = {
+        r.piece: int(r.id)
+        for r in spark.read.parquet(os.path.join(path, "vocab")).collect()
+    }
+    return {
+        "merges": merges,
+        "vocab": vocab,
+        "end_marker": manifest["params"]["end_marker"],
+    }

@@ -320,3 +320,30 @@ def test_bigram_lm_roundtrip_scores_identically(spark, sf_small, tmp_path):
         for r in perplexity(docs, loaded).collect()
     }
     assert disk == mem and len(disk) == 500
+
+
+def test_bpe_model_roundtrip_encodes_identically(spark, sf_small, tmp_path):
+    """A reloaded BPE model (merge ORDER restored from the explicit rank
+    column) must encode every document identically to the in-session
+    model."""
+    from ccm_spark.pipeline.tokenize import bpe_encode, train_bpe
+    from ccm_spark.sources.sinks import read_bpe_model, write_bpe_model
+
+    docs = load_table(spark, sf_small, "documents").limit(60)
+    model = train_bpe(docs, n_merges=150)
+    path = str(tmp_path / "bpe_model")
+    manifest = write_bpe_model(model, path)
+    assert manifest["params"]["n_merges"] == len(model["merges"])
+
+    loaded = read_bpe_model(spark, path)
+    assert loaded["merges"] == model["merges"]
+    assert loaded["vocab"] == model["vocab"]
+    mem = {
+        r.doc_id: (tuple(r.pieces), tuple(r.piece_ids))
+        for r in bpe_encode(docs, model).collect()
+    }
+    disk = {
+        r.doc_id: (tuple(r.pieces), tuple(r.piece_ids))
+        for r in bpe_encode(docs, loaded).collect()
+    }
+    assert disk == mem and len(disk) == 60
