@@ -99,3 +99,104 @@ def frame_sample_plan(payloads: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+def py_decode_image(payload: bytes):
+    """REAL decode for the codec-free formats (pure stdlib + numpy —
+    honest upgrade of the r06 stub): binary PPM (P6, maxval <= 255) and
+    uncompressed 24/32-bit BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte padding). Returns (height, width, channels, ndarray HxWxC
+    uint8). Formats that genuinely need a codec library (JPEG, PNG,
+    GIF) still raise NotImplementedError via the stub — the boundary is
+    now 'needs entropy coding', not 'needs any decoding'."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        # header: magic, whitespace/comments, width, height, maxval
+        parts: list[int] = []
+        i = 2
+        while len(parts) < 3:
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                while i < len(payload) and payload[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            parts.append(int(payload[i:j]))
+            i = j
+        i += 1  # the single whitespace after maxval
+        w, h, maxval = parts
+        if maxval > 255:
+            raise ValueError(f"py_decode_image: 16-bit PPM unsupported (maxval={maxval})")
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        return h, w, 3, data.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        import struct
+
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(
+                f"py_decode_image: only uncompressed 24/32-bit BMP "
+                f"(got bpp={bpp}, compression={compression})"
+            )
+        nch = bpp // 8
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = ((w * nch + 3) // 4) * 4
+        rows = []
+        for r in range(h):
+            off = data_off + r * row_bytes
+            row = np.frombuffer(payload, dtype=np.uint8, count=w * nch, offset=off)
+            rows.append(row.reshape(w, nch))
+        img = np.stack(rows[::-1] if bottom_up else rows)
+        # BMP stores BGR(A); emit RGB(A)
+        img = img[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]
+        return h, w, nch, img.copy()
+    return _decode_image_stub(payload)
+
+
+DECODED_SCHEMA = (
+    "doc_id long, decode_ok boolean, decode_error string, height int, "
+    "width int, channels int, mean_channel array<double>"
+)
+
+
+def decode_images(payloads: DataFrame) -> DataFrame:
+    """Distributed image decode + per-channel statistics for the formats
+    :func:`py_decode_image` handles; codec-requiring or malformed
+    payloads come back with ``decode_ok = false`` and the reason — a
+    multimodal pipeline REPORTS undecodable blobs, it never dies on
+    them. One narrow Arrow pass (streaming-safe); pixels never leave
+    the executor — only (dims, channel means) scalars return."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    h, w, c, img = py_decode_image(bytes(payload))
+                    means = [
+                        round(float(img[:, :, ch].mean()), 6) for ch in range(c)
+                    ]
+                    rows.append((int(doc_id), True, None, h, w, c, means))
+                except Exception as e:  # noqa: BLE001 - report, never die
+                    rows.append(
+                        (int(doc_id), False, f"{type(e).__name__}: {e}"[:200],
+                         None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "decode_ok", "decode_error", "height",
+                    "width", "channels", "mean_channel",
+                ],
+            )
+
+    return payloads.mapInPandas(run, DECODED_SCHEMA)
