@@ -4,6 +4,7 @@ from ccm_spark.sources.jsonl import (
     read_documents_jsonl,
     write_documents_jsonl,
 )
+from ccm_spark.sources.warc import read_warc, warc_html_documents
 
 __all__ = [
     "load_table",
@@ -11,4 +12,6 @@ __all__ = [
     "documents_jsonl_stream",
     "read_documents_jsonl",
     "write_documents_jsonl",
+    "read_warc",
+    "warc_html_documents",
 ]
