@@ -1,0 +1,155 @@
+"""Link-graph analytics for crawl curation — host graph + PageRank.
+
+The reference has no graph surface (SURVEY.md §2.1); this is extension
+surface for the training-data pipeline: production crawl curation ranks
+hosts by link centrality (Common Crawl publishes exactly such a
+host-level ranking) and uses it to budget the crawl frontier and weight
+corpus sampling. The chain here:
+
+    html.extract_links --host_graph--> (src,dst,weight) --pagerank--> ranks
+
+100 TB design:
+  - **The edge relation is the scale object.** ``host_graph``
+    aggregates page-level links down to (src_host, dst_host, weight)
+    with one map-side-combined groupBy — hosts number ~10^8 where pages
+    number ~10^11, so everything iterative runs on the reduced graph.
+  - **PageRank = 2 shuffles/iteration, both on the same key.** The
+    contribution join and the rank aggregation hash on src/dst; edges
+    are repartitioned ONCE on src and persisted, so every iteration's
+    join reuses that layout and only the (node, rank) relation — the
+    small side — moves. On a real cluster the same layout comes from
+    bucketing the edge table by src.
+  - **Lineage is cut every iteration.** Iterative DataFrame loops grow
+    a plan per round; ``localCheckpoint`` keeps round N's plan O(1)
+    instead of O(N) (same discipline as dedup's label propagation).
+  - **Dangling mass stays in-plan.** Nodes with no out-links leak rank;
+    the leak is recovered as one scalar aggregate crossJoin-broadcast
+    back into the update — no per-iteration driver collect.
+  - Float sums are order-dependent, so ranks are reproducible to ~1e-12
+    (not bit-exact) across partitionings — tests pin against an exact
+    numpy power-iteration replay at that tolerance.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .urls import url_domain
+
+#: default damping — the standard Brin/Page value
+DAMPING = 0.85
+
+
+def host_graph(
+    links: DataFrame,
+    base_col: str = "base_url",
+    href_col: str = "href",
+    keep_self: bool = False,
+) -> DataFrame:
+    """Page-level link rows → weighted host-level edges
+    ``(src, dst, weight)``. Unparseable hosts drop out (NULL domain);
+    intra-host edges (navigation chrome) are dropped unless asked for —
+    they dominate raw counts and carry no cross-site endorsement."""
+    e = links.select(
+        url_domain(F.col(base_col)).alias("src"),
+        url_domain(F.col(href_col)).alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if not keep_self:
+        e = e.filter(F.col("src") != F.col("dst"))
+    return e.groupBy("src", "dst").agg(F.count("*").alias("weight"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "weight",
+    n_iters: int = 10,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Weighted PageRank over an edge relation → ``(node, rank)``,
+    ranks summing to 1. Parallel edges are additive; nodes appearing
+    only as targets still receive rank; dangling nodes (no out-edges)
+    redistribute uniformly, so total mass is conserved exactly (up to
+    float summation) — the property the numpy replay pin checks.
+
+    Plan per iteration: ranks ⋈ edges on src (edges pre-partitioned +
+    persisted, one layout for all rounds) → groupBy dst (map-side
+    partial agg) → one scalar dangling aggregate broadcast back in.
+    ``localCheckpoint`` truncates lineage each round."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    # out-strength denormalised onto edges once; layout reused every round
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .repartition("src")
+        .persist()
+    )
+    nodes = nodes.persist()
+    n = nodes.count()  # one scalar, once — not per iteration
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+        )
+        # rank mass sitting on dangling nodes, recovered in-plan
+        srcs = e.select("src").distinct()
+        dangling = ranks.join(
+            srcs, ranks.node == srcs.src, "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dmass") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def top_hosts(
+    edges: DataFrame, k: int = 100, n_iters: int = 10, damping: float = DAMPING
+) -> DataFrame:
+    """The curation artifact: top-k hosts by PageRank with their degree
+    stats joined on — what a crawl budgeter actually consumes. Two-phase
+    top-k is unnecessary here: ranks is host-cardinality (already the
+    reduced relation), so one orderBy-limit is the right plan."""
+    ranks = pagerank(edges, n_iters=n_iters, damping=damping)
+    deg = edges.groupBy("src").agg(
+        F.count("*").alias("out_degree"), F.sum("weight").alias("out_weight")
+    )
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+    return (
+        ranks.join(deg, ranks.node == deg.src, "left")
+        .join(indeg, ranks.node == indeg.dst, "left")
+        .select(
+            "node",
+            "rank",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        )
+        .orderBy(F.desc("rank"), "node")
+        .limit(k)
+    )

@@ -127,3 +127,86 @@ def robots_flags(df: DataFrame, html_col: str = "html") -> DataFrame:
     return df.withColumn(
         "robots_noindex", content.rlike(_NOINDEX_RE)
     ).withColumn("robots_nofollow", content.rlike(_NOFOLLOW_RE))
+
+
+# one pattern per quote style; running the SAME pattern twice with
+# different group indices yields position-aligned href/anchor arrays
+_ANCHOR_RES = [
+    "(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>",
+    "(?is)<a\\b[^>]*?href\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>",
+]
+# schemes that never name a fetchable document
+_NON_HTTP_RE = "(?i)^(javascript|mailto|tel|data|ftp|file):"
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", base_col: str = "url"
+) -> DataFrame:
+    """One row per ``<a href=...>`` in each page: ``(base_col, href,
+    anchor_text)`` with href RESOLVED against the page URL — the crawl
+    frontier / link-graph edge relation (``pipeline.graph`` aggregates
+    it; anchor text is a classic relevance signal for the target page).
+
+    Resolution covers the cases that dominate real markup: absolute
+    URLs pass through, ``//host/path`` inherits the base scheme,
+    ``/path`` is root-relative, anything else is resolved against the
+    base directory. Fragment-only and non-document schemes
+    (javascript/mailto/tel/data) are dropped; ``..`` segments are NOT
+    collapsed (documented limit — the downstream ``url_normalize``
+    treats the rare uncollapsed form as a distinct URL, which only
+    splits, never wrongly merges). Anchor text is tag-stripped and
+    entity-decoded with the same single-pass rules as ``strip_html``.
+
+    Pure codegen: regexp_extract_all x2 per quote style (aligned by
+    construction) → arrays_zip → one explode. No UDFs; the only
+    width increase is the explode itself, which IS the output."""
+    from .urls import _AUTH_RE, _SCHEME_RE, url_parts  # local: avoid cycle
+
+    pairs = []
+    for pat in _ANCHOR_RES:
+        p = F.lit(pat)
+        pairs.append(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(html_col), p, 1).alias("href"),
+                F.regexp_extract_all(F.col(html_col), p, 2).alias("anchor"),
+            )
+        )
+    exploded = df.select(
+        F.col(base_col).alias("base_url"),
+        F.explode(F.concat(*pairs)).alias("a"),
+    ).select(
+        "base_url",
+        F.col("a.href").alias("href_raw"),
+        F.col("a.anchor").alias("anchor_html"),
+    )
+
+    base = F.col("base_url")
+    scheme = F.regexp_extract(base, _SCHEME_RE, 1)
+    parts = url_parts(base)
+    # full authority (userinfo@host:port) — resolution preserves it
+    origin = F.concat(scheme, F.lit("://"), F.regexp_extract(base, _AUTH_RE, 1))
+    # base directory: path up to (and incl.) the last '/'; empty path -> '/'
+    base_dir = F.regexp_replace(
+        F.when(parts["path"] == "", F.lit("/")).otherwise(parts["path"]),
+        "[^/]*$",
+        "",
+    )
+    href = F.regexp_replace(F.col("href_raw"), "^[ \\t]+|[ \\t]+$", "")
+    resolved = (
+        F.when(href.rlike(_NON_HTTP_RE) | href.startswith("#") | (href == ""), None)
+        .when(href.rlike("(?i)^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(origin, base_dir, href))
+    )
+    anchor = F.col("anchor_html")
+    anchor = F.regexp_replace(anchor, ANY_TAG_RE, "")
+    for ent, repl in ENTITIES:
+        anchor = F.replace(anchor, F.lit(ent), F.lit(repl))
+    anchor = F.regexp_replace(anchor, "\\s+", " ")
+    anchor = F.regexp_replace(anchor, "^ | $", "")
+    return exploded.select(
+        "base_url",
+        resolved.alias("href"),
+        anchor.alias("anchor_text"),
+    ).filter(F.col("href").isNotNull())

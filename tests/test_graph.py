@@ -1,0 +1,144 @@
+"""Link extraction + host graph + PageRank (extension surface — the
+reference has no graph/text layer, SURVEY.md §2.1).
+
+Pins: exact link rows from a markup fixture (resolution rules, quote
+styles, anchor-text cleanup), host-graph weights, PageRank vs an exact
+numpy power-iteration replay (same dangling handling), mass
+conservation, and partitioning invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ccm_spark.pipeline.graph import host_graph, pagerank, top_hosts
+from ccm_spark.pipeline.html import extract_links
+
+PAGE = (
+    "<html><body>"
+    '<a href="https://other.com/x">Abs <b>link</b></a>'
+    "<a href='//cdn.com/lib.js.html'>proto-rel</a>"
+    '<a href="/root.html">Root &amp; rel</a>'
+    '<a href="sibling.html">plain rel</a>'
+    '<a href="#frag">frag only</a>'
+    '<a href="mailto:a@b.c">mail</a>'
+    '<a href="">empty</a>'
+    "</body></html>"
+)
+
+
+def _links(spark, base="http://ex.com/dir/page.html", page=PAGE):
+    df = spark.createDataFrame([(base, page)], "url string, html string")
+    return {
+        r.href: r.anchor_text for r in extract_links(df).collect()
+    }
+
+
+def test_extract_links_resolution_and_anchors(spark):
+    got = _links(spark)
+    assert got == {
+        "https://other.com/x": "Abs link",  # tag-stripped anchor
+        "http://cdn.com/lib.js.html": "proto-rel",  # base scheme inherited
+        "http://ex.com/root.html": "Root & rel",  # entity decoded
+        "http://ex.com/dir/sibling.html": "plain rel",  # dir-relative
+    }  # fragment-only / mailto / empty dropped
+
+
+def test_extract_links_empty_base_path(spark):
+    got = _links(spark, base="http://ex.com")
+    assert got["http://ex.com/sibling.html"] == "plain rel"
+
+
+def test_host_graph_weights_and_self_drop(spark):
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://b.com/x"),
+            ("http://a.com/2", "http://B.com:80/y"),  # same host after parse
+            ("http://a.com/3", "http://a.com/nav"),  # intra-host -> dropped
+            ("http://b.com/1", "http://a.com/z"),
+            ("not a url", "http://a.com/z"),  # unparseable src -> dropped
+        ],
+        "base_url string, href string",
+    )
+    got = {(r.src, r.dst): r.weight for r in host_graph(links).collect()}
+    assert got == {("a.com", "b.com"): 2, ("b.com", "a.com"): 1}
+
+
+def _np_pagerank(edges, n_iters, damping=0.85):
+    """Textbook power iteration with uniform dangling redistribution —
+    the exact semantics pagerank() claims."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outw: dict[str, float] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0.0) + w
+    p = np.zeros((n, n))
+    for s, d, w in edges:
+        p[idx[d], idx[s]] += w / outw[s]
+    dangling = np.array([v not in outw for v in nodes])
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        dmass = r[dangling].sum()
+        r = (1 - damping) / n + damping * (p @ r + dmass / n)
+    return dict(zip(nodes, r))
+
+
+EDGES = [
+    ("a", "b", 1.0),
+    ("a", "c", 2.0),  # weighted: c gets 2x a's endorsement vs b
+    ("b", "c", 1.0),
+    ("c", "a", 1.0),
+    ("c", "d", 1.0),
+    ("e", "a", 1.0),  # e: no in-links; d: dangling (no out-links)
+]
+
+
+def _edges_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string, weight double")
+
+
+def test_pagerank_matches_numpy_replay(spark):
+    got = {r.node: r.rank for r in pagerank(_edges_df(spark), n_iters=12).collect()}
+    want = _np_pagerank(EDGES, n_iters=12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)  # mass conserved
+    # the weighted edge matters: c outranks b
+    assert got["c"] > got["b"] > got["e"]
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    cyc = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("d", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    got = {r.node: r.rank for r in pagerank(cyc, n_iters=7).collect()}
+    for v in got.values():
+        assert v == pytest.approx(0.25, abs=1e-12)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    base = {r.node: r.rank for r in pagerank(_edges_df(spark), n_iters=6).collect()}
+    rep = {
+        r.node: r.rank
+        for r in pagerank(_edges_df(spark).repartition(7), n_iters=6).collect()
+    }
+    for v in base:
+        assert rep[v] == pytest.approx(base[v], abs=1e-11)
+
+
+def test_top_hosts_degrees_and_order(spark):
+    rows = top_hosts(_edges_df(spark), k=3, n_iters=12).collect()
+    want = _np_pagerank(EDGES, n_iters=12)
+    order = sorted(want, key=lambda v: (-want[v], v))[:3]
+    assert [r.node for r in rows] == order
+    by = {r.node: r for r in rows}
+    assert by["a"].out_degree == 2 and by["a"].in_degree == 2
+    assert by["c"].in_degree == 2 and by["c"].out_degree == 2
+
+
+def test_pagerank_rejects_zero_iters(spark):
+    with pytest.raises(ValueError, match="n_iters"):
+        pagerank(_edges_df(spark), n_iters=0)
