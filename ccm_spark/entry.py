@@ -405,6 +405,68 @@ def q_dedup_representatives(spark, sf_dir):
     return dedup.dedup_representatives(_docs(spark, sf_dir), threshold=0.5)
 
 
+def q_html_extract(spark, sf_dir):
+    """Crawl-stage markup extraction (pipeline/html.py): a deterministic
+    markup fixture (doc_id % 4 picks full-page / div+list / entity-tail /
+    pass-through templates) wrapped around documents.text, then the full
+    strip chain — script/style/comment drop, block tags to newlines, tag
+    strip, single-pass entity decode, whitespace normalisation. The
+    DuckDB twin replays template + chain expression-for-expression, so
+    the hash pins the exact cleaned text of every document."""
+    from ccm_spark.pipeline import html as html_ops
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d, t = F.col("doc_id"), F.col("text")
+    ds = d.cast("string")
+    markup = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("<html><head><title>D"), ds,
+                F.lit(
+                    "</title><style>body { x:1; }</style></head><body>"
+                    "<script>var q = 1;</script><p>"
+                ),
+                t, F.lit("</p></body></html>"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<div class="m"><h1>H'), ds,
+                F.lit("</h1><!-- hidden --><p>"), t,
+                F.lit("</p><ul><li>one</li><li>two</li></ul></div>"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("<p>"), t,
+                F.lit("</p><br>tail &amp; &lt;end&gt;&nbsp;fin"),
+            ),
+        )
+        .otherwise(t)
+    )
+    out = html_ops.extract_text(docs.select(d, markup.alias("html")))
+    return out.select(
+        "doc_id", "text", F.length("text").cast("int").alias("n_chars_clean")
+    )
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed full-corpus Lloyd k-means (pipeline/clustering.py):
+    deterministic first-k init, 2 iterations (assignment = broadcast
+    Arrow matmul; update = one (cluster, dim) hash aggregate), then the
+    final nearest-centroid assignment of every vector. The DuckDB twin
+    re-derives the whole trainer, so the hash certifies training AND
+    assignment end-to-end."""
+    from ccm_spark.pipeline import clustering
+
+    embs = _embs(spark, sf_dir)
+    cents = clustering.kmeans_fit(embs, k=8, n_iters=2)
+    return clustering.kmeans_assign(embs, cents)
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -726,7 +788,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
-        "dedup_representatives": q_dedup_representatives,
+        # dedup_representatives rotated out r07 (QUERIES.md policy): its
+        # oracle is a thin GROUP BY over the VERBATIM-embedded
+        # sql_dedup_components of the still-gated dedup_components row
+        # (same closure CTE, same hash inputs), and the apply step keeps
+        # its pin in tests/test_pipeline_ops.py. Slot went to
+        # kmeans_clusters (the r07 distributed trainer family's first
+        # CORRECTNESS row).
+        "kmeans_clusters": q_kmeans_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -744,7 +813,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_srp_buckets": q_ann_srp_buckets,
         "embedding_projection": q_embedding_projection,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        # ann_ivf_kmeans rotated out r07 (QUERIES.md policy): its CTE
+        # chain is embedded VERBATIM in the still-gated
+        # ann_ivf_kmeans_topk (the trained centroids ARE that query's
+        # quantizer — a centroid perturbation changes the gated top-k
+        # hashes), and the trainer keeps pins in tests/test_ivf.py +
+        # tests/test_pipeline_ops.py. Slot went to html_extract (the r07
+        # crawl-extraction family's first CORRECTNESS row).
+        "html_extract": q_html_extract,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "ann_ivf_recall": q_ann_ivf_recall,
         "dedup_embedding": q_dedup_embedding,
@@ -797,7 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oext.sql_pack_sequences(),
         "dedup_exact": oext.sql_dedup_exact(),
         "dedup_components": oext.sql_dedup_components(),
-        "dedup_representatives": oext.sql_dedup_representatives(),
+        "kmeans_clusters": oext.sql_kmeans_clusters(),
         "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
         "dedup_incremental": oext.sql_dedup_against_index(),
         "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
@@ -808,7 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": oext.sql_ann_ivf_topk(),
         "ann_srp_buckets": oext.sql_ann_srp_buckets(),
         "embedding_projection": oext.sql_embedding_projection(),
-        "ann_ivf_kmeans": oext.sql_ann_ivf_kmeans(),
+        "html_extract": oext.sql_html_extract(),
         "ann_ivf_kmeans_topk": oext.sql_ann_ivf_kmeans_topk(),
         "ann_ivf_recall": oext.sql_ann_ivf_recall(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),

@@ -1365,3 +1365,116 @@ SELECT CAST(rank AS INT) AS rank, series_id, distance FROM (
          row_number() OVER (ORDER BY distance, series_id) AS rank
   FROM d
 ) WHERE rank <= {SERIES_K}"""
+
+
+# ------------------------------------------------- html extraction (r07)
+
+def _html_strip_chain(expr: str) -> str:
+    """The extraction chain of pipeline.html.strip_html as one DuckDB
+    expression — patterns imported from the Spark module (single source
+    of truth), engine-portable by construction (no backreferences, no
+    lookaround; same replay tests/test_html.py pins on a hand fixture)."""
+    from ccm_spark.pipeline.html import (
+        ANY_TAG_RE,
+        BLOCK_TAG_RE,
+        DROP_BLOCK_RES,
+        ENTITIES,
+    )
+
+    for pat in DROP_BLOCK_RES:
+        expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
+    expr = f"regexp_replace({expr}, '{BLOCK_TAG_RE}', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '{ANY_TAG_RE}', '', 'g')"
+    for ent, repl in ENTITIES:
+        lit = repl.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{lit}')"
+    expr = f"regexp_replace({expr}, '[ \\t\\r\\x0b\\f]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\\n ?', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+    return expr
+
+
+def sql_html_extract() -> str:
+    """Deterministic markup fixture (doc_id % 4 picks the template: full
+    page with script/style/comment blocks, div+list, entity tail, or
+    bare pass-through) wrapped around documents.text, then the full
+    extraction chain; hash pins the exact cleaned text per doc."""
+    chain = _html_strip_chain("html")
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 0 THEN '<html><head><title>D' || CAST(doc_id AS VARCHAR) || '</title><style>body {{ x:1; }}</style></head><body><script>var q = 1;</script><p>' || text || '</p></body></html>'
+           WHEN doc_id % 4 = 1 THEN '<div class="m"><h1>H' || CAST(doc_id AS VARCHAR) || '</h1><!-- hidden --><p>' || text || '</p><ul><li>one</li><li>two</li></ul></div>'
+           WHEN doc_id % 4 = 2 THEN '<p>' || text || '</p><br>tail &amp; &lt;end&gt;&nbsp;fin'
+           ELSE text
+         END AS html
+  FROM documents
+),
+ext AS (SELECT doc_id, {chain} AS text FROM fx)
+SELECT doc_id, text, CAST(length(text) AS INT) AS n_chars_clean FROM ext"""
+
+
+# -------------------------------------------- distributed k-means (r07)
+
+def sql_kmeans_clusters(k: int = 8, n_iters: int = 2) -> str:
+    """Full-corpus Euclidean Lloyd replay of pipeline.clustering: init =
+    first k vectors by vec_id (L2-normalised, round 6), per-iteration
+    argmin of ||x-c||^2 ranked as (c.c - 2 x.c) with lowest-cluster
+    ties, update = member mean rounded 6 (empty clusters keep their
+    previous centroid), final assignment against the trained centroids."""
+    parts = [
+        f"dims AS (SELECT CAST(unnest(range(0, {DIM})) AS INT) AS d)",
+        """vals AS (
+  SELECT e.vec_id, dims.d, list_extract(e.embedding::DOUBLE[], dims.d + 1) AS val
+  FROM embeddings e CROSS JOIN dims
+)""",
+        "vnorm AS (SELECT vec_id, sqrt(SUM(val * val)) AS vn FROM vals GROUP BY 1)",
+        """nv AS (
+  SELECT v.vec_id, v.d, CASE WHEN n.vn = 0 THEN v.val ELSE v.val / n.vn END AS val
+  FROM vals v JOIN vnorm n USING (vec_id)
+)""",
+        f"""init AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS centroid_id
+  FROM (SELECT DISTINCT vec_id FROM nv ORDER BY vec_id LIMIT {k})
+)""",
+        "cent0 AS (SELECT i.centroid_id, v.d, round(v.val, 6) AS cval FROM init i JOIN nv v USING (vec_id))",
+    ]
+
+    def _score(i: int) -> list[str]:
+        return [
+            f"cn{i} AS (SELECT centroid_id, SUM(cval * cval) AS c2 FROM cent{i} GROUP BY 1)",
+            f"""sc{i} AS (
+  SELECT v.vec_id, c.centroid_id, n.c2 - 2.0 * SUM(v.val * c.cval) AS d2
+  FROM nv v JOIN cent{i} c ON c.d = v.d JOIN cn{i} n ON n.centroid_id = c.centroid_id
+  GROUP BY 1, 2, n.c2
+)""",
+        ]
+
+    for i in range(n_iters):
+        parts += _score(i)
+        parts += [
+            f"""asg{i} AS (
+  SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
+    FROM sc{i}
+  ) r WHERE rk = 1
+)""",
+            f"""cent{i + 1} AS (
+  SELECT a.cluster AS centroid_id, v.d, round(AVG(v.val), 6) AS cval
+  FROM asg{i} a JOIN nv v USING (vec_id) GROUP BY 1, 2
+  UNION ALL
+  SELECT c.centroid_id, c.d, c.cval FROM cent{i} c
+  WHERE c.centroid_id NOT IN (SELECT DISTINCT cluster FROM asg{i})
+)""",
+        ]
+    parts += _score(n_iters)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
+  FROM sc{n_iters}
+) r WHERE rk = 1"""
+    )
