@@ -1,0 +1,185 @@
+"""Crawl-ingestion walkthrough — raw WARC shards to curated documents,
+runnable documentation for the round-7 crawl surface (the stage BEFORE
+examples/corpus_pipeline.py, which starts at clean text).
+
+    python examples/crawl_ingest.py [warc_dir]
+
+Stages (each one operator, each test-pinned in its own module):
+  0. WARC parse          (sources.warc.read_warc — file-parallel, no shuffle)
+  1. HTML documents      (2xx text/html -> strip_html -> documents shape)
+  2. robots opt-out      (meta noindex dropped BEFORE any content use)
+  3. URL hygiene         (canonicalise + URL-exact dedup)
+  4. link graph          (extract_links -> host_graph -> PageRank)
+  5. curation join       (host rank + quality signals per document)
+
+With no warc_dir argument the demo synthesises a deterministic 3-shard
+crawl in a temp dir (two hosts linking each other plus a hub every page
+cites, one robots-opted-out page, one duplicate URL fetched twice, one
+truncated shard) so every stage has something real to do.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tempfile
+
+
+def _http(status: int, ctype: str, body: bytes) -> bytes:
+    head = (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode() + body
+
+
+def _rec(rid: str, uri: str, payload: bytes) -> bytes:
+    heads = [
+        "WARC/1.0",
+        "WARC-Type: response",
+        f"WARC-Record-ID: <urn:uuid:{rid}>",
+        f"WARC-Target-URI: {uri}",
+        "WARC-Date: 2026-02-03T04:05:06Z",
+        "Content-Type: application/http;msgtype=response",
+        f"Content-Length: {len(payload)}",
+    ]
+    return "\r\n".join(heads).encode() + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _page(title: str, body: str, links: list[str], robots: str | None = None) -> bytes:
+    meta = f'<meta name="robots" content="{robots}">' if robots else ""
+    anchors = "".join(f'<a href="{u}">to {u}</a>' for u in links)
+    prose = " ".join(
+        "the quick brown fox jumps over the lazy dog near the river bank." for _ in range(12)
+    )
+    return (
+        f"<html><head><title>{title}</title>{meta}</head>"
+        f"<body><h1>{title}</h1><p>{body} {prose}</p>{anchors}</body></html>"
+    ).encode()
+
+
+def write_demo_crawl(warc_dir: str) -> None:
+    """Three deterministic shards: a.com and b.com link each other and
+    the hub.com page every page cites; one page opts out via robots
+    meta; one URL is fetched twice (shards overlap, as real crawls do);
+    shard 2 is truncated mid-record."""
+    pages = [
+        ("r1", "http://a.com/", _page("A home", "alpha", ["http://hub.com/", "/about.html", "http://b.com/"])),
+        ("r2", "http://a.com/about.html", _page("A about", "alpha about", ["http://hub.com/", "/"])),
+        ("r3", "http://b.com/", _page("B home", "beta", ["http://hub.com/", "http://a.com/"])),
+        ("r4", "http://hub.com/", _page("Hub", "the hub", ["http://a.com/", "http://b.com/"])),
+        ("r5", "http://b.com/private.html", _page("B private", "opted out", ["http://hub.com/"], robots="noindex, nofollow")),
+        # same URL fetched again in a later shard -> url_dedup's job
+        ("r6", "http://a.com/", _page("A home", "alpha refetch", ["http://hub.com/", "/about.html", "http://b.com/"])),
+    ]
+    recs = [_rec(rid, uri, _http(200, "text/html", html)) for rid, uri, html in pages]
+    os.makedirs(warc_dir, exist_ok=True)
+    with open(os.path.join(warc_dir, "shard0.warc"), "wb") as f:
+        f.write(b"".join(recs[:3]))
+    with open(os.path.join(warc_dir, "shard1.warc.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(r) for r in recs[3:]))
+    with open(os.path.join(warc_dir, "shard2.warc"), "wb") as f:
+        f.write(recs[0][: len(recs[0]) // 2])  # truncated upload
+
+
+def run(spark, warc_dir: str) -> dict:
+    """Run the whole ingestion; returns per-stage counts plus the host
+    ranking (collected — demo scale)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ccm_spark.pipeline.graph import host_graph, top_hosts
+    from ccm_spark.pipeline.html import extract_links, robots_flags
+    from ccm_spark.pipeline.text import quality_filter
+    from ccm_spark.pipeline.urls import url_duplicates, with_url_normalized
+    from ccm_spark.sources.warc import read_warc, warc_html_documents
+
+    counts: dict = {}
+
+    # 0: parse every shard; resync rows surface data loss without failing
+    records = read_warc(spark, warc_dir).persist()
+    counts["records"] = records.filter(F.col("warc_type") != "resync").count()
+    counts["resync_bytes"] = (
+        records.filter(F.col("warc_type") == "resync")
+        .agg(F.coalesce(F.sum("payload_len"), F.lit(0)))
+        .first()[0]
+    )
+
+    # 1+2: html responses -> text, dropping robots-opted-out pages BEFORE
+    # any content processing (the compliant order)
+    kept_records = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").startswith("text/html")
+    ).withColumn("html", F.decode("payload", "UTF-8"))
+    opted_out = robots_flags(kept_records).filter(F.col("robots_noindex"))
+    counts["robots_opted_out"] = opted_out.count()
+    docs = warc_html_documents(
+        records.join(
+            opted_out.select("record_id"), "record_id", "left_anti"
+        )
+    ).persist()
+    counts["html_documents"] = docs.count()
+
+    # 3: URL hygiene — canonical form, keep first fetch per URL
+    normed = with_url_normalized(docs)
+    dupes = url_duplicates(docs)  # one row per distinct url_norm
+    counts["url_duplicate_groups"] = dupes.filter("n_copies > 1").count()
+    first_fetch = (
+        normed.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("url_norm").orderBy("warc_date", "doc_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    ).persist()
+    counts["unique_urls"] = first_fetch.count()
+
+    # 4: link graph over the SURVIVING pages -> host centrality
+    links = extract_links(
+        kept_records.select(F.col("target_uri").alias("url"), "html")
+    )
+    hosts = top_hosts(host_graph(links), k=10, n_iters=12)
+    ranking = [(r.node, round(r.rank, 6)) for r in hosts.collect()]
+    counts["hosts_ranked"] = len(ranking)
+
+    # 5: curation join — host rank becomes a per-document sampling prior
+    from ccm_spark.pipeline.urls import url_domain
+
+    ranked = hosts.select(F.col("node").alias("dom"), F.col("rank").alias("host_rank"))
+    qf = quality_filter(first_fetch.withColumn("lang", F.lit("en"))).select(
+        "doc_id", "keep"
+    )
+    curated = (
+        first_fetch.select("doc_id", "url")
+        .join(qf, "doc_id")
+        .withColumn("dom", url_domain(F.col("url")))
+        .join(F.broadcast(ranked), "dom", "left")
+        .select("doc_id", "url", "keep", "host_rank")
+    )
+    counts["curated"] = curated.count()
+    counts["curated_kept"] = curated.filter("keep").count()
+
+    records.unpersist()
+    docs.unpersist()
+    first_fetch.unpersist()
+    return {"counts": counts, "ranking": ranking}
+
+
+if __name__ == "__main__":
+    import sys
+
+    from ccm_spark.session import get_spark
+
+    if len(sys.argv) > 1:
+        wd = sys.argv[1]
+    else:
+        wd = os.path.join(tempfile.mkdtemp(prefix="crawl_demo_"), "warc")
+        write_demo_crawl(wd)
+    out = run(get_spark("crawl-ingest-example"), wd)
+    for k, v in out["counts"].items():
+        print(f"{k:>22}: {v}")
+    print("host ranking:")
+    for host, rank in out["ranking"]:
+        print(f"{host:>22}: {rank}")

@@ -103,3 +103,30 @@ def test_streaming_ingestion_example_stream_equals_batch(spark, sf_small, tmp_pa
             tuple(r) for r in spark.sql(f"select * from ingest_{name}").collect()
         )
         assert got == batch[name], name
+
+
+def test_crawl_ingest_example_runs(spark, tmp_path):
+    """The crawl-ingestion walkthrough must parse all three demo shards
+    (including resyncing past the truncated one), honour the robots
+    opt-out before content use, dedup the refetched URL, and rank the
+    hub every page cites first."""
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from crawl_ingest import run, write_demo_crawl
+    finally:
+        sys.path.pop(0)
+
+    wd = str(tmp_path / "warc")
+    write_demo_crawl(wd)
+    out = run(spark, wd)
+    c = out["counts"]
+    assert c["records"] == 6  # truncated shard2 contributes nothing
+    assert c["resync_bytes"] > 0  # but its loss is visible
+    assert c["robots_opted_out"] == 1
+    assert c["html_documents"] == 5  # 6 fetches - opted-out page
+    assert c["url_duplicate_groups"] == 1  # a.com/ fetched twice
+    assert c["unique_urls"] == 4  # 5 docs - 1 refetch
+    assert c["curated"] == 4 and c["curated_kept"] == 4
+    # hub.com is cited by every page -> ranks first
+    assert out["ranking"][0][0] == "hub.com"
+    assert {h for h, _ in out["ranking"]} == {"a.com", "b.com", "hub.com"}
