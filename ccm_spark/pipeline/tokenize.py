@@ -392,3 +392,284 @@ def bpe_encode(docs: DataFrame, model: dict) -> DataFrame:
     return out.mapInPandas(
         run, "doc_id long, pieces array<string>, piece_ids array<int>, n_pieces long"
     )
+
+
+# ------------------------------------------------ unigram LM (Kudo 2018)
+
+#: ec values are float sums aggregated distributed; rounding before any
+#: rank/prune decision absorbs partitioning-order float drift (the
+#: kmeans/PQ trainers' 6-decimal discipline)
+UNIGRAM_EC_ROUND = 6
+#: per-character log-penalty for vocabulary fallback at encode time
+UNIGRAM_UNK_LOGP = -20.0
+
+
+def py_unigram_expected_counts(
+    word: str, n: int, logp: dict, max_piece_len: int
+) -> tuple[dict, float]:
+    """Forward-backward over one word's segmentation lattice: expected
+    count of every piece under the current unigram LM, scaled by the
+    word's corpus frequency ``n``; also returns the word's total
+    log-likelihood contribution (n * log Z). Pure Python on a ≤~30-char
+    lattice — shared by the Arrow E-step kernel and the tests' driver
+    replay so the two are identical by construction. Unsegmentable
+    words (an uncovered character) contribute nothing."""
+    import math
+
+    L = len(word)
+    NEG = float("-inf")
+    alpha = [NEG] * (L + 1)
+    alpha[0] = 0.0
+    spans: list[tuple[int, int, float]] = []
+    for j in range(1, L + 1):
+        terms = []
+        for i in range(max(0, j - max_piece_len), j):
+            lp = logp.get(word[i:j])
+            if lp is not None and alpha[i] != NEG:
+                spans.append((i, j, lp))
+                terms.append(alpha[i] + lp)
+        if terms:
+            m = max(terms)
+            alpha[j] = m + math.log(sum(math.exp(t - m) for t in terms))
+    if alpha[L] == NEG:
+        return {}, 0.0
+    beta = [NEG] * (L + 1)
+    beta[L] = 0.0
+    for i in range(L - 1, -1, -1):
+        terms = []
+        for j in range(i + 1, min(L, i + max_piece_len) + 1):
+            lp = logp.get(word[i:j])
+            if lp is not None and beta[j] != NEG:
+                terms.append(lp + beta[j])
+        if terms:
+            m = max(terms)
+            beta[i] = m + math.log(sum(math.exp(t - m) for t in terms))
+    z = alpha[L]
+    ec: dict = {}
+    for i, j, lp in spans:
+        if beta[j] == NEG:
+            continue
+        piece = word[i:j]
+        ec[piece] = ec.get(piece, 0.0) + math.exp(alpha[i] + lp + beta[j] - z) * n
+    return ec, z * n
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    n_em_iters: int = 3,
+    max_piece_len: int = 8,
+    seed_multiplier: int = 4,
+) -> dict:
+    """Train a unigram-LM subword vocabulary (SentencePiece's model;
+    Kudo 2018) — the third tokenizer family next to wordpiece (apply)
+    and BPE (merge-table training).
+
+    Scale shape — one step FURTHER distributed than ``train_bpe``: the
+    corpus is read once into the word histogram; seed candidates (all
+    substrings ≤ ``max_piece_len``, scored count x length) come from a
+    pure-codegen explode + two-phase top-k over that histogram; and
+    every EM iteration is a mapInPandas forward-backward over the
+    DISTRIBUTED histogram with the current piece table broadcast —
+    map-side-combined inside the kernel, hash-aggregated, and only the
+    vocab-sized expected-count relation ever reaches the driver. The
+    driver holds piece tables, never words.
+
+    Determinism: expected counts round at ``UNIGRAM_EC_ROUND`` decimals
+    after the global sum (absorbing partition-order float drift), every
+    rank/prune uses (value desc, piece asc), and single characters are
+    never pruned (coverage guarantee). Same corpus + params =>
+    bit-identical model on any partitioning.
+
+    Returns ``{"pieces": {piece: [id, logp]}, "max_piece_len": ...}``
+    with ids dense from 1 (0 = <unk>); feed to :func:`unigram_encode`.
+    """
+    import math
+
+    from ccm_spark.functions.hashing import tokens_col
+
+    if vocab_size < 1 or n_em_iters < 1 or max_piece_len < 1:
+        raise ValueError(
+            "train_unigram: vocab_size, n_em_iters, max_piece_len must be >= 1 "
+            f"(got {vocab_size}, {n_em_iters}, {max_piece_len})"
+        )
+    wh = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    if wh.count() == 0:
+        wh.unpersist()
+        raise ValueError("train_unigram: corpus has no tokens")
+
+    # seed: every substring ≤ max_piece_len, weighted by word freq — a
+    # codegen flatten/transform explode, no UDF; two-phase top-k via
+    # TakeOrdered (bounded result, distributed sort)
+    subs = (
+        wh.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, length(w) - 1), i -> "
+                    f"transform(sequence(1, least({max_piece_len}, length(w) - i)), "
+                    "l -> substring(w, i + 1, l))))"
+                )
+            ).alias("piece"),
+            F.col("n"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    seed_k = vocab_size * seed_multiplier
+    top = subs.orderBy(
+        F.desc(F.col("cnt") * F.length("piece")), "piece"
+    ).limit(seed_k)
+    chars = subs.filter(F.length("piece") == 1)
+    seed_rows = top.unionByName(chars).dropDuplicates(["piece"]).collect()
+
+    total = float(sum(r.cnt for r in seed_rows))
+    logp = {r.piece: math.log(r.cnt / total) for r in seed_rows}
+    n_chars = sum(1 for p in logp if len(p) == 1)
+
+    sc = docs.sparkSession.sparkContext
+    ll_history: list[float] = []
+    for it in range(n_em_iters):
+        bc = sc.broadcast((logp, max_piece_len))
+
+        def estep(batches):
+            import pandas as pd
+
+            from ccm_spark.pipeline.tokenize import py_unigram_expected_counts
+
+            lp, mpl = bc.value
+            agg: dict = {}
+            ll = 0.0
+            for pdf in batches:
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    ec, wll = py_unigram_expected_counts(w, int(n), lp, mpl)
+                    ll += wll
+                    for p, v in ec.items():
+                        agg[p] = agg.get(p, 0.0) + v
+            agg[" ll "] = ll  # tokens are whitespace-split, so no real
+            # piece can contain a space: the key cannot collide
+            yield pd.DataFrame({"piece": list(agg), "ec": list(agg.values())})
+
+        rows = (
+            wh.mapInPandas(estep, "piece string, ec double")
+            .groupBy("piece")
+            .agg(F.round(F.sum("ec"), UNIGRAM_EC_ROUND).alias("ec"))
+            .collect()
+        )
+        bc.destroy()
+        ec = {r.piece: r.ec for r in rows}
+        ll_history.append(ec.pop(" ll ", 0.0))
+
+        # prune toward vocab_size geometrically; single chars immune
+        n_now = len(ec)
+        target = max(vocab_size, int(n_now * 0.75))
+        if it == n_em_iters - 1:
+            target = vocab_size
+        floor = 10.0 ** -UNIGRAM_EC_ROUND
+        # ec rounds at 6 decimals: a multi-char piece rounded to 0 is
+        # dead weight (prune it outright); a single char rounded to 0
+        # keeps the floor so coverage survives
+        multi = sorted(
+            ((p, v) for p, v in ec.items() if len(p) > 1 and v > 0),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        keep_multi = multi[: max(0, target - n_chars)]
+        kept = {p: v for p, v in keep_multi}
+        kept.update({p: max(v, floor) for p, v in ec.items() if len(p) == 1})
+        # chars the EM round never saw (rare chars in uncovered words)
+        for p in list(logp):
+            if len(p) == 1 and p not in kept:
+                kept[p] = floor
+        tot = sum(kept.values())
+        logp = {p: math.log(v / tot) for p, v in kept.items()}
+
+    wh.unpersist()
+    final = sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+    pieces = {p: [i + 1, lp] for i, (p, lp) in enumerate(final)}
+    return {
+        "pieces": pieces,
+        "max_piece_len": max_piece_len,
+        "ll_history": ll_history,
+    }
+
+
+def py_unigram_encode(word: str, pieces: dict, max_piece_len: int) -> list[str]:
+    """Viterbi segmentation of one word under the trained unigram LM —
+    ties prefer the longer piece, then lexicographic; characters outside
+    the vocabulary become single-char pieces at ``UNIGRAM_UNK_LOGP``
+    (id 0 downstream). Shared by the Arrow kernel and the tests' driver
+    replay."""
+    L = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (L + 1)
+    back: list[tuple[int, str] | None] = [None] * (L + 1)
+    best[0] = 0.0
+    for j in range(1, L + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            piece = word[i:j]
+            ent = pieces.get(piece)
+            lp = ent[1] if ent is not None else (
+                UNIGRAM_UNK_LOGP if j - i == 1 else None
+            )
+            if lp is None or best[i] == NEG:
+                continue
+            s = best[i] + lp
+            # strict > with i ascending => on ties the SMALLEST i
+            # (longest piece) wins, matching the documented rule
+            if s > best[j]:
+                best[j] = s
+                back[j] = (i, piece)
+    out: list[str] = []
+    j = L
+    while j > 0:
+        i, piece = back[j]
+        out.append(piece)
+        j = i
+    out.reverse()
+    return out
+
+
+def unigram_encode(docs: DataFrame, model: dict) -> DataFrame:
+    """(doc_id, pieces, piece_ids, n_pieces): every document segmented
+    by the trained unigram LM — one narrow Arrow pass (model in the
+    closure, KB-scale), no shuffle, streaming-safe; the same output
+    contract as :func:`bpe_encode` so the shard writer takes either."""
+    import pandas as pd
+
+    pieces_tbl = model["pieces"]
+    mpl = model["max_piece_len"]
+
+    def run(batches):
+        from ccm_spark.functions.hashing import py_tokens
+        from ccm_spark.pipeline.tokenize import py_unigram_encode
+
+        for pdf in batches:
+            pieces_out, ids_out, n_out = [], [], []
+            for text in pdf["text"]:
+                ps: list[str] = []
+                for w in py_tokens(text):
+                    ps.extend(py_unigram_encode(w, pieces_tbl, mpl))
+                pieces_out.append(ps)
+                ids_out.append(
+                    [pieces_tbl[p][0] if p in pieces_tbl else UNK_ID for p in ps]
+                )
+                n_out.append(len(ps))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pieces": pieces_out,
+                    "piece_ids": ids_out,
+                    "n_pieces": pd.Series(n_out, dtype="int64"),
+                }
+            )
+
+    out = docs.select("doc_id", "text")
+    if not docs.isStreaming:
+        out = spread(out, "doc_id")
+    return out.mapInPandas(
+        run, "doc_id long, pieces array<string>, piece_ids array<int>, n_pieces long"
+    )

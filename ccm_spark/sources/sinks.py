@@ -526,3 +526,44 @@ def read_bpe_model(spark, path: str) -> dict:
         "vocab": vocab,
         "end_marker": manifest["params"]["end_marker"],
     }
+
+
+def write_unigram_model(model: dict, path: str) -> dict:
+    """Persist a ``pipeline.tokenize.train_unigram`` model: (piece, id,
+    logp) as parquet + max_piece_len in the manifest — the same
+    train-once / encode-every-future-shard contract as the BPE sink.
+    logp is float64 end-to-end, so a reload serves bit-identically."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    pdf = spark.createDataFrame(
+        [(p, i, lp) for p, (i, lp) in model["pieces"].items()],
+        "piece string, id int, logp double",
+    )
+    pdf.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(path, "pieces")
+    )
+    return _write_ann_manifest(
+        path,
+        "unigram_model",
+        {"max_piece_len": model["max_piece_len"]},
+        len(model["pieces"]),
+    )
+
+
+def read_unigram_model(spark, path: str) -> dict:
+    """Reload a persisted unigram model in the exact shape
+    ``unigram_encode`` consumes (test-pinned identical-serving)."""
+    import os
+
+    manifest = _read_ann_manifest(path, "unigram_model")
+    pieces = {
+        r.piece: [int(r.id), float(r.logp)]
+        for r in spark.read.parquet(os.path.join(path, "pieces")).collect()
+    }
+    return {
+        "pieces": pieces,
+        "max_piece_len": manifest["params"]["max_piece_len"],
+    }

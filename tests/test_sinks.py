@@ -347,3 +347,27 @@ def test_bpe_model_roundtrip_encodes_identically(spark, sf_small, tmp_path):
         for r in bpe_encode(docs, loaded).collect()
     }
     assert disk == mem and len(disk) == 60
+
+
+def test_unigram_model_round_trip_serves_identically(spark, tmp_path):
+    from ccm_spark.pipeline.tokenize import train_unigram, unigram_encode
+    from ccm_spark.sources.sinks import read_unigram_model, write_unigram_model
+
+    docs = spark.createDataFrame(
+        [(i, "abab abab ababab xy") for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = train_unigram(docs, vocab_size=8, n_em_iters=2)
+    write_unigram_model(model, str(tmp_path / "uni"))
+    loaded = read_unigram_model(spark, str(tmp_path / "uni"))
+    assert loaded["pieces"] == model["pieces"]  # float64 bit-exact
+    assert loaded["max_piece_len"] == model["max_piece_len"]
+    a = {
+        r.doc_id: (tuple(r.pieces), tuple(r.piece_ids))
+        for r in unigram_encode(docs, model).collect()
+    }
+    b = {
+        r.doc_id: (tuple(r.pieces), tuple(r.piece_ids))
+        for r in unigram_encode(docs, loaded).collect()
+    }
+    assert a == b

@@ -3,6 +3,8 @@ determinism."""
 
 from __future__ import annotations
 
+import pytest
+
 from ccm_spark.functions.hashing import py_tokens, py_wordpiece
 from ccm_spark.pipeline.tokenize import (
     UNK_ID,
@@ -250,3 +252,114 @@ def test_bpe_encode_stream_equals_batch(spark, sf_small, tmp_path):
         for r in spark.sql("select * from bpe_stream").collect()
     }
     assert got == batch
+
+
+# ---------------------------------------------------- unigram LM (r07)
+
+
+def test_unigram_forward_backward_matches_hand_lattice():
+    """Two-piece lattice computed by hand: word "ab" with pieces
+    {a, b, ab} at equal prob p: Z = p^2 + p; E[ab] = p/(p^2+p) =
+    1/(p+1), E[a] = E[b] = p^2/(p^2+p) = p/(p+1)."""
+    import math
+
+    from ccm_spark.pipeline.tokenize import py_unigram_expected_counts
+
+    p = 0.2
+    logp = {k: math.log(p) for k in ("a", "b", "ab")}
+    ec, ll = py_unigram_expected_counts("ab", 1, logp, 8)
+    assert ec["ab"] == pytest.approx(1 / (p + 1))
+    assert ec["a"] == pytest.approx(p / (p + 1))
+    assert ec["b"] == pytest.approx(p / (p + 1))
+    assert ll == pytest.approx(math.log(p * p + p))
+    # frequency scales linearly
+    ec5, ll5 = py_unigram_expected_counts("ab", 5, logp, 8)
+    assert ec5["ab"] == pytest.approx(5 * ec["ab"]) and ll5 == pytest.approx(5 * ll)
+    # uncovered character -> no contribution, not a crash
+    assert py_unigram_expected_counts("axb", 1, logp, 8) == ({}, 0.0)
+
+
+def _unigram_corpus(spark):
+    rows = [(i, "abab abab ababab xy") for i in range(30)] + [
+        (100, "abab zq abab"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_train_unigram_learns_the_repeated_piece(spark):
+    """A corpus dominated by 'ab' repeats must keep 'ab' (or a longer
+    multiple) as a high-probability piece and segment new 'ab' text
+    without falling back to characters."""
+    from ccm_spark.pipeline.tokenize import train_unigram, unigram_encode
+
+    model = train_unigram(_unigram_corpus(spark), vocab_size=8, n_em_iters=3)
+    pieces = model["pieces"]
+    assert len(pieces) == 8
+    assert {"a", "b", "x", "y", "z", "q"} <= set(pieces)  # chars never pruned
+    multis = [p for p in pieces if len(p) > 1]
+    assert multis and all(set(m) <= {"a", "b"} for m in multis)
+    # ids dense from 1, 0 reserved for <unk>
+    ids = sorted(v[0] for v in pieces.values())
+    assert ids == list(range(1, len(pieces) + 1))
+
+    enc = unigram_encode(
+        spark.createDataFrame([(0, "abababab kq")], "doc_id long, text string"),
+        model,
+    ).collect()[0]
+    # the repeated word segments into multi-char pieces, never chars
+    word_pieces = enc.pieces[: -2 if "k" in enc.pieces else None]
+    assert all(len(p) > 1 for p in enc.pieces if set(p) <= {"a", "b"})
+    # unseen char 'k' falls back to a single-char <unk> piece
+    ki = enc.pieces.index("k")
+    assert enc.piece_ids[ki] == 0
+    # seen char 'q' resolves to its trained id
+    qi = enc.pieces.index("q")
+    assert enc.piece_ids[qi] == model["pieces"]["q"][0]
+
+
+def test_train_unigram_partitioning_invariant(spark):
+    from ccm_spark.pipeline.tokenize import train_unigram
+
+    base = train_unigram(_unigram_corpus(spark), vocab_size=8, n_em_iters=2)
+    rep = train_unigram(
+        _unigram_corpus(spark).repartition(7), vocab_size=8, n_em_iters=2
+    )
+    assert base["pieces"] == rep["pieces"]
+    assert base["ll_history"] == pytest.approx(rep["ll_history"], abs=1e-6)
+
+
+def test_unigram_encode_matches_driver_replay(spark, sf_small):
+    """The Arrow kernel and the pure-Python Viterbi must agree
+    token-for-token on real corpus text."""
+    from ccm_spark.functions.hashing import py_tokens
+    from ccm_spark.pipeline.tokenize import (
+        py_unigram_encode,
+        train_unigram,
+        unigram_encode,
+    )
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(40)
+    model = train_unigram(docs, vocab_size=120, n_em_iters=2)
+    got = {r.doc_id: list(r.pieces) for r in unigram_encode(docs, model).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        want = []
+        for w in py_tokens(r.text):
+            want.extend(py_unigram_encode(w, model["pieces"], model["max_piece_len"]))
+        assert got[r.doc_id] == want
+    # concatenating a word's pieces reconstructs the word (lossless
+    # segmentation — unigram has no end marker to strip)
+    sample = py_tokens(docs.first().text)[:5]
+    for w in sample:
+        assert "".join(py_unigram_encode(w, model["pieces"], model["max_piece_len"])) == w
+
+
+def test_train_unigram_rejects_bad_params(spark):
+    from ccm_spark.pipeline.tokenize import train_unigram
+
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(_unigram_corpus(spark), vocab_size=0)
+    with pytest.raises(ValueError, match="no tokens"):
+        train_unigram(
+            spark.createDataFrame([(0, "   ")], "doc_id long, text string")
+        )
