@@ -254,6 +254,64 @@ def main() -> None:
         )
         return extract_text(wrapped)
 
+    # warc fixture synthesised OUTSIDE the timed call (the bench times
+    # the engine's parse, not python gzip writes): 16 per-record-gzip
+    # shards x 400 pages, ~1 KB each, 97 hosts cross-linking
+    import gzip
+    import tempfile
+
+    warc_dir = tempfile.mkdtemp(prefix="bench_warc_")
+    prose = ("lorem word data pipeline shard " * 24).strip()
+
+    def _warc_rec(i: int) -> bytes:
+        body = (
+            f"<html><head><title>p{i}</title></head><body><p>{prose}</p>"
+            f'<a href="http://h{(i * 7) % 97}.com/">next</a></body></html>'
+        ).encode()
+        http = (
+            f"HTTP/1.1 200 X\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:r{i}>\r\n"
+            f"WARC-Target-URI: http://h{i % 97}.com/p{i}\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            f"Content-Type: application/http;msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    for sh in range(16):
+        with open(os.path.join(warc_dir, f"s{sh}.warc.gz"), "wb") as f:
+            f.write(
+                b"".join(gzip.compress(_warc_rec(sh * 400 + i)) for i in range(400))
+            )
+
+    def extra_warc(spark, sf_dir):
+        from ccm_spark.sources.warc import read_warc, warc_html_documents
+
+        return warc_html_documents(read_warc(spark, warc_dir))
+
+    def extra_pagerank(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.graph import pagerank
+
+        # deterministic 20k-host graph, 8 out-edges per host via an LCG
+        edges = (
+            spark.range(20000 * 8)
+            .select(
+                (F.col("id") % 20000).cast("string").alias("src"),
+                ((F.col("id") * F.lit(1103515245).cast("bigint") + 12345) % 20000)
+                .cast("string")
+                .alias("dst"),
+                (1.0 + (F.col("id") % 3)).alias("weight"),
+            )
+            .filter("src != dst")
+        )
+        return pagerank(edges, n_iters=5)
+
     extras = {
         "url_dedup": qs["url_dedup"],
         "lm_perplexity": extra_lm,
@@ -263,6 +321,8 @@ def main() -> None:
         "kmeans_cluster": extra_kmeans,
         "pca_project": extra_pca,
         "html_extract": extra_html,
+        "warc_parse": extra_warc,
+        "pagerank_20k": extra_pagerank,
     }
     extra_timings = {}
     for name, fn in extras.items():
