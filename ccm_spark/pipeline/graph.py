@@ -153,3 +153,47 @@ def top_hosts(
         .orderBy(F.desc("rank"), "node")
         .limit(k)
     )
+
+
+def anchor_text_profile(
+    links: DataFrame, k: int = 10, by_host: bool = True
+) -> DataFrame:
+    """Per link TARGET: the top-k anchor terms pointing at it —
+    the classic off-page relevance signal (what OTHER pages call a
+    target is a cleaner description than the target's own boilerplate);
+    search indexes fold this into the target's term profile, and a
+    curation pass uses it as an independent topical label.
+
+    ``by_host=True`` profiles hosts (the reduced ~10^8-key relation —
+    the default at crawl scale); ``False`` profiles exact normalised
+    URLs. Plan: codegen term explode → one map-side-combined count on
+    (target, term) — skew-free because the key includes the term — then
+    the engine's two-phase local/global top-k so no task ever sorts a
+    mega-target's whole term relation."""
+    from pyspark.sql import Window
+
+    from ccm_spark.functions.hashing import tokens_col
+
+    from .urls import url_normalize
+
+    target = (
+        url_domain(F.col("href")) if by_host else url_normalize(F.col("href"))
+    )
+    terms = links.select(
+        target.alias("target"),
+        F.explode(tokens_col("anchor_text")).alias("term"),
+    ).filter(F.col("target").isNotNull())
+    counts = terms.groupBy("target", "term").agg(F.count("*").alias("n"))
+    order = [F.col("n").desc(), F.col("term").asc()]
+    local_w = Window.partitionBy("target", "split_id").orderBy(*order)
+    survivors = (
+        counts.withColumn("split_id", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= k)
+    )
+    w = Window.partitionBy("target").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("target", "rank", "term", "n")
+    )

@@ -189,6 +189,16 @@ def _parse_warc_shard(path: str, data: bytes) -> Iterator[dict]:
         }
 
 
+def _parse_mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        # one output frame per shard bounds task memory to one
+        # shard's records, never the whole input batch's
+        for p, content in zip(pdf["path"], pdf["content"]):
+            rows = list(_parse_warc_shard(p, bytes(content)))
+            if rows:
+                yield pd.DataFrame(rows)
+
+
 def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
     """One row per WARC record across every shard under ``path``.
 
@@ -201,17 +211,31 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
         .load(path)
         .select("path", "content")
     )
+    return files.mapInPandas(_parse_mapper, schema=WARC_RECORDS_SCHEMA)
 
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # one output frame per shard bounds task memory to one
-            # shard's records, never the whole input batch's
-            for p, content in zip(pdf["path"], pdf["content"]):
-                rows = list(_parse_warc_shard(p, bytes(content)))
-                if rows:
-                    yield pd.DataFrame(rows)
 
-    return files.mapInPandas(parse, schema=WARC_RECORDS_SCHEMA)
+def warc_records_stream(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: new shards landing under
+    ``path`` are parsed as they arrive (continuous crawl ingestion —
+    the fetcher drops finished shards into the directory and the
+    pipeline tails it). Same kernel, same schema, stateless — and
+    :func:`warc_html_documents` is a narrow projection, so the whole
+    shard → documents chain runs unchanged in append mode
+    (stream == batch pinned in tests/test_warc.py)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming sources need the schema up front (no inference pass);
+        # this is binaryFile's fixed schema
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_parse_mapper, schema=WARC_RECORDS_SCHEMA)
 
 
 def warc_html_documents(

@@ -142,3 +142,44 @@ def test_top_hosts_degrees_and_order(spark):
 def test_pagerank_rejects_zero_iters(spark):
     with pytest.raises(ValueError, match="n_iters"):
         pagerank(_edges_df(spark), n_iters=0)
+
+
+def test_anchor_text_profile_by_host(spark):
+    from ccm_spark.pipeline.graph import anchor_text_profile
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/1", "http://t.com/x", "Great Spark guide"),
+            ("http://b.com/1", "http://t.com/y", "spark guide"),
+            ("http://c.com/1", "http://www.t.com/z", "guide"),
+            ("http://a.com/2", "http://other.com/", "misc page"),
+            ("http://a.com/3", "not a url", "dropped"),
+        ],
+        "base_url string, href string, anchor_text string",
+    )
+    got = [
+        (r.rank, r.term, r.n)
+        for r in anchor_text_profile(links, k=2)
+        .filter("target = 't.com'")
+        .orderBy("rank")
+        .collect()
+    ]
+    # 'guide' appears in all 3 anchors (www. folds into t.com), 'spark' in 2
+    assert got == [(1, "guide", 3), (2, "spark", 2)]
+
+
+def test_anchor_text_profile_by_url(spark):
+    from ccm_spark.pipeline.graph import anchor_text_profile
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.com/", "http://t.com/x?utm_source=z", "deep page"),
+            ("http://b.com/", "http://t.com/x", "deep page too"),
+        ],
+        "base_url string, href string, anchor_text string",
+    )
+    rows = anchor_text_profile(links, k=5, by_host=False).collect()
+    # tracking param folds away -> both anchors profile ONE url
+    assert {r.target for r in rows} == {"http://t.com/x"}
+    by_term = {r.term: r.n for r in rows}
+    assert by_term["deep"] == 2 and by_term["page"] == 2 and by_term["too"] == 1

@@ -172,3 +172,29 @@ def test_warc_plan_is_shuffle_free(spark, warc_dir):
         .toString()
     )
     assert "Exchange" not in plan  # scan -> parse -> codegen projection
+
+
+def test_warc_stream_equals_batch(spark, warc_dir, tmp_path):
+    """The shard -> documents chain is stateless + narrow, so streaming
+    ingestion of the same shards must produce the identical relation."""
+    from ccm_spark.sources.warc import warc_records_stream
+
+    batch = {
+        r.doc_id: (r.url, r.text, r.n_chars)
+        for r in warc_html_documents(read_warc(spark, warc_dir)).collect()
+    }
+    q = (
+        warc_html_documents(warc_records_stream(spark, warc_dir))
+        .writeStream.format("memory")
+        .queryName("warc_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_warc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.url, r.text, r.n_chars)
+        for r in spark.sql("select * from warc_stream").collect()
+    }
+    # both shards carry the same pages -> 2 distinct doc_ids
+    assert got == batch and len(got) == 2
