@@ -197,3 +197,70 @@ def anchor_text_profile(
         .where(F.col("rank") <= k)
         .select("target", "rank", "term", "n")
     )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) over an arbitrary undirected edge relation —
+    component = smallest node id reachable. The generic form of the
+    dedup family's cluster assignment (pipeline/dedup.py
+    duplicate_components), exposed for graph-side curation jobs: mirror
+    clusters over the host graph, session stitching, any
+    same-entity collapse where pairwise evidence must become groups.
+
+    Same engine discipline as the dedup twin: min-label propagation
+    (one same-key shuffle per round, rounds bounded by component
+    diameter), eager ``localCheckpoint`` per round so the plan AND the
+    computation stay flat, convergence proven by a zero-change round,
+    loud failure past ``max_iter`` (a deeper graph means the diameter
+    assumption is wrong, not that a silent partial answer is fine).
+    Nodes appear in the output iff they appear in an edge; direction is
+    ignored (edges are symmetrised here)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    from pyspark.storagelevel import StorageLevel
+
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter + 1):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no convergence after {max_iter} rounds — "
+            "component diameter exceeds the bound; raise max_iter"
+        )
+    return labels

@@ -136,8 +136,10 @@ def cms_lookup(
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """(token, count_est) for a bounded query list: estimate = min over
-    the depth counters. The query relation broadcasts (it is user-sized);
-    the sketch relation never moves — one join on (row_idx, col_idx).
+    the depth counters. The sketch side broadcasts — it is AT MOST
+    depth x width rows by construction (64 KiB of longs at the default
+    geometry) no matter how large the corpus was — so the lookup is one
+    shuffle-free broadcast join however the query relation arrives.
     Standard CMS guarantee: never under-counts, over-counts by <= e*N/width
     with prob. 1 - 2^-depth. Tokens are matched post-lowercasing (the
     build tokenises with the engine-wide lowercased splitter)."""
@@ -147,7 +149,9 @@ def cms_lookup(
         "token",
         F.explode(F.array(*_cms_cols(F.col("token"), depth, width))).alias("cell"),
     ).select("token", "cell.row_idx", "cell.col_idx")
-    joined = F.broadcast(cells).join(sketch, ["row_idx", "col_idx"], "left")
+    # broadcast the RIGHT side: a left join can only broadcast its
+    # non-preserved side, and the sketch is the bounded one anyway
+    joined = cells.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
     return joined.groupBy("token").agg(
         F.min(F.coalesce(F.col("count"), F.lit(0))).alias("count_est")
     )

@@ -183,3 +183,35 @@ def test_anchor_text_profile_by_url(spark):
     assert {r.target for r in rows} == {"http://t.com/x"}
     by_term = {r.term: r.n for r in rows}
     assert by_term["deep"] == 2 and by_term["page"] == 2 and by_term["too"] == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    from ccm_spark.pipeline.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain a-b-c-d (diameter 3), island x-y, self-contained z-z
+        [("b", "a"), ("b", "c"), ("c", "d"), ("x", "y"), ("z", "z")],
+        "src string, dst string",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x",
+        "z": "z",
+    }
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    import pytest as _pytest
+
+    from ccm_spark.pipeline.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(8)],
+        "src string, dst string",
+    )
+    with _pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(chain, max_iter=2)
+    # and the honest bound succeeds on the same graph
+    got = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(got.values()) == {"n00"}

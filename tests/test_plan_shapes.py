@@ -188,3 +188,68 @@ def test_probe_embedding_index_streaming_plan_is_stateless(spark, sf_small, tmp_
     q.awaitTermination(120)
     plan = q.lastProgress["stateOperators"] if q.lastProgress else None
     assert plan == []  # zero stateful operators in the streaming plan
+
+
+def test_cms_lookup_broadcasts_queries_sketch_never_moves(spark):
+    """The CMS lookup must be a broadcast join (the sketch side is at
+    most depth x width rows by construction) — a sort-merge join would
+    shuffle both sides for a handful of probes."""
+    from ccm_spark.pipeline.sketches import cms_build, cms_lookup
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id long, text string"
+    )
+    plan = _formatted_plan(cms_lookup(cms_build(docs), ["a", "b"]))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iteration_plan_is_flat(spark):
+    """localCheckpoint per round must keep the Nth iteration's plan
+    O(1): the 6-iteration result plan may contain the LAST round's two
+    shuffles but not six nested copies of the contribution join."""
+    from ccm_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0)],
+        "src string, dst string, weight double",
+    )
+    ranks = pagerank(edges, n_iters=6)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    # the checkpoint boundary shows up as a scan over an existing RDD;
+    # earlier rounds' aggregates must NOT be re-planned downstream
+    assert plan.count("HashAggregate") <= 8  # one round's worth, not six
+    assert "Scan ExistingRDD" in plan
+
+
+def test_warc_stream_plan_has_no_stateful_operators(spark, tmp_path):
+    """Crawl ingestion is append-only enrichment: the streaming shard ->
+    documents chain must plan without any stateful operator (no
+    aggregation state to checkpoint, restart-safe by construction)."""
+    import gzip
+
+    from ccm_spark.sources.warc import warc_html_documents, warc_records_stream
+
+    payload = b"HTTP/1.1 200 X\r\nContent-Type: text/html\r\n\r\n<p>hi</p>"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:x>\r\nWARC-Target-URI: http://a.com/\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        + payload
+        + b"\r\n\r\n"
+    )
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "s.warc.gz").write_bytes(gzip.compress(rec))
+    out = warc_html_documents(warc_records_stream(spark, str(d)))
+    q = (
+        out.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    progress = q.lastProgress
+    q.stop()
+    assert progress is not None and progress["stateOperators"] == []
