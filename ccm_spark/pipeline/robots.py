@@ -1,0 +1,160 @@
+"""robots.txt compliance — the host-level half of publisher opt-out
+(the page-level half, ``<meta name="robots">``, is
+``html.robots_flags``).
+
+The reference has no crawl surface (SURVEY.md §2.1); this is extension
+surface for the ingestion pipeline: a compliant crawler fetches
+``host/robots.txt`` once per host, and every candidate URL must pass
+the host's ``User-agent: *`` rules BEFORE fetch (frontier filtering)
+or, for an already-collected corpus, before use. Everything here is
+codegen (split/regexp/window) — no UDFs, no Python in the hot path.
+
+Semantics implemented (the subset that is uniform across real
+crawlers, documented rather than hidden):
+  - only ``User-agent: *`` groups apply (a named-bot matcher would
+    need the caller's bot identity — out of scope);
+  - consecutive ``User-agent`` lines form one group header; the rules
+    after them apply to every agent named above;
+  - longest-prefix match wins; on a tie, Allow wins (Google's
+    published rule);
+  - an empty ``Disallow:`` is "allow everything" (per the original
+    spec) and therefore contributes no rule;
+  - prefixes are matched LITERALLY: ``*`` wildcards and ``$`` anchors
+    (non-standard extensions) are treated as ordinary characters — the
+    conservative reading errs toward blocking slightly too much for
+    patterns that use them, never toward fetching something forbidden.
+
+100 TB design: rules parse once per HOST (a ~10^8-row relation, not a
+page relation); the URL join hashes on host, and each URL row meets
+only its own host's rule list (real robots files hold tens of rules).
+A pathological million-rule robots.txt is capped at ``max_rules_per_
+host`` by longest-first precedence — the cap keeps the join fan-out
+bounded and can only make matching MORE conservative for allow rules
+shadowed past the cap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+#: keep the most-specific rules per host; precedence is longest-first,
+#: so anything past a sane cap could only refine ties
+MAX_RULES_PER_HOST = 500
+
+_UA_RE = "(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*([^#\\r]*)"
+_RULE_RE = "(?i)^[ \\t]*(dis)?allow[ \\t]*:[ \\t]*([^#\\r ]*)"
+
+
+def robots_txt_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    max_rules_per_host: int = MAX_RULES_PER_HOST,
+) -> DataFrame:
+    """One robots.txt body per host → the ``User-agent: *`` rule
+    relation ``(host, rule, prefix)`` with rule ∈ {allow, disallow}.
+
+    Plan: posexplode lines → codegen classify → two windows on
+    (host, line order) to assign each rule line to its governing
+    user-agent group — all narrow within one host partition."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
+    )
+    ua = F.regexp_extract("line", _UA_RE, 1)
+    is_ua = ua != ""
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.trim(F.lower(ua)).alias("ua"),
+        is_ua.alias("is_ua"),
+        F.when(
+            F.regexp_extract("line", _RULE_RE, 0) != "",
+            F.when(F.lower(F.regexp_extract("line", _RULE_RE, 1)) == "dis",
+                   F.lit("disallow")).otherwise(F.lit("allow")),
+        ).alias("rule"),
+        F.regexp_extract("line", _RULE_RE, 2).alias("prefix"),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    # a group starts at a UA line not directly preceded by another UA
+    # line; group_id = running count of starts; rule lines belong to the
+    # group of the most recent header run
+    starts = parsed.withColumn(
+        "grp",
+        F.sum(
+            (
+                F.col("is_ua")
+                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+            ).cast("int")
+        ).over(w),
+    )
+    star_groups = (
+        starts.filter(F.col("is_ua") & (F.col("ua") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    rules = (
+        starts.filter(F.col("rule").isNotNull() & (F.col("prefix") != ""))
+        .join(star_groups, ["host", "grp"])
+        .select("host", "rule", "prefix")
+        .distinct()
+    )
+    cap_w = Window.partitionBy("host").orderBy(
+        F.length("prefix").desc(), F.col("rule").asc(), F.col("prefix").asc()
+    )
+    return (
+        rules.withColumn("rk", F.row_number().over(cap_w))
+        .filter(F.col("rk") <= max_rules_per_host)
+        .drop("rk")
+    )
+
+
+def apply_robots(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Adds ``robots_allowed``: whether the host's ``User-agent: *``
+    rules permit each URL. No rules for a host (or an unparseable URL)
+    → allowed (the spec's default-open stance); longest matching prefix
+    decides; ties go to allow.
+
+    Plan: one hash join on host + a per-URL window over the handful of
+    matching rules. The rules relation is host-cardinality — broadcast
+    it upstream if the host universe is small."""
+    from .urls import url_parts
+
+    p = url_parts(F.col(url_col))
+    host = F.regexp_replace(F.lower(p["host"]), "\\.$", "")
+    path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    keyed = (
+        urls.withColumn("_rb_host", host)
+        .withColumn("_rb_path", path)
+        # transient per-row key: the decision window must keep one row
+        # per INPUT row (never collapse identical url rows); the id is
+        # job-internal and dropped before returning
+        .withColumn("_rb_id", F.monotonically_increasing_id())
+    )
+    r = rules.select(
+        F.col("host").alias("_rb_host"),
+        F.col("rule").alias("_rb_rule"),
+        F.col("prefix").alias("_rb_prefix"),
+    )
+    cand = keyed.join(r, "_rb_host", "left").withColumn(
+        "_rb_hit",
+        F.col("_rb_prefix").isNotNull()
+        & F.col("_rb_path").startswith(F.col("_rb_prefix")),
+    )
+    w = Window.partitionBy("_rb_id").orderBy(
+        F.col("_rb_hit").desc(),
+        F.length("_rb_prefix").desc(),
+        F.col("_rb_rule").asc(),  # 'allow' < 'disallow': ties open
+    )
+    decided = (
+        cand.withColumn("_rb_rk", F.row_number().over(w))
+        .filter(F.col("_rb_rk") == 1)
+        .withColumn(
+            "robots_allowed",
+            ~(F.col("_rb_hit") & (F.col("_rb_rule") == "disallow")),
+        )
+    )
+    return decided.select(*urls.columns, "robots_allowed")

@@ -1,0 +1,114 @@
+"""robots.txt parsing + compliance filtering (extension surface — the
+reference has no crawl layer, SURVEY.md §2.1).
+
+Pins: group-header semantics (consecutive User-agent lines, named-bot
+groups ignored), empty-Disallow-is-open, longest-prefix precedence with
+allow winning ties, default-open for rule-less hosts, and the
+conservative literal treatment of wildcard characters."""
+
+from __future__ import annotations
+
+from ccm_spark.pipeline.robots import apply_robots, robots_txt_rules
+
+ROBOTS_A = """# comments everywhere
+User-agent: gptbot
+Disallow: /
+
+User-Agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow:
+disallow: /tmp
+
+User-agent: otherbot
+User-agent: *
+Disallow: /shared/
+"""
+
+ROBOTS_B = """User-agent: somebody-else
+Disallow: /everything/
+"""
+
+
+def _rules(spark):
+    df = spark.createDataFrame(
+        [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)],
+        "host string, robots_txt string",
+    )
+    return robots_txt_rules(df)
+
+
+def test_robots_rules_star_groups_only(spark):
+    got = {(r.host, r.rule, r.prefix) for r in _rules(spark).collect()}
+    assert got == {
+        ("a.com", "disallow", "/private/"),
+        ("a.com", "allow", "/private/ok/"),
+        ("a.com", "disallow", "/tmp"),
+        # the multi-UA header group applies because '*' is among them
+        ("a.com", "disallow", "/shared/"),
+        # gptbot's group and b.com's named group contribute nothing;
+        # the empty Disallow contributes nothing
+    }
+
+
+def test_apply_robots_precedence_and_defaults(spark):
+    urls = spark.createDataFrame(
+        [
+            (0, "http://a.com/"),
+            (1, "http://a.com/private/x.html"),
+            (2, "http://a.com/private/ok/x.html"),  # allow: longest match
+            (3, "http://a.com/tmpfile"),  # prefix match, not path-segment
+            (4, "http://a.com/shared/y"),
+            (5, "http://b.com/everything/z"),  # named-bot rule: not ours
+            (6, "http://nobody.com/x"),  # no robots.txt at all
+            (7, "http://A.COM/private/z"),  # host case-folds
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.robots_allowed
+        for r in apply_robots(urls, _rules(spark)).collect()
+    }
+    assert got == {
+        0: True,
+        1: False,
+        2: True,
+        3: False,
+        4: False,
+        5: True,
+        6: True,
+        7: False,
+    }
+    # row multiplicity survives (two identical rows stay two rows)
+    dup = spark.createDataFrame(
+        [(9, "http://a.com/private/x"), (9, "http://a.com/private/x")],
+        "doc_id long, url string",
+    )
+    assert apply_robots(dup, _rules(spark)).count() == 2
+
+
+def test_apply_robots_treats_wildcards_literally(spark):
+    rules = robots_txt_rules(
+        spark.createDataFrame(
+            [("w.com", "User-agent: *\nDisallow: /*/secret\n")],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [(0, "http://w.com/a/secret"), (1, "http://w.com/*/secret")],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.robots_allowed for r in apply_robots(urls, rules).collect()}
+    # literal reading: the '*' prefix matches only a literal '*' path
+    assert got == {0: True, 1: False}
+
+
+def test_robots_rules_cap_keeps_most_specific(spark):
+    body = "User-agent: *\n" + "\n".join(
+        f"Disallow: /p{i:04d}/" for i in range(20)
+    )
+    rules = robots_txt_rules(
+        spark.createDataFrame([("c.com", body)], "host string, robots_txt string"),
+        max_rules_per_host=5,
+    )
+    assert rules.count() == 5  # capped, longest/most-specific first

@@ -116,3 +116,39 @@ def test_cms_lookup_never_undercounts_and_is_exact_when_sparse(spark):
 def test_cms_merge_rejects_empty(spark):
     with pytest.raises(ValueError, match="at least one"):
         cms_merge()
+
+
+def test_cms_build_matches_duckdb_replay(spark):
+    """The sketch docstring's portability claim, proven: DuckDB
+    re-derives the ENTIRE counter relation from the same md5 hash
+    construction, row for row."""
+    import duckdb
+    import pandas as pd
+
+    from ccm_spark.functions.hashing import sql_md5_long, sql_tokens
+    from ccm_spark.pipeline.sketches import CMS_DEPTH, CMS_WIDTH
+
+    docs = _docs(spark)
+    got = _cms_rows(cms_build(docs))
+    pdf = docs.select("doc_id", "text").toPandas()
+    duckdb.register("cms_fixture", pd.DataFrame(pdf))
+    hash_expr = sql_md5_long("'cms' || r || ':' || tok")
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in duckdb.sql(
+            f"""
+            WITH toks AS (
+              SELECT unnest({sql_tokens('text')}) AS tok FROM cms_fixture
+            ),
+            cells AS (
+              SELECT CAST(v.r AS INT) AS row_idx,
+                     ({hash_expr} % {CMS_WIDTH}) AS col_idx
+              FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) v(r)
+            )
+            SELECT row_idx, col_idx, COUNT(*) AS cnt
+            FROM cells GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert len(want) > 0 and CMS_DEPTH == 4  # VALUES list matches depth
+    assert got == want
