@@ -7,7 +7,8 @@ examples/corpus_pipeline.py, which starts at clean text).
 Stages (each one operator, each test-pinned in its own module):
   0. WARC parse          (sources.warc.read_warc — file-parallel, no shuffle)
   1. HTML documents      (2xx text/html -> strip_html -> documents shape)
-  2. robots opt-out      (meta noindex dropped BEFORE any content use)
+  2. compliance          (host robots.txt rules + meta noindex, both
+                          dropped BEFORE any content use)
   3. URL hygiene         (canonicalise + URL-exact dedup)
   4. link graph          (extract_links -> host_graph -> PageRank)
   5. curation join       (host rank + quality signals per document)
@@ -71,8 +72,17 @@ def write_demo_crawl(warc_dir: str) -> None:
         ("r5", "http://b.com/private.html", _page("B private", "opted out", ["http://hub.com/"], robots="noindex, nofollow")),
         # same URL fetched again in a later shard -> url_dedup's job
         ("r6", "http://a.com/", _page("A home", "alpha refetch", ["http://hub.com/", "/about.html", "http://b.com/"])),
+        # a.com's robots.txt disallows this one -> robots.py's job
+        ("r7", "http://a.com/secret.html", _page("A secret", "hidden draft", ["http://b.com/"])),
     ]
     recs = [_rec(rid, uri, _http(200, "text/html", html)) for rid, uri, html in pages]
+    recs.append(
+        _rec(
+            "rb1",
+            "http://a.com/robots.txt",
+            _http(200, "text/plain", b"User-agent: *\r\nDisallow: /secret\r\n"),
+        )
+    )
     os.makedirs(warc_dir, exist_ok=True)
     with open(os.path.join(warc_dir, "shard0.warc"), "wb") as f:
         f.write(b"".join(recs[:3]))
@@ -90,6 +100,7 @@ def run(spark, warc_dir: str) -> dict:
 
     from ccm_spark.pipeline.graph import host_graph, top_hosts
     from ccm_spark.pipeline.html import extract_links, robots_flags
+    from ccm_spark.pipeline.robots import apply_robots, robots_txt_rules
     from ccm_spark.pipeline.text import quality_filter
     from ccm_spark.pipeline.urls import url_duplicates, with_url_normalized
     from ccm_spark.sources.warc import read_warc, warc_html_documents
@@ -105,19 +116,43 @@ def run(spark, warc_dir: str) -> dict:
         .first()[0]
     )
 
-    # 1+2: html responses -> text, dropping robots-opted-out pages BEFORE
-    # any content processing (the compliant order)
+    # 1+2: compliance BEFORE any content processing — the host-level
+    # robots.txt rules AND the page-level meta opt-out (the compliant
+    # order: a production crawler applies robots.txt at FETCH time;
+    # applying it again over a collected corpus catches rule changes)
+    robots_bodies = records.filter(
+        (F.col("warc_type") == "response")
+        & F.col("target_uri").endswith("/robots.txt")
+        & (F.col("http_status") == 200)
+    ).select(
+        F.lower(
+            F.regexp_extract("target_uri", "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*)", 1)
+        ).alias("host"),
+        F.decode("payload", "UTF-8").alias("robots_txt"),
+    )
+    rules = robots_txt_rules(robots_bodies)
+    counts["robots_txt_rules"] = rules.count()
+
     kept_records = records.filter(
         (F.col("warc_type") == "response")
         & F.col("http_content_type").startswith("text/html")
     ).withColumn("html", F.decode("payload", "UTF-8"))
     opted_out = robots_flags(kept_records).filter(F.col("robots_noindex"))
     counts["robots_opted_out"] = opted_out.count()
-    docs = warc_html_documents(
-        records.join(
-            opted_out.select("record_id"), "record_id", "left_anti"
+    verdicts = apply_robots(
+        kept_records.select("record_id", F.col("target_uri").alias("url")), rules
+    )
+    counts["robots_txt_blocked"] = verdicts.filter("NOT robots_allowed").count()
+    compliant = (
+        kept_records.join(opted_out.select("record_id"), "record_id", "left_anti")
+        .join(
+            verdicts.filter("robots_allowed").select("record_id"),
+            "record_id",
+            "left_semi",
         )
-    ).persist()
+        .persist()
+    )
+    docs = warc_html_documents(compliant).persist()
     counts["html_documents"] = docs.count()
 
     # 3: URL hygiene — canonical form, keep first fetch per URL
@@ -136,9 +171,10 @@ def run(spark, warc_dir: str) -> dict:
     ).persist()
     counts["unique_urls"] = first_fetch.count()
 
-    # 4: link graph over the SURVIVING pages -> host centrality
+    # 4: link graph over the COMPLIANT pages only (an opted-out or
+    # disallowed page's links never enter the graph) -> host centrality
     links = extract_links(
-        kept_records.select(F.col("target_uri").alias("url"), "html")
+        compliant.select(F.col("target_uri").alias("url"), "html")
     )
     hosts = top_hosts(host_graph(links), k=10, n_iters=12)
     ranking = [(r.node, round(r.rank, 6)) for r in hosts.collect()]
@@ -162,6 +198,7 @@ def run(spark, warc_dir: str) -> dict:
     counts["curated_kept"] = curated.filter("keep").count()
 
     records.unpersist()
+    compliant.unpersist()
     docs.unpersist()
     first_fetch.unpersist()
     return {"counts": counts, "ranking": ranking}

@@ -120,10 +120,12 @@ def test_crawl_ingest_example_runs(spark, tmp_path):
     write_demo_crawl(wd)
     out = run(spark, wd)
     c = out["counts"]
-    assert c["records"] == 6  # truncated shard2 contributes nothing
+    assert c["records"] == 8  # 7 pages + robots.txt; truncated shard2: none
     assert c["resync_bytes"] > 0  # but its loss is visible
-    assert c["robots_opted_out"] == 1
-    assert c["html_documents"] == 5  # 6 fetches - opted-out page
+    assert c["robots_txt_rules"] == 1  # a.com: Disallow /secret
+    assert c["robots_opted_out"] == 1  # meta noindex on b private
+    assert c["robots_txt_blocked"] == 1  # a.com/secret.html
+    assert c["html_documents"] == 5  # 7 fetches - meta opt-out - disallowed
     assert c["url_duplicate_groups"] == 1  # a.com/ fetched twice
     assert c["unique_urls"] == 4  # 5 docs - 1 refetch
     assert c["curated"] == 4 and c["curated_kept"] == 4
