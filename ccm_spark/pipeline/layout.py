@@ -1,0 +1,118 @@
+"""Z-order data layout — multi-column data skipping for 100 TB scans.
+
+The reference has no storage layer (SURVEY.md §2.1); this is extension
+surface for the lakehouse side of the pipeline: parquet/ORC readers
+prune files and row groups by min/max column statistics, but those
+statistics only help for columns the data is SORTED by. Sorting by one
+column destroys locality in every other; interleaving the bits of
+several columns' rank buckets (a Z-/Morton curve) gives every
+interleaved column tight per-file ranges at once — the layout trick
+behind Delta/Iceberg ``OPTIMIZE ZORDER BY``, built here from plain
+DataFrame ops.
+
+How it scales:
+  - bucket boundaries come from one ``approxQuantile`` pass (driver
+    holds 2^bits boundaries per column — KBs);
+  - bucketing + bit interleaving are pure codegen (a higher-order
+    filter over a literal boundary array, then shift/or folds);
+  - the only shuffle is the ``repartitionByRange`` on the z-value that
+    any layout rewrite needs, followed by an in-partition sort;
+  - correctness of the curve is partitioning-independent (tests pin the
+    interleave against a pure-Python replay), and skipping quality is
+    measured honestly: the tests read the written parquet footers and
+    assert per-file min/max spreads shrink vs an unordered write.
+
+Caveats stated plainly: quantile bucketing makes the curve
+rank-ordered, not value-ordered (ties and skew collapse into one
+bucket — which is exactly what you want for skipping); files ≈ z-range
+segments, so pruning quality degrades gracefully as query predicates
+drift from the z-ordered columns.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+#: bits per dimension: 2^8 rank buckets per column is plenty for
+#: file-level skipping (files >> buckets) while keeping the literal
+#: boundary arrays small
+ZORDER_BITS = 8
+
+
+def _bucket(col: Column, boundaries: list[float]) -> Column:
+    """Rank bucket of ``col`` in [0, len(boundaries)]: the number of
+    boundaries <= value — one higher-order filter over a literal array,
+    no UDF. NULLs land in bucket 0 (they carry no skipping power)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    # strictly-below count: the minimum value lands in bucket 0 and the
+    # top of the range in bucket len(boundaries) — the full [0, 2^bits)
+    # span, no wasted codes
+    return F.when(col.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(arr, lambda b: b < col.cast("double")))
+    )
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton interleave: bit i of column j lands at position
+    i * n_cols + j — a shift/or fold, all codegen."""
+    n = len(buckets)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            bit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def py_zorder(bucket_values: list[int], bits: int = ZORDER_BITS) -> int:
+    """Pure-Python replay of the interleave for the tests' oracle."""
+    z = 0
+    for i in range(bits):
+        for j, b in enumerate(bucket_values):
+            z |= ((b >> i) & 1) << (i * len(bucket_values) + j)
+    return z
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = ZORDER_BITS
+) -> tuple[DataFrame, dict]:
+    """Adds ``_z`` (the Morton key over the columns' rank buckets) and
+    returns the per-column boundaries used — persist those alongside the
+    data if increments must share the same curve. Boundaries come from
+    one approxQuantile pass per call (relative error 1/2^bits)."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_key: 1-4 columns (the curve degrades beyond)")
+    if bits * len(cols) > 62:
+        raise ValueError("zorder_key: bits * n_cols must fit a long")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # sketch error well below the bucket width, or adjacent buckets
+    # merge and the curve smears (GK sketch memory stays driver-trivial)
+    bounds = {
+        c: df.approxQuantile(c, probs, 1.0 / (n_buckets * 8)) for c in cols
+    }
+    buckets = [_bucket(F.col(c), bounds[c]) for c in cols]
+    return df.withColumn("_z", _interleave(buckets, bits)), bounds
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    n_files: int = 16,
+) -> dict:
+    """Rewrite ``df`` as ``n_files`` parquet files laid out along the
+    Z-curve of ``cols``: range-partition on the key (contiguous curve
+    segments per file), sort within partitions, drop the key, write.
+    Returns the bucket boundaries (the curve's reusable definition)."""
+    keyed, bounds = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return bounds

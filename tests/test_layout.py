@@ -1,0 +1,126 @@
+"""Z-order layout (extension surface — the reference has no storage
+layer, SURVEY.md §2.1).
+
+Pins: the Morton interleave against the pure-Python replay, guard
+rails, and the honest skipping claim — parquet footers of a z-ordered
+write must show materially tighter per-file min/max ranges on BOTH
+curve columns than an unordered write of the same rows."""
+
+from __future__ import annotations
+
+import pytest
+
+from ccm_spark.pipeline.layout import py_zorder, write_zordered, zorder_key
+
+
+def test_interleave_matches_python_replay(spark):
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.layout import _interleave
+
+    df = spark.range(64).select(
+        (F.col("id") % 8).alias("a"), (F.col("id") / 8).cast("int").alias("b")
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", _interleave([F.col("a"), F.col("b")], 3).alias("z")
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == py_zorder([a, b], bits=3)
+    # the curve is a bijection over the grid
+    assert sorted(got.values()) == list(range(64))
+
+
+def test_zorder_key_orders_neighbours_together(spark):
+    import pyspark.sql.functions as F
+
+    # 32x32 grid of (x, y): after z-keying, rank-neighbourhood in 2-D
+    # maps to key-neighbourhood in 1-D
+    df = spark.range(1024).select(
+        (F.col("id") % 32).cast("double").alias("x"),
+        (F.col("id") / 32).cast("int").cast("double").alias("y"),
+    )
+    keyed, bounds = zorder_key(df, ["x", "y"], bits=5)
+    assert len(bounds["x"]) == 31
+    rows = keyed.collect()
+    # locality: each KEY-SPACE quarter is one spatial quadrant (the
+    # defining curve property; 0.3 tolerance absorbs ~1-cell
+    # approxQuantile boundary wobble over an exact 0.25)
+    full_area = 32.0 * 32.0
+    for q in range(4):
+        quarter = [r for r in rows if q * 256 <= r._z < (q + 1) * 256]
+        assert len(quarter) > 0
+        xs = [r.x for r in quarter]
+        ys = [r.y for r in quarter]
+        area = (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+        assert area <= 0.3 * full_area
+
+
+def test_zorder_guards(spark):
+    df = spark.range(4).selectExpr("CAST(id AS DOUBLE) AS a")
+    with pytest.raises(ValueError, match="1-4 columns"):
+        zorder_key(df, [])
+    with pytest.raises(ValueError, match="fit a long"):
+        zorder_key(df, ["a", "a", "a", "a"], bits=16)
+
+
+def _file_spreads(path: str, cols: list[str]) -> dict:
+    """Per-column mean (max-min) across the written parquet files, read
+    from the footers — the statistic a scan planner actually prunes on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spreads = {c: [] for c in cols}
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        for c in cols:
+            if lo[c] is not None:
+                spreads[c].append(hi[c] - lo[c])
+    return {c: sum(v) / len(v) for c, v in spreads.items()}
+
+
+def test_zordered_files_have_tight_ranges_on_both_columns(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    # two independent uniform columns — the case single-column sorting
+    # cannot serve: sorting by x leaves y's per-file spread at ~full range
+    df = (
+        spark.range(20000)
+        .select(
+            ((F.col("id") * 1103515245 + 12345) % 100000).cast("double").alias("x"),
+            ((F.col("id") * 69069 + 1) % 100000).cast("double").alias("y"),
+        )
+        .persist()
+    )
+    full_x = 100000.0
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=16)
+    plain = str(tmp_path / "plain")
+    df.repartition(16).write.parquet(plain)
+
+    z_spread = _file_spreads(zpath, ["x", "y"])
+    p_spread = _file_spreads(plain, ["x", "y"])
+    # unordered files span essentially the full range on both columns
+    assert p_spread["x"] > 0.9 * full_x and p_spread["y"] > 0.9 * full_x
+    # z-ordered files are materially tighter on BOTH columns at once
+    assert z_spread["x"] < 0.45 * full_x and z_spread["y"] < 0.45 * full_x
+    # rows survive the rewrite untouched
+    got = spark.read.parquet(zpath)
+    assert got.count() == 20000
+    assert got.agg(F.sum("x"), F.sum("y")).first() == df.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
+    df.unpersist()

@@ -152,3 +152,54 @@ def test_cms_build_matches_duckdb_replay(spark):
     )
     assert len(want) > 0 and CMS_DEPTH == 4  # VALUES list matches depth
     assert got == want
+
+
+def test_cms_and_hll_build_from_a_stream(spark, tmp_path):
+    """Both sketch builds are plain aggregations with BOUNDED state
+    (<= depth x width counters / one HLL register set), so the same code
+    runs as a streaming aggregation in complete mode — continuous corpus
+    monitoring. Final streamed state must equal the batch sketch: CMS
+    bit-for-bit, HLL estimate-for-estimate."""
+    docs = _docs(spark)
+    jdir = str(tmp_path / "docs")
+    docs.coalesce(2).write.json(jdir)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).json(jdir)
+
+    q = (
+        cms_build(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.row_idx, r.col_idx, r["count"])
+        for r in spark.sql("select * from cms_stream").collect()
+    )
+    assert got == _cms_rows(cms_build(docs))
+
+    q2 = (
+        token_hll(stream, by="source")
+        .drop("token_hll", "doc_hll")
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_h = {
+        r.source: (r.distinct_tokens_est, r.distinct_docs_est)
+        for r in spark.sql("select * from hll_stream").collect()
+    }
+    want_h = {
+        r.source: (r.distinct_tokens_est, r.distinct_docs_est)
+        for r in token_hll(docs, by="source").collect()
+    }
+    assert got_h == want_h
