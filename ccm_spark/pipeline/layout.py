@@ -75,23 +75,35 @@ def py_zorder(bucket_values: list[int], bits: int = ZORDER_BITS) -> int:
 
 
 def zorder_key(
-    df: DataFrame, cols: list[str], bits: int = ZORDER_BITS
+    df: DataFrame,
+    cols: list[str],
+    bits: int = ZORDER_BITS,
+    bounds: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Adds ``_z`` (the Morton key over the columns' rank buckets) and
-    returns the per-column boundaries used — persist those alongside the
-    data if increments must share the same curve. Boundaries come from
-    one approxQuantile pass per call (relative error 1/2^bits)."""
+    returns the per-column boundaries used. Pass ``bounds`` (from a
+    previous call, or reloaded via ``sources.sinks.read_zorder_bounds``)
+    to key an INCREMENT onto the same curve as the base data — the
+    bucketing is then a pure projection, no quantile pass. Fresh
+    boundaries come from one approxQuantile pass per column (sketch
+    error 1/8 bucket width so adjacent buckets cannot merge)."""
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key: 1-4 columns (the curve degrades beyond)")
     if bits * len(cols) > 62:
         raise ValueError("zorder_key: bits * n_cols must fit a long")
     n_buckets = 1 << bits
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    # sketch error well below the bucket width, or adjacent buckets
-    # merge and the curve smears (GK sketch memory stays driver-trivial)
-    bounds = {
-        c: df.approxQuantile(c, probs, 1.0 / (n_buckets * 8)) for c in cols
-    }
+    if bounds is None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = {
+            c: df.approxQuantile(c, probs, 1.0 / (n_buckets * 8)) for c in cols
+        }
+    else:
+        missing = [c for c in cols if c not in bounds]
+        if missing or any(len(bounds[c]) != n_buckets - 1 for c in cols):
+            raise ValueError(
+                f"zorder_key: bounds do not define a {n_buckets}-bucket curve "
+                f"for columns {cols} (missing: {missing})"
+            )
     buckets = [_bucket(F.col(c), bounds[c]) for c in cols]
     return df.withColumn("_z", _interleave(buckets, bits)), bounds
 

@@ -567,3 +567,43 @@ def read_unigram_model(spark, path: str) -> dict:
         "pieces": pieces,
         "max_piece_len": manifest["params"]["max_piece_len"],
     }
+
+
+def write_zorder_bounds(bounds: dict, path: str, bits: int) -> dict:
+    """Persist a Z-curve definition (``pipeline.layout.zorder_key``
+    boundaries): (col, bucket_idx, boundary) as parquet + bits in the
+    manifest — increments keyed against the loaded curve land in the
+    same file ranges as the base data."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    rows = [
+        (c, i, float(b))
+        for c, bs in bounds.items()
+        for i, b in enumerate(bs)
+    ]
+    spark.createDataFrame(
+        rows, "col string, bucket_idx int, boundary double"
+    ).coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(path, "bounds")
+    )
+    return _write_ann_manifest(
+        path, "zorder_bounds", {"bits": bits, "cols": sorted(bounds)}, len(rows)
+    )
+
+
+def read_zorder_bounds(spark, path: str) -> tuple[dict, int]:
+    """Reload a persisted curve definition (float64 bit-exact, so an
+    increment keys identically — test-pinned)."""
+    import os
+
+    manifest = _read_ann_manifest(path, "zorder_bounds")
+    out: dict = {}
+    for r in sorted(
+        spark.read.parquet(os.path.join(path, "bounds")).collect(),
+        key=lambda r: (r.col, r.bucket_idx),
+    ):
+        out.setdefault(r.col, []).append(float(r.boundary))
+    return out, int(manifest["params"]["bits"])

@@ -124,3 +124,31 @@ def test_zordered_files_have_tight_ranges_on_both_columns(spark, tmp_path):
         F.sum("x"), F.sum("y")
     ).first()
     df.unpersist()
+
+
+def test_zorder_bounds_round_trip_keys_increment_identically(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ccm_spark.sources.sinks import read_zorder_bounds, write_zorder_bounds
+
+    base = spark.range(2000).select(
+        ((F.col("id") * 37) % 1000).cast("double").alias("x"),
+        ((F.col("id") * 91) % 1000).cast("double").alias("y"),
+    )
+    _, bounds = zorder_key(base, ["x", "y"], bits=6)
+    write_zorder_bounds(bounds, str(tmp_path / "curve"), bits=6)
+    loaded, bits = read_zorder_bounds(spark, str(tmp_path / "curve"))
+    assert bits == 6 and loaded == bounds  # float64 bit-exact
+
+    inc = spark.range(300).select(
+        ((F.col("id") * 53) % 1000).cast("double").alias("x"),
+        ((F.col("id") * 17) % 1000).cast("double").alias("y"),
+    )
+    a = zorder_key(inc, ["x", "y"], bits=6, bounds=bounds)[0].collect()
+    b = zorder_key(inc, ["x", "y"], bits=6, bounds=loaded)[0].collect()
+    assert sorted((r.x, r.y, r._z) for r in a) == sorted(
+        (r.x, r.y, r._z) for r in b
+    )
+    # drifted geometry fails loudly
+    with pytest.raises(ValueError, match="bucket curve"):
+        zorder_key(inc, ["x", "y"], bits=7, bounds=bounds)
