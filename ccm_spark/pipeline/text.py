@@ -10,6 +10,7 @@ cross-engine hash stability (see __spark_entry__).
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -686,3 +687,66 @@ def classifier_metrics(
         "recall": round(tp / n_pos, 6) if n_pos else float("nan"),
         "confusion": {"tp": tp, "fp": fp, "fn": fn, "tn": tn},
     }
+
+
+# ------------------------------------------- unicode normalisation (r07)
+
+#: engine-portable cleanups (pure regex — the DuckDB twin replays them):
+#: C0/C1 controls except \t\n, zero-width + BOM characters, then the
+#: typographic quote/dash folds that split token identities
+#: NOTE \x{...} escapes, not \uXXXX: Java regex accepts both but RE2
+#: (the DuckDB replay engine) only the former — portability by syntax
+_UNICODE_CLEANUP = [
+    ("[\\x00-\\x08\\x0e-\\x1f\\x7f-\\x9f\\x0b\\x0c]", ""),
+    ("[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{AD}]", ""),
+    ("[\\x{2018}-\\x{201B}]", "'"),
+    ("[\\x{201C}-\\x{201F}]", '"'),
+    ("[\\x{2010}-\\x{2015}\\x{2212}]", "-"),
+    ("[\\x{A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " "),
+]
+
+
+def clean_text_col(col) -> F.Column:
+    """The regex half of normalisation as one codegen expression chain
+    (controls, zero-width, quote/dash/space folds) — streaming-safe, no
+    UDF, engine-portable (no lookaround), pinned against a DuckDB
+    replay. NULL in → NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _UNICODE_CLEANUP:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def normalize_unicode(
+    docs: DataFrame, form: str = "NFKC", text_col: str = "text"
+) -> DataFrame:
+    """Canonical unicode for the whole corpus — the stage real pipelines
+    run BEFORE tokenisation and dedup, because without it visually
+    identical strings hash apart: composed vs decomposed accents (NFC),
+    fullwidth/compatibility forms (NFKC), smart quotes, zero-width
+    joiners. Two halves:
+
+      1. codegen regex cleanup (:func:`clean_text_col`) — controls,
+         zero-width characters, quote/dash/space folding;
+      2. ``unicodedata.normalize(form, ...)`` as one narrow Arrow pass
+         (composition tables are not expressible as regex; this is the
+         one honest UDF, and it is vectorised per batch).
+
+    Both halves are idempotent, so re-running over an already-clean
+    corpus is a no-op (test-pinned). Adds ``text_norm`` + ``changed``;
+    plan is scan → projection → kernel, no shuffle, streaming-safe."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_unicode: unknown form {form!r}")
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    cleaned = clean_text_col(text_col)
+    out = docs.withColumn("text_norm", _norm(cleaned))
+    return out.withColumn(
+        "changed", ~F.col("text_norm").eqNullSafe(F.col(text_col))
+    )

@@ -286,3 +286,86 @@ def test_classifier_metrics_close_the_training_loop(spark):
     m = classifier_metrics(scored)
     assert m["auc"] == 1.0  # fully separable fixture
     assert m["recall"] == 1.0
+
+
+# ---------------------------------------------- unicode normalisation
+
+
+def test_clean_text_col_matches_duckdb_replay(spark):
+    """The regex half is engine-portable; DuckDB replays it byte for
+    byte on a fixture covering every cleanup class."""
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.text import _UNICODE_CLEANUP, clean_text_col
+
+    fixture = [
+        (0, "plain ascii stays"),
+        (1, "ctrl\x01chars\x0bdie"),
+        (2, "zero​width﻿gone­"),
+        (3, "“smart” ‘quotes’ — fold"),
+        (4, "non breaking spaces"),
+        (5, None),
+    ]
+    pdf = pd.DataFrame(fixture, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf.astype({"doc_id": "int64"}))
+    got = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", clean_text_col("text").alias("c")).collect()
+    }
+    expr = "text"
+    for pat, repl in _UNICODE_CLEANUP:
+        lit = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{lit}', 'g')"
+    duckdb.register("uc_fixture", pdf)
+    want = {
+        int(d): t
+        for d, t in duckdb.sql(
+            f"SELECT doc_id, {expr} FROM uc_fixture"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[3] == "\"smart\" 'quotes' - fold"
+    assert got[2] == "zerowidthgone"
+    assert got[5] is None
+
+
+def test_normalize_unicode_folds_equivalent_strings(spark):
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.text import normalize_unicode
+
+    docs = spark.createDataFrame(
+        [
+            (0, "café"),  # composed e-acute
+            (1, "café"),  # decomposed: e + combining acute
+            (2, "Ｆullｗidth １２"),  # fullwidth F, w, digits
+            (3, "already clean"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text_norm, r.changed) for r in normalize_unicode(docs).collect()}
+    # visually identical accents hash together after normalisation
+    assert out[0][0] == out[1][0] == "café"
+    assert out[1][1] is True and out[0][1] is False
+    assert out[2][0] == "Fullwidth 12"
+    assert out[3] == ("already clean", False)
+    assert out[4] == (None, False)
+
+    # idempotent: a second pass changes nothing
+    again = normalize_unicode(
+        normalize_unicode(docs).select("doc_id", F.col("text_norm").alias("text"))
+    )
+    assert again.filter("changed").count() == 0
+
+
+def test_normalize_unicode_rejects_unknown_form(spark):
+    import pytest as _pytest
+
+    from ccm_spark.pipeline.text import normalize_unicode
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="unknown form"):
+        normalize_unicode(docs, form="NFX")
