@@ -514,3 +514,45 @@ def score_weighted_sample(
     )
     thr = F.round(p * F.lit(MIX_MOD), 0).cast("long")
     return scored.withColumn("keep", key < thr)
+
+
+def train_eval_split(
+    docs: DataFrame,
+    eval_frac: float = 0.01,
+    salt: str = "split1",
+    decontaminate_train: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Deterministic held-out split WITH leakage control — the eval-set
+    construction step a training pipeline runs once per corpus freeze:
+
+      1. split by the salted md5 mix key (content-independent,
+         partitioning-independent, reproducible from (doc_id, salt)
+         alone — the same key discipline as ``mixture_sample``);
+      2. flag every TRAIN document sharing a token shingle with the
+         eval split (``dedup.decontaminate`` — without this step the
+         held-out loss is contaminated by near-copies that the random
+         split scattered across the boundary).
+
+    Returns ``(train, eval, leaks)``: train already has the leaking
+    docs REMOVED (pass ``decontaminate_train=False`` to keep them and
+    decide downstream); ``leaks`` is the audit relation (doc_id +
+    shared-shingle count) a curation report records.
+
+    Scale: the split is a narrow filter on both sides (one corpus scan
+    each); the leak check is the decontaminate join, whose eval side is
+    the SMALL side by construction (eval_frac of the corpus)."""
+    if not 0.0 < eval_frac < 1.0:
+        raise ValueError(f"train_eval_split: eval_frac must be in (0, 1), got {eval_frac}")
+    from ccm_spark.pipeline.dedup import decontaminate
+
+    key = mix_key("doc_id", salt)
+    cut = int(eval_frac * MIX_MOD)
+    eval_docs = docs.filter(key < cut)
+    train_docs = docs.filter(key >= cut)
+    flagged = decontaminate(train_docs, eval_docs)
+    leaks = flagged.filter(F.col("contaminated"))
+    if decontaminate_train:
+        train_docs = train_docs.join(
+            leaks.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    return train_docs, eval_docs, leaks

@@ -401,3 +401,40 @@ def test_score_weighted_sample_rates_and_determinism(spark):
         score_weighted_sample(df, gamma=0)
     with pytest.raises(ValueError, match="floor_rate"):
         score_weighted_sample(df, floor_rate=2.0)
+
+
+def test_train_eval_split_is_deterministic_and_leak_free(spark):
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.mixing import train_eval_split
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, f"{base} doc {i} unique tail {i * 7}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train, ev, leaks = train_eval_split(docs, eval_frac=0.1, salt="t1")
+
+    tr_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    ev_ids = {r.doc_id for r in ev.select("doc_id").collect()}
+    assert tr_ids.isdisjoint(ev_ids)
+    # the shared 30-token prefix makes EVERY train doc leak vs eval
+    assert leaks.count() == 200 - len(ev_ids) and len(tr_ids) == 0
+
+    # distinct tails only -> no leaks, split covers the corpus
+    rows2 = [(i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(12)))
+             for i in range(200)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    t2, e2, l2 = train_eval_split(docs2, eval_frac=0.1, salt="t1")
+    t2_ids = {r.doc_id for r in t2.select("doc_id").collect()}
+    e2_ids = {r.doc_id for r in e2.select("doc_id").collect()}
+    assert l2.count() == 0
+    assert t2_ids | e2_ids == set(range(200)) and t2_ids.isdisjoint(e2_ids)
+    assert 5 <= len(e2_ids) <= 40  # ~10% under the md5 key
+
+    # same salt -> same split, regardless of partitioning
+    t3, e3, _ = train_eval_split(docs2.repartition(7), eval_frac=0.1, salt="t1")
+    assert {r.doc_id for r in e3.select("doc_id").collect()} == e2_ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eval_frac"):
+        train_eval_split(docs2, eval_frac=1.5)
