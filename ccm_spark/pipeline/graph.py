@@ -98,6 +98,12 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
+    # dangling nodes computed ONCE (a distinct + anti-join); inside the
+    # loop each round only semi-joins ranks against this small persisted
+    # relation — not a fresh distinct-shuffle per iteration
+    srcs = e.select("src").distinct()
+    dangling_nodes = nodes.join(srcs, nodes.node == srcs.src, "left_anti").persist()
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iters):
         contribs = (
@@ -106,10 +112,9 @@ def pagerank(
             .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
         )
         # rank mass sitting on dangling nodes, recovered in-plan
-        srcs = e.select("src").distinct()
-        dangling = ranks.join(
-            srcs, ranks.node == srcs.src, "left_anti"
-        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .crossJoin(F.broadcast(dangling))
@@ -126,6 +131,7 @@ def pagerank(
     out = ranks
     e.unpersist()
     nodes.unpersist()
+    dangling_nodes.unpersist()
     return out
 
 
