@@ -155,3 +155,146 @@ def cms_lookup(
     return joined.groupBy("token").agg(
         F.min(F.coalesce(F.col("count"), F.lit(0))).alias("count_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch (KMV sampling)
+# ---------------------------------------------------------------------------
+
+#: default bottom-k sample size: rank error ~ O(1/sqrt(k)) => ~6% at 256
+BK_K = 256
+#: md5_long's range — 15 hex digits = 60 bits
+_BK_HSPACE = float(1 << 60)
+#: build oversampling: expect 4k survivors of the hash-threshold filter
+_BK_OVERSAMPLE = 4
+
+
+def bottomk_build(
+    df: DataFrame,
+    value_col: str,
+    key_col: str = "doc_id",
+    by: str | None = None,
+    k: int = BK_K,
+) -> DataFrame:
+    """Bottom-k quantile sketch: the ``k`` rows whose md5-derived key
+    hash is smallest, per ``by`` group — a deterministic uniform row
+    sample, as a ``(group?, h, value)`` relation. Mergeable exactly:
+    the k smallest hashes of a union are among the per-part k smallest,
+    so :func:`bottomk_merge` of per-shard/per-day sketches is
+    BIT-FOR-BIT the sketch of the union corpus (the same incremental
+    contract as ``cms_merge``, and the tests pin it). ``key_col`` must
+    be row-unique across every relation the sketches will ever be
+    merged over (doc_id); duplicated keys bias the sample.
+
+    100 TB design: NOT a window rank over the full relation (that
+    shuffles every row). Two narrow passes instead — (1) a map-side-
+    combined per-group count, (2) a scan keeping only rows with
+    h <= threshold, sized so ~4k survive per group, then an exact rank
+    on the tiny survivor set. P(fewer than k survive) <= exp(-9k/8) by
+    Chernoff (< 1e-15 at the enforced k >= 32), and groups with
+    n <= 4k skip the filter entirely. The group-count side is one row
+    per group (domains/days scale) and broadcasts."""
+    if k < 32:
+        raise ValueError("bottomk_build: k must be >= 32 (Chernoff safety floor)")
+    keys = [by] if by else []
+    h = md5_long(F.concat(F.lit("bk:"), F.col(key_col).cast("string")))
+    rows = df.select(
+        *keys, h.alias("h"), F.col(value_col).cast("double").alias("value")
+    )
+    m = float(_BK_OVERSAMPLE * k)
+    counts = (
+        rows.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .select(
+            *keys,
+            F.when(F.col("_n") <= F.lit(int(m)), F.lit((1 << 60) - 1))
+            .otherwise((F.lit(_BK_HSPACE * m) / F.col("_n")).cast("long") + 1)
+            .alias("_thresh"),
+        )
+    )
+    if keys:
+        surv = rows.join(F.broadcast(counts), keys)
+    else:
+        surv = rows.crossJoin(F.broadcast(counts))
+    surv = surv.filter(F.col("h") <= F.col("_thresh")).drop("_thresh")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*(keys or [F.lit(0)])).orderBy("h", "value")
+    return (
+        surv.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*keys, "h", "value")
+    )
+
+
+def bottomk_merge(
+    *sketches: DataFrame, by: str | None = None, k: int = BK_K
+) -> DataFrame:
+    """Fold bottom-k sketches (same ``k``, same ``by``) into the sketch
+    of the union corpus: union the relations, keep the k smallest
+    hashes per group. Exact — no approximation is introduced by
+    merging, only by the original sampling."""
+    if not sketches:
+        raise ValueError("bottomk_merge: need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [by] if by else []
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*(keys or [F.lit(0)])).orderBy("h", "value")
+    return (
+        u.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*keys, "h", "value")
+    )
+
+
+def bottomk_quantiles(
+    sketch: DataFrame, probs: list[float], by: str | None = None
+) -> DataFrame:
+    """Quantile estimates from a bottom-k sketch:
+    ``(group?, prob, value_est)``, one row per requested probability.
+    The estimate is the EXACT percentile of the uniform sample, so rank
+    error is the sampling error: ~ +/- 1.6/sqrt(k) rank mass at 90%
+    confidence (+/- 6% at the default k=256). The sketch is at most
+    k rows per group, so this aggregates a bounded relation."""
+    if not probs:
+        raise ValueError("bottomk_quantiles: need at least one probability")
+    if any(p < 0.0 or p > 1.0 for p in probs):
+        raise ValueError("bottomk_quantiles: probabilities must be in [0, 1]")
+    keys = [by] if by else []
+    parr = F.array(*[F.lit(float(p)) for p in probs])
+    agg = sketch.groupBy(*keys).agg(F.percentile("value", parr).alias("_qs"))
+    return agg.select(
+        *keys,
+        F.posexplode("_qs").alias("_i", "value_est"),
+    ).select(
+        *keys,
+        F.element_at(parr, F.col("_i") + 1).alias("prob"),
+        "value_est",
+    )
+
+
+def bottomk_count_est(
+    sketch: DataFrame, by: str | None = None, k: int = BK_K
+) -> DataFrame:
+    """KMV row-count estimate from the sketch alone: with k row-unique
+    keys sampled, n_hat = (k - 1) * H / h_(k) where h_(k) is the k-th
+    smallest hash and H the hash space — the classic bottom-k distinct
+    estimator (rel. error ~ 1/sqrt(k - 2)). ``k`` must match the build;
+    groups that kept fewer than k rows (n <= k) report their exact
+    count."""
+    keys = [by] if by else []
+    return sketch.groupBy(*keys).agg(
+        F.when(
+            F.count("*") < F.lit(k),
+            F.count("*").cast("double"),
+        )
+        .otherwise(
+            (F.count("*") - 1).cast("double") * F.lit(_BK_HSPACE) / F.max("h")
+        )
+        .alias("rows_est")
+    )

@@ -203,3 +203,166 @@ def test_cms_and_hll_build_from_a_stream(spark, tmp_path):
         for r in token_hll(docs, by="source").collect()
     }
     assert got_h == want_h
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _py_bk_hash(key) -> int:
+    """Independent python oracle for the sketch hash: 60-bit md5 of
+    'bk:<key>' — NOT derived from the Spark expression under test."""
+    import hashlib
+
+    return int(hashlib.md5(f"bk:{key}".encode()).hexdigest()[:15], 16)
+
+
+def _val_docs(spark, n=5000, src_mod=None):
+    rows = []
+    for i in range(n):
+        src = ["web", "books"][i % 2] if src_mod else "web"
+        rows.append((i, float((i * 37) % 1000) / 1000.0, src))
+    return spark.createDataFrame(rows, "doc_id long, value double, source string")
+
+
+def test_bottomk_build_matches_python_oracle(spark):
+    """The thresholded two-pass build returns EXACTLY the k smallest
+    hashes (n=5000 > 4k=1024, so the Chernoff filter path is the one
+    exercised), pinned against an independent hashlib replay."""
+    from ccm_spark.pipeline.sketches import bottomk_build
+
+    docs = _val_docs(spark)
+    got = sorted(
+        (r.h, r.value) for r in bottomk_build(docs, "value", k=256).collect()
+    )
+    want = sorted(
+        (_py_bk_hash(i), float((i * 37) % 1000) / 1000.0) for i in range(5000)
+    )[:256]
+    assert got == want
+
+
+def test_bottomk_merge_bitexact_vs_union_build(spark):
+    """The incremental contract: per-half sketches folded with
+    bottomk_merge equal the union-corpus build bit for bit."""
+    from ccm_spark.pipeline.sketches import bottomk_build, bottomk_merge
+
+    docs = _val_docs(spark)
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    merged = sorted(
+        (r.h, r.value)
+        for r in bottomk_merge(
+            bottomk_build(a, "value", k=128), bottomk_build(b, "value", k=128), k=128
+        ).collect()
+    )
+    union = sorted(
+        (r.h, r.value) for r in bottomk_build(docs, "value", k=128).collect()
+    )
+    assert merged == union
+
+
+def test_bottomk_partitioning_invariance(spark):
+    from ccm_spark.pipeline.sketches import bottomk_build
+
+    docs = _val_docs(spark, n=2000)
+    one = sorted((r.h, r.value) for r in bottomk_build(docs, "value").collect())
+    many = sorted(
+        (r.h, r.value) for r in bottomk_build(docs.repartition(7), "value").collect()
+    )
+    assert one == many
+
+
+def test_bottomk_quantiles_accuracy(spark):
+    """k=256 over 5000 near-uniform values: rank error ~1/sqrt(k), so
+    estimates land within 0.1 of the true quantile value."""
+    from ccm_spark.pipeline.sketches import bottomk_build, bottomk_quantiles
+
+    docs = _val_docs(spark)
+    sk = bottomk_build(docs, "value", k=256)
+    got = {r.prob: r.value_est for r in bottomk_quantiles(sk, [0.1, 0.5, 0.9]).collect()}
+    assert set(got) == {0.1, 0.5, 0.9}
+    for p, est in got.items():
+        assert abs(est - p) < 0.1  # true q(p) ~= p for this distribution
+
+
+def test_bottomk_small_group_is_exact(spark):
+    """n <= k keeps every row, so quantiles are the exact percentiles."""
+    import numpy as np
+
+    from ccm_spark.pipeline.sketches import bottomk_build, bottomk_quantiles
+
+    docs = _val_docs(spark, n=100)
+    sk = bottomk_build(docs, "value", k=256)
+    assert sk.count() == 100
+    vals = np.array([float((i * 37) % 1000) / 1000.0 for i in range(100)])
+    got = {r.prob: r.value_est for r in bottomk_quantiles(sk, [0.25, 0.75]).collect()}
+    for p, est in got.items():
+        assert est == pytest.approx(
+            float(np.percentile(vals, 100 * p, method="linear")), abs=1e-9
+        )
+
+
+def test_bottomk_grouped_and_count_est(spark):
+    from ccm_spark.pipeline.sketches import (
+        bottomk_build,
+        bottomk_count_est,
+        bottomk_quantiles,
+    )
+
+    docs = _val_docs(spark, src_mod=2)
+    sk = bottomk_build(docs, "value", by="source", k=256)
+    qs = bottomk_quantiles(sk, [0.5], by="source")
+    assert {r.source for r in qs.collect()} == {"web", "books"}
+    est = {r.source: r.rows_est for r in bottomk_count_est(sk, by="source").collect()}
+    for src in ("web", "books"):
+        assert est[src] == pytest.approx(2500, rel=0.25)
+
+
+def test_bottomk_guards(spark):
+    from ccm_spark.pipeline.sketches import (
+        bottomk_build,
+        bottomk_merge,
+        bottomk_quantiles,
+    )
+
+    docs = _val_docs(spark, n=10)
+    with pytest.raises(ValueError, match="k must be >= 32"):
+        bottomk_build(docs, "value", k=8)
+    with pytest.raises(ValueError, match="at least one"):
+        bottomk_merge()
+    sk = bottomk_build(docs, "value")
+    with pytest.raises(ValueError, match="at least one"):
+        bottomk_quantiles(sk, [])
+    with pytest.raises(ValueError, match="in \\[0, 1\\]"):
+        bottomk_quantiles(sk, [1.5])
+
+
+def test_bottomk_build_matches_duckdb_replay(spark):
+    """Engine portability: DuckDB re-derives the sketch relation from
+    the same md5 construction via QUALIFY row_number."""
+    import duckdb
+    import pandas as pd
+
+    from ccm_spark.functions.hashing import sql_md5_long
+    from ccm_spark.pipeline.sketches import bottomk_build
+
+    docs = _val_docs(spark, n=1500)
+    got = sorted(
+        (r.h, r.value) for r in bottomk_build(docs, "value", k=64).collect()
+    )
+    duckdb.register(
+        "bk_fixture", pd.DataFrame(docs.select("doc_id", "value").toPandas())
+    )
+    hash_expr = sql_md5_long("'bk:' || CAST(doc_id AS VARCHAR)")
+    want = sorted(
+        (int(h), float(v))
+        for h, v in duckdb.sql(
+            f"""
+            SELECT {hash_expr} AS h, value
+            FROM bk_fixture
+            QUALIFY row_number() OVER (ORDER BY h, value) <= 64
+            """
+        ).fetchall()
+    )
+    assert got == want
