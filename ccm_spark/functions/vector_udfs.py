@@ -453,12 +453,17 @@ def srp_bucket_udf(plane_values, planes: int, dim: int):
 
     @pandas_udf("long")
     def _bucket(embedding: pd.Series) -> pd.Series:
-        out = []
-        for v in embedding:
-            x = np.asarray(v, dtype=np.float64)
-            dots = mat @ x
-            out.append(int(pows[dots >= 0.0].sum()))
-        return pd.Series(out, dtype="int64")
+        if len(embedding) == 0:
+            return pd.Series([], dtype="int64")
+        # one batch matmul (the kmeans_assign_udf shape), not a per-row
+        # Python loop — this kernel sits on the streaming ingestion-probe
+        # hot path; bit packing stays in uint64 for exactness
+        x = np.stack(embedding.to_numpy()).astype(np.float64)
+        dots = x @ mat.T  # (batch, planes)
+        buckets = ((dots >= 0.0).astype(np.uint64) * pows[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(buckets.astype(np.int64))
 
     return _bucket
 

@@ -73,6 +73,10 @@ def pagerank(
     only as targets still receive rank; dangling nodes (no out-edges)
     redistribute uniformly, so total mass is conserved exactly (up to
     float summation) — the property the numpy replay pin checks.
+    Edges with NULL or non-positive weight are dropped (they carry no
+    endorsement and would poison the out-strength division); their
+    endpoints stay in the node relation, and a src left with no
+    positive out-edge is treated as dangling.
 
     Plan per iteration: ranks ⋈ edges on src (edges pre-partitioned +
     persisted, one layout for all rounds) → groupBy dst (map-side
@@ -82,8 +86,17 @@ def pagerank(
         raise ValueError("n_iters must be >= 1")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w"))
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
+    # non-positive/NULL weights carry no endorsement and would poison
+    # the out-strength division (a src whose weights sum to 0 gets
+    # p = 0/0 = NULL and its rank mass silently vanishes — breaking the
+    # conservation invariant the tests pin). Dropping them keeps mass
+    # exact: a src with no surviving out-edge is dangling and
+    # redistributes uniformly. Nodes stay in the relation via the node
+    # set, which is taken BEFORE the weight filter.
+    nodes_src = e
+    e = e.filter(F.col("w") > 0)
+    nodes = nodes_src.select(F.col("src").alias("node")).union(
+        nodes_src.select(F.col("dst").alias("node"))
     ).distinct()
     # out-strength denormalised onto edges once; layout reused every round
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))

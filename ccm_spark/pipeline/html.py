@@ -191,12 +191,22 @@ def extract_links(
         "[^/]*$",
         "",
     )
+    # full base path (filename kept): a query-only reference ('?page=2')
+    # replaces the QUERY, not the filename — RFC 3986 §5.3 merges it
+    # onto the complete base path, unlike other relative forms
+    base_path = F.when(parts["path"] == "", F.lit("/")).otherwise(parts["path"])
     href = F.regexp_replace(F.col("href_raw"), "^[ \\t]+|[ \\t]+$", "")
+    # attribute values carry HTML entities too ('?a=1&amp;b=2' is the
+    # standard serialisation of '&' in markup) — decode with the same
+    # single-pass fold the anchor text gets
+    for ent, repl in ENTITIES:
+        href = F.replace(href, F.lit(ent), F.lit(repl))
     resolved = (
         F.when(href.rlike(_NON_HTTP_RE) | href.startswith("#") | (href == ""), None)
         .when(href.rlike("(?i)^[a-z][a-z0-9+.-]*://"), href)
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("?"), F.concat(origin, base_path, href))
         .otherwise(F.concat(origin, base_dir, href))
     )
     anchor = F.col("anchor_html")

@@ -28,9 +28,12 @@ crawlers, documented rather than hidden):
 page relation); the URL join hashes on host, and each URL row meets
 only its own host's rule list (real robots files hold tens of rules).
 A pathological million-rule robots.txt is capped at ``max_rules_per_
-host`` by longest-first precedence — the cap keeps the join fan-out
-bounded and can only make matching MORE conservative for allow rules
-shadowed past the cap.
+host`` with disallow rules kept ahead of allow rules (so only allows
+are ever shed — over-blocking, never over-fetching); a host whose
+DISALLOW count alone exceeds the cap collapses to a single
+``Disallow: /`` — fully blocked rather than silently shedding
+prohibitions. The cap keeps the join fan-out bounded and by
+construction can only make matching more conservative.
 """
 
 from __future__ import annotations
@@ -38,8 +41,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-#: keep the most-specific rules per host; precedence is longest-first,
-#: so anything past a sane cap could only refine ties
+#: per-host rule cap: disallows kept first, then longest allows; a
+#: host with more disallows than this collapses to 'Disallow: /'
 MAX_RULES_PER_HOST = 500
 
 _UA_RE = "(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*([^#\\r]*)"
@@ -100,14 +103,36 @@ def robots_txt_rules(
         .select("host", "rule", "prefix")
         .distinct()
     )
+    # the cap must stay CONSERVATIVE: dropping an allow rule can only
+    # over-block (fine), but dropping ANY disallow rule could flip a
+    # blocked URL to allowed — so disallows are kept ahead of allows,
+    # and a host with more disallows than the cap itself collapses to
+    # a single 'Disallow: /' (fully blocked) instead of silently
+    # shedding prohibitions
     cap_w = Window.partitionBy("host").orderBy(
-        F.length("prefix").desc(), F.col("rule").asc(), F.col("prefix").asc()
+        F.col("rule").desc(),  # 'disallow' > 'allow': disallows kept first
+        F.length("prefix").desc(),
+        F.col("prefix").asc(),
     )
-    return (
-        rules.withColumn("rk", F.row_number().over(cap_w))
-        .filter(F.col("rk") <= max_rules_per_host)
-        .drop("rk")
+    host_w = Window.partitionBy("host")
+    marked = rules.withColumn(
+        "_n_dis",
+        F.sum((F.col("rule") == "disallow").cast("int")).over(host_w),
+    ).withColumn("rk", F.row_number().over(cap_w))
+    kept = (
+        marked.filter(
+            (F.col("_n_dis") <= max_rules_per_host)
+            & (F.col("rk") <= max_rules_per_host)
+        )
+        .select("host", "rule", "prefix")
     )
+    collapsed = (
+        marked.filter(F.col("_n_dis") > max_rules_per_host)
+        .select("host")
+        .distinct()
+        .select("host", F.lit("disallow").alias("rule"), F.lit("/").alias("prefix"))
+    )
+    return kept.unionByName(collapsed)
 
 
 def apply_robots(

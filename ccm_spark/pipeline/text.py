@@ -654,11 +654,24 @@ def classifier_metrics(
         .collect()
     )
     n_null = 0
+    n_unlabelled = 0
     hist: dict[float, list[int]] = {}
     for r in agg:
         if r.s is None:
             n_null += r.n
             continue
+        if r.y is None:
+            # e.g. a left join that found no label — excluded + counted,
+            # like unscored docs, never a crash
+            n_unlabelled += r.n
+            continue
+        if r.y not in (0, 1):
+            # -1/+1 encodings would silently land in the wrong slot via
+            # negative indexing; demand an explicit remap instead
+            raise ValueError(
+                f"classifier_metrics: labels must be 0/1, got {r.y} — "
+                "remap (e.g. (label + 1) / 2 for -1/+1 encodings) first"
+            )
         hist.setdefault(float(r.s), [0, 0])[r.y] = r.n
     n_neg = sum(v[0] for v in hist.values())
     n_pos = sum(v[1] for v in hist.values())
@@ -679,6 +692,7 @@ def classifier_metrics(
     return {
         "n_scored": total,
         "n_unscored": n_null,
+        "n_unlabelled": n_unlabelled,
         "n_pos": n_pos,
         "n_neg": n_neg,
         "auc": round(auc, 6) if auc == auc else auc,

@@ -263,7 +263,24 @@ def train_bpe(
     words: dict[int, tuple[tuple[str, ...], int]] = {}
     for i, r in enumerate(sorted(rows, key=lambda r: r.w)):
         words[i] = (tuple(r.w) + (end_marker,), int(r.n))
+    merges = _train_merges(words, n_merges)
+    vocab_set: set[str] = set()
+    for syms, _ in words.values():
+        vocab_set.update(syms)
+    return {
+        "merges": merges,
+        "vocab": {p: i for i, p in enumerate(sorted(vocab_set))},
+        "end_marker": end_marker,
+    }
 
+
+def _train_merges(
+    words: dict[int, tuple[tuple[str, ...], int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The pure driver-side BPE merge loop over a word histogram
+    (mutates ``words`` in place to the post-merge symbol sequences).
+    Split out so the heap bookkeeping can be pinned against a naive
+    rescan oracle without a Spark relation in the loop."""
     import heapq
 
     stats: dict[tuple[str, str], int] = {}
@@ -276,8 +293,13 @@ def train_bpe(
             stats.pop(pair, None)
         else:
             stats[pair] = c
-            if delta > 0:
-                heapq.heappush(heap, (-c, pair))
+            # push on EVERY move, decrements included: lazy invalidation
+            # only works if the heap always holds an entry at the live
+            # count — a pair whose count only ever decreased would
+            # otherwise become unselectable (its stale higher-count
+            # entries never match) and merges would diverge from the
+            # (count desc, pair asc) rule
+            heapq.heappush(heap, (-c, pair))
         if wid is not None:
             if delta > 0:
                 index.setdefault(pair, set()).add(wid)
@@ -322,14 +344,7 @@ def train_bpe(
             words[wid] = (syms, n)
             for a, b in zip(syms, syms[1:]):
                 bump((a, b), n, wid)
-    vocab_set: set[str] = set()
-    for syms, _ in words.values():
-        vocab_set.update(syms)
-    return {
-        "merges": merges,
-        "vocab": {p: i for i, p in enumerate(sorted(vocab_set))},
-        "end_marker": end_marker,
-    }
+    return merges
 
 
 def py_bpe_encode(word: str, merges_rank: dict, end_marker: str) -> list[str]:

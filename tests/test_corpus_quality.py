@@ -369,3 +369,29 @@ def test_normalize_unicode_rejects_unknown_form(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="unknown form"):
         normalize_unicode(docs, form="NFX")
+
+
+def test_classifier_metrics_null_and_nonbinary_labels(spark):
+    """NULL labels (e.g. an unmatched left join) are excluded and
+    counted, never a crash; -1/+1 encodings raise instead of silently
+    counting negatives as positives via Python negative indexing."""
+    import pytest
+
+    from ccm_spark.pipeline.text import classifier_metrics
+
+    rows = [
+        (0, 0.9, 1), (1, 0.8, 0), (2, 0.7, 1), (3, 0.2, 0),
+        (4, 0.6, None), (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, model_score double, label int")
+    m = classifier_metrics(df)
+    assert m["n_scored"] == 4
+    assert m["n_unlabelled"] == 1
+    assert m["n_unscored"] == 1
+    assert m["auc"] == 0.75  # 3 of 4 (pos, neg) pairs ordered correctly
+
+    pm = spark.createDataFrame(
+        [(0, 0.9, 1), (1, 0.2, -1)], "doc_id long, model_score double, label int"
+    )
+    with pytest.raises(ValueError, match="labels must be 0/1"):
+        classifier_metrics(pm)

@@ -49,6 +49,21 @@ def test_extract_links_empty_base_path(spark):
     assert got["http://ex.com/sibling.html"] == "plain rel"
 
 
+def test_extract_links_query_only_href_keeps_base_filename(spark):
+    """RFC 3986 §5.3: '?page=2' replaces the base URL's QUERY, keeping
+    the full base path — the regression resolved it against the base
+    DIRECTORY, inventing http://ex.com/dir/?page=2."""
+    page = '<a href="?page=2">next</a><a href="?a=1&amp;b=2">params</a>'
+    got = _links(spark, page=page)
+    assert got == {
+        "http://ex.com/dir/page.html?page=2": "next",
+        "http://ex.com/dir/page.html?a=1&b=2": "params",
+    }
+    # empty base path: query attaches to '/'
+    got = _links(spark, base="http://ex.com", page='<a href="?p=1">n</a>')
+    assert set(got) == {"http://ex.com/?p=1"}
+
+
 def test_host_graph_weights_and_self_drop(spark):
     links = spark.createDataFrame(
         [
@@ -215,3 +230,33 @@ def test_connected_components_raises_past_max_iter(spark):
     # and the honest bound succeeds on the same graph
     got = {r.node: r.component for r in connected_components(chain).collect()}
     assert set(got.values()) == {"n00"}
+
+
+def test_pagerank_zero_weight_src_becomes_dangling(spark):
+    """A src whose weights sum to 0 must not leak rank mass (the
+    regression: p = 0/0 = NULL silently vanished its mass). The node
+    is treated as dangling and mass stays conserved, matching the
+    numpy replay on the positive-weight subgraph + full node set."""
+    edges = [
+        ("a", "b", 1.0),
+        ("b", "a", 1.0),
+        ("z", "a", 0.0),  # z's only out-edge has zero weight
+        ("y", "z", None),  # NULL weight: dropped, y dangling; z still a node
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight double")
+    got = {r.node: r.rank for r in pagerank(df, n_iters=8).collect()}
+    assert set(got) == {"a", "b", "y", "z"}
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # replay: positive edges only, but all four nodes present
+    nodes = ["a", "b", "y", "z"]
+    idx = {v: i for i, v in enumerate(nodes)}
+    p = np.zeros((4, 4))
+    p[idx["b"], idx["a"]] = 1.0
+    p[idx["a"], idx["b"]] = 1.0
+    dangling = np.array([v in ("y", "z") for v in nodes])
+    r = np.full(4, 0.25)
+    for _ in range(8):
+        dmass = r[dangling].sum()
+        r = 0.15 / 4 + 0.85 * (p @ r + dmass / 4)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-12)

@@ -103,7 +103,29 @@ def test_apply_robots_treats_wildcards_literally(spark):
     assert got == {0: True, 1: False}
 
 
-def test_robots_rules_cap_keeps_most_specific(spark):
+def test_robots_rules_cap_never_sheds_disallows(spark):
+    """The conservative-cap contract: a short broad Disallow must
+    survive a cap dominated by longer Allow rules — the regression this
+    pins flipped blocked URLs to allowed when 'Disallow: /' sorted last
+    under pure length-desc precedence and was cut."""
+    body = (
+        "User-agent: *\nDisallow: /\n"
+        + "\n".join(f"Allow: /public/section{i:04d}/" for i in range(20))
+    )
+    rules = robots_txt_rules(
+        spark.createDataFrame([("c.com", body)], "host string, robots_txt string"),
+        max_rules_per_host=5,
+    )
+    got = [(r.rule, r.prefix) for r in rules.collect()]
+    assert ("disallow", "/") in got
+    assert len(got) == 5
+    urls = spark.createDataFrame([(0, "http://c.com/b")], "doc_id long, url string")
+    assert [r.robots_allowed for r in apply_robots(urls, rules).collect()] == [False]
+
+
+def test_robots_rules_disallow_overflow_collapses_to_full_block(spark):
+    """More disallows than the cap: shedding any of them could
+    over-fetch, so the host collapses to a single 'Disallow: /'."""
     body = "User-agent: *\n" + "\n".join(
         f"Disallow: /p{i:04d}/" for i in range(20)
     )
@@ -111,4 +133,11 @@ def test_robots_rules_cap_keeps_most_specific(spark):
         spark.createDataFrame([("c.com", body)], "host string, robots_txt string"),
         max_rules_per_host=5,
     )
-    assert rules.count() == 5  # capped, longest/most-specific first
+    got = [(r.rule, r.prefix) for r in rules.collect()]
+    assert got == [("disallow", "/")]
+    urls = spark.createDataFrame(
+        [(0, "http://c.com/anything"), (1, "http://c.com/p0003/x")],
+        "doc_id long, url string",
+    )
+    allowed = {r.doc_id: r.robots_allowed for r in apply_robots(urls, rules).collect()}
+    assert allowed == {0: False, 1: False}

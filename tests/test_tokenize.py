@@ -363,3 +363,55 @@ def test_train_unigram_rejects_bad_params(spark):
         train_unigram(
             spark.createDataFrame([(0, "   ")], "doc_id long, text string")
         )
+
+
+def test_bpe_merge_loop_matches_naive_rescan_oracle():
+    """The lazy-invalidation heap must reproduce the documented
+    (count desc, pair asc) merge rule EXACTLY. The regression this
+    pins: a pair whose count only ever decreased (retracted from a
+    rewritten word, never re-added) left the heap with stale entries
+    only, making it unselectable — merges then diverged from the rule
+    or stopped early. The oracle recomputes the full pair histogram
+    from scratch every round."""
+    import random
+
+    from ccm_spark.pipeline.tokenize import _train_merges
+
+    def naive(words, n_merges):
+        words = dict(words)
+        merges = []
+        for _ in range(n_merges):
+            stats = {}
+            for syms, n in words.values():
+                for p in zip(syms, syms[1:]):
+                    stats[p] = stats.get(p, 0) + n
+            live = [(c, p) for p, c in stats.items() if c >= 2]
+            if not live:
+                break
+            best = sorted(live, key=lambda cp: (-cp[0],) + (cp[1],))[0][1]
+            merges.append(best)
+            ns = best[0] + best[1]
+            for wid, (syms, n) in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                        out.append(ns)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[wid] = (tuple(out), n)
+        return merges
+
+    rng = random.Random(7)
+    for _ in range(800):
+        words = {
+            i: (
+                tuple("".join(rng.choice("abcd") for _ in range(rng.randint(1, 5))))
+                + ("</w>",),
+                rng.randint(1, 5),
+            )
+            for i in range(rng.randint(1, 6))
+        }
+        n_merges = rng.randint(1, 8)
+        assert _train_merges(dict(words), n_merges) == naive(words, n_merges)
