@@ -293,6 +293,17 @@ def main() -> None:
 
         return warc_html_documents(read_warc(spark, warc_dir))
 
+    def extra_bottomk(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.sketches import bottomk_build, bottomk_quantiles
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.length("text").alias("doc_len")
+        )
+        sk = bottomk_build(docs, "doc_len", k=256)
+        return bottomk_quantiles(sk, [0.25, 0.5, 0.75, 0.95])
+
     def extra_pagerank(spark, sf_dir):
         import pyspark.sql.functions as F
 
@@ -323,6 +334,7 @@ def main() -> None:
         "html_extract": extra_html,
         "warc_parse": extra_warc,
         "pagerank_20k": extra_pagerank,
+        "doclen_quantile_sketch": extra_bottomk,
     }
     extra_timings = {}
     for name, fn in extras.items():

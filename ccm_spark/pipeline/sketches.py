@@ -298,3 +298,98 @@ def bottomk_count_est(
         )
         .alias("rows_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift readouts — compare two snapshots' sketches without
+# touching either corpus again (the monitoring half of the mergeable
+# contract: build per-day, DIFF across days)
+# ---------------------------------------------------------------------------
+
+
+def hll_growth(old: DataFrame, new: DataFrame, by: str | None = None) -> DataFrame:
+    """Distinct-token/doc growth between two snapshots' HLL sketch
+    relations (as built by :func:`token_hll`): per group, the old/new
+    estimates plus ``new_tokens_est`` = estimate(old ∪ new) -
+    estimate(old) — the inclusion-exclusion novel-mass readout HLL
+    supports without any raw data. Full outer on the group key, so a
+    group present in only one snapshot still reports (its other side
+    estimating 0). Sketch relations are group-cardinality: this is
+    driver-free arithmetic over KB-scale inputs."""
+    keys = [by] if by else []
+    o = old.select(*keys, F.col("token_hll").alias("_o_tok"),
+                   F.col("doc_hll").alias("_o_doc"))
+    n = new.select(*keys, F.col("token_hll").alias("_n_tok"),
+                   F.col("doc_hll").alias("_n_doc"))
+    joined = o.join(n, keys, "full_outer") if keys else o.crossJoin(n)
+    est = F.hll_sketch_estimate
+    tok_old = F.when(F.col("_o_tok").isNull(), F.lit(0.0)).otherwise(est("_o_tok"))
+    tok_new = F.when(F.col("_n_tok").isNull(), F.lit(0.0)).otherwise(est("_n_tok"))
+    tok_union = (
+        F.when(F.col("_o_tok").isNull(), tok_new)
+        .when(F.col("_n_tok").isNull(), tok_old)
+        .otherwise(est(F.hll_union("_o_tok", "_n_tok")))
+    )
+    doc_old = F.when(F.col("_o_doc").isNull(), F.lit(0.0)).otherwise(est("_o_doc"))
+    doc_new = F.when(F.col("_n_doc").isNull(), F.lit(0.0)).otherwise(est("_n_doc"))
+    return joined.select(
+        *keys,
+        tok_old.alias("tokens_old_est"),
+        tok_new.alias("tokens_new_est"),
+        F.greatest(tok_union - tok_old, F.lit(0.0)).alias("new_tokens_est"),
+        doc_old.alias("docs_old_est"),
+        doc_new.alias("docs_new_est"),
+    )
+
+
+def cms_delta(
+    old: DataFrame,
+    new: DataFrame,
+    tokens: list[str],
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-token frequency movement between two snapshots' count-min
+    relations (same geometry): ``(token, old_est, new_est, delta)``
+    for a bounded watchlist — the boilerplate/contamination tripwire
+    (a phrase whose count jumps 100x between crawls is a template or
+    an injection, not language drift). Both sketch sides broadcast;
+    estimates inherit the CMS never-under-count guarantee, so a LARGE
+    positive delta is trustworthy while a small one may be noise at
+    the geometry's error level."""
+    o = cms_lookup(old, tokens, depth, width).withColumnRenamed(
+        "count_est", "old_est"
+    )
+    n = cms_lookup(new, tokens, depth, width).withColumnRenamed(
+        "count_est", "new_est"
+    )
+    return o.join(n, "token").select(
+        "token",
+        "old_est",
+        "new_est",
+        (F.col("new_est") - F.col("old_est")).alias("delta"),
+    )
+
+
+def bottomk_drift(
+    old: DataFrame,
+    new: DataFrame,
+    probs: list[float],
+    by: str | None = None,
+) -> DataFrame:
+    """Quantile movement between two snapshots' bottom-k sketches:
+    ``(group?, prob, old_est, new_est, shift)`` — the doc-length /
+    quality-score distribution tripwire (a median length that halves
+    between crawls means the extractor or a filter changed, long
+    before any aggregate count does). Inner join on (group, prob):
+    drift is only defined where both snapshots have the group."""
+    keys = [by] if by else []
+    o = bottomk_quantiles(old, probs, by).withColumnRenamed("value_est", "old_est")
+    n = bottomk_quantiles(new, probs, by).withColumnRenamed("value_est", "new_est")
+    return o.join(n, keys + ["prob"]).select(
+        *keys,
+        "prob",
+        "old_est",
+        "new_est",
+        (F.col("new_est") - F.col("old_est")).alias("shift"),
+    )

@@ -253,3 +253,33 @@ def test_warc_stream_plan_has_no_stateful_operators(spark, tmp_path):
     progress = q.lastProgress
     q.stop()
     assert progress is not None and progress["stateOperators"] == []
+
+
+def test_bottomk_build_never_window_ranks_the_full_relation(spark, sf_small):
+    """The quantile sketch's scale claim: the full relation pays only a
+    map-side-combined count and a hash-threshold FILTER; the window
+    rank runs above the filter (on ~4k expected survivors), never on
+    the raw relation. Pin: exactly one window in the plan, and a
+    Filter on the hash threshold sits BELOW it (appears later in the
+    formatted operator list, which prints top-down)."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.sketches import bottomk_build
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", F.length("text").alias("doc_len")
+    )
+    import re
+
+    plan = _formatted_plan(bottomk_build(docs, "doc_len", k=256))
+    # the hash threshold gates rows BEFORE any rank: it shows up as the
+    # broadcast join's condition (h <= _thresh), so only survivors flow on
+    assert re.search(r"h#\d+L? <= _thresh", plan)
+    assert "BroadcastExchange" in plan  # the 1-row threshold broadcasts
+    # one rank operator, fed by the thresholded side; Catalyst even turns
+    # the ungrouped rank<=k into TakeOrderedAndProject (local top-k merge)
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_windows <= 1
+    assert "TakeOrderedAndProject" in plan or n_windows == 1
+    # the count side is a real partial aggregate (map-side combine)
+    assert "partial_count" in plan

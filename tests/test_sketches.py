@@ -366,3 +366,81 @@ def test_bottomk_build_matches_duckdb_replay(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift readouts
+# ---------------------------------------------------------------------------
+
+
+def test_hll_growth_tracks_novel_tokens(spark):
+    """new_tokens_est ≈ the true count of tokens in the new snapshot
+    absent from the old one (inclusion-exclusion over the union
+    sketch); groups present in only one snapshot still report."""
+    from ccm_spark.pipeline.sketches import hll_growth, token_hll
+
+    old_docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50)), "web") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    new_docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(40, 90)), "web") for i in range(5)]
+        + [(99, "only new source tokens here", "books")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: r
+        for r in hll_growth(
+            token_hll(old_docs, by="source"), token_hll(new_docs, by="source"),
+            by="source",
+        ).collect()
+    }
+    # web: old w0..w49, new w40..w89 -> 40 novel
+    assert got["web"].new_tokens_est == pytest.approx(40, rel=0.1)
+    assert got["web"].tokens_old_est == pytest.approx(50, rel=0.05)
+    # books exists only in new: everything novel, old side 0
+    assert got["books"].tokens_old_est == 0.0
+    assert got["books"].new_tokens_est == pytest.approx(5, rel=0.1)
+
+
+def test_cms_delta_flags_frequency_jump(spark):
+    from ccm_spark.pipeline.sketches import cms_build, cms_delta
+
+    old_docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(10)], "doc_id long, text string"
+    )
+    new_docs = spark.createDataFrame(
+        [(i, "alpha " + "spam " * 20) for i in range(10)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.token: (r.old_est, r.new_est, r.delta)
+        for r in cms_delta(
+            cms_build(old_docs), cms_build(new_docs), ["alpha", "beta", "spam"]
+        ).collect()
+    }
+    assert got["alpha"] == (10, 10, 0)
+    assert got["beta"] == (10, 0, -10)
+    assert got["spam"] == (0, 200, 200)
+
+
+def test_bottomk_drift_sees_median_shift(spark):
+    from ccm_spark.pipeline.sketches import bottomk_build, bottomk_drift
+
+    old = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(2000)], "doc_id long, value double"
+    )
+    new = spark.createDataFrame(
+        [(i, float(i % 100) / 2.0) for i in range(2000)],
+        "doc_id long, value double",
+    )
+    got = {
+        r.prob: r
+        for r in bottomk_drift(
+            bottomk_build(old, "value"), bottomk_build(new, "value"), [0.5]
+        ).collect()
+    }
+    r = got[0.5]
+    assert r.old_est == pytest.approx(50, abs=10)
+    assert r.new_est == pytest.approx(25, abs=5)
+    assert r.shift == pytest.approx(-25, abs=12)
