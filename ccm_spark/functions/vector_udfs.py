@@ -470,18 +470,19 @@ def srp_bucket_udf(plane_values, planes: int, dim: int):
 
 def kmeans_assign_udf(bc_centroids):
     """Arrow-batched nearest-centroid assignment for the distributed
-    Lloyd trainer (pipeline.clustering): L2-normalise each vector, then
-    argmin squared-L2 against the broadcast (k x dim) centroid matrix —
-    batch matmul, ties -> lowest cluster id (np.argmin first-occurrence).
-    Centroids arrive via SparkContext.broadcast (once per executor, the
+    Lloyd trainer (pipeline.clustering): argmin squared-L2 against the
+    broadcast (k x dim) centroid matrix — batch matmul, ties -> lowest
+    cluster id (np.argmin first-occurrence). Input vectors must ALREADY
+    be L2-normalised (every caller feeds ``_normalized_vec`` output);
+    re-normalising here would both waste a pass and diverge from the
+    DuckDB parity oracle, which normalises exactly once. Centroids
+    arrive via SparkContext.broadcast (once per executor, the
     plan-shape discipline test_ann_query_payloads pins elsewhere)."""
 
     @pandas_udf("long")
     def _assign(embedding: pd.Series) -> pd.Series:
         cents = bc_centroids.value
         x = np.stack(embedding.to_numpy()).astype(np.float64)
-        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
-        x = x / np.where(norms == 0.0, 1.0, norms)[:, None]
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 is constant
         # per row, so the argmin needs only the last two terms
         d2 = (np.einsum("ij,ij->i", cents, cents))[None, :] - 2.0 * (x @ cents.T)

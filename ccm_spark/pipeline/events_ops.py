@@ -237,7 +237,14 @@ def resample_interpolate(
         events, step_us, key_col, max_grid_per_key, "resample_interpolate"
     )
     obs_val = F.when(~F.col("is_grid"), F.col("value"))
-    obs_ts = F.when(~F.col("is_grid"), F.col("ts_us"))
+    # the bracket TIMESTAMP must come from the same observation as the
+    # bracket VALUE: a NULL-valued observation is skipped by the
+    # ignorenulls value carry, so its ts must be skipped too — pairing
+    # pv from one row with pt from another slants every interpolation
+    # across the NULL and fakes an 'exact hit' at its timestamp
+    obs_ts = F.when(
+        ~F.col("is_grid") & F.col("value").isNotNull(), F.col("ts_us")
+    )
     back = Window.partitionBy("key").orderBy(
         F.col("ts_us").asc(),
         F.col("is_grid").cast("int").asc(),

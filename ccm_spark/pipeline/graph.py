@@ -156,10 +156,12 @@ def top_hosts(
     top-k is unnecessary here: ranks is host-cardinality (already the
     reduced relation), so one orderBy-limit is the right plan."""
     ranks = pagerank(edges, n_iters=n_iters, damping=damping)
-    deg = edges.groupBy("src").agg(
-        F.count("*").alias("out_degree"), F.sum("weight").alias("out_weight")
-    )
-    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+    # degrees over the SAME edge set pagerank walks (positive weights
+    # only) — otherwise the report can show out_degree > 0 for a host
+    # pagerank treated as dangling
+    pos = edges.filter(F.col("weight").cast("double") > 0)
+    deg = pos.groupBy("src").agg(F.count("*").alias("out_degree"))
+    indeg = pos.groupBy("dst").agg(F.count("*").alias("in_degree"))
     return (
         ranks.join(deg, ranks.node == deg.src, "left")
         .join(indeg, ranks.node == indeg.dst, "left")
@@ -249,6 +251,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
+    # max_iter PROPAGATION rounds + 1: a diameter-d component needs d
+    # effective rounds plus one zero-change round to PROVE convergence,
+    # so max_iter sized to the diameter budget still converges
     for _ in range(max_iter + 1):
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
@@ -279,7 +284,8 @@ def connected_components(
     sym.unpersist()
     if not converged:
         raise RuntimeError(
-            f"connected_components: no convergence after {max_iter} rounds — "
+            f"connected_components: no convergence after {max_iter + 1} "
+            f"rounds (max_iter={max_iter} propagation + 1 confirmation) — "
             "component diameter exceeds the bound; raise max_iter"
         )
     return labels

@@ -993,6 +993,10 @@ def pca_fit(embeddings: DataFrame, out_dim: int = 16):
         .agg(F.sum("p").alias("p"))
         .collect()
     )
+    if not rows:
+        # zero embedding rows -> no partial frames at all; fail with the
+        # same message as the n<2 path, not an opaque empty-max() error
+        raise ValueError("pca_fit: need at least 2 vectors, got 0")
     packed = np.zeros(max(r.idx for r in rows) + 1)
     for r in rows:
         packed[r.idx] = r.p

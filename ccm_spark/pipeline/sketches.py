@@ -50,10 +50,15 @@ def token_hll(
     for distinct tokens and distinct documents. ``by=None`` gives one
     corpus-level row. The sketch columns are the PERSISTABLE artifact —
     write them per shard/day and fold with :func:`hll_merge` later."""
+    # explode_OUTER: a token-less doc keeps one row with tok=NULL so the
+    # doc sketch still counts it (hll_sketch_agg ignores NULLs, so the
+    # token sketch is unaffected) — plain explode dropped empty docs
+    # from distinct_docs_est and vanished all-empty groups entirely,
+    # misreporting exactly the degraded-extraction drift scenario
     toks = docs.select(
         *( [F.col(by)] if by else [] ),
         F.col("doc_id"),
-        F.explode(tokens_col("text")).alias("tok"),
+        F.explode_outer(tokens_col("text")).alias("tok"),
     )
     keys = [by] if by else []
     out = toks.groupBy(*keys).agg(

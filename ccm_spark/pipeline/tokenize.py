@@ -247,17 +247,23 @@ def train_bpe(
         docs.select(F.explode(tokens_col("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("n"))
+        # persisted: the guard count and the collect otherwise each pay
+        # a full corpus scan + shuffle (train_unigram's wh discipline)
+        .persist()
     )
     n_distinct = wc.count()
     if n_distinct == 0:
+        wc.unpersist()
         raise ValueError("train_bpe: corpus has no tokens")
     if n_distinct > max_words:
+        wc.unpersist()
         raise ValueError(
             f"train_bpe: corpus has {n_distinct} distinct words > max_words="
             f"{max_words}; raise the cap (the histogram is the driver-side "
             "training set) or pre-filter rare words upstream"
         )
     rows = wc.collect()
+    wc.unpersist()
     # word -> (symbol tuple, count); end marker closes the last symbol so
     # merges cannot cross word boundaries when decoded
     words: dict[int, tuple[tuple[str, ...], int]] = {}

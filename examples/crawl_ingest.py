@@ -102,7 +102,11 @@ def run(spark, warc_dir: str) -> dict:
     from ccm_spark.pipeline.html import extract_links, robots_flags
     from ccm_spark.pipeline.robots import apply_robots, robots_txt_rules
     from ccm_spark.pipeline.text import quality_filter
-    from ccm_spark.pipeline.urls import url_duplicates, with_url_normalized
+    from ccm_spark.pipeline.urls import (
+        url_duplicates,
+        url_parts,
+        with_url_normalized,
+    )
     from ccm_spark.sources.warc import read_warc, warc_html_documents
 
     counts: dict = {}
@@ -125,8 +129,11 @@ def run(spark, warc_dir: str) -> dict:
         & F.col("target_uri").endswith("/robots.txt")
         & (F.col("http_status") == 200)
     ).select(
-        F.lower(
-            F.regexp_extract("target_uri", "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*)", 1)
+        # the engine's own URL parser, keyed exactly like apply_robots
+        # does (a hand-rolled regex captured the USERINFO for
+        # user:pass@host URLs, silently un-keying the host's rules)
+        F.regexp_replace(
+            F.lower(url_parts(F.col("target_uri"))["host"]), "\\.$", ""
         ).alias("host"),
         F.decode("payload", "UTF-8").alias("robots_txt"),
     )

@@ -285,3 +285,34 @@ def test_resample_interpolate_duplicate_ts_and_guard(spark):
     assert got[2] == 40.0
     with pytest.raises(ValueError, match="grid steps"):
         resample_interpolate(ev, step_us=50, max_grid_per_key=1)
+
+
+def test_resample_interpolate_skips_null_valued_observations(spark):
+    """A NULL-valued observation must be invisible to the bracket on
+    BOTH sides (value AND timestamp): the regression paired pv from the
+    last real observation with pt from the NULL row, slanting every
+    interpolation across it and faking an 'exact hit' at its ts."""
+    import datetime as dt
+
+    from ccm_spark.pipeline.events_ops import resample_interpolate
+
+    def us(t):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=int(t))
+
+    rows = [
+        (0, 1, us(0), 0.0),
+        (1, 1, us(10), None),  # sensor dropout: ts present, value NULL
+        (2, 1, us(30), 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    got = {
+        r.grid_ts: r.value
+        for r in resample_interpolate(ev, step_us=10).collect()
+    }
+    # grid 0,10,20,30 — all interpolated on the 0->30 segment
+    assert got[0] == pytest.approx(0.0)
+    assert got[10] == pytest.approx(1.0)  # NOT the stale 0.0 'exact hit'
+    assert got[20] == pytest.approx(2.0)  # NOT 0 + 3*(20-10)/(30-10)=1.5
+    assert got[30] == pytest.approx(3.0)

@@ -444,3 +444,22 @@ def test_bottomk_drift_sees_median_shift(spark):
     assert r.old_est == pytest.approx(50, abs=10)
     assert r.new_est == pytest.approx(25, abs=5)
     assert r.shift == pytest.approx(-25, abs=12)
+
+
+def test_token_hll_counts_tokenless_docs(spark):
+    """A doc whose text tokenises to nothing must still count in
+    distinct_docs_est, and a group of only token-less docs must still
+    appear (the regression dropped both via the inner explode)."""
+    from ccm_spark.pipeline.sketches import token_hll
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "web"), (1, "", "web"), (2, None, "web"),
+         (3, "   ", "scan"), (4, "", "scan")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in token_hll(docs, by="source").collect()}
+    assert set(got) == {"web", "scan"}
+    assert got["web"].distinct_docs_est == pytest.approx(3, rel=0.05)
+    assert got["web"].distinct_tokens_est == pytest.approx(2, rel=0.05)
+    assert got["scan"].distinct_docs_est == pytest.approx(2, rel=0.05)
+    assert (got["scan"].distinct_tokens_est or 0.0) == pytest.approx(0, abs=0.5)
