@@ -336,13 +336,24 @@ def main() -> None:
         "pagerank_20k": extra_pagerank,
         "doclen_quantile_sketch": extra_bottomk,
     }
+    # two runs per extra, report the MIN: extras ran once historically and
+    # single cold samples produced two phantom regressions in r07 alone
+    # (host-noise 18s pagerank, 7s kmeans); min-of-2 is the cheapest
+    # noise-robust statistic for a cold-plan timing
     extra_timings = {}
     for name, fn in extras.items():
-        spark.catalog.clearCache()
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        extra_timings[name] = round(time.time() - t0, 3)
-        print(f"# extra {name}: {extra_timings[name]:.2f}s rows={n}", file=sys.stderr)
+        extra_runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            extra_runs.append(round(time.time() - t0, 3))
+        extra_timings[name] = min(extra_runs)
+        print(
+            f"# extra {name}: {extra_timings[name]:.2f}s rows={n} "
+            f"samples={extra_runs}",
+            file=sys.stderr,
+        )
     summary = json.dumps(
         {
                 "metric": "headline_queries_total",

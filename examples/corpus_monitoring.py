@@ -1,0 +1,145 @@
+"""Day-over-day corpus monitoring — the sketch trio as an operations
+loop, runnable documentation for the README "mergeable corpus sketches"
+section (the reference has no sketch surface, SURVEY.md §2.1; this is
+the incremental-statistics workflow a 100 TB ingestion pipeline runs
+nightly).
+
+    python examples/corpus_monitoring.py [sf_dir]
+
+Stages (sketches are KB-to-MB parquet artifacts; the corpora are read
+once each and never re-read for the diff):
+  1. snapshot day A  (HLL distinct + CMS frequency + bottom-k quantile
+                      sketches built in one pass each, written parquet)
+  2. snapshot day B  (same sketches over a drifted corpus: 10% of docs
+                      dropped, half the texts truncated, a template
+                      banner injected — the classic silent-extractor-
+                      regression cocktail)
+  3. drift readout   (hll_growth / cms_delta / bottomk_drift over the
+                      RELOADED artifacts — yesterday's corpus is gone,
+                      only its sketches remain)
+  4. merge check     (bottom-k sketches of two day-B shards fold to
+                      the union sketch bit-for-bit: the property that
+                      lets per-shard builds replace a global pass)
+"""
+
+from __future__ import annotations
+
+#: the injected template token stage 2 plants and stage 3 must flag
+BANNER = "subscribe-banner-token"
+
+
+def run(spark, sf_dir: str, art_dir: str) -> dict:
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.sketches import (
+        bottomk_build,
+        bottomk_drift,
+        bottomk_merge,
+        bottomk_quantiles,
+        cms_build,
+        cms_delta,
+        hll_growth,
+        token_hll,
+    )
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # ---- stage 1+2: per-day snapshots --------------------------------
+    day_a = docs
+    day_b = (
+        docs.filter(F.col("doc_id") % 10 != 0)  # 10% of docs lost
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.substring(F.col("text"), 1, F.length("text") / 2),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(f" {BANNER} {BANNER}")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+    def snapshot(day_docs, name: str) -> None:
+        with_len = day_docs.select(
+            "doc_id", "text", F.length("text").alias("doc_len")
+        )
+        token_hll(with_len, by=None).write.mode("overwrite").parquet(
+            f"{art_dir}/{name}/hll"
+        )
+        cms_build(with_len).write.mode("overwrite").parquet(
+            f"{art_dir}/{name}/cms"
+        )
+        bottomk_build(with_len, "doc_len").write.mode("overwrite").parquet(
+            f"{art_dir}/{name}/bk"
+        )
+
+    snapshot(day_a, "day_a")
+    snapshot(day_b, "day_b")
+
+    # ---- stage 3: drift from the reloaded artifacts only -------------
+    def load(name: str):
+        return (
+            spark.read.parquet(f"{art_dir}/{name}/hll"),
+            spark.read.parquet(f"{art_dir}/{name}/cms"),
+            spark.read.parquet(f"{art_dir}/{name}/bk"),
+        )
+
+    hll_a, cms_a, bk_a = load("day_a")
+    hll_b, cms_b, bk_b = load("day_b")
+
+    growth = hll_growth(hll_a, hll_b).collect()[0]
+    watch = {
+        r.token: r
+        for r in cms_delta(cms_a, cms_b, [BANNER, "the"]).collect()
+    }
+    drift = {
+        r.prob: r
+        for r in bottomk_drift(bk_a, bk_b, [0.5, 0.9]).collect()
+    }
+
+    # ---- stage 4: shard-merge equals whole-day build -----------------
+    with_len_b = day_b.select("doc_id", F.length("text").alias("doc_len"))
+    sh0 = bottomk_build(with_len_b.filter("doc_id % 2 = 0"), "doc_len")
+    sh1 = bottomk_build(with_len_b.filter("doc_id % 2 = 1"), "doc_len")
+    merged = bottomk_merge(sh0, sh1)
+    merged_median = bottomk_quantiles(merged, [0.5]).collect()[0].value_est
+    whole_median = bottomk_quantiles(bk_b, [0.5]).collect()[0].value_est
+
+    return {
+        "docs_old_est": growth.docs_old_est,
+        "docs_new_est": growth.docs_new_est,
+        "new_tokens_est": growth.new_tokens_est,
+        "banner_old": watch[BANNER].old_est,
+        "banner_delta": watch[BANNER].delta,
+        "median_len_old": drift[0.5].old_est,
+        "median_len_shift": drift[0.5].shift,
+        "p90_len_shift": drift[0.9].shift,
+        "merged_median": merged_median,
+        "whole_median": whole_median,
+    }
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from ccm_spark.session import get_spark
+
+    spark = get_spark("corpus-monitoring-demo")
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = run(spark, sf_dir, tempfile.mkdtemp(prefix="corpus_mon_"))
+    for k, v in out.items():
+        print(f"{k:>18}: {v}")

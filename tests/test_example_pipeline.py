@@ -132,3 +132,26 @@ def test_crawl_ingest_example_runs(spark, tmp_path):
     # hub.com is cited by every page -> ranks first
     assert out["ranking"][0][0] == "hub.com"
     assert {h for h, _ in out["ranking"]} == {"a.com", "b.com", "hub.com"}
+
+
+def test_corpus_monitoring_example_runs(spark, sf_small, tmp_path):
+    """The sketch-trio monitoring walkthrough must detect all three
+    planted drifts from RELOADED artifacts (docs lost, banner injected,
+    doc lengths shrunk) and prove shard-merge == whole-day build."""
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from corpus_monitoring import run
+    finally:
+        sys.path.pop(0)
+
+    out = run(spark, sf_small, str(tmp_path / "arts"))
+    # ~10% of docs dropped
+    assert out["docs_new_est"] < out["docs_old_est"] * 0.95
+    # the planted banner is absent on day A and jumps on day B
+    assert out["banner_old"] == 0
+    assert out["banner_delta"] > 0
+    # halving half the texts pulls the median and p90 down
+    assert out["median_len_shift"] < 0
+    assert out["p90_len_shift"] < 0
+    # mergeable: two shard sketches fold to the whole-day answer
+    assert out["merged_median"] == out["whole_median"]
