@@ -764,3 +764,66 @@ def normalize_unicode(
     return out.withColumn(
         "changed", ~F.col("text_norm").eqNullSafe(F.col(text_col))
     )
+
+
+# --------------------------------------------- script detection (r07)
+
+#: Unicode scripts profiled — the writing systems a multilingual crawl
+#: actually routes on; alphabetical so the dominant-script tie-break is
+#: deterministic. Spark spells the class \p{IsX} (Java regex), the
+#: DuckDB replay \p{X} (RE2) — both count code points identically
+#: (pinned in tests/test_corpus_quality.py).
+SCRIPTS = (
+    "Arabic",
+    "Cyrillic",
+    "Devanagari",
+    "Greek",
+    "Han",
+    "Hangul",
+    "Hebrew",
+    "Hiragana",
+    "Katakana",
+    "Latin",
+    "Thai",
+)
+
+
+def script_profile(docs: DataFrame) -> DataFrame:
+    """Per-document writing-system profile: one count column per script
+    in :data:`SCRIPTS`, total letter count, and ``dominant_script``
+    (argmax by count, ties alphabetical, no letters -> 'und').
+
+    The routing complement to :func:`language_id` — the stopword
+    profiler only separates LATIN-alphabet languages; a multilingual
+    crawl first routes on script (Cyrillic != Greek != Han is a
+    code-point property, not a vocabulary one), then runs per-script
+    language ID where needed. Pure codegen (one regexp_count per
+    script, no UDFs, no shuffle) so it runs unchanged on a STREAMING
+    ingest; same argmax-over-structs fold as language_id."""
+    counts = {
+        s: F.coalesce(
+            F.regexp_count("text", F.lit(f"\\p{{Is{s}}}")), F.lit(0)
+        ).alias(f"{s.lower()}_chars")
+        for s in SCRIPTS
+    }
+    letters = F.coalesce(F.regexp_count("text", F.lit("\\p{L}")), F.lit(0))
+    scored = docs.select("doc_id", *counts.values(), letters.alias("n_letters"))
+    best = F.aggregate(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"{s.lower()}_chars").alias("hits"),
+                    F.lit(s.lower()).alias("name"),
+                )
+                for s in SCRIPTS
+            ]
+        ),
+        F.struct(F.lit(0).alias("hits"), F.lit("und").alias("name")),
+        lambda acc, s: F.when(s["hits"] > acc["hits"], s).otherwise(acc),
+    )
+    return scored.select(
+        "doc_id",
+        *[f"{s.lower()}_chars" for s in SCRIPTS],
+        "n_letters",
+        best["name"].alias("dominant_script"),
+    )

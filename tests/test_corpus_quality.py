@@ -395,3 +395,75 @@ def test_classifier_metrics_null_and_nonbinary_labels(spark):
     )
     with pytest.raises(ValueError, match="labels must be 0/1"):
         classifier_metrics(pm)
+
+
+def test_script_profile_routes_writing_systems(spark):
+    """Per-script code-point counts + dominant script: the routing
+    complement to language_id (Cyrillic vs Greek vs Han is a code-point
+    property, not a vocabulary one)."""
+    from ccm_spark.pipeline.text import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello latin world"),
+            (1, "привет мир"),
+            (2, "你好世界你好 hi"),
+            (3, "γεια σου κόσμε"),
+            (4, "مرحبا بالعالم"),
+            (5, "1234 !!! ..."),  # no letters at all
+            (6, None),
+            (7, "abcабв"),  # 3 latin vs 3 cyrillic: alphabetical tie-break
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in script_profile(docs).collect()}
+    assert got[0].dominant_script == "latin" and got[0].latin_chars == 15
+    assert got[1].dominant_script == "cyrillic"
+    assert got[2].dominant_script == "han" and got[2].latin_chars == 2
+    assert got[3].dominant_script == "greek"
+    assert got[4].dominant_script == "arabic"
+    assert got[5].dominant_script == "und" and got[5].n_letters == 0
+    assert got[6].dominant_script == "und"
+    assert got[7].dominant_script == "cyrillic"  # 'cyrillic' < 'latin'
+
+
+def test_script_profile_matches_duckdb_replay(spark):
+    """Engine portability: Java \\p{IsX} and RE2 \\p{X} count the same
+    code points — the whole counts relation replays in DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from ccm_spark.pipeline.text import SCRIPTS, script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mixed текст with ελληνικά and 汉字 and かな and 한글"),
+            (1, "देवनागरी ไทย עברית عربى"),
+            (2, ""),
+        ],
+        "doc_id long, text string",
+    )
+    cols = [f"{s.lower()}_chars" for s in SCRIPTS]
+    got = sorted(
+        tuple(int(r[c]) for c in cols) + (int(r.n_letters), r.dominant_script)
+        for r in script_profile(docs).collect()
+    )
+    duckdb.register("sp_fixture", pd.DataFrame(docs.toPandas()))
+    count_exprs = ", ".join(
+        f"len(regexp_extract_all(text, '\\p{{{s}}}')) AS {s.lower()}_chars"
+        for s in SCRIPTS
+    )
+    rows = duckdb.sql(
+        f"SELECT {count_exprs}, len(regexp_extract_all(text, '\\p{{L}}')) AS nl"
+        " FROM sp_fixture ORDER BY doc_id"
+    ).fetchall()
+    want = []
+    for row in sorted(rows):
+        counts = row[:-1]
+        nl = row[-1]
+        best_hits, best = 0, "und"
+        for s, c in zip(SCRIPTS, counts):
+            if c > best_hits:
+                best_hits, best = c, s.lower()
+        want.append(tuple(int(c) for c in counts) + (int(nl), best))
+    assert got == sorted(want)
