@@ -336,11 +336,16 @@ def main() -> None:
         "pagerank_20k": extra_pagerank,
         "doclen_quantile_sketch": extra_bottomk,
     }
-    # two runs per extra, report the MIN: extras ran once historically and
-    # single cold samples produced two phantom regressions in r07 alone
-    # (host-noise 18s pagerank, 7s kmeans); min-of-2 is the cheapest
-    # noise-robust statistic for a cold-plan timing
+    # two runs per extra: the REPORTED number stays the FIRST (cold) run
+    # so cross-round extra comparisons stay apples-to-apples with r1-r6
+    # single-cold-run history (the second run is warm — codegen classes
+    # and page cache survive clearCache — so a min would read as a ~3x
+    # phantom improvement on unchanged code); the [min, max] spread rides
+    # along to refute host-noise regressions, same as the headline
+    # queries' spread fields (r07 alone saw two: an 18s pagerank and a
+    # 7s kmeans, both loaded-window artifacts)
     extra_timings = {}
+    extra_spread = {}
     for name, fn in extras.items():
         extra_runs = []
         for _ in range(2):
@@ -348,7 +353,8 @@ def main() -> None:
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             extra_runs.append(round(time.time() - t0, 3))
-        extra_timings[name] = min(extra_runs)
+        extra_timings[name] = extra_runs[0]
+        extra_spread[name] = [min(extra_runs), max(extra_runs)]
         print(
             f"# extra {name}: {extra_timings[name]:.2f}s rows={n} "
             f"samples={extra_runs}",
@@ -376,6 +382,7 @@ def main() -> None:
                 # EXCLUDED from "value" (cross-round totals compare the
                 # same headline set)
                 "extra_queries": extra_timings,
+                "extra_queries_spread": extra_spread,
                 # host-load context: SCALE.md documents ±5x co-tenant
                 # bursts on this VM; a cross-round comparison should read
                 # these before calling a delta a regression

@@ -111,11 +111,15 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
-    # dangling nodes computed ONCE (a distinct + anti-join); inside the
-    # loop each round only semi-joins ranks against this small persisted
-    # relation — not a fresh distinct-shuffle per iteration
+    # dangling nodes computed and MATERIALISED once (eager checkpoint —
+    # a lazy persist would only take effect after the caller's first
+    # action, by which point the unpersist below has already dropped
+    # it); inside the loop each round only semi-joins ranks against
+    # this small frozen relation — not a fresh distinct-shuffle
     srcs = e.select("src").distinct()
-    dangling_nodes = nodes.join(srcs, nodes.node == srcs.src, "left_anti").persist()
+    dangling_nodes = nodes.join(
+        srcs, nodes.node == srcs.src, "left_anti"
+    ).localCheckpoint(eager=True)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iters):
@@ -139,12 +143,16 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dmass") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            # EAGER: each round executes here, WHILE e/nodes are still
+            # persisted — connected_components' discipline; with a lazy
+            # checkpoint the whole loop would run only at the caller's
+            # first action, after the unpersists below, recomputing the
+            # edge layout every round (bit-identical either way, pinned)
+            .localCheckpoint(eager=True)
         )
     out = ranks
     e.unpersist()
     nodes.unpersist()
-    dangling_nodes.unpersist()
     return out
 
 

@@ -183,13 +183,20 @@ def bottomk_build(
 ) -> DataFrame:
     """Bottom-k quantile sketch: the ``k`` rows whose md5-derived key
     hash is smallest, per ``by`` group — a deterministic uniform row
-    sample, as a ``(group?, h, value)`` relation. Mergeable exactly:
+    sample, as a ``(group?, h, value, k)`` relation (``k`` rides along
+    so merge/count readers can never mis-assume it). Mergeable exactly:
     the k smallest hashes of a union are among the per-part k smallest,
     so :func:`bottomk_merge` of per-shard/per-day sketches is
     BIT-FOR-BIT the sketch of the union corpus (the same incremental
     contract as ``cms_merge``, and the tests pin it). ``key_col`` must
     be row-unique across every relation the sketches will ever be
-    merged over (doc_id); duplicated keys bias the sample.
+    merged over (doc_id); duplicated keys bias the sample. Rows with a
+    NULL key or NULL value are EXCLUDED up front (documented domain:
+    the sketch samples rows with both present — a NULL key would
+    silently fall out of the hash filter anyway, and a NULL value
+    would occupy a sample slot that percentile then ignores, degrading
+    rank error invisibly). A NULL ``by`` group is kept, like every
+    other sketch builder here (null-safe group join).
 
     100 TB design: NOT a window rank over the full relation (that
     shuffles every row). Two narrow passes instead — (1) a map-side-
@@ -203,22 +210,23 @@ def bottomk_build(
         raise ValueError("bottomk_build: k must be >= 32 (Chernoff safety floor)")
     keys = [by] if by else []
     h = md5_long(F.concat(F.lit("bk:"), F.col(key_col).cast("string")))
-    rows = df.select(
+    rows = df.filter(
+        F.col(key_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
         *keys, h.alias("h"), F.col(value_col).cast("double").alias("value")
     )
     m = float(_BK_OVERSAMPLE * k)
-    counts = (
-        rows.groupBy(*keys)
-        .agg(F.count("*").alias("_n"))
-        .select(
-            *keys,
-            F.when(F.col("_n") <= F.lit(int(m)), F.lit((1 << 60) - 1))
-            .otherwise((F.lit(_BK_HSPACE * m) / F.col("_n")).cast("long") + 1)
-            .alias("_thresh"),
-        )
+    counts = rows.groupBy(*keys).agg(F.count("*").alias("_n")).select(
+        *[F.col(c).alias(f"_g_{c}") for c in keys],
+        F.when(F.col("_n") <= F.lit(int(m)), F.lit((1 << 60) - 1))
+        .otherwise((F.lit(_BK_HSPACE * m) / F.col("_n")).cast("long") + 1)
+        .alias("_thresh"),
     )
     if keys:
-        surv = rows.join(F.broadcast(counts), keys)
+        # null-safe equality: a NULL group must meet ITS OWN count row,
+        # not vanish through an inner equi-join
+        cond = F.col(keys[0]).eqNullSafe(F.col(f"_g_{keys[0]}"))
+        surv = rows.join(F.broadcast(counts), cond).drop(f"_g_{keys[0]}")
     else:
         surv = rows.crossJoin(F.broadcast(counts))
     surv = surv.filter(F.col("h") <= F.col("_thresh")).drop("_thresh")
@@ -229,17 +237,20 @@ def bottomk_build(
     return (
         surv.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .select(*keys, "h", "value")
+        .select(*keys, "h", "value", F.lit(k).alias("k"))
     )
 
 
-def bottomk_merge(
-    *sketches: DataFrame, by: str | None = None, k: int = BK_K
-) -> DataFrame:
-    """Fold bottom-k sketches (same ``k``, same ``by``) into the sketch
-    of the union corpus: union the relations, keep the k smallest
-    hashes per group. Exact — no approximation is introduced by
-    merging, only by the original sampling."""
+def bottomk_merge(*sketches: DataFrame, by: str | None = None) -> DataFrame:
+    """Fold bottom-k sketches (same ``by``) into the sketch of the
+    union corpus: union the relations, keep the smallest hashes per
+    group. The effective sample size is ``min(k)`` over the inputs,
+    read from the sketches' own ``k`` column — merging a k=128 and a
+    k=256 sketch yields a VALID k=128 sketch of the union (ranks past
+    the smaller k are not a uniform sample of anything, so they are
+    dropped), never a silently invalid one. With equal ks this is
+    bit-for-bit the union-corpus build. Exact — no approximation is
+    introduced by merging, only by the original sampling."""
     if not sketches:
         raise ValueError("bottomk_merge: need at least one sketch")
     u = sketches[0]
@@ -249,11 +260,13 @@ def bottomk_merge(
 
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*(keys or [F.lit(0)])).orderBy("h", "value")
+    grp = Window.partitionBy(*(keys or [F.lit(0)]))
+    w = grp.orderBy("h", "value")
     return (
-        u.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .select(*keys, "h", "value")
+        u.withColumn("_keff", F.min("k").over(grp))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_keff"))
+        .select(*keys, "h", "value", F.col("_keff").alias("k"))
     )
 
 
@@ -283,19 +296,18 @@ def bottomk_quantiles(
     )
 
 
-def bottomk_count_est(
-    sketch: DataFrame, by: str | None = None, k: int = BK_K
-) -> DataFrame:
+def bottomk_count_est(sketch: DataFrame, by: str | None = None) -> DataFrame:
     """KMV row-count estimate from the sketch alone: with k row-unique
     keys sampled, n_hat = (k - 1) * H / h_(k) where h_(k) is the k-th
     smallest hash and H the hash space — the classic bottom-k distinct
-    estimator (rel. error ~ 1/sqrt(k - 2)). ``k`` must match the build;
-    groups that kept fewer than k rows (n <= k) report their exact
-    count."""
+    estimator (rel. error ~ 1/sqrt(k - 2)). ``k`` is read from the
+    sketch's own column (so a merged sketch's effective k is always the
+    one actually used); groups that kept fewer than k rows (n <= k)
+    report their exact count."""
     keys = [by] if by else []
     return sketch.groupBy(*keys).agg(
         F.when(
-            F.count("*") < F.lit(k),
+            F.count("*") < F.min("k"),
             F.count("*").cast("double"),
         )
         .otherwise(
@@ -319,9 +331,16 @@ def hll_growth(old: DataFrame, new: DataFrame, by: str | None = None) -> DataFra
     estimate(old) — the inclusion-exclusion novel-mass readout HLL
     supports without any raw data. Full outer on the group key, so a
     group present in only one snapshot still reports (its other side
-    estimating 0). Sketch relations are group-cardinality: this is
-    driver-free arithmetic over KB-scale inputs."""
+    estimating 0). With ``by=None`` each side is FOLDED to one row via
+    :func:`hll_merge` first — handing in per-group sketch relations
+    without the matching ``by`` then reads as corpus-level growth of
+    the union, never a silent cartesian pairing of mismatched groups.
+    Sketch relations are group-cardinality: this is driver-free
+    arithmetic over KB-scale inputs."""
     keys = [by] if by else []
+    if not keys:
+        old = hll_merge(old)
+        new = hll_merge(new)
     o = old.select(*keys, F.col("token_hll").alias("_o_tok"),
                    F.col("doc_hll").alias("_o_doc"))
     n = new.select(*keys, F.col("token_hll").alias("_n_tok"),

@@ -87,7 +87,7 @@ def url_normalize(url: Column) -> Column:
     does not parse as ``scheme://host...``."""
     p = url_parts(url)
     scheme = F.lower(p["scheme"])
-    host = F.regexp_replace(F.lower(p["host"]), "\\.$", "")
+    host = url_host(url)
     default_port = ((scheme == "http") & (p["port"] == "80")) | (
         (scheme == "https") & (p["port"] == "443")
     )
@@ -110,11 +110,21 @@ def url_normalize(url: Column) -> Column:
     ).otherwise(F.concat(scheme, F.lit("://"), host, port_part, path, query_part))
 
 
+def url_host(url: Column) -> Column:
+    """Lowercased host with any trailing dot stripped — THE host key
+    every consumer must agree on (robots rule join, crawl examples).
+    This round's hand-rolled host regex in an example captured the
+    USERINFO of ``user:pass@host`` URLs and silently un-keyed the
+    host's robots rules — hence one shared expression. Empty string
+    (not NULL) for unparseable input, matching ``url_parts``."""
+    return F.regexp_replace(F.lower(url_parts(url)["host"]), "\\.$", "")
+
+
 def url_domain(url: Column) -> Column:
     """Lowercased host with any leading "www." stripped — the per-publisher
     cap key. NULL for unparseable URLs."""
     p = url_parts(url)
-    host = F.regexp_replace(F.lower(p["host"]), "\\.$", "")
+    host = url_host(url)
     dom = F.regexp_replace(host, "^www\\.", "")
     return F.when(
         (F.lower(p["scheme"]) == "") | (dom == "") | _host_invalid(host),
@@ -130,7 +140,7 @@ def url_parseable(url: Column) -> Column:
     (Catalyst does not CSE across Filter/Project), doubling the regex
     work per row; this predicate is 4 regex ops instead of ~12."""
     p = url_parts(url)
-    host = F.regexp_replace(F.lower(p["host"]), "\\.$", "")
+    host = url_host(url)
     return (p["scheme"] != "") & (host != "") & ~_host_invalid(host)
 
 

@@ -104,7 +104,7 @@ def run(spark, warc_dir: str) -> dict:
     from ccm_spark.pipeline.text import quality_filter
     from ccm_spark.pipeline.urls import (
         url_duplicates,
-        url_parts,
+        url_host,
         with_url_normalized,
     )
     from ccm_spark.sources.warc import read_warc, warc_html_documents
@@ -129,12 +129,10 @@ def run(spark, warc_dir: str) -> dict:
         & F.col("target_uri").endswith("/robots.txt")
         & (F.col("http_status") == 200)
     ).select(
-        # the engine's own URL parser, keyed exactly like apply_robots
-        # does (a hand-rolled regex captured the USERINFO for
-        # user:pass@host URLs, silently un-keying the host's rules)
-        F.regexp_replace(
-            F.lower(url_parts(F.col("target_uri"))["host"]), "\\.$", ""
-        ).alias("host"),
+        # the engine's shared host key — identical to apply_robots by
+        # construction (a hand-rolled regex here once captured the
+        # USERINFO for user:pass@host URLs, un-keying the host's rules)
+        url_host(F.col("target_uri")).alias("host"),
         F.decode("payload", "UTF-8").alias("robots_txt"),
     )
     rules = robots_txt_rules(robots_bodies)

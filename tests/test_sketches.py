@@ -253,7 +253,7 @@ def test_bottomk_merge_bitexact_vs_union_build(spark):
     merged = sorted(
         (r.h, r.value)
         for r in bottomk_merge(
-            bottomk_build(a, "value", k=128), bottomk_build(b, "value", k=128), k=128
+            bottomk_build(a, "value", k=128), bottomk_build(b, "value", k=128)
         ).collect()
     )
     union = sorted(
@@ -463,3 +463,65 @@ def test_token_hll_counts_tokenless_docs(spark):
     assert got["web"].distinct_tokens_est == pytest.approx(2, rel=0.05)
     assert got["scan"].distinct_docs_est == pytest.approx(2, rel=0.05)
     assert (got["scan"].distinct_tokens_est or 0.0) == pytest.approx(0, abs=0.5)
+
+
+def test_bottomk_null_semantics_and_k_mismatch_merge(spark):
+    """NULL by-groups are kept (null-safe count join); NULL key/value
+    rows are excluded up front; merging mismatched ks yields a VALID
+    min-k sketch of the union, bit-equal to a min-k build."""
+    from ccm_spark.pipeline.sketches import (
+        bottomk_build,
+        bottomk_count_est,
+        bottomk_merge,
+    )
+
+    rows = (
+        [(i, float(i), "web") for i in range(200)]
+        + [(1000 + i, float(i), None) for i in range(150)]  # NULL group
+        + [(None, 7.0, "web"), (2000, None, "web")]  # NULL key / value
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, value double, source string")
+    sk = bottomk_build(docs, "value", by="source", k=64)
+    per_group = {r[0]: r[1] for r in sk.groupBy("source").count().collect()}
+    assert per_group["web"] == 64  # the 2 NULL-key/value rows never sampled
+    assert per_group[None] == 64  # NULL group present, not dropped
+
+    # k-mismatch merge: effective k = min(64, 128), equal to a k=64 build
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    merged = bottomk_merge(
+        bottomk_build(half_a, "value", by="source", k=64),
+        bottomk_build(half_b, "value", by="source", k=128),
+        by="source",
+    )
+    want = bottomk_build(docs, "value", by="source", k=64)
+    def rows(df):
+        return sorted(
+            ((r.source or "", r.h, r.value, r.k) for r in df.collect())
+        )
+
+    assert rows(merged) == rows(want)
+    assert merged.select("k").distinct().collect()[0].k == 64
+    # count_est reads k off the sketch itself
+    est = {
+        r.source: r.rows_est
+        for r in bottomk_count_est(merged, by="source").collect()
+    }
+    assert est["web"] == pytest.approx(200, rel=0.35)
+
+
+def test_hll_growth_default_folds_grouped_inputs(spark):
+    """by=None over per-group sketch relations must fold each side to
+    the union corpus first — not cartesian-pair mismatched groups."""
+    from ccm_spark.pipeline.sketches import hll_growth, token_hll
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}", ["web", "books"][i % 2]) for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    grouped = token_hll(docs, by="source")  # TWO rows per side
+    out = hll_growth(grouped, grouped)
+    rows = out.collect()
+    assert len(rows) == 1  # folded, not 2x2 cartesian
+    assert rows[0].tokens_old_est == pytest.approx(40, rel=0.1)
+    assert rows[0].new_tokens_est == pytest.approx(0, abs=1.0)
