@@ -143,11 +143,18 @@ def pagerank(
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dmass") / n)
                 ).alias("rank"),
             )
-            # EAGER: each round executes here, WHILE e/nodes are still
-            # persisted — connected_components' discipline; with a lazy
-            # checkpoint the whole loop would run only at the caller's
-            # first action, after the unpersists below, recomputing the
-            # edge layout every round (bit-identical either way, pinned)
+            # EAGER checkpoint EVERY round, for two reasons both pinned
+            # by tests: (a) each iteration executes here, WHILE e/nodes
+            # are still persisted — a lazy loop would defer all rounds
+            # past the unpersists below and recompute the edge layout
+            # every round; (b) ranks feeds TWO consumers per round
+            # (contribs + dangling), so an uncut plan DOUBLES per
+            # iteration — O(2^n_iters) analysis blew the driver heap at
+            # 12 rounds when this was briefly a persist-only chain.
+            # Superseded rounds' checkpoint blocks are released by the
+            # ContextCleaner as soon as the rebound Python reference
+            # drops (CPython refcounting — prompt in practice); Spark
+            # exposes no public API to free them more eagerly.
             .localCheckpoint(eager=True)
         )
     out = ranks

@@ -146,10 +146,10 @@ def apply_robots(
     Plan: one hash join on host + a per-URL window over the handful of
     matching rules. The rules relation is host-cardinality — broadcast
     it upstream if the host universe is small."""
-    from .urls import url_host, url_parts
+    from .urls import _host_from_parts, url_parts
 
     p = url_parts(F.col(url_col))
-    host = url_host(F.col(url_col))
+    host = _host_from_parts(p)
     path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
     keyed = (
         urls.withColumn("_rb_host", host)

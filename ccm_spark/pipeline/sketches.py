@@ -241,6 +241,19 @@ def bottomk_build(
     )
 
 
+def _require_k_column(sketch: DataFrame, op: str) -> None:
+    """Loud failure for a sketch relation without the ``k`` column (a
+    pre-carried-k artifact): guessing a default k could silently corrupt
+    the merge/count semantics, so the caller must restate it."""
+    if "k" not in sketch.columns:
+        raise ValueError(
+            f"{op}: sketch has no 'k' column (columns: {sketch.columns}) — "
+            "an artifact written before k was carried in the relation; "
+            "re-build it, or restore the column with "
+            ".withColumn('k', F.lit(<the k it was built with>))"
+        )
+
+
 def bottomk_merge(*sketches: DataFrame, by: str | None = None) -> DataFrame:
     """Fold bottom-k sketches (same ``by``) into the sketch of the
     union corpus: union the relations, keep the smallest hashes per
@@ -253,6 +266,8 @@ def bottomk_merge(*sketches: DataFrame, by: str | None = None) -> DataFrame:
     introduced by merging, only by the original sampling."""
     if not sketches:
         raise ValueError("bottomk_merge: need at least one sketch")
+    for s in sketches:
+        _require_k_column(s, "bottomk_merge")
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
@@ -302,8 +317,10 @@ def bottomk_count_est(sketch: DataFrame, by: str | None = None) -> DataFrame:
     smallest hash and H the hash space — the classic bottom-k distinct
     estimator (rel. error ~ 1/sqrt(k - 2)). ``k`` is read from the
     sketch's own column (so a merged sketch's effective k is always the
-    one actually used); groups that kept fewer than k rows (n <= k)
-    report their exact count."""
+    one actually used); groups that kept fewer than k rows (n < k)
+    report their exact count (a group holding exactly k rows is
+    indistinguishable from a truncated one, so it takes the estimator)."""
+    _require_k_column(sketch, "bottomk_count_est")
     keys = [by] if by else []
     return sketch.groupBy(*keys).agg(
         F.when(

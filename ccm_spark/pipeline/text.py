@@ -791,7 +791,9 @@ SCRIPTS = (
 def script_profile(docs: DataFrame) -> DataFrame:
     """Per-document writing-system profile: one count column per script
     in :data:`SCRIPTS`, total letter count, and ``dominant_script``
-    (argmax by count, ties alphabetical, no letters -> 'und').
+    (argmax by count, ties alphabetical; no letters at all -> 'und';
+    letters but NONE in a profiled script -> 'other', so a Bengali or
+    Georgian document is never conflated with an all-digits one).
 
     The routing complement to :func:`language_id` — the stopword
     profiler only separates LATIN-alphabet languages; a multilingual
@@ -825,5 +827,9 @@ def script_profile(docs: DataFrame) -> DataFrame:
         "doc_id",
         *[f"{s.lower()}_chars" for s in SCRIPTS],
         "n_letters",
-        best["name"].alias("dominant_script"),
+        F.when(
+            (best["hits"] == 0) & (F.col("n_letters") > 0), F.lit("other")
+        )
+        .otherwise(best["name"])
+        .alias("dominant_script"),
     )

@@ -82,12 +82,21 @@ def url_parts(url: Column) -> dict[str, Column]:
     }
 
 
+def _host_from_parts(p: dict[str, Column]) -> Column:
+    """The shared host key computed from an ALREADY-PARSED ``url_parts``
+    dict — callers that hold ``p`` must use this form, not
+    :func:`url_host`, or the auth/host regexes run twice per row
+    (Catalyst does no subexpression elimination across Filter/Project,
+    and ``url_parseable`` sits pushed-down on the ~100 GB URL column)."""
+    return F.regexp_replace(F.lower(p["host"]), "\\.$", "")
+
+
 def url_normalize(url: Column) -> Column:
     """Canonical URL string per the module contract; NULL when the value
     does not parse as ``scheme://host...``."""
     p = url_parts(url)
     scheme = F.lower(p["scheme"])
-    host = url_host(url)
+    host = _host_from_parts(p)
     default_port = ((scheme == "http") & (p["port"] == "80")) | (
         (scheme == "https") & (p["port"] == "443")
     )
@@ -116,15 +125,17 @@ def url_host(url: Column) -> Column:
     This round's hand-rolled host regex in an example captured the
     USERINFO of ``user:pass@host`` URLs and silently un-keyed the
     host's robots rules — hence one shared expression. Empty string
-    (not NULL) for unparseable input, matching ``url_parts``."""
-    return F.regexp_replace(F.lower(url_parts(url)["host"]), "\\.$", "")
+    (not NULL) for unparseable input, matching ``url_parts``. Callers
+    already holding a ``url_parts`` dict use :func:`_host_from_parts`
+    to avoid re-running the parse regexes."""
+    return _host_from_parts(url_parts(url))
 
 
 def url_domain(url: Column) -> Column:
     """Lowercased host with any leading "www." stripped — the per-publisher
     cap key. NULL for unparseable URLs."""
     p = url_parts(url)
-    host = url_host(url)
+    host = _host_from_parts(p)
     dom = F.regexp_replace(host, "^www\\.", "")
     return F.when(
         (F.lower(p["scheme"]) == "") | (dom == "") | _host_invalid(host),
@@ -140,7 +151,7 @@ def url_parseable(url: Column) -> Column:
     (Catalyst does not CSE across Filter/Project), doubling the regex
     work per row; this predicate is 4 regex ops instead of ~12."""
     p = url_parts(url)
-    host = url_host(url)
+    host = _host_from_parts(p)
     return (p["scheme"] != "") & (host != "") & ~_host_invalid(host)
 
 

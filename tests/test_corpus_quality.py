@@ -413,6 +413,7 @@ def test_script_profile_routes_writing_systems(spark):
             (5, "1234 !!! ..."),  # no letters at all
             (6, None),
             (7, "abcабв"),  # 3 latin vs 3 cyrillic: alphabetical tie-break
+            (8, "გამარჯობა მსოფლიო"),  # Georgian: letters, unprofiled script
         ],
         "doc_id long, text string",
     )
@@ -425,6 +426,8 @@ def test_script_profile_routes_writing_systems(spark):
     assert got[5].dominant_script == "und" and got[5].n_letters == 0
     assert got[6].dominant_script == "und"
     assert got[7].dominant_script == "cyrillic"  # 'cyrillic' < 'latin'
+    # unprofiled writing system: letters present, no profiled hit
+    assert got[8].dominant_script == "other" and got[8].n_letters > 0
 
 
 def test_script_profile_matches_duckdb_replay(spark):
@@ -465,5 +468,7 @@ def test_script_profile_matches_duckdb_replay(spark):
         for s, c in zip(SCRIPTS, counts):
             if c > best_hits:
                 best_hits, best = c, s.lower()
+        if best_hits == 0 and nl > 0:
+            best = "other"
         want.append(tuple(int(c) for c in counts) + (int(nl), best))
     assert got == sorted(want)
