@@ -607,3 +607,52 @@ def read_zorder_bounds(spark, path: str) -> tuple[dict, int]:
     ):
         out.setdefault(r.col, []).append(float(r.boundary))
     return out, int(manifest["params"]["bits"])
+
+
+def write_corpus_sketches(
+    path: str,
+    hll: DataFrame | None = None,
+    cms: DataFrame | None = None,
+    bottomk: DataFrame | None = None,
+    params: dict | None = None,
+) -> dict:
+    """Persist a snapshot's corpus sketches (any subset of the trio —
+    HLL relation from ``token_hll``, CMS relation from ``cms_build``,
+    bottom-k relation from ``bottomk_build``) under one directory with
+    one manifest, the same discipline as every other persisted artifact
+    here: the manifest records which members exist, their row counts,
+    and the caller's params (day, sf, geometry, by-key...), so an
+    incremental pipeline can refuse to fold artifacts built with
+    different geometries instead of silently merging them. Each member
+    is KB-to-MB scale, so the coalesce(1) + eager counts are free."""
+    import os
+
+    members: dict[str, int] = {}
+    for name, df in (("hll", hll), ("cms", cms), ("bottomk", bottomk)):
+        if df is None:
+            continue
+        sub = os.path.join(path, name)
+        df.coalesce(1).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(sub)
+        members[name] = df.sparkSession.read.parquet(sub).count()
+    if not members:
+        raise ValueError("write_corpus_sketches: need at least one sketch")
+    return _write_ann_manifest(
+        path, "corpus_sketches", params or {}, sum(members.values())
+    ) | {"members": members}
+
+
+def read_corpus_sketches(spark, path: str) -> tuple[dict, dict]:
+    """(manifest, {member: DataFrame}) for whichever of hll/cms/bottomk
+    the snapshot wrote — feed pairs of snapshots straight into
+    ``sketches.hll_growth`` / ``cms_delta`` / ``bottomk_drift``."""
+    import os
+
+    manifest = _read_ann_manifest(path, "corpus_sketches")
+    out = {}
+    for name in ("hll", "cms", "bottomk"):
+        sub = os.path.join(path, name)
+        if os.path.isdir(sub):
+            out[name] = spark.read.parquet(sub)
+    return manifest, out

@@ -69,18 +69,21 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
         )
     )
 
+    from ccm_spark.sources.sinks import (
+        read_corpus_sketches,
+        write_corpus_sketches,
+    )
+
     def snapshot(day_docs, name: str) -> None:
         with_len = day_docs.select(
             "doc_id", "text", F.length("text").alias("doc_len")
         )
-        token_hll(with_len, by=None).write.mode("overwrite").parquet(
-            f"{art_dir}/{name}/hll"
-        )
-        cms_build(with_len).write.mode("overwrite").parquet(
-            f"{art_dir}/{name}/cms"
-        )
-        bottomk_build(with_len, "doc_len").write.mode("overwrite").parquet(
-            f"{art_dir}/{name}/bk"
+        write_corpus_sketches(
+            f"{art_dir}/{name}",
+            hll=token_hll(with_len, by=None),
+            cms=cms_build(with_len),
+            bottomk=bottomk_build(with_len, "doc_len"),
+            params={"snapshot": name, "value_col": "doc_len"},
         )
 
     snapshot(day_a, "day_a")
@@ -88,11 +91,8 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
 
     # ---- stage 3: drift from the reloaded artifacts only -------------
     def load(name: str):
-        return (
-            spark.read.parquet(f"{art_dir}/{name}/hll"),
-            spark.read.parquet(f"{art_dir}/{name}/cms"),
-            spark.read.parquet(f"{art_dir}/{name}/bk"),
-        )
+        _, sk = read_corpus_sketches(spark, f"{art_dir}/{name}")
+        return sk["hll"], sk["cms"], sk["bottomk"]
 
     hll_a, cms_a, bk_a = load("day_a")
     hll_b, cms_b, bk_b = load("day_b")

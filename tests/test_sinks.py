@@ -371,3 +371,49 @@ def test_unigram_model_round_trip_serves_identically(spark, tmp_path):
         for r in unigram_encode(docs, loaded).collect()
     }
     assert a == b
+
+
+def test_corpus_sketches_round_trip(spark, tmp_path):
+    """The sketch-trio artifact: one directory + manifest per snapshot;
+    the reloaded relations must equal the in-session builds exactly
+    (bit-exact for CMS/bottom-k; the HLL binary round-trips through
+    parquet and re-estimates identically)."""
+    import pytest
+
+    from ccm_spark.pipeline.sketches import bottomk_build, cms_build, token_hll
+    from ccm_spark.sources.sinks import (
+        read_corpus_sketches,
+        write_corpus_sketches,
+    )
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha tok{i} beta", "web") for i in range(300)],
+        "doc_id long, text string, source string",
+    ).withColumn("doc_len", F.length("text"))
+    path = str(tmp_path / "sk")
+    man = write_corpus_sketches(
+        path,
+        hll=token_hll(docs, by=None),
+        cms=cms_build(docs),
+        bottomk=bottomk_build(docs, "doc_len", k=64),
+        params={"day": "2026-08-15"},
+    )
+    assert man["kind"] == "corpus_sketches"
+    assert set(man["members"]) == {"hll", "cms", "bottomk"}
+    got_man, sk = read_corpus_sketches(spark, path)
+    assert got_man["params"] == {"day": "2026-08-15"}
+    assert sorted(map(tuple, sk["cms"].collect())) == sorted(
+        map(tuple, cms_build(docs).collect())
+    )
+    assert sorted(map(tuple, sk["bottomk"].collect())) == sorted(
+        map(tuple, bottomk_build(docs, "doc_len", k=64).collect())
+    )
+    reloaded = sk["hll"].collect()[0]
+    fresh = token_hll(docs, by=None).collect()[0]
+    assert reloaded.distinct_tokens_est == fresh.distinct_tokens_est
+    assert reloaded.distinct_docs_est == fresh.distinct_docs_est
+
+    with pytest.raises(ValueError, match="at least one"):
+        write_corpus_sketches(str(tmp_path / "empty"))
