@@ -11,8 +11,10 @@ codegen (split/regexp/window) — no UDFs, no Python in the hot path.
 
 Semantics implemented (the subset that is uniform across real
 crawlers, documented rather than hidden):
-  - only ``User-agent: *`` groups apply (a named-bot matcher would
-    need the caller's bot identity — out of scope);
+  - by default the ``User-agent: *`` groups apply; passing the
+    crawler's product token via ``agent=`` resolves named groups
+    (longest case-insensitive prefix match wins, ``*`` fallback —
+    the RFC 9309 / Googlebot rule);
   - consecutive ``User-agent`` lines form one group header; the rules
     after them apply to every agent named above;
   - longest-prefix match wins; on a tie, Allow wins (Google's
@@ -54,13 +56,26 @@ def robots_txt_rules(
     host_col: str = "host",
     text_col: str = "robots_txt",
     max_rules_per_host: int = MAX_RULES_PER_HOST,
+    agent: str | None = None,
 ) -> DataFrame:
-    """One robots.txt body per host → the ``User-agent: *`` rule
-    relation ``(host, rule, prefix)`` with rule ∈ {allow, disallow}.
+    """One robots.txt body per host → the applicable rule relation
+    ``(host, rule, prefix)`` with rule ∈ {allow, disallow}.
+
+    ``agent=None`` keeps the ``User-agent: *`` groups only. Passing the
+    crawler's product token (e.g. ``"ccmbot-news"``) selects, per host,
+    the groups headed by the LONGEST user-agent value that is a
+    case-insensitive prefix of the token (the RFC 9309 / Googlebot
+    resolution: ``ccmbot-news`` obeys a ``ccmbot-news`` group over a
+    ``ccmbot`` group over ``*``), falling back to the ``*`` groups for
+    hosts naming no matching agent. Named-group selection REPLACES the
+    star groups for that host — per the RFC, a crawler obeys exactly
+    one user-agent match, not the union.
 
     Plan: posexplode lines → codegen classify → two windows on
     (host, line order) to assign each rule line to its governing
-    user-agent group — all narrow within one host partition."""
+    user-agent group — all narrow within one host partition; agent
+    resolution adds one more per-host window over the handful of UA
+    header rows."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
@@ -97,9 +112,38 @@ def robots_txt_rules(
         .select("host", "grp")
         .distinct()
     )
+    if agent is None:
+        selected = star_groups
+    else:
+        agent_l = agent.strip().lower()
+        if not agent_l or agent_l == "*":
+            raise ValueError(
+                "robots_txt_rules: agent must be a non-empty product "
+                "token (use agent=None for the '*' groups)"
+            )
+        named = starts.filter(
+            F.col("is_ua")
+            & (F.col("ua") != "*")
+            & F.lit(agent_l).startswith(F.col("ua"))
+        ).select("host", "grp", "ua")
+        # all groups headed by the longest matching UA value (dense_rank
+        # keeps every group repeating that value; ua asc breaks an
+        # equal-length tie deterministically)
+        best_w = Window.partitionBy("host").orderBy(
+            F.length("ua").desc(), F.col("ua").asc()
+        )
+        best = (
+            named.withColumn("_r", F.dense_rank().over(best_w))
+            .filter(F.col("_r") == 1)
+            .select("host", "grp")
+            .distinct()
+        )
+        selected = best.unionByName(
+            star_groups.join(best.select("host").distinct(), "host", "left_anti")
+        )
     rules = (
         starts.filter(F.col("rule").isNotNull() & (F.col("prefix") != ""))
-        .join(star_groups, ["host", "grp"])
+        .join(selected, ["host", "grp"])
         .select("host", "rule", "prefix")
         .distinct()
     )

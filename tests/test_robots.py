@@ -141,3 +141,47 @@ def test_robots_rules_disallow_overflow_collapses_to_full_block(spark):
     )
     allowed = {r.doc_id: r.robots_allowed for r in apply_robots(urls, rules).collect()}
     assert allowed == {0: False, 1: False}
+
+
+def test_robots_named_agent_resolution(spark):
+    """RFC 9309 group selection: the longest UA value prefixing the
+    crawler's product token wins; named selection REPLACES the star
+    groups; hosts naming no match fall back to *; matching is
+    case-insensitive; agent=None keeps today's star-only behavior."""
+    import pytest
+
+    body = (
+        "User-agent: CCMBot-News\nDisallow: /news-private/\n\n"
+        "User-agent: ccmbot\nDisallow: /bot-private/\n\n"
+        "User-agent: *\nDisallow: /all-private/\n"
+    )
+    df = spark.createDataFrame(
+        [("a.com", body), ("b.com", "User-agent: *\nDisallow: /closed/\n")],
+        "host string, robots_txt string",
+    )
+
+    # most specific named group wins on a.com; b.com falls back to *
+    rules = robots_txt_rules(df, agent="ccmbot-news")
+    got = {(r.host, r.rule, r.prefix) for r in rules.collect()}
+    assert got == {
+        ("a.com", "disallow", "/news-private/"),
+        ("b.com", "disallow", "/closed/"),
+    }
+
+    # shorter token matches only the shorter group
+    rules2 = robots_txt_rules(df, agent="CCMBOT")
+    got2 = {(r.host, r.rule, r.prefix) for r in rules2.collect()}
+    assert ("a.com", "disallow", "/bot-private/") in got2
+    assert ("a.com", "disallow", "/news-private/") not in got2
+
+    # unknown bot: star groups everywhere
+    rules3 = robots_txt_rules(df, agent="otherbot")
+    got3 = {(r.host, r.rule, r.prefix) for r in rules3.collect()}
+    assert ("a.com", "disallow", "/all-private/") in got3
+
+    # agent=None unchanged (star only)
+    star = {(r.host, r.prefix) for r in robots_txt_rules(df).collect()}
+    assert star == {("a.com", "/all-private/"), ("b.com", "/closed/")}
+
+    with pytest.raises(ValueError, match="product"):
+        robots_txt_rules(df, agent="*")
