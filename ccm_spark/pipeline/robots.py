@@ -227,3 +227,107 @@ def apply_robots(
         )
     )
     return decided.select(*urls.columns, "robots_allowed")
+
+
+#: Sitemap and Crawl-delay directive lines (RFC 9309 §2.2.4 allows
+#: non-rule lines anywhere; Sitemap is host-global, Crawl-delay is
+#: honored per-group by most crawlers)
+_SITEMAP_RE = "(?i)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r ]+)"
+_DELAY_RE = "(?i)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9.]+)"
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``(host, sitemap_url)`` — the frontier-seed directive. Sitemap
+    lines are host-GLOBAL (valid anywhere in the file, outside any
+    user-agent group, per RFC 9309), so this is one explode + one
+    regexp per line, no group bookkeeping. Distinct: the same sitemap
+    repeated across groups is one seed."""
+    return (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.split(F.col(text_col), "\r?\n")).alias("line"),
+        )
+        .select(
+            "host",
+            F.regexp_extract("line", _SITEMAP_RE, 1).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url") != "")
+        .distinct()
+    )
+
+
+def robots_crawl_delay(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str | None = None,
+) -> DataFrame:
+    """``(host, crawl_delay_s)`` — the per-host pacing hint from the
+    applicable user-agent group (same group resolution as
+    :func:`robots_txt_rules`: named agent first when given, ``*``
+    fallback; hosts stating no delay are absent — the caller's default
+    pacing applies). Multiple delay lines in the applicable groups
+    resolve to the MAXIMUM (the conservative pace, matching the
+    module-wide never-over-fetch stance)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
+    )
+    ua = F.regexp_extract("line", _UA_RE, 1)
+    is_ua = ua != ""
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.trim(F.lower(ua)).alias("ua"),
+        is_ua.alias("is_ua"),
+        F.regexp_extract("line", _DELAY_RE, 1).alias("delay"),
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    starts = parsed.withColumn(
+        "grp",
+        F.sum(
+            (
+                F.col("is_ua")
+                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+            ).cast("int")
+        ).over(w),
+    )
+    star_groups = (
+        starts.filter(F.col("is_ua") & (F.col("ua") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    if agent is None:
+        selected = star_groups
+    else:
+        agent_l = agent.strip().lower()
+        if not agent_l or agent_l == "*":
+            raise ValueError(
+                "robots_crawl_delay: agent must be a non-empty product "
+                "token (use agent=None for the '*' groups)"
+            )
+        named = starts.filter(
+            F.col("is_ua")
+            & (F.col("ua") != "*")
+            & F.lit(agent_l).startswith(F.col("ua"))
+        ).select("host", "grp", "ua")
+        best_w = Window.partitionBy("host").orderBy(
+            F.length("ua").desc(), F.col("ua").asc()
+        )
+        best = (
+            named.withColumn("_r", F.dense_rank().over(best_w))
+            .filter(F.col("_r") == 1)
+            .select("host", "grp")
+            .distinct()
+        )
+        selected = best.unionByName(
+            star_groups.join(best.select("host").distinct(), "host", "left_anti")
+        )
+    return (
+        starts.filter(F.col("delay") != "")
+        .join(selected, ["host", "grp"])
+        .groupBy("host")
+        .agg(F.max(F.col("delay").cast("double")).alias("crawl_delay_s"))
+    )

@@ -185,3 +185,36 @@ def test_robots_named_agent_resolution(spark):
 
     with pytest.raises(ValueError, match="product"):
         robots_txt_rules(df, agent="*")
+
+
+def test_robots_sitemaps_and_crawl_delay(spark):
+    """Sitemap lines are host-global (any position, deduped);
+    Crawl-delay resolves through the same group selection as the
+    rules, max-of-duplicates, absent when unstated."""
+    body = (
+        "Sitemap: http://a.com/sm1.xml\n"
+        "User-agent: ccmbot\nDisallow: /x/\nCrawl-delay: 2.5\n\n"
+        "User-agent: *\nDisallow: /y/\nCrawl-delay: 10\n"
+        "Sitemap: http://a.com/sm2.xml\n"
+        "Sitemap: http://a.com/sm1.xml\n"  # duplicate -> one seed
+    )
+    from ccm_spark.pipeline.robots import robots_crawl_delay, robots_sitemaps
+
+    df = spark.createDataFrame(
+        [("a.com", body), ("b.com", "User-agent: *\nDisallow: /q/\n")],
+        "host string, robots_txt string",
+    )
+    sm = {(r.host, r.sitemap_url) for r in robots_sitemaps(df).collect()}
+    assert sm == {
+        ("a.com", "http://a.com/sm1.xml"),
+        ("a.com", "http://a.com/sm2.xml"),
+    }
+    # star group delay
+    star = {r.host: r.crawl_delay_s for r in robots_crawl_delay(df).collect()}
+    assert star == {"a.com": 10.0}  # b.com states none -> absent
+    # named group overrides
+    named = {
+        r.host: r.crawl_delay_s
+        for r in robots_crawl_delay(df, agent="ccmbot").collect()
+    }
+    assert named == {"a.com": 2.5}
