@@ -80,7 +80,12 @@ def write_demo_crawl(warc_dir: str) -> None:
         _rec(
             "rb1",
             "http://a.com/robots.txt",
-            _http(200, "text/plain", b"User-agent: *\r\nDisallow: /secret\r\n"),
+            _http(
+                200,
+                "text/plain",
+                b"User-agent: *\r\nDisallow: /secret\r\n"
+                b"Crawl-delay: 3\r\nSitemap: http://a.com/sitemap.xml\r\n",
+            ),
         )
     )
     os.makedirs(warc_dir, exist_ok=True)
@@ -100,7 +105,12 @@ def run(spark, warc_dir: str) -> dict:
 
     from ccm_spark.pipeline.graph import host_graph, top_hosts
     from ccm_spark.pipeline.html import extract_links, robots_flags
-    from ccm_spark.pipeline.robots import apply_robots, robots_txt_rules
+    from ccm_spark.pipeline.robots import (
+        apply_robots,
+        robots_crawl_delay,
+        robots_sitemaps,
+        robots_txt_rules,
+    )
     from ccm_spark.pipeline.text import quality_filter
     from ccm_spark.pipeline.urls import (
         url_duplicates,
@@ -137,6 +147,10 @@ def run(spark, warc_dir: str) -> dict:
     )
     rules = robots_txt_rules(robots_bodies)
     counts["robots_txt_rules"] = rules.count()
+    # the other frontier inputs the same bodies carry: sitemap seeds
+    # for discovery, crawl-delay for pacing
+    counts["sitemap_seeds"] = robots_sitemaps(robots_bodies).count()
+    counts["hosts_with_crawl_delay"] = robots_crawl_delay(robots_bodies).count()
 
     kept_records = records.filter(
         (F.col("warc_type") == "response")

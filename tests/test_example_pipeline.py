@@ -123,6 +123,8 @@ def test_crawl_ingest_example_runs(spark, tmp_path):
     assert c["records"] == 8  # 7 pages + robots.txt; truncated shard2: none
     assert c["resync_bytes"] > 0  # but its loss is visible
     assert c["robots_txt_rules"] == 1  # a.com: Disallow /secret
+    assert c["sitemap_seeds"] == 1  # a.com/sitemap.xml
+    assert c["hosts_with_crawl_delay"] == 1  # a.com: Crawl-delay 3
     assert c["robots_opted_out"] == 1  # meta noindex on b private
     assert c["robots_txt_blocked"] == 1  # a.com/secret.html
     assert c["html_documents"] == 5  # 7 fetches - meta opt-out - disallowed
