@@ -5,9 +5,10 @@
 The reference has no crawl surface (SURVEY.md §2.1); this is extension
 surface for the ingestion pipeline: a compliant crawler fetches
 ``host/robots.txt`` once per host, and every candidate URL must pass
-the host's ``User-agent: *`` rules BEFORE fetch (frontier filtering)
-or, for an already-collected corpus, before use. Everything here is
-codegen (split/regexp/window) — no UDFs, no Python in the hot path.
+the host's applicable user-agent rules BEFORE fetch (frontier
+filtering) or, for an already-collected corpus, before use. Everything
+here is codegen (split/regexp/window) — no UDFs, no Python in the hot
+path.
 
 Semantics implemented (the subset that is uniform across real
 crawlers, documented rather than hidden):
@@ -47,8 +48,91 @@ from pyspark.sql import DataFrame, Window
 #: host with more disallows than this collapses to 'Disallow: /'
 MAX_RULES_PER_HOST = 500
 
-_UA_RE = "(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*([^#\\r]*)"
-_RULE_RE = "(?i)^[ \\t]*(dis)?allow[ \\t]*:[ \\t]*([^#\\r ]*)"
+# captures stop at space AND tab: a trailing tab before a comment or
+# EOL otherwise rides into the value, silently un-matching the group
+# (ua '*\t' != '*') or corrupting the prefix — both of which DROP
+# prohibitions, the one failure direction this module forbids
+_UA_RE = "(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*([^#\\r\\t ]*)"
+_RULE_RE = "(?i)^[ \\t]*(dis)?allow[ \\t]*:[ \\t]*([^#\\r\\t ]*)"
+
+
+def _grouped_lines(
+    robots: DataFrame, host_col: str, text_col: str, extra: dict
+) -> DataFrame:
+    """Shared line parse: posexplode the per-host body, classify UA
+    headers, assign each line to its header-run group (``grp``), and
+    attach the caller's extra extracted columns. ONE implementation so
+    rule resolution and crawl-delay resolution can never diverge on
+    group semantics for the same body."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
+    )
+    ua = F.regexp_extract("line", _UA_RE, 1)
+    is_ua = ua != ""
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(ua).alias("ua"),
+        is_ua.alias("is_ua"),
+        *[expr.alias(name) for name, expr in extra.items()],
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    # a group starts at a UA line not directly preceded by another UA
+    # line; group_id = running count of starts; rule lines belong to the
+    # group of the most recent header run
+    return parsed.withColumn(
+        "grp",
+        F.sum(
+            (
+                F.col("is_ua")
+                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+            ).cast("int")
+        ).over(w),
+    )
+
+
+def _select_agent_groups(
+    starts: DataFrame, agent: str | None, op: str
+) -> DataFrame:
+    """The applicable ``(host, grp)`` set: the ``*`` groups for
+    ``agent=None``, else the groups headed by the LONGEST user-agent
+    value case-insensitively prefixing the product token (RFC 9309 /
+    Googlebot resolution), REPLACING — not joined with — the star
+    groups, which remain the fallback for hosts naming no match."""
+    star_groups = (
+        starts.filter(F.col("is_ua") & (F.col("ua") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    if agent is None:
+        return star_groups
+    agent_l = agent.strip().lower()
+    if not agent_l or agent_l == "*":
+        raise ValueError(
+            f"{op}: agent must be a non-empty product "
+            "token (use agent=None for the '*' groups)"
+        )
+    named = starts.filter(
+        F.col("is_ua")
+        & (F.col("ua") != "*")
+        & F.lit(agent_l).startswith(F.col("ua"))
+    ).select("host", "grp", "ua")
+    # all groups headed by the longest matching UA value (dense_rank
+    # keeps every group repeating that value; ua asc breaks an
+    # equal-length tie deterministically)
+    best_w = Window.partitionBy("host").orderBy(
+        F.length("ua").desc(), F.col("ua").asc()
+    )
+    best = (
+        named.withColumn("_r", F.dense_rank().over(best_w))
+        .filter(F.col("_r") == 1)
+        .select("host", "grp")
+        .distinct()
+    )
+    return best.unionByName(
+        star_groups.join(best.select("host").distinct(), "host", "left_anti")
+    )
 
 
 def robots_txt_rules(
@@ -76,71 +160,22 @@ def robots_txt_rules(
     user-agent group — all narrow within one host partition; agent
     resolution adds one more per-host window over the handful of UA
     header rows."""
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
+    starts = _grouped_lines(
+        robots,
+        host_col,
+        text_col,
+        {
+            "rule": F.when(
+                F.regexp_extract("line", _RULE_RE, 0) != "",
+                F.when(
+                    F.lower(F.regexp_extract("line", _RULE_RE, 1)) == "dis",
+                    F.lit("disallow"),
+                ).otherwise(F.lit("allow")),
+            ),
+            "prefix": F.regexp_extract("line", _RULE_RE, 2),
+        },
     )
-    ua = F.regexp_extract("line", _UA_RE, 1)
-    is_ua = ua != ""
-    parsed = lines.select(
-        "host",
-        "pos",
-        F.trim(F.lower(ua)).alias("ua"),
-        is_ua.alias("is_ua"),
-        F.when(
-            F.regexp_extract("line", _RULE_RE, 0) != "",
-            F.when(F.lower(F.regexp_extract("line", _RULE_RE, 1)) == "dis",
-                   F.lit("disallow")).otherwise(F.lit("allow")),
-        ).alias("rule"),
-        F.regexp_extract("line", _RULE_RE, 2).alias("prefix"),
-    )
-    w = Window.partitionBy("host").orderBy("pos")
-    # a group starts at a UA line not directly preceded by another UA
-    # line; group_id = running count of starts; rule lines belong to the
-    # group of the most recent header run
-    starts = parsed.withColumn(
-        "grp",
-        F.sum(
-            (
-                F.col("is_ua")
-                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
-            ).cast("int")
-        ).over(w),
-    )
-    star_groups = (
-        starts.filter(F.col("is_ua") & (F.col("ua") == "*"))
-        .select("host", "grp")
-        .distinct()
-    )
-    if agent is None:
-        selected = star_groups
-    else:
-        agent_l = agent.strip().lower()
-        if not agent_l or agent_l == "*":
-            raise ValueError(
-                "robots_txt_rules: agent must be a non-empty product "
-                "token (use agent=None for the '*' groups)"
-            )
-        named = starts.filter(
-            F.col("is_ua")
-            & (F.col("ua") != "*")
-            & F.lit(agent_l).startswith(F.col("ua"))
-        ).select("host", "grp", "ua")
-        # all groups headed by the longest matching UA value (dense_rank
-        # keeps every group repeating that value; ua asc breaks an
-        # equal-length tie deterministically)
-        best_w = Window.partitionBy("host").orderBy(
-            F.length("ua").desc(), F.col("ua").asc()
-        )
-        best = (
-            named.withColumn("_r", F.dense_rank().over(best_w))
-            .filter(F.col("_r") == 1)
-            .select("host", "grp")
-            .distinct()
-        )
-        selected = best.unionByName(
-            star_groups.join(best.select("host").distinct(), "host", "left_anti")
-        )
+    selected = _select_agent_groups(starts, agent, "robots_txt_rules")
     rules = (
         starts.filter(F.col("rule").isNotNull() & (F.col("prefix") != ""))
         .join(selected, ["host", "grp"])
@@ -182,10 +217,12 @@ def robots_txt_rules(
 def apply_robots(
     urls: DataFrame, rules: DataFrame, url_col: str = "url"
 ) -> DataFrame:
-    """Adds ``robots_allowed``: whether the host's ``User-agent: *``
-    rules permit each URL. No rules for a host (or an unparseable URL)
-    → allowed (the spec's default-open stance); longest matching prefix
-    decides; ties go to allow.
+    """Adds ``robots_allowed``: whether the host's applicable rules (as
+    produced by :func:`robots_txt_rules` — the ``*`` groups by default,
+    or the agent-resolved groups when the rules were built with
+    ``agent=``) permit each URL. No rules for a host (or an unparseable
+    URL) → allowed (the spec's default-open stance); longest matching
+    prefix decides; ties go to allow.
 
     Plan: one hash join on host + a per-URL window over the handful of
     matching rules. The rules relation is host-cardinality — broadcast
@@ -231,9 +268,12 @@ def apply_robots(
 
 #: Sitemap and Crawl-delay directive lines (RFC 9309 §2.2.4 allows
 #: non-rule lines anywhere; Sitemap is host-global, Crawl-delay is
-#: honored per-group by most crawlers)
-_SITEMAP_RE = "(?i)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r ]+)"
-_DELAY_RE = "(?i)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9.]+)"
+#: honored per-group by most crawlers). The URL capture stops at tab as
+#: well as space; the delay capture is an ANCHORED decimal — '[0-9.]+'
+#: would let '1.2.3' through to a cast('double') that THROWS under
+#: Spark 4 ANSI mode, aborting the whole job on one malformed host
+_SITEMAP_RE = "(?i)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r\\t ]+)"
+_DELAY_RE = "(?i)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+(\\.[0-9]+)?)[ \\t]*([#\\r]|$)"
 
 
 def robots_sitemaps(
@@ -266,65 +306,22 @@ def robots_crawl_delay(
 ) -> DataFrame:
     """``(host, crawl_delay_s)`` — the per-host pacing hint from the
     applicable user-agent group (same group resolution as
-    :func:`robots_txt_rules`: named agent first when given, ``*``
-    fallback; hosts stating no delay are absent — the caller's default
-    pacing applies). Multiple delay lines in the applicable groups
-    resolve to the MAXIMUM (the conservative pace, matching the
-    module-wide never-over-fetch stance)."""
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
+    :func:`robots_txt_rules` BY CONSTRUCTION — both call the shared
+    ``_grouped_lines`` / ``_select_agent_groups`` helpers: named agent
+    first when given, ``*`` fallback; hosts stating no delay are
+    absent — the caller's default pacing applies). Multiple delay
+    lines in the applicable groups resolve to the MAXIMUM (the
+    conservative pace, matching the module-wide never-over-fetch
+    stance); malformed values ('1.2.3') fail the anchored decimal
+    capture and are skipped — they never reach the double cast, which
+    would abort the job under ANSI mode."""
+    starts = _grouped_lines(
+        robots,
+        host_col,
+        text_col,
+        {"delay": F.regexp_extract("line", _DELAY_RE, 1)},
     )
-    ua = F.regexp_extract("line", _UA_RE, 1)
-    is_ua = ua != ""
-    parsed = lines.select(
-        "host",
-        "pos",
-        F.trim(F.lower(ua)).alias("ua"),
-        is_ua.alias("is_ua"),
-        F.regexp_extract("line", _DELAY_RE, 1).alias("delay"),
-    )
-    w = Window.partitionBy("host").orderBy("pos")
-    starts = parsed.withColumn(
-        "grp",
-        F.sum(
-            (
-                F.col("is_ua")
-                & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
-            ).cast("int")
-        ).over(w),
-    )
-    star_groups = (
-        starts.filter(F.col("is_ua") & (F.col("ua") == "*"))
-        .select("host", "grp")
-        .distinct()
-    )
-    if agent is None:
-        selected = star_groups
-    else:
-        agent_l = agent.strip().lower()
-        if not agent_l or agent_l == "*":
-            raise ValueError(
-                "robots_crawl_delay: agent must be a non-empty product "
-                "token (use agent=None for the '*' groups)"
-            )
-        named = starts.filter(
-            F.col("is_ua")
-            & (F.col("ua") != "*")
-            & F.lit(agent_l).startswith(F.col("ua"))
-        ).select("host", "grp", "ua")
-        best_w = Window.partitionBy("host").orderBy(
-            F.length("ua").desc(), F.col("ua").asc()
-        )
-        best = (
-            named.withColumn("_r", F.dense_rank().over(best_w))
-            .filter(F.col("_r") == 1)
-            .select("host", "grp")
-            .distinct()
-        )
-        selected = best.unionByName(
-            star_groups.join(best.select("host").distinct(), "host", "left_anti")
-        )
+    selected = _select_agent_groups(starts, agent, "robots_crawl_delay")
     return (
         starts.filter(F.col("delay") != "")
         .join(selected, ["host", "grp"])

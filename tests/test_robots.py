@@ -218,3 +218,43 @@ def test_robots_sitemaps_and_crawl_delay(spark):
         for r in robots_crawl_delay(df, agent="ccmbot").collect()
     }
     assert named == {"a.com": 2.5}
+
+
+def test_robots_tab_and_malformed_value_hardening(spark):
+    """Tab-terminated values and malformed delays must never weaken
+    compliance or crash: 'User-agent: *\\t# all' still matches the star
+    group (a tab riding into the value silently dropped the host's
+    prohibitions — over-fetching), tab-commented prefixes and sitemap
+    URLs stay clean, and 'Crawl-delay: 1.2.3' is skipped instead of
+    aborting the job via an ANSI-mode double cast."""
+    from ccm_spark.pipeline.robots import robots_crawl_delay, robots_sitemaps
+
+    body = (
+        "User-agent: *\t# every bot\n"
+        "Disallow: /private/\t# tab comment\n"
+        "Crawl-delay: 1.2.3\n"
+        "Crawl-delay: 4\tjunk\n"
+        "Sitemap: http://t.com/s.xml\tjunk\n"
+    )
+    df = spark.createDataFrame([("t.com", body)], "host string, robots_txt string")
+    rules = {(r.rule, r.prefix) for r in robots_txt_rules(df).collect()}
+    assert rules == {("disallow", "/private/")}
+    urls = spark.createDataFrame(
+        [(0, "http://t.com/private/x")], "doc_id long, url string"
+    )
+    rules_df = robots_txt_rules(df)
+    assert [r.robots_allowed for r in apply_robots(urls, rules_df).collect()] == [
+        False
+    ]
+    assert {r.sitemap_url for r in robots_sitemaps(df).collect()} == {
+        "http://t.com/s.xml"
+    }
+    # 1.2.3 skipped; '4\tjunk' -> trailing junk also skipped (not a clean
+    # directive), so no delay row survives for this host
+    assert robots_crawl_delay(df).collect() == []
+    clean = spark.createDataFrame(
+        [("c.com", "User-agent: *\nCrawl-delay: 2.5\n")],
+        "host string, robots_txt string",
+    )
+    got = {r.host: r.crawl_delay_s for r in robots_crawl_delay(clean).collect()}
+    assert got == {"c.com": 2.5}
