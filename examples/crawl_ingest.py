@@ -226,6 +226,9 @@ def run(spark, warc_dir: str) -> dict:
 if __name__ == "__main__":
     import sys
 
+    # scripts resolve sys.path[0] to examples/, not the repo root
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
     from ccm_spark.session import get_spark
 
     if len(sys.argv) > 1:
