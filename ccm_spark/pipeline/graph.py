@@ -109,7 +109,13 @@ def pagerank(
     nodes = nodes.persist()
     n = nodes.count()  # one scalar, once — not per iteration
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        # empty result is computed before the unpersists drop the
+        # (empty) persisted relations — otherwise the early return
+        # leaks both persists for the session
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        e.unpersist()
+        nodes.unpersist()
+        return out
 
     # dangling nodes computed and MATERIALISED once (eager checkpoint —
     # a lazy persist would only take effect after the caller's first

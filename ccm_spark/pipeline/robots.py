@@ -22,10 +22,21 @@ crawlers, documented rather than hidden):
     published rule);
   - an empty ``Disallow:`` is "allow everything" (per the original
     spec) and therefore contributes no rule;
-  - prefixes are matched LITERALLY: ``*`` wildcards and ``$`` anchors
-    (non-standard extensions) are treated as ordinary characters — the
-    conservative reading errs toward blocking slightly too much for
-    patterns that use them, never toward fetching something forbidden.
+  - rules match against the URL's path plus ``?query`` (RFC 9309 /
+    Google semantics: ``Disallow: /search?q=`` blocks query-targeted
+    URLs);
+  - ``*`` wildcards and ``$`` anchors (RFC 9309 §2.2.3) degrade
+    CONSERVATIVELY rather than run a full pattern matcher: each
+    DISALLOW pattern is truncated at its first ``*`` and stripped of a
+    trailing ``$`` (the truncated prefix matches a SUPERSET of the
+    URLs the pattern matches; a pattern reduced to the empty string
+    becomes ``/``), while precedence still uses the ORIGINAL pattern
+    length — so no shorter-after-truncation disallow can lose a
+    longest-match tie it would have won, and every URL the real
+    pattern blocks stays blocked. ALLOW patterns keep their wildcard
+    characters literally (an allow that no longer matches only
+    over-blocks). Both degradations err toward blocking too much,
+    never toward fetching something forbidden.
 
 100 TB design: rules parse once per HOST (a ~10^8-row relation, not a
 page relation); the URL join hashes on host, and each URL row meets
@@ -176,10 +187,30 @@ def robots_txt_rules(
         },
     )
     selected = _select_agent_groups(starts, agent, "robots_txt_rules")
+    # conservative wildcard degradation (RFC 9309 §2.2.3): a DISALLOW
+    # pattern is truncated at its first '*' and stripped of a trailing
+    # '$' — the resulting prefix matches a superset of what the pattern
+    # matches — and a pattern reduced to '' becomes '/'; 'prec' keeps
+    # the ORIGINAL pattern length so the truncated form never loses a
+    # longest-match tie the pattern would have won (losing one to an
+    # allow would over-fetch). Allow patterns stay literal: a
+    # never-matching allow only over-blocks.
+    dis_prefix = F.regexp_replace(
+        F.substring_index(F.col("prefix"), "*", 1), r"\$$", ""
+    )
+    match_prefix = F.when(
+        F.col("rule") == "disallow",
+        F.when(dis_prefix == "", F.lit("/")).otherwise(dis_prefix),
+    ).otherwise(F.col("prefix"))
     rules = (
         starts.filter(F.col("rule").isNotNull() & (F.col("prefix") != ""))
         .join(selected, ["host", "grp"])
-        .select("host", "rule", "prefix")
+        .select(
+            "host",
+            "rule",
+            match_prefix.alias("prefix"),
+            F.length("prefix").alias("prec"),
+        )
         .distinct()
     )
     # the cap must stay CONSERVATIVE: dropping an allow rule can only
@@ -190,7 +221,7 @@ def robots_txt_rules(
     # shedding prohibitions
     cap_w = Window.partitionBy("host").orderBy(
         F.col("rule").desc(),  # 'disallow' > 'allow': disallows kept first
-        F.length("prefix").desc(),
+        F.col("prec").desc(),
         F.col("prefix").asc(),
     )
     host_w = Window.partitionBy("host")
@@ -203,13 +234,18 @@ def robots_txt_rules(
             (F.col("_n_dis") <= max_rules_per_host)
             & (F.col("rk") <= max_rules_per_host)
         )
-        .select("host", "rule", "prefix")
+        .select("host", "rule", "prefix", "prec")
     )
     collapsed = (
         marked.filter(F.col("_n_dis") > max_rules_per_host)
         .select("host")
         .distinct()
-        .select("host", F.lit("disallow").alias("rule"), F.lit("/").alias("prefix"))
+        .select(
+            "host",
+            F.lit("disallow").alias("rule"),
+            F.lit("/").alias("prefix"),
+            F.lit(1).alias("prec"),
+        )
     )
     return kept.unionByName(collapsed)
 
@@ -221,8 +257,13 @@ def apply_robots(
     produced by :func:`robots_txt_rules` — the ``*`` groups by default,
     or the agent-resolved groups when the rules were built with
     ``agent=``) permit each URL. No rules for a host (or an unparseable
-    URL) → allowed (the spec's default-open stance); longest matching
-    prefix decides; ties go to allow.
+    URL) → allowed (the spec's default-open stance); the rule with the
+    highest precedence (the ORIGINAL pattern length carried as ``prec``
+    by :func:`robots_txt_rules`; prefix length for hand-built rule
+    frames without it) decides; ties go to allow. The matched string is
+    the URL's path plus ``?query`` when a query is present (RFC 9309 /
+    Google semantics — query-targeted disallows like
+    ``Disallow: /search?q=`` match).
 
     Plan: one hash join on host + a per-URL window over the handful of
     matching rules. The rules relation is host-cardinality — broadcast
@@ -232,18 +273,25 @@ def apply_robots(
     p = url_parts(F.col(url_col))
     host = _host_from_parts(p)
     path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    target = F.when(
+        p["query"] == "", path
+    ).otherwise(F.concat(path, F.lit("?"), p["query"]))
     keyed = (
         urls.withColumn("_rb_host", host)
-        .withColumn("_rb_path", path)
+        .withColumn("_rb_path", target)
         # transient per-row key: the decision window must keep one row
         # per INPUT row (never collapse identical url rows); the id is
         # job-internal and dropped before returning
         .withColumn("_rb_id", F.monotonically_increasing_id())
     )
+    prec = (
+        F.col("prec") if "prec" in rules.columns else F.length("prefix")
+    )
     r = rules.select(
         F.col("host").alias("_rb_host"),
         F.col("rule").alias("_rb_rule"),
         F.col("prefix").alias("_rb_prefix"),
+        prec.alias("_rb_prec"),
     )
     cand = keyed.join(r, "_rb_host", "left").withColumn(
         "_rb_hit",
@@ -252,7 +300,7 @@ def apply_robots(
     )
     w = Window.partitionBy("_rb_id").orderBy(
         F.col("_rb_hit").desc(),
-        F.length("_rb_prefix").desc(),
+        F.col("_rb_prec").desc_nulls_last(),
         F.col("_rb_rule").asc(),  # 'allow' < 'disallow': ties open
     )
     decided = (

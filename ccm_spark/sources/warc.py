@@ -147,6 +147,18 @@ def _parse_warc_shard(path: str, data: bytes) -> Iterator[dict]:
             skipped += nxt - pos
             pos = nxt
             continue
+        if clen < 0:
+            # int() accepts '-N'; a negative length would move pos
+            # BACKWARDS past this record's own 'WARC/' magic, so the
+            # next _resync would re-find the same record forever —
+            # an unbounded-yield executor hang from one malformed
+            # header. Treat it as a framing error and resync FORWARD
+            # (_resync searches from pos + 1, so progress is strictly
+            # monotonic).
+            nxt = _resync(pos)
+            skipped += nxt - pos
+            pos = nxt
+            continue
         body_start = head_end + 4
         if body_start + clen > n:  # truncated shard: stop at last whole record
             skipped += n - pos

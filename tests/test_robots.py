@@ -3,8 +3,9 @@ reference has no crawl layer, SURVEY.md §2.1).
 
 Pins: group-header semantics (consecutive User-agent lines, named-bot
 groups ignored), empty-Disallow-is-open, longest-prefix precedence with
-allow winning ties, default-open for rule-less hosts, and the
-conservative literal treatment of wildcard characters."""
+allow winning ties, default-open for rule-less hosts, conservative
+wildcard/'$' degradation (truncated disallows keep original-pattern
+precedence), and path+query match targets."""
 
 from __future__ import annotations
 
@@ -87,20 +88,94 @@ def test_apply_robots_precedence_and_defaults(spark):
     assert apply_robots(dup, _rules(spark)).count() == 2
 
 
-def test_apply_robots_treats_wildcards_literally(spark):
+def test_apply_robots_wildcard_disallow_degrades_conservatively(spark):
+    """RFC 9309 §2.2.3 wildcard disallows must never be matched
+    literally (that direction FETCHES publisher-forbidden URLs): the
+    pattern is truncated at its first '*' and matches a superset. A
+    pattern reduced to '' blocks the whole host."""
     rules = robots_txt_rules(
         spark.createDataFrame(
-            [("w.com", "User-agent: *\nDisallow: /*/secret\n")],
+            [
+                ("w.com", "User-agent: *\nDisallow: /*/secret\n"),
+                ("x.com", "User-agent: *\nDisallow: /files/*.php\n"),
+                ("y.com", "User-agent: *\nDisallow: *\n"),
+            ],
             "host string, robots_txt string",
         )
     )
     urls = spark.createDataFrame(
-        [(0, "http://w.com/a/secret"), (1, "http://w.com/*/secret")],
+        [
+            (0, "http://w.com/a/secret"),  # matched by the real pattern
+            (1, "http://w.com/*/secret"),
+            (2, "http://w.com/open"),  # superset cost: '/' blocks this too
+            (3, "http://x.com/files/app.php"),
+            (4, "http://x.com/public/app.php"),  # outside the '/files/' stem
+            (5, "http://y.com/anything"),  # 'Disallow: *' == block all
+        ],
         "doc_id long, url string",
     )
     got = {r.doc_id: r.robots_allowed for r in apply_robots(urls, rules).collect()}
-    # literal reading: the '*' prefix matches only a literal '*' path
-    assert got == {0: True, 1: False}
+    assert got == {0: False, 1: False, 2: False, 3: False, 4: True, 5: False}
+
+
+def test_apply_robots_dollar_anchor_and_precedence_preserved(spark):
+    """A trailing '$' on a disallow is stripped (prefix blocks a
+    superset), and the truncated disallow keeps its ORIGINAL pattern
+    length for precedence — an allow whose length falls between the
+    truncated and original lengths must NOT win the tie (that would
+    over-fetch a URL the real pattern blocks)."""
+    rules = robots_txt_rules(
+        spark.createDataFrame(
+            [
+                ("d.com", "User-agent: *\nDisallow: /exact$\n"),
+                (
+                    "p.com",
+                    # pattern len 10 > allow len 9 > truncated len 5:
+                    # real matcher blocks /dir/file.php; literal-length
+                    # precedence would wrongly let the allow win
+                    "User-agent: *\nDisallow: /dir/*.php\nAllow: /dir/file\n",
+                ),
+            ],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "http://d.com/exact"),
+            (1, "http://d.com/exactly-longer"),  # superset cost
+            (2, "http://p.com/dir/file.php"),
+            # superset cost: the real pattern would NOT match .txt, but
+            # the truncated '/dir/' stem (original precedence 10) does
+            # and outranks the len-9 allow — over-blocked, never
+            # over-fetched
+            (3, "http://p.com/dir/file.txt"),
+            (4, "http://p.com/other"),  # outside the stem: default-open
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.robots_allowed for r in apply_robots(urls, rules).collect()}
+    assert got == {0: False, 1: False, 2: False, 3: False, 4: True}
+
+
+def test_apply_robots_matches_query_string(spark):
+    """The matched string is path + '?query' (RFC 9309 / Google):
+    query-targeted disallows like 'Disallow: /search?q=' must match."""
+    rules = robots_txt_rules(
+        spark.createDataFrame(
+            [("q.com", "User-agent: *\nDisallow: /search?q=\n")],
+            "host string, robots_txt string",
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "http://q.com/search?q=terms"),
+            (1, "http://q.com/search"),  # no query -> no match
+            (2, "http://q.com/search?page=2"),  # different param
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.robots_allowed for r in apply_robots(urls, rules).collect()}
+    assert got == {0: False, 1: True, 2: True}
 
 
 def test_robots_rules_cap_never_sheds_disallows(spark):

@@ -140,6 +140,27 @@ def test_truncated_and_garbage_shards_resync(spark, tmp_path):
     assert resync[0].payload_len == 8 + (len(recs[2]) - 40)  # every lost byte counted
 
 
+def test_negative_content_length_resyncs_forward(spark, tmp_path):
+    """int() accepts '-N': a negative Content-Length used to move the
+    cursor BACKWARDS, re-finding the same record's magic forever — an
+    unbounded-yield executor hang from one attacker-controlled header.
+    It must be treated as a framing error that resyncs strictly
+    forward, with the healthy following record still parsed."""
+    recs = _shard_records()
+    payload_len = len(recs[1]) - recs[1].index(b"\r\n\r\n") - 4 - 4  # two seps
+    bad = recs[1].replace(
+        f"Content-Length: {payload_len}".encode(), b"Content-Length: -9999"
+    )
+    assert bad != recs[1]  # the header really was rewritten
+    (tmp_path / "neg.warc").write_bytes(recs[0] + bad + recs[2])
+    got = read_warc(spark, str(tmp_path)).collect()
+    parsed = [r for r in got if r.warc_type != "resync"]
+    resync = [r for r in got if r.warc_type == "resync"]
+    # the poisoned record is skipped; its neighbors both survive
+    assert [r.record_id for r in parsed] == ["<urn:uuid:info1>", "<urn:uuid:resp1>"]
+    assert len(resync) == 1 and resync[0].payload_len > 0
+
+
 def test_warc_html_documents_composes_with_extraction(spark, warc_dir):
     docs = warc_html_documents(read_warc(spark, warc_dir)).collect()
     # 2 shards x 2 OK html pages; pdf and 404 excluded
