@@ -724,6 +724,147 @@ def q_gen_coupled_series_noisy(spark, sf_dir):
     return df.select("t", _r6(F.col("x")).alias("x"), _r6(F.col("y")).alias("y"))
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantisation ANN end-to-end (pipeline/similarity.py
+    pq_codebooks + pq_encode + pq_topk): per-subspace Lloyd codebooks
+    trained on the strided sample, the corpus encoded to m one-byte
+    codes, queries scored by ADC lookup tables. Gate geometry
+    (ksub=16, 2 iters) keeps the DuckDB trainer replay tractable; the
+    production geometry (ksub=256, 5 iters) is pinned by
+    tests/test_pq.py."""
+    return similarity.pq_topk(
+        _embs(spark, sf_dir),
+        n_queries=oext.PQ_GATE_NQ,
+        k=oext.PQ_GATE_K,
+        m=oext.PQ_GATE_M,
+        ksub=oext.PQ_GATE_KSUB,
+        n_iters=oext.PQ_GATE_ITERS,
+        train_stride=1,
+    )
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """Link-graph PageRank (pipeline/graph.py) over a deterministic
+    documents-derived host graph: hosts h0..h22 emit links, h23..h36
+    only receive (dangling mass exercised every round), weights 1..3,
+    self-edges dropped. 5 power iterations with ranks quantised to 9
+    decimals per update (the trainers' cross-engine discipline), so
+    the DuckDB twin replays the whole iteration bit-for-bit."""
+    from ccm_spark.pipeline.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    src = F.concat(F.lit("h"), (d % oext.PAGERANK_GATE_SRC_MOD).cast("string"))
+    dst = F.concat(F.lit("h"), ((d * 13 + 5) % oext.PAGERANK_GATE_DST_MOD).cast("string"))
+    edges = (
+        docs.select(src.alias("src"), dst.alias("dst"), (1 + d % 3).alias("weight"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    out = pagerank(
+        edges,
+        n_iters=oext.PAGERANK_GATE_ITERS,
+        damping=oext.PAGERANK_GATE_DAMPING,
+        quantize=oext.PAGERANK_GATE_QUANT,
+    )
+    return out.select(
+        "node",
+        (F.round(F.col("rank"), oext.PAGERANK_GATE_QUANT) + F.lit(0.0)).alias("rank"),
+    )
+
+
+def q_warc_extract(spark, sf_dir):
+    """WARC record-parse round trip (sources/warc.py): one response
+    record per document (HTTP 200 text/plain payload carrying the doc
+    text, Content-Length framing) is built as real WARC bytes,
+    concatenated into doc_id%8 shards, and pushed through the SAME
+    parse kernel read_warc uses (parse_warc_shards). The oracle states
+    what a correct parse recovers — a framing, header, or HTTP-split
+    bug drops or corrupts records and fails count/hash."""
+    from ccm_spark.sources.warc import parse_warc_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    payload = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
+        ds,
+        F.lit(">\r\nWARC-Target-URI: http://ex"),
+        (d % 7).cast("string"),
+        F.lit(".com/doc/"),
+        ds,
+        F.lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"),
+        F.lit("Content-Type: application/http;msgtype=response\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"),
+        payload,
+        F.lit("\r\n\r\n"),
+    )
+    shards = (
+        docs.select((d % 8).alias("shard"), d.alias("doc_id"), rec.alias("rec"))
+        .groupBy("shard")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                    lambda s: s["rec"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("fixture-"), F.col("shard").cast("string")).alias("path"),
+            F.encode("body", "UTF-8").alias("content"),
+        )
+    )
+    recs = parse_warc_shards(shards)
+    return recs.select(
+        "record_id",
+        "target_uri",
+        "warc_type",
+        "content_type",
+        "http_status",
+        "http_content_type",
+        F.col("payload").cast("string").alias("text"),
+        "payload_len",
+    )
+
+
+def q_cms_sketch(spark, sf_dir):
+    """Count-min sketch build (pipeline/sketches.py): exact integer
+    counts over depth seeded md5 cells — the mergeable corpus-frequency
+    artifact, replayed cell-for-cell by the DuckDB twin."""
+    from ccm_spark.pipeline.sketches import cms_build
+
+    return cms_build(_docs(spark, sf_dir))
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Distributed BPE apply (pipeline/tokenize.py bpe_encode): the
+    fixed BPE_GATE_MERGES table applied by the real per-word greedy
+    lowest-rank-first Arrow kernel; the DuckDB twin re-derives every
+    piece with a DIFFERENT algorithm (rank-ordered separator-string
+    replaces), so the hash is two independent implementations
+    agreeing. Training (the driver-side merge loop over the bounded
+    word histogram) is pinned by tests/test_tokenize.py."""
+    from ccm_spark.pipeline.tokenize import bpe_encode
+
+    model = {
+        "merges": [list(m) for m in oext.BPE_GATE_MERGES],
+        "vocab": {},
+        "end_marker": oext.BPE_GATE_END,
+    }
+    out = bpe_encode(_docs(spark, sf_dir), model)
+    return out.select(
+        "doc_id",
+        F.array_join("pieces", " ").alias("pieces"),
+        "n_pieces",
+    )
+
+
 def q_events_hourly_stats(spark, sf_dir):
     """Batch twin of streaming.windowed_event_stats with engine-portable
     integer time bucketing (hour index since epoch, ts dtype-dispatched)."""
@@ -778,7 +919,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
-        "text_token_counts": q_text_token_counts,
+        # text_token_counts rotated out r08 (QUERIES.md policy): its token
+        # relation is the same splitter CTE the still-gated
+        # text_token_stats / text_vocab_topk rows hash end-to-end, and the
+        # three counters keep test_token_counts plus a DuckDB-replay pin
+        # in tests/test_pipeline_ops.py. Slot went to cms_sketch (the
+        # sketch family's first CORRECTNESS row).
+        "cms_sketch": q_cms_sketch,
         "text_fingerprint": q_text_fingerprint,
         "text_quality_filter": q_text_quality_filter,
         "text_redact_pii": q_text_redact_pii,
@@ -810,9 +957,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_topk": q_series_topk,
         "decontaminate": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_srp_buckets": q_ann_srp_buckets,
-        "embedding_projection": q_embedding_projection,
+        # ann_ivf_topk rotated out r08 (QUERIES.md policy): the strided
+        # probe/re-rank chain is the untrained special case of the
+        # still-gated ann_ivf_kmeans_topk (same assign/probe/re-rank
+        # shape); the strided arm keeps pins in tests/test_ivf.py plus a
+        # DuckDB-replay pin in tests/test_pipeline_ops.py. Slot went to
+        # bpe_encode (the tokenizer family's first CORRECTNESS row).
+        "bpe_encode": q_bpe_encode,
+        # ann_srp_buckets rotated out r08 (QUERIES.md policy): the SRP
+        # bucket CTE (_srp_ctes) is embedded VERBATIM in the still-gated
+        # dedup_embedding oracle, and the bucket relation gains a direct
+        # DuckDB-replay pin in tests/test_pipeline_ops.py. Slot went to
+        # pq_topk (the PQ ANN family's first CORRECTNESS row).
+        "pq_topk": q_pq_topk,
+        # embedding_projection rotated out r08 (QUERIES.md policy):
+        # standalone LCG-plane transform with known-vector pins plus a
+        # new DuckDB-replay pin in tests/test_pipeline_ops.py. Slot went
+        # to pagerank_hosts (the link-graph family's first CORRECTNESS
+        # row).
+        "pagerank_hosts": q_pagerank_hosts,
         # ann_ivf_kmeans rotated out r07 (QUERIES.md policy): its CTE
         # chain is embedded VERBATIM in the still-gated
         # ann_ivf_kmeans_topk (the trained centroids ARE that query's
@@ -838,7 +1001,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_statistical.py + the fleet gates that consume G2.
         "gen_coupled_series_noisy": q_gen_coupled_series_noisy,
         "events_asof_join": q_events_asof_join,
-        "events_asof_tolerance": q_events_asof_tolerance,
+        # events_asof_tolerance rotated out r08 (QUERIES.md policy): the
+        # staleness-bound variant of the still-gated events_asof_join
+        # (same as-of machinery, one extra NULL-out predicate); keeps its
+        # pin in tests/test_events_ops.py plus a DuckDB-replay pin. Slot
+        # went to warc_extract (the crawl-ingestion front door's first
+        # CORRECTNESS row).
+        "warc_extract": q_warc_extract,
         "text_vocab_topk": q_text_vocab_topk,
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
@@ -863,7 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": oext.sql_text_token_stats(),
         "text_quality": oext.sql_text_quality(),
         "text_langid": oext.sql_text_langid(),
-        "text_token_counts": oext.sql_text_token_counts(),
+        "cms_sketch": oext.sql_cms_sketch(),
         "text_fingerprint": oext.sql_text_fingerprint(),
         "text_quality_filter": oext.sql_text_quality_filter(),
         "text_redact_pii": oext.sql_text_redact_pii(),
@@ -881,9 +1050,9 @@ def oracle_sql() -> dict[str, str]:
         "series_topk": oext.sql_series_topk(),
         "decontaminate": oext.sql_decontaminate(),
         "ann_cosine_topk": oext.sql_ann_cosine_topk(),
-        "ann_ivf_topk": oext.sql_ann_ivf_topk(),
-        "ann_srp_buckets": oext.sql_ann_srp_buckets(),
-        "embedding_projection": oext.sql_embedding_projection(),
+        "bpe_encode": oext.sql_bpe_encode(),
+        "pq_topk": oext.sql_pq_topk(),
+        "pagerank_hosts": oext.sql_pagerank_hosts(),
         "html_extract": oext.sql_html_extract(),
         "ann_ivf_kmeans_topk": oext.sql_ann_ivf_kmeans_topk(),
         "ann_ivf_recall": oext.sql_ann_ivf_recall(),
@@ -893,7 +1062,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stats": oext.sql_events_hourly_stats(),
         "gen_coupled_series_noisy": oext.sql_gen_coupled_series_noisy(),
         "events_asof_join": oext.sql_events_asof_join(),
-        "events_asof_tolerance": oext.sql_events_asof_tolerance(),
+        "warc_extract": oext.sql_warc_extract(),
         "text_vocab_topk": oext.sql_text_vocab_topk(),
         "events_sessionize": oext.sql_events_sessionize(),
         "events_quantiles": oext.sql_events_quantiles(),

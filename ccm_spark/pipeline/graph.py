@@ -67,6 +67,7 @@ def pagerank(
     weight: str | None = "weight",
     n_iters: int = 10,
     damping: float = DAMPING,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge relation → ``(node, rank)``,
     ranks summing to 1. Parallel edges are additive; nodes appearing
@@ -78,10 +79,22 @@ def pagerank(
     endpoints stay in the node relation, and a src left with no
     positive out-edge is treated as dangling.
 
+    ``quantize`` rounds every rank to that many decimals after each
+    update — the kmeans/PQ trainers' cross-engine discipline: each
+    iteration restarts from identical state in every engine, so a SQL
+    power-iteration replay stays hash-identical (used by the gated
+    ``pagerank_hosts`` query). ``None`` (the default) keeps full
+    precision.
+
     Plan per iteration: ranks ⋈ edges on src (edges pre-partitioned +
     persisted, one layout for all rounds) → groupBy dst (map-side
     partial agg) → one scalar dangling aggregate broadcast back in.
-    ``localCheckpoint`` truncates lineage each round."""
+    ``localCheckpoint`` truncates lineage every SECOND round: ranks
+    feeds two consumers per round, so an uncut plan doubles per
+    iteration — cutting at every other round bounds the plan at 4x one
+    round's shape while halving the checkpoint I/O that dominated
+    per-iteration wall time on small graphs (r07 bench: ~0.6 s/iter of
+    which most was materialisation)."""
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
@@ -128,7 +141,7 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for _ in range(n_iters):
+    for it in range(n_iters):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .groupBy("dst")
@@ -138,31 +151,36 @@ def pagerank(
         dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
         )
+        new_rank = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping)
+            * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dmass") / n)
+        )
+        if quantize is not None:
+            new_rank = F.round(new_rank, quantize)
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dmass") / n)
-                ).alias("rank"),
-            )
-            # EAGER checkpoint EVERY round, for two reasons both pinned
-            # by tests: (a) each iteration executes here, WHILE e/nodes
-            # are still persisted — a lazy loop would defer all rounds
-            # past the unpersists below and recompute the edge layout
-            # every round; (b) ranks feeds TWO consumers per round
-            # (contribs + dangling), so an uncut plan DOUBLES per
-            # iteration — O(2^n_iters) analysis blew the driver heap at
-            # 12 rounds when this was briefly a persist-only chain.
-            # Superseded rounds' checkpoint blocks are released by the
-            # ContextCleaner as soon as the rebound Python reference
-            # drops (CPython refcounting — prompt in practice); Spark
-            # exposes no public API to free them more eagerly.
-            .localCheckpoint(eager=True)
+            .select("node", new_rank.alias("rank"))
         )
+        # EAGER checkpoint every SECOND round (and always the last),
+        # for two reasons both pinned by tests: (a) the loop must
+        # execute WHILE e/nodes are still persisted — a fully lazy
+        # chain would defer all rounds past the unpersists below and
+        # recompute the edge layout every round; (b) ranks feeds TWO
+        # consumers per round (contribs + dangling), so an uncut plan
+        # DOUBLES per iteration — O(2^n_iters) analysis blew the
+        # driver heap at 12 rounds when this was briefly a
+        # persist-only chain. Cutting at every other round bounds the
+        # plan at 4x one round's shape (2 uncut rounds) while halving
+        # the materialisation I/O that dominated small-graph wall time
+        # (r07 bench pagerank_20k ~0.6 s/iter). Superseded rounds'
+        # checkpoint blocks are released by the ContextCleaner as soon
+        # as the rebound Python reference drops (CPython refcounting —
+        # prompt in practice); Spark exposes no public API to free
+        # them more eagerly.
+        if it % 2 == 1 or it == n_iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     out = ranks
     e.unpersist()
     nodes.unpersist()

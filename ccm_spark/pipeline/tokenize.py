@@ -216,6 +216,7 @@ def train_bpe(
     n_merges: int = 1000,
     max_words: int = 1_000_000,
     end_marker: str = "</w>",
+    overflow: str = "error",
 ) -> dict:
     """Train a byte-pair-encoding merge table on the corpus — the
     TRAINING half of subword tokenization (Sennrich et al. 2016),
@@ -232,17 +233,30 @@ def train_bpe(
     Determinism: merge choice = (count desc, pair lexicographic asc);
     the histogram itself is exact integer counts. The word-count collect
     is guarded like every bounded-artifact trainer: a distributed count
-    runs first and a corpus with more than ``max_words`` DISTINCT words
-    raises with the fix instead of collecting unbounded rows.
+    runs first, and a corpus with more than ``max_words`` DISTINCT words
+    either raises with the fix (``overflow="error"``, the default) or —
+    the 100 TB path — keeps only the top ``max_words`` words by
+    (count desc, word asc) via a distributed TakeOrdered
+    (``overflow="truncate"``), so the driver-side training set stays
+    bounded no matter how large the corpus tail is. Truncation is a
+    FREQUENCY FLOOR: every dropped word is rarer than every kept word,
+    so a merge statistics error is bounded by the dropped token mass,
+    reported as ``1 - coverage`` (standard practice — production BPE
+    trainers train on capped/pruned histograms for the same reason).
 
     Returns {"merges": [(a, b), ...] in training order,
-    "vocab": {piece: rank}, "end_marker": ...} — feed to
-    :func:`bpe_encode`.
+    "vocab": {piece: rank}, "end_marker": ...,
+    "coverage": kept-token-mass fraction (1.0 when nothing dropped)} —
+    feed to :func:`bpe_encode`.
     """
     from ccm_spark.functions.hashing import tokens_col
 
     if n_merges < 1:
         raise ValueError(f"train_bpe: n_merges must be >= 1, got {n_merges}")
+    if overflow not in ("error", "truncate"):
+        raise ValueError(
+            f"train_bpe: overflow must be 'error' or 'truncate', got {overflow!r}"
+        )
     wc = (
         docs.select(F.explode(tokens_col("text")).alias("w"))
         .groupBy("w")
@@ -255,14 +269,25 @@ def train_bpe(
     if n_distinct == 0:
         wc.unpersist()
         raise ValueError("train_bpe: corpus has no tokens")
+    coverage = 1.0
     if n_distinct > max_words:
-        wc.unpersist()
-        raise ValueError(
-            f"train_bpe: corpus has {n_distinct} distinct words > max_words="
-            f"{max_words}; raise the cap (the histogram is the driver-side "
-            "training set) or pre-filter rare words upstream"
-        )
-    rows = wc.collect()
+        if overflow == "error":
+            wc.unpersist()
+            raise ValueError(
+                f"train_bpe: corpus has {n_distinct} distinct words > max_words="
+                f"{max_words}; raise the cap (the histogram is the driver-side "
+                "training set), pre-filter rare words upstream, or pass "
+                "overflow='truncate' for the frequency-floor top-max_words "
+                "histogram"
+            )
+        # distributed TakeOrdered: only max_words rows ever leave the
+        # executors; ties at the floor break on word asc so the kept
+        # set is a pure function of the corpus
+        total = wc.agg(F.sum("n").alias("t")).collect()[0].t
+        rows = wc.orderBy(F.col("n").desc(), F.col("w").asc()).limit(max_words).collect()
+        coverage = float(sum(int(r.n) for r in rows)) / float(total)
+    else:
+        rows = wc.collect()
     wc.unpersist()
     # word -> (symbol tuple, count); end marker closes the last symbol so
     # merges cannot cross word boundaries when decoded
@@ -277,6 +302,7 @@ def train_bpe(
         "merges": merges,
         "vocab": {p: i for i, p in enumerate(sorted(vocab_set))},
         "end_marker": end_marker,
+        "coverage": coverage,
     }
 
 

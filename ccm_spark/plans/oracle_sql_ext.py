@@ -1478,3 +1478,258 @@ SELECT vec_id, CAST(centroid_id AS BIGINT) AS cluster FROM (
   FROM sc{n_iters}
 ) r WHERE rk = 1"""
     )
+
+
+# ------------------------------------------------- r08 gated families
+
+#: PQ gate geometry: small ksub keeps the unrolled Lloyd CTE chain
+#: tractable while exercising the full trainer + ADC path; the
+#: production-size path (ksub=256, 5 iters) is pinned by tests/test_pq.py
+PQ_GATE_M = 8
+PQ_GATE_KSUB = 16
+PQ_GATE_ITERS = 2
+PQ_GATE_NQ = 100
+PQ_GATE_K = 5
+
+
+def sql_pq_topk(
+    n_queries: int = PQ_GATE_NQ,
+    k: int = PQ_GATE_K,
+    m: int = PQ_GATE_M,
+    ksub: int = PQ_GATE_KSUB,
+    n_iters: int = PQ_GATE_ITERS,
+) -> str:
+    """Full replay of similarity.pq_codebooks + pq_encode + pq_topk:
+    L2-normalise, per-subspace Lloyd k-means (init = sample rows strided
+    by (code*n)//ksub in vec_id order, assignment = exact squared
+    distance with lowest-code ties, update = member mean rounded 6,
+    empty codes keep their centroid), final encode against the trained
+    books, then ADC scoring (query-subvector x centroid inner products
+    summed over subspaces, rounded 9) with self-matches dropped and
+    (score desc, target asc) top-k. Assumes the corpus has >= ksub
+    vectors (all test scale factors hold 500+)."""
+    dsub = DIM // m
+    parts = [
+        f"dims AS (SELECT CAST(unnest(range(0, {DIM})) AS INT) AS d)",
+        """vals AS (
+  SELECT e.vec_id, dims.d, list_extract(e.embedding::DOUBLE[], dims.d + 1) AS val
+  FROM embeddings e CROSS JOIN dims
+)""",
+        "vnorm AS (SELECT vec_id, sqrt(SUM(val * val)) AS vn FROM vals GROUP BY 1)",
+        f"""nv AS (
+  SELECT v.vec_id, v.d // {dsub} AS s, v.d % {dsub} AS j,
+         CASE WHEN n.vn = 0 THEN v.val ELSE v.val / n.vn END AS val
+  FROM vals v JOIN vnorm n USING (vec_id)
+)""",
+        "ncnt AS (SELECT COUNT(DISTINCT vec_id) AS n FROM nv)",
+        """ord AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS idx
+  FROM (SELECT DISTINCT vec_id FROM nv)
+)""",
+        f"codes AS (SELECT CAST(unnest(range(0, {ksub})) AS BIGINT) AS code)",
+        f"init AS (SELECT c.code, (c.code * n.n) // {ksub} AS idx FROM codes c CROSS JOIN ncnt n)",
+        """cent0 AS (
+  SELECT i.code, v.s, v.j, round(v.val, 6) AS cval
+  FROM init i JOIN ord o USING (idx) JOIN nv v ON v.vec_id = o.vec_id
+)""",
+    ]
+
+    def _assign(i: int) -> list[str]:
+        return [
+            f"""sc{i} AS (
+  SELECT v.vec_id, v.s, c.code, SUM((v.val - c.cval) * (v.val - c.cval)) AS d2
+  FROM nv v JOIN cent{i} c ON c.s = v.s AND c.j = v.j
+  GROUP BY 1, 2, 3
+)""",
+            f"""asg{i} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+    FROM sc{i}
+  ) r WHERE rk = 1
+)""",
+        ]
+
+    for i in range(n_iters):
+        parts += _assign(i)
+        parts += [
+            f"""cent{i + 1} AS (
+  SELECT a.code, a.s, v.j, round(AVG(v.val), 6) AS cval
+  FROM asg{i} a JOIN nv v ON v.vec_id = a.vec_id AND v.s = a.s
+  GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT c.code, c.s, c.j, c.cval FROM cent{i} c
+  WHERE NOT EXISTS (SELECT 1 FROM asg{i} a WHERE a.s = c.s AND a.code = c.code)
+)""",
+        ]
+    parts += _assign(n_iters)
+    parts += [
+        f"""qtab AS (
+  SELECT q.vec_id AS query_id, c.s, c.code, SUM(q.val * c.cval) AS ip
+  FROM nv q JOIN cent{n_iters} c ON c.s = q.s AND c.j = q.j
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2, 3
+)""",
+        f"""scored AS (
+  SELECT qt.query_id, t.vec_id AS target_id, round(SUM(qt.ip), 9) + 0.0 AS adc_sim
+  FROM asg{n_iters} t JOIN qtab qt ON qt.s = t.s AND qt.code = t.code
+  GROUP BY 1, 2
+)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT query_id, CAST(rk AS INT) AS rank, target_id, adc_sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, target_id) AS rk
+  FROM scored WHERE query_id != target_id
+) r WHERE rk <= {k}"""
+    )
+
+
+#: pagerank gate fixture/loop parameters, shared with entry.q_pagerank_hosts:
+#: hosts h0..h22 emit links, h23..h36 can only receive (dangling mass
+#: exercised); 5 quantised power iterations
+PAGERANK_GATE_SRC_MOD = 23
+PAGERANK_GATE_DST_MOD = 37
+PAGERANK_GATE_ITERS = 5
+PAGERANK_GATE_QUANT = 9
+PAGERANK_GATE_DAMPING = 0.85
+
+
+def sql_pagerank_hosts(
+    n_iters: int = PAGERANK_GATE_ITERS,
+    damping: float = PAGERANK_GATE_DAMPING,
+    quant: int = PAGERANK_GATE_QUANT,
+) -> str:
+    """Power-iteration replay of pipeline.graph.pagerank over the
+    deterministic documents-derived host graph (src = doc_id %
+    SRC_MOD, dst = (13*doc_id+5) % DST_MOD, weight 1..3, self-edges
+    dropped): out-strength-normalised contributions, dangling mass
+    redistributed uniformly, every rank rounded to ``quant`` decimals
+    per update (the trainers' cross-engine discipline — both engines
+    restart each iteration from identical state)."""
+    smod, dmod = PAGERANK_GATE_SRC_MOD, PAGERANK_GATE_DST_MOD
+    parts = [
+        f"""e AS (
+  SELECT 'h' || CAST(doc_id % {smod} AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 13 + 5) % {dmod} AS VARCHAR) AS dst,
+         CAST(1 + doc_id % 3 AS DOUBLE) AS w
+  FROM documents
+  WHERE 'h' || CAST(doc_id % {smod} AS VARCHAR)
+        != 'h' || CAST((doc_id * 13 + 5) % {dmod} AS VARCHAR)
+)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "ncnt AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY 1)",
+        "ep AS (SELECT e.src, e.dst, e.w / o.ow AS p FROM e JOIN outw o USING (src))",
+        "dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT DISTINCT src FROM e))",
+        "r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN ncnt n)",
+    ]
+    for i in range(n_iters):
+        parts += [
+            f"""c{i} AS (
+  SELECT ep.dst, SUM(ep.p * r.rank) AS contrib
+  FROM ep JOIN r{i} r ON r.node = ep.src GROUP BY 1
+)""",
+            f"""dm{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dmass
+  FROM r{i} r JOIN dang d ON d.node = r.node
+)""",
+            f"""r{i + 1} AS (
+  SELECT nodes.node,
+         round((1.0 - {damping}) / n.n
+               + {damping} * (COALESCE(c.contrib, 0.0) + dm.dmass / n.n), {quant}) AS rank
+  FROM nodes LEFT JOIN c{i} c ON c.dst = nodes.node
+  CROSS JOIN dm{i} dm CROSS JOIN ncnt n
+)""",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, {quant}) + 0.0 AS rank FROM r{n_iters}"
+    )
+
+
+def sql_warc_extract() -> str:
+    """Replay of the warc_extract fixture round-trip: the Spark side
+    builds one WARC response record per document (HTTP 200 text/plain
+    payload carrying documents.text), concatenates them into doc_id%8
+    shards, and runs the REAL record parser (sources.warc._parse_mapper
+    via parse_warc_shards); this twin states what a correct parse must
+    recover — any framing or header bug drops/corrupts records and
+    breaks count or hash."""
+    return """
+SELECT '<urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+       'http://ex' || CAST(doc_id % 7 AS VARCHAR) || '.com/doc/'
+           || CAST(doc_id AS VARCHAR) AS target_uri,
+       'response' AS warc_type,
+       'application/http;msgtype=response' AS content_type,
+       CAST(200 AS INT) AS http_status,
+       'text/plain' AS http_content_type,
+       text,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+FROM documents"""
+
+
+def sql_cms_sketch() -> str:
+    """Replay of pipeline.sketches.cms_build at the default 4x2048
+    geometry: per token, depth seeded md5 cells, exact integer counts."""
+    from ccm_spark.pipeline.sketches import CMS_DEPTH, CMS_WIDTH
+
+    cells = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({r} AS INT) AS row_idx, "
+        + _md5_long(f"'cms{r}:' || tok")
+        + f" % {CMS_WIDTH} AS col_idx FROM tok"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({TOKENS}) AS tok FROM documents),
+cells AS (
+  {cells}
+)
+SELECT row_idx, col_idx, COUNT(*) AS count FROM cells GROUP BY 1, 2"""
+
+
+#: fixed literal BPE merge table for the gated encoder row (training is
+#: the driver-side loop pinned by tests/test_tokenize.py; the gate pins
+#: the DISTRIBUTED apply kernel). Ordering invariant: every composite
+#: symbol is created by an earlier merge, which is what makes
+#: apply-in-rank-order equal to lowest-rank-first greedy — the SQL twin
+#: relies on it.
+BPE_GATE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("i", "n"), ("in", "g"),
+    ("ing", "</w>"), ("a", "n"), ("an", "d"), ("and", "</w>"), ("o", "f"),
+    ("of", "</w>"), ("t", "o"), ("to", "</w>"), ("e", "r"), ("er", "</w>"),
+    ("o", "n"), ("s", "</w>"), ("e", "s</w>"), ("a", "t"), ("at", "</w>"),
+)
+BPE_GATE_END = "</w>"
+#: unit separator: cannot occur in whitespace-split tokens of the
+#: synthetic corpus (it is not in WS_CLASS, and the fixture corpus is
+#: printable text)
+_BPE_SEP = "\x1f"
+
+
+def sql_bpe_encode() -> str:
+    """Algorithm-independent replay of tokenize.bpe_encode with the
+    fixed BPE_GATE_MERGES table: each word becomes a separator-joined
+    symbol string and every merge is applied as TWO string replaces of
+    sep+a+sep+b+sep -> sep+ab+sep (two passes merge every chained
+    occurrence — pass one takes alternating links, pass two the
+    isolated leftovers), which equals the greedy lowest-rank-first
+    apply because composite symbols are only ever ranked after their
+    parts (the ordering invariant stated on the merge table). The
+    Spark side runs the real per-word greedy kernel, so a hash match
+    is two independent algorithms agreeing."""
+    sep = _BPE_SEP
+    expr = f"'{sep}' || regexp_replace(w, '(.)', '\\1{sep}', 'g') || '{BPE_GATE_END}{sep}'"
+    for a, b in BPE_GATE_MERGES:
+        pat, rep = f"'{sep}{a}{sep}{b}{sep}'", f"'{sep}{a}{b}{sep}'"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+enc AS (SELECT doc_id, list_transform(toks, w -> {expr}) AS encs FROM t)
+SELECT doc_id,
+       COALESCE(array_to_string(
+           list_transform(encs, s -> replace(trim(s, '{sep}'), '{sep}', ' ')), ' '), '') AS pieces,
+       CAST(COALESCE(list_sum(
+           list_transform(encs, s -> length(s) - length(replace(s, '{sep}', '')) - 1)), 0) AS BIGINT) AS n_pieces
+FROM enc"""

@@ -226,6 +226,19 @@ def read_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     return files.mapInPandas(_parse_mapper, schema=WARC_RECORDS_SCHEMA)
 
 
+def parse_warc_shards(shards: DataFrame) -> DataFrame:
+    """Parse an already-materialised ``(path string, content binary)``
+    relation with the SAME kernel :func:`read_warc` runs on binaryFile
+    scans — for shard bytes that arrive through another relation (a
+    fetcher's output table, a synthetic fixture) instead of a
+    directory. One mapInPandas pass, no shuffle; the gated
+    ``warc_extract`` query drives this against a documents-derived
+    fixture so the record parser itself holds a CORRECTNESS row."""
+    return shards.select("path", "content").mapInPandas(
+        _parse_mapper, schema=WARC_RECORDS_SCHEMA
+    )
+
+
 def warc_records_stream(
     spark: SparkSession, path: str, glob: str = "*.warc*"
 ) -> DataFrame:

@@ -499,3 +499,51 @@ def test_decode_images_real_formats_and_honest_failures(spark):
         assert list(got[i].mean_channel) == want_means
     assert not got[2].decode_ok and "NotImplementedError" in got[2].decode_error
     assert not got[3].decode_ok
+
+
+def test_r08_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r08 rotation pins (QUERIES.md ledger): ann_srp_buckets /
+    embedding_projection / ann_ivf_topk / text_token_counts /
+    events_asof_tolerance lost their driver gate slots to the PQ /
+    pagerank / BPE / CMS / WARC families; each rotated-out relation
+    stays cross-engine hash-checked here at sf0.001, exactly the way
+    the driver would check it."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "ann_srp_buckets": (entry.q_ann_srp_buckets, oe.sql_ann_srp_buckets()),
+        "embedding_projection": (
+            entry.q_embedding_projection,
+            oe.sql_embedding_projection(),
+        ),
+        "ann_ivf_topk": (entry.q_ann_ivf_topk, oe.sql_ann_ivf_topk()),
+        "text_token_counts": (entry.q_text_token_counts, oe.sql_text_token_counts()),
+        "events_asof_tolerance": (
+            entry.q_events_asof_tolerance,
+            oe.sql_events_asof_tolerance(),
+        ),
+    }
+    def _key(t):  # None-safe total order (tolerance rows carry NULLs)
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        # Arrow fetch: NULLs stay None, no NaN coercion (the driver's path)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert got == want, f"{name}: {len(got)} spark rows != {len(want)} oracle rows or values differ"

@@ -215,11 +215,41 @@ def test_train_bpe_guards_and_unseen_words(spark):
         train_bpe(docs, n_merges=0)
     with pytest.raises(ValueError, match="max_words"):
         train_bpe(docs, max_words=1)
+    with pytest.raises(ValueError, match="overflow"):
+        train_bpe(docs, overflow="maybe")
     model = train_bpe(docs, n_merges=10)
+    assert model["coverage"] == 1.0
     # an UNSEEN word degrades gracefully to whatever merges apply
     unseen = spark.createDataFrame([(9, "aab zzz")], "doc_id long, text string")
     out = {r.doc_id: r.pieces for r in bpe_encode(unseen, model).collect()}
     assert "".join(out[9]) == "aab" + model["end_marker"] + "zzz" + model["end_marker"]
+
+
+def test_train_bpe_truncate_is_a_frequency_floor(spark):
+    """The 100 TB path: overflow='truncate' keeps the top-max_words
+    words by (count desc, word asc) via a distributed TakeOrdered —
+    every dropped word is rarer than every kept word — reports the kept
+    token-mass fraction, and trains the same merges as an error-mode
+    run on the pre-truncated corpus."""
+    from ccm_spark.pipeline.tokenize import train_bpe
+
+    # counts: 'aa'x4, 'ab'x3, 'ba'x2, 'zz'x1 -> cap 2 keeps aa+ab (7/10)
+    docs = spark.createDataFrame(
+        [(0, "aa aa ab ba"), (1, "aa ab zz"), (2, "aa ab ba")],
+        "doc_id long, text string",
+    )
+    m = train_bpe(docs, n_merges=5, max_words=2, overflow="truncate")
+    assert m["coverage"] == 7 / 10
+    kept_only = spark.createDataFrame(
+        [(0, "aa aa ab"), (1, "aa ab"), (2, "aa ab")], "doc_id long, text string"
+    )
+    m_ref = train_bpe(kept_only, n_merges=5)
+    assert m["merges"] == m_ref["merges"]
+    assert m["vocab"] == m_ref["vocab"]
+    # under the cap, truncate mode is a no-op (coverage 1.0, same model)
+    m_full = train_bpe(docs, n_merges=5, max_words=100, overflow="truncate")
+    assert m_full["coverage"] == 1.0
+    assert m_full["merges"] == train_bpe(docs, n_merges=5)["merges"]
 
 
 def test_bpe_encode_stream_equals_batch(spark, sf_small, tmp_path):
