@@ -323,6 +323,42 @@ def main() -> None:
         )
         return pagerank(edges, n_iters=5)
 
+    def extra_streaming_sessionize(spark, sf_dir):
+        """Micro-batch throughput of the stateful streaming sessionizer
+        (applyInPandasWithState): one availableNow pass over the sf
+        events shard into a memory sink. The returned relation is the
+        sink table, so the harness .count() is trivial — the timed work
+        is the stream itself (requested by the r07 judge so streaming
+        regressions surface in BENCH like warc_parse does)."""
+        import shutil
+        import tempfile
+
+        from ccm_spark.streaming.stateful import streaming_sessionize
+        from ccm_spark.streaming.windows import event_stream
+
+        d = tempfile.mkdtemp(prefix="bench_sess_stream_")
+        try:
+            # the warm second run re-registers the same memory-sink name
+            try:
+                spark.catalog.dropTempView("bench_sess_stream")
+            except Exception:
+                pass
+            shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+            q = (
+                streaming_sessionize(event_stream(spark, d))
+                .writeStream.format("memory")
+                .queryName("bench_sess_stream")
+                .outputMode("update")
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            return spark.sql("SELECT * FROM bench_sess_stream")
+        finally:
+            # the memory sink holds the rows; the source dir can go
+            shutil.rmtree(d, ignore_errors=True)
+
     extras = {
         "url_dedup": qs["url_dedup"],
         "lm_perplexity": extra_lm,
@@ -335,6 +371,7 @@ def main() -> None:
         "warc_parse": extra_warc,
         "pagerank_20k": extra_pagerank,
         "doclen_quantile_sketch": extra_bottomk,
+        "streaming_sessionize": extra_streaming_sessionize,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6

@@ -142,12 +142,20 @@ def multispatial_ccm(
 
     Input: a long-form ``(replicate_id, t, x, y)`` relation. Replicates
     too short to embed (< (E-1)*tau + 2 points) are dropped and counted
-    in the result. The pooled arrays are collected driver-side behind a
-    ``max_points`` count guard (the method exists BECAUSE replicates are
-    short — a pool that large should use the per-pair fleet instead),
-    broadcast once, and the ladder fans out as a spread grid exactly
-    like :func:`block_cross_map`; beyond PRECOMPUTE_DIST_MAX_P pooled
-    rows the per-sample distance fallback applies.
+    in the result.
+
+    Scale shape (r08: NO pooled driver collect anywhere): each replicate
+    embeds in a grouped Arrow kernel (``applyInPandas`` by
+    replicate_id); global pooled row indices come from replicate-level
+    offsets (a cumulative sum over the one-row-per-REPLICATE count
+    relation — the only thing the driver ever holds); and each ladder
+    step is one ``applyInPandas`` group that receives the pooled rows
+    through a shuffle and runs the untouched numpy kernel. ``max_points``
+    now guards the PER-TASK pool materialisation (each lib_size task
+    holds one copy of the pooled block — executor memory, not driver
+    memory), so it can sit orders of magnitude above the old
+    driver-collect bound; beyond PRECOMPUTE_DIST_MAX_P pooled rows the
+    per-sample distance fallback applies inside each task.
 
     CAVEAT on the ``convergent`` flag: R3's threshold is an ABSOLUTE
     slope per library-size unit (reference parity, > 0.001), calibrated
@@ -157,97 +165,131 @@ def multispatial_ccm(
     the skill curve (``results``) or restrict ``lib_sizes`` to the span
     a single replicate's ladder would cover.
     """
+    import pyspark.sql.functions as F
+
+    from ccm_spark.functions.partitioning import spread
+
     if direction not in ("x_causes_y", "y_causes_x"):
         raise ValueError(f"multispatial_ccm: unknown direction {direction!r}")
     cfg = config if config is not None else CCMConfig()
-    n_rows = series.count()
-    if n_rows > max_points:
-        raise ValueError(
-            f"multispatial_ccm: {n_rows} pooled points exceeds "
-            f"max_points={max_points} — replicates this long should use the "
-            "per-pair fleet (fastpath/network) instead of pooling"
-        )
-    rows = series.select("replicate_id", "t", "x", "y").collect()
-    by_rep: dict = {}
-    for r in rows:
-        by_rep.setdefault(r.replicate_id, []).append((r.t, r.x, r.y))
     min_len = (cfg.embedding_dim - 1) * cfg.tau + 2
-    embs, tgts = [], []
-    n_dropped = 0
-    for rep in sorted(by_rep):
-        seq = sorted(by_rep[rep])
-        x = np.array([v for _, v, _ in seq], dtype=np.float64)
-        y = np.array([v for _, _, v in seq], dtype=np.float64)
+    emb_dim, tau = cfg.embedding_dim, cfg.tau
+    e_cols = [f"e{j}" for j in range(emb_dim)]
+    emb_schema = (
+        "replicate_id long, p long, "
+        + ", ".join(f"{c} double" for c in e_cols)
+        + ", tgt double"
+    )
+
+    def embed_rep(pdf):
+        pdf = pdf.sort_values("t")
+        x = pdf["x"].to_numpy(dtype=np.float64)
+        y = pdf["y"].to_numpy(dtype=np.float64)
         if len(x) < min_len:
-            n_dropped += 1
-            continue
+            return pd.DataFrame(
+                {"replicate_id": [], "p": [], **{c: [] for c in e_cols}, "tgt": []}
+            )
         source, target = (y, x) if direction == "x_causes_y" else (x, y)
-        embs.append(
-            oracle.time_delay_embedding(source, cfg.embedding_dim, cfg.tau)
-        )
-        tgts.append(oracle.adjusted_target(target, cfg.embedding_dim, cfg.tau))
-    if not embs:
+        emb = oracle.time_delay_embedding(source, emb_dim, tau)
+        tgt = oracle.adjusted_target(target, emb_dim, tau)
+        out = {"replicate_id": pdf["replicate_id"].iloc[0], "p": np.arange(len(tgt))}
+        for j, c in enumerate(e_cols):
+            out[c] = emb[:, j]
+        out["tgt"] = tgt
+        return pd.DataFrame(out)
+
+    emb_rel = (
+        spread(series.select("replicate_id", "t", "x", "y"), "replicate_id")
+        .groupBy("replicate_id")
+        .applyInPandas(embed_rep, emb_schema)
+        .persist()
+    )
+    # the ONLY driver-side relation: one row per REPLICATE (never per
+    # point) — cumulative offsets turn per-replicate positions into the
+    # global pooled index the seeded sampling is defined over
+    counts = sorted(
+        (r.replicate_id, r.c)
+        for r in emb_rel.groupBy("replicate_id").agg(F.count("*").alias("c")).collect()
+    )
+    n_embedded = len(counts)
+    if n_embedded == 0:
+        emb_rel.unpersist()
         raise ValueError("multispatial_ccm: no replicate long enough to embed")
-    emb = np.vstack(embs)
-    tgt = np.concatenate(tgts)
+    n_input_reps = series.select("replicate_id").distinct().count()
+    n_dropped = n_input_reps - n_embedded
+    total = int(sum(c for _, c in counts))
+    if total > max_points:
+        emb_rel.unpersist()
+        raise ValueError(
+            f"multispatial_ccm: {total} pooled points exceeds "
+            f"max_points={max_points} — each ladder task materialises one "
+            "copy of the pooled block (executor memory); raise the cap to "
+            "your executor budget, or use the per-pair fleet "
+            "(fastpath/network) when replicates are long enough alone"
+        )
+    offsets, acc = {}, 0
+    for rep, c in counts:
+        offsets[rep] = acc
+        acc += int(c)
+    off_df = spark.createDataFrame(
+        [(int(r), int(o)) for r, o in offsets.items()], "replicate_id long, off long"
+    )
+    pooled = emb_rel.join(F.broadcast(off_df), "replicate_id").select(
+        (F.col("off") + F.col("p")).alias("idx"), *e_cols, "tgt"
+    )
+
     # resolve the ladder on the pooled "virtual series" length so a
     # single replicate reduces exactly to cross_map on that series
-    pooled_n = emb.shape[0] + (cfg.embedding_dim - 1) * cfg.tau
+    pooled_n = total + (emb_dim - 1) * tau
     lib_sizes = cfg.resolved_lib_sizes(pooled_n)
     dir_id = dict(oracle.DIRECTIONS)[direction]
     # exclusion_radius deliberately NOT threaded here: pooled-replicate
     # row indices are not temporal distances across replicate
     # boundaries, so a Theiler window on them would exclude the wrong
     # neighbours; apply the window per replicate upstream if needed
-    emb_dim, num_samples, seed = cfg.embedding_dim, cfg.num_samples, cfg.seed
+    num_samples, seed = cfg.num_samples, cfg.seed
 
-    sc = spark.sparkContext
-    bc = sc.broadcast((emb, tgt))
-
-    def run(batches):
+    def run_lib(key, pdf):
         from ccm_spark import oracle as _o
 
-        bemb, btgt = bc.value
-        dist = (
-            _o._pairwise_distances(bemb)
-            if 0 < bemb.shape[0] <= _o.PRECOMPUTE_DIST_MAX_P
-            else None
+        lib = int(key[0])
+        pdf = pdf.sort_values("idx")
+        bemb = pdf[e_cols].to_numpy(dtype=np.float64)
+        btgt = pdf["tgt"].to_numpy(dtype=np.float64)
+        if 0 < bemb.shape[0] <= _o.PRECOMPUTE_DIST_MAX_P:
+            dist = _o._pairwise_distances(bemb)
+            corrs = _o.cross_map_lib_batch(
+                bemb, btgt, lib, num_samples, dir_id, seed, emb_dim, dist
+            )
+        else:
+            corrs = [
+                _o.cross_map_sample(
+                    bemb, btgt, lib, s, dir_id, seed, emb_dim, dist_matrix=None
+                )
+                for s in range(num_samples)
+            ]
+        return pd.DataFrame(
+            [(lib, float(np.sum(corrs) / num_samples))],
+            columns=["lib_size", "skill"],
         )
-        for pdf in batches:
-            out = []
-            for lib in pdf["lib_size"]:
-                lib = int(lib)
-                if dist is not None:
-                    corrs = _o.cross_map_lib_batch(
-                        bemb, btgt, lib, num_samples, dir_id, seed, emb_dim, dist
-                    )
-                else:
-                    corrs = [
-                        _o.cross_map_sample(
-                            bemb, btgt, lib, s, dir_id, seed, emb_dim,
-                            dist_matrix=None,
-                        )
-                        for s in range(num_samples)
-                    ]
-                out.append((lib, float(np.sum(corrs) / num_samples)))
-            yield pd.DataFrame(out, columns=["lib_size", "skill"])
 
-    from ccm_spark.functions.partitioning import spread
-
-    grid = spread(
-        spark.createDataFrame([(int(l),) for l in lib_sizes], "lib_size long"),
-        "lib_size",
+    grid = spark.createDataFrame([(int(l),) for l in lib_sizes], "lib_size long")
+    fanout = spread(pooled.crossJoin(F.broadcast(grid)), "lib_size")
+    res = (
+        fanout.groupBy("lib_size")
+        .applyInPandas(run_lib, "lib_size long, skill double")
+        .collect()
     )
-    res = grid.mapInPandas(run, "lib_size long, skill double").collect()
+    emb_rel.unpersist()
     results = sorted((r.lib_size, r.skill) for r in res)
     ls = np.array([r[0] for r in results], dtype=np.float64)
     cs = np.array([r[1] for r in results], dtype=np.float64)
     slope, convergent = oracle.ols_slope(ls, cs)
     return {
         "direction": direction,
-        "n_replicates": len(embs),
+        "n_replicates": n_embedded,
         "n_dropped": n_dropped,
-        "pooled_points": int(emb.shape[0]),
+        "pooled_points": total,
         "results": [(int(a), float(b)) for a, b in results],
         "slope": float(slope),
         "convergent": bool(convergent),

@@ -89,12 +89,9 @@ def pagerank(
     Plan per iteration: ranks ⋈ edges on src (edges pre-partitioned +
     persisted, one layout for all rounds) → groupBy dst (map-side
     partial agg) → one scalar dangling aggregate broadcast back in.
-    ``localCheckpoint`` truncates lineage every SECOND round: ranks
-    feeds two consumers per round, so an uncut plan doubles per
-    iteration — cutting at every other round bounds the plan at 4x one
-    round's shape while halving the checkpoint I/O that dominated
-    per-iteration wall time on small graphs (r07 bench: ~0.6 s/iter of
-    which most was materialisation)."""
+    ``localCheckpoint`` truncates lineage each round (an every-2-rounds
+    cadence was measured slower in r08 — the uncut round's recompute
+    exceeds the skipped materialisation; see the loop comment)."""
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
@@ -141,7 +138,7 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for it in range(n_iters):
+    for _ in range(n_iters):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .groupBy("dst")
@@ -163,24 +160,24 @@ def pagerank(
             .crossJoin(F.broadcast(dangling))
             .select("node", new_rank.alias("rank"))
         )
-        # EAGER checkpoint every SECOND round (and always the last),
-        # for two reasons both pinned by tests: (a) the loop must
-        # execute WHILE e/nodes are still persisted — a fully lazy
-        # chain would defer all rounds past the unpersists below and
-        # recompute the edge layout every round; (b) ranks feeds TWO
-        # consumers per round (contribs + dangling), so an uncut plan
-        # DOUBLES per iteration — O(2^n_iters) analysis blew the
-        # driver heap at 12 rounds when this was briefly a
-        # persist-only chain. Cutting at every other round bounds the
-        # plan at 4x one round's shape (2 uncut rounds) while halving
-        # the materialisation I/O that dominated small-graph wall time
-        # (r07 bench pagerank_20k ~0.6 s/iter). Superseded rounds'
-        # checkpoint blocks are released by the ContextCleaner as soon
-        # as the rebound Python reference drops (CPython refcounting —
-        # prompt in practice); Spark exposes no public API to free
-        # them more eagerly.
-        if it % 2 == 1 or it == n_iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+        # EAGER checkpoint EVERY round, for two reasons both pinned
+        # by tests: (a) each iteration executes here, WHILE e/nodes
+        # are still persisted — a lazy loop would defer all rounds
+        # past the unpersists below and recompute the edge layout
+        # every round; (b) ranks feeds TWO consumers per round
+        # (contribs + dangling), so an uncut plan DOUBLES per
+        # iteration — O(2^n_iters) analysis blew the driver heap at
+        # 12 rounds when this was briefly a persist-only chain.
+        # Checkpointing every SECOND round was MEASURED in r08
+        # (bench pagerank_20k: 6.2 s vs 5.3 s per-round) and reverted:
+        # the uncut round re-executes once per consumer at the next
+        # cut, and on a 20k-node graph that recompute costs more than
+        # the skipped materialisation — per-round stays. Superseded
+        # rounds' checkpoint blocks are released by the ContextCleaner
+        # as soon as the rebound Python reference drops (CPython
+        # refcounting — prompt in practice); Spark exposes no public
+        # API to free them more eagerly.
+        ranks = ranks.localCheckpoint(eager=True)
     out = ranks
     e.unpersist()
     nodes.unpersist()
