@@ -323,6 +323,16 @@ def main() -> None:
         )
         return pagerank(edges, n_iters=5)
 
+    def extra_ivf_pq(spark, sf_dir):
+        """The composed faiss-style index (IVF coarse quantizer over PQ
+        codes) at PRODUCTION geometry (ksub=256, 5 Lloyd iters) — the
+        gated pq_topk row runs the small gate geometry, so this extra
+        carries the timing evidence for the real shape."""
+        from ccm_spark.pipeline import similarity
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.ivf_pq_topk(embs, n_queries=100, k=5)
+
     def extra_streaming_sessionize(spark, sf_dir):
         """Micro-batch throughput of the stateful streaming sessionizer
         (applyInPandasWithState): one availableNow pass over the sf
@@ -371,6 +381,7 @@ def main() -> None:
         "warc_parse": extra_warc,
         "pagerank_20k": extra_pagerank,
         "doclen_quantile_sketch": extra_bottomk,
+        "ivf_pq_topk": extra_ivf_pq,
         "streaming_sessionize": extra_streaming_sessionize,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run

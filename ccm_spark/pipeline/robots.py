@@ -26,7 +26,10 @@ crawlers, documented rather than hidden):
     Google semantics: ``Disallow: /search?q=`` blocks query-targeted
     URLs);
   - ``*`` wildcards and ``$`` anchors (RFC 9309 §2.2.3) degrade
-    CONSERVATIVELY rather than run a full pattern matcher: each
+    CONSERVATIVELY by default rather than run a full pattern matcher
+    (``robots_txt_rules(..., wildcard="exact")`` opts into the exact
+    anchored-regex matcher instead — full RFC fidelity for one regex
+    per wildcard rule per URL): each
     DISALLOW pattern is truncated at its first ``*`` and stripped of a
     trailing ``$`` (the truncated prefix matches a SUPERSET of the
     URLs the pattern matches; a pattern reduced to the empty string
@@ -152,6 +155,7 @@ def robots_txt_rules(
     text_col: str = "robots_txt",
     max_rules_per_host: int = MAX_RULES_PER_HOST,
     agent: str | None = None,
+    wildcard: str = "conservative",
 ) -> DataFrame:
     """One robots.txt body per host → the applicable rule relation
     ``(host, rule, prefix)`` with rule ∈ {allow, disallow}.
@@ -166,11 +170,32 @@ def robots_txt_rules(
     star groups for that host — per the RFC, a crawler obeys exactly
     one user-agent match, not the union.
 
+    ``wildcard`` picks how RFC 9309 §2.2.3 ``*``/``$`` patterns match:
+
+      - ``"conservative"`` (default): disallow patterns degrade to the
+        prefix before their first ``*`` (a superset match — see the
+        module docstring); cheapest, pure ``startswith``, and never
+        over-fetches (at the cost of over-blocking).
+      - ``"exact"``: every pattern containing ``*`` (or ending ``$``)
+        is compiled to an anchored regex — ``*`` → ``.*``, a trailing
+        ``$`` anchors the end, every other character matched literally
+        — carried in an extra ``pattern_re`` column that
+        :func:`apply_robots` evaluates with ``rlike``; plain prefixes
+        keep the codegen ``startswith`` path. Use this when fidelity to
+        publisher intent matters more than the per-wildcard-rule regex
+        cost (still one regex per RULE per URL of that host — rules are
+        tens per host, and most rules carry no wildcard).
+
     Plan: posexplode lines → codegen classify → two windows on
     (host, line order) to assign each rule line to its governing
     user-agent group — all narrow within one host partition; agent
     resolution adds one more per-host window over the handful of UA
     header rows."""
+    if wildcard not in ("conservative", "exact"):
+        raise ValueError(
+            f"robots_txt_rules: wildcard must be 'conservative' or 'exact', "
+            f"got {wildcard!r}"
+        )
     starts = _grouped_lines(
         robots,
         host_col,
@@ -202,6 +227,30 @@ def robots_txt_rules(
         F.col("rule") == "disallow",
         F.when(dis_prefix == "", F.lit("/")).otherwise(dis_prefix),
     ).otherwise(F.col("prefix"))
+    extra_cols: list = []
+    if wildcard == "exact":
+        # exact mode: patterns keep their raw text in 'prefix'; any
+        # pattern carrying '*' (or a trailing '$') compiles to an
+        # anchored regex in 'pattern_re' — '^' + literal-escaped body
+        # with '*' -> '.*', plus '$' when the pattern ends with one
+        # (a mid-pattern '$' is literal, the Google reading). Plain
+        # prefixes leave pattern_re NULL and match by startswith.
+        ends = F.col("prefix").endswith("$")
+        body = F.when(
+            ends, F.expr("substring(prefix, 1, length(prefix) - 1)")
+        ).otherwise(F.col("prefix"))
+        esc = F.regexp_replace(body, r"([.\[\]{}()+\-^$|?\\])", r"\\$1")
+        regex = F.concat(
+            F.lit("^"),
+            F.regexp_replace(esc, r"\*", ".*"),
+            F.when(ends, F.lit("$")).otherwise(F.lit("")),
+        )
+        match_prefix = F.col("prefix")
+        extra_cols = [
+            F.when(
+                F.col("prefix").contains("*") | ends, regex
+            ).otherwise(F.lit(None).cast("string")).alias("pattern_re")
+        ]
     rules = (
         starts.filter(F.col("rule").isNotNull() & (F.col("prefix") != ""))
         .join(selected, ["host", "grp"])
@@ -210,6 +259,7 @@ def robots_txt_rules(
             "rule",
             match_prefix.alias("prefix"),
             F.length("prefix").alias("prec"),
+            *extra_cols,
         )
         .distinct()
     )
@@ -229,12 +279,15 @@ def robots_txt_rules(
         "_n_dis",
         F.sum((F.col("rule") == "disallow").cast("int")).over(host_w),
     ).withColumn("rk", F.row_number().over(cap_w))
+    out_cols = ["host", "rule", "prefix", "prec"] + (
+        ["pattern_re"] if wildcard == "exact" else []
+    )
     kept = (
         marked.filter(
             (F.col("_n_dis") <= max_rules_per_host)
             & (F.col("rk") <= max_rules_per_host)
         )
-        .select("host", "rule", "prefix", "prec")
+        .select(*out_cols)
     )
     collapsed = (
         marked.filter(F.col("_n_dis") > max_rules_per_host)
@@ -245,6 +298,11 @@ def robots_txt_rules(
             F.lit("disallow").alias("rule"),
             F.lit("/").alias("prefix"),
             F.lit(1).alias("prec"),
+            *(
+                [F.lit(None).cast("string").alias("pattern_re")]
+                if wildcard == "exact"
+                else []
+            ),
         )
     )
     return kept.unionByName(collapsed)
@@ -287,16 +345,27 @@ def apply_robots(
     prec = (
         F.col("prec") if "prec" in rules.columns else F.length("prefix")
     )
+    pattern_re = (
+        F.col("pattern_re")
+        if "pattern_re" in rules.columns
+        else F.lit(None).cast("string")
+    )
     r = rules.select(
         F.col("host").alias("_rb_host"),
         F.col("rule").alias("_rb_rule"),
         F.col("prefix").alias("_rb_prefix"),
         prec.alias("_rb_prec"),
+        pattern_re.alias("_rb_re"),
     )
     cand = keyed.join(r, "_rb_host", "left").withColumn(
         "_rb_hit",
         F.col("_rb_prefix").isNotNull()
-        & F.col("_rb_path").startswith(F.col("_rb_prefix")),
+        # exact-mode wildcard rules carry an anchored regex; plain
+        # prefixes (and every conservative-mode rule) keep startswith
+        & F.when(
+            F.col("_rb_re").isNotNull(),
+            F.expr("rlike(_rb_path, _rb_re)"),
+        ).otherwise(F.col("_rb_path").startswith(F.col("_rb_prefix"))),
     )
     w = Window.partitionBy("_rb_id").orderBy(
         F.col("_rb_hit").desc(),

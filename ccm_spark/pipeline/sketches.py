@@ -285,6 +285,114 @@ def bottomk_merge(*sketches: DataFrame, by: str | None = None) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Engine-portable HLL (register relation)
+# ---------------------------------------------------------------------------
+
+#: register-index bits for the relation-form HLL: 2^12 = 4096 registers,
+#: ~1.6% relative error — the same operating point as the DataSketches
+#: default above
+HLL_REG_P = 12
+#: md5_long yields 60 hash bits; the top HLL_REG_P index the register,
+#: the remaining _HLL_REST_BITS drive the leading-zero rank
+_HLL_REST_BITS = 60 - HLL_REG_P
+
+
+def hll_registers(
+    docs: DataFrame, by: str | None = "source", p: int = HLL_REG_P
+) -> DataFrame:
+    """Engine-portable HLL distinct-token sketch as a RELATION
+    ``(group?, register_idx, rho_max)`` — the md5-derived twin of
+    :func:`token_hll`'s opaque DataSketches binaries, built from the
+    same determinism toolkit as the CMS relation so a DuckDB replay can
+    re-derive every register (``tests`` pin it): register = top ``p``
+    bits of the 60-bit token hash, rho = leading-zero count of the
+    remaining bits + 1, one MAX per register.
+
+    Exact-integer mergeability: :func:`hll_registers_merge` is a
+    groupBy-MAX, so increment-merge equals union-build BIT-FOR-BIT
+    (max is idempotent/commutative/associative — the same contract as
+    ``cms_merge``'s integer sums). Only registers that were ever hit
+    hold rows; absent registers are rank 0 by convention and the
+    estimator accounts for them.
+
+    100 TB shape: one explode + one map-side-combined aggregate over at
+    most 2^p keys per group — the KB-scale artifact a daily corpus pass
+    persists. The leading-zero rank is computed with integer/string
+    codegen (``bin()`` length), never floating log2 — a float rounding
+    flip at a power-of-two boundary would silently corrupt a register
+    cross-engine."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll_registers: p must be in [4, 18], got {p}")
+    rest_bits = 60 - p
+    keys = [by] if by else []
+    h = md5_long(F.concat(F.lit("hll:"), F.col("tok")))
+    toks = docs.select(
+        *([F.col(by)] if by else []),
+        F.explode(tokens_col("text")).alias("tok"),
+    )
+    hashed = toks.select(
+        *keys,
+        h.alias("_h"),  # md5_long is 15 hex digits = exactly 60 bits
+    ).select(
+        *keys,
+        F.expr(f"_h DIV {1 << rest_bits}").alias("register_idx"),
+        F.expr(f"_h % {1 << rest_bits}").alias("_rest"),
+    )
+    # rho = leading zeros of the rest-bit field + 1
+    #     = rest_bits - (bit length of rest) + 1; rest == 0 -> rest_bits + 1
+    rho = F.when(F.col("_rest") == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.expr("bin(_rest)")) + 1
+    )
+    return (
+        hashed.select(*keys, "register_idx", rho.alias("rho"))
+        .groupBy(*keys, "register_idx")
+        .agg(F.max("rho").cast("int").alias("rho_max"))
+    )
+
+
+def hll_registers_merge(
+    *sketches: DataFrame, by: str | None = None
+) -> DataFrame:
+    """Fold register relations (same ``p``) into the union sketch:
+    groupBy-MAX, bit-for-bit the union-corpus build."""
+    if not sketches:
+        raise ValueError("hll_registers_merge: need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [by] if by else []
+    return u.groupBy(*keys, "register_idx").agg(
+        F.max("rho_max").cast("int").alias("rho_max")
+    )
+
+
+def hll_registers_estimate(
+    registers: DataFrame, by: str | None = None, p: int = HLL_REG_P
+) -> DataFrame:
+    """Distinct-count estimate per group from a register relation —
+    the standard HyperLogLog estimator (Flajolet et al. 2007): raw =
+    alpha_m * m^2 / sum(2^-rho) with absent registers contributing
+    2^0, switching to linear counting (m * ln(m / zeros)) in the small
+    range (raw <= 2.5m with empty registers). One group-by aggregate;
+    the float sum is estimation-only (the mergeable artifact stays the
+    exact-integer register relation)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    keys = [by] if by else []
+    agg = registers.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("_s"),
+        F.count("*").alias("_hit"),
+    )
+    zeros = F.lit(m) - F.col("_hit")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*keys, F.round(est, 3).alias("distinct_est"))
+
+
 def bottomk_quantiles(
     sketch: DataFrame, probs: list[float], by: str | None = None
 ) -> DataFrame:

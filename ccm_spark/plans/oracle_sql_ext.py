@@ -1733,3 +1733,23 @@ SELECT doc_id,
        CAST(COALESCE(list_sum(
            list_transform(encs, s -> length(s) - length(replace(s, '{sep}', '')) - 1)), 0) AS BIGINT) AS n_pieces
 FROM enc"""
+
+
+def sql_hll_registers(p: int = 12) -> str:
+    """Replay of pipeline.sketches.hll_registers at by=None: register =
+    top p bits of the 60-bit md5 token hash, rho = leading zeros of the
+    rest + 1 via integer/string bin-length (never float log2), MAX per
+    register."""
+    rest_bits = 60 - p
+    h = _md5_long("'hll:' || tok")
+    return f"""
+WITH tok AS (SELECT unnest({TOKENS}) AS tok FROM documents),
+hashed AS (SELECT {h} AS h FROM tok),
+split AS (
+  SELECT h // {1 << rest_bits} AS register_idx, h % {1 << rest_bits} AS rest
+  FROM hashed
+)
+SELECT register_idx,
+       CAST(MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                     ELSE {rest_bits} - length(bin(rest)) + 1 END) AS INT) AS rho_max
+FROM split GROUP BY 1"""

@@ -333,3 +333,63 @@ def test_robots_tab_and_malformed_value_hardening(spark):
     )
     got = {r.host: r.crawl_delay_s for r in robots_crawl_delay(clean).collect()}
     assert got == {"c.com": 2.5}
+
+
+def test_robots_exact_wildcard_mode(spark):
+    """wildcard='exact' compiles RFC 9309 §2.2.3 patterns to anchored
+    regexes: '*' spans anything, a trailing '$' anchors the end, a
+    mid-pattern '$' and every regex metacharacter match literally, and
+    precedence stays the original pattern length (Google semantics)."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /files/*.php\n"
+        "Disallow: /exact$\n"
+        "Disallow: /lit.$ch?a+r*\n"
+        "Allow: /files/open\n"
+    )
+    rules = robots_txt_rules(
+        spark.createDataFrame([("e.com", body)], "host string, robots_txt string"),
+        wildcard="exact",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "http://e.com/files/app.php"),          # wildcard hit
+            (1, "http://e.com/files/app.phpx"),         # prefix-of-match ok too
+            (2, "http://e.com/files/app.txt"),          # no '.php' -> open
+            (3, "http://e.com/files/openx.php"),        # allow len 11 < dis len 12
+            (4, "http://e.com/exact"),                  # '$' anchors: blocked
+            (5, "http://e.com/exactly-longer"),         # past the anchor: open
+            (6, "http://e.com/lit.$ch?a+rANYTHING"),    # literal metachars + '*'
+            (7, "http://e.com/litX$ch?a+r"),            # '.' is literal: open
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.robots_allowed for r in apply_robots(urls, rules).collect()}
+    assert got == {
+        0: False,
+        1: False,
+        2: True,
+        3: False,
+        4: False,
+        5: True,
+        6: False,
+        7: True,
+    }
+    # exact mode never fetches anything conservative mode would block...
+    # in the disallow direction: everything exact blocks here,
+    # conservative blocks too (superset)
+    cons = robots_txt_rules(
+        spark.createDataFrame([("e.com", body)], "host string, robots_txt string")
+    )
+    got_c = {r.doc_id: r.robots_allowed for r in apply_robots(urls, cons).collect()}
+    for k, allowed in got.items():
+        if not allowed:
+            assert not got_c[k], f"conservative fetched {k} that exact blocks"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="wildcard"):
+        robots_txt_rules(
+            spark.createDataFrame([("e.com", body)], "host string, robots_txt string"),
+            wildcard="fuzzy",
+        )

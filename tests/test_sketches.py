@@ -525,3 +525,54 @@ def test_hll_growth_default_folds_grouped_inputs(spark):
     assert len(rows) == 1  # folded, not 2x2 cartesian
     assert rows[0].tokens_old_est == pytest.approx(40, rel=0.1)
     assert rows[0].new_tokens_est == pytest.approx(0, abs=1.0)
+
+
+def test_hll_registers_merge_estimate_and_duckdb_replay(spark, sf_small):
+    """The relation-form HLL: increment-merge == union-build bit-for-bit
+    (groupBy-MAX), the estimator lands within sketch error of the exact
+    distinct-token count, and DuckDB re-derives every register from the
+    same md5 toolkit (the cross-engine pin the DataSketches binaries
+    cannot give)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.sketches import (
+        hll_registers,
+        hll_registers_estimate,
+        hll_registers_merge,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+
+    # corpus-level build == merge of two disjoint half-corpus builds
+    whole = hll_registers(docs, by=None)
+    a = hll_registers(docs.where(F.col("doc_id") % 2 == 0), by=None)
+    b = hll_registers(docs.where(F.col("doc_id") % 2 == 1), by=None)
+    merged = hll_registers_merge(a, b)
+    w = {(r.register_idx, r.rho_max) for r in whole.collect()}
+    m = {(r.register_idx, r.rho_max) for r in merged.collect()}
+    assert w == m
+
+    # estimate within sketch error (~1.6% at p=12; allow 5%)
+    exact = (
+        docs.select(F.explode(F.expr(
+            "filter(split(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), t -> t != '')"
+        )).alias("tok")).select("tok").distinct().count()
+    )
+    est = hll_registers_estimate(whole).collect()[0].distinct_est
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # cross-engine register replay
+    from ccm_spark.plans.oracle_sql_ext import sql_hll_registers
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = {(int(r), int(x)) for r, x in con.sql(sql_hll_registers()).fetchall()}
+    assert w == want
+
+    # per-group build keeps one sketch per source
+    by_src = hll_registers(docs, by="source")
+    assert by_src.select("source").distinct().count() > 1
