@@ -1,0 +1,229 @@
+"""Trainable document-quality classifier — hashed-feature logistic
+regression, the fasttext-style "model-based quality filter" stage of a
+training-data pipeline (CCNet / GPT-3 / LLaMA data work all gate on one),
+next to the rule-based ``text.quality_filter``.
+
+The reference has no classifier surface (SURVEY.md §2.1); this is
+extension surface. Design goals, in the engine's house style:
+
+  - **Distributed full-batch training, bounded driver artifact.** The
+    hashed feature relation (hashing trick: md5(token) % dim) is built
+    once and persisted; every gradient-descent iteration is two hash
+    aggregates over it (margins per doc, gradient per feature) with the
+    current weights riding a broadcast join — the driver only ever
+    holds ``dim + 1`` doubles, never documents. Same reduction shape as
+    the unigram-LM EM loop.
+  - **Deterministic.** Exact integer token counts; per-doc feature
+    values are count ratios; every weight update rounds at
+    ``W_ROUND`` decimals AFTER the global gradient sum (the
+    kmeans/PQ/unigram discipline — partition-order float drift is
+    absorbed before it can compound across iterations). Same corpus +
+    labels + params => bit-identical model on any partitioning
+    (test-pinned).
+  - **Serving is one narrow Arrow pass.** ``score_quality`` re-derives
+    the hashed features inside the kernel from the frozen model in the
+    closure (hashlib md5 == the engine's md5_long by construction,
+    pinned) — no shuffle, streaming-safe, the same shape as
+    ``lm.perplexity`` and ``tokenize.tokenize_docs``.
+
+100 TB: training cost is n_iters corpus passes over the persisted
+feature relation (map-side combined aggregates, keys bounded by doc
+count and by ``dim``); serving is embarrassingly parallel. ``dim`` is
+the usual hashing-trick knob — collisions trade accuracy for a fixed
+model size.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ccm_spark.functions.hashing import md5_long, tokens_col
+from ccm_spark.functions.partitioning import spread
+
+#: default hashed-feature dimensionality (fasttext-style buckets)
+FEAT_DIM = 256
+#: weight/bias rounding after each global gradient sum
+W_ROUND = 6
+#: feature-hash salt — shared with the serving kernel and any SQL twin
+_FEAT_SALT = "qf:"
+
+
+def hashed_features(docs: DataFrame, dim: int = FEAT_DIM) -> DataFrame:
+    """(doc_id, feat_idx, x): hashing-trick bag of words. ``x`` is the
+    token-count RATIO within the document (so margins are scale-free in
+    document length); one codegen explode + two map-side-combined
+    aggregates, no UDF."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col("text")).alias("tok")
+    )
+    feats = (
+        tok.select(
+            "doc_id",
+            (md5_long(F.concat(F.lit(_FEAT_SALT), F.col("tok"))) % dim).alias(
+                "feat_idx"
+            ),
+        )
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total_w = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    return feats.select(
+        "doc_id",
+        "feat_idx",
+        (F.col("cnt").cast("double") / total_w).alias("x"),
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    labels: DataFrame,
+    dim: int = FEAT_DIM,
+    n_iters: int = 30,
+    lr: float = 2.0,
+) -> dict:
+    """Full-batch logistic regression on hashed features.
+
+    ``labels`` is ``(doc_id, label)`` with label in {0, 1} (double or
+    int); docs without a label row are EXCLUDED from training (inner
+    join) — score them afterwards with :func:`score_quality`. Returns
+    ``{"weights": {feat_idx: w}, "bias": b, "dim": dim,
+    "loss_history": [...]}``.
+
+    Per iteration: (1) margins per labelled doc = one broadcast join of
+    the dim-row weight relation + one hash aggregate on doc_id;
+    (2) per-feature gradient = one hash aggregate on feat_idx, rounded
+    at ``W_ROUND`` after the global sum, then the driver applies the
+    update to its dim-sized vector. No per-doc data ever reaches the
+    driver."""
+    if n_iters < 1 or dim < 1:
+        raise ValueError(
+            f"train_quality_classifier: n_iters and dim must be >= 1 "
+            f"(got {n_iters}, {dim})"
+        )
+    from pyspark.storagelevel import StorageLevel
+
+    spark = docs.sparkSession
+    lab = labels.select("doc_id", F.col("label").cast("double").alias("y"))
+    feats = (
+        hashed_features(spread(docs, "doc_id"), dim)
+        .join(lab, "doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        feats.unpersist()
+        raise ValueError("train_quality_classifier: no labelled documents")
+
+    w: dict[int, float] = {}
+    b = 0.0
+    loss_history: list[float] = []
+    for _ in range(n_iters):
+        w_df = spark.createDataFrame(
+            [(int(i), float(v)) for i, v in w.items()] or [(0, 0.0)],
+            "feat_idx long, w double",
+        )
+        scored = (
+            feats.join(F.broadcast(w_df), "feat_idx", "left")
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.sum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)))
+                    + F.lit(b)
+                ).alias("m"),
+                F.first("y").alias("y"),
+            )
+            .select(
+                "doc_id",
+                "y",
+                (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("p"),
+            )
+        )
+        grad_and_loss = (
+            feats.select("doc_id", "feat_idx", "x")
+            .join(scored.select("doc_id", "y", "p"), "doc_id")
+            .groupBy("feat_idx")
+            .agg(F.round(F.sum(F.col("x") * (F.col("p") - F.col("y"))), W_ROUND).alias("g"))
+            .collect()
+        )
+        # bias gradient + loss from the per-doc relation (one more agg)
+        gl = scored.agg(
+            F.round(F.sum(F.col("p") - F.col("y")), W_ROUND).alias("gb"),
+            F.round(
+                -F.sum(
+                    F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-15)))
+                    + (1.0 - F.col("y"))
+                    * F.log(F.greatest(1.0 - F.col("p"), F.lit(1e-15)))
+                ),
+                W_ROUND,
+            ).alias("loss"),
+        ).collect()[0]
+        for r in grad_and_loss:
+            nw = round(w.get(r.feat_idx, 0.0) - lr * r.g / n_docs, W_ROUND)
+            if nw == 0.0:
+                w.pop(r.feat_idx, None)
+            else:
+                w[r.feat_idx] = nw
+        b = round(b - lr * gl.gb / n_docs, W_ROUND)
+        loss_history.append(float(gl.loss) / n_docs)
+    feats.unpersist()
+    return {
+        "weights": {int(i): float(v) for i, v in w.items()},
+        "bias": float(b),
+        "dim": int(dim),
+        "loss_history": loss_history,
+    }
+
+
+def score_quality(docs: DataFrame, model: dict) -> DataFrame:
+    """(doc_id, score, prob): the frozen model applied in ONE narrow
+    Arrow pass — features re-derived in-kernel (hashlib md5 ==
+    md5_long, test-pinned), weights in the closure (dim doubles),
+    no shuffle, streaming-safe. Token-less docs score the bias."""
+    import pandas as pd
+
+    weights = {int(i): float(v) for i, v in model["weights"].items()}
+    bias = float(model["bias"])
+    dim = int(model["dim"])
+    bc = docs.sparkSession.sparkContext.broadcast((weights, bias, dim))
+
+    def run(batches):
+        import hashlib
+
+        from ccm_spark.functions.hashing import py_tokens
+
+        wts, bs, d = bc.value
+        for pdf in batches:
+            scores = []
+            for text in pdf["text"]:
+                counts: dict[int, int] = {}
+                toks = py_tokens(text)
+                for t in toks:
+                    h = int(
+                        hashlib.md5((_FEAT_SALT + t).encode("utf-8")).hexdigest()[:15],
+                        16,
+                    ) % d
+                    counts[h] = counts.get(h, 0) + 1
+                m = bs
+                if toks:
+                    n = float(len(toks))
+                    for idx, c in counts.items():
+                        wv = wts.get(idx)
+                        if wv is not None:
+                            m += wv * (c / n)
+                scores.append(round(m, W_ROUND))
+            s = pd.Series(scores, dtype="float64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "score": s,
+                    "prob": 1.0 / (1.0 + (-s).apply(math.exp)),
+                }
+            )
+
+    out = docs.select("doc_id", "text")
+    if not docs.isStreaming:
+        out = spread(out, "doc_id")
+    return out.mapInPandas(run, "doc_id long, score double, prob double")

@@ -135,3 +135,75 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
     ``mixing.stratified_sample`` / ``mixing.sample_mixture`` for the
     actual rebalance). One map-side-combined hash aggregate."""
     return assignments.groupBy("cluster").agg(F.count("*").alias("n_members"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 16,
+    threshold: float = 0.95,
+    n_iters: int = 5,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings with the
+    distributed Lloyd trainer, then inside each cluster greedily keep
+    one representative per cosine-``threshold`` ball — the
+    cluster-BLOCKED variant that makes embedding dedup tractable at
+    corpus scale (pairwise work is bounded per cluster, never global;
+    ``k`` is the blocking knob exactly like SRP planes are for
+    ``similarity.embedding_near_duplicates``).
+
+    Returns ``(vec_id, cluster, keep)`` for every input vector — filter
+    ``keep`` to materialise the deduplicated corpus, or join back on
+    vec_id for audit.
+
+    Determinism (the engine-wide contract): candidates scan in vec_id
+    order inside each cluster and a vector is dropped iff its cosine to
+    some ALREADY-KEPT earlier vector rounds (at 9 decimals) to >=
+    threshold — a pure function of the corpus, independent of
+    partitioning. (The paper orders by distance-to-centroid; any greedy
+    order yields a valid epsilon-cover, and vec_id order is the one
+    that is stable across engines and runs.) Cross-cluster near-dups
+    are NOT examined — the documented SemDeDup approximation; raise k
+    to tighten blocks, or run ``embedding_near_duplicates`` for
+    LSH-blocked pair evidence instead.
+
+    100 TB shape: one kmeans_fit (n_iters corpus passes), one narrow
+    assignment, one shuffle on cluster, then per-cluster greedy whose
+    memory is one cluster's vectors — skewed clusters bound the task,
+    so size k to keep expected cluster size in executor memory."""
+    import pandas as pd
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"semantic_dedup: threshold must be in (0, 1], got {threshold}")
+    cents = centroids if centroids is not None else kmeans_fit(embeddings, k, n_iters)
+    assigned = kmeans_assign(embeddings, cents)
+    nv = embeddings.select("vec_id", _normalized_vec("embedding").alias("nv"))
+    rel = assigned.join(nv, "vec_id")
+
+    def dedup_cluster(pdf):
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+        n = mat.shape[0]
+        keep = np.zeros(n, dtype=bool)
+        kept_idx: list[int] = []
+        for i in range(n):
+            if kept_idx:
+                sims = np.round(mat[kept_idx] @ mat[i], 9)
+                if bool((sims >= threshold).any()):
+                    continue
+            keep[i] = True
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": pdf["cluster"].to_numpy(),
+                "keep": keep,
+            }
+        )
+
+    return (
+        spread(rel, "cluster")
+        .groupBy("cluster")
+        .applyInPandas(dedup_cluster, "vec_id long, cluster long, keep boolean")
+    )

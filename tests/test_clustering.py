@@ -107,3 +107,39 @@ def test_cluster_balanced_curation_composes_with_mixing(spark):
     assert sorted(r.doc_id for r in again.collect()) == sorted(
         r.doc_id for r in picked.collect()
     )
+
+
+def test_semantic_dedup_greedy_cover(spark):
+    """Cluster-blocked SemDeDup: exact duplicates collapse to the
+    lowest-vec_id representative, near-but-below-threshold vectors all
+    survive, and the verdict is deterministic across partitionings."""
+    import numpy as np
+
+    from ccm_spark.pipeline.clustering import semantic_dedup
+
+    a = np.zeros(64); a[0] = 1.0
+    b = np.zeros(64); b[1] = 1.0
+    ab = np.zeros(64); ab[0] = ab[1] = 1.0  # 45 deg from both
+    vecs = [a, a * 2.0, b, a, ab, b * 0.5]  # ids 0..5; 1,3 dup 0; 5 dups 2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, k=2, threshold=0.95, n_iters=2)
+    got = {r.vec_id: r.keep for r in out.collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True, 5: False}
+
+    # partitioning-independent
+    out2 = semantic_dedup(df.repartition(7), k=2, threshold=0.95, n_iters=2)
+    assert {r.vec_id: r.keep for r in out2.collect()} == got
+
+    # threshold edge: cosine(a, ab) = 1/sqrt(2) ~ 0.7071 -> dropped at 0.7
+    out3 = semantic_dedup(df, k=1, threshold=0.7, n_iters=1)
+    got3 = {r.vec_id: r.keep for r in out3.collect()}
+    assert got3[4] is False  # ab ducks under the kept a at 0.7
+    assert got3[2] is True   # b is orthogonal to a: kept
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(df, threshold=0.0)
