@@ -54,6 +54,27 @@ def py_tokens(text: str | None) -> list[str]:
     return [w for w in _PY_WS.split(text.lower()) if w]
 
 
+def py_round_half_up(x: float, ndigits: int) -> float:
+    """THE Python twin of Spark's ``F.round`` on doubles (and DuckDB's
+    ``round``): both round the value's SHORTEST DECIMAL representation
+    half-away-from-zero (JVM ``BigDecimal.valueOf`` goes through
+    ``Double.toString``; DuckDB formats likewise), where Python's builtin
+    ``round``/``np.round`` apply banker's rounding to the exact binary
+    value. The three agree on generic reals but diverge on exact decimal
+    ties (e.g. sums of 6-decimal weights times power-of-two count
+    ratios — observed in the classifier margins), so any Arrow kernel
+    whose rounded output is hash-compared cross-engine must round
+    through THIS function, not the builtin. Pinned against DuckDB on
+    20k randoms + known ties in tests/test_classify.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-ndigits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 _PY_NONWS = re.compile("[^ \\t\\n\\x0b\\f\\r]+")
 
 

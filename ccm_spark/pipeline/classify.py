@@ -47,6 +47,14 @@ from ccm_spark.functions.partitioning import spread
 FEAT_DIM = 256
 #: weight/bias rounding after each global gradient sum
 W_ROUND = 6
+#: serving-score rounding. Margins are sums of 6-decimal weights times
+#: short-decimal count ratios and can land EXACTLY on decimal rounding
+#: ties at any precision — so the kernel rounds with
+#: hashing.py_round_half_up (the shortest-decimal HALF_UP rule Spark's
+#: F.round and DuckDB's round share), never the builtin binary-banker's
+#: round; the SQL training-replay pin in tests/test_classify.py is
+#: exact because of it
+SCORE_ROUND = 9
 #: feature-hash salt — shared with the serving kernel and any SQL twin
 _FEAT_SALT = "qf:"
 
@@ -181,18 +189,32 @@ def score_quality(docs: DataFrame, model: dict) -> DataFrame:
     """(doc_id, score, prob): the frozen model applied in ONE narrow
     Arrow pass — features re-derived in-kernel (hashlib md5 ==
     md5_long, test-pinned), weights in the closure (dim doubles),
-    no shuffle, streaming-safe. Token-less docs score the bias."""
+    no shuffle, streaming-safe. Token-less docs score the bias.
+
+    The margin is computed in EXACT fixed-point: weights are 6-decimal
+    values, so ``w * 1e6`` is an exact integer and the dot product
+    numerator ``S = sum(w_int * count)`` is an order-free integer sum —
+    then one float division ``S / (n_tokens * 1e6)`` plus the bias,
+    identical ops from identical inputs in every engine. A float dot
+    product would land on true decimal TIES here (6-decimal weights x
+    power-of-two count ratios), where summation order decides which
+    side of the rounding boundary each engine sees — observed as
+    1-in-250 score mismatches before this formulation; the SQL training
+    replay in tests/test_classify.py is exact because of it."""
     import pandas as pd
 
-    weights = {int(i): float(v) for i, v in model["weights"].items()}
+    w_int = {
+        int(i): int(round(float(v) * 1_000_000))
+        for i, v in model["weights"].items()
+    }
     bias = float(model["bias"])
     dim = int(model["dim"])
-    bc = docs.sparkSession.sparkContext.broadcast((weights, bias, dim))
+    bc = docs.sparkSession.sparkContext.broadcast((w_int, bias, dim))
 
     def run(batches):
         import hashlib
 
-        from ccm_spark.functions.hashing import py_tokens
+        from ccm_spark.functions.hashing import py_round_half_up, py_tokens
 
         wts, bs, d = bc.value
         for pdf in batches:
@@ -208,12 +230,15 @@ def score_quality(docs: DataFrame, model: dict) -> DataFrame:
                     counts[h] = counts.get(h, 0) + 1
                 m = bs
                 if toks:
-                    n = float(len(toks))
+                    s_int = 0
                     for idx, c in counts.items():
                         wv = wts.get(idx)
                         if wv is not None:
-                            m += wv * (c / n)
-                scores.append(round(m, W_ROUND))
+                            s_int += wv * c
+                    m = s_int / (len(toks) * 1_000_000) + bs
+                # shortest-decimal HALF_UP (Spark F.round / DuckDB round
+                # semantics), not the builtin binary-banker's round
+                scores.append(py_round_half_up(m, SCORE_ROUND))
             s = pd.Series(scores, dtype="float64")
             yield pd.DataFrame(
                 {

@@ -1753,3 +1753,91 @@ SELECT register_idx,
        CAST(MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
                      ELSE {rest_bits} - length(bin(rest)) + 1 END) AS INT) AS rho_max
 FROM split GROUP BY 1"""
+
+
+#: classifier replay parameters, shared with the tests (and a future
+#: gate rotation): deterministic label rule on doc_id, small iteration
+#: count to keep the unrolled CTE chain readable
+CLS_DIM = 256
+CLS_ITERS = 3
+CLS_LR = 2.0
+
+
+def sql_quality_classifier_scores(
+    dim: int = CLS_DIM, n_iters: int = CLS_ITERS, lr: float = CLS_LR
+) -> str:
+    """Full replay of pipeline.classify.train_quality_classifier +
+    score_quality with the deterministic ``doc_id % 3 == 0`` label rule:
+    hashed count-ratio features, unrolled full-batch GD (gradients
+    rounded 6 after the global sum, weights/bias rounded 6 per update —
+    both engines restart every iteration from identical state), then
+    the final margin per document rounded 6. Token-less documents score
+    the bias."""
+    h = _md5_long("'qf:' || tok")
+    parts = [
+        f"tok AS (SELECT doc_id, unnest({TOKENS}) AS tok FROM documents)",
+        f"""cnts AS (
+  SELECT doc_id, {h} % {dim} AS feat_idx, COUNT(*) AS cnt
+  FROM tok GROUP BY 1, 2
+)""",
+        "tot AS (SELECT doc_id, SUM(cnt) AS t FROM cnts GROUP BY 1)",
+        """x AS (
+  SELECT c.doc_id, c.feat_idx, CAST(c.cnt AS DOUBLE) / t.t AS x
+  FROM cnts c JOIN tot t USING (doc_id)
+)""",
+        """lab AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+)""",
+        "n AS (SELECT COUNT(*) AS n FROM tot)",
+        "w0 AS (SELECT CAST(NULL AS BIGINT) AS feat_idx, CAST(NULL AS DOUBLE) AS w WHERE FALSE)",
+        "b0 AS (SELECT 0.0 AS b)",
+    ]
+    for i in range(n_iters):
+        parts += [
+            f"""m{i} AS (
+  SELECT x.doc_id, SUM(x.x * COALESCE(w.w, 0.0)) AS m
+  FROM x LEFT JOIN w{i} w USING (feat_idx) GROUP BY 1
+)""",
+            f"""p{i} AS (
+  SELECT m.doc_id, 1.0 / (1.0 + exp(-(m.m + b.b))) AS p
+  FROM m{i} m CROSS JOIN b{i} b
+)""",
+            f"""g{i} AS (
+  SELECT x.feat_idx, round(SUM(x.x * (p.p - l.y)), 6) AS g
+  FROM x JOIN p{i} p USING (doc_id) JOIN lab l USING (doc_id)
+  GROUP BY 1
+)""",
+            f"""w{i + 1} AS (
+  SELECT g.feat_idx, round(COALESCE(w.w, 0.0) - {lr} * g.g / n.n, 6) AS w
+  FROM g{i} g LEFT JOIN w{i} w USING (feat_idx) CROSS JOIN n
+)""",
+            f"""b{i + 1} AS (
+  SELECT round(b.b - {lr} * round(SUM(p.p - l.y), 6) / n.n, 6) AS b
+  FROM p{i} p JOIN lab l USING (doc_id) CROSS JOIN b{i} b CROSS JOIN n
+  GROUP BY b.b, n.n
+)""",
+        ]
+    # final scores in EXACT fixed-point (mirrors score_quality): the
+    # margin numerator is an order-free integer sum of (w * 1e6) * cnt,
+    # then one float division + the bias — identical doubles in every
+    # engine, so the rounding sees identical inputs and ties cannot
+    # split across engines
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT d.doc_id,
+       round(CASE WHEN mfin.doc_id IS NULL THEN b.b
+                  ELSE mfin.s / (mfin.t * 1000000) + b.b END, 9) + 0.0 AS score
+FROM documents d
+LEFT JOIN (
+  SELECT c.doc_id,
+         SUM(COALESCE(CAST(round(w.w * 1000000.0) AS BIGINT), 0) * c.cnt) AS s,
+         MAX(t.t) AS t
+  FROM cnts c
+  LEFT JOIN w{n_iters} w USING (feat_idx)
+  JOIN tot t USING (doc_id)
+  GROUP BY 1
+) mfin ON mfin.doc_id = d.doc_id
+CROSS JOIN b{n_iters} b"""
+    )

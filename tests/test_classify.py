@@ -85,7 +85,7 @@ def test_classifier_guards_and_empty_docs(spark):
     # a token-less doc scores exactly the bias
     empty = spark.createDataFrame([(99, "")], "doc_id long, text string")
     r = score_quality(empty, model).collect()[0]
-    assert r.score == round(model["bias"], 6)
+    assert r.score == round(model["bias"], 9)
 
 
 def test_score_quality_stream_equals_batch(spark, tmp_path):
@@ -115,3 +115,43 @@ def test_score_quality_stream_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cls_stream").collect()
     }
     assert got == batch
+
+
+def test_classifier_training_matches_duckdb_replay(spark, sf_small):
+    """The distributed trainer replayed in SQL: unrolled full-batch GD
+    over the hashed count-ratio features (the kmeans-oracle pattern) —
+    per-iteration gradient/weight/bias rounding means both engines
+    restart every iteration from identical state, so the final per-doc
+    scores match exactly. This is the twin a future gate rotation would
+    use."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.plans.oracle_sql_ext import (
+        CLS_DIM,
+        CLS_ITERS,
+        CLS_LR,
+        sql_quality_classifier_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    labels = docs.select(
+        "doc_id", (F.col("doc_id") % 3 == 0).cast("int").alias("label")
+    )
+    model = train_quality_classifier(
+        docs, labels, dim=CLS_DIM, n_iters=CLS_ITERS, lr=CLS_LR
+    )
+    got = {r.doc_id: r.score for r in score_quality(docs, model).collect()}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = {
+        int(d): float(s)
+        for d, s in con.sql(sql_quality_classifier_scores()).fetchall()
+    }
+    assert len(got) == len(want) == 500
+    mism = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
+    assert not mism, dict(list(mism.items())[:5])
