@@ -1,0 +1,180 @@
+"""DSIR-style data selection — importance resampling toward a target
+distribution (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", arXiv:2302.03169).
+
+The pipeline stage the other text operators don't cover: given a RAW
+corpus and a small TARGET corpus (the domain you want more of), weight
+every raw document by how target-like it is under hashed-n-gram bag
+models, then resample the raw corpus toward the target distribution.
+The reference engine has no text surface at all (SURVEY.md §2.1); this
+is extension surface in the engine's house style:
+
+  - **Everything is relational** — hashed n-gram features are a codegen
+    explode (no UDF), the two corpus histograms are dim-bounded hash
+    aggregates, the per-document log-weight is one join + one grouped
+    sum, and resampling is a Gumbel top-k whose "randomness" is the
+    engine-portable md5 uniform. A DuckDB twin replays the whole chain
+    (test-pinned).
+  - **Deterministic.** Exact integer feature counts; smoothed log
+    probabilities derive from those integers; the Gumbel perturbation
+    is a pure function of (doc_id, seed). Same inputs => same selected
+    set on any partitioning.
+
+100 TB shape: the raw corpus is touched twice (feature explode + the
+weight join) and shuffled on bounded keys only — feat_idx (<= dim) and
+doc_id; the ratio relation is dim rows (KBs) and broadcasts. The target
+corpus is small by definition. Resampling's top-k is the engine's
+standard two-phase rank.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ccm_spark.functions.hashing import md5_long, tokens_col
+
+#: hashed feature space for the n-gram bag models (Xie et al. use 10k)
+DSIR_DIM = 10_000
+#: word-n-gram order (bigrams: the paper's default for quality/domain)
+DSIR_N = 2
+#: add-alpha smoothing for both corpus histograms
+DSIR_ALPHA = 0.5
+#: md5_long's range — the uniform's denominator
+_H_SPACE = float(1 << 60)
+
+
+def ngram_feature_counts(
+    docs: DataFrame, n: int = DSIR_N, dim: int = DSIR_DIM
+) -> DataFrame:
+    """(doc_id, feat_idx, cnt): hashed word-n-gram counts WITH
+    multiplicity (unlike the dedup family's distinct shingles — bag
+    models need the counts). Documents with fewer than ``n`` tokens
+    contribute nothing. Pure codegen: tokens → sliced n-grams →
+    md5 % dim → counted."""
+    if n < 1 or dim < 1:
+        raise ValueError(f"ngram_feature_counts: n and dim must be >= 1 (got {n}, {dim})")
+    toks = tokens_col("text")
+    # guarded: sequence(0, -1) would be a DESCENDING sequence in Spark,
+    # not an empty one — short docs must yield an empty gram array
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            (md5_long(F.concat(F.lit("dsir:"), F.col("gram"))) % dim).alias(
+                "feat_idx"
+            ),
+        )
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_log_ratios(
+    target_docs: DataFrame,
+    raw_docs: DataFrame,
+    n: int = DSIR_N,
+    dim: int = DSIR_DIM,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(feat_idx, log_ratio): the per-feature importance term
+    ``log p_target(f) - log p_raw(f)`` under add-``alpha`` smoothed
+    hashed-n-gram bag models of the two corpora. At most ``dim`` rows —
+    the broadcastable model artifact."""
+    t = (
+        ngram_feature_counts(target_docs, n, dim)
+        .groupBy("feat_idx")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    r = (
+        ngram_feature_counts(raw_docs, n, dim)
+        .groupBy("feat_idx")
+        .agg(F.sum("cnt").alias("rc"))
+    )
+    # full outer on the bounded feature space: a feature seen in only
+    # one corpus still gets its smoothed term
+    joined = t.join(r, "feat_idx", "outer").select(
+        "feat_idx",
+        F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
+        F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
+    )
+    tot = joined.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "feat_idx",
+        (
+            F.log((F.col("tc") + alpha) / (F.col("tt") + alpha * dim))
+            - F.log((F.col("rc") + alpha) / (F.col("rt") + alpha * dim))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_log_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n: int = DSIR_N,
+    dim: int = DSIR_DIM,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(doc_id, log_w): every raw document's importance log-weight —
+    its feature counts dotted with the log-ratio relation, rounded at 6
+    after the grouped sum (the engine-wide boundary discipline).
+    Documents with no features (< n tokens) weigh 0.0 (neutral).
+
+    Plan: one broadcast join of the dim-row ratio relation onto the raw
+    feature counts + one hash aggregate on doc_id; the raw corpus never
+    joins the target corpus directly."""
+    ratios = dsir_log_ratios(target_docs, raw_docs, n, dim, alpha)
+    feats = ngram_feature_counts(raw_docs, n, dim)
+    scored = (
+        feats.join(F.broadcast(ratios), "feat_idx")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias("log_w"))
+    )
+    return raw_docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w")
+    )
+
+
+def dsir_resample(
+    weights: DataFrame, k: int, seed: int = 7
+) -> DataFrame:
+    """(doc_id, log_w, gumbel_key) for the ``k`` selected documents —
+    Gumbel top-k sampling WITHOUT replacement from the softmax of the
+    log-weights (the Gumbel-max trick: top-k of ``log_w + G_i`` is a
+    draw from the importance distribution), with the Gumbel noise
+    derived from the engine-portable md5 uniform of (doc_id, seed) — a
+    pure function of the input, so the selected set is deterministic
+    and SQL-replayable while still being a faithful sample.
+
+    Ties (astronomically unlikely at 60 hash bits) break on doc_id.
+    Top-k is a window rank — swap in the two-phase TakeOrdered form for
+    corpus-scale k if the selected set itself is large."""
+    if k < 1:
+        raise ValueError(f"dsir_resample: k must be >= 1, got {k}")
+    u = (
+        md5_long(
+            F.concat(
+                F.lit("dsirg:"),
+                F.col("doc_id").cast("string"),
+                F.lit(f":{seed}"),
+            )
+        ).cast("double")
+        + 1.0
+    ) / (_H_SPACE + 2.0)  # u in (0, 1) strictly — both log() calls finite
+    key = F.col("log_w") - F.log(-F.log(u))
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+    return (
+        weights.select("doc_id", "log_w", key.alias("gumbel_key"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1841,3 +1841,54 @@ LEFT JOIN (
 ) mfin ON mfin.doc_id = d.doc_id
 CROSS JOIN b{n_iters} b"""
     )
+
+
+def sql_dsir_log_weights(
+    n: int = 2,
+    dim: int = 10_000,
+    alpha: float = 0.5,
+    target_mod: int = 10,
+) -> str:
+    """Replay of pipeline.dsir.dsir_log_weights with the test fixture
+    split (target = documents with doc_id % target_mod == 0, raw = the
+    rest): hashed word-n-gram counts with multiplicity, add-alpha
+    smoothed log-ratio per feature over the full outer feature space,
+    per-doc dot product rounded 6, featureless docs weigh 0.0."""
+    h = _md5_long("'dsir:' || gram")
+    return f"""
+WITH t0 AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {n}
+                     THEN list_transform(range(1, len(toks) - {n} + 2),
+                          i -> array_to_string(list_slice(toks, i, i + {n} - 1), ' '))
+                     ELSE [] END) AS gram
+  FROM t0
+),
+feats AS (
+  SELECT doc_id, {h} % {dim} AS feat_idx, COUNT(*) AS cnt
+  FROM grams GROUP BY 1, 2
+),
+tc AS (SELECT feat_idx, SUM(cnt) AS c FROM feats WHERE doc_id % {target_mod} = 0 GROUP BY 1),
+rc AS (SELECT feat_idx, SUM(cnt) AS c FROM feats WHERE doc_id % {target_mod} != 0 GROUP BY 1),
+joined AS (
+  SELECT COALESCE(tc.feat_idx, rc.feat_idx) AS feat_idx,
+         COALESCE(tc.c, 0) AS tc, COALESCE(rc.c, 0) AS rc
+  FROM tc FULL JOIN rc ON rc.feat_idx = tc.feat_idx
+),
+tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM joined),
+ratios AS (
+  SELECT j.feat_idx,
+         ln((j.tc + {alpha}) / (t.tt + {alpha} * {dim}))
+         - ln((j.rc + {alpha}) / (t.rt + {alpha} * {dim})) AS log_ratio
+  FROM joined j CROSS JOIN tot t
+),
+scored AS (
+  SELECT f.doc_id, round(SUM(f.cnt * r.log_ratio), 6) AS log_w
+  FROM feats f JOIN ratios r USING (feat_idx)
+  WHERE f.doc_id % {target_mod} != 0
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(s.log_w, 0.0) + 0.0 AS log_w
+FROM documents d LEFT JOIN scored s USING (doc_id)
+WHERE d.doc_id % {target_mod} != 0"""
