@@ -157,3 +157,26 @@ def test_corpus_monitoring_example_runs(spark, sf_small, tmp_path):
     assert out["p90_len_shift"] < 0
     # mergeable: two shard sketches fold to the whole-day answer
     assert out["merged_median"] == out["whole_median"]
+
+
+def test_data_selection_example_runs(spark, sf_small):
+    """The selection walkthrough composes DSIR + classifier + semantic
+    dedup into one deterministic sample: the pool shrinks monotonically
+    through the stages, the classifier improves on its weak labels, and
+    the selected set is reproducible."""
+    sys.path.insert(0, "/root/repo/examples")
+    try:
+        from data_selection import run
+    finally:
+        sys.path.pop(0)
+
+    out = run(spark, sf_small)
+    assert out["input"] == 500
+    assert out["weighted"] == 450  # raw split
+    assert out["classifier_loss_last"] < out["classifier_loss_first"]
+    assert 0 < out["sem_kept"] <= 500
+    assert 0 < out["pool"] <= out["weighted"]
+    assert out["selected"] == max(1, out["pool"] // 2)
+    # deterministic end to end
+    out2 = run(spark, sf_small)
+    assert out2["selected_ids_head"] == out["selected_ids_head"]
