@@ -156,8 +156,10 @@ def dsir_resample(
     and SQL-replayable while still being a faithful sample.
 
     Ties (astronomically unlikely at 60 hash bits) break on doc_id.
-    Top-k is a window rank — swap in the two-phase TakeOrdered form for
-    corpus-scale k if the selected set itself is large."""
+    Top-k runs two-phase (the vocab_topk / events_pair_series trick):
+    each partition prunes to its local top-k first, so the single-task
+    global rank only ever sees ``k x n_partitions`` survivors — never
+    the whole corpus."""
     if k < 1:
         raise ValueError(f"dsir_resample: k must be >= 1, got {k}")
     u = (
@@ -171,10 +173,17 @@ def dsir_resample(
         + 1.0
     ) / (_H_SPACE + 2.0)  # u in (0, 1) strictly — both log() calls finite
     key = F.col("log_w") - F.log(-F.log(u))
-    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+    keyed = weights.select("doc_id", "log_w", key.alias("gumbel_key"))
+    order = [F.col("gumbel_key").desc(), F.col("doc_id").asc()]
+    local_w = Window.partitionBy("_split").orderBy(*order)
+    survivors = (
+        keyed.withColumn("_split", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .where(F.col("_lr") <= k)
+    )
+    w = Window.orderBy(*order)
     return (
-        weights.select("doc_id", "log_w", key.alias("gumbel_key"))
-        .withColumn("_rk", F.row_number().over(w))
+        survivors.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= k)
-        .drop("_rk")
+        .select("doc_id", "log_w", "gumbel_key")
     )
