@@ -3,6 +3,22 @@ regression, the fasttext-style "model-based quality filter" stage of a
 training-data pipeline (CCNet / GPT-3 / LLaMA data work all gate on one),
 next to the rule-based ``text.quality_filter``.
 
+TWO classifier variants exist in the engine, for two regimes (the same
+split as the two k-means trainers in similarity/clustering):
+
+  - ``text.train_classifier`` / ``text.classifier_score`` — the
+    PRODUCTION shape: 2^18 mean-pooled unigram+bigram hashed features,
+    L2 regularisation, kernel-side gradients; pinned by
+    ``tests/test_corpus_quality.py`` and used by the streaming example.
+  - THIS module — the ORACLE-GRADE shape: count-ratio unigram features
+    over a bounded dim, fully relational training, and exact-fixed-point
+    serving, designed so EVERY step has a DuckDB twin
+    (``plans.oracle_sql_ext.sql_quality_classifier_scores`` replays the
+    whole trainer + serving hash-exactly) — the correctness-evidence
+    path a driver gate rotation would use, and the variant that
+    surfaced the engine-wide decimal-tie rounding hazards documented in
+    SCALE.md.
+
 The reference has no classifier surface (SURVEY.md §2.1); this is
 extension surface. Design goals, in the engine's house style:
 

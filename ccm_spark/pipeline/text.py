@@ -398,7 +398,10 @@ def classifier_score(
     unigram+bigram weights + bias) per document — the serving path of a
     fasttext-style linear quality classifier (hashing trick, no
     vocabulary file), complementing the rule-based
-    :func:`quality_score`/:func:`quality_filter`.
+    :func:`quality_score`/:func:`quality_filter`. This is the
+    PRODUCTION-shape variant; ``pipeline.classify`` holds the
+    oracle-grade twin whose training and serving are exactly
+    DuckDB-replayable (see its module docstring for the regime split).
 
     Pass ``weights`` (float64, size 2**log2_features) from an offline
     training run; the default is the deterministic
