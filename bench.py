@@ -363,7 +363,15 @@ def main() -> None:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                # a loaded-host overrun must not leave an active query
+                # whose source/checkpoint dirs the finally block deletes
+                # (stream-error noise + a name collision on the warm
+                # second run)
+                q.stop()
+                raise RuntimeError(
+                    "streaming_sessionize bench extra exceeded 300s"
+                )
             return spark.sql("SELECT * FROM bench_sess_stream")
         finally:
             # the memory sink holds the rows; the source dir can go

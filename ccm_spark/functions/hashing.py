@@ -65,14 +65,41 @@ def py_round_half_up(x: float, ndigits: int) -> float:
     ratios — observed in the classifier margins), so any Arrow kernel
     whose rounded output is hash-compared cross-engine must round
     through THIS function, not the builtin. Pinned against DuckDB on
-    20k randoms + known ties in tests/test_classify.py."""
-    from decimal import ROUND_HALF_UP, Decimal
+    20k randoms + known ties in tests/test_rounding.py."""
+    from decimal import ROUND_HALF_UP, Context, Decimal
 
+    # explicit wide context: the default 28-digit context raises
+    # InvalidOperation quantizing huge magnitudes (|x| ~ 1e300), where
+    # rounding is a no-op for doubles anyway (no fractional part above
+    # 2^53) — F.round passes them through and so must the twin
     return float(
         Decimal(repr(x)).quantize(
-            Decimal(1).scaleb(-ndigits), rounding=ROUND_HALF_UP
+            Decimal(1).scaleb(-ndigits),
+            rounding=ROUND_HALF_UP,
+            context=Context(prec=400),
         )
     )
+
+
+def np_round_half_up(arr, ndigits: int):
+    """:func:`py_round_half_up` over a numpy array — for DRIVER-SIDE
+    trainer artifacts (centroids, codebooks: at most a few thousand
+    values), where ``np.round``'s binary banker's rounding could flip a
+    decimal tie against the DuckDB replay and poison everything trained
+    downstream. Deliberately a per-element Decimal loop: exactness over
+    speed — large hash-compared relations should instead emit RAW
+    doubles from their kernels and round at the query boundary with
+    ``F.round`` (JVM shortest-decimal HALF_UP, codegen-fast, same rule).
+    Pinned in tests/test_rounding.py."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64)
+    out = np.fromiter(
+        (py_round_half_up(float(v), ndigits) for v in a.ravel()),
+        dtype=np.float64,
+        count=a.size,
+    )
+    return out.reshape(a.shape)
 
 
 _PY_NONWS = re.compile("[^ \\t\\n\\x0b\\f\\r]+")

@@ -368,7 +368,10 @@ def pq_adc_udf(bc_query_tables):
     query-vs-codebook inner products — shipped once per executor, not
     re-pickled into every task binary (at production query counts the
     stack is hundreds of MB). One fancy-index gather per batch;
-    per-candidate cost is m lookups, independent of embedding dim."""
+    per-candidate cost is m lookups, independent of embedding dim.
+    Emits RAW scores — the caller rounds at the query boundary with
+    ``F.round`` (np.round's binary banker's tie rule diverges from the
+    Spark/DuckDB shortest-decimal HALF_UP on decimal ties)."""
 
     @pandas_udf("double")
     def _adc(query_id: pd.Series, codes: pd.Series) -> pd.Series:
@@ -377,8 +380,7 @@ def pq_adc_udf(bc_query_tables):
         sub_idx = np.arange(tbl.shape[1])
         qi = np.array([q_index[q] for q in query_id], dtype=np.int64)
         cm = np.stack(codes.to_numpy()).astype(np.int64)
-        scores = tbl[qi[:, None], sub_idx, cm].sum(axis=1)
-        return pd.Series(np.round(scores, 9))
+        return pd.Series(tbl[qi[:, None], sub_idx, cm].sum(axis=1))
 
     return _adc
 

@@ -182,7 +182,10 @@ def multispatial_ccm(
     )
 
     def embed_rep(pdf):
-        pdf = pdf.sort_values("t")
+        # (t, x, y), not t alone: sort_values is unstable, so duplicate
+        # timestamps would embed in shuffle-dependent order — the old
+        # driver-side sorted() ordered full tuples; keep that contract
+        pdf = pdf.sort_values(["t", "x", "y"])
         x = pdf["x"].to_numpy(dtype=np.float64)
         y = pdf["y"].to_numpy(dtype=np.float64)
         if len(x) < min_len:

@@ -165,6 +165,10 @@ def train_quality_classifier(
                 (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("p"),
             )
         )
+        # the margin relation feeds TWO aggregates (feature gradient +
+        # bias gradient/loss); persist so the broadcast join + per-doc
+        # aggregate run once per iteration, not twice
+        scored = scored.persist()
         grad_and_loss = (
             feats.select("doc_id", "feat_idx", "x")
             .join(scored.select("doc_id", "y", "p"), "doc_id")
@@ -184,13 +188,21 @@ def train_quality_classifier(
                 W_ROUND,
             ).alias("loss"),
         ).collect()[0]
+        scored.unpersist()
+        # the update rounding must be the SAME shortest-decimal HALF_UP
+        # rule the DuckDB twin applies — lr * g / n_docs IS a short
+        # decimal (g has 6 decimals), so builtin banker's rounding can
+        # land on a genuine tie and diverge (e.g. g=0.000125, n=500:
+        # Python round(5e-7, 6) = 0.0, DuckDB round = 1e-6)
+        from ccm_spark.functions.hashing import py_round_half_up
+
         for r in grad_and_loss:
-            nw = round(w.get(r.feat_idx, 0.0) - lr * r.g / n_docs, W_ROUND)
+            nw = py_round_half_up(w.get(r.feat_idx, 0.0) - lr * r.g / n_docs, W_ROUND)
             if nw == 0.0:
                 w.pop(r.feat_idx, None)
             else:
                 w[r.feat_idx] = nw
-        b = round(b - lr * gl.gb / n_docs, W_ROUND)
+        b = py_round_half_up(b - lr * gl.gb / n_docs, W_ROUND)
         loss_history.append(float(gl.loss) / n_docs)
     feats.unpersist()
     return {

@@ -67,7 +67,13 @@ def kmeans_fit(
         raise ValueError(
             f"kmeans_fit: corpus has {len(init_rows)} vectors < k={k}"
         )
-    cents = np.round(np.array([r.nv for r in init_rows], dtype=np.float64), KMEANS_ROUND)
+    from ccm_spark.functions.hashing import np_round_half_up
+
+    # half-up, not np.round: a tie-landing centroid component would
+    # otherwise round differently from the DuckDB trainer replay
+    cents = np_round_half_up(
+        np.array([r.nv for r in init_rows], dtype=np.float64), KMEANS_ROUND
+    )
     dim = cents.shape[1]
     from pyspark.storagelevel import StorageLevel
 
@@ -102,7 +108,7 @@ def kmeans_fit(
             by_cluster.setdefault(r.cluster, np.zeros(dim))[r.dim_idx] = r.s
             counts[r.cluster] = r.n
         for c, vec in by_cluster.items():
-            nxt[c] = np.round(vec / counts[c], KMEANS_ROUND)
+            nxt[c] = np_round_half_up(vec / counts[c], KMEANS_ROUND)
         bc.destroy()
         cents = nxt
     base.unpersist()

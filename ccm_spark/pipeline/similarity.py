@@ -105,13 +105,19 @@ def cosine_topk(
                 {
                     "query_id": np.tile(q_ids, nt),
                     "target_id": np.repeat(pdf["target_id"].to_numpy(), nq),
-                    "cos_sim": np.round(cos.ravel(), 9),
+                    # raw: rounded Spark-side below so the tie rule
+                    # matches DuckDB (np.round is binary banker's)
+                    "cos_sim": cos.ravel(),
                 }
             )
 
-    scored = t.mapInPandas(
-        score, schema="query_id long, target_id long, cos_sim double"
-    ).where(F.col("query_id") != F.col("target_id"))
+    scored = (
+        t.mapInPandas(
+            score, schema="query_id long, target_id long, cos_sim double"
+        )
+        .withColumn("cos_sim", F.round("cos_sim", 9))
+        .where(F.col("query_id") != F.col("target_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("target_id").asc()
     )
@@ -607,19 +613,24 @@ def pq_codebooks(
     if dim % m:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
     dsub = dim // m
+    from ccm_spark.functions.hashing import np_round_half_up
+
     books = []
     for s in range(m):
         sub = x[:, s * dsub : (s + 1) * dsub]
         k = min(ksub, n)
         init_idx = [(i * n) // k for i in range(k)]
-        cents = np.round(sub[init_idx], 6)
+        # half-up, not np.round: a centroid component landing on a
+        # decimal tie would otherwise round differently from the DuckDB
+        # trainer replay and poison every code and ADC score downstream
+        cents = np_round_half_up(sub[init_idx], 6)
         for _ in range(n_iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             codes = np.argmin(d2, axis=1)  # first (lowest) index on ties
             for c in range(k):
                 members = sub[codes == c]
                 if len(members):
-                    cents[c] = np.round(members.mean(axis=0), 6)
+                    cents[c] = np_round_half_up(members.mean(axis=0), 6)
         books.append(cents)
     return books
 
@@ -712,13 +723,19 @@ def pq_topk(
                 {
                     "query_id": np.tile(q_ids, nt),
                     "target_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
-                    "adc_sim": np.round(acc.T.ravel(), 9),
+                    # raw: the boundary rounding happens Spark-side
+                    # (F.round below) so the tie rule matches DuckDB
+                    "adc_sim": acc.T.ravel(),
                 }
             )
 
-    scored = codes.mapInPandas(
-        score, schema="query_id long, target_id long, adc_sim double"
-    ).where(F.col("query_id") != F.col("target_id"))
+    scored = (
+        codes.mapInPandas(
+            score, schema="query_id long, target_id long, adc_sim double"
+        )
+        .withColumn("adc_sim", F.round("adc_sim", 9))
+        .where(F.col("query_id") != F.col("target_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_sim").desc(), F.col("target_id").asc()
     )
@@ -849,7 +866,7 @@ def ivf_pq_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("target_id"),
-            adc(F.col("query_id"), F.col("codes")).alias("adc_sim"),
+            F.round(adc(F.col("query_id"), F.col("codes")), 9).alias("adc_sim"),
         )
         .distinct()
     )

@@ -293,9 +293,6 @@ def bottomk_merge(*sketches: DataFrame, by: str | None = None) -> DataFrame:
 #: ~1.6% relative error — the same operating point as the DataSketches
 #: default above
 HLL_REG_P = 12
-#: md5_long yields 60 hash bits; the top HLL_REG_P index the register,
-#: the remaining _HLL_REST_BITS drive the leading-zero rank
-_HLL_REST_BITS = 60 - HLL_REG_P
 
 
 def hll_registers(
