@@ -54,7 +54,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from ccm_spark.functions.hashing import md5_long, tokens_col
 from ccm_spark.functions.partitioning import spread
@@ -78,26 +78,33 @@ _FEAT_SALT = "qf:"
 def hashed_features(docs: DataFrame, dim: int = FEAT_DIM) -> DataFrame:
     """(doc_id, feat_idx, x): hashing-trick bag of words. ``x`` is the
     token-count RATIO within the document (so margins are scale-free in
-    document length); one codegen explode + two map-side-combined
-    aggregates, no UDF."""
+    document length); one codegen explode + one map-side-combined
+    aggregate, no UDF. The per-doc total is the token COUNT computed at
+    the scan (size of the token array, carried through the explode as a
+    constant-per-doc column) — a window over doc_id would cost a second
+    exchange, since the aggregate's (doc_id, feat_idx) partitioning
+    does not co-locate doc_id alone."""
+    toks = tokens_col("text")
     tok = docs.select(
-        "doc_id", F.explode(tokens_col("text")).alias("tok")
+        "doc_id",
+        F.size(toks).alias("_t"),
+        F.explode(toks).alias("tok"),
     )
-    feats = (
+    return (
         tok.select(
             "doc_id",
+            "_t",
             (md5_long(F.concat(F.lit(_FEAT_SALT), F.col("tok"))) % dim).alias(
                 "feat_idx"
             ),
         )
         .groupBy("doc_id", "feat_idx")
-        .agg(F.count("*").alias("cnt"))
-    )
-    total_w = F.sum("cnt").over(Window.partitionBy("doc_id"))
-    return feats.select(
-        "doc_id",
-        "feat_idx",
-        (F.col("cnt").cast("double") / total_w).alias("x"),
+        .agg(F.count("*").alias("cnt"), F.first("_t").alias("_t"))
+        .select(
+            "doc_id",
+            "feat_idx",
+            (F.col("cnt").cast("double") / F.col("_t")).alias("x"),
+        )
     )
 
 

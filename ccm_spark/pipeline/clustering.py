@@ -149,6 +149,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_iters: int = 5,
     centroids: np.ndarray | None = None,
+    max_cluster_size: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus embeddings with the
@@ -177,7 +178,14 @@ def semantic_dedup(
     100 TB shape: one kmeans_fit (n_iters corpus passes), one narrow
     assignment, one shuffle on cluster, then per-cluster greedy whose
     memory is one cluster's vectors — skewed clusters bound the task,
-    so size k to keep expected cluster size in executor memory."""
+    so size k to keep expected cluster size in executor memory. A
+    cluster larger than ``max_cluster_size`` (a near-constant corpus
+    collapsing into one cell — the same pathology as an LSH hot
+    bucket) skips the within-cluster pass entirely: its members all
+    keep (UNDER-dedup, never a task OOM — the `max_bucket_size` safety
+    valve the SimHash/MinHash/embedding families share); raise k, or
+    run exact dedup first so verbatim mass-duplicates never reach this
+    stage."""
     import pandas as pd
 
     if not 0.0 < threshold <= 1.0:
@@ -188,6 +196,14 @@ def semantic_dedup(
     rel = assigned.join(nv, "vec_id")
 
     def dedup_cluster(pdf):
+        if len(pdf) > max_cluster_size:
+            return pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": pdf["cluster"].to_numpy(),
+                    "keep": np.ones(len(pdf), dtype=bool),
+                }
+            )
         pdf = pdf.sort_values("vec_id")
         mat = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
         n = mat.shape[0]

@@ -143,3 +143,22 @@ def test_semantic_dedup_greedy_cover(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(df, threshold=0.0)
+
+
+def test_semantic_dedup_oversized_cluster_keeps_all(spark):
+    """The hot-cluster safety valve: a cluster past max_cluster_size
+    skips within-cluster dedup (everything keeps — under-dedup, never a
+    quadratic task), like the LSH families' bucket caps."""
+    import numpy as np
+
+    from ccm_spark.pipeline.clustering import semantic_dedup
+
+    a = np.zeros(64); a[0] = 1.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in a]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = semantic_dedup(df, k=1, threshold=0.95, n_iters=1, max_cluster_size=3)
+    assert all(r.keep for r in capped.collect())
+    uncapped = semantic_dedup(df, k=1, threshold=0.95, n_iters=1)
+    assert sum(1 for r in uncapped.collect() if r.keep) == 1
