@@ -1892,3 +1892,33 @@ scored AS (
 SELECT d.doc_id, COALESCE(s.log_w, 0.0) + 0.0 AS log_w
 FROM documents d LEFT JOIN scored s USING (doc_id)
 WHERE d.doc_id % {target_mod} != 0"""
+
+
+def sql_robots_rules_fixture(host_mod: int = 7) -> str:
+    """Declarative twin of the robots-rules fixture parse (the
+    warc_extract pattern — the oracle states what a correct parse
+    recovers, it does not re-implement the parser): per document one
+    rule line chosen by doc_id % 5 (plain disallow / allow / wildcard
+    disallow / '$'-anchored disallow / comment), assembled per host
+    'h<doc_id % host_mod>.com' under a 'User-agent: *' header. Expected
+    rows replicate the conservative wildcard degradation: the wildcard
+    pattern truncates at '*', the trailing '$' strips, and prec keeps
+    the ORIGINAL pattern length."""
+    return f"""
+WITH k AS (SELECT doc_id, doc_id % 5 AS k, 'h' || CAST(doc_id % {host_mod} AS VARCHAR) || '.com' AS host
+           FROM documents)
+SELECT host,
+       CASE WHEN k = 1 THEN 'allow' ELSE 'disallow' END AS rule,
+       CASE k
+         WHEN 0 THEN '/d' || CAST(doc_id AS VARCHAR) || '/'
+         WHEN 1 THEN '/d' || CAST(doc_id AS VARCHAR) || '/ok'
+         WHEN 2 THEN '/w' || CAST(doc_id AS VARCHAR) || '/'
+         ELSE '/e' || CAST(doc_id AS VARCHAR)
+       END AS prefix,
+       CAST(CASE k
+         WHEN 0 THEN length('/d' || CAST(doc_id AS VARCHAR) || '/')
+         WHEN 1 THEN length('/d' || CAST(doc_id AS VARCHAR) || '/ok')
+         WHEN 2 THEN length('/w' || CAST(doc_id AS VARCHAR) || '/*.php')
+         ELSE length('/e' || CAST(doc_id AS VARCHAR) || '$')
+       END AS INT) AS prec
+FROM k WHERE k != 4"""

@@ -393,3 +393,71 @@ def test_robots_exact_wildcard_mode(spark):
             spark.createDataFrame([("e.com", body)], "host string, robots_txt string"),
             wildcard="fuzzy",
         )
+
+
+def robots_fixture(spark, sf_dir):
+    """Deterministic per-host robots.txt bodies derived from the
+    documents table: each doc contributes one line (rule kind by
+    doc_id % 5, incl. wildcard and '$' patterns and comments) under a
+    'User-agent: *' header per host — the fixture the r09 gate
+    candidate would use (QUERIES.md planned rotations)."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    k = d % 5
+    line = (
+        F.when(k == 0, F.concat(F.lit("Disallow: /d"), ds, F.lit("/")))
+        .when(k == 1, F.concat(F.lit("Allow: /d"), ds, F.lit("/ok")))
+        .when(k == 2, F.concat(F.lit("Disallow: /w"), ds, F.lit("/*.php")))
+        .when(k == 3, F.concat(F.lit("Disallow: /e"), ds, F.lit("$")))
+        .otherwise(F.concat(F.lit("# comment "), ds))
+    )
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".com"))
+    return (
+        docs.select(host.alias("host"), d.alias("doc_id"), line.alias("line"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ),
+            ).alias("robots_txt")
+        )
+    )
+
+
+def test_robots_rules_fixture_matches_duckdb_twin(spark, sf_small):
+    """The real parser over document-derived robots bodies vs the
+    declarative DuckDB statement of what a correct parse recovers
+    (conservative wildcard/'$' degradation included) — the r09 gate
+    candidate's evidence, pinned now at sf0.001."""
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_robots_rules_fixture
+
+    rules = robots_txt_rules(
+        robots_fixture(spark, sf_small), max_rules_per_host=100_000
+    )
+    got = sorted(
+        (r.host, r.rule, r.prefix, r.prec) for r in rules.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (h, ru, p, int(pr))
+        for h, ru, p, pr in con.sql(sql_robots_rules_fixture()).fetchall()
+    )
+    assert len(got) == len(want) == 400  # 500 docs, 1/5 are comments
+    assert got == want
