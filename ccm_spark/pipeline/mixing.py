@@ -556,3 +556,56 @@ def train_eval_split(
             leaks.select("doc_id").distinct(), "doc_id", "left_anti"
         )
     return train_docs, eval_docs, leaks
+
+
+def grouped_split(
+    docs: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "gsplit1",
+) -> DataFrame:
+    """Adds ``split``: leakage-safe BY-CONSTRUCTION split assignment —
+    every document of a GROUP (domain, near-dup cluster id, author,
+    source) lands in the same split, because the assignment hashes the
+    group key, never the document. The complement of
+    :func:`train_eval_split`: that one splits per-document and removes
+    leaks post-hoc (exact/near-copy leakage); this one prevents
+    STRUCTURAL leakage (same site/cluster straddling train and test —
+    the contamination a shingle check cannot see, e.g. templated
+    sibling pages or paraphrases inside one near-dup cluster).
+
+    ``fractions`` maps split name -> fraction; they must sum to 1
+    (within 1e-9). Assignment: the salted md5 of the group key against
+    cumulative thresholds in sorted-split-name order — deterministic,
+    content-independent, partitioning-independent. NULL groups form one
+    group of their own (hash of the literal 'NULL' marker), so unparsed
+    domains stay together too. One codegen expression, no shuffle, no
+    join; EXPECTED fractions hold over groups (a giant group lands
+    whole in one split — the point)."""
+    from ccm_spark.functions.hashing import md5_long
+
+    if not fractions:
+        raise ValueError("grouped_split: fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"grouped_split: fractions must sum to 1, got {total}"
+        )
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("grouped_split: fractions must be >= 0")
+    key = md5_long(
+        F.concat(
+            F.lit(f"{salt}:"),
+            F.coalesce(F.col(group_col).cast("string"), F.lit("\x00NULL")),
+        )
+    ) % MIX_MOD
+    expr = None
+    acc = 0.0
+    names = sorted(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = key < int(acc * MIX_MOD)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", split)

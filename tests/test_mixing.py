@@ -438,3 +438,38 @@ def test_train_eval_split_is_deterministic_and_leak_free(spark):
 
     with _pytest.raises(ValueError, match="eval_frac"):
         train_eval_split(docs2, eval_frac=1.5)
+
+
+def test_grouped_split_colocates_groups_and_holds_fractions(spark):
+    """Leakage-safe by construction: every member of a group gets the
+    SAME split; expected fractions hold over many groups; NULL groups
+    stay together; guards fire."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ccm_spark.pipeline.mixing import grouped_split
+
+    rows = [(i, f"dom{i % 200}" if i % 17 else None) for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = grouped_split(docs, "domain", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # one split per group
+    per_group = (
+        out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert per_group == 1
+    # fractions approximately hold over the 200 domains (by doc count)
+    counts = {r.split: r.c for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 2000 == pytest.approx(0.8, abs=0.12)
+    # deterministic across partitionings
+    out2 = grouped_split(docs.repartition(7), "domain", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert {(r.doc_id, r.split) for r in out2.collect()} == {
+        (r.doc_id, r.split) for r in out.collect()
+    }
+    with pytest.raises(ValueError, match="sum to 1"):
+        grouped_split(docs, "domain", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_split(docs, "domain", {})
