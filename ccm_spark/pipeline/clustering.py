@@ -187,23 +187,30 @@ def semantic_dedup(
     run exact dedup first so verbatim mass-duplicates never reach this
     stage."""
     import pandas as pd
+    from pyspark.sql import Window
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"semantic_dedup: threshold must be in (0, 1], got {threshold}")
+    if max_cluster_size < 1:
+        raise ValueError(
+            f"semantic_dedup: max_cluster_size must be >= 1, got {max_cluster_size}"
+        )
     cents = centroids if centroids is not None else kmeans_fit(embeddings, k, n_iters)
     assigned = kmeans_assign(embeddings, cents)
     nv = embeddings.select("vec_id", _normalized_vec("embedding").alias("nv"))
-    rel = assigned.join(nv, "vec_id")
+    # the cap filters BEFORE the grouped kernel (window count on the
+    # exchange the groupBy below reuses — the LSH families' pattern):
+    # an oversized cluster must never be materialised as one pandas
+    # frame in a single worker, or the valve guards nothing
+    rel = assigned.join(nv, "vec_id").withColumn(
+        "_n", F.count("*").over(Window.partitionBy("cluster"))
+    )
+    big = rel.where(F.col("_n") > max_cluster_size).select(
+        "vec_id", "cluster", F.lit(True).alias("keep")
+    )
+    small = rel.where(F.col("_n") <= max_cluster_size).drop("_n")
 
     def dedup_cluster(pdf):
-        if len(pdf) > max_cluster_size:
-            return pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cluster": pdf["cluster"].to_numpy(),
-                    "keep": np.ones(len(pdf), dtype=bool),
-                }
-            )
         pdf = pdf.sort_values("vec_id")
         mat = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
         n = mat.shape[0]
@@ -224,8 +231,9 @@ def semantic_dedup(
             }
         )
 
-    return (
-        spread(rel, "cluster")
+    deduped = (
+        spread(small, "cluster")
         .groupBy("cluster")
         .applyInPandas(dedup_cluster, "vec_id long, cluster long, keep boolean")
     )
+    return deduped.unionByName(big)

@@ -582,8 +582,6 @@ def grouped_split(
     domains stay together too. One codegen expression, no shuffle, no
     join; EXPECTED fractions hold over groups (a giant group lands
     whole in one split — the point)."""
-    from ccm_spark.functions.hashing import md5_long
-
     if not fractions:
         raise ValueError("grouped_split: fractions must be non-empty")
     total = sum(fractions.values())
@@ -604,7 +602,10 @@ def grouped_split(
     names = sorted(fractions)
     for name in names[:-1]:
         acc += fractions[name]
-        cond = key < int(acc * MIX_MOD)
+        # round, not truncate: 0.29 * 1e6 is 289999.99999999994 in
+        # binary — int() would silently shave the band by one key
+        # (mixture_sample's int(round(...)) convention)
+        cond = key < int(round(acc * MIX_MOD))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
