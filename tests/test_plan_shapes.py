@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 
 def _formatted_plan(df) -> str:
@@ -283,3 +284,76 @@ def test_bottomk_build_never_window_ranks_the_full_relation(spark, sf_small):
     assert "TakeOrderedAndProject" in plan or n_windows == 1
     # the count side is a real partial aggregate (map-side combine)
     assert "partial_count" in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    """Physical Exchange count from the detail section — the tree AND
+    detail lines both contain the word, so a raw substring count
+    double-counts every operator."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_cms_sketch_is_one_aggregation_exchange(spark, sf_small):
+    """The gated CMS build: pruned scan (text only), map-side partial
+    aggregate, exactly one exchange — a second exchange or an unpruned
+    scan would be a silent scale regression."""
+    from ccm_spark.pipeline.sketches import cms_build
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _formatted_plan(cms_build(docs))
+    assert _n_exchanges(plan) == 1
+    scan = plan[plan.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 200]
+    assert "text" in read_schema and "doc_id" not in read_schema
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_warc_extract_fixture_plan_shape(spark, sf_small):
+    """The gated WARC round trip: scan prunes to (doc_id, text), the
+    shard assembly is the ONLY exchange, and the parse is one
+    mapInPandas — no join anywhere."""
+    from ccm_spark.entry import q_warc_extract
+
+    plan = _formatted_plan(q_warc_extract(spark, sf_small))
+    assert _n_exchanges(plan) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+
+
+def test_bpe_encode_is_narrow_after_spread(spark, sf_small):
+    """The gated BPE apply: one spread exchange (AQE-proof explicit
+    repartition), then a single Arrow pass — no join, no aggregation."""
+    from ccm_spark.entry import q_bpe_encode
+
+    plan = _formatted_plan(q_bpe_encode(spark, sf_small))
+    assert _n_exchanges(plan) == 1  # the spread only
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_classifier_features_have_no_window_exchange(spark, sf_small):
+    """hashed_features carries the per-doc total from the scan (array
+    size) instead of a doc_id window — pin that no Window operator and
+    only the single aggregation exchange appear."""
+    from ccm_spark.pipeline.classify import hashed_features
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _formatted_plan(hashed_features(docs))
+    assert "Window" not in plan
+    assert _n_exchanges(plan) == 1
+
+
+def test_dsir_ratio_join_broadcasts(spark, sf_small):
+    """The dim-bounded log-ratio relation must reach the raw feature
+    counts as a broadcast join — a sort-merge join there shuffles the
+    whole raw corpus on feat_idx for a KB-scale model."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.dsir import dsir_log_weights
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    plan = _formatted_plan(dsir_log_weights(raw, target))
+    assert "BroadcastHashJoin" in plan
