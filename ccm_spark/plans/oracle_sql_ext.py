@@ -1922,3 +1922,81 @@ SELECT host,
          ELSE length('/e' || CAST(doc_id AS VARCHAR) || '$')
        END AS INT) AS prec
 FROM k WHERE k != 4"""
+
+
+def wordpiece_gate_vocab() -> dict:
+    """The fixed literal vocabulary the wordpiece-apply twin shares with
+    the Spark side (the BPE_GATE_MERGES pattern — vocabulary DERIVATION
+    has its own gated surface via text_vocab_topk; this pins the greedy
+    APPLY kernel): lowercase letters as word-initial and '##'
+    continuation pieces plus a handful of common multi-char pieces.
+    Digits are deliberately absent so numeric tokens exercise the
+    whole-word-UNK path. Ids are assigned by sorted piece string from 1
+    (0 = unk) — the build_wordpiece_vocab rule."""
+    pieces = set("abcdefghijklmnopqrstuvwxyz")
+    pieces |= {"##" + c for c in "abcdefghijklmnopqrstuvwxyz"}
+    pieces |= {
+        "the", "and", "of", "to", "in", "is", "on", "for", "data",
+        "##ing", "##ed", "##s", "##er", "##tion", "##al",
+    }
+    return {p: i + 1 for i, p in enumerate(sorted(pieces))}
+
+
+def sql_wordpiece_encode(unk_id: int = 0, max_piece: int = 32) -> str:
+    """Replay of tokenize.tokenize_docs' greedy longest-match-first
+    wordpiece kernel with the fixed wordpiece_gate_vocab: a recursive
+    CTE advances a cursor per DISTINCT word, a LEFT LATERAL against the
+    vocab picks the longest matching piece ('##'-prefixed lookups after
+    the first), and a position with no match collapses the whole word
+    to the unk id — exactly py_wordpiece's contract. Per-doc output
+    re-joins encodings to the positional token explode."""
+    vocab = wordpiece_gate_vocab()
+    assert all(len(p) <= max_piece for p in vocab)
+    values = ", ".join(f"({p!r}, {i})" for p, i in sorted(vocab.items()))
+    return f"""
+WITH RECURSIVE
+vocab(piece, id) AS (SELECT * FROM (VALUES {values}) v(piece, id)),
+t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+tw AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS w
+  FROM t
+),
+words AS (SELECT DISTINCT w FROM tw),
+rec(w, pos, first, ids, failed) AS (
+  SELECT w, 0, TRUE, CAST('' AS VARCHAR), FALSE FROM words
+  UNION ALL
+  SELECT r.w,
+         CASE WHEN best.id IS NULL THEN length(r.w) ELSE r.pos + best.mlen END,
+         FALSE,
+         CASE WHEN best.id IS NULL THEN CAST({unk_id} AS VARCHAR)
+              WHEN r.ids = '' THEN CAST(best.id AS VARCHAR)
+              ELSE r.ids || ',' || CAST(best.id AS VARCHAR) END,
+         best.id IS NULL
+  FROM rec r
+  LEFT JOIN LATERAL (
+    SELECT v.id,
+           CASE WHEN r.first THEN length(v.piece) ELSE length(v.piece) - 2 END AS mlen
+    FROM vocab v
+    WHERE CASE WHEN r.first
+               THEN v.piece NOT LIKE '##%'
+                    AND length(v.piece) <= {max_piece}
+                    AND v.piece = substr(r.w, r.pos + 1, length(v.piece))
+               ELSE v.piece LIKE '##%'
+                    AND length(v.piece) - 2 <= {max_piece}
+                    AND length(v.piece) > 2
+                    AND substr(v.piece, 3) = substr(r.w, r.pos + 1, length(v.piece) - 2)
+          END
+    ORDER BY length(v.piece) DESC LIMIT 1
+  ) best ON TRUE
+  WHERE r.pos < length(r.w) AND NOT r.failed
+),
+enc AS (
+  SELECT w, ids, failed FROM rec WHERE pos >= length(w)
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(e.ids, ',' ORDER BY tw.pos), '') AS ids,
+       CAST(COALESCE(SUM(len(string_split(e.ids, ','))), 0) AS BIGINT) AS n_pieces
+FROM documents d
+LEFT JOIN tw ON tw.doc_id = d.doc_id
+LEFT JOIN enc e ON e.w = tw.w
+GROUP BY d.doc_id"""

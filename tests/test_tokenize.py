@@ -445,3 +445,42 @@ def test_bpe_merge_loop_matches_naive_rescan_oracle():
         }
         n_merges = rng.randint(1, 8)
         assert _train_merges(dict(words), n_merges) == naive(words, n_merges)
+
+
+def test_wordpiece_encode_matches_duckdb_replay(spark, sf_small):
+    """The greedy longest-match wordpiece APPLY kernel replayed in SQL
+    (recursive-CTE cursor + lateral longest-piece lookup) with the
+    fixed gate vocabulary — digits are absent from the vocab so numeric
+    tokens exercise the whole-word-UNK path. An r09 gate candidate's
+    evidence, pinned now at sf0.001."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.tokenize import tokenize_docs
+    from ccm_spark.plans.oracle_sql_ext import (
+        sql_wordpiece_encode,
+        wordpiece_gate_vocab,
+    )
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = tokenize_docs(docs, wordpiece_gate_vocab())
+    got = {
+        r.doc_id: (r.ids, r.n_pieces)
+        for r in out.select(
+            "doc_id", F.array_join("token_ids", ",").alias("ids"), "n_pieces"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = {
+        int(d): (i, int(n))
+        for d, i, n in con.sql(sql_wordpiece_encode()).fetchall()
+    }
+    assert len(got) == len(want) == 500
+    mism = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
+    assert not mism, dict(list(mism.items())[:3])
