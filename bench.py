@@ -56,6 +56,26 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_before = _loadavg()
+    # loadavg gate (r08 judge): BENCH_r08 started at loadavg 8.36/32 and
+    # its totals diverged +11% from the quiet-host run of identical code.
+    # Wait (bounded) for the 1-min load to fall below the threshold so
+    # the bench measures the engine, not the neighbours; if the host
+    # never quiets down, run anyway but flag it in the JSON.
+    LOAD_GATE = 2.0
+    LOAD_GATE_MAX_WAIT = 300.0
+    load_wait = 0.0
+    while load_wait < LOAD_GATE_MAX_WAIT:
+        la = _loadavg()
+        if not la or la[0] <= LOAD_GATE:
+            break
+        print(
+            f"# loadavg {la[0]} > {LOAD_GATE}, waiting ({load_wait:.0f}s)...",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        load_wait += 15
+    load_at_start = _loadavg()
+    load_warning = bool(load_at_start and load_at_start[0] > LOAD_GATE)
     spark = get_spark("ccm_spark-bench")
     qs = E.queries()
 
@@ -128,6 +148,11 @@ def main() -> None:
     # so their median stands on 5 samples instead of 3
     EXTRA_REPEATS = 2
     EXTRA_BELOW_SEC = 1.5
+    # the CCM flagships carry the widest historical spreads (r07 driver
+    # saw ccm_bidirectional hit 9.2 s on a 2 s plan — first-execution
+    # codegen/JIT landing in the median): run each once UNTIMED before
+    # the passes, and give them the 5-sample treatment below
+    FLAGSHIPS = ["ccm_bidirectional", "ccm_bidirectional_fast", "ccm_fleet_64x300"]
     names = HEADLINE + ["ccm_fleet_64x300"]
     samples: dict[str, list[float]] = {n: [] for n in names}
 
@@ -144,9 +169,20 @@ def main() -> None:
         s = sorted(xs)
         return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
 
+    for name in FLAGSHIPS:
+        fn = local_queries.get(name) or qs[name]
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        print(f"# warmup {name}: {time.time() - t0:.2f}s", file=sys.stderr)
+
     for _ in range(REPEATS):
         run_pass(names)
-    fragile = [n for n in names if median(samples[n]) < EXTRA_BELOW_SEC]
+    fragile = [
+        n
+        for n in names
+        if median(samples[n]) < EXTRA_BELOW_SEC or n in FLAGSHIPS
+    ]
     for _ in range(EXTRA_REPEATS):
         run_pass(fragile)
 
@@ -443,6 +479,11 @@ def main() -> None:
                 # bursts on this VM; a cross-round comparison should read
                 # these before calling a delta a regression
                 "loadavg_before": load_before,
+                "loadavg_at_start": load_at_start,
+                "loadavg_gate": LOAD_GATE,
+                "loadavg_wait_sec": load_wait,
+                "loadavg_gate_exceeded": load_warning,
+                "flagship_warmup": FLAGSHIPS,
                 "loadavg_after": _loadavg(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }

@@ -785,9 +785,14 @@ def q_warc_extract(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     d = F.col("doc_id")
     ds = d.cast("string")
+    # coalesce NULL text to '' BEFORE the concat: a NULL text would
+    # NULL the whole record, which collect_list silently drops from the
+    # shard while the DuckDB twin still emits a row per document — a
+    # count/hash mismatch instead of a parser failure (the twin applies
+    # the same coalesce so both sides agree on the empty payload)
     payload = F.concat(
         F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
     )
     rec = F.concat(
         F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),

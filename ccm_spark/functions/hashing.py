@@ -66,8 +66,15 @@ def py_round_half_up(x: float, ndigits: int) -> float:
     whose rounded output is hash-compared cross-engine must round
     through THIS function, not the builtin. Pinned against DuckDB on
     20k randoms + known ties in tests/test_rounding.py."""
+    import math as _math
     from decimal import ROUND_HALF_UP, Context, Decimal
 
+    # +/-inf passes through like NaN does: Decimal.quantize raises
+    # InvalidOperation on infinities, while the F.round / DuckDB round
+    # semantics this twins simply propagate them — an inf reaching a
+    # rounding kernel must not crash the task
+    if _math.isinf(x):
+        return x
     # explicit wide context: the default 28-digit context raises
     # InvalidOperation quantizing huge magnitudes (|x| ~ 1e300), where
     # rounding is a no-op for doubles anyway (no fractional part above

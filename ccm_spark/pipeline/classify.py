@@ -51,8 +51,6 @@ model size.
 
 from __future__ import annotations
 
-import math
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -249,6 +247,8 @@ def score_quality(docs: DataFrame, model: dict) -> DataFrame:
     def run(batches):
         import hashlib
 
+        import numpy as np
+
         from ccm_spark.functions.hashing import py_round_half_up, py_tokens
 
         wts, bs, d = bc.value
@@ -279,7 +279,10 @@ def score_quality(docs: DataFrame, model: dict) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "score": s,
-                    "prob": 1.0 / (1.0 + (-s).apply(math.exp)),
+                    # np.exp, not math.exp: a margin below ~-709 must
+                    # saturate to prob 0.0 (exp -> inf -> 1/inf), where
+                    # math.exp raises OverflowError and kills the task
+                    "prob": 1.0 / (1.0 + np.exp(-s.to_numpy())),
                 }
             )
 

@@ -70,10 +70,15 @@ def pagerank(
     quantize: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over an edge relation → ``(node, rank)``,
-    ranks summing to 1. Parallel edges are additive; nodes appearing
+    ranks summing to 1 (with ``quantize`` set, only to ~1: each
+    per-iteration rounding perturbs the total by up to n·5e-(q+1) —
+    the exact sum-to-1 invariant is traded for cross-engine
+    replayability). Parallel edges are additive; nodes appearing
     only as targets still receive rank; dangling nodes (no out-edges)
     redistribute uniformly, so total mass is conserved exactly (up to
-    float summation) — the property the numpy replay pin checks.
+    float summation) — the property the numpy replay pin checks (at
+    ``quantize=None``; the quantized gate relies on the drift being
+    tolerable, not absent).
     Edges with NULL or non-positive weight are dropped (they carry no
     endorsement and would poison the out-strength division); their
     endpoints stay in the node relation, and a src left with no
@@ -108,44 +113,78 @@ def pagerank(
     nodes = nodes_src.select(F.col("src").alias("node")).union(
         nodes_src.select(F.col("dst").alias("node"))
     ).distinct()
+    nodes = nodes.persist()
+    n = nodes.count()  # one scalar, once — not per iteration
+    if n == 0:
+        # empty result is computed before the unpersist drops the
+        # (empty) persisted relation — otherwise the early return
+        # leaks the persist for the session
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        nodes.unpersist()
+        return out
+
+    # size the iteration shuffles to the GRAPH, not the session default
+    # (ceiling): r08 measured the 20k-node bench graph spending most of
+    # each round on 32-partition exchange task overhead — at sp=4-8 the
+    # same 5 iterations run ~40% faster, and on a real cluster a
+    # host-graph with 1e9 nodes keeps the (large) session value. The
+    # session conf is set for the loop only and restored in `finally`
+    # (session-scoped: concurrent queries on the same session during a
+    # pagerank call would see the reduced value).
+    spark = edges.sparkSession
+    default_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    npart = max(2, min(default_sp, n // 4000 + 1))
+
     # out-strength denormalised onto edges once; layout reused every round
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     e = (
         e.join(out_w, "src")
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-        .repartition("src")
+        .repartition(npart, "src")
         .persist()
     )
-    nodes = nodes.persist()
-    n = nodes.count()  # one scalar, once — not per iteration
-    if n == 0:
-        # empty result is computed before the unpersists drop the
-        # (empty) persisted relations — otherwise the early return
-        # leaks both persists for the session
-        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+
+    # dangling-ness is STATIC, so it is stamped onto the node relation
+    # ONCE (one left join against the distinct src set, eagerly
+    # materialised — a lazy persist would only take effect after the
+    # caller's first action, past the unpersists below); inside the
+    # loop the per-round dangling mass is then a FILTER + scalar agg
+    # over the already-checkpointed ranks — no join at all (r08 ran a
+    # semi-join per round here; on the 20k bench graph that join was
+    # pure per-iteration overhead)
+    srcs = e.select("src").distinct().withColumn("_has_out", F.lit(True))
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+        return _pagerank_loop(e, nodes, srcs, n, n_iters, damping, quantize)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_sp))
         e.unpersist()
         nodes.unpersist()
-        return out
 
-    # dangling nodes computed and MATERIALISED once (eager checkpoint —
-    # a lazy persist would only take effect after the caller's first
-    # action, by which point the unpersist below has already dropped
-    # it); inside the loop each round only semi-joins ranks against
-    # this small frozen relation — not a fresh distinct-shuffle
-    srcs = e.select("src").distinct()
-    dangling_nodes = nodes.join(
-        srcs, nodes.node == srcs.src, "left_anti"
-    ).localCheckpoint(eager=True)
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+def _pagerank_loop(e, nodes, srcs, n, n_iters, damping, quantize):
+    """The power-iteration loop of :func:`pagerank` (split out so the
+    caller's try/finally conf restore + unpersists wrap every exit)."""
+    nodes_f = (
+        nodes.join(srcs, nodes.node == srcs.src, "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_has_out"), F.lit(False)).alias("has_out"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    ranks = nodes_f.select("node", "has_out", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iters):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
         )
-        # rank mass sitting on dangling nodes, recovered in-plan
-        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
+        # rank mass sitting on dangling nodes, recovered in-plan: the
+        # broadcast job only scans the checkpointed ranks (node-sized)
+        dangling = ranks.filter(~F.col("has_out")).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
         )
         new_rank = (
@@ -156,15 +195,16 @@ def pagerank(
         if quantize is not None:
             new_rank = F.round(new_rank, quantize)
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            nodes_f.join(contribs, nodes_f.node == contribs.dst, "left")
             .crossJoin(F.broadcast(dangling))
-            .select("node", new_rank.alias("rank"))
+            .select("node", "has_out", new_rank.alias("rank"))
         )
         # EAGER checkpoint EVERY round, for two reasons both pinned
         # by tests: (a) each iteration executes here, WHILE e/nodes
-        # are still persisted — a lazy loop would defer all rounds
-        # past the unpersists below and recompute the edge layout
-        # every round; (b) ranks feeds TWO consumers per round
+        # are still persisted AND the graph-sized shuffle conf is
+        # active — a lazy loop would defer all rounds past the
+        # caller's conf restore + unpersists and recompute the edge
+        # layout every round; (b) ranks feeds TWO consumers per round
         # (contribs + dangling), so an uncut plan DOUBLES per
         # iteration — O(2^n_iters) analysis blew the driver heap at
         # 12 rounds when this was briefly a persist-only chain.
@@ -178,10 +218,7 @@ def pagerank(
         # refcounting — prompt in practice); Spark exposes no public
         # API to free them more eagerly.
         ranks = ranks.localCheckpoint(eager=True)
-    out = ranks
-    e.unpersist()
-    nodes.unpersist()
-    return out
+    return ranks.select("node", "rank")
 
 
 def top_hosts(

@@ -1665,8 +1665,8 @@ SELECT '<urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
        'application/http;msgtype=response' AS content_type,
        CAST(200 AS INT) AS http_status,
        'text/plain' AS http_content_type,
-       text,
-       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+       COALESCE(text, '') AS text,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS payload_len
 FROM documents"""
 
 
@@ -1706,6 +1706,27 @@ BPE_GATE_END = "</w>"
 #: synthetic corpus (it is not in WS_CLASS, and the fixture corpus is
 #: printable text)
 _BPE_SEP = "\x1f"
+
+# Enforce the ordering invariant the SQL twin's two-pass replace relies
+# on: the pattern SEP+a+SEP+b+SEP must never overlap itself. Since
+# symbols cannot contain SEP, the ONLY possible nontrivial self-overlap
+# is a == b (a run like "a a a a a" then gives [aa, a, aa] via replace
+# but [aa, aa, a] via the real greedy kernel — verified in DuckDB), so
+# a != b is exactly the sufficient condition. Checked at import so a
+# future table edit fails loudly instead of silently breaking the gate.
+for _a, _b in BPE_GATE_MERGES:
+    if _a == _b:
+        raise AssertionError(
+            f"BPE_GATE_MERGES contains a self-adjacent merge ({_a!r}, {_b!r}); "
+            "the two-pass string-replace oracle (sql_bpe_encode) is only "
+            "equivalent to the greedy kernel when no merge pair is "
+            "self-overlapping — pick a different gate table"
+        )
+    if _BPE_SEP in _a or _BPE_SEP in _b:
+        raise AssertionError(
+            f"BPE_GATE_MERGES symbol contains the unit separator: ({_a!r}, {_b!r})"
+        )
+del _a, _b
 
 
 def sql_bpe_encode() -> str:
