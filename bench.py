@@ -137,6 +137,10 @@ def main() -> None:
         "ccm_bidirectional_fast": bidir_fast_query,
         "ccm_knn": knn_query,
         "ccm_fleet_64x300": fleet_query,
+        # rotated out of the gated registry r09 (QUERIES.md) but kept in
+        # the headline set under the same name/semantics so cross-round
+        # totals stay same-set comparable
+        "text_fingerprint": E.q_text_fingerprint,
     }
 
     # median of REPEATS per query, pass-interleaved so a VM-noise burst

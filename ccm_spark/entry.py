@@ -894,6 +894,94 @@ def q_events_hourly_stats(spark, sf_dir):
     )
 
 
+def q_quality_classifier_scores(spark, sf_dir):
+    """Trainable quality classifier end-to-end (pipeline/classify.py):
+    hashed count-ratio features, distributed full-batch GD with
+    round-6 per-iteration weight/bias updates (both engines restart
+    every iteration from identical state), fixed-point serving — the
+    DuckDB twin re-derives the ENTIRE trainer as an unrolled CTE chain
+    plus the serving margin. Labels are the deterministic
+    doc_id % 3 == 0 rule."""
+    from ccm_spark.pipeline.classify import score_quality, train_quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    labels = docs.select(
+        "doc_id", (F.col("doc_id") % 3 == 0).cast("int").alias("label")
+    )
+    model = train_quality_classifier(
+        docs, labels, dim=oext.CLS_DIM, n_iters=oext.CLS_ITERS, lr=oext.CLS_LR
+    )
+    return score_quality(docs, model).select("doc_id", "score")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (pipeline/dsir.py): hashed word-bigram
+    bag models over the deterministic doc_id % 10 target/raw split,
+    add-alpha smoothed log-ratios, per-doc dot product — the selection
+    signal a 100 TB curation pass ranks by. Twin replays the whole
+    chain."""
+    from ccm_spark.pipeline.dsir import dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    return dsir_log_weights(raw, target).select("doc_id", "log_w")
+
+
+def q_hll_vocab(spark, sf_dir):
+    """Relation-form HLL distinct-token sketch (pipeline/sketches.py):
+    md5-derived registers with integer bin-length rank — the mergeable
+    cardinality artifact, replayed register-for-register."""
+    from ccm_spark.pipeline.sketches import hll_registers
+
+    return hll_registers(_docs(spark, sf_dir), by=None)
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots.txt parse (pipeline/robots.py) over the deterministic
+    documents-derived fixture (one rule line per doc: plain disallow /
+    allow / '*' wildcard / '$' anchor / comment, per doc_id % 5): the
+    declarative twin states what a correct parse recovers, conservative
+    wildcard truncation and '$' strip included — the warc_extract
+    oracle pattern."""
+    from ccm_spark.pipeline.robots import robots_fixture, robots_txt_rules
+
+    return robots_txt_rules(
+        robots_fixture(spark, sf_dir), max_rules_per_host=100_000
+    ).select("host", "rule", "prefix", "prec")
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """Distributed wordpiece APPLY (pipeline/tokenize.py): the greedy
+    longest-match-first serving kernel with the fixed gate vocabulary
+    (digits absent, so numeric tokens exercise the whole-word-UNK
+    path) vs a recursive-CTE cursor + lateral longest-piece lookup in
+    DuckDB — two independent algorithms agreeing, the bpe_encode
+    pattern."""
+    from ccm_spark.pipeline.tokenize import tokenize_docs
+
+    out = tokenize_docs(_docs(spark, sf_dir), oext.wordpiece_gate_vocab())
+    return out.select(
+        "doc_id",
+        F.array_join("token_ids", ",").alias("ids"),
+        "n_pieces",
+    )
+
+
+def q_streaming_hourly_stats(spark, sf_dir):
+    """The gated STREAMING row (streaming/windows.py): a deterministic
+    3-micro-batch replay of windowed_event_stats — events split by
+    event_id % 3 into mtime-ordered shards, maxFilesPerTrigger=1,
+    availableNow, append-mode memory sink — so watermark sequencing and
+    late-data drops are what the hash pins. The DuckDB twin re-derives
+    the sink content from the calibrated watermark rules (late filter
+    one batch behind eviction; final eviction at global max - delay)."""
+    from ccm_spark.streaming.windows import windowed_stats_replay
+
+    configure_existing(spark)
+    return windowed_stats_replay(spark, sf_dir)
+
+
 # ----------------------------------------------------------------- export
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -906,7 +994,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_events_ops.py."""
     return {
         "ccm_embedding": q_ccm_embedding,
-        "ccm_lib_ladder": q_ccm_lib_ladder,
+        # ccm_lib_ladder rotated out r09 (QUERIES.md policy): the ladder
+        # arithmetic (maxl<10 / range / GREATEST steps) is re-derived
+        # independently by the still-gated ccm_config_ladder, and the
+        # per-pair ladder stays exercised end-to-end inside the gated
+        # ccm_bidirectional / ccm_fleet_iterated sweeps; keeps a
+        # DuckDB-replay pin in tests/test_pipeline_ops.py. Slot went to
+        # quality_classifier_scores (the trainable-classifier family's
+        # first CORRECTNESS row).
+        "quality_classifier_scores": q_quality_classifier_scores,
         "ccm_config_ladder": q_ccm_config_ladder,
         "ccm_bidirectional": q_ccm_bidirectional,
         "ccm_logistic_bidirectional": q_ccm_logistic_bidirectional,
@@ -931,7 +1027,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in tests/test_pipeline_ops.py. Slot went to cms_sketch (the
         # sketch family's first CORRECTNESS row).
         "cms_sketch": q_cms_sketch,
-        "text_fingerprint": q_text_fingerprint,
+        # text_fingerprint rotated out r09 (QUERIES.md policy): the
+        # positional rolling hash also anchors the fingerprint pins in
+        # tests/test_pipeline_ops.py, and it gains a DuckDB-replay pin
+        # there. Slot went to dsir_weights (the data-selection family's
+        # first CORRECTNESS row).
+        "dsir_weights": q_dsir_weights,
         "text_quality_filter": q_text_quality_filter,
         "text_redact_pii": q_text_redact_pii,
         "text_repetition": q_text_repetition,
@@ -990,10 +1091,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-extraction family's first CORRECTNESS row).
         "html_extract": q_html_extract,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
-        "ann_ivf_recall": q_ann_ivf_recall,
+        # ann_ivf_recall rotated out r09 (QUERIES.md policy): its oracle
+        # is LITERALLY the two still-gated oracles (sql_ann_cosine_topk +
+        # sql_ann_ivf_kmeans_topk) nested verbatim as CTEs joined on
+        # (query_id, target_id) — a perturbation in either constituent
+        # already breaks a gated row; keeps a DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to wordpiece_encode (the
+        # wordpiece serving kernel's first CORRECTNESS row).
+        "wordpiece_encode": q_wordpiece_encode,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
+        # multimodal_frames rotated out r09 (QUERIES.md policy): both
+        # multimodal rows drive the SAME deterministic payload fixture
+        # and the frame sampler keeps its stub-boundary pins in
+        # tests/test_pipeline_ops.py plus a DuckDB-replay pin. Slot went
+        # to hll_vocab (the HLL sketch's first CORRECTNESS row — CMS
+        # holds the sketch family's other gate).
+        "hll_vocab": q_hll_vocab,
         "events_hourly_stats": q_events_hourly_stats,
         # gen_logistic_maps rotated out r07 (QUERIES.md policy): the G1
         # generator stays end-to-end hash-checked through the still-gated
@@ -1015,10 +1129,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "text_vocab_topk": q_text_vocab_topk,
         "events_sessionize": q_events_sessionize,
-        "events_quantiles": q_events_quantiles,
+        # events_quantiles rotated out r09 (QUERIES.md policy): the
+        # exact-quantile relation keeps its pins (incl. the
+        # approx_percentile 100 TB twin comparison) in
+        # tests/test_events_ops.py plus a DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to streaming_hourly_stats
+        # (the streaming family's first CORRECTNESS row — watermark +
+        # late-data semantics under the hash gate).
+        "streaming_hourly_stats": q_streaming_hourly_stats,
         "pricing_summary": q_pricing_summary,
         "top_customers_by_nation": q_top_customers_by_nation,
-        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        # customers_no_urgent_orders rotated out r09 (QUERIES.md policy):
+        # the left-anti-join plan family keeps its gate through the
+        # still-gated parts_no_bulk_returns (same anti-join + broadcast
+        # rollup shape) and the relational family keeps 3 gated rows;
+        # gains a DuckDB-replay pin in tests/test_pipeline_ops.py. Slot
+        # went to robots_rules (crawl compliance's first CORRECTNESS
+        # row).
+        "robots_rules": q_robots_rules,
         "parts_no_bulk_returns": q_parts_no_bulk_returns,
     }
 
@@ -1026,7 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ccm_embedding": osql.sql_ccm_embedding(),
-        "ccm_lib_ladder": osql.sql_ccm_lib_ladder(),
+        "quality_classifier_scores": oext.sql_quality_classifier_scores(),
         "ccm_config_ladder": osql.sql_ccm_config_ladder(),
         "ccm_bidirectional": osql.sql_ccm_bidirectional(),
         "ccm_logistic_bidirectional": osql.sql_ccm_bidirectional(G1_PARAMS),
@@ -1038,7 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oext.sql_text_quality(),
         "text_langid": oext.sql_text_langid(),
         "cms_sketch": oext.sql_cms_sketch(),
-        "text_fingerprint": oext.sql_text_fingerprint(),
+        "dsir_weights": oext.sql_dsir_log_weights(),
         "text_quality_filter": oext.sql_text_quality_filter(),
         "text_redact_pii": oext.sql_text_redact_pii(),
         "text_repetition": oext.sql_text_repetition(),
@@ -1060,20 +1188,20 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": oext.sql_pagerank_hosts(),
         "html_extract": oext.sql_html_extract(),
         "ann_ivf_kmeans_topk": oext.sql_ann_ivf_kmeans_topk(),
-        "ann_ivf_recall": oext.sql_ann_ivf_recall(),
+        "wordpiece_encode": oext.sql_wordpiece_encode(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
-        "multimodal_frames": oext.sql_multimodal_frames(),
+        "hll_vocab": oext.sql_hll_registers(),
         "events_hourly_stats": oext.sql_events_hourly_stats(),
         "gen_coupled_series_noisy": oext.sql_gen_coupled_series_noisy(),
         "events_asof_join": oext.sql_events_asof_join(),
         "warc_extract": oext.sql_warc_extract(),
         "text_vocab_topk": oext.sql_text_vocab_topk(),
         "events_sessionize": oext.sql_events_sessionize(),
-        "events_quantiles": oext.sql_events_quantiles(),
+        "streaming_hourly_stats": oext.sql_streaming_hourly_stats(),
         "pricing_summary": oext.sql_pricing_summary(),
         "top_customers_by_nation": oext.sql_top_customers_by_nation(),
-        "customers_no_urgent_orders": oext.sql_customers_no_urgent_orders(),
+        "robots_rules": oext.sql_robots_rules_fixture(),
         "parts_no_bulk_returns": oext.sql_parts_no_bulk_returns(),
     }
 

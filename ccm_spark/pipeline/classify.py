@@ -224,34 +224,45 @@ def score_quality(docs: DataFrame, model: dict) -> DataFrame:
     md5_long, test-pinned), weights in the closure (dim doubles),
     no shuffle, streaming-safe. Token-less docs score the bias.
 
-    The margin is computed in EXACT fixed-point: weights are 6-decimal
-    values, so ``w * 1e6`` is an exact integer and the dot product
-    numerator ``S = sum(w_int * count)`` is an order-free integer sum —
-    then one float division ``S / (n_tokens * 1e6)`` plus the bias,
-    identical ops from identical inputs in every engine. A float dot
-    product would land on true decimal TIES here (6-decimal weights x
-    power-of-two count ratios), where summation order decides which
-    side of the rounding boundary each engine sees — observed as
-    1-in-250 score mismatches before this formulation; the SQL training
-    replay in tests/test_classify.py is exact because of it."""
+    The margin is computed AND ROUNDED in exact fixed-point: weights
+    and bias are 6-decimal values, so ``w * 1e6`` / ``b * 1e6`` are
+    exact integers, the dot product numerator ``S = sum(w_int *
+    count)`` is an order-free integer sum, and the margin is the exact
+    rational ``(S + b_int * n_tokens) / (n_tokens * 1e6)``. The
+    9-decimal rounding is then INTEGER HALF_UP on that rational
+    (``(2*|numer| + den) // (2*den)`` at the 1e9 scale) — never a
+    float-then-round: a float margin lands on true decimal TIES here
+    (6-decimal weights x power-of-two count ratios), where both
+    summation order (observed as 1-in-250 score mismatches before the
+    integer dot product) and the ROUNDING RULE ITSELF (observed at
+    sf0.01: py_round_half_up rounds the double's shortest repr while
+    DuckDB's round multiplies by 1e9 first — a margin one ulp below a
+    .5 boundary splits the engines) decide the output. The SQL training
+    replay in tests/test_classify.py and the gated
+    quality_classifier_scores row are exact because of it."""
     import pandas as pd
 
     w_int = {
         int(i): int(round(float(v) * 1_000_000))
         for i, v in model["weights"].items()
     }
-    bias = float(model["bias"])
+    b_int = int(round(float(model["bias"]) * 1_000_000))
     dim = int(model["dim"])
-    bc = docs.sparkSession.sparkContext.broadcast((w_int, bias, dim))
+    bc = docs.sparkSession.sparkContext.broadcast((w_int, b_int, dim))
+
+    # margin * 10^SCORE_ROUND = (S + b_int*t) * 10^(SCORE_ROUND-6) / t —
+    # exact integers (weights/bias carry 6 decimals)
+    scale_num = 10 ** (SCORE_ROUND - 6)
+    inv_scale = float(10**SCORE_ROUND)
 
     def run(batches):
         import hashlib
 
         import numpy as np
 
-        from ccm_spark.functions.hashing import py_round_half_up, py_tokens
+        from ccm_spark.functions.hashing import py_tokens
 
-        wts, bs, d = bc.value
+        wts, bi, d = bc.value
         for pdf in batches:
             scores = []
             for text in pdf["text"]:
@@ -263,17 +274,19 @@ def score_quality(docs: DataFrame, model: dict) -> DataFrame:
                         16,
                     ) % d
                     counts[h] = counts.get(h, 0) + 1
-                m = bs
-                if toks:
-                    s_int = 0
-                    for idx, c in counts.items():
-                        wv = wts.get(idx)
-                        if wv is not None:
-                            s_int += wv * c
-                    m = s_int / (len(toks) * 1_000_000) + bs
-                # shortest-decimal HALF_UP (Spark F.round / DuckDB round
-                # semantics), not the builtin binary-banker's round
-                scores.append(py_round_half_up(m, SCORE_ROUND))
+                s_int = 0
+                for idx, c in counts.items():
+                    wv = wts.get(idx)
+                    if wv is not None:
+                        s_int += wv * c
+                den = len(toks) or 1  # token-less docs score the bias
+                numer = (s_int + bi * den) * scale_num
+                # integer HALF_UP (away from zero) of the exact rational
+                # numer/den at the 1e9 scale, then ONE float division —
+                # identical integer in every engine, identical double out
+                q9, r9 = divmod(abs(numer), den)
+                n9 = q9 + (1 if 2 * r9 >= den else 0)
+                scores.append((n9 if numer >= 0 else -n9) / inv_scale)
             s = pd.Series(scores, dtype="float64")
             yield pd.DataFrame(
                 {

@@ -445,3 +445,44 @@ def robots_crawl_delay(
         .groupBy("host")
         .agg(F.max(F.col("delay").cast("double")).alias("crawl_delay_s"))
     )
+
+
+def robots_fixture(spark, sf_dir: str) -> DataFrame:
+    """Deterministic per-host robots.txt bodies derived from the
+    documents table — the gated ``robots_rules`` row's input: each doc
+    contributes one line (rule kind by doc_id % 5, incl. wildcard and
+    '$' patterns and comments) under a 'User-agent: *' header per host
+    'h<doc_id % 7>.com'. The DuckDB twin
+    (``oracle_sql_ext.sql_robots_rules_fixture``) states what a correct
+    parse of these bodies recovers, conservative wildcard/'$'
+    degradation included."""
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    k = d % 5
+    line = (
+        F.when(k == 0, F.concat(F.lit("Disallow: /d"), ds, F.lit("/")))
+        .when(k == 1, F.concat(F.lit("Allow: /d"), ds, F.lit("/ok")))
+        .when(k == 2, F.concat(F.lit("Disallow: /w"), ds, F.lit("/*.php")))
+        .when(k == 3, F.concat(F.lit("Disallow: /e"), ds, F.lit("$")))
+        .otherwise(F.concat(F.lit("# comment "), ds))
+    )
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".com"))
+    return (
+        docs.select(host.alias("host"), d.alias("doc_id"), line.alias("line"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("User-agent: *\n"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ),
+            ).alias("robots_txt")
+        )
+    )

@@ -1839,28 +1839,42 @@ def sql_quality_classifier_scores(
   GROUP BY b.b, n.n
 )""",
         ]
-    # final scores in EXACT fixed-point (mirrors score_quality): the
-    # margin numerator is an order-free integer sum of (w * 1e6) * cnt,
-    # then one float division + the bias — identical doubles in every
-    # engine, so the rounding sees identical inputs and ties cannot
-    # split across engines
+    # final scores in EXACT fixed-point, ROUNDING INCLUDED (mirrors
+    # score_quality): the margin is the exact rational
+    # (S + b_int*t) / (t*1e6) with S an order-free integer sum of
+    # (w*1e6)*cnt, and the 9-decimal value is integer HALF_UP of
+    # numer/den at the 1e9 scale — (2*|numer| + den) // (2*den) —
+    # then ONE float division by 1e9. A float margin + round() diverges
+    # here: DuckDB's round multiplies by 1e9 first (a margin one ulp
+    # below a .5 boundary crosses it in the product) while the Arrow
+    # kernel's Decimal path rounds the shortest repr — observed
+    # splitting one sf0.01 document before this formulation.
     return (
         "WITH " + ",\n".join(parts)
         + f"""
 SELECT d.doc_id,
-       round(CASE WHEN mfin.doc_id IS NULL THEN b.b
-                  ELSE mfin.s / (mfin.t * 1000000) + b.b END, 9) + 0.0 AS score
-FROM documents d
-LEFT JOIN (
-  SELECT c.doc_id,
-         SUM(COALESCE(CAST(round(w.w * 1000000.0) AS BIGINT), 0) * c.cnt) AS s,
-         MAX(t.t) AS t
-  FROM cnts c
-  LEFT JOIN w{n_iters} w USING (feat_idx)
-  JOIN tot t USING (doc_id)
-  GROUP BY 1
-) mfin ON mfin.doc_id = d.doc_id
-CROSS JOIN b{n_iters} b"""
+       CAST(CASE WHEN numer >= 0
+                 THEN (2 * numer + den) // (2 * den)
+                 ELSE -((-2 * numer + den) // (2 * den)) END AS DOUBLE)
+         / 1000000000.0 + 0.0 AS score
+FROM (
+  SELECT d0.doc_id,
+         (COALESCE(CAST(mfin.s AS BIGINT), 0)
+          + CAST(round(b.b * 1000000.0) AS BIGINT)
+            * COALESCE(CAST(mfin.t AS BIGINT), 1)) * 1000 AS numer,
+         COALESCE(CAST(mfin.t AS BIGINT), 1) AS den
+  FROM documents d0
+  LEFT JOIN (
+    SELECT c.doc_id,
+           SUM(COALESCE(CAST(round(w.w * 1000000.0) AS BIGINT), 0) * c.cnt) AS s,
+           MAX(t.t) AS t
+    FROM cnts c
+    LEFT JOIN w{n_iters} w USING (feat_idx)
+    JOIN tot t USING (doc_id)
+    GROUP BY 1
+  ) mfin ON mfin.doc_id = d0.doc_id
+  CROSS JOIN b{n_iters} b
+) d"""
     )
 
 
@@ -2021,3 +2035,51 @@ FROM documents d
 LEFT JOIN tw ON tw.doc_id = d.doc_id
 LEFT JOIN enc e ON e.w = tw.w
 GROUP BY d.doc_id"""
+
+
+def sql_streaming_hourly_stats(n_batches: int = 3, delay_hours: int = 72) -> str:
+    """Batch-equivalent replay of streaming.windows.windowed_stats_replay:
+    the micro-batch sequence (events split by event_id % n_batches,
+    processed in shard order) re-expressed as plain SQL using the
+    calibrated watermark rules —
+
+    - the LATE-ROW FILTER of batch k uses the watermark from batches
+      0..k-2 (one batch behind eviction: running MAX over batch maxima
+      with a 2-PRECEDING window), dropping rows whose hour-window END
+      <= that watermark;
+    - the final sink holds every surviving row's window with end
+      <= max(ALL event time) - delay (the trailing no-data batch's
+      eviction pass; the global max includes late-dropped rows because
+      the source updates the watermark before the filter drops them).
+
+    avg is re-derived from the 6-rounded sum on both engines (the
+    sql_events_hourly_stats discipline)."""
+    h = 3_600_000_000
+    delay = delay_hours * h
+    return f"""
+WITH e AS (
+  SELECT event_id % {n_batches} AS b, epoch_us(ts) AS ts_us, event_type, value
+  FROM events
+),
+bmax AS (SELECT b, MAX(ts_us) AS mx FROM e GROUP BY 1),
+fwm AS (
+  SELECT b,
+         MAX(mx) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - {delay} AS filter_wm
+  FROM bmax
+),
+gmax AS (SELECT MAX(ts_us) - {delay} AS final_wm FROM e),
+kept AS (
+  SELECT e.ts_us, e.event_type, e.value
+  FROM e JOIN fwm USING (b)
+  WHERE fwm.filter_wm IS NULL OR (e.ts_us // {h} + 1) * {h} > fwm.filter_wm
+)
+SELECT (ts_us // {h}) * {h} AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       round(SUM(value), 6) + 0.0 AS sum_value,
+       round(round(SUM(value), 6) / COUNT(*), 6) + 0.0 AS avg_value
+FROM kept, gmax
+WHERE (ts_us // {h} + 1) * {h} <= gmax.final_wm
+GROUP BY 1, 2"""

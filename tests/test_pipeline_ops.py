@@ -547,3 +547,57 @@ def test_r08_rotated_rows_match_duckdb_replay(spark, sf_small):
         d_rows = rel.fetch_arrow_table().to_pylist()
         want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
         assert got == want, f"{name}: {len(got)} spark rows != {len(want)} oracle rows or values differ"
+
+
+def test_r09_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r09 rotation pins (QUERIES.md ledger): ccm_lib_ladder /
+    text_fingerprint / ann_ivf_recall / multimodal_frames /
+    events_quantiles / customers_no_urgent_orders lost their driver
+    gate slots to the classifier / DSIR / wordpiece / HLL / streaming /
+    robots families; each rotated-out relation stays cross-engine
+    hash-checked here at sf0.001, exactly the way the driver would
+    check it."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql as osql
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "ccm_lib_ladder": (entry.q_ccm_lib_ladder, osql.sql_ccm_lib_ladder()),
+        "text_fingerprint": (entry.q_text_fingerprint, oe.sql_text_fingerprint()),
+        "ann_ivf_recall": (entry.q_ann_ivf_recall, oe.sql_ann_ivf_recall()),
+        "multimodal_frames": (
+            entry.q_multimodal_frames,
+            oe.sql_multimodal_frames(),
+        ),
+        "events_quantiles": (entry.q_events_quantiles, oe.sql_events_quantiles()),
+        "customers_no_urgent_orders": (
+            entry.q_customers_no_urgent_orders,
+            oe.sql_customers_no_urgent_orders(),
+        ),
+    }
+
+    def _key(t):  # None-safe total order
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert got == want, (
+            f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
+            "or values differ"
+        )

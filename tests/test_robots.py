@@ -395,44 +395,9 @@ def test_robots_exact_wildcard_mode(spark):
         )
 
 
-def robots_fixture(spark, sf_dir):
-    """Deterministic per-host robots.txt bodies derived from the
-    documents table: each doc contributes one line (rule kind by
-    doc_id % 5, incl. wildcard and '$' patterns and comments) under a
-    'User-agent: *' header per host — the fixture the r09 gate
-    candidate would use (QUERIES.md planned rotations)."""
-    import pyspark.sql.functions as F
-
-    from ccm_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    d = F.col("doc_id")
-    ds = d.cast("string")
-    k = d % 5
-    line = (
-        F.when(k == 0, F.concat(F.lit("Disallow: /d"), ds, F.lit("/")))
-        .when(k == 1, F.concat(F.lit("Allow: /d"), ds, F.lit("/ok")))
-        .when(k == 2, F.concat(F.lit("Disallow: /w"), ds, F.lit("/*.php")))
-        .when(k == 3, F.concat(F.lit("Disallow: /e"), ds, F.lit("$")))
-        .otherwise(F.concat(F.lit("# comment "), ds))
-    )
-    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".com"))
-    return (
-        docs.select(host.alias("host"), d.alias("doc_id"), line.alias("line"))
-        .groupBy("host")
-        .agg(
-            F.concat(
-                F.lit("User-agent: *\n"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
-                        lambda s: s["line"],
-                    ),
-                    "\n",
-                ),
-            ).alias("robots_txt")
-        )
-    )
+# the fixture moved into the package when robots_rules became a gated
+# query (r09): the gate and this pin must parse the SAME bodies
+from ccm_spark.pipeline.robots import robots_fixture  # noqa: E402
 
 
 def test_robots_rules_fixture_matches_duckdb_twin(spark, sf_small):
