@@ -166,11 +166,100 @@ def train_bigram_lm(
     }
 
 
+def train_kn_bigram_lm(
+    docs: DataFrame,
+    vocab_size: int = 20_000,
+    max_bigrams: int = 500_000,
+    discount: float = 0.75,
+) -> dict:
+    """Interpolated Kneser-Ney bigram LM over the SAME bounded tables as
+    :func:`train_bigram_lm` — the smoothing family KenLM (and therefore
+    CCNet's actual filter) uses. Add-alpha systematically over-scores
+    continuations of frequent unigrams (the "San Francisco" effect:
+    'francisco' is frequent but follows almost nothing except 'san');
+    absolute discounting + the CONTINUATION distribution fixes exactly
+    that, so head/tail perplexity bucketing separates template-heavy
+    boilerplate from fluent prose more sharply.
+
+    Everything stays in the engine's replayable-arithmetic contract:
+    the extra KN tables are EXACT INTEGER aggregates of the capped
+    bigram table — out-mass ``c_out(w1)``, distinct-successor counts
+    ``N1+(w1,·)``, distinct-predecessor (continuation) counts
+    ``N1+(·,w2)``, and the capped bigram type count — so a DuckDB twin
+    (``sql_lm_perplexity_kn``) re-derives the whole model. The
+    continuation distribution is add-one smoothed over the K classes so
+    every token keeps positive mass:
+
+        pc(w)      = (N1+(·,w) + 1) / (N1+(·,·) + K)
+        p(w | w')  = max(c(w',w) - d, 0)/c_out(w') +
+                     d · N1+(w',·)/c_out(w') · pc(w)      if c_out(w') > 0
+                   = pc(w)                                 otherwise
+        p(first)   = pc(first)   (the bounded form has no separate
+                                  start distribution; the continuation
+                                  distribution is the standard stand-in)
+
+    Derived from the CAPPED table (cap first, derive after), so the cap
+    is part of the deterministic model definition, exactly like
+    train_bigram_lm's dropped-rare-bigram semantics."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(
+            f"train_kn_bigram_lm: discount must be in (0, 1) (got {discount})"
+        )
+    base = train_bigram_lm(docs, vocab_size, max_bigrams, alpha=1.0)
+    del base["alpha"]  # add-alpha's knob — not part of a KN model
+    c_out: dict[str, int] = {}
+    n1p_fwd: dict[str, int] = {}
+    n1p_bwd: dict[str, int] = {}
+    for (w1, w2), n in base["bigrams"].items():
+        c_out[w1] = c_out.get(w1, 0) + n
+        n1p_fwd[w1] = n1p_fwd.get(w1, 0) + 1
+        n1p_bwd[w2] = n1p_bwd.get(w2, 0) + 1
+    return {
+        **base,
+        "smoothing": "kn",
+        "discount": float(discount),
+        "c_out": c_out,
+        "n1p_fwd": n1p_fwd,
+        "n1p_bwd": n1p_bwd,
+        "n1p_total": len(base["bigrams"]),
+    }
+
+
+def _score_kn(model: dict, mapped: list[str]) -> float:
+    """Sum of -log2 p over an OOV-folded token sequence under the KN
+    model — expression shapes mirror sql_lm_perplexity_kn term for term
+    (same division order), so both engines compute identical doubles."""
+    bigrams = model["bigrams"]
+    c_out = model["c_out"]
+    n1p_fwd = model["n1p_fwd"]
+    n1p_bwd = model["n1p_bwd"]
+    d = model["discount"]
+    denom = model["n1p_total"] + model["n_classes"]
+
+    def pc(w: str) -> float:
+        return (n1p_bwd.get(w, 0) + 1) / denom
+
+    bits = -math.log2(pc(mapped[0]))
+    for prev, w in zip(mapped, mapped[1:]):
+        c1 = c_out.get(prev)
+        if c1:
+            p = (
+                max(bigrams.get((prev, w), 0) - d, 0.0) / c1
+                + d * n1p_fwd[prev] / c1 * pc(w)
+            )
+        else:
+            p = pc(w)
+        bits -= math.log2(p)
+    return bits
+
+
 def score_model(model: dict, tokens: list[str]) -> tuple[int, float, float]:
     """Pure-Python scoring kernel — (n_scored, cross_entropy_bits,
     perplexity) of one token sequence under the model. Shared by the
     distributed Arrow pass AND the tests' driver replay, so the two are
     bit-identical by construction (same dict lookups, same math.log2).
+    Dispatches on ``model["smoothing"]`` — "kn" scores via
+    :func:`_score_kn`, otherwise add-alpha:
 
     First token scores under the smoothed unigram; every next token under
     the smoothed bigram conditioned on its predecessor:
@@ -178,6 +267,12 @@ def score_model(model: dict, tokens: list[str]) -> tuple[int, float, float]:
         p(w | w')   = (c(w', w) + a) / (c(w') + a*K)
     with K = vocab size + 1 (the ``<unk>`` class) and OOV tokens mapped
     to ``<unk>`` on BOTH sides of the conditional."""
+    if model.get("smoothing") == "kn":
+        if not tokens:
+            return 0, float("nan"), float("nan")
+        mapped = [t if t in model["vocab"] else UNK for t in tokens]
+        h = _score_kn(model, mapped) / len(mapped)
+        return len(mapped), h, 2.0**h
     vocab = model["vocab"]
     bigrams = model["bigrams"]
     a = model["alpha"]

@@ -1188,6 +1188,7 @@ BM25_B = 0.75
 LM_VOCAB_SIZE = 1000
 LM_MAX_BIGRAMS = 5000
 LM_ALPHA = 0.1
+LM_KN_DISCOUNT = 0.75
 
 
 def sql_bm25_topk() -> str:
@@ -2083,3 +2084,79 @@ SELECT (ts_us // {h}) * {h} AS window_start_us,
 FROM kept, gmax
 WHERE (ts_us // {h} + 1) * {h} <= gmax.final_wm
 GROUP BY 1, 2"""
+
+
+def sql_lm_perplexity_kn() -> str:
+    """DuckDB twin of pipeline.lm train_kn_bigram_lm + perplexity on the
+    same documents table: the add-alpha twin's bounded vocab/bigram
+    tables, then the KN tables derived as exact integer aggregates of
+    the CAPPED bigram relation (c_out / N1+ forward / N1+ continuation /
+    type count) and interpolated-KN scoring with the add-one smoothed
+    continuation distribution — every expression shaped exactly like
+    lm._score_kn (same division order) so the doubles match
+    bit-for-bit. Token-less docs emit NULL scores."""
+    d = LM_KN_DISCOUNT
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+nz AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+uni AS (
+  SELECT term, COUNT(*) AS n
+  FROM (SELECT unnest(toks) AS term FROM nz) GROUP BY 1
+),
+vocab AS (SELECT term, n FROM uni ORDER BY n DESC, term ASC LIMIT {LM_VOCAB_SIZE}),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN z[1] IN (SELECT term FROM vocab) THEN z[1] ELSE '<unk>' END AS w1,
+         CASE WHEN z[2] IN (SELECT term FROM vocab) THEN z[2] ELSE '<unk>' END AS w2
+  FROM (
+    SELECT doc_id, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z
+    FROM nz WHERE len(toks) > 1
+  ) s
+),
+bi AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+bigrams AS (
+  SELECT w1, w2, n FROM bi ORDER BY n DESC, w1 ASC, w2 ASC LIMIT {LM_MAX_BIGRAMS}
+),
+cout AS (SELECT w1, SUM(n) AS c_out, COUNT(*) AS n1p_fwd FROM bigrams GROUP BY 1),
+nbwd AS (SELECT w2, COUNT(*) AS n1p_bwd FROM bigrams GROUP BY 1),
+scal AS (
+  SELECT CAST((SELECT COUNT(*) FROM bigrams)
+              + (SELECT COUNT(*) FROM vocab) + 1 AS DOUBLE) AS denom
+),
+firsts AS (
+  SELECT doc_id, len(toks) AS n_scored,
+         CASE WHEN toks[1] IN (SELECT term FROM vocab) THEN toks[1] ELSE '<unk>' END AS w
+  FROM nz
+),
+first_term AS (
+  SELECT f.doc_id,
+         -log2((COALESCE(nb.n1p_bwd, 0) + 1) / s.denom) AS bits
+  FROM firsts f LEFT JOIN nbwd nb ON nb.w2 = f.w CROSS JOIN scal s
+),
+pair_terms AS (
+  SELECT g.doc_id,
+         SUM(-log2(
+           CASE WHEN co.c_out IS NOT NULL THEN
+             GREATEST(COALESCE(b.n, 0) - {d}, 0.0) / CAST(co.c_out AS BIGINT)
+             + {d} * CAST(co.n1p_fwd AS BIGINT) / CAST(co.c_out AS BIGINT)
+               * ((COALESCE(nb.n1p_bwd, 0) + 1) / s.denom)
+           ELSE (COALESCE(nb.n1p_bwd, 0) + 1) / s.denom END)) AS bits
+  FROM bg g
+  LEFT JOIN bigrams b ON g.w1 = b.w1 AND g.w2 = b.w2
+  LEFT JOIN cout co ON co.w1 = g.w1
+  LEFT JOIN nbwd nb ON nb.w2 = g.w2
+  CROSS JOIN scal s
+  GROUP BY 1
+),
+scored AS (
+  SELECT f.doc_id, f.n_scored,
+         (u.bits + COALESCE(p.bits, 0.0)) / f.n_scored AS h
+  FROM firsts f JOIN first_term u USING (doc_id)
+  LEFT JOIN pair_terms p USING (doc_id)
+)
+SELECT doc_id, CAST(n_scored AS BIGINT) AS n_scored,
+       round(h, 6) + 0.0 AS cross_entropy,
+       round(2.0 ** h, 6) + 0.0 AS perplexity
+FROM scored
+UNION ALL
+SELECT doc_id, 0, NULL, NULL FROM toks WHERE len(toks) = 0"""

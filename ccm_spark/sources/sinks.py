@@ -436,8 +436,16 @@ def write_bigram_lm(model: dict, path: str) -> dict:
     )
     scalars = {
         k: model[k]
-        for k in ("alpha", "unk_count", "total", "n_classes", "vocab_size", "max_bigrams")
+        for k in ("unk_count", "total", "n_classes", "vocab_size", "max_bigrams")
     }
+    # smoothing-specific scalars: add-alpha carries alpha, KN carries the
+    # discount (the KN count tables are derived from the bigram table at
+    # read time — integer-exact, so the round trip stays lossless)
+    if model.get("smoothing") == "kn":
+        scalars["smoothing"] = "kn"
+        scalars["discount"] = model["discount"]
+    else:
+        scalars["alpha"] = model["alpha"]
     return _write_ann_manifest(
         path, "bigram_lm", scalars, len(model["vocab"]) + len(model["bigrams"])
     )
@@ -459,8 +467,7 @@ def read_bigram_lm(spark, path: str) -> dict:
         (r.w1, r.w2): int(r.n)
         for r in spark.read.parquet(os.path.join(path, "bigrams")).collect()
     }
-    return {
-        "alpha": float(p["alpha"]),
+    model = {
         "vocab": vocab,
         "unk_count": int(p["unk_count"]),
         "total": int(p["total"]),
@@ -469,6 +476,28 @@ def read_bigram_lm(spark, path: str) -> dict:
         "vocab_size": int(p["vocab_size"]),
         "max_bigrams": int(p["max_bigrams"]),
     }
+    if p.get("smoothing") == "kn":
+        # re-derive the KN integer tables from the (lossless) bigram
+        # table — same derivation as train_kn_bigram_lm, so the loaded
+        # model scores bit-identically
+        c_out: dict[str, int] = {}
+        n1p_fwd: dict[str, int] = {}
+        n1p_bwd: dict[str, int] = {}
+        for (w1, w2), n in bigrams.items():
+            c_out[w1] = c_out.get(w1, 0) + n
+            n1p_fwd[w1] = n1p_fwd.get(w1, 0) + 1
+            n1p_bwd[w2] = n1p_bwd.get(w2, 0) + 1
+        model.update(
+            smoothing="kn",
+            discount=float(p["discount"]),
+            c_out=c_out,
+            n1p_fwd=n1p_fwd,
+            n1p_bwd=n1p_bwd,
+            n1p_total=len(bigrams),
+        )
+    else:
+        model["alpha"] = float(p["alpha"])
+    return model
 
 
 def write_bpe_model(model: dict, path: str) -> dict:

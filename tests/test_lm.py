@@ -180,3 +180,105 @@ def test_train_rejects_degenerate_caps(spark, sf_small):
         train_bigram_lm(docs, vocab_size=20, max_bigrams=0)
     with pytest.raises(ValueError, match="vocab_size"):
         train_bigram_lm(docs, vocab_size=0, max_bigrams=100)
+
+
+def test_kn_perplexity_matches_duckdb_replay(spark, sf_small):
+    """Interpolated Kneser-Ney end-to-end (train_kn_bigram_lm +
+    perplexity) replayed in SQL at the gate geometry (vocab 1000 /
+    bigrams 5000 / d=0.75) — the r10 gate candidate's evidence, pinned
+    now at sf0.001. Exact float equality: the kernel's expression
+    shapes mirror the twin term for term."""
+    from ccm_spark.pipeline.lm import train_kn_bigram_lm
+    from ccm_spark.plans.oracle_sql_ext import (
+        LM_KN_DISCOUNT,
+        LM_MAX_BIGRAMS,
+        LM_VOCAB_SIZE,
+        sql_lm_perplexity_kn,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    model = train_kn_bigram_lm(
+        docs,
+        vocab_size=LM_VOCAB_SIZE,
+        max_bigrams=LM_MAX_BIGRAMS,
+        discount=LM_KN_DISCOUNT,
+    )
+    got = {
+        r.doc_id: (r.n_scored, r.cross_entropy, r.perplexity)
+        for r in perplexity(docs, model).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = {
+        int(d): (int(n), h if h is None else float(h), p if p is None else float(p))
+        for d, n, h, p in con.sql(sql_lm_perplexity_kn()).fetchall()
+    }
+    assert len(got) == len(want) == 500
+    mism = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
+    assert not mism, dict(list(mism.items())[:5])
+
+
+def test_kn_fixes_the_san_francisco_effect(spark):
+    """The reason KN exists: 'francisco' is MORE frequent than 'city'
+    in unigrams but follows only one predecessor ('san'), so add-alpha
+    (count-driven) scores it the more likely standalone token while
+    KN's continuation distribution (diversity-driven) scores it the
+    LESS likely one — the canonical reversal. Fluent text still beats
+    gibberish under KN."""
+    import math
+
+    from ccm_spark.pipeline.lm import train_kn_bigram_lm
+
+    rows = []
+    for i in range(300):
+        rows.append((i, "san francisco is nice"))
+    for i in range(300, 400):
+        rows.append((i, "the city is nice"))
+    for i in range(400, 500):
+        rows.append((i, "a city is nice"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kn = train_kn_bigram_lm(docs, vocab_size=100, max_bigrams=1000)
+    aa = train_bigram_lm(docs, vocab_size=100, max_bigrams=1000, alpha=0.1)
+
+    # counts: francisco 300 > city 200; predecessors: francisco {san},
+    # city {the, a}
+    assert kn["vocab"]["francisco"] > kn["vocab"]["city"]
+    assert kn["n1p_bwd"]["francisco"] == 1 and kn["n1p_bwd"]["city"] == 2
+
+    def h1(model, w):
+        _, h, _ = score_model(model, [w])
+        return h
+
+    # add-alpha (unigram counts): francisco the more likely first token;
+    # KN (continuation counts): city the more likely first token
+    assert h1(aa, "francisco") < h1(aa, "city")
+    assert h1(kn, "francisco") > h1(kn, "city")
+
+    # fluent vs gibberish separation still holds under KN (the 8-word
+    # toy vocab keeps the <unk> continuation floor high, so the margin
+    # is smaller than the sf-corpus models'; ~2.9 bits/token here)
+    _, h_fluent, _ = score_model(kn, py_tokens("the city is nice"))
+    _, h_gib, _ = score_model(kn, py_tokens("zxq vprt qqj mlk wzzt"))
+    assert math.isfinite(h_fluent) and h_gib - h_fluent > 2.5
+
+
+def test_kn_model_sink_round_trip_scores_identically(spark, sf_small, tmp_path):
+    """write_bigram_lm/read_bigram_lm on a KN model: the derived integer
+    tables are recomputed at read from the lossless bigram table, so the
+    loaded model scores bit-identically."""
+    from ccm_spark.pipeline.lm import train_kn_bigram_lm
+    from ccm_spark.sources.sinks import read_bigram_lm, write_bigram_lm
+
+    docs = load_table(spark, sf_small, "documents")
+    model = train_kn_bigram_lm(docs, vocab_size=200, max_bigrams=2000)
+    write_bigram_lm(model, str(tmp_path / "kn_lm"))
+    loaded = read_bigram_lm(spark, str(tmp_path / "kn_lm"))
+    assert loaded["smoothing"] == "kn" and loaded["discount"] == model["discount"]
+    a = {r.doc_id: (r.cross_entropy, r.perplexity)
+         for r in perplexity(docs, model).collect()}
+    b = {r.doc_id: (r.cross_entropy, r.perplexity)
+         for r in perplexity(docs, loaded).collect()}
+    assert a == b
