@@ -373,6 +373,49 @@ def main() -> None:
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return similarity.ivf_pq_topk(embs, n_queries=100, k=5)
 
+    def extra_quality_classifier(spark, sf_dir):
+        """The r09-gated trainable classifier at sf scale: 3 GD
+        iterations (two hash aggregates each) + the one-pass fixed-point
+        serving kernel over the full documents table."""
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.classify import (
+            score_quality,
+            train_quality_classifier,
+        )
+        from ccm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        labels = docs.select(
+            "doc_id", (F.col("doc_id") % 3 == 0).cast("int").alias("label")
+        )
+        model = train_quality_classifier(docs, labels, dim=256, n_iters=3, lr=2.0)
+        return score_quality(docs, model)
+
+    def extra_dsir(spark, sf_dir):
+        """The r09-gated DSIR chain + Gumbel top-k resampling at sf
+        scale (target = doc_id%10 slice, k = 10% of the raw side)."""
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.dsir import dsir_log_weights, dsir_resample
+        from ccm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        target = docs.where(F.col("doc_id") % 10 == 0)
+        raw = docs.where(F.col("doc_id") % 10 != 0)
+        w = dsir_log_weights(raw, target)
+        return dsir_resample(w, k=max(1, raw.count() // 10), seed=7)
+
+    def extra_lm_kn(spark, sf_dir):
+        """Kneser-Ney train + score (r09; r10 gate candidate) — timed
+        next to the add-alpha lm_perplexity extra for a like-for-like
+        smoothing-cost comparison."""
+        from ccm_spark.pipeline.lm import perplexity, train_kn_bigram_lm
+        from ccm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        return perplexity(docs, train_kn_bigram_lm(docs))
+
     def extra_streaming_sessionize(spark, sf_dir):
         """Micro-batch throughput of the stateful streaming sessionizer
         (applyInPandasWithState): one availableNow pass over the sf
@@ -431,6 +474,9 @@ def main() -> None:
         "doclen_quantile_sketch": extra_bottomk,
         "ivf_pq_topk": extra_ivf_pq,
         "streaming_sessionize": extra_streaming_sessionize,
+        "quality_classifier": extra_quality_classifier,
+        "dsir_select": extra_dsir,
+        "lm_perplexity_kn": extra_lm_kn,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6

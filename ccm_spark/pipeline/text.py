@@ -277,6 +277,100 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: IPv4 with per-octet range check (RE2 + Java portable: no lookaround)
+IP_RE = (
+    "\\b(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    "(?:\\.(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b"
+)
+#: separator-delimited phone shapes (+CC optional; '.'/'-'/' ' groups).
+#: The optional '+' sits OUTSIDE the \b (between two non-word chars there
+#: is no boundary, so "\b\\+?" would never match a leading plus).
+PHONE_RE = (
+    "\\+?\\b[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{3,4}(?:[-. ][0-9]{3,4})?\\b"
+)
+#: payment-card candidates: 4-4-4-rest with one separator style, or a
+#: contiguous 13-19 digit run (word-bounded, so a 20+ digit run is NOT a
+#:  candidate and stays a generic <NUM>)
+CARD_RE = (
+    "\\b[0-9]{4}(?:[- ][0-9]{4}){2}[- ][0-9]{1,7}\\b|\\b[0-9]{13,19}\\b"
+)
+
+
+def _luhn_ok(s):
+    """Column predicate: the digit content of ``s`` passes the Luhn
+    checksum and has a card-plausible length (13-19). Pure codegen
+    (split/transform/aggregate) — the same integer arithmetic the
+    DuckDB twin runs, so verification can never split engines."""
+    digits = F.regexp_replace(s, "[^0-9]", "")
+    # F.split's trailing-empty-string quirk is filtered out so the cast
+    # to int can never see ''
+    rev = F.filter(F.split(F.reverse(digits), ""), lambda ch: ch != F.lit(""))
+    terms = F.transform(
+        rev,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            ch.cast("int") * 2
+            - F.when(ch.cast("int") * 2 > 9, F.lit(9)).otherwise(F.lit(0)),
+        ).otherwise(ch.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    n = F.length(digits)
+    return (total % 10 == 0) & (n >= 13) & (n <= 19)
+
+
+def redact_pii_extended(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """:func:`redact_pii` plus VALIDATED payment cards, IPv4 addresses,
+    and separator-delimited phone numbers — still one narrow projection,
+    zero UDFs: everything including the Luhn checksum runs as codegen
+    expressions (split / transform / aggregate / fold), so at 100 TB
+    this stays a map-only scan pass.
+
+    Card redaction is checksum-GATED: candidate runs (CARD_RE) are
+    extracted, Luhn-verified in-plan, and only verified strings are
+    replaced (longest-first deterministic fold, so a short candidate
+    that is a substring of a longer one can never corrupt it) — a
+    16-digit run that fails Luhn is NOT a card and falls through to the
+    generic ``<NUM>`` class. Redaction order: email -> card -> IP ->
+    phone -> residual digit runs; each stage's counts are measured on
+    the previous stage's output so nothing is double-counted. Matching
+    is deliberately over-broad where ambiguous (heuristic PII must fail
+    SAFE — redacting a date fragment is acceptable, leaking a phone
+    number is not).
+
+    Returns (doc_id, n_emails, n_cards, n_ips, n_phones, n_numbers,
+    red_len, red_fp); red_fp pins the exact redacted text cross-engine
+    (the ``sql_redact_pii_extended`` twin replays every stage,
+    Luhn fold included)."""
+    c = F.col(text_col)
+    red1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    cands = F.array_distinct(F.regexp_extract_all(red1, F.lit(CARD_RE), 0))
+    verified = F.filter(cands, _luhn_ok)
+    # longest-first deterministic fold: sort "LL<cand>" keys descending
+    # (identical order in both engines), strip the 2-char length prefix
+    keys = F.transform(
+        verified, lambda s: F.concat(F.lpad(F.length(s), 2, "0"), s)
+    )
+    ordered = F.reverse(F.sort_array(keys))
+    red2 = F.aggregate(
+        ordered,
+        red1,
+        lambda acc, k: F.replace(acc, F.substring(k, 3, 32), F.lit("<CARD>")),
+    )
+    red3 = F.regexp_replace(red2, IP_RE, "<IP>")
+    red4 = F.regexp_replace(red3, PHONE_RE, "<PHONE>")
+    red5 = F.regexp_replace(red4, NUMBER_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(verified).cast("long").alias("n_cards"),
+        F.size(F.regexp_extract_all(red2, F.lit(IP_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(red3, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(red4, F.lit(NUMBER_RE), 0)).cast("long").alias("n_numbers"),
+        F.length(red5).cast("long").alias("red_len"),
+        md5_long(red5).alias("red_fp"),
+    )
+
+
 def repetition_signals(docs: DataFrame, width: int = 2) -> DataFrame:
     """Gopher-style repetition signals per doc: 2-gram total/top/duplicated
     occurrence counts and fractions. High top2_frac or dup2_frac marks

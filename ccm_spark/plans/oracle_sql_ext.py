@@ -2160,3 +2160,81 @@ SELECT doc_id, CAST(n_scored AS BIGINT) AS n_scored,
 FROM scored
 UNION ALL
 SELECT doc_id, 0, NULL, NULL FROM toks WHERE len(toks) = 0"""
+
+
+def sql_redact_pii_extended(inject: bool = True) -> str:
+    """Replay of text.redact_pii_extended over the documents table with
+    the test fixture's deterministic PII injection (the corpus has
+    none): per doc an email, a payment-card candidate that is
+    Luhn-VALID for even doc_ids and Luhn-INVALID for odd ones (the
+    invalid one must fall through to <NUM>), an IPv4, a phone, and a
+    reference number. Every stage replays: email replace, candidate
+    extraction, in-SQL Luhn checksum filter, longest-first
+    deterministic replace fold, IP/phone/number replaces."""
+    from ccm_spark.pipeline.text import CARD_RE, EMAIL_RE, IP_RE, NUMBER_RE, PHONE_RE
+
+    dig = "regexp_replace(x, '[^0-9]', '', 'g')"
+    d_i = f"CAST(substr(reverse({dig}), i, 1) AS INT)"
+    luhn = (
+        f"list_sum(list_transform(range(1, length({dig}) + 1), "
+        f"i -> CASE WHEN i % 2 = 0 THEN 2 * {d_i} - "
+        f"CASE WHEN 2 * {d_i} > 9 THEN 9 ELSE 0 END ELSE {d_i} END)) % 10 = 0 "
+        f"AND length({dig}) BETWEEN 13 AND 19"
+    )
+    text_expr = "text"
+    if inject:
+        text_expr = (
+            "text || ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com"
+            " card ' || CASE WHEN doc_id % 2 = 0 THEN '4111 1111 1111 1111'"
+            " ELSE '4111 1111 1111 1112' END || ' ip 10.' ||"
+            " CAST(doc_id % 200 AS VARCHAR) || '.0.' ||"
+            " CAST(doc_id % 250 AS VARCHAR) || ' tel +1-555-0' ||"
+            " CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||"
+            " CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ref ' ||"
+            " CAST(doc_id * 1000003 + 123456 AS VARCHAR)"
+        )
+    return f"""
+WITH base AS (SELECT doc_id, {text_expr} AS text FROM documents),
+s1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS red1
+  FROM base
+),
+s2 AS (
+  SELECT doc_id, text, red1,
+         list_filter(list_distinct(regexp_extract_all(red1, '{CARD_RE}')),
+                     x -> {luhn}) AS verified
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, text, red1, verified,
+         list_reduce(
+           list_prepend(red1,
+             list_reverse(list_sort(
+               list_transform(verified,
+                 x -> lpad(CAST(length(x) AS VARCHAR), 2, '0') || x)))),
+           (a, k) -> replace(a, substr(k, 3), '<CARD>')) AS red2
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, text, verified, red2,
+         regexp_replace(red2, '{IP_RE}', '<IP>', 'g') AS red3
+  FROM s3
+),
+s5 AS (
+  SELECT doc_id, text, verified, red2, red3,
+         regexp_replace(red3, '{PHONE_RE}', '<PHONE>', 'g') AS red4
+  FROM s4
+),
+s6 AS (
+  SELECT *, regexp_replace(red4, '{NUMBER_RE}', '<NUM>', 'g') AS red5 FROM s5
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(length(verified) AS BIGINT) AS n_cards,
+       CAST(length(regexp_extract_all(red2, '{IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(length(regexp_extract_all(red3, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_extract_all(red4, '{NUMBER_RE}')) AS BIGINT) AS n_numbers,
+       CAST(length(red5) AS BIGINT) AS red_len,
+       {_md5_long('red5')} AS red_fp
+FROM s6"""

@@ -472,3 +472,57 @@ def test_script_profile_matches_duckdb_replay(spark):
             best = "other"
         want.append(tuple(int(c) for c in counts) + (int(nl), best))
     assert got == sorted(want)
+
+
+def test_redact_pii_extended_matches_duckdb_replay(spark, sf_small):
+    """Validated PII redaction (emails + Luhn-gated cards + IPv4 +
+    phones + digit runs) replayed stage-for-stage in SQL — checksum
+    fold included — on the documents table with deterministic injected
+    PII (Luhn-valid card for even doc_ids, Luhn-INVALID for odd: the
+    invalid one must fall through to <NUM> in BOTH engines)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.text import redact_pii_extended
+    from ccm_spark.plans.oracle_sql_ext import sql_redact_pii_extended
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    d = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"), d.cast("string"), F.lit("@example.com card "),
+            F.when(d % 2 == 0, F.lit("4111 1111 1111 1111")).otherwise(
+                F.lit("4111 1111 1111 1112")
+            ),
+            F.lit(" ip 10."), (d % 200).cast("string"), F.lit(".0."),
+            (d % 250).cast("string"),
+            F.lit(" tel +1-555-0"), (100 + d % 900).cast("string"),
+            F.lit("-"), (1000 + d % 9000).cast("string"),
+            F.lit(" ref "), (d * 1000003 + 123456).cast("string"),
+        ),
+    )
+    got = {
+        r.doc_id: (
+            r.n_emails, r.n_cards, r.n_ips, r.n_phones, r.n_numbers,
+            r.red_len, r.red_fp,
+        )
+        for r in redact_pii_extended(aug).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = {
+        int(row[0]): tuple(int(v) for v in row[1:])
+        for row in con.sql(sql_redact_pii_extended()).fetchall()
+    }
+    assert len(got) == len(want) == 500
+    # every even doc redacted exactly one verified card; odd docs none
+    assert all(v[1] == (1 if k % 2 == 0 else 0) for k, v in got.items())
+    assert all(v[2] == 1 and v[3] == 1 for v in got.values())  # ip + phone
+    mism = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    assert not mism, dict(list(mism.items())[:3])
