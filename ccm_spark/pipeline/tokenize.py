@@ -29,7 +29,7 @@ UNK_ID = 0
 
 TOKENIZED_SCHEMA = (
     "doc_id long, token_ids array<int>, n_words long, n_pieces long, "
-    "oov_frac double"
+    "n_oov_words long, oov_frac double"
 )
 
 
@@ -56,7 +56,8 @@ def build_wordpiece_vocab(
 
 
 def tokenize_docs(docs: DataFrame, vocab: dict) -> DataFrame:
-    """(doc_id, token_ids, n_words, n_pieces, oov_frac): greedy wordpiece
+    """(doc_id, token_ids, n_words, n_pieces, n_oov_words, oov_frac):
+    greedy wordpiece
     ids per document. The vocab dict broadcasts once per executor; the
     pass is narrow (streaming-safe) and Arrow-batched, with the
     per-word greedy loop in :func:`ccm_spark.functions.hashing.py_wordpiece`
@@ -86,12 +87,16 @@ def tokenize_docs(docs: DataFrame, vocab: dict) -> DataFrame:
                         ids,
                         len(words),
                         len(ids),
+                        n_oov,
                         round(n_oov / len(words), 6) if words else 0.0,
                     )
                 )
             yield pd.DataFrame(
                 out,
-                columns=["doc_id", "token_ids", "n_words", "n_pieces", "oov_frac"],
+                columns=[
+                    "doc_id", "token_ids", "n_words", "n_pieces",
+                    "n_oov_words", "oov_frac",
+                ],
             )
 
     src = docs if docs.isStreaming else spread(docs, "doc_id")
@@ -719,4 +724,54 @@ def unigram_encode(docs: DataFrame, model: dict) -> DataFrame:
         out = spread(out, "doc_id")
     return out.mapInPandas(
         run, "doc_id long, pieces array<string>, piece_ids array<int>, n_pieces long"
+    )
+
+
+def fertility_report(
+    docs: DataFrame, vocab: dict, by: str | None = None
+) -> DataFrame:
+    """Tokenizer FERTILITY evaluation over a corpus — the standard
+    metric for judging how well a (wordpiece) vocabulary fits a data
+    mix (Rust et al. 2021, "How Good is Your Tokenizer?"): pieces per
+    whitespace word (1.0 = every word is one piece), UTF-8 bytes per
+    piece (compression the context window actually sees), and the OOV
+    word fraction. One :func:`tokenize_docs` pass + one
+    map-side-combined aggregate — per corpus, or per ``by`` group (e.g.
+    ``source``/language) to find the slices a candidate vocabulary
+    under-serves before committing a 100 TB tokenization run to it.
+
+    Returns one row per group:
+    (``by``?, n_docs, n_words, n_pieces, fertility, bytes_per_piece,
+    oov_word_frac); token-less docs count in n_docs only. Ratios round
+    at 6 from exact integer sums, so the DuckDB twin
+    (``sql_tokenizer_fertility``) replays the report bit-for-bit."""
+    enc = tokenize_docs(docs, vocab).select(
+        "doc_id", "n_words", "n_pieces", "n_oov_words"
+    )
+    base = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        *([F.col(by)] if by else []),
+    ).join(enc, "doc_id")
+    keys = [by] if by else []
+    oov = F.col("n_oov_words")
+    agg = base.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_pieces").alias("n_pieces"),
+        F.sum("n_bytes").alias("n_bytes"),
+        F.sum(oov).alias("n_oov_words"),
+    )
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    nw, np_, nb = F.col("n_words"), F.col("n_pieces"), F.col("n_bytes")
+    return agg.select(
+        *keys,
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        F.when(nw > 0, r6(np_ / nw)).otherwise(F.lit(0.0)).alias("fertility"),
+        F.when(np_ > 0, r6(nb / np_)).otherwise(F.lit(0.0)).alias("bytes_per_piece"),
+        F.when(nw > 0, r6(F.col("n_oov_words") / nw)).otherwise(F.lit(0.0)).alias(
+            "oov_word_frac"
+        ),
     )

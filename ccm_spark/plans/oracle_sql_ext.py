@@ -2238,3 +2238,47 @@ SELECT doc_id,
        CAST(length(red5) AS BIGINT) AS red_len,
        {_md5_long('red5')} AS red_fp
 FROM s6"""
+
+
+def sql_tokenizer_fertility() -> str:
+    """Replay of tokenize.fertility_report (corpus-level, by=None) with
+    the fixed wordpiece gate vocabulary: the whole sql_wordpiece_encode
+    chain nested as a CTE (the ann_ivf_recall pattern), word counts and
+    UTF-8 byte counts re-derived from documents, OOV words counted as
+    unk-id pieces (a word collapses to the single id 0 exactly when it
+    is OOV), ratios rounded 6 from exact integer sums."""
+    return f"""
+WITH wp AS ({sql_wordpiece_encode()}),
+doc AS (
+  SELECT doc_id, len({TOKENS}) AS n_words,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+oov AS (
+  SELECT doc_id,
+         CASE WHEN ids = '' THEN 0
+              ELSE len(list_filter(string_split(ids, ','), x -> x = '0'))
+         END AS n_oov
+  FROM wp
+),
+agg AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(d.n_words) AS n_words,
+         SUM(w.n_pieces) AS n_pieces,
+         SUM(d.n_bytes) AS n_bytes,
+         SUM(o.n_oov) AS n_oov_words
+  FROM doc d JOIN wp w USING (doc_id) JOIN oov o USING (doc_id)
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_pieces AS BIGINT) AS n_pieces,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_pieces AS BIGINT) / CAST(n_words AS BIGINT), 6) + 0.0
+            ELSE 0.0 END AS fertility,
+       CASE WHEN n_pieces > 0
+            THEN round(CAST(n_bytes AS BIGINT) / CAST(n_pieces AS BIGINT), 6) + 0.0
+            ELSE 0.0 END AS bytes_per_piece,
+       CASE WHEN n_words > 0
+            THEN round(CAST(n_oov_words AS BIGINT) / CAST(n_words AS BIGINT), 6) + 0.0
+            ELSE 0.0 END AS oov_word_frac
+FROM agg"""

@@ -484,3 +484,39 @@ def test_wordpiece_encode_matches_duckdb_replay(spark, sf_small):
     assert len(got) == len(want) == 500
     mism = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
     assert not mism, dict(list(mism.items())[:3])
+
+
+def test_fertility_report_matches_duckdb_replay(spark, sf_small):
+    """Corpus fertility report (pieces/word, bytes/piece, OOV fraction)
+    with the gate vocabulary, replayed in SQL (the wordpiece encode
+    chain nested as a CTE); plus per-source grouping sums to the
+    corpus totals."""
+    import duckdb
+
+    from ccm_spark.pipeline.tokenize import fertility_report
+    from ccm_spark.plans.oracle_sql_ext import (
+        sql_tokenizer_fertility,
+        wordpiece_gate_vocab,
+    )
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    vocab = wordpiece_gate_vocab()
+    row = fertility_report(docs, vocab).collect()[0]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = con.sql(sql_tokenizer_fertility()).fetchall()[0]
+    got = (row.n_docs, row.n_words, row.n_pieces,
+           row.fertility, row.bytes_per_piece, row.oov_word_frac)
+    assert got == (int(want[0]), int(want[1]), int(want[2]),
+                   float(want[3]), float(want[4]), float(want[5]))
+    assert row.fertility >= 1.0  # every word is at least one piece
+    assert 0.0 <= row.oov_word_frac < 1.0
+
+    by_src = fertility_report(docs, vocab, by="source").collect()
+    assert len(by_src) > 1
+    assert sum(r.n_docs for r in by_src) == row.n_docs
+    assert sum(r.n_pieces for r in by_src) == row.n_pieces
