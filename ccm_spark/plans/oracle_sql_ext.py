@@ -2282,3 +2282,24 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
             THEN round(CAST(n_oov_words AS BIGINT) / CAST(n_words AS BIGINT), 6) + 0.0
             ELSE 0.0 END AS oov_word_frac
 FROM agg"""
+
+
+def sql_quantize_embeddings(bits: int = 8) -> str:
+    """Replay of similarity.quantize_embeddings: per-vector symmetric
+    scale (max|v| / (2^(bits-1)-1)), integer codes via round at 0
+    decimals (no multiply-first hazard — both engines round the raw
+    double), output scale rounded 9."""
+    qmax = float(2 ** (bits - 1) - 1)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+s AS (
+  SELECT vec_id, vec,
+         list_max(list_transform(vec, x -> abs(x))) / {qmax} AS sc
+  FROM v
+)
+SELECT vec_id,
+       round(sc, 9) + 0.0 AS scale,
+       CASE WHEN sc = 0 THEN list_transform(vec, x -> 0)
+            ELSE list_transform(vec, x -> CAST(round(x / sc) AS INT))
+       END AS codes
+FROM s"""

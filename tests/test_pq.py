@@ -211,3 +211,81 @@ def test_pq_recall_floors_at_bench_scale(spark):
         "hit is not null"
     ).count()
     assert hits / 100.0 >= 0.15, f"ivf_pq recall@5 = {hits / 100.0:.2f}"
+
+
+def test_quantize_embeddings_matches_duckdb_and_bounds_error(spark, sf_small):
+    """int8 symmetric quantization: the (vec_id, scale, codes) relation
+    replays exactly in DuckDB; dequantization error is bounded by
+    scale/2 per coordinate; zero vectors quantize to scale 0 + zero
+    codes; and brute-force top-k over the dequantized store keeps high
+    recall vs the exact embeddings."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from ccm_spark.plans.oracle_sql_ext import sql_quantize_embeddings
+
+    embs = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * len(embs.select("embedding").first()[0]))],
+        "vec_id long, embedding array<double>",
+    )
+    embs_z = embs.select("vec_id", "embedding").unionByName(zero)
+    q = quantize_embeddings(embs_z)
+    got = {
+        r.vec_id: (r.scale, tuple(r.codes)) for r in q.collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS "
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_small}/embeddings.parquet') "
+        "UNION ALL SELECT 10000000 AS vec_id, "
+        f"list_transform(range(1, {len(got[10_000_000][1]) + 1}), x -> 0.0) AS embedding"
+    )
+    want = {
+        int(v): (float(s), tuple(int(x) for x in c))
+        for v, s, c in con.sql(sql_quantize_embeddings()).fetchall()
+    }
+    assert got == want
+    assert got[10_000_000] == (0.0, tuple([0] * len(got[10_000_000][1])))
+    assert all(max(abs(x) for x in c) <= 127 for _, c in got.values())
+
+    # reconstruction error bound: |dequant - orig| <= scale/2 (+ the
+    # 1e-9 scale-output rounding)
+    deq = dequantize_embeddings(q)
+    joined = (
+        embs_z.alias("a")
+        .join(deq.alias("b"), "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    F.transform("a.embedding", lambda x: x.cast("double")),
+                    "b.embedding",
+                    lambda x, y: F.abs(x - y),
+                )
+            ).alias("err"),
+            F.col("b.embedding").alias("demb"),
+            "vec_id",
+        )
+        .join(q.select("vec_id", "scale"), "vec_id")
+    )
+    bad = joined.where(F.col("err") > F.col("scale") / 2 + 1e-7).count()
+    assert bad == 0
+
+    # recall of exact top-k over the dequantized store vs the exact one
+    exact = {
+        (r.query_id, r.target_id)
+        for r in cosine_topk(embs, n_queries=20, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.target_id)
+        for r in cosine_topk(
+            dequantize_embeddings(quantize_embeddings(embs)), n_queries=20, k=5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
