@@ -2303,3 +2303,70 @@ SELECT vec_id,
             ELSE list_transform(vec, x -> CAST(round(x / sc) AS INT))
        END AS codes
 FROM s"""
+
+
+def sql_sessionize_updates(n_batches: int = 3, gap_minutes: int = 30) -> str:
+    """Replay of streaming.stateful.sessionize_updates_replay — the FULL
+    update-mode emission multiset of the stateful sessionizer over the
+    deterministic time-tercile micro-batch split:
+
+    - CLOSED rows: session s of user u emits its final stats in the
+      batch where the first event of u's session s+1 arrives (batches
+      are time-ordered, so every event of s has already arrived);
+    - SNAPSHOT rows: every (user, batch-with-input) pair emits the open
+      session (the user's max session index among events in batches
+      <= k) with stats restricted to events in batches <= k.
+
+    The union keeps duplicates (a snapshot that later re-emits as an
+    identical closed row) — the driver's multiset hash must see both."""
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+rng AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM e),
+eb AS (
+  SELECT e.*, LEAST({n_batches - 1}, (ts_us - r.lo) * {n_batches} // (r.hi - r.lo + 1)) AS b
+  FROM e, rng r
+),
+marked AS (
+  SELECT *, lag(ts_us) OVER w AS prev_ts
+  FROM eb
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, SUM(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > {gap_us}
+                     THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+  FROM marked
+),
+fin AS (
+  SELECT user_id, sidx, COUNT(*) AS n, MIN(ts_us) AS st, MAX(ts_us) AS en,
+         SUM(value) AS sv, MIN(b) AS b_first
+  FROM sess GROUP BY 1, 2
+),
+closed AS (
+  SELECT f.user_id, f.sidx, f.n, f.st, f.en, f.sv
+  FROM fin f
+  JOIN fin nx ON nx.user_id = f.user_id AND nx.sidx = f.sidx + 1
+),
+ub AS (SELECT DISTINCT user_id, b FROM sess),
+cum AS (
+  SELECT s.user_id, ub.b AS k, s.sidx, s.ts_us, s.value
+  FROM sess s JOIN ub ON ub.user_id = s.user_id AND s.b <= ub.b
+),
+open_s AS (SELECT user_id, k, MAX(sidx) AS sidx FROM cum GROUP BY 1, 2),
+snap AS (
+  SELECT c.user_id, c.sidx, COUNT(*) AS n, MIN(c.ts_us) AS st,
+         MAX(c.ts_us) AS en, SUM(c.value) AS sv
+  FROM cum c
+  JOIN open_s o ON o.user_id = c.user_id AND o.k = c.k AND o.sidx = c.sidx
+  GROUP BY c.user_id, c.k, c.sidx
+),
+emitted AS (
+  SELECT * FROM closed
+  UNION ALL
+  SELECT * FROM snap
+)
+SELECT user_id, CAST(sidx AS BIGINT) AS session_idx, CAST(n AS BIGINT) AS n_events,
+       st AS start_us, en AS end_us, round(sv, 6) + 0.0 AS sum_value
+FROM emitted"""

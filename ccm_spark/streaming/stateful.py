@@ -153,3 +153,96 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_updates_replay(
+    spark, sf_dir: str, n_batches: int = 3, query_name: str = "sess_updates_replay"
+) -> "DataFrame":
+    """Deterministic micro-batch replay of :func:`streaming_sessionize`
+    that returns the FULL update-mode emission stream — every closed
+    session and every per-batch open-session snapshot, not just the
+    converged final state (which the batch twin already pins). This is
+    the applyInPandasWithState EMISSION-semantics gate candidate: the
+    DuckDB twin (``oracle_sql_ext.sql_sessionize_updates``) re-derives,
+    for the same time-tercile batch split, exactly which rows each
+    micro-batch must emit —
+
+    - a session CLOSES in batch k when the first event of the user's
+      next session arrives in k (all of its own events arrived earlier:
+      batches are time-ordered), emitting its full final stats;
+    - every user with input in batch k also emits a SNAPSHOT of its
+      open session: stats over that session's events in batches <= k
+      (a session may span batch boundaries, so a snapshot can be a
+      strict prefix of the final session) —
+
+    so a snapshot emitted twice (no growth between batches is
+    impossible — a group only runs with input — but snapshot == later
+    closed row is) appears twice in the multiset on BOTH engines.
+
+    Events split into ``n_batches`` single-file shards by GLOBAL
+    time-range terciles ``least(n-1, (ts - min) * n div (max - min +
+    1))`` — time-ordered across batches by construction, satisfying the
+    sessionizer's no-regression precondition."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from ccm_spark.sources.tables import load_table, ts_micros
+    from ccm_spark.streaming.windows import event_stream
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.withColumn("_ts_us", ts_micros(events))
+    lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
+    # exact INTEGER division (SQL DIV), never float `/` + cast: a float
+    # quotient one ulp above a batch boundary would split the engines
+    b = F.least(
+        F.lit(n_batches - 1),
+        F.expr(
+            f"(_ts_us - {int(lo)}L) * {n_batches} DIV {int(hi - lo + 1)}L"
+        ),
+    )
+    d = tempfile.mkdtemp(prefix="ccm_sess_updates_")
+    try:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i in range(n_batches):
+            shard_dir = os.path.join(d, f"b{i}")
+            ev.where(b == i).drop("_ts_us").coalesce(1).write.parquet(shard_dir)
+            part = next(
+                f for f in sorted(os.listdir(shard_dir)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"f{i}.parquet")
+            shutil.copy(os.path.join(shard_dir, part), dst)
+            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+
+        try:
+            spark.catalog.dropTempView(query_name)
+        except Exception:
+            pass
+        q = (
+            streaming_sessionize(event_stream(spark, src, max_files_per_trigger=1))
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("sessionize_updates_replay stream exceeded 600s")
+        out = spark.table(query_name).select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            "start_us",
+            "end_us",
+            (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

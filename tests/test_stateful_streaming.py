@@ -158,3 +158,39 @@ def test_streaming_ccm_final_verdicts_match_batch(spark, tmp_path):
     for k, r in final.items():
         assert r.n_points == 121
         assert (r.lib_size, r.correlation, r.slope, r.convergent) == batch[k], k
+
+
+def test_sessionize_update_stream_matches_duckdb_replay(spark, sf_small):
+    """The FULL update-mode emission multiset of the stateful
+    sessionizer (every closed session + every per-batch open-session
+    snapshot over the deterministic time-tercile 3-batch split) matches
+    the declarative DuckDB statement of what each micro-batch must emit
+    — the applyInPandasWithState EMISSION-semantics pin, and the r10
+    gate candidate's evidence. Duplicates (a snapshot re-emitted as an
+    identical closed row) must appear on both sides."""
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_sessionize_updates
+    from ccm_spark.streaming.stateful import sessionize_updates_replay
+
+    out = sessionize_updates_replay(spark, sf_small)
+    got = sorted(
+        (r.user_id, r.session_idx, r.n_events, r.start_us, r.end_us, r.sum_value)
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    want = sorted(
+        (int(u), int(s), int(n), int(st), int(en), float(sv))
+        for u, s, n, st, en, sv in con.sql(sql_sessionize_updates()).fetchall()
+    )
+    assert len(got) == len(want)
+    # genuinely exercises multi-batch emission: strictly more emitted
+    # rows than distinct sessions (per-batch snapshots ride on top of
+    # the one closure/final row per session)
+    n_sessions = len({(u, s) for u, s, *_ in got})
+    assert len(got) > n_sessions
+    assert got == want
