@@ -357,3 +357,38 @@ def test_dsir_ratio_join_broadcasts(spark, sf_small):
     raw = docs.where(F.col("doc_id") % 10 != 0)
     plan = _formatted_plan(dsir_log_weights(raw, target))
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantize_embeddings_is_exchange_free(spark, sf_small):
+    """int8 quantization must plan as one narrow projection — no
+    Exchange anywhere (per-vector scale + codes are row-local), so it
+    composes into any scan at zero shuffle cost."""
+    from ccm_spark.pipeline.similarity import quantize_embeddings
+
+    embs = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    plan = _formatted_plan(quantize_embeddings(embs))
+    assert "Exchange" not in plan
+
+
+def test_hll_registers_is_one_aggregation_exchange(spark, sf_small):
+    """The HLL register relation is one explode + one map-side-combined
+    hash aggregate — exactly one Exchange, no Window, no join."""
+    from ccm_spark.pipeline.sketches import hll_registers
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _formatted_plan(hll_registers(docs, by=None))
+    assert _n_exchanges(plan) == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_classifier_serving_is_narrow_after_spread(spark, sf_small):
+    """score_quality is one Arrow pass: exactly the spread's explicit
+    repartition exchange and nothing else — no aggregation, no join, no
+    window (the gated quality_classifier_scores row's serving half)."""
+    from ccm_spark.pipeline.classify import score_quality
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    model = {"weights": {1: 0.5, 7: -0.25}, "bias": 0.125, "dim": 256}
+    plan = _formatted_plan(score_quality(docs, model))
+    assert _n_exchanges(plan) == 1
+    assert "Window" not in plan and "Join" not in plan
