@@ -8,8 +8,10 @@ demos the CCM surface; this demos the corpus surface).
 Stages (each one operator, each individually oracle- or replay-pinned):
   0. URL hygiene           (canonicalise, URL-exact dedup, domain caps)
   1. quality filter        (rule-based keep/drop)
-  1b. perplexity filter    (bigram LM on the rule-clean docs; drop the
-                            least reference-like tail bucket)
+  1b. perplexity filter    (Kneser-Ney bigram LM on the rule-clean
+                            docs; drop the least reference-like tail)
+  1c. PII audit            (validated redaction counts: emails, Luhn-
+                            gated cards, IPv4, phones — report stage)
   2. exact dedup           (md5 hash-aggregate, keep representative)
   3. near-dup removal      (MinHash+LSH clusters -> keep min doc_id)
   4. decontamination       (Bloom probe + exact verify vs an eval split)
@@ -91,15 +93,38 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
 
     # 1b. perplexity filter (CCNet-style): train the reference LM on the
     # rule-clean docs themselves (a real pipeline trains on trusted text,
-    # e.g. wikipedia) and drop the least reference-like tail bucket
-    from ccm_spark.pipeline.lm import perplexity, perplexity_buckets, train_bigram_lm
+    # e.g. wikipedia) and drop the least reference-like tail bucket.
+    # Kneser-Ney smoothing (the KenLM family CCNet actually uses, r09):
+    # absolute discounting + continuation counts score boilerplate-heavy
+    # text more sharply than add-alpha
+    from ccm_spark.pipeline.lm import (
+        perplexity,
+        perplexity_buckets,
+        train_kn_bigram_lm,
+    )
 
-    lm = train_bigram_lm(docs, vocab_size=2_000, max_bigrams=20_000)
+    lm = train_kn_bigram_lm(docs, vocab_size=2_000, max_bigrams=20_000)
     buckets = perplexity_buckets(perplexity(docs, lm))
     keep_ppl = buckets.where(
         F.col("bucket").isNull() | (F.col("bucket") != "tail")
     ).select("doc_id")
     docs, counts["after_perplexity"] = checkpoint(docs.join(keep_ppl, "doc_id"))
+
+    # 1c. PII audit (report, non-filtering): validated redaction counts —
+    # what a release review reads; the redacted TEXT would feed the next
+    # stage in a pipeline that ships the corpus outside
+    from ccm_spark.pipeline.text import redact_pii_extended
+
+    pii = redact_pii_extended(docs).agg(
+        F.sum("n_emails").alias("em"),
+        F.sum("n_cards").alias("cd"),
+        F.sum("n_ips").alias("ip"),
+        F.sum("n_phones").alias("ph"),
+    ).collect()[0]
+    counts["pii_found"] = {
+        "emails": int(pii.em), "cards": int(pii.cd),
+        "ips": int(pii.ip), "phones": int(pii.ph),
+    }
 
     # 2. exact dedup: keep each content hash's representative
     reps = exact_duplicates(docs).select(
@@ -135,6 +160,11 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
         int(r.cluster): int(r.n_members)
         for r in cluster_sizes(kmeans_assign(embs, cents)).collect()
     }
+    # ... and the serving-store compression (r09): the surviving vectors'
+    # int8 quantized form — 4-8x smaller, recall measured in tests
+    from ccm_spark.pipeline.similarity import quantize_embeddings
+
+    counts["int8_vectors"] = quantize_embeddings(embs).count()
 
     # 5. language mixing (drop copy_idx: demo rates are <= 1)
     mixed = mixture_sample(docs).select("doc_id").distinct()
@@ -144,6 +174,13 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     vocab = build_wordpiece_vocab(docs, size=1000)
     toks = tokenize_docs(docs, vocab)
     counts["total_pieces"] = toks.agg(F.sum("n_pieces")).collect()[0][0]
+    # vocabulary-fit check (r09) BEFORE committing the corpus to this
+    # vocab: fertility (pieces/word) and OOV fraction per the report
+    from ccm_spark.pipeline.tokenize import fertility_report
+
+    fert = fertility_report(docs, vocab).collect()[0]
+    counts["fertility"] = float(fert.fertility)
+    counts["oov_word_frac"] = float(fert.oov_word_frac)
     budgeted = budget_select(
         docs, {"en": 50_000, "de": 20_000, "fr": 10_000, "es": 5_000, "zh": 5_000}
     )

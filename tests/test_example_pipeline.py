@@ -33,6 +33,11 @@ def test_corpus_pipeline_example_runs(spark, sf_small, tmp_path):
     assert c["shards"] >= 1
     # the topic-balance report covers every doc alive at that stage
     assert sum(c["topic_clusters"].values()) == c["after_decontamination"]
+    # ... and the int8 store quantizes exactly those vectors
+    assert c["int8_vectors"] == c["after_decontamination"]
+    # vocabulary-fit + PII audit stages report sane values
+    assert c["fertility"] >= 1.0 and 0.0 <= c["oov_word_frac"] <= 1.0
+    assert all(v >= 0 for v in c["pii_found"].values())
     m = out["manifest"]
     assert m["n_docs"] == c["final_docs"]
     assert sum(s["n_docs"] for s in m["shards"]) == m["n_docs"]
