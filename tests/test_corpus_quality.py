@@ -526,3 +526,53 @@ def test_redact_pii_extended_matches_duckdb_replay(spark, sf_small):
     assert all(v[2] == 1 and v[3] == 1 for v in got.values())  # ip + phone
     mism = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
     assert not mism, dict(list(mism.items())[:3])
+
+
+def test_luhn_column_matches_independent_python_luhn(spark):
+    """The codegen Luhn predicate vs a textbook Python implementation
+    over 300 seeded random candidates (contiguous + separated forms,
+    valid and off-by-one check digits): agreement must be exact — the
+    checksum gate is what keeps a random 16-digit run out of <CARD>."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.text import _luhn_ok
+
+    def py_luhn(s: str) -> bool:
+        ds = [int(c) for c in s if c.isdigit()]
+        if not 13 <= len(ds) <= 19:
+            return False
+        total = 0
+        for i, d in enumerate(reversed(ds)):
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    rng = random.Random(20260815)
+    cands = []
+    for _ in range(150):
+        n = rng.randint(13, 19)
+        digits = [rng.randint(0, 9) for _ in range(n)]
+        s = "".join(map(str, digits))
+        cands.append(s)
+        # the same number with a corrected final digit (forced valid)
+        body = s[:-1]
+        for check in range(10):
+            if py_luhn(body + str(check)):
+                cands.append(body + str(check))
+                break
+    sep = [
+        f"{c[:4]} {c[4:8]} {c[8:12]} {c[12:]}" for c in cands if len(c) >= 13
+    ][:50]
+    cands += sep
+    df = spark.createDataFrame([(c,) for c in cands], "cand string")
+    got = {
+        r.cand: r.ok for r in df.select("cand", _luhn_ok(F.col("cand")).alias("ok")).collect()
+    }
+    mism = {c: (got[c], py_luhn(c)) for c in got if got[c] != py_luhn(c)}
+    assert not mism, dict(list(mism.items())[:5])
+    assert sum(got.values()) >= 150  # every forced-valid candidate passes

@@ -282,3 +282,30 @@ def test_kn_model_sink_round_trip_scores_identically(spark, sf_small, tmp_path):
     b = {r.doc_id: (r.cross_entropy, r.perplexity)
          for r in perplexity(docs, loaded).collect()}
     assert a == b
+
+
+def test_kn_conditional_distribution_sums_to_one_exactly(spark):
+    """The KN identity the smoothing is built on: with the add-one
+    continuation distribution, sum_w p(w | prev) over the full class
+    space (vocab + <unk>) is EXACTLY 1 for every context — the
+    discounted mass d*N1+(prev,.)/c_out(prev) re-enters through a
+    continuation distribution that itself normalizes (each capped
+    bigram type contributes to exactly one w2 class). Checked for every
+    context with out-mass AND for the pure-backoff (dangling) case."""
+    from ccm_spark.pipeline.lm import UNK, _score_kn, train_kn_bigram_lm
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog " * 2) for i in range(30)]
+    rows += [(100 + i, "pack my box with five dozen liquor jugs") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kn = train_kn_bigram_lm(docs, vocab_size=50, max_bigrams=500)
+    classes = list(kn["vocab"]) + [UNK]
+    assert len(classes) == kn["n_classes"]
+
+    def p(prev, w):
+        return 2.0 ** -(_score_kn(kn, [prev, w]) - _score_kn(kn, [prev]))
+
+    contexts = [c for c in classes if kn["c_out"].get(c)][:8]
+    contexts.append("dog")  # sentence-final: no out-mass -> pure backoff
+    for prev in contexts:
+        total = sum(p(prev, w) for w in classes)
+        assert abs(total - 1.0) < 1e-9, (prev, total)
