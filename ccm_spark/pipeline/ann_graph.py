@@ -1,0 +1,186 @@
+"""Distributed k-NN GRAPH construction — NN-descent over the embedding
+corpus (Dong, Moses & Li 2011, "Efficient K-Nearest Neighbor Graph
+Construction for Generic Similarity Measures").
+
+The query-style ANN paths (IVF / PQ / SRP in ``pipeline.similarity``)
+answer "nearest to THESE queries"; this builds the ALL-corpus neighbor
+graph — the artifact graph-based curation consumes (SemDeDup-style
+cluster refinement, graph dedup components over ranked neighbors,
+diversity sampling, label propagation) — without ever considering all
+pairs. The reference has no similarity surface (SURVEY.md §2.1); this is
+extension surface next to the other ANN families.
+
+Algorithm, Spark-first:
+
+1. **Seeded init from SRP-LSH buckets** (reusing
+   ``similarity.srp_buckets``): initial neighbor candidates are bucket
+   co-members, capped per vector — the same hyperplanes the engine's
+   near-dup path trusts, so the seed graph is already locality-biased
+   rather than uniform-random (better first-round recall, same
+   determinism: planes are seeded LCG).
+2. **Descent rounds**: the current graph's UNDIRECTED edge set ``B``
+   (neighbors ∪ reverse neighbors) proposes ``B ⋈ B`` two-hop
+   candidates — "my neighbor's neighbors are probably my neighbors" —
+   which are scored (one Arrow-batched cosine per candidate pair) and
+   merged with the incumbents; each vector keeps its top-k by
+   ``(round(cos, 9) desc, neighbor id asc)`` (the engine's
+   deterministic near-tie rule).
+
+Scale shape: per round every vector contributes at most ``(2k)²``
+candidate pairs, so shuffle volume is ``O(N·k²)`` per round — bounded
+per node, never all-pairs; joins are equi-joins on vec ids (AQE handles
+any hub skew), scoring is a narrow Arrow pass over the candidate
+relation, and the per-round top-k is one window over (src). Each round
+``localCheckpoint``s (the kmeans/pagerank iteration discipline: an
+uncut lazy loop re-executes every prior round per consumer).
+Determinism: seeded planes + rounded scores + total tie order make the
+final graph a pure function of (corpus, k, rounds, seed) on any
+partitioning — test-pinned, along with measured recall vs the exact
+graph and the no-cartesian plan shape.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ccm_spark.pipeline.similarity import (
+    adaptive_srp_planes,
+    as_double_vec,
+    cosine_pandas,
+    srp_buckets,
+)
+
+
+def knn_graph_descent(
+    embeddings: DataFrame,
+    k: int = 10,
+    n_rounds: int = 3,
+    seed: int = 99,
+    init_cap: int | None = None,
+    planes: int | None = None,
+    n_seed_tables: int = 3,
+) -> DataFrame:
+    """Approximate k-NN graph ``(src, dst, cos_sim, rank)`` over the
+    whole embedding corpus via SRP-seeded NN-descent.
+
+    ``init_cap`` bounds how many bucket co-members seed each vector
+    (default ``2k``): an overfull SRP bucket contributes its
+    lowest-vec_id members — the deterministic cap, not a sample.
+    Vectors whose bucket is a singleton start edge-less and are reached
+    through REVERSE edges in the descent rounds; a vector unreachable
+    after all rounds is absent from the output (count them — on real
+    corpora with adaptive plane counts this is rare; the test pins the
+    realised coverage on the synthetic corpus).
+    """
+    if k < 1 or n_rounds < 0:
+        raise ValueError(
+            f"knn_graph_descent: k >= 1 and n_rounds >= 0 required "
+            f"(got k={k}, n_rounds={n_rounds})"
+        )
+    cap = init_cap if init_cap is not None else 2 * k
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = embeddings.select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = vecs.count()  # one scalar; also materialises the persist
+    if planes is None:
+        planes = adaptive_srp_planes(n)
+    cos = cosine_pandas()
+
+    def score_topk(pairs: DataFrame) -> DataFrame:
+        """(src, dst) candidates -> per-src top-k scored edges."""
+        scored = (
+            pairs.join(vecs.select(F.col("vec_id").alias("src"), F.col("v").alias("sv")), "src")
+            .join(vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv")), "dst")
+            .select(
+                "src",
+                "dst",
+                (F.round(cos(F.col("sv"), F.col("dv")), 9) + F.lit(0.0)).alias(
+                    "cos_sim"
+                ),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("cos_sim").desc(), F.col("dst").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+    # seed: SRP bucket co-members from SEVERAL independent hash tables.
+    # One table is NOT enough: its buckets partition the corpus into
+    # equivalence classes, and two-hop expansion of intra-bucket edges
+    # can never leave a class — the descent would only ever refine
+    # inside the seed components (measured: recall frozen across rounds
+    # at one table). Independent tables' cliques overlap, so their
+    # union is globally connected with high probability — the standard
+    # multi-table LSH argument, here buying CONNECTIVITY rather than
+    # candidate recall. Capped deterministically by dst id per table.
+    seeds = []
+    for t in range(n_seed_tables):
+        b = srp_buckets(embeddings, planes=planes, seed=seed + t)
+        p = (
+            b.alias("l")
+            .join(b.alias("r"), F.col("l.bucket") == F.col("r.bucket"))
+            .where(F.col("l.vec_id") != F.col("r.vec_id"))
+            .select(F.col("l.vec_id").alias("src"), F.col("r.vec_id").alias("dst"))
+        )
+        wcap = Window.partitionBy("src").orderBy(F.col("dst").asc())
+        seeds.append(
+            p.withColumn("_r", F.row_number().over(wcap))
+            .where(F.col("_r") <= cap)
+            .drop("_r")
+        )
+    pairs0 = seeds[0]
+    for p in seeds[1:]:
+        pairs0 = pairs0.union(p)
+    nbrs = score_topk(pairs0.distinct()).localCheckpoint(eager=True)
+
+    for _ in range(n_rounds):
+        base = nbrs.select("src", "dst")
+        undirected = base.union(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        two_hop = (
+            undirected.alias("l")
+            .join(
+                undirected.alias("r"),
+                F.col("l.dst") == F.col("r.src"),
+            )
+            .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        cand = undirected.union(two_hop).distinct()
+        nbrs = score_topk(cand).localCheckpoint(eager=True)
+
+    vecs.unpersist()
+    return nbrs
+
+
+def knn_graph_recall(
+    graph: DataFrame, exact: DataFrame, k: int = 10
+) -> DataFrame:
+    """Per-node recall of an approximate k-NN graph vs the exact one
+    (``similarity.cosine_topk`` with ``n_queries = N``): (src, n_hits,
+    recall). The join is on ranked edge identity (src, dst) — cosine
+    ties broken identically on both sides by the shared (score desc,
+    id asc) rule, so recall is well-defined."""
+    g = graph.select("src", "dst")
+    e = exact.select(
+        F.col("query_id").alias("src"), F.col("target_id").alias("dst")
+    )
+    hits = g.join(e, ["src", "dst"], "left_semi").groupBy("src").agg(
+        F.count("*").alias("n_hits")
+    )
+    base = e.select("src").distinct()
+    return base.join(hits, "src", "left").select(
+        "src",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6)
+            + F.lit(0.0)
+        ).alias("recall"),
+    )
