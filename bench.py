@@ -416,6 +416,16 @@ def main() -> None:
         docs = load_table(spark, sf_dir, "documents")
         return perplexity(docs, train_kn_bigram_lm(docs))
 
+    def extra_knn_graph(spark, sf_dir):
+        """NN-descent all-corpus k-NN graph (r09): multi-table SRP seed
+        + 2 bounded two-hop rounds over the sf embeddings (2 rounds
+        keeps the extra's cost proportionate; the recall-vs-rounds curve
+        itself is pinned in tests/test_ann_graph.py)."""
+        from ccm_spark.pipeline.ann_graph import knn_graph_descent
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return knn_graph_descent(embs, k=10, n_rounds=2)
+
     def extra_streaming_sessionize(spark, sf_dir):
         """Micro-batch throughput of the stateful streaming sessionizer
         (applyInPandasWithState): one availableNow pass over the sf
@@ -477,6 +487,7 @@ def main() -> None:
         "quality_classifier": extra_quality_classifier,
         "dsir_select": extra_dsir,
         "lm_perplexity_kn": extra_lm_kn,
+        "knn_graph_2k": extra_knn_graph,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6

@@ -44,6 +44,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ccm_spark.functions.partitioning import spread
 from ccm_spark.pipeline.similarity import (
     adaptive_srp_planes,
     as_double_vec,
@@ -90,16 +91,40 @@ def knn_graph_descent(
     cos = cosine_pandas()
 
     def score_topk(pairs: DataFrame) -> DataFrame:
-        """(src, dst) candidates -> per-src top-k scored edges."""
-        scored = (
-            pairs.join(vecs.select(F.col("vec_id").alias("src"), F.col("v").alias("sv")), "src")
-            .join(vecs.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv")), "dst")
-            .select(
-                "src",
-                "dst",
-                (F.round(cos(F.col("sv"), F.col("dv")), 9) + F.lit(0.0)).alias(
-                    "cos_sim"
-                ),
+        """(src, dst) candidates -> per-src top-k scored edges.
+
+        Scoring is CANONICALISED first (one row per unordered pair,
+        mirrored after): cosine is symmetric and two-hop candidate sets
+        are heavily bidirectional, so this halves both the vector-join
+        shuffle and the Arrow traffic of the cosine pass — the
+        dominant cost (each scored row ships two dim-length arrays)."""
+        cpairs = (
+            pairs.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .distinct()
+        )
+        joined = cpairs.join(
+            vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("av")), "a"
+        ).join(vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("bv")), "b")
+        # explicit-count respread before the cosine kernel: the candidate
+        # relation is byte-small but COMPUTE-heavy, so AQE coalesces the
+        # join reads to a couple of tasks and serialises the scoring
+        # (measured 2-task stages at sf0.1) — the same trap spread()
+        # exists for on the CCM fleet
+        joined = spread(joined, "a", factor=2)
+        cscored = joined.select(
+            "a",
+            "b",
+            (F.round(cos(F.col("av"), F.col("bv")), 9) + F.lit(0.0)).alias(
+                "cos_sim"
+            ),
+        )
+        scored = cscored.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "cos_sim"
+        ).union(
+            cscored.select(
+                F.col("b").alias("src"), F.col("a").alias("dst"), "cos_sim"
             )
         )
         w = Window.partitionBy("src").orderBy(
