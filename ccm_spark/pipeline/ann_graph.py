@@ -18,19 +18,29 @@ Algorithm, Spark-first:
    near-dup path trusts, so the seed graph is already locality-biased
    rather than uniform-random (better first-round recall, same
    determinism: planes are seeded LCG).
-2. **Descent rounds**: the current graph's UNDIRECTED edge set ``B``
-   (neighbors ∪ reverse neighbors) proposes ``B ⋈ B`` two-hop
-   candidates — "my neighbor's neighbors are probably my neighbors" —
-   which are scored (one Arrow-batched cosine per candidate pair) and
-   merged with the incumbents; each vector keeps its top-k by
+2. **Descent rounds**: each vector's CAPPED adjacency ``adj[v]`` —
+   its own neighbors (out-degree ≤ k) plus a deterministic ρ·k-sample
+   of its REVERSE neighbors (the paper's ρ-sampling; a hub can sit in
+   thousands of other vectors' top-k, so the raw reverse set is
+   unbounded) — proposes ``adj[v] × adj[v]`` candidate pairs ("two
+   vectors sharing a neighbor are probably neighbors"), which are
+   scored (one Arrow-batched cosine per candidate pair) and merged
+   with the incumbents; each vector keeps its top-k by
    ``(round(cos, 9) desc, neighbor id asc)`` (the engine's
    deterministic near-tie rule).
 
-Scale shape: per round every vector contributes at most ``(2k)²``
-candidate pairs, so shuffle volume is ``O(N·k²)`` per round — bounded
-per node, never all-pairs; joins are equi-joins on vec ids (AQE handles
-any hub skew), scoring is a narrow Arrow pass over the candidate
-relation, and the per-round top-k is one window over (src). Each round
+Scale shape: per round every vector contributes at most
+``(k·(1+ρ))²`` candidate pairs — the adjacency is capped BEFORE the
+pair join, so the bound holds even on hub-skewed corpora (a star
+graph's hub proposes (k+ρk)² pairs, not in-degree²) — so shuffle
+volume is ``O(N·k²·(1+ρ)²)`` per round, never all-pairs; the pair
+join is an equi-join on the shared adjacency owner, scoring is a
+narrow Arrow pass over the candidate relation, and the per-round
+top-k is one window over (src). The SRP seed self-join carries the
+same ``max_bucket_size`` valve as every other blocking family
+(``similarity.embedding_near_duplicates``): oversized buckets are
+dropped BEFORE the |bucket|² join, so a duplicate-heavy corpus
+cannot produce a mega-bucket explosion. Each round
 ``localCheckpoint``s (the kmeans/pagerank iteration discipline: an
 uncut lazy loop re-executes every prior round per consumer).
 Determinism: seeded planes + rounded scores + total tie order make the
@@ -53,6 +63,34 @@ from ccm_spark.pipeline.similarity import (
 )
 
 
+def capped_adjacency(
+    edges: DataFrame, k: int, rho: float = 1.0
+) -> DataFrame:
+    """The descent rounds' bounded candidate basis: forward edges
+    (out-degree ≤ k by construction) ∪ a deterministic ρ·k-sample of
+    each node's REVERSE neighbors — NN-descent's ρ-sampling (Dong et
+    al. 2011 §2.3). Out-degree alone does not bound the pair join: a
+    hub vector can appear in thousands of other vectors' top-k, and an
+    uncapped neighbors ∪ reverse-neighbors set then proposes
+    in-degree² candidate pairs at that hub. Sampling is by
+    ``xxhash64(src, dst)`` rank (a deterministic hash-rank sample, not
+    lowest-id — lowest-id would systematically favor early vectors),
+    ties broken by dst. Every node's adjacency is ≤ k + ⌈ρ·k⌉ rows.
+    """
+    rev_cap = max(1, int(rho * k))
+    fwd = edges.select("src", "dst")
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    w = Window.partitionBy("src").orderBy(
+        F.xxhash64("src", "dst").asc(), F.col("dst").asc()
+    )
+    rev_sampled = (
+        rev.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= rev_cap)
+        .drop("_r")
+    )
+    return fwd.union(rev_sampled).distinct()
+
+
 def knn_graph_descent(
     embeddings: DataFrame,
     k: int = 10,
@@ -61,6 +99,8 @@ def knn_graph_descent(
     init_cap: int | None = None,
     planes: int | None = None,
     n_seed_tables: int = 3,
+    rho: float = 1.0,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Approximate k-NN graph ``(src, dst, cos_sim, rank)`` over the
     whole embedding corpus via SRP-seeded NN-descent.
@@ -68,11 +108,19 @@ def knn_graph_descent(
     ``init_cap`` bounds how many bucket co-members seed each vector
     (default ``2k``): an overfull SRP bucket contributes its
     lowest-vec_id members — the deterministic cap, not a sample.
-    Vectors whose bucket is a singleton start edge-less and are reached
-    through REVERSE edges in the descent rounds; a vector unreachable
-    after all rounds is absent from the output (count them — on real
-    corpora with adaptive plane counts this is rare; the test pins the
-    realised coverage on the synthetic corpus).
+    ``max_bucket_size`` drops degenerate SRP buckets from seeding
+    BEFORE the |bucket|² self-join (the blocking families' shared
+    valve; a vector whose bucket is oversized in EVERY seed table — a
+    mega-block of near-identical vectors — gets no seed edge, nothing
+    points at it, and it is absent from the output, exactly the
+    near-dup families' contract for valved buckets). ``rho`` bounds
+    each node's sampled reverse in-degree at ⌈ρ·k⌉ per descent round
+    (see :func:`capped_adjacency`). Vectors whose bucket is a
+    singleton start edge-less and are reached through REVERSE edges in
+    the descent rounds; a vector unreachable after all rounds is
+    absent from the output (count them — on real corpora with adaptive
+    plane counts this is rare; the test pins the realised coverage on
+    the synthetic corpus).
     """
     if k < 1 or n_rounds < 0:
         raise ValueError(
@@ -145,8 +193,18 @@ def knn_graph_descent(
     # multi-table LSH argument, here buying CONNECTIVITY rather than
     # candidate recall. Capped deterministically by dst id per table.
     seeds = []
+    bucket_w = Window.partitionBy("bucket")
     for t in range(n_seed_tables):
-        b = srp_buckets(embeddings, planes=planes, seed=seed + t)
+        b = (
+            srp_buckets(embeddings, planes=planes, seed=seed + t)
+            # bucket valve BEFORE the self-join (similarity.py pattern):
+            # a duplicate-heavy corpus collapses into one mega-bucket
+            # whose |bucket|² rows would materialise before any
+            # per-src cap could apply
+            .withColumn("bucket_n", F.count("*").over(bucket_w))
+            .where(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
         p = (
             b.alias("l")
             .join(b.alias("r"), F.col("l.bucket") == F.col("r.bucket"))
@@ -165,20 +223,20 @@ def knn_graph_descent(
     nbrs = score_topk(pairs0.distinct()).localCheckpoint(eager=True)
 
     for _ in range(n_rounds):
-        base = nbrs.select("src", "dst")
-        undirected = base.union(
-            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        adj = capped_adjacency(nbrs, k, rho)
+        # pair join on the shared adjacency OWNER (l.src == r.src):
+        # "two members of one node's capped adjacency are candidates
+        # for each other". Each owner holds ≤ k + ⌈ρk⌉ rows, so the
+        # join emits ≤ (k(1+ρ))² pairs per node — bounded by
+        # construction, unlike a join through the (unbounded
+        # in-degree) mid vertex.
         two_hop = (
-            undirected.alias("l")
-            .join(
-                undirected.alias("r"),
-                F.col("l.dst") == F.col("r.src"),
-            )
-            .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+            adj.alias("l")
+            .join(adj.alias("r"), F.col("l.src") == F.col("r.src"))
+            .select(F.col("l.dst").alias("src"), F.col("r.dst").alias("dst"))
             .where(F.col("src") != F.col("dst"))
         )
-        cand = undirected.union(two_hop).distinct()
+        cand = adj.union(two_hop).distinct()
         nbrs = score_topk(cand).localCheckpoint(eager=True)
 
     vecs.unpersist()
