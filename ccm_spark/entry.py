@@ -982,6 +982,88 @@ def q_streaming_hourly_stats(spark, sf_dir):
     return windowed_stats_replay(spark, sf_dir)
 
 
+def q_sessionize_updates(spark, sf_dir):
+    """The gated applyInPandasWithState EMISSION-semantics row
+    (streaming/stateful.py, gated r10): the FULL update-mode emission
+    multiset of the stateful sessionizer over a deterministic
+    time-tercile 3-batch split — every closed session + every
+    per-batch open-session snapshot, duplicates included. The DuckDB
+    twin re-derives which rows each micro-batch must emit; the
+    multiset hash pins update-mode semantics, complementing the
+    append-mode watermark row streaming_hourly_stats."""
+    from ccm_spark.streaming.stateful import sessionize_updates_replay
+
+    configure_existing(spark)
+    return sessionize_updates_replay(spark, sf_dir)
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 embedding quantization (pipeline/similarity.py, gated r10):
+    per-vector symmetric scale + integer codes as one narrow codegen
+    pass — the 4x storage lever for a 100 TB embedding store. Round at
+    0 decimals carries no multiply-first hazard, so the relation
+    replays exactly in DuckDB."""
+    from ccm_spark.pipeline.similarity import quantize_embeddings
+
+    return quantize_embeddings(_embs(spark, sf_dir))
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Corpus tokenizer-fertility report (pipeline/tokenize.py, gated
+    r10) with the fixed wordpiece gate vocabulary: pieces/word,
+    bytes/piece, OOV fraction — ratios rounded 6 from exact integer
+    sums; the twin nests the whole wordpiece-encode chain as a CTE."""
+    from ccm_spark.pipeline.tokenize import fertility_report
+
+    return fertility_report(_docs(spark, sf_dir), oext.wordpiece_gate_vocab())
+
+
+def q_redact_pii_extended(spark, sf_dir):
+    """Validated PII redaction (pipeline/text.py, gated r10): email →
+    Luhn-gated card → IPv4 → phone → number, all codegen (the Luhn
+    checksum itself is split/transform/aggregate, no UDF). The corpus
+    has no PII, so the query injects deterministic doc_id-derived PII
+    — Luhn-VALID card for even doc_ids, INVALID for odd (must fall
+    through to <NUM> in both engines); same expression in the twin."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail user"), d.cast("string"), F.lit("@example.com card "),
+            F.when(d % 2 == 0, F.lit("4111 1111 1111 1111")).otherwise(
+                F.lit("4111 1111 1111 1112")
+            ),
+            F.lit(" ip 10."), (d % 200).cast("string"), F.lit(".0."),
+            (d % 250).cast("string"),
+            F.lit(" tel +1-555-0"), (100 + d % 900).cast("string"),
+            F.lit("-"), (1000 + d % 9000).cast("string"),
+            F.lit(" ref "), (d * 1000003 + 123456).cast("string"),
+        ),
+    )
+    return text.redact_pii_extended(aug)
+
+
+def q_lm_perplexity_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram-LM perplexity (pipeline/lm.py,
+    gated r10): train + score on the same documents table — exact
+    integer KN count tables (c_out / N1+ forward / N1+ continuation)
+    derived from the capped bigram relation, add-one smoothed
+    continuation distribution, expression shapes mirrored term-for-term
+    in the twin so the doubles match bit-for-bit."""
+    from ccm_spark.pipeline.lm import perplexity, train_kn_bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    model = train_kn_bigram_lm(
+        docs,
+        vocab_size=oext.LM_VOCAB_SIZE,
+        max_bigrams=oext.LM_MAX_BIGRAMS,
+        discount=oext.LM_KN_DISCOUNT,
+    )
+    return perplexity(docs, model)
+
+
 # ----------------------------------------------------------------- export
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1016,7 +1098,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccm_fleet_iterated": q_ccm_fleet_iterated,
         "url_dedup": q_url_dedup,
         "bm25_topk": q_bm25_topk,
-        "lm_perplexity": q_lm_perplexity,
+        # lm_perplexity (add-alpha) rotated out r10 (QUERIES.md ledger):
+        # it shares the bounded vocab/bigram COUNTING relation with the
+        # incoming KN gate (whose twin derives its integer count tables
+        # from the same capped bigram CTEs); the add-alpha scorer keeps
+        # train/score pins in tests/test_lm.py plus a DuckDB-replay pin
+        # in tests/test_pipeline_ops.py. Slot went to lm_perplexity_kn
+        # (interpolated Kneser-Ney end-to-end).
+        "lm_perplexity_kn": q_lm_perplexity_kn,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1033,8 +1122,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # there. Slot went to dsir_weights (the data-selection family's
         # first CORRECTNESS row).
         "dsir_weights": q_dsir_weights,
-        "text_quality_filter": q_text_quality_filter,
-        "text_redact_pii": q_text_redact_pii,
+        # text_quality_filter rotated out r10 (QUERIES.md ledger): its
+        # keep/drop verdict is a thin predicate over exactly the
+        # signals the still-gated text_quality / text_token_stats rows
+        # hash end-to-end; keeps a DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to tokenizer_fertility
+        # (the tokenizer-evaluation family's first CORRECTNESS row).
+        "tokenizer_fertility": q_tokenizer_fertility,
+        # text_redact_pii rotated out r10 (QUERIES.md ledger): the basic
+        # email+number chain (same injection expression) is a
+        # stage-subset of the incoming redact_pii_extended gate; keeps
+        # its pin in tests/test_mixing.py plus a DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to redact_pii_extended
+        # (the validated-PII chain, in-SQL Luhn fold included).
+        "redact_pii_extended": q_redact_pii_extended,
         "text_repetition": q_text_repetition,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "sample_mixture": q_sample_mixture,
@@ -1050,7 +1151,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS row).
         "kmeans_clusters": q_kmeans_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_incremental": q_dedup_incremental,
+        # dedup_incremental rotated out r10 (QUERIES.md ledger): its
+        # signature index derives from the SAME shingle->MinHash CTE
+        # chain the still-gated dedup_minhash_lsh hashes end-to-end;
+        # keeps pins in tests/test_sinks.py +
+        # tests/test_jsonl_dedup_stream.py plus a DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to sessionize_updates
+        # (the applyInPandasWithState update-mode emission gate).
+        "sessionize_updates": q_sessionize_updates,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         # dedup_simhash rotated out r07 (QUERIES.md policy): its 56-bit
         # fingerprint relation is the DIRECT input of the still-gated
@@ -1115,10 +1223,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same series) and test-pinned by tests/test_statistical.py. Slot
         # went to lm_perplexity.
         # gen_coupled_series (noise-free G2) is the zero-noise special case
-        # of the still-gated gen_coupled_series_noisy; its slot went to
-        # dedup_incremental (50-entry driver window). Pinned by
+        # of gen_coupled_series_noisy; its slot went to
+        # dedup_incremental in r04 (50-entry driver window). Pinned by
         # tests/test_statistical.py + the fleet gates that consume G2.
-        "gen_coupled_series_noisy": q_gen_coupled_series_noisy,
+        # gen_coupled_series_noisy itself rotated out r10 (QUERIES.md
+        # ledger): its (t, series, seed)-keyed noise LCG is rng.py's
+        # engine — the same LCG the still-gated ccm_bidirectional /
+        # ccm_fleet_iterated rows hash through bootstrap sampling — and
+        # the noisy arm keeps statistical pins plus a DuckDB-replay pin
+        # in tests/test_pipeline_ops.py. Slot went to
+        # quantize_embeddings (the int8 storage lever's first
+        # CORRECTNESS row).
+        "quantize_embeddings": q_quantize_embeddings,
         "events_asof_join": q_events_asof_join,
         # events_asof_tolerance rotated out r08 (QUERIES.md policy): the
         # staleness-bound variant of the still-gated events_asof_join
@@ -1161,14 +1277,14 @@ def oracle_sql() -> dict[str, str]:
         "ccm_fleet_iterated": osql.sql_ccm_fleet(),
         "url_dedup": oext.sql_url_dedup(),
         "bm25_topk": oext.sql_bm25_topk(),
-        "lm_perplexity": oext.sql_lm_perplexity(),
+        "lm_perplexity_kn": oext.sql_lm_perplexity_kn(),
         "text_token_stats": oext.sql_text_token_stats(),
         "text_quality": oext.sql_text_quality(),
         "text_langid": oext.sql_text_langid(),
         "cms_sketch": oext.sql_cms_sketch(),
         "dsir_weights": oext.sql_dsir_log_weights(),
-        "text_quality_filter": oext.sql_text_quality_filter(),
-        "text_redact_pii": oext.sql_text_redact_pii(),
+        "tokenizer_fertility": oext.sql_tokenizer_fertility(),
+        "redact_pii_extended": oext.sql_redact_pii_extended(),
         "text_repetition": oext.sql_text_repetition(),
         "boilerplate_ngrams": oext.sql_boilerplate_ngrams(),
         "sample_mixture": oext.sql_sample_mixture(),
@@ -1177,7 +1293,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": oext.sql_dedup_components(),
         "kmeans_clusters": oext.sql_kmeans_clusters(),
         "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
-        "dedup_incremental": oext.sql_dedup_against_index(),
+        "sessionize_updates": oext.sql_sessionize_updates(),
         "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
         "dedup_simhash_pairs": oext.sql_dedup_simhash_pairs(),
         "series_topk": oext.sql_series_topk(),
@@ -1193,7 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": oext.sql_multimodal_features(),
         "hll_vocab": oext.sql_hll_registers(),
         "events_hourly_stats": oext.sql_events_hourly_stats(),
-        "gen_coupled_series_noisy": oext.sql_gen_coupled_series_noisy(),
+        "quantize_embeddings": oext.sql_quantize_embeddings(),
         "events_asof_join": oext.sql_events_asof_join(),
         "warc_extract": oext.sql_warc_extract(),
         "text_vocab_topk": oext.sql_text_vocab_topk(),

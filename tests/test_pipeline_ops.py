@@ -601,3 +601,57 @@ def test_r09_rotated_rows_match_duckdb_replay(spark, sf_small):
             f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
             "or values differ"
         )
+
+
+def test_r10_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r10 rotation pins (QUERIES.md ledger): dedup_incremental /
+    gen_coupled_series_noisy / text_quality_filter / text_redact_pii /
+    lm_perplexity lost their driver gate slots to the sessionize /
+    quantize / fertility / validated-PII / Kneser-Ney families; each
+    rotated-out relation stays cross-engine hash-checked here at
+    sf0.001, exactly the way the driver would check it."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "dedup_incremental": (
+            entry.q_dedup_incremental,
+            oe.sql_dedup_against_index(),
+        ),
+        "gen_coupled_series_noisy": (
+            entry.q_gen_coupled_series_noisy,
+            oe.sql_gen_coupled_series_noisy(),
+        ),
+        "text_quality_filter": (
+            entry.q_text_quality_filter,
+            oe.sql_text_quality_filter(),
+        ),
+        "text_redact_pii": (entry.q_text_redact_pii, oe.sql_text_redact_pii()),
+        "lm_perplexity": (entry.q_lm_perplexity, oe.sql_lm_perplexity()),
+    }
+
+    def _key(t):  # None-safe total order (token-less LM rows carry NULLs)
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert got == want, (
+            f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
+            "or values differ"
+        )
