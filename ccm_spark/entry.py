@@ -943,11 +943,16 @@ def q_robots_rules(spark, sf_dir):
     allow / '*' wildcard / '$' anchor / comment, per doc_id % 5): the
     declarative twin states what a correct parse recovers, conservative
     wildcard truncation and '$' strip included — the warc_extract
-    oracle pattern."""
+    oracle pattern. wildcard='conservative' is pinned explicitly: the
+    module default flipped to 'exact' in r10 (measured over-block
+    decision, see pipeline/robots.py), while this row keeps hashing
+    the degraded-mode truncation arithmetic the twin replays."""
     from ccm_spark.pipeline.robots import robots_fixture, robots_txt_rules
 
     return robots_txt_rules(
-        robots_fixture(spark, sf_dir), max_rules_per_host=100_000
+        robots_fixture(spark, sf_dir),
+        max_rules_per_host=100_000,
+        wildcard="conservative",
     ).select("host", "rule", "prefix", "prec")
 
 

@@ -101,7 +101,8 @@ def test_apply_robots_wildcard_disallow_degrades_conservatively(spark):
                 ("y.com", "User-agent: *\nDisallow: *\n"),
             ],
             "host string, robots_txt string",
-        )
+        ),
+        wildcard="conservative",
     )
     urls = spark.createDataFrame(
         [
@@ -137,7 +138,8 @@ def test_apply_robots_dollar_anchor_and_precedence_preserved(spark):
                 ),
             ],
             "host string, robots_txt string",
-        )
+        ),
+        wildcard="conservative",
     )
     urls = spark.createDataFrame(
         [
@@ -379,7 +381,8 @@ def test_robots_exact_wildcard_mode(spark):
     # in the disallow direction: everything exact blocks here,
     # conservative blocks too (superset)
     cons = robots_txt_rules(
-        spark.createDataFrame([("e.com", body)], "host string, robots_txt string")
+        spark.createDataFrame([("e.com", body)], "host string, robots_txt string"),
+        wildcard="conservative",
     )
     got_c = {r.doc_id: r.robots_allowed for r in apply_robots(urls, cons).collect()}
     for k, allowed in got.items():
@@ -410,7 +413,9 @@ def test_robots_rules_fixture_matches_duckdb_twin(spark, sf_small):
     from ccm_spark.plans.oracle_sql_ext import sql_robots_rules_fixture
 
     rules = robots_txt_rules(
-        robots_fixture(spark, sf_small), max_rules_per_host=100_000
+        robots_fixture(spark, sf_small),
+        max_rules_per_host=100_000,
+        wildcard="conservative",
     )
     got = sorted(
         (r.host, r.rule, r.prefix, r.prec) for r in rules.collect()
@@ -426,3 +431,52 @@ def test_robots_rules_fixture_matches_duckdb_twin(spark, sf_small):
     )
     assert len(got) == len(want) == 400  # 500 docs, 1/5 are comments
     assert got == want
+
+
+def test_conservative_over_block_rate_measured_default_is_exact(spark, sf_small):
+    """The r8-carried wildcard defaulting decision, closed with a
+    measurement: over the documents-derived fixture corpus (wildcard
+    and '$' rules for 2/5 of docs) and a URL set probing each rule's
+    boundary, conservative mode over-blocks ~13.6% of the URLs exact
+    mode allows (exactly 244/1800: every '/w<id>/*.php' rule blocks
+    the non-.php file in its stem, every '/e<id>$' rule blocks the
+    subtree behind its anchor — 200 — plus 44 digit-prefix collisions
+    where a truncated '/e3' also swallows a same-host '/e31...' URL
+    that no real pattern touches). That loss rate on corpus-keep
+    decisions is why wildcard='exact' became the default (r10);
+    conservative never over-fetches (verified below) and remains the
+    cheap frontier-pre-filter mode."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.robots import apply_robots, robots_fixture
+
+    bodies = robots_fixture(spark, sf_small)
+    exact = robots_txt_rules(bodies, max_rules_per_host=100_000)
+    cons = robots_txt_rules(
+        bodies, max_rules_per_host=100_000, wildcard="conservative"
+    )
+    d = F.col("doc_id")
+    host = F.concat(F.lit("http://h"), (d % 7).cast("string"), F.lit(".com"))
+    ds = d.cast("string")
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(host, F.lit("/w"), ds, F.lit("/index.html")),
+                F.concat(host, F.lit("/w"), ds, F.lit("/app.php")),
+                F.concat(host, F.lit("/e"), ds, F.lit("/sub")),
+                F.concat(host, F.lit("/e"), ds),
+            )
+        ).alias("url"),
+    )
+    e = apply_robots(urls, exact).withColumnRenamed("robots_allowed", "ok_e")
+    c = apply_robots(urls, cons).withColumnRenamed("robots_allowed", "ok_c")
+    j = e.join(c, ["doc_id", "url"]).localCheckpoint(eager=True)
+    # never over-fetch: conservative allows only what exact allows
+    assert j.where(F.col("ok_c") & ~F.col("ok_e")).count() == 0
+    n_exact_ok = j.where(F.col("ok_e")).count()
+    n_over = j.where(F.col("ok_e") & ~F.col("ok_c")).count()
+    assert n_exact_ok == 1800 and n_over == 244, (n_exact_ok, n_over)
+    rate = n_over / n_exact_ok
+    assert 0.13 < rate < 0.14, rate
