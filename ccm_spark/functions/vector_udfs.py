@@ -493,6 +493,27 @@ def kmeans_assign_udf(bc_centroids):
     return _assign
 
 
+def kmeans_assign_topn_udf(bc_centroids, n: int):
+    """Arrow-batched top-``n`` nearest-centroid assignment (ascending
+    squared-L2, ties -> lowest cluster id via stable mergesort) — the
+    multi-probe sibling of :func:`kmeans_assign_udf` for SemDeDup's
+    boundary-recall knob (``semantic_dedup(n_probe=2)``): a vector near
+    a cluster boundary is blocked into BOTH nearest cells so a near-dup
+    pair straddling the boundary still meets. Returns array<long> of
+    length min(n, k); same batch-matmul shape as the argmin kernel."""
+
+    @pandas_udf("array<long>")
+    def _assign(embedding: pd.Series) -> pd.Series:
+        cents = bc_centroids.value
+        x = np.stack(embedding.to_numpy()).astype(np.float64)
+        d2 = (np.einsum("ij,ij->i", cents, cents))[None, :] - 2.0 * (x @ cents.T)
+        m = min(n, cents.shape[0])
+        order = np.argsort(d2, axis=1, kind="mergesort")[:, :m].astype(np.int64)
+        return pd.Series([row.tolist() for row in order])
+
+    return _assign
+
+
 def pca_project_udf(bc_model):
     """Arrow-batched PCA projection: (x - mean) @ components.T per batch
     matmul. ``bc_model`` is a SparkContext.broadcast of (components

@@ -143,6 +143,27 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
     return assignments.groupBy("cluster").agg(F.count("*").alias("n_members"))
 
 
+def kmeans_assign_topn(
+    embeddings: DataFrame, centroids: np.ndarray, n: int
+) -> DataFrame:
+    """(vec_id, clusters): each vector's ``n`` nearest centroids,
+    ascending by squared-L2, ties -> lowest id — the multi-probe
+    assignment feeding ``semantic_dedup(n_probe=...)``. Same
+    broadcast-matmul no-shuffle shape as :func:`kmeans_assign`."""
+    from ccm_spark.functions.vector_udfs import kmeans_assign_topn_udf
+
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+    assign = kmeans_assign_topn_udf(bc, n)
+    out = embeddings
+    if not embeddings.isStreaming:
+        out = spread(embeddings, "vec_id")
+    return out.select(
+        "vec_id", assign(_normalized_vec("embedding")).alias("clusters")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 16,
@@ -150,6 +171,7 @@ def semantic_dedup(
     n_iters: int = 5,
     centroids: np.ndarray | None = None,
     max_cluster_size: int = 100_000,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus embeddings with the
@@ -171,9 +193,25 @@ def semantic_dedup(
     partitioning. (The paper orders by distance-to-centroid; any greedy
     order yields a valid epsilon-cover, and vec_id order is the one
     that is stable across engines and runs.) Cross-cluster near-dups
-    are NOT examined — the documented SemDeDup approximation; raise k
-    to tighten blocks, or run ``embedding_near_duplicates`` for
-    LSH-blocked pair evidence instead.
+    are NOT examined at the default ``n_probe=1`` — the documented
+    SemDeDup approximation; raise k to tighten blocks, or run
+    ``embedding_near_duplicates`` for LSH-blocked pair evidence
+    instead.
+
+    ``n_probe=2`` is the boundary-recall knob (r8 advice): every
+    vector is blocked into its TWO nearest cells, so a near-dup pair
+    straddling a cluster boundary shares at least the cell nearest
+    their common neighborhood and gets examined. The plan stays
+    cluster-blocked (each vector appears in exactly ``n_probe``
+    blocks — 2x pairwise work, never global); a vector's final
+    ``keep`` is the AND of its blocks' greedy verdicts and its
+    reported ``cluster`` is still the primary (nearest) cell.
+    Approximation note, stated rather than hidden: with overlapping
+    blocks the greedy witness for a drop is kept PER BLOCK, so a
+    dropped vector's witness may itself be dropped by its other
+    block — still an epsilon-cover per block, slightly over-dropping
+    across them, while boundary-pair recall strictly improves
+    (test-pinned).
 
     100 TB shape: one kmeans_fit (n_iters corpus passes), one narrow
     assignment, one shuffle on cluster, then per-cluster greedy whose
@@ -195,8 +233,22 @@ def semantic_dedup(
         raise ValueError(
             f"semantic_dedup: max_cluster_size must be >= 1, got {max_cluster_size}"
         )
+    if n_probe < 1:
+        raise ValueError(f"semantic_dedup: n_probe must be >= 1, got {n_probe}")
     cents = centroids if centroids is not None else kmeans_fit(embeddings, k, n_iters)
-    assigned = kmeans_assign(embeddings, cents)
+    if n_probe > 1:
+        topn = kmeans_assign_topn(embeddings, cents, n_probe)
+        membership = topn.select(
+            "vec_id",
+            F.posexplode("clusters").alias("_slot", "cluster"),
+        )
+        primary = membership.where(F.col("_slot") == 0).select(
+            "vec_id", F.col("cluster").alias("_primary")
+        )
+        assigned = membership.drop("_slot")
+    else:
+        assigned = kmeans_assign(embeddings, cents)
+        primary = None
     nv = embeddings.select("vec_id", _normalized_vec("embedding").alias("nv"))
     # the cap filters BEFORE the grouped kernel (window count on the
     # exchange the groupBy below reuses — the LSH families' pattern):
@@ -236,4 +288,12 @@ def semantic_dedup(
         .groupBy("cluster")
         .applyInPandas(dedup_cluster, "vec_id long, cluster long, keep boolean")
     )
-    return deduped.unionByName(big)
+    votes = deduped.unionByName(big)
+    if n_probe == 1:
+        return votes
+    # multi-probe: AND the per-block verdicts (min over booleans) and
+    # report the primary cell — one row per input vector, same schema
+    final = votes.groupBy("vec_id").agg(F.min("keep").alias("keep"))
+    return primary.join(final, "vec_id").select(
+        "vec_id", F.col("_primary").alias("cluster"), "keep"
+    )

@@ -512,6 +512,8 @@ def train_unigram(
     n_em_iters: int = 3,
     max_piece_len: int = 8,
     seed_multiplier: int = 4,
+    max_seed_pieces: int = 1_000_000,
+    overflow: str = "error",
 ) -> dict:
     """Train a unigram-LM subword vocabulary (SentencePiece's model;
     Kudo 2018) — the third tokenizer family next to wordpiece (apply)
@@ -533,8 +535,25 @@ def train_unigram(
     never pruned (coverage guarantee). Same corpus + params =>
     bit-identical model on any partitioning.
 
-    Returns ``{"pieces": {piece: [id, logp]}, "max_piece_len": ...}``
-    with ids dense from 1 (0 = <unk>); feed to :func:`unigram_encode`.
+    Bounded-artifact guard (``train_bpe``'s contract, mirrored r10):
+    the seed collect is the trainer's one driver-side artifact, and
+    while ``top`` is already capped at ``vocab_size *
+    seed_multiplier``, the single-character union is alphabet-sized —
+    unbounded on garbage-unicode corpora. A seed relation larger than
+    ``max_seed_pieces`` either raises with the fix
+    (``overflow="error"``, the default) or — the 100 TB path — keeps
+    the top ``max_seed_pieces`` seed pieces by (count desc, piece asc)
+    via a distributed TakeOrdered (``overflow="truncate"``), a
+    frequency floor: every dropped piece is rarer than every kept one,
+    the dropped mass is reported as ``1 - seed_coverage``, and — the
+    one way this path relaxes the coverage guarantee — a dropped rare
+    CHARACTER encodes as ``<unk>`` downstream (the alphabet itself is
+    what overflowed).
+
+    Returns ``{"pieces": {piece: [id, logp]}, "max_piece_len": ...,
+    "seed_coverage": kept-seed-mass fraction (1.0 when nothing
+    dropped)}`` with ids dense from 1 (0 = <unk>); feed to
+    :func:`unigram_encode`.
     """
     import math
 
@@ -544,6 +563,15 @@ def train_unigram(
         raise ValueError(
             "train_unigram: vocab_size, n_em_iters, max_piece_len must be >= 1 "
             f"(got {vocab_size}, {n_em_iters}, {max_piece_len})"
+        )
+    if overflow not in ("error", "truncate"):
+        raise ValueError(
+            f"train_unigram: overflow must be 'error' or 'truncate', got {overflow!r}"
+        )
+    if max_seed_pieces < vocab_size:
+        raise ValueError(
+            f"train_unigram: max_seed_pieces ({max_seed_pieces}) must be >= "
+            f"vocab_size ({vocab_size})"
         )
     wh = (
         docs.select(F.explode(tokens_col("text")).alias("w"))
@@ -577,7 +605,35 @@ def train_unigram(
         F.desc(F.col("cnt") * F.length("piece")), "piece"
     ).limit(seed_k)
     chars = subs.filter(F.length("piece") == 1)
-    seed_rows = top.unionByName(chars).dropDuplicates(["piece"]).collect()
+    seed_rel = top.unionByName(chars).dropDuplicates(["piece"]).persist()
+    seed_n = seed_rel.count()
+    seed_coverage = 1.0
+    if seed_n > max_seed_pieces:
+        if overflow == "error":
+            seed_rel.unpersist()
+            raise ValueError(
+                f"train_unigram: seed relation has {seed_n} pieces > "
+                f"max_seed_pieces={max_seed_pieces} (the alphabet union is "
+                "corpus-unbounded); raise the cap, pre-filter garbage "
+                "characters upstream, or pass overflow='truncate' for the "
+                "frequency-floor top-max_seed_pieces seed"
+            )
+        # distributed TakeOrdered frequency floor (train_bpe's rule):
+        # only max_seed_pieces rows ever leave the executors; ties at
+        # the floor break on piece asc so the kept set is a pure
+        # function of the corpus
+        seed_total = seed_rel.agg(F.sum("cnt").alias("t")).collect()[0].t
+        seed_rows = (
+            seed_rel.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            .limit(max_seed_pieces)
+            .collect()
+        )
+        seed_coverage = float(sum(int(r.cnt) for r in seed_rows)) / float(
+            seed_total
+        )
+    else:
+        seed_rows = seed_rel.collect()
+    seed_rel.unpersist()
 
     total = float(sum(r.cnt for r in seed_rows))
     logp = {r.piece: math.log(r.cnt / total) for r in seed_rows}
@@ -646,6 +702,7 @@ def train_unigram(
         "pieces": pieces,
         "max_piece_len": max_piece_len,
         "ll_history": ll_history,
+        "seed_coverage": seed_coverage,
     }
 
 

@@ -162,3 +162,58 @@ def test_semantic_dedup_oversized_cluster_keeps_all(spark):
     assert all(r.keep for r in capped.collect())
     uncapped = semantic_dedup(df, k=1, threshold=0.95, n_iters=1)
     assert sum(1 for r in uncapped.collect() if r.keep) == 1
+
+
+def test_semantic_dedup_boundary_pair_caught_with_n_probe_2(spark):
+    """The r8 boundary-recall knob: a near-dup pair straddling a
+    cluster boundary (primary cells differ; cosine ~0.9991 >= 0.95) is
+    INVISIBLE at n_probe=1 (the documented SemDeDup approximation) and
+    caught at n_probe=2 — each member blocks into both nearest cells,
+    so they meet. Core members stay untouched, output is one row per
+    vector with the primary cell, the plan stays cluster-blocked (no
+    cartesian), and the verdict is partitioning-independent."""
+    import io
+    from contextlib import redirect_stdout
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.clustering import semantic_dedup
+
+    cents = np.zeros((2, 4)); cents[0, 0] = 1.0; cents[1, 1] = 1.0
+    rows = [
+        (0, [1.0, 0.05, 0.0, 0.0]),   # core of cluster 0
+        (1, [0.05, 1.0, 0.0, 0.0]),   # core of cluster 1
+        (2, [0.72, 0.69, 0.0, 0.0]),  # boundary, primary cell 0
+        (3, [0.69, 0.72, 0.0, 0.0]),  # boundary, primary cell 1, ~dup of 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    base = semantic_dedup(df, threshold=0.95, centroids=cents)
+    assert {r.vec_id: (r.cluster, r.keep) for r in base.collect()} == {
+        0: (0, True), 1: (1, True), 2: (0, True), 3: (1, True)  # pair missed
+    }
+    knob = semantic_dedup(df, threshold=0.95, centroids=cents, n_probe=2)
+    got = {r.vec_id: (r.cluster, r.keep) for r in knob.collect()}
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (0, True), 3: (1, False)  # pair caught
+    }
+    # partitioning-independent
+    again = semantic_dedup(
+        df.repartition(5), threshold=0.95, centroids=cents, n_probe=2
+    )
+    assert {r.vec_id: (r.cluster, r.keep) for r in again.collect()} == got
+    # still cluster-blocked: no cartesian/nested-loop join anywhere
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        semantic_dedup(
+            df, threshold=0.95, centroids=cents, n_probe=2
+        ).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_probe"):
+        semantic_dedup(df, centroids=cents, n_probe=0)

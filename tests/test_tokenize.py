@@ -520,3 +520,60 @@ def test_fertility_report_matches_duckdb_replay(spark, sf_small):
     assert len(by_src) > 1
     assert sum(r.n_docs for r in by_src) == row.n_docs
     assert sum(r.n_pieces for r in by_src) == row.n_pieces
+
+
+def test_train_unigram_seed_overflow_truncate_path(spark):
+    """train_bpe's bounded-artifact contract, mirrored (r8 advice #9):
+    a seed relation past max_seed_pieces raises by default with the
+    fix, and overflow='truncate' keeps the frequency-floor
+    top-max_seed_pieces seed — reported via seed_coverage < 1, kept
+    set a pure function of the corpus (partitioning-invariant), and a
+    floor-dropped rare character encodes as <unk> downstream."""
+    import pytest
+
+    from ccm_spark.pipeline.tokenize import train_unigram, unigram_encode
+
+    # 'ab' mass dominates; 'q'/'z' appear once inside rare words, so
+    # their pieces sit at the frequency floor
+    corpus = spark.createDataFrame(
+        [(0, "ab ab ab ab ab ab ab ab"), (1, "ab ab ab ab qz")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="max_seed_pieces"):
+        train_unigram(corpus, vocab_size=2, max_piece_len=2, max_seed_pieces=3)
+    with pytest.raises(ValueError, match="overflow"):
+        train_unigram(corpus, vocab_size=2, overflow="maybe")
+    with pytest.raises(ValueError, match="must be >="):
+        train_unigram(corpus, vocab_size=5, max_seed_pieces=3)
+
+    model = train_unigram(
+        corpus,
+        vocab_size=3,
+        max_piece_len=2,
+        max_seed_pieces=3,
+        overflow="truncate",
+    )
+    assert 0.0 < model["seed_coverage"] < 1.0
+    # the dominant pieces survive the floor; the rare chars fell below it
+    assert "ab" in model["pieces"]
+    assert "q" not in model["pieces"] and "z" not in model["pieces"]
+    # pure function of the corpus: same model on any partitioning
+    again = train_unigram(
+        corpus.repartition(5),
+        vocab_size=3,
+        max_piece_len=2,
+        max_seed_pieces=3,
+        overflow="truncate",
+    )
+    assert again["pieces"] == model["pieces"]
+    assert again["seed_coverage"] == model["seed_coverage"]
+    # floor-dropped char -> single-char <unk> piece at encode time
+    enc = unigram_encode(
+        spark.createDataFrame([(0, "ab qz")], "doc_id long, text string"),
+        model,
+    ).collect()[0]
+    qi = enc.pieces.index("q")
+    assert enc.piece_ids[qi] == 0
+    # the un-truncated path reports full coverage
+    full = train_unigram(corpus, vocab_size=3, max_piece_len=2)
+    assert full["seed_coverage"] == 1.0
