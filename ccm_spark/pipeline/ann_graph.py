@@ -243,6 +243,41 @@ def knn_graph_descent(
     return nbrs
 
 
+def knn_graph_components(
+    graph: DataFrame, threshold: float = 0.95, max_iter: int = 25
+) -> DataFrame:
+    """Graph-based dedup over the ranked neighbor graph (the r10
+    CONSUMER of :func:`knn_graph_descent`): ``(vec_id, component)``
+    connected components of the graph's edges with ``cos_sim >=
+    threshold`` — near-duplicate CLUSTERS from the same artifact that
+    serves retrieval and diversity sampling, with no extra LSH pass
+    over the corpus. Because the graph already ranks each vector's k
+    nearest, thresholding its edges is exactly the near-dup evidence
+    the pair families mine, pre-localised: a vector's above-threshold
+    neighbors are a subset of its top-k (k must exceed the expected
+    duplicate-group size for full recall within a group — groups
+    larger than k still collapse transitively through chained top-k
+    edges, the usual label-propagation argument).
+
+    Every graph node appears in the output (no above-threshold edge →
+    its own singleton component); labels are min-vec_id, so filtering
+    ``vec_id == component`` yields the deduplicated representative
+    set. One filter + the shared min-label kernel
+    (``graph.connected_components``): rounds bounded by component
+    diameter, eager localCheckpoint per round, loud failure past
+    ``max_iter``."""
+    from ccm_spark.pipeline.graph import connected_components
+
+    strong = graph.where(F.col("cos_sim") >= threshold).select("src", "dst")
+    # self-edges keep threshold-isolated nodes in the node universe;
+    # they are identity under min-label propagation
+    nodes = graph.select("src").distinct()
+    edges = strong.unionByName(nodes.select("src", F.col("src").alias("dst")))
+    return connected_components(edges, max_iter=max_iter).select(
+        F.col("node").alias("vec_id"), "component"
+    )
+
+
 def knn_graph_recall(
     graph: DataFrame, exact: DataFrame, k: int = 10
 ) -> DataFrame:

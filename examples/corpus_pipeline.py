@@ -166,6 +166,27 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
 
     counts["int8_vectors"] = quantize_embeddings(embs).count()
 
+    # 4c. k-NN graph + graph-based dedup audit (r10): build the ranked
+    # neighbor graph once (NN-descent — the artifact retrieval,
+    # diversity sampling AND dedup share) and read semantic duplicate
+    # components off its thresholded edges — no extra LSH pass. On this
+    # corpus the embeddings are isotropic random vectors, so the audit's
+    # EXPECTED finding is "no semantic dups at 0.999"; the structural
+    # properties still hold and are asserted: every graph node gets a
+    # component, labels are min-ids (component <= vec_id), and
+    # representatives + redundancy partition the covered corpus.
+    from ccm_spark.pipeline.ann_graph import knn_graph_components, knn_graph_descent
+
+    graph = knn_graph_descent(embs, k=5, n_rounds=2).localCheckpoint(eager=True)
+    comp = knn_graph_components(graph, threshold=0.999).localCheckpoint(eager=True)
+    n_nodes = graph.select("src").distinct().count()
+    n_comp_rows = comp.count()
+    n_reps = comp.where(F.col("vec_id") == F.col("component")).count()
+    assert n_comp_rows == n_nodes, (n_comp_rows, n_nodes)
+    assert comp.where(F.col("component") > F.col("vec_id")).count() == 0
+    counts["knn_graph_nodes"] = n_nodes
+    counts["semantic_dup_redundancy"] = n_comp_rows - n_reps
+
     # 5. language mixing (drop copy_idx: demo rates are <= 1)
     mixed = mixture_sample(docs).select("doc_id").distinct()
     docs, counts["after_mixing"] = checkpoint(docs.join(mixed, "doc_id"))

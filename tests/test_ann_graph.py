@@ -175,3 +175,42 @@ def test_descent_plan_has_no_cartesian_product(spark, sf_small):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_components_recover_planted_dup_groups(spark, sf_small):
+    """The graph CONSUMER (r10): thresholded components over the ranked
+    neighbor graph recover planted near-duplicate groups — two groups
+    of jittered copies collapse to their min-vec_id label, background
+    vectors stay singletons, and the representative set (vec_id ==
+    component) shrinks the corpus by exactly the planted redundancy."""
+    import numpy as np
+
+    from ccm_spark.pipeline.ann_graph import knn_graph_components
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(40, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant two dup groups: jittered copies of vectors 0 and 1
+    for g, src in ((0, 0), (1, 1)):
+        for j in range(3):
+            v = base[src] + rng.normal(scale=1e-3, size=dim)
+            rows.append((100 + 10 * g + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = knn_graph_descent(df, k=5, n_rounds=2).localCheckpoint(eager=True)
+    comp = {
+        r.vec_id: r.component
+        for r in knn_graph_components(g, threshold=0.999).collect()
+    }
+    graph_nodes = {r.src for r in g.select("src").distinct().collect()}
+    assert set(comp) == graph_nodes  # every GRAPH node present
+    # planted dup members have close neighbors, so they are always
+    # covered; each group collapses to its min-vec_id label
+    assert {0, 1, 100, 101, 102, 110, 111, 112} <= graph_nodes
+    assert comp[100] == comp[101] == comp[102] == comp[0] == 0
+    assert comp[110] == comp[111] == comp[112] == comp[1] == 1
+    # covered background vectors stay singletons at this threshold
+    others = {k: v for k, v in comp.items() if 2 <= k < 100}
+    assert others == {k: k for k in others}
+    reps = [k for k, v in comp.items() if k == v]
+    assert len(reps) == len(comp) - 6  # exactly the planted redundancy
