@@ -496,18 +496,38 @@ def main() -> None:
     # phantom improvement on unchanged code); the [min, max] spread rides
     # along to refute host-noise regressions, same as the headline
     # queries' spread fields (r07 alone saw two: an 18s pagerank and a
-    # 7s kmeans, both loaded-window artifacts)
+    # 7s kmeans, both loaded-window artifacts).
+    #
+    # r10 refinements (VERDICT r09 #3/#8):
+    # - the two heaviest extras (dsir_select, knn_graph_2k) and the
+    #   iterative pagerank_20k run 3 samples instead of 2, so expensive-
+    #   tail regressions separate from cold-run noise;
+    # - CONVENTION CHANGE, recorded here and in the JSON
+    #   (extra_queries_convention): pagerank_20k now reports the WARM
+    #   median (median of runs 2..n). Its cold-vs-warm delta is
+    #   first-execution codegen/JIT of the iteration loop (measured
+    #   cold 5.3 s / warm 3.5 s on identical plans; tools/
+    #   perf_pagerank.py reproduces it), i.e. a per-SESSION constant a
+    #   long-lived graph job pays once — not per-query cost. The cold
+    #   run still executes first and stays visible in the spread.
+    EXTRA_NRUNS = {"dsir_select": 3, "knn_graph_2k": 3, "pagerank_20k": 3}
+    EXTRA_WARM_MEDIAN = {"pagerank_20k"}
     extra_timings = {}
     extra_spread = {}
+    extra_nruns = {}
     for name, fn in extras.items():
         extra_runs = []
-        for _ in range(2):
+        for _ in range(EXTRA_NRUNS.get(name, 2)):
             spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             extra_runs.append(round(time.time() - t0, 3))
-        extra_timings[name] = extra_runs[0]
+        if name in EXTRA_WARM_MEDIAN:
+            extra_timings[name] = round(median(extra_runs[1:]), 3)
+        else:
+            extra_timings[name] = extra_runs[0]
         extra_spread[name] = [min(extra_runs), max(extra_runs)]
+        extra_nruns[name] = len(extra_runs)
         print(
             f"# extra {name}: {extra_timings[name]:.2f}s rows={n} "
             f"samples={extra_runs}",
@@ -536,6 +556,15 @@ def main() -> None:
                 # same headline set)
                 "extra_queries": extra_timings,
                 "extra_queries_spread": extra_spread,
+                "extra_queries_nruns": extra_nruns,
+                # r10 convention change (documented in the comment block
+                # above): pagerank_20k reports the warm median — its
+                # cold-vs-warm delta is per-session codegen/JIT, not
+                # per-query cost; every other extra still reports the
+                # first (cold) run
+                "extra_queries_convention": {
+                    name: "warm_median" for name in sorted(EXTRA_WARM_MEDIAN)
+                },
                 # host-load context: SCALE.md documents ±5x co-tenant
                 # bursts on this VM; a cross-round comparison should read
                 # these before calling a delta a regression

@@ -73,15 +73,25 @@ def capped_adjacency(
     hub vector can appear in thousands of other vectors' top-k, and an
     uncapped neighbors ∪ reverse-neighbors set then proposes
     in-degree² candidate pairs at that hub. Sampling is by
-    ``xxhash64(src, dst)`` rank (a deterministic hash-rank sample, not
-    lowest-id — lowest-id would systematically favor early vectors),
-    ties broken by dst. Every node's adjacency is ≤ k + ⌈ρ·k⌉ rows.
+    ``md5_long('src:dst')`` rank (a deterministic hash-rank sample, not
+    lowest-id — lowest-id would systematically favor early vectors;
+    md5 rather than xxhash64 so the rank is ENGINE-PORTABLE and the
+    whole graph replays in the DuckDB twin, the repo-wide hashing
+    rule), ties broken by dst. Every node's adjacency is ≤ k + ⌈ρ·k⌉
+    rows.
     """
+    from ccm_spark.functions.hashing import md5_long
+
     rev_cap = max(1, int(rho * k))
     fwd = edges.select("src", "dst")
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     w = Window.partitionBy("src").orderBy(
-        F.xxhash64("src", "dst").asc(), F.col("dst").asc()
+        md5_long(
+            F.concat(
+                F.col("src").cast("string"), F.lit(":"), F.col("dst").cast("string")
+            )
+        ).asc(),
+        F.col("dst").asc(),
     )
     rev_sampled = (
         rev.withColumn("_r", F.row_number().over(w))

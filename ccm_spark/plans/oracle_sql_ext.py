@@ -589,24 +589,27 @@ def sql_ann_ivf_kmeans_topk(
     )
 
 
-def _srp_ctes(planes: int = SRP_PLANES, seed: int = 99) -> str:
+def _srp_ctes(planes: int = SRP_PLANES, seed: int = 99, sfx: str = "") -> str:
+    """``sfx`` renames the CTEs (``buckets`` -> ``buckets<sfx>``) so one
+    statement can replay SEVERAL independent SRP hash tables — the
+    multi-table seeding of ``sql_knn_graph``."""
     rows = srp_plane_values(planes, DIM, seed)
     values = ", ".join(f"({pl}, {d}, {c!r})" for pl, d, c in rows)
     pw_values = ", ".join(f"({pl}, {1 << pl})" for pl in range(planes))
     return f"""
-planes AS (SELECT CAST(plane AS INT) AS plane, CAST(dim_idx AS INT) AS dim_idx, CAST(comp AS DOUBLE) AS comp
+planes{sfx} AS (SELECT CAST(plane AS INT) AS plane, CAST(dim_idx AS INT) AS dim_idx, CAST(comp AS DOUBLE) AS comp
            FROM (VALUES {values}) AS v(plane, dim_idx, comp)),
-plane_pw AS (SELECT CAST(plane AS INT) AS plane, CAST(pw AS BIGINT) AS pw
+plane_pw{sfx} AS (SELECT CAST(plane AS INT) AS plane, CAST(pw AS BIGINT) AS pw
              FROM (VALUES {pw_values}) AS v(plane, pw)),
-dots AS (
+dots{sfx} AS (
   SELECT e.vec_id, p.plane,
          SUM(list_extract(e.embedding::DOUBLE[], p.dim_idx + 1) * p.comp) AS dot
-  FROM embeddings e CROSS JOIN planes p
+  FROM embeddings e CROSS JOIN planes{sfx} p
   GROUP BY 1, 2
 ),
-buckets AS (
+buckets{sfx} AS (
   SELECT d.vec_id, CAST(SUM(CASE WHEN d.dot >= 0.0 THEN w.pw ELSE 0 END) AS BIGINT) AS bucket
-  FROM dots d JOIN plane_pw w ON w.plane = d.plane
+  FROM dots{sfx} d JOIN plane_pw{sfx} w ON w.plane = d.plane
   GROUP BY 1
 )"""
 
@@ -2370,3 +2373,168 @@ emitted AS (
 SELECT user_id, CAST(sidx AS BIGINT) AS session_idx, CAST(n AS BIGINT) AS n_events,
        st AS start_us, en AS end_us, round(sv, 6) + 0.0 AS sum_value
 FROM emitted"""
+
+
+# ------------------------------------------------- k-NN graph (r11 candidate)
+
+#: sql_knn_graph gate geometry: small k / one descent round / two seed
+#: tables keep the DuckDB replay tractable while exercising every stage
+#: (multi-table seeding, bucket valve, per-table cap, canonicalised
+#: scoring, mirror, top-k, rho-sampled reverse adjacency, owner-join
+#: two-hop, rescore)
+KNN_GRAPH_K = 5
+KNN_GRAPH_ROUNDS = 1
+KNN_GRAPH_TABLES = 2
+KNN_GRAPH_SEED = 99
+
+
+def sql_knn_graph(
+    k: int = KNN_GRAPH_K,
+    n_rounds: int = KNN_GRAPH_ROUNDS,
+    n_tables: int = KNN_GRAPH_TABLES,
+    seed: int = KNN_GRAPH_SEED,
+    max_bucket_size: int = 1000,
+    rho: float = 1.0,
+) -> str:
+    """DuckDB twin of pipeline.ann_graph.knn_graph_descent at the gate
+    geometry: SRP multi-table seeding (the _srp_ctes replay, one table
+    per seed), the max_bucket_size valve BEFORE the bucket self-join,
+    the per-table lowest-dst seed cap (2k), canonicalised cosine
+    scoring (round 9, zero-norm -> 0.0) mirrored to both directions
+    with the (cos desc, dst asc) top-k, then per round: forward edges ∪
+    an md5-rank rho·k-sample of reverse edges (engine-portable
+    md5_long('src:dst'), the repo hashing rule), owner-join two-hop
+    candidates, rescore. Every expression shaped like the Spark plan so
+    doubles match bit-for-bit after the shared round-9."""
+    cap = 2 * k
+    rev_cap = max(1, int(rho * k))
+    cos = (
+        "round(CASE WHEN sqrt(list_dot_product({a}, {a})) = 0 "
+        "OR sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
+        "ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b}))) END, 9) + 0.0"
+    )
+    md5rank = (
+        "CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
+        "CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+    ctes = [
+        _srp_ctes(SRP_PLANES, seed + t, sfx=f"_t{t}").strip()
+        for t in range(n_tables)
+    ]
+    ctes.append("v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)")
+    seed_parts = []
+    for t in range(n_tables):
+        ctes.append(
+            f"""kept_t{t} AS (
+  SELECT b.vec_id, b.bucket FROM buckets_t{t} b
+  JOIN (SELECT bucket FROM buckets_t{t} GROUP BY bucket
+        HAVING COUNT(*) <= {max_bucket_size}) ok USING (bucket)
+)"""
+        )
+        ctes.append(
+            f"""seed_t{t} AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id ASC) AS rk
+    FROM kept_t{t} a JOIN kept_t{t} b
+      ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  ) s WHERE rk <= {cap}
+)"""
+        )
+        seed_parts.append(f"SELECT src, dst FROM seed_t{t}")
+    ctes.append(
+        "seed_pairs AS (SELECT DISTINCT src, dst FROM ("
+        + " UNION ALL ".join(seed_parts)
+        + ") u)"
+    )
+
+    def score_topk(pairs_cte: str, out: str) -> list[str]:
+        return [
+            f"""cp_{out} AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM {pairs_cte}
+)""",
+            f"""sc_{out} AS (
+  SELECT c.a, c.b, {cos.format(a='va.vec', b='vb.vec')} AS cos_sim
+  FROM cp_{out} c JOIN v va ON va.vec_id = c.a JOIN v vb ON vb.vec_id = c.b
+)""",
+            f"""m_{out} AS (
+  SELECT a AS src, b AS dst, cos_sim FROM sc_{out}
+  UNION ALL
+  SELECT b AS src, a AS dst, cos_sim FROM sc_{out}
+)""",
+            f"""{out} AS (
+  SELECT src, dst, cos_sim, rk FROM (
+    SELECT src, dst, cos_sim,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_sim DESC, dst ASC) AS rk
+    FROM m_{out}
+  ) r WHERE rk <= {k}
+)""",
+        ]
+
+    ctes.extend(score_topk("seed_pairs", "g0"))
+    prev = "g0"
+    for rnd in range(1, n_rounds + 1):
+        ctes.append(
+            f"""adj_{rnd} AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM {prev}
+    UNION ALL
+    SELECT src, dst FROM (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY {md5rank} ASC, dst ASC) AS rrk
+      FROM (SELECT dst AS src, src AS dst FROM {prev}) rev
+    ) s WHERE rrk <= {rev_cap}
+  ) u
+)"""
+        )
+        ctes.append(
+            f"""cand_{rnd} AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM adj_{rnd}
+    UNION ALL
+    SELECT l.dst AS src, r.dst AS dst
+    FROM adj_{rnd} l JOIN adj_{rnd} r ON l.src = r.src
+    WHERE l.dst != r.dst
+  ) u
+)"""
+        )
+        ctes.extend(score_topk(f"cand_{rnd}", f"g{rnd}"))
+        prev = f"g{rnd}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT src, dst, cos_sim, CAST(rk AS INT) AS rank FROM {prev}"
+    )
+
+
+# --------------------------------------------- bottom-k sketch (r11 candidate)
+
+BK_GATE_PROBS = (0.25, 0.5, 0.75, 0.95)
+
+
+def sql_bottomk_quantiles(k: int = 256, probs: tuple = BK_GATE_PROBS) -> str:
+    """DuckDB twin of sketches.bottomk_build + bottomk_quantiles over
+    doc_len = length(text): the sketch IS the k rows with the smallest
+    md5_long('bk:' || doc_id) hashes (the threshold pre-filter in the
+    Spark build is a pure optimisation — same k survivors), and each
+    quantile is the exact interpolated percentile of that uniform
+    sample (Spark `percentile` == DuckDB `quantile_cont`), rounded 6 at
+    the boundary."""
+    h = "CAST(('0x' || substr(md5('bk:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    # quantile_cont takes only CONSTANT probabilities in DuckDB, so one
+    # SELECT per prob, unioned
+    per_prob = "\nUNION ALL\n".join(
+        f"SELECT CAST({float(p)!r} AS DOUBLE) AS prob, "
+        f"round(quantile_cont(value, {float(p)!r}), 6) + 0.0 AS value_est FROM sk"
+        for p in probs
+    )
+    return f"""
+WITH rows_bk AS (
+  SELECT {h} AS h, CAST(length(text) AS DOUBLE) AS value
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+),
+sk AS (SELECT h, value FROM rows_bk ORDER BY h ASC LIMIT {k})
+{per_prob}"""

@@ -214,3 +214,45 @@ def test_knn_graph_components_recover_planted_dup_groups(spark, sf_small):
     assert others == {k: k for k in others}
     reps = [k for k, v in comp.items() if k == v]
     assert len(reps) == len(comp) - 6  # exactly the planted redundancy
+
+
+def test_knn_graph_matches_duckdb_twin(spark, sf_small):
+    """The whole NN-descent graph replayed declaratively in DuckDB at
+    the gate geometry (k=5, 1 round, 2 seed tables, fixed SRP planes)
+    — seeding valve + per-table cap, canonicalised round-9 cosine,
+    md5-rank rho-sampled reverse adjacency, owner-join two-hop,
+    rescore. Exact equality incl. the cosine doubles — the r11 gate
+    candidate's evidence (QUERIES.md)."""
+    import duckdb
+
+    from ccm_spark.pipeline.similarity import SRP_PLANES
+    from ccm_spark.plans.oracle_sql_ext import (
+        KNN_GRAPH_K,
+        KNN_GRAPH_ROUNDS,
+        KNN_GRAPH_SEED,
+        KNN_GRAPH_TABLES,
+        sql_knn_graph,
+    )
+
+    embs = _embs(spark, sf_small)
+    g = knn_graph_descent(
+        embs,
+        k=KNN_GRAPH_K,
+        n_rounds=KNN_GRAPH_ROUNDS,
+        seed=KNN_GRAPH_SEED,
+        planes=SRP_PLANES,
+        n_seed_tables=KNN_GRAPH_TABLES,
+    )
+    got = sorted((r.src, r.dst, r.cos_sim, r.rank) for r in g.collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(s), int(d), float(c), int(rk))
+        for s, d, c, rk in con.sql(sql_knn_graph()).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(a, b) for a, b in zip(got, want) if a != b]
+    assert not mism, mism[:5]

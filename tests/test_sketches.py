@@ -576,3 +576,33 @@ def test_hll_registers_merge_estimate_and_duckdb_replay(spark, sf_small):
     # per-group build keeps one sketch per source
     by_src = hll_registers(docs, by="source")
     assert by_src.select("source").distinct().count() > 1
+
+
+def test_bottomk_quantiles_match_duckdb_twin(spark, sf_small):
+    """bottomk_build + bottomk_quantiles over doc_len replayed in
+    DuckDB (the sketch IS the k smallest md5 hashes; quantile_cont ==
+    Spark percentile), rounded 6 at the boundary — the r11 gate
+    candidate's evidence (QUERIES.md)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.sketches import bottomk_build, bottomk_quantiles
+    from ccm_spark.plans.oracle_sql_ext import BK_GATE_PROBS, sql_bottomk_quantiles
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id", F.length("text").alias("doc_len")
+    )
+    sk = bottomk_build(docs, "doc_len", k=256)
+    out = bottomk_quantiles(sk, list(BK_GATE_PROBS)).select(
+        "prob", (F.round("value_est", 6) + F.lit(0.0)).alias("value_est")
+    )
+    got = sorted((r.prob, r.value_est) for r in out.collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (float(p), float(v)) for p, v in con.sql(sql_bottomk_quantiles()).fetchall()
+    )
+    assert got == want
