@@ -64,7 +64,7 @@ from ccm_spark.pipeline.similarity import (
 
 
 def capped_adjacency(
-    edges: DataFrame, k: int, rho: float = 1.0
+    edges: DataFrame, k: int, rho: float = 1.5
 ) -> DataFrame:
     """The descent rounds' bounded candidate basis: forward edges
     (out-degree ≤ k by construction) ∪ a deterministic ρ·k-sample of
@@ -109,7 +109,7 @@ def knn_graph_descent(
     init_cap: int | None = None,
     planes: int | None = None,
     n_seed_tables: int = 3,
-    rho: float = 1.0,
+    rho: float = 1.5,
     max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Approximate k-NN graph ``(src, dst, cos_sim, rank)`` over the
@@ -230,7 +230,10 @@ def knn_graph_descent(
     pairs0 = seeds[0]
     for p in seeds[1:]:
         pairs0 = pairs0.union(p)
-    nbrs = score_topk(pairs0.distinct()).localCheckpoint(eager=True)
+    # no .distinct() here: score_topk's canonicalising
+    # (least, greatest) distinct dedupes the union anyway — a separate
+    # pre-distinct would just add one full exchange of the pair relation
+    nbrs = score_topk(pairs0).localCheckpoint(eager=True)
 
     for _ in range(n_rounds):
         adj = capped_adjacency(nbrs, k, rho)
@@ -246,7 +249,9 @@ def knn_graph_descent(
             .select(F.col("l.dst").alias("src"), F.col("r.dst").alias("dst"))
             .where(F.col("src") != F.col("dst"))
         )
-        cand = adj.union(two_hop).distinct()
+        # as with the seed union: no pre-distinct — score_topk's
+        # canonical-pair distinct absorbs the duplicates in one exchange
+        cand = adj.union(two_hop)
         nbrs = score_topk(cand).localCheckpoint(eager=True)
 
     vecs.unpersist()

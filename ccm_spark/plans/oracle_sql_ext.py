@@ -2394,7 +2394,7 @@ def sql_knn_graph(
     n_tables: int = KNN_GRAPH_TABLES,
     seed: int = KNN_GRAPH_SEED,
     max_bucket_size: int = 1000,
-    rho: float = 1.0,
+    rho: float = 1.5,
 ) -> str:
     """DuckDB twin of pipeline.ann_graph.knn_graph_descent at the gate
     geometry: SRP multi-table seeding (the _srp_ctes replay, one table

@@ -41,8 +41,11 @@ def test_descent_recall_improves_and_clears_floor(spark, sf_small):
 
 
 def test_descent_graph_shape_and_coverage(spark, sf_small):
-    """Every covered node carries exactly k ranked edges (rank 1..k,
-    scores non-increasing, no self-loops), and multi-table seeding
+    """Every covered node carries contiguously-ranked edges 1..m with
+    m <= k (a node whose whole candidate pool across seeding + rounds
+    is smaller than k honestly carries fewer — no manufactured edges),
+    at least 99% of covered nodes carry the full k, scores are
+    non-increasing, there are no self-loops, and multi-table seeding
     covers (nearly) the whole corpus — singleton-in-every-table is the
     only way to be missed."""
     embs = _embs(spark, sf_small)
@@ -55,9 +58,11 @@ def test_descent_graph_shape_and_coverage(spark, sf_small):
         F.max("rank").alias("hi"),
     )
     bad = per.where(
-        (F.col("m") != 5) | (F.col("lo") != 1) | (F.col("hi") != 5)
+        (F.col("m") > 5) | (F.col("lo") != 1) | (F.col("hi") != F.col("m"))
     ).count()
     assert bad == 0
+    n_cov = per.count()
+    assert per.where(F.col("m") == 5).count() >= 0.99 * n_cov
     # scores non-increasing along rank within each src
     from pyspark.sql import Window
 
@@ -111,19 +116,20 @@ def test_rho_sampling_bounds_hub_candidate_volume(spark):
 
 
 def test_rho_capped_recall_within_epsilon_of_uncapped(spark, sf_small):
-    """ρ-sampling must not cost material recall: the default ρ=1 graph
-    lands within 0.05 mean recall of an effectively-uncapped run
-    (rev_cap ≥ corpus size) on the isotropic worst-case corpus."""
+    """ρ-sampling must not cost material recall: the default-ρ graph
+    (1.5 — measured gap ~0.01) lands within 0.05 mean recall of an
+    effectively-uncapped run (rev_cap ≥ corpus size) on the isotropic
+    worst-case corpus."""
     embs = _embs(spark, sf_small)
     n = embs.count()
     exact = cosine_topk(embs, n_queries=n, k=10).localCheckpoint(eager=True)
 
-    def mean_recall(rho: float) -> float:
-        g = knn_graph_descent(embs, k=10, n_rounds=3, rho=rho)
+    def mean_recall(**kw) -> float:
+        g = knn_graph_descent(embs, k=10, n_rounds=3, **kw)
         return knn_graph_recall(g, exact, k=10).agg(F.avg("recall")).first()[0]
 
-    capped = mean_recall(1.0)
-    uncapped = mean_recall(float(n))  # rev_cap >= n: nothing sampled away
+    capped = mean_recall()  # the DEFAULT rho — what users get
+    uncapped = mean_recall(rho=float(n))  # rev_cap >= n: nothing sampled
     assert uncapped - capped <= 0.05, (capped, uncapped)
 
 
