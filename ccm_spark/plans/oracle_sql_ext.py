@@ -2538,3 +2538,50 @@ WITH rows_bk AS (
 ),
 sk AS (SELECT h, value FROM rows_bk ORDER BY h ASC LIMIT {k})
 {per_prob}"""
+
+
+# --------------------------------- eval contamination audit (r11 candidate)
+
+def sql_eval_contamination(
+    width: int | None = None, mod: int = 31, threshold: float = 0.7
+) -> str:
+    """DuckDB twin of dedup.eval_contamination_report on the
+    decontaminate gate split (doc_id % mod == 0 plays the eval set):
+    per eval doc, the fraction of its DISTINCT token w-grams present
+    anywhere in the training side — verdict on the exact integer
+    ratio, frac rounded 6 at the boundary, shingle-less docs 0.0 /
+    false."""
+    from ccm_spark.pipeline.dedup import SHINGLE_WIDTH
+
+    w = SHINGLE_WIDTH if width is None else width
+    grams = " || ' ' || ".join(f"list_extract(toks, i + {j})" for j in range(w))
+    return f"""
+WITH tr AS (SELECT doc_id, {TOKENS} AS toks FROM documents WHERE doc_id % {mod} <> 0),
+ev AS (SELECT doc_id, {TOKENS} AS toks FROM documents WHERE doc_id % {mod} = 0),
+trpos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {w - 2})) AS i FROM tr),
+trsh AS (
+  SELECT DISTINCT ({_md5_long(f"({grams})")} % {P31}) AS shingle_hash
+  FROM trpos
+),
+evpos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {w - 2})) AS i FROM ev),
+evsh AS (
+  SELECT DISTINCT doc_id, ({_md5_long(f"({grams})")} % {P31}) AS shingle_hash
+  FROM evpos
+),
+per AS (SELECT doc_id, COUNT(*) AS n_shingles FROM evsh GROUP BY 1),
+hits AS (
+  SELECT e.doc_id, COUNT(*) AS n_hit
+  FROM evsh e JOIN trsh t USING (shingle_hash) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+            ELSE round(COALESCE(h.n_hit, 0) / p.n_shingles, 6) + 0.0
+       END AS overlap_frac,
+       CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN FALSE
+            ELSE COALESCE(h.n_hit, 0) / p.n_shingles >= {threshold}
+       END AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0) d
+LEFT JOIN per p ON p.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id"""

@@ -264,3 +264,51 @@ def test_decontaminate_neardup_flags_paraphrased_copy(spark):
     }
     assert pairs[(1, 100)] == out[1].est_jaccard
     assert all(k[0] != 2 for k in pairs)
+
+
+def test_eval_contamination_report_matches_duckdb_twin(spark, sf_small):
+    """Per-eval-example overlap-fraction audit (the GPT-3/PaLM
+    direction) replayed in DuckDB on the decontaminate gate split —
+    exact integer-ratio verdicts, fractions rounded 6. The synthetic
+    corpus shares trigram phrasing across docs, so the audit must find
+    nonzero overlap; injecting a verbatim train doc as an eval doc
+    must flag it fully contaminated (frac 1.0) — the r11 gate
+    candidate's evidence (QUERIES.md)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.dedup import eval_contamination_report
+    from ccm_spark.plans.oracle_sql_ext import sql_eval_contamination
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 31 != 0)
+    ev = docs.where(F.col("doc_id") % 31 == 0)
+    out = eval_contamination_report(train, ev)
+    got = sorted(
+        (r.doc_id, r.n_shingles, r.n_hit, r.overlap_frac, r.contaminated)
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(d), int(ns), int(nh), float(fr), bool(c))
+        for d, ns, nh, fr, c in con.sql(sql_eval_contamination()).fetchall()
+    )
+    assert got == want
+    assert any(r[3] > 0.0 for r in got)  # shared phrasing is visible
+
+    # a verbatim train doc leaked into eval -> fully contaminated
+    leak = train.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out2 = eval_contamination_report(train, ev.select("doc_id", "text").unionByName(leak))
+    row = out2.where(F.col("doc_id") >= 1_000_000).collect()[0]
+    assert row.overlap_frac == 1.0 and bool(row.contaminated) is True
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        eval_contamination_report(train, ev, threshold=0.0)
