@@ -2585,3 +2585,70 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0) d
 LEFT JOIN per p ON p.doc_id = d.doc_id
 LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
+# ------------------------------------------- SemDeDup twin (r11 candidate)
+
+#: gate threshold for sql_semantic_dedup: the synthetic corpus is
+#: isotropic (no true 0.95-near-dups), so the gate runs the greedy at a
+#: low threshold where real drops occur and the cover recursion is
+#: genuinely exercised; the planted-dup behavior at production
+#: thresholds is pinned separately in tests/test_clustering.py
+SEMDEDUP_GATE_THRESHOLD = 0.2
+
+
+def sql_semantic_dedup(
+    k: int = 8, n_iters: int = 2, threshold: float = SEMDEDUP_GATE_THRESHOLD
+) -> str:
+    """DuckDB twin of clustering.semantic_dedup (n_probe=1): the ENTIRE
+    chain — the distributed Lloyd trainer + final assignment
+    (sql_kmeans_clusters nested verbatim, the ann_ivf_recall pattern),
+    L2-normalised vector lists, then the within-cluster greedy
+    epsilon-cover as a RECURSIVE CTE carrying the kept-vector list as
+    row state: members scan in vec_id order and a member is dropped
+    iff round(dot(kept, v), 9) >= threshold for some already-kept
+    earlier member — exactly the Arrow kernel's rule. The
+    max_cluster_size valve never fires at gate scale (documented; the
+    valve itself is pinned in tests/test_clustering.py)."""
+    t = float(threshold)
+    return f"""
+WITH RECURSIVE
+assign AS MATERIALIZED ({sql_kmeans_clusters(k, n_iters)}),
+nvl AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(vec, vec)) = 0 THEN vec
+              ELSE list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec)))
+         END AS nvec
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings) b
+),
+mem AS MATERIALIZED (
+  SELECT a.cluster, n.vec_id, n.nvec,
+         CAST(row_number() OVER (PARTITION BY a.cluster ORDER BY n.vec_id) AS INT) AS idx
+  FROM assign a JOIN nvl n USING (vec_id)
+),
+greedy AS (
+  SELECT cluster, 0 AS idx,
+         CAST([] AS BIGINT[]) AS keep_ids,
+         CAST([] AS DOUBLE[][]) AS kept_vecs
+  FROM (SELECT DISTINCT cluster FROM mem) c
+  UNION ALL
+  SELECT cluster, idx,
+         CASE WHEN cov THEN keep_ids ELSE list_append(keep_ids, vec_id) END,
+         CASE WHEN cov THEN kept_vecs ELSE list_append(kept_vecs, nvec) END
+  FROM (
+    SELECT g.cluster, m.idx, g.keep_ids, g.kept_vecs, m.vec_id, m.nvec,
+           len(list_filter(g.kept_vecs,
+                           kv -> round(list_dot_product(kv, m.nvec), 9) >= {t})) > 0 AS cov
+    FROM greedy g JOIN mem m ON m.cluster = g.cluster AND m.idx = g.idx + 1
+  ) s
+),
+final AS (
+  SELECT cluster, keep_ids FROM (
+    SELECT cluster, keep_ids,
+           row_number() OVER (PARTITION BY cluster ORDER BY idx DESC) AS rk
+    FROM greedy
+  ) r WHERE rk = 1
+)
+SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+       list_contains(f.keep_ids, m.vec_id) AS keep
+FROM mem m JOIN final f USING (cluster)"""

@@ -217,3 +217,41 @@ def test_semantic_dedup_boundary_pair_caught_with_n_probe_2(spark):
 
     with pytest.raises(ValueError, match="n_probe"):
         semantic_dedup(df, centroids=cents, n_probe=0)
+
+
+def test_semantic_dedup_matches_duckdb_twin(spark, sf_small):
+    """The ENTIRE SemDeDup chain replayed in DuckDB — Lloyd trainer +
+    assignment (the gated kmeans twin nested verbatim) and the
+    within-cluster greedy epsilon-cover as a recursive CTE carrying
+    the kept-vector list as row state. Gate threshold 0.2: the
+    isotropic corpus has no 0.95-near-dups, so the low threshold makes
+    the greedy do real work (127/500 kept) — the r11 gate candidate's
+    evidence (QUERIES.md)."""
+    import duckdb
+
+    from ccm_spark.pipeline.clustering import semantic_dedup
+    from ccm_spark.plans.oracle_sql_ext import (
+        SEMDEDUP_GATE_THRESHOLD,
+        sql_semantic_dedup,
+    )
+
+    embs = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    out = semantic_dedup(
+        embs, k=8, threshold=SEMDEDUP_GATE_THRESHOLD, n_iters=2
+    )
+    got = sorted((r.vec_id, r.cluster, r.keep) for r in out.collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(v), int(c), bool(kp))
+        for v, c, kp in con.sql(sql_semantic_dedup()).fetchall()
+    )
+    assert len(got) == len(want) == 500
+    mism = [(a, b) for a, b in zip(got, want) if a != b]
+    assert not mism, mism[:5]
+    # the low threshold made the greedy do real work on both sides
+    n_kept = sum(1 for _, _, kp in got if kp)
+    assert 0 < n_kept < 500
