@@ -293,6 +293,49 @@ def knn_graph_components(
     )
 
 
+def graph_diversity_sample(
+    graph: DataFrame, threshold: float = 0.95, seed: str = "ds"
+) -> DataFrame:
+    """Diversity sampling off the ranked neighbor graph (the second
+    r10 CONSUMER next to :func:`knn_graph_components`): ``(vec_id,
+    keep)`` where the kept set is an INDEPENDENT SET of the
+    cos >= threshold graph — no two kept vectors are above-threshold
+    neighbors, so dense semantic regions are thinned to local
+    representatives while isolated vectors always survive.
+
+    Rule (one round of Luby's algorithm under a deterministic hash
+    priority): v keeps iff no above-threshold neighbor u has a smaller
+    ``(md5_long(seed:id), id)`` priority. Pure function of (graph,
+    threshold, seed) on any partitioning; within a duplicate CLIQUE
+    exactly the min-priority member keeps. One symmetrised projection
+    of the edge relation + one per-node aggregate — no iteration, no
+    collect; at 100 TB this is two narrow exchanges over an O(N·k)
+    relation."""
+    from ccm_spark.functions.hashing import md5_long
+
+    def pr(col):
+        return md5_long(F.concat(F.lit(f"{seed}:"), F.col(col).cast("string")))
+
+    e = graph.where(F.col("cos_sim") >= threshold).select("src", "dst")
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nbr_min = (
+        sym.select("src", F.struct(pr("dst").alias("p"), F.col("dst").alias("i")).alias("np"))
+        .groupBy("src")
+        .agg(F.min("np").alias("min_np"))
+    )
+    nodes = graph.select("src").distinct()
+    own = F.struct(pr("src").alias("p"), F.col("src").alias("i"))
+    return (
+        nodes.join(nbr_min, "src", "left")
+        .select(
+            F.col("src").alias("vec_id"),
+            (F.col("min_np").isNull() | (own < F.col("min_np"))).alias("keep"),
+        )
+    )
+
+
 def knn_graph_recall(
     graph: DataFrame, exact: DataFrame, k: int = 10
 ) -> DataFrame:

@@ -186,6 +186,16 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     assert comp.where(F.col("component") > F.col("vec_id")).count() == 0
     counts["knn_graph_nodes"] = n_nodes
     counts["semantic_dup_redundancy"] = n_comp_rows - n_reps
+    # ... and the graph's second consumer: diversity sampling (an
+    # independent set of the thresholded graph — dense regions thinned
+    # to local representatives). Kept set can never exceed the node set
+    # and keeps everything when no above-threshold edges exist.
+    from ccm_spark.pipeline.ann_graph import graph_diversity_sample
+
+    div = graph_diversity_sample(graph, threshold=0.999)
+    n_div = div.where(F.col("keep")).count()
+    assert 0 < n_div <= n_nodes, (n_div, n_nodes)
+    counts["diversity_kept"] = n_div
 
     # 5. language mixing (drop copy_idx: demo rates are <= 1)
     mixed = mixture_sample(docs).select("doc_id").distinct()

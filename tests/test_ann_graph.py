@@ -262,3 +262,49 @@ def test_knn_graph_matches_duckdb_twin(spark, sf_small):
     assert len(got) == len(want) > 0
     mism = [(a, b) for a, b in zip(got, want) if a != b]
     assert not mism, mism[:5]
+
+
+def test_graph_diversity_sample_independent_set(spark, sf_small):
+    """The second graph CONSUMER (r10): the kept set is an independent
+    set of the thresholded graph (no two kept vectors are
+    above-threshold neighbors), each planted duplicate clique keeps
+    EXACTLY one member, isolated vectors always survive, and the
+    verdict is deterministic under repartitioning."""
+    import numpy as np
+
+    from ccm_spark.pipeline.ann_graph import graph_diversity_sample
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    base = rng.normal(size=(30, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for g, src in ((0, 0), (1, 1)):
+        for j in range(3):
+            v = base[src] + rng.normal(scale=1e-3, size=dim)
+            rows.append((100 + 10 * g + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = knn_graph_descent(df, k=5, n_rounds=2).localCheckpoint(eager=True)
+    out = graph_diversity_sample(g, threshold=0.999)
+    kept = {r.vec_id for r in out.collect() if r.keep}
+    all_nodes = {r.vec_id for r in out.collect()}
+    assert all_nodes == {r.src for r in g.select("src").distinct().collect()}
+    # independence: no above-threshold edge joins two kept nodes
+    strong = [
+        (r.src, r.dst)
+        for r in g.where(F.col("cos_sim") >= 0.999).collect()
+    ]
+    assert not any(a in kept and b in kept for a, b in strong)
+    # each planted clique keeps exactly one member
+    for members in ({0, 100, 101, 102}, {1, 110, 111, 112}):
+        assert len(kept & members) == 1, (members, kept & members)
+    # isolated background vectors (no strong edges) always survive
+    touched = {x for ab in strong for x in ab}
+    background = all_nodes - touched
+    assert background <= kept
+    # deterministic under repartitioning
+    out2 = graph_diversity_sample(
+        knn_graph_descent(df.repartition(7), k=5, n_rounds=2), threshold=0.999
+    )
+    assert {r.vec_id: r.keep for r in out2.collect()} == {
+        r.vec_id: r.keep for r in out.collect()
+    }
