@@ -177,9 +177,20 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     # representatives + redundancy partition the covered corpus.
     from ccm_spark.pipeline.ann_graph import knn_graph_components, knn_graph_descent
 
-    graph = knn_graph_descent(embs, k=5, n_rounds=2).localCheckpoint(eager=True)
+    # the demo corpus shrinks to a few dozen survivors at sf0.001; the
+    # engine-wide 8-plane SRP floor (sized for corpora, ~256 buckets)
+    # would leave every bucket a singleton and the graph empty, so size
+    # the planes to the SURVIVING corpus here (~8 expected per bucket)
+    import math as _math
+
+    n_embs = embs.count()
+    demo_planes = max(2, _math.ceil(_math.log2(max(2.0, n_embs / 8))))
+    graph = knn_graph_descent(
+        embs, k=5, n_rounds=2, planes=demo_planes
+    ).localCheckpoint(eager=True)
     comp = knn_graph_components(graph, threshold=0.999).localCheckpoint(eager=True)
     n_nodes = graph.select("src").distinct().count()
+    assert n_nodes > 0  # an empty graph would let every audit pass vacuously
     n_comp_rows = comp.count()
     n_reps = comp.where(F.col("vec_id") == F.col("component")).count()
     assert n_comp_rows == n_nodes, (n_comp_rows, n_nodes)
