@@ -131,6 +131,13 @@ def knn_graph_descent(
     absent from the output (count them — on real corpora with adaptive
     plane counts this is rare; the test pins the realised coverage on
     the synthetic corpus).
+
+    Tiny-corpus caveat: ``planes=None`` uses the engine-wide adaptive
+    plane count, whose FLOOR is ``SRP_PLANES`` (8) — sized for real
+    corpora. Under ~128 vectors that makes most buckets singletons and
+    the graph can come out EMPTY; pass ``planes`` explicitly there
+    (``examples/corpus_pipeline.py`` shows the sizing rule: ~8
+    expected members per bucket).
     """
     if k < 1 or n_rounds < 0:
         raise ValueError(
