@@ -2652,3 +2652,45 @@ final AS (
 SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
        list_contains(f.keep_ids, m.vec_id) AS keep
 FROM mem m JOIN final f USING (cluster)"""
+
+
+# ------------------------------- graph diversity sample (r11 candidate)
+
+#: gate threshold for sql_graph_diversity: the isotropic corpus has no
+#: 0.95-near-dups, so the gate thins at a low threshold where the
+#: thresholded graph has real edges and the independent-set rule does
+#: real work; production-threshold clique behavior is pinned in
+#: tests/test_ann_graph.py
+DIVERSITY_GATE_THRESHOLD = 0.2
+
+
+def sql_graph_diversity(threshold: float = DIVERSITY_GATE_THRESHOLD) -> str:
+    """DuckDB twin of ann_graph.graph_diversity_sample over the gate
+    k-NN graph (sql_knn_graph nested verbatim): one round of Luby's
+    algorithm under the md5_long('ds:' || id) priority — keep v iff no
+    cos >= threshold neighbor has a smaller (priority, id); the
+    lexicographic struct compare replays as explicit OR terms."""
+    t = float(threshold)
+    pr = "CAST(('0x' || substr(md5('ds:' || CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+WITH g AS MATERIALIZED ({sql_knn_graph()}),
+e AS (SELECT src, dst FROM g WHERE cos_sim >= {t}),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+  ) u
+),
+best AS (
+  SELECT src, p AS np, i AS ni FROM (
+    SELECT s.src, {pr.format(c='s.dst')} AS p, s.dst AS i,
+           row_number() OVER (PARTITION BY s.src
+                              ORDER BY {pr.format(c='s.dst')} ASC, s.dst ASC) AS rk
+    FROM sym s
+  ) r WHERE rk = 1
+),
+nodes AS (SELECT DISTINCT src FROM g)
+SELECT n.src AS vec_id,
+       (b.ni IS NULL
+        OR {pr.format(c='n.src')} < b.np
+        OR ({pr.format(c='n.src')} = b.np AND n.src < b.ni)) AS keep
+FROM nodes n LEFT JOIN best b ON b.src = n.src"""

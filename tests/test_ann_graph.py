@@ -308,3 +308,46 @@ def test_graph_diversity_sample_independent_set(spark, sf_small):
     assert {r.vec_id: r.keep for r in out2.collect()} == {
         r.vec_id: r.keep for r in out.collect()
     }
+
+
+def test_graph_diversity_matches_duckdb_twin(spark, sf_small):
+    """graph_diversity_sample over the gate-geometry graph replayed in
+    DuckDB (sql_knn_graph nested verbatim + the one-round Luby rule
+    with the md5 priority) — exact keep-for-keep equality at the gate
+    threshold (0.2: real edges on the isotropic corpus, ~40% thinned).
+    The r11 gate candidate's evidence (QUERIES.md)."""
+    import duckdb
+
+    from ccm_spark.pipeline.ann_graph import graph_diversity_sample
+    from ccm_spark.pipeline.similarity import SRP_PLANES
+    from ccm_spark.plans.oracle_sql_ext import (
+        DIVERSITY_GATE_THRESHOLD,
+        KNN_GRAPH_K,
+        KNN_GRAPH_ROUNDS,
+        KNN_GRAPH_SEED,
+        KNN_GRAPH_TABLES,
+        sql_graph_diversity,
+    )
+
+    g = knn_graph_descent(
+        _embs(spark, sf_small),
+        k=KNN_GRAPH_K,
+        n_rounds=KNN_GRAPH_ROUNDS,
+        seed=KNN_GRAPH_SEED,
+        planes=SRP_PLANES,
+        n_seed_tables=KNN_GRAPH_TABLES,
+    )
+    out = graph_diversity_sample(g, threshold=DIVERSITY_GATE_THRESHOLD)
+    got = sorted((r.vec_id, r.keep) for r in out.collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(v), bool(k)) for v, k in con.sql(sql_graph_diversity()).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    n_kept = sum(1 for _, k in got if k)
+    assert 0 < n_kept < len(got)  # the rule did real work
