@@ -316,8 +316,9 @@ def graph_diversity_sample(
     threshold, seed) on any partitioning; within a duplicate CLIQUE
     exactly the min-priority member keeps. One symmetrised projection
     of the edge relation + one per-node aggregate — no iteration, no
-    collect; at 100 TB this is two narrow exchanges over an O(N·k)
-    relation."""
+    collect; at 100 TB this is a min-aggregate and a join over an
+    O(N·k) relation (no pre-distinct on the symmetrised edges: a
+    duplicate neighbor entry cannot change a MIN)."""
     from ccm_spark.functions.hashing import md5_long
 
     def pr(col):
@@ -326,7 +327,7 @@ def graph_diversity_sample(
     e = graph.where(F.col("cos_sim") >= threshold).select("src", "dst")
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     nbr_min = (
         sym.select("src", F.struct(pr("dst").alias("p"), F.col("dst").alias("i")).alias("np"))
         .groupBy("src")
