@@ -304,9 +304,18 @@ def test_eval_contamination_report_matches_duckdb_twin(spark, sf_small):
     leak = train.limit(1).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    out2 = eval_contamination_report(train, ev.select("doc_id", "text").unionByName(leak))
-    row = out2.where(F.col("doc_id") >= 1_000_000).collect()[0]
+    # ... and a shingle-less doc (1 token < width) rides along: the
+    # zero-denominator branch must emit (0, 0, 0.0, False), not an
+    # ANSI divide-by-zero
+    short = spark.createDataFrame([(2_000_000, "lonely")], "doc_id long, text string")
+    out2 = eval_contamination_report(
+        train,
+        ev.select("doc_id", "text").unionByName(leak).unionByName(short),
+    )
+    row = out2.where(F.col("doc_id").between(1_000_000, 1_999_999)).collect()[0]
     assert row.overlap_frac == 1.0 and bool(row.contaminated) is True
+    srow = out2.where(F.col("doc_id") == 2_000_000).collect()[0]
+    assert (srow.n_shingles, srow.n_hit, srow.overlap_frac, bool(srow.contaminated)) == (0, 0, 0.0, False)
 
     import pytest
 

@@ -289,3 +289,43 @@ def test_quantize_embeddings_matches_duckdb_and_bounds_error(spark, sf_small):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_quantize_stream_equals_batch(spark, sf_small, tmp_path):
+    """quantize_embeddings is pure expressions (transform/array_max/
+    round — the docstring's streaming-safe claim, now pinned): a
+    streaming embeddings source must quantize to exactly the batch
+    (scale, codes), so new vectors compress at ingestion time."""
+    from ccm_spark.pipeline.similarity import quantize_embeddings
+
+    embs = load_table(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    batch = {
+        r.vec_id: (r.scale, tuple(r.codes))
+        for r in quantize_embeddings(embs).collect()
+    }
+
+    import shutil
+
+    src_dir = tmp_path / "quant_stream_src"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_small}/embeddings.parquet", src_dir / "part-0.parquet")
+    full_schema = spark.read.parquet(f"{sf_small}/embeddings.parquet").schema
+    stream = spark.readStream.schema(full_schema).parquet(str(src_dir)).select(
+        "vec_id", "embedding"
+    )
+    out = quantize_embeddings(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quant_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_quant"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: (r.scale, tuple(r.codes))
+        for r in spark.sql("select * from quant_stream").collect()
+    }
+    assert got == batch
