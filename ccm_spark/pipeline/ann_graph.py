@@ -80,9 +80,11 @@ def capped_adjacency(
     rule), ties broken by dst. Every node's adjacency is ≤ k + ⌈ρ·k⌉
     rows.
     """
+    import math
+
     from ccm_spark.functions.hashing import md5_long
 
-    rev_cap = max(1, int(rho * k))
+    rev_cap = max(1, math.ceil(rho * k))
     fwd = edges.select("src", "dst")
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     w = Window.partitionBy("src").orderBy(

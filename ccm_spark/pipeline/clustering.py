@@ -237,7 +237,13 @@ def semantic_dedup(
         raise ValueError(f"semantic_dedup: n_probe must be >= 1, got {n_probe}")
     cents = centroids if centroids is not None else kmeans_fit(embeddings, k, n_iters)
     if n_probe > 1:
-        topn = kmeans_assign_topn(embeddings, cents, n_probe)
+        # materialise the top-n assignment ONCE: primary-cell extraction
+        # and the block votes otherwise each re-run the full-corpus
+        # broadcast-matmul assignment pass (two scans of the embeddings
+        # at the 100 TB design point)
+        topn = kmeans_assign_topn(embeddings, cents, n_probe).localCheckpoint(
+            eager=True
+        )
         membership = topn.select(
             "vec_id",
             F.posexplode("clusters").alias("_slot", "cluster"),

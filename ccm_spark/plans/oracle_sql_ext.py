@@ -2406,18 +2406,17 @@ def sql_knn_graph(
     md5_long('src:dst'), the repo hashing rule), owner-join two-hop
     candidates, rescore. Every expression shaped like the Spark plan so
     doubles match bit-for-bit after the shared round-9."""
+    import math
+
     cap = 2 * k
-    rev_cap = max(1, int(rho * k))
+    rev_cap = max(1, math.ceil(rho * k))
     cos = (
         "round(CASE WHEN sqrt(list_dot_product({a}, {a})) = 0 "
         "OR sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
         "ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
         "* sqrt(list_dot_product({b}, {b}))) END, 9) + 0.0"
     )
-    md5rank = (
-        "CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
-        "CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT)"
-    )
+    md5rank = _md5_long("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")
     ctes = [
         _srp_ctes(SRP_PLANES, seed + t, sfx=f"_t{t}").strip()
         for t in range(n_tables)
@@ -2523,7 +2522,7 @@ def sql_bottomk_quantiles(k: int = 256, probs: tuple = BK_GATE_PROBS) -> str:
     quantile is the exact interpolated percentile of that uniform
     sample (Spark `percentile` == DuckDB `quantile_cont`), rounded 6 at
     the boundary."""
-    h = "CAST(('0x' || substr(md5('bk:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    h = _md5_long("'bk:' || CAST(doc_id AS VARCHAR)")
     # quantile_cont takes only CONSTANT probabilities in DuckDB, so one
     # SELECT per prob, unioned
     per_prob = "\nUNION ALL\n".join(
@@ -2536,7 +2535,7 @@ WITH rows_bk AS (
   SELECT {h} AS h, CAST(length(text) AS DOUBLE) AS value
   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ),
-sk AS (SELECT h, value FROM rows_bk ORDER BY h ASC LIMIT {k})
+sk AS (SELECT h, value FROM rows_bk ORDER BY h ASC, value ASC LIMIT {k})
 {per_prob}"""
 
 
@@ -2671,7 +2670,7 @@ def sql_graph_diversity(threshold: float = DIVERSITY_GATE_THRESHOLD) -> str:
     cos >= threshold neighbor has a smaller (priority, id); the
     lexicographic struct compare replays as explicit OR terms."""
     t = float(threshold)
-    pr = "CAST(('0x' || substr(md5('ds:' || CAST({c} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    pr = _md5_long("'ds:' || CAST({c} AS VARCHAR)")
     return f"""
 WITH g AS MATERIALIZED ({sql_knn_graph()}),
 e AS (SELECT src, dst FROM g WHERE cos_sim >= {t}),
