@@ -103,6 +103,64 @@ def capped_adjacency(
     return fwd.union(rev_sampled).distinct()
 
 
+def _score_pairs(vecs: DataFrame, cos, pairs: DataFrame) -> DataFrame:
+    """(src, dst) candidates -> scored edges in BOTH directions.
+
+    Scoring is CANONICALISED first (one row per unordered pair,
+    mirrored after): cosine is symmetric and candidate sets are heavily
+    bidirectional, so this halves both the vector-join shuffle and the
+    Arrow traffic of the cosine pass — the dominant cost (each scored
+    row ships two dim-length arrays)."""
+    cpairs = (
+        pairs.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    joined = cpairs.join(
+        vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("av")), "a"
+    ).join(vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("bv")), "b")
+    # explicit-count respread before the cosine kernel: the candidate
+    # relation is byte-small but COMPUTE-heavy, so AQE coalesces the
+    # join reads to a couple of tasks and serialises the scoring
+    # (measured 2-task stages at sf0.1) — the same trap spread()
+    # exists for on the CCM fleet
+    joined = spread(joined, "a", factor=2)
+    cscored = joined.select(
+        "a",
+        "b",
+        (F.round(cos(F.col("av"), F.col("bv")), 9) + F.lit(0.0)).alias("cos_sim"),
+    )
+    return cscored.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "cos_sim"
+    ).union(
+        cscored.select(F.col("b").alias("src"), F.col("a").alias("dst"), "cos_sim")
+    )
+
+
+def _topk(edges: DataFrame, k: int) -> DataFrame:
+    """Per-src top-k of scored edges by the engine's deterministic
+    near-tie rule (cos desc, dst asc)."""
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return edges.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _valved_buckets(
+    embeddings: DataFrame, planes: int, seed: int, max_bucket_size: int
+) -> DataFrame:
+    """SRP buckets with the blocking families' oversize valve applied
+    BEFORE any self-join (a duplicate-heavy corpus collapses into one
+    mega-bucket whose |bucket|² rows would materialise before any
+    per-src cap could apply)."""
+    bucket_w = Window.partitionBy("bucket")
+    return (
+        srp_buckets(embeddings, planes=planes, seed=seed)
+        .withColumn("bucket_n", F.count("*").over(bucket_w))
+        .where(F.col("bucket_n") <= max_bucket_size)
+        .drop("bucket_n")
+    )
+
+
 def knn_graph_descent(
     embeddings: DataFrame,
     k: int = 10,
@@ -158,49 +216,10 @@ def knn_graph_descent(
     cos = cosine_pandas()
 
     def score_topk(pairs: DataFrame) -> DataFrame:
-        """(src, dst) candidates -> per-src top-k scored edges.
-
-        Scoring is CANONICALISED first (one row per unordered pair,
-        mirrored after): cosine is symmetric and two-hop candidate sets
-        are heavily bidirectional, so this halves both the vector-join
-        shuffle and the Arrow traffic of the cosine pass — the
-        dominant cost (each scored row ships two dim-length arrays)."""
-        cpairs = (
-            pairs.select(
-                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-            )
-            .distinct()
-        )
-        joined = cpairs.join(
-            vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("av")), "a"
-        ).join(vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("bv")), "b")
-        # explicit-count respread before the cosine kernel: the candidate
-        # relation is byte-small but COMPUTE-heavy, so AQE coalesces the
-        # join reads to a couple of tasks and serialises the scoring
-        # (measured 2-task stages at sf0.1) — the same trap spread()
-        # exists for on the CCM fleet
-        joined = spread(joined, "a", factor=2)
-        cscored = joined.select(
-            "a",
-            "b",
-            (F.round(cos(F.col("av"), F.col("bv")), 9) + F.lit(0.0)).alias(
-                "cos_sim"
-            ),
-        )
-        scored = cscored.select(
-            F.col("a").alias("src"), F.col("b").alias("dst"), "cos_sim"
-        ).union(
-            cscored.select(
-                F.col("b").alias("src"), F.col("a").alias("dst"), "cos_sim"
-            )
-        )
-        w = Window.partitionBy("src").orderBy(
-            F.col("cos_sim").desc(), F.col("dst").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-        )
+        """(src, dst) candidates -> per-src top-k scored edges (the
+        shared _score_pairs/_topk kernels — knn_graph_insert reuses
+        them so the incremental path can never diverge on scoring)."""
+        return _topk(_score_pairs(vecs, cos, pairs), k)
 
     # seed: SRP bucket co-members from SEVERAL independent hash tables.
     # One table is NOT enough: its buckets partition the corpus into
@@ -212,18 +231,8 @@ def knn_graph_descent(
     # multi-table LSH argument, here buying CONNECTIVITY rather than
     # candidate recall. Capped deterministically by dst id per table.
     seeds = []
-    bucket_w = Window.partitionBy("bucket")
     for t in range(n_seed_tables):
-        b = (
-            srp_buckets(embeddings, planes=planes, seed=seed + t)
-            # bucket valve BEFORE the self-join (similarity.py pattern):
-            # a duplicate-heavy corpus collapses into one mega-bucket
-            # whose |bucket|² rows would materialise before any
-            # per-src cap could apply
-            .withColumn("bucket_n", F.count("*").over(bucket_w))
-            .where(F.col("bucket_n") <= max_bucket_size)
-            .drop("bucket_n")
-        )
+        b = _valved_buckets(embeddings, planes, seed + t, max_bucket_size)
         p = (
             b.alias("l")
             .join(b.alias("r"), F.col("l.bucket") == F.col("r.bucket"))
@@ -265,6 +274,105 @@ def knn_graph_descent(
 
     vecs.unpersist()
     return nbrs
+
+
+def knn_graph_insert(
+    embeddings: DataFrame,
+    graph: DataFrame,
+    new_ids: DataFrame,
+    k: int = 10,
+    seed: int = 99,
+    init_cap: int | None = None,
+    planes: int | None = None,
+    n_seed_tables: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Incremental k-NN graph maintenance — insert an ingestion
+    increment into a served :func:`knn_graph_descent` graph WITHOUT
+    rebuilding it (the ``dedup_incremental`` /
+    ``probe_embedding_index`` contract, for the graph artifact):
+
+    1. **Seed**: the same multi-table SRP bucketization over the FULL
+       corpus (``embeddings`` = existing ∪ increment, the valve
+       applied), but candidate pairs are generated from the INCREMENT
+       side only — work is proportional to the increment, never to the
+       corpus.
+    2. **Hop through the served graph**: each new vector's bucket
+       co-members contribute their existing ranked edges ((new ~ c,
+       c → d) ⇒ (new, d)) — one equi-join; the standing graph's
+       quality substitutes for descent rounds, so candidate volume per
+       new vector is ≤ tables·cap·(1 + k).
+    3. **Score + merge**: the shared canonical scoring kernel; NEW
+       nodes take their top-k, and EXISTING nodes re-rank ONLY where
+       the mirror of a (new, existing) pair touched them — every
+       untouched existing row passes through byte-identical
+       (test-pinned), so the output can overwrite the served relation
+       in place.
+
+    Deterministic: pure function of (embeddings, graph, new_ids, k,
+    seed) on any partitioning. New↔new near-dups meet through shared
+    buckets; a new vector whose every bucket is valved or empty gets
+    no edges and is absent (the build-path contract). Pass the SAME
+    ``planes`` the standing graph was built with when its bucketization
+    should be reproduced exactly; the default re-derives the adaptive
+    count from the full corpus size."""
+    if k < 1:
+        raise ValueError(f"knn_graph_insert: k >= 1 required (got k={k})")
+    cap = init_cap if init_cap is not None else 2 * k
+    from pyspark.storagelevel import StorageLevel
+
+    vecs = embeddings.select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = vecs.count()
+    if planes is None:
+        planes = adaptive_srp_planes(n)
+    cos = cosine_pandas()
+    new = new_ids.select("vec_id").distinct()
+
+    seeds = []
+    for t in range(n_seed_tables):
+        b = _valved_buckets(embeddings, planes, seed + t, max_bucket_size)
+        bn = b.join(new, "vec_id")  # increment side only
+        p = (
+            bn.alias("l")
+            .join(b.alias("r"), F.col("l.bucket") == F.col("r.bucket"))
+            .where(F.col("l.vec_id") != F.col("r.vec_id"))
+            .select(F.col("l.vec_id").alias("src"), F.col("r.vec_id").alias("dst"))
+        )
+        wcap = Window.partitionBy("src").orderBy(F.col("dst").asc())
+        seeds.append(
+            p.withColumn("_r", F.row_number().over(wcap))
+            .where(F.col("_r") <= cap)
+            .drop("_r")
+        )
+    pairs0 = seeds[0]
+    for p in seeds[1:]:
+        pairs0 = pairs0.union(p)
+
+    # hop: co-members' ranked edges extend each new vector's pool
+    ge = graph.select(F.col("src").alias("_m"), F.col("dst").alias("_d"))
+    hop = (
+        pairs0.join(ge, pairs0["dst"] == ge["_m"])
+        .select("src", F.col("_d").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    sc = _score_pairs(vecs, cos, pairs0.union(hop)).localCheckpoint(eager=True)
+
+    new_rows = _topk(sc.join(new, sc["src"] == new["vec_id"], "left_semi"), k)
+    touched = sc.join(new, sc["src"] == new["vec_id"], "left_anti")
+    touched_src = touched.select("src").distinct()
+    incumbent = graph.select("src", "dst", "cos_sim").join(
+        touched_src, "src", "left_semi"
+    )
+    # no (src, dst) overlap to dedupe: touched rows are mirrors of
+    # (new, existing) pairs, so their dst is always a NEW node while
+    # incumbent edges point at pre-existing nodes
+    updated = _topk(incumbent.unionByName(touched), k)
+    untouched = graph.join(touched_src, "src", "left_anti")
+    out = untouched.unionByName(updated).unionByName(new_rows)
+    vecs.unpersist()
+    return out
 
 
 def knn_graph_components(

@@ -351,3 +351,74 @@ def test_graph_diversity_matches_duckdb_twin(spark, sf_small):
     assert got == want
     n_kept = sum(1 for _, k in got if k)
     assert 0 < n_kept < len(got)  # the rule did real work
+
+
+def test_knn_graph_insert_incremental_contract(spark, sf_small):
+    """Incremental insert (r10): 20% of the corpus arrives as an
+    increment against a graph served over the other 80%. Pins the
+    contract: (a) untouched existing rows pass through BYTE-IDENTICAL
+    (the in-place-overwrite guarantee), and every changed existing row
+    belongs to a src that gained an edge to a new node; (b) new nodes
+    carry ≤ k contiguously-ranked edges and their recall vs the exact
+    graph beats the seed-only (0-round) rebuild baseline — the served
+    graph's quality substitutes for descent; (c) deterministic under
+    repartitioning."""
+    from ccm_spark.pipeline.ann_graph import knn_graph_insert
+
+    embs = _embs(spark, sf_small)
+    old = embs.where(F.col("vec_id") % 5 != 0)
+    new = embs.where(F.col("vec_id") % 5 == 0)
+    new_set = {r.vec_id for r in new.select("vec_id").collect()}
+    g_old = knn_graph_descent(old, k=10, n_rounds=3).localCheckpoint(eager=True)
+    upd = knn_graph_insert(
+        embs, g_old, new.select("vec_id"), k=10
+    ).localCheckpoint(eager=True)
+
+    # (a) untouched rows byte-identical; changed srcs show new-node edges
+    old_rows = {(r.src, r.rank): (r.dst, r.cos_sim) for r in g_old.collect()}
+    upd_rows = {(r.src, r.rank): (r.dst, r.cos_sim) for r in upd.collect()}
+    changed_srcs = {
+        s
+        for (s, rk), v in old_rows.items()
+        if s not in new_set and upd_rows.get((s, rk)) != v
+    }
+    src_to_new_dst = {
+        r.src for r in upd.collect() if r.dst in new_set and r.src not in new_set
+    }
+    assert changed_srcs <= src_to_new_dst, changed_srcs - src_to_new_dst
+    untouched = {s for (s, _) in old_rows} - src_to_new_dst
+    for (s, rk), v in old_rows.items():
+        if s in untouched:
+            assert upd_rows[(s, rk)] == v
+
+    # (b) new-node shape + recall beats the seed-only rebuild baseline
+    per = (
+        upd.where(F.col("src").isin([int(v) for v in new_set]))
+        .groupBy("src")
+        .agg(F.count("*").alias("m"), F.min("rank").alias("lo"),
+             F.max("rank").alias("hi"))
+    )
+    assert per.where(
+        (F.col("m") > 10) | (F.col("lo") != 1) | (F.col("hi") != F.col("m"))
+    ).count() == 0
+    n = embs.count()
+    exact = cosine_topk(embs, n_queries=n, k=10).localCheckpoint(eager=True)
+
+    def new_recall(g):
+        rec = knn_graph_recall(g, exact, k=10)
+        return (
+            rec.where(F.col("src").isin([int(v) for v in new_set]))
+            .agg(F.avg("recall"))
+            .first()[0]
+        )
+
+    seed_only = knn_graph_descent(embs, k=10, n_rounds=0)
+    assert new_recall(upd) > new_recall(seed_only)
+
+    # (c) deterministic under repartitioning
+    upd2 = knn_graph_insert(
+        embs.repartition(13), g_old, new.select("vec_id"), k=10
+    )
+    assert {
+        (r.src, r.rank): (r.dst, r.cos_sim) for r in upd2.collect()
+    } == upd_rows
