@@ -493,6 +493,37 @@ def kmeans_assign_udf(bc_centroids):
     return _assign
 
 
+def cosine_pairs_udf(bc_index):
+    """Arrow-batched cosine for ID PAIRS against a broadcast corpus
+    matrix — the k-NN graph's small-corpus scoring fast path: instead
+    of equi-joining two dim-length arrays onto every candidate pair
+    (shipping ~2·dim·8 bytes per pair through the shuffle AND the
+    Arrow boundary), only the two int64 ids cross, and the rows are
+    gathered executor-side from ``bc_index.value = (idmap, matrix)``.
+    Numerics are EXACTLY :func:`cosine_sim`'s (same gathered float64
+    rows, same einsum, same zero-norm -> 0.0), so the two paths are
+    bit-interchangeable (test-pinned); returns the RAW cosine — the
+    caller applies the engine's boundary rounding identically in both
+    paths."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        idmap, mat = bc_index.value
+        na_ = len(a)
+        ia = np.fromiter((idmap[int(x)] for x in a.to_numpy()), dtype=np.int64, count=na_)
+        ib = np.fromiter((idmap[int(x)] for x in b.to_numpy()), dtype=np.int64, count=na_)
+        ma = mat[ia]
+        mb = mat[ib]
+        dots = np.einsum("ij,ij->i", ma, mb)
+        n1 = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        n2 = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        denom = n1 * n2
+        out = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
+        return pd.Series(out)
+
+    return _cos
+
+
 def kmeans_assign_topn_udf(bc_centroids, n: int):
     """Arrow-batched top-``n`` nearest-centroid assignment (ascending
     squared-L2, ties -> lowest cluster id via stable mergesort) — the

@@ -103,39 +103,100 @@ def capped_adjacency(
     return fwd.union(rev_sampled).distinct()
 
 
-def _score_pairs(vecs: DataFrame, cos, pairs: DataFrame) -> DataFrame:
+def _score_pairs(
+    vecs: DataFrame | None, cos, pairs: DataFrame, pair_cos=None
+) -> DataFrame:
     """(src, dst) candidates -> scored edges in BOTH directions.
 
     Scoring is CANONICALISED first (one row per unordered pair,
     mirrored after): cosine is symmetric and candidate sets are heavily
-    bidirectional, so this halves both the vector-join shuffle and the
-    Arrow traffic of the cosine pass — the dominant cost (each scored
-    row ships two dim-length arrays)."""
+    bidirectional, so this halves the scoring work in either path.
+
+    Two bit-interchangeable paths (pinned equal in tests):
+
+    - ``pair_cos`` set (small-corpus fast path): the candidate relation
+      stays two int64 ids wide end-to-end — rows are gathered
+      executor-side from a broadcast corpus matrix
+      (``cosine_pairs_udf``), so neither the shuffle nor the Arrow
+      boundary ever carries a vector — hundreds of MB of array traffic
+      replaced by a ~1 MB broadcast at the 2k-vector bench scale
+      (measured ~20% wall-clock there, where local in-memory shuffles
+      hide most of the byte cost; on a real cluster those bytes cross
+      the network).
+    - join path (the corpus-scale path, ``vecs`` + ``cos``): vectors
+      attach via two equi-joins against the persisted (vec_id, v)
+      relation — the only option when the corpus matrix cannot be
+      broadcast."""
     cpairs = (
         pairs.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
     )
-    joined = cpairs.join(
-        vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("av")), "a"
-    ).join(vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("bv")), "b")
     # explicit-count respread before the cosine kernel: the candidate
     # relation is byte-small but COMPUTE-heavy, so AQE coalesces the
-    # join reads to a couple of tasks and serialises the scoring
+    # exchange to a couple of tasks and serialises the scoring
     # (measured 2-task stages at sf0.1) — the same trap spread()
     # exists for on the CCM fleet
-    joined = spread(joined, "a", factor=2)
-    cscored = joined.select(
-        "a",
-        "b",
-        (F.round(cos(F.col("av"), F.col("bv")), 9) + F.lit(0.0)).alias("cos_sim"),
-    )
+    if pair_cos is not None:
+        cscored = spread(cpairs, "a", factor=2).select(
+            "a",
+            "b",
+            (F.round(pair_cos(F.col("a"), F.col("b")), 9) + F.lit(0.0)).alias(
+                "cos_sim"
+            ),
+        )
+    else:
+        joined = cpairs.join(
+            vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("av")), "a"
+        ).join(vecs.select(F.col("vec_id").alias("b"), F.col("v").alias("bv")), "b")
+        joined = spread(joined, "a", factor=2)
+        cscored = joined.select(
+            "a",
+            "b",
+            (F.round(cos(F.col("av"), F.col("bv")), 9) + F.lit(0.0)).alias(
+                "cos_sim"
+            ),
+        )
     return cscored.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "cos_sim"
     ).union(
         cscored.select(F.col("b").alias("src"), F.col("a").alias("dst"), "cos_sim")
     )
+
+
+#: corpora at or below this many vectors score candidate pairs against a
+#: BROADCAST matrix (ids-only candidate relation) instead of equi-joining
+#: vectors onto every pair; 100k x 64-dim float64 is ~51 MB resident per
+#: executor — lower it for high-dim embeddings, or set 0 to force the
+#: join path (the corpus-scale shape)
+KNN_GRAPH_BROADCAST_MAX = 100_000
+
+
+def _pair_scorer(embeddings: DataFrame, n: int, broadcast_threshold: int):
+    """Pick the scoring path: returns ``(vecs, pair_cos)`` where exactly
+    one is non-None. Broadcast path collects the (bounded) corpus
+    matrix once and ships it per executor via SparkContext.broadcast;
+    join path persists the (vec_id, v) relation for the joins."""
+    from pyspark.storagelevel import StorageLevel
+
+    if n <= broadcast_threshold:
+        import numpy as np
+
+        from ccm_spark.functions.vector_udfs import cosine_pairs_udf
+
+        rows = embeddings.select(
+            "vec_id", as_double_vec("embedding").alias("v")
+        ).collect()
+        idmap = {int(r.vec_id): j for j, r in enumerate(rows)}
+        mat = np.array([r.v for r in rows], dtype=np.float64)
+        bc = embeddings.sparkSession.sparkContext.broadcast((idmap, mat))
+        return None, cosine_pairs_udf(bc)
+    vecs = embeddings.select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+    return vecs, None
 
 
 def _topk(edges: DataFrame, k: int) -> DataFrame:
@@ -171,6 +232,7 @@ def knn_graph_descent(
     n_seed_tables: int = 3,
     rho: float = 1.5,
     max_bucket_size: int = 1000,
+    broadcast_threshold: int = KNN_GRAPH_BROADCAST_MAX,
 ) -> DataFrame:
     """Approximate k-NN graph ``(src, dst, cos_sim, rank)`` over the
     whole embedding corpus via SRP-seeded NN-descent.
@@ -205,21 +267,17 @@ def knn_graph_descent(
             f"(got k={k}, n_rounds={n_rounds})"
         )
     cap = init_cap if init_cap is not None else 2 * k
-    from pyspark.storagelevel import StorageLevel
-
-    vecs = embeddings.select(
-        "vec_id", as_double_vec("embedding").alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    n = vecs.count()  # one scalar; also materialises the persist
+    n = embeddings.count()
     if planes is None:
         planes = adaptive_srp_planes(n)
     cos = cosine_pandas()
+    vecs, pair_cos = _pair_scorer(embeddings, n, broadcast_threshold)
 
     def score_topk(pairs: DataFrame) -> DataFrame:
         """(src, dst) candidates -> per-src top-k scored edges (the
         shared _score_pairs/_topk kernels — knn_graph_insert reuses
         them so the incremental path can never diverge on scoring)."""
-        return _topk(_score_pairs(vecs, cos, pairs), k)
+        return _topk(_score_pairs(vecs, cos, pairs, pair_cos), k)
 
     # seed: SRP bucket co-members from SEVERAL independent hash tables.
     # One table is NOT enough: its buckets partition the corpus into
@@ -272,7 +330,8 @@ def knn_graph_descent(
         cand = adj.union(two_hop)
         nbrs = score_topk(cand).localCheckpoint(eager=True)
 
-    vecs.unpersist()
+    if vecs is not None:
+        vecs.unpersist()
     return nbrs
 
 
@@ -286,6 +345,7 @@ def knn_graph_insert(
     planes: int | None = None,
     n_seed_tables: int = 3,
     max_bucket_size: int = 1000,
+    broadcast_threshold: int = KNN_GRAPH_BROADCAST_MAX,
 ) -> DataFrame:
     """Incremental k-NN graph maintenance — insert an ingestion
     increment into a served :func:`knn_graph_descent` graph WITHOUT
@@ -319,15 +379,11 @@ def knn_graph_insert(
     if k < 1:
         raise ValueError(f"knn_graph_insert: k >= 1 required (got k={k})")
     cap = init_cap if init_cap is not None else 2 * k
-    from pyspark.storagelevel import StorageLevel
-
-    vecs = embeddings.select(
-        "vec_id", as_double_vec("embedding").alias("v")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    n = vecs.count()
+    n = embeddings.count()
     if planes is None:
         planes = adaptive_srp_planes(n)
     cos = cosine_pandas()
+    vecs, pair_cos = _pair_scorer(embeddings, n, broadcast_threshold)
     new = new_ids.select("vec_id").distinct()
 
     seeds = []
@@ -357,7 +413,9 @@ def knn_graph_insert(
         .select("src", F.col("_d").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    sc = _score_pairs(vecs, cos, pairs0.union(hop)).localCheckpoint(eager=True)
+    sc = _score_pairs(vecs, cos, pairs0.union(hop), pair_cos).localCheckpoint(
+        eager=True
+    )
 
     new_rows = _topk(sc.join(new, sc["src"] == new["vec_id"], "left_semi"), k)
     touched = sc.join(new, sc["src"] == new["vec_id"], "left_anti")
@@ -371,7 +429,8 @@ def knn_graph_insert(
     updated = _topk(incumbent.unionByName(touched), k)
     untouched = graph.join(touched_src, "src", "left_anti")
     out = untouched.unionByName(updated).unionByName(new_rows)
-    vecs.unpersist()
+    if vecs is not None:
+        vecs.unpersist()
     return out
 
 

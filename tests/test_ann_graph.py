@@ -422,3 +422,22 @@ def test_knn_graph_insert_incremental_contract(spark, sf_small):
     assert {
         (r.src, r.rank): (r.dst, r.cos_sim) for r in upd2.collect()
     } == upd_rows
+
+
+def test_broadcast_and_join_scoring_paths_bit_identical(spark, sf_small):
+    """The two scoring paths (broadcast corpus matrix vs vector
+    equi-joins) must be BIT-interchangeable: same gathered float64
+    rows, same einsum, same boundary rounding — so the path dispatch
+    threshold can never change results, only cost."""
+    embs = _embs(spark, sf_small)
+    bcast = {
+        (r.src, r.rank): (r.dst, r.cos_sim)
+        for r in knn_graph_descent(embs, k=5, n_rounds=1).collect()
+    }
+    joined = {
+        (r.src, r.rank): (r.dst, r.cos_sim)
+        for r in knn_graph_descent(
+            embs, k=5, n_rounds=1, broadcast_threshold=0
+        ).collect()
+    }
+    assert bcast == joined
