@@ -1003,14 +1003,26 @@ def q_sessionize_updates(spark, sf_dir):
 
 
 def q_quantize_embeddings(spark, sf_dir):
-    """int8 embedding quantization (pipeline/similarity.py, gated r10):
-    per-vector symmetric scale + integer codes as one narrow codegen
-    pass — the 4x storage lever for a 100 TB embedding store. Round at
-    0 decimals carries no multiply-first hazard, so the relation
-    replays exactly in DuckDB."""
+    """int8 embedding quantization (pipeline/similarity.py, gated r10;
+    gate schema fixed r11): per-vector symmetric scale + integer codes
+    as one narrow codegen pass — the 4x storage lever for a 100 TB
+    embedding store. Round at 0 decimals carries no multiply-first
+    hazard, so the relation replays exactly in DuckDB.
+
+    The raw operator emits ``codes array<int>``; the driver's
+    CORRECTNESS canonicalizer sorts a pandas frame and cannot hash
+    list columns (the r10 red row), so the gate wrapper flattens the
+    codes to a CSV string — same precedent as q_bpe_encode."""
     from ccm_spark.pipeline.similarity import quantize_embeddings
 
-    return quantize_embeddings(_embs(spark, sf_dir))
+    q = quantize_embeddings(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform("codes", lambda x: x.cast("string")), ","
+        ).alias("codes_csv"),
+    )
 
 
 def q_tokenizer_fertility(spark, sf_dir):

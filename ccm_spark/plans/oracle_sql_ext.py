@@ -2291,7 +2291,9 @@ def sql_quantize_embeddings(bits: int = 8) -> str:
     """Replay of similarity.quantize_embeddings: per-vector symmetric
     scale (max|v| / (2^(bits-1)-1)), integer codes via round at 0
     decimals (no multiply-first hazard — both engines round the raw
-    double), output scale rounded 9."""
+    double), output scale rounded 9. Codes are flattened to a CSV
+    string (r11 gate-schema fix): the driver canonicalizer cannot
+    hash list columns, so both engines emit scalar columns only."""
     qmax = float(2 ** (bits - 1) - 1)
     return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -2302,9 +2304,10 @@ s AS (
 )
 SELECT vec_id,
        round(sc, 9) + 0.0 AS scale,
-       CASE WHEN sc = 0 THEN list_transform(vec, x -> 0)
-            ELSE list_transform(vec, x -> CAST(round(x / sc) AS INT))
-       END AS codes
+       array_to_string(
+         CASE WHEN sc = 0 THEN list_transform(vec, x -> 0)
+              ELSE list_transform(vec, x -> CAST(round(x / sc) AS INT))
+         END, ',') AS codes_csv
 FROM s"""
 
 

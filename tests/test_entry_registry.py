@@ -44,3 +44,31 @@ def test_fleet_iterated_scratch_dir_is_process_lifetime():
     a = _fleet_bucketed_dir()
     b = _fleet_bucketed_dir()
     assert a == b and os.path.isdir(a)
+
+
+def test_preflight_rejects_nonscalar_gate_schemas(spark):
+    """r10's red row escaped because check_parity's canon() stringified
+    list values while the driver's pandas canonicalizer threw on them.
+    The preflight now hard-fails any array/map/struct output column —
+    pin that a list-emitting query is flagged loudly and that the fixed
+    quantize gate wrapper (flattened codes_csv) is not."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from check_parity import nonscalar_duckdb_cols, nonscalar_spark_cols
+
+    listy = spark.range(3).select("id", F.array(F.lit(1), F.lit(2)).alias("codes"))
+    flagged = nonscalar_spark_cols(listy.schema)
+    assert flagged == [("codes", "array<int>")]
+    flat = listy.select(
+        "id", F.array_join(F.transform("codes", lambda x: x.cast("string")), ",").alias("codes_csv")
+    )
+    assert nonscalar_spark_cols(flat.schema) == []
+
+    rel = duckdb.sql("SELECT 1 AS id, [1, 2] AS codes")
+    assert nonscalar_duckdb_cols(rel.columns, rel.types) == [("codes", "INTEGER[]")]
+    rel2 = duckdb.sql("SELECT 1 AS id, array_to_string([1, 2], ',') AS codes_csv")
+    assert nonscalar_duckdb_cols(rel2.columns, rel2.types) == []

@@ -41,6 +41,27 @@ def canon(v) -> str:
     return str(v)
 
 
+def nonscalar_spark_cols(schema) -> list[tuple[str, str]]:
+    """Output columns the driver's canonicalizer cannot hash (it sorts a
+    pandas frame — array/map/struct values raise `TypeError: unhashable
+    type: 'list'`; the r10 quantize_embeddings red row). Gated queries
+    must flatten these before returning."""
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
+def nonscalar_duckdb_cols(cols, types) -> list[tuple[str, str]]:
+    """DuckDB twin of nonscalar_spark_cols: LIST/STRUCT/MAP outputs."""
+    return [
+        (c, str(t))
+        for c, t in zip(cols, types)
+        if any(k in str(t).upper() for k in ("[]", "LIST", "STRUCT", "MAP"))
+    ]
+
+
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -69,6 +90,22 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            # The driver's canonicalizer sorts a pandas frame, which
+            # throws `TypeError: unhashable type: 'list'` on ANY
+            # array/map/struct output column (the r10 quantize red row).
+            # Our canon() used to fall through to str(v) and happily
+            # stringify lists, so preflight passed while the driver
+            # failed. Hard-fail non-scalar Spark output columns here so
+            # that class of gate-schema bug can never ship again.
+            bad = nonscalar_spark_cols(sdf.schema)
+            if bad:
+                print(
+                    f"FAIL  {name}: non-scalar output columns {bad} — the "
+                    f"driver canonicalizer cannot hash them; flatten "
+                    f"(array_join / e0..eN projection) before gating"
+                )
+                failures.append(name)
+                continue
             s_rows = [tuple(r) for r in sdf.collect()]
             s_n, s_h = table_hash(s_cols, s_rows)
         except Exception as e:  # noqa: BLE001
@@ -96,6 +133,14 @@ def main() -> int:
             if loose:
                 print(f"FAIL  {name}: oracle emits untyped columns {loose} "
                       f"(cast to BIGINT/DOUBLE explicitly)")
+                failures.append(name)
+                continue
+            # Mirror of the Spark-side non-scalar hard-fail: the driver
+            # canonicalizer can't hash DuckDB LIST/STRUCT/MAP either.
+            nested = nonscalar_duckdb_cols(rel.columns, rel.types)
+            if nested:
+                print(f"FAIL  {name}: oracle emits non-scalar columns {nested} "
+                      f"(array_to_string before gating)")
                 failures.append(name)
                 continue
             d_tbl = rel.fetch_arrow_table()
