@@ -1025,6 +1025,92 @@ def q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def _gate_knn_graph(spark, sf_dir):
+    """The shared gate-geometry NN-descent graph (k=5, 1 round, 2 seed
+    tables, fixed SRP planes, seed 99) behind both graph gate rows —
+    exactly what sql_knn_graph replays declaratively."""
+    from ccm_spark.pipeline.ann_graph import knn_graph_descent
+    from ccm_spark.pipeline.similarity import SRP_PLANES
+
+    return knn_graph_descent(
+        _embs(spark, sf_dir),
+        k=oext.KNN_GRAPH_K,
+        n_rounds=oext.KNN_GRAPH_ROUNDS,
+        seed=oext.KNN_GRAPH_SEED,
+        planes=SRP_PLANES,
+        n_seed_tables=oext.KNN_GRAPH_TABLES,
+    )
+
+
+def q_knn_graph(spark, sf_dir):
+    """k-NN graph via NN-descent (pipeline/ann_graph.py, gated r11 —
+    the graph family's first CORRECTNESS row): SRP multi-table seeding
+    with the bucket valve, canonicalised round-9 cosine, md5-rank
+    ρ-sampled reverse adjacency (Dong et al. 2011), owner-join
+    two-hop, rescore. The DuckDB twin replays the ENTIRE descent at
+    the gate geometry; (cos desc, dst asc) top-k makes every edge
+    deterministic."""
+    return _gate_knn_graph(spark, sf_dir)
+
+
+def q_graph_diversity(spark, sf_dir):
+    """Graph diversity sampler (pipeline/ann_graph.py, gated r11): one
+    round of Luby's independent-set rule under the md5 priority over
+    the thresholded gate k-NN graph — the graph CONSUMER gate row; the
+    twin nests sql_knn_graph verbatim."""
+    from ccm_spark.pipeline.ann_graph import graph_diversity_sample
+
+    return graph_diversity_sample(
+        _gate_knn_graph(spark, sf_dir), threshold=oext.DIVERSITY_GATE_THRESHOLD
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (pipeline/clustering.py, gated r11): the full chain —
+    distributed Lloyd k-means (the former kmeans_clusters gate nested
+    verbatim in the twin) + within-cluster greedy ε-cover at the gate
+    threshold 0.2 (the isotropic corpus has no 0.95-near-dups, so the
+    low threshold makes the greedy do real work: 127/500 kept)."""
+    from ccm_spark.pipeline.clustering import semantic_dedup
+
+    return semantic_dedup(
+        _embs(spark, sf_dir),
+        k=8,
+        threshold=oext.SEMDEDUP_GATE_THRESHOLD,
+        n_iters=2,
+    )
+
+
+def q_eval_contamination(spark, sf_dir):
+    """Per-eval-example contamination audit (pipeline/dedup.py, gated
+    r11 — the GPT-3/PaLM overlap-fraction direction of the rotated-out
+    decontaminate row, same doc_id%31 train/eval split): train side
+    scanned once against broadcast eval shingles, verdicts on exact
+    integer ratios, zero-shingle docs (0, 0, 0.0, false)."""
+    from ccm_spark.pipeline.dedup import eval_contamination_report
+
+    docs = _docs(spark, sf_dir)
+    return eval_contamination_report(
+        docs.where(F.col("doc_id") % 31 != 0),
+        docs.where(F.col("doc_id") % 31 == 0),
+    )
+
+
+def q_bottomk_quantiles(spark, sf_dir):
+    """Bottom-k sketch quantiles (pipeline/sketches.py, gated r11): the
+    sketch IS the k=256 rows with the smallest md5 hashes (mergeable,
+    one TakeOrdered); each quantile is the exact interpolated
+    percentile of that uniform sample (Spark `percentile` == DuckDB
+    `quantile_cont`), rounded 6 at the gate boundary."""
+    from ccm_spark.pipeline.sketches import bottomk_build, bottomk_quantiles
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.length("text").alias("doc_len"))
+    sk = bottomk_build(docs, "doc_len", k=256)
+    return bottomk_quantiles(sk, list(oext.BK_GATE_PROBS)).select(
+        "prob", (F.round("value_est", 6) + F.lit(0.0)).alias("value_est")
+    )
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Corpus tokenizer-fertility report (pipeline/tokenize.py, gated
     r10) with the fixed wordpiece gate vocabulary: pieces/word,
@@ -1165,8 +1251,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (same closure CTE, same hash inputs), and the apply step keeps
         # its pin in tests/test_pipeline_ops.py. Slot went to
         # kmeans_clusters (the r07 distributed trainer family's first
-        # CORRECTNESS row).
-        "kmeans_clusters": q_kmeans_clusters,
+        # CORRECTNESS row). kmeans_clusters itself rotated out r11
+        # (QUERIES.md ledger): sql_semantic_dedup nests the ENTIRE
+        # sql_kmeans_clusters twin VERBATIM (trainer + assignment), so
+        # any centroid perturbation breaks the incoming gate; the
+        # trainer keeps pins in tests/test_clustering.py plus a
+        # DuckDB-replay pin in tests/test_pipeline_ops.py. Slot went to
+        # semantic_dedup.
+        "semantic_dedup": q_semantic_dedup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # dedup_incremental rotated out r10 (QUERIES.md ledger): its
         # signature index derives from the SAME shingle->MinHash CTE
@@ -1176,7 +1268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_pipeline_ops.py. Slot went to sessionize_updates
         # (the applyInPandasWithState update-mode emission gate).
         "sessionize_updates": q_sessionize_updates,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # dedup_ngram_jaccard rotated out r11 (QUERIES.md ledger): its
+        # shingle/candidate CTEs are shared with the still-gated
+        # dedup_minhash_lsh, and at the gate geometry the two rows'
+        # verified pair relations hash IDENTICALLY (same value hash in
+        # every CORRECTNESS round since r05); keeps pins in
+        # tests/test_pipeline_ops.py incl. a DuckDB-replay pin. Slot
+        # went to graph_diversity (the k-NN graph consumer gate).
+        "graph_diversity": q_graph_diversity,
         # dedup_simhash rotated out r07 (QUERIES.md policy): its 56-bit
         # fingerprint relation is the DIRECT input of the still-gated
         # dedup_simhash_pairs (xor-Hamming over those fingerprints — a
@@ -1186,7 +1285,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle is brute force (algorithm-independent evidence).
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "series_topk": q_series_topk,
-        "decontaminate": q_decontaminate,
+        # decontaminate rotated out r11 (QUERIES.md ledger): the
+        # incoming eval-side audit runs the SAME token-w-gram shingle
+        # machinery over the SAME doc_id%31 train/eval split in the
+        # stronger per-example overlap-fraction direction; keeps the
+        # bit-identical Bloom-path pin in tests/test_bloom_decontam.py
+        # plus a DuckDB-replay pin in tests/test_pipeline_ops.py. Slot
+        # went to eval_contamination.
+        "eval_contamination": q_eval_contamination,
         "ann_cosine_topk": q_ann_cosine_topk,
         # ann_ivf_topk rotated out r08 (QUERIES.md policy): the strided
         # probe/re-rank chain is the untrained special case of the
@@ -1260,8 +1366,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # went to warc_extract (the crawl-ingestion front door's first
         # CORRECTNESS row).
         "warc_extract": q_warc_extract,
-        "text_vocab_topk": q_text_vocab_topk,
-        "events_sessionize": q_events_sessionize,
+        # text_vocab_topk rotated out r11 (QUERIES.md ledger): its token
+        # relation is the splitter CTE the still-gated text_token_stats
+        # hashes end-to-end, and the two-phase top-k pattern stays gated
+        # through boilerplate_ngrams and bm25_topk; keeps pins in
+        # tests/test_pipeline_ops.py incl. a DuckDB-replay pin. Slot
+        # went to bottomk_quantiles (the mergeable-sketch quantile row).
+        "bottomk_quantiles": q_bottomk_quantiles,
+        # events_sessionize rotated out r11 (QUERIES.md ledger): the
+        # still-gated sessionize_updates twin re-derives the IDENTICAL
+        # gap-split session assignment (its CLOSED rows are the batch
+        # sessionizer's rows); keeps the streaming==batch pin in
+        # tests/test_stateful_streaming.py plus a DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to knn_graph (the
+        # NN-descent graph family's first CORRECTNESS row).
+        "knn_graph": q_knn_graph,
         # events_quantiles rotated out r09 (QUERIES.md policy): the
         # exact-quantile relation keeps its pins (incl. the
         # approx_percentile 100 TB twin comparison) in
@@ -1308,13 +1427,13 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oext.sql_pack_sequences(),
         "dedup_exact": oext.sql_dedup_exact(),
         "dedup_components": oext.sql_dedup_components(),
-        "kmeans_clusters": oext.sql_kmeans_clusters(),
+        "semantic_dedup": oext.sql_semantic_dedup(),
         "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
         "sessionize_updates": oext.sql_sessionize_updates(),
-        "dedup_ngram_jaccard": oext.sql_dedup_ngram_jaccard(),
+        "graph_diversity": oext.sql_graph_diversity(),
         "dedup_simhash_pairs": oext.sql_dedup_simhash_pairs(),
         "series_topk": oext.sql_series_topk(),
-        "decontaminate": oext.sql_decontaminate(),
+        "eval_contamination": oext.sql_eval_contamination(),
         "ann_cosine_topk": oext.sql_ann_cosine_topk(),
         "bpe_encode": oext.sql_bpe_encode(),
         "pq_topk": oext.sql_pq_topk(),
@@ -1329,8 +1448,8 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": oext.sql_quantize_embeddings(),
         "events_asof_join": oext.sql_events_asof_join(),
         "warc_extract": oext.sql_warc_extract(),
-        "text_vocab_topk": oext.sql_text_vocab_topk(),
-        "events_sessionize": oext.sql_events_sessionize(),
+        "bottomk_quantiles": oext.sql_bottomk_quantiles(),
+        "knn_graph": oext.sql_knn_graph(),
         "streaming_hourly_stats": oext.sql_streaming_hourly_stats(),
         "pricing_summary": oext.sql_pricing_summary(),
         "top_customers_by_nation": oext.sql_top_customers_by_nation(),

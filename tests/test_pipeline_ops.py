@@ -655,3 +655,55 @@ def test_r10_rotated_rows_match_duckdb_replay(spark, sf_small):
             f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
             "or values differ"
         )
+
+
+def test_r11_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r11 rotation pins (QUERIES.md ledger): events_sessionize /
+    dedup_ngram_jaccard / kmeans_clusters / decontaminate /
+    text_vocab_topk lost their driver gate slots to the knn_graph /
+    graph_diversity / semantic_dedup / eval_contamination /
+    bottomk_quantiles families; each rotated-out relation stays
+    cross-engine hash-checked here at sf0.001, exactly the way the
+    driver would check it."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "events_sessionize": (
+            entry.q_events_sessionize,
+            oe.sql_events_sessionize(),
+        ),
+        "dedup_ngram_jaccard": (
+            entry.q_dedup_ngram_jaccard,
+            oe.sql_dedup_ngram_jaccard(),
+        ),
+        "kmeans_clusters": (entry.q_kmeans_clusters, oe.sql_kmeans_clusters()),
+        "decontaminate": (entry.q_decontaminate, oe.sql_decontaminate()),
+        "text_vocab_topk": (entry.q_text_vocab_topk, oe.sql_text_vocab_topk()),
+    }
+
+    def _key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert got == want, (
+            f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
+            "or values differ"
+        )
