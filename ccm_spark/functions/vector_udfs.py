@@ -504,22 +504,33 @@ def cosine_pairs_udf(bc_index):
     rows, same einsum, same zero-norm -> 0.0), so the two paths are
     bit-interchangeable (test-pinned); returns the RAW cosine — the
     caller applies the engine's boundary rounding identically in both
-    paths."""
+    paths.
+
+    An id ABSENT from the broadcast index scores NaN (not a KeyError):
+    the join path silently drops such pairs (the equi-join finds no
+    vector row), so the caller filters NaN scores out to keep the two
+    paths behavior-identical — e.g. knn_graph_insert handed a served
+    graph referencing vectors no longer in ``embeddings``."""
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         idmap, mat = bc_index.value
         na_ = len(a)
-        ia = np.fromiter((idmap[int(x)] for x in a.to_numpy()), dtype=np.int64, count=na_)
-        ib = np.fromiter((idmap[int(x)] for x in b.to_numpy()), dtype=np.int64, count=na_)
-        ma = mat[ia]
-        mb = mat[ib]
+        ia = np.fromiter(
+            (idmap.get(int(x), -1) for x in a.to_numpy()), dtype=np.int64, count=na_
+        )
+        ib = np.fromiter(
+            (idmap.get(int(x), -1) for x in b.to_numpy()), dtype=np.int64, count=na_
+        )
+        known = (ia >= 0) & (ib >= 0)
+        ma = mat[np.where(known, ia, 0)]
+        mb = mat[np.where(known, ib, 0)]
         dots = np.einsum("ij,ij->i", ma, mb)
         n1 = np.sqrt(np.einsum("ij,ij->i", ma, ma))
         n2 = np.sqrt(np.einsum("ij,ij->i", mb, mb))
         denom = n1 * n2
         out = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
-        return pd.Series(out)
+        return pd.Series(np.where(known, out, np.nan))
 
     return _cos
 

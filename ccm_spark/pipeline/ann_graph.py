@@ -139,13 +139,19 @@ def _score_pairs(
     # (measured 2-task stages at sf0.1) — the same trap spread()
     # exists for on the CCM fleet
     if pair_cos is not None:
+        # ids absent from the broadcast index score NaN; the join path
+        # DROPS such pairs (no vector row to equi-join), so filter them
+        # out here to keep the two paths behavior-identical. Corpus
+        # embeddings never score NaN themselves (zero norms -> 0.0).
+        # Arrow maps the pandas-UDF NaN to NULL (and Spark's isnan(NULL)
+        # is false, not NULL), so check both representations.
         cscored = spread(cpairs, "a", factor=2).select(
             "a",
             "b",
             (F.round(pair_cos(F.col("a"), F.col("b")), 9) + F.lit(0.0)).alias(
                 "cos_sim"
             ),
-        )
+        ).where(F.col("cos_sim").isNotNull() & ~F.isnan(F.col("cos_sim")))
     else:
         joined = cpairs.join(
             vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("av")), "a"
@@ -168,19 +174,35 @@ def _score_pairs(
 #: corpora at or below this many vectors score candidate pairs against a
 #: BROADCAST matrix (ids-only candidate relation) instead of equi-joining
 #: vectors onto every pair; 100k x 64-dim float64 is ~51 MB resident per
-#: executor — lower it for high-dim embeddings, or set 0 to force the
-#: join path (the corpus-scale shape)
+#: executor — set 0 to force the join path (the corpus-scale shape)
 KNN_GRAPH_BROADCAST_MAX = 100_000
+
+#: hard BYTE bound on the broadcast matrix (n * dim * 8): the row
+#: threshold alone under-protects high-dim corpora (100k x 1024-dim
+#: float64 is ~820 MB of driver + per-executor memory), so the dispatch
+#: probes one row's dimensionality and falls back to the join path when
+#: the matrix would exceed this
+KNN_GRAPH_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _pair_scorer(embeddings: DataFrame, n: int, broadcast_threshold: int):
     """Pick the scoring path: returns ``(vecs, pair_cos)`` where exactly
     one is non-None. Broadcast path collects the (bounded) corpus
     matrix once and ships it per executor via SparkContext.broadcast;
-    join path persists the (vec_id, v) relation for the joins."""
+    join path persists the (vec_id, v) relation for the joins. The
+    broadcast path is taken only when BOTH the row threshold and the
+    estimated-bytes bound (one probed row's dim x n x 8 <=
+    KNN_GRAPH_BROADCAST_MAX_BYTES) allow it."""
     from pyspark.storagelevel import StorageLevel
 
-    if n <= broadcast_threshold:
+    take_broadcast = 0 < n <= broadcast_threshold
+    if take_broadcast:
+        probe = embeddings.select(
+            F.size(as_double_vec("embedding")).alias("d")
+        ).first()
+        dim = int(probe["d"]) if probe is not None else 0
+        take_broadcast = n * dim * 8 <= KNN_GRAPH_BROADCAST_MAX_BYTES
+    if take_broadcast:
         import numpy as np
 
         from ccm_spark.functions.vector_udfs import cosine_pairs_udf
@@ -383,8 +405,21 @@ def knn_graph_insert(
     if planes is None:
         planes = adaptive_srp_planes(n)
     cos = cosine_pandas()
-    vecs, pair_cos = _pair_scorer(embeddings, n, broadcast_threshold)
     new = new_ids.select("vec_id").distinct()
+    # the merge's no-duplicate argument requires new_ids ∩ graph.src = ∅:
+    # re-inserting a node already in the graph would mirror edges onto
+    # incumbent (src, dst) rows and let one neighbor hold two top-k
+    # ranks. One left-semi count over the (tiny) increment relation.
+    n_overlap = new.join(
+        graph.select(F.col("src").alias("vec_id")), "vec_id", "left_semi"
+    ).count()
+    if n_overlap:
+        raise ValueError(
+            f"knn_graph_insert: {n_overlap} new_ids already exist in the "
+            "served graph — re-insertion would duplicate incumbent edges; "
+            "rebuild with knn_graph_descent or exclude existing ids"
+        )
+    vecs, pair_cos = _pair_scorer(embeddings, n, broadcast_threshold)
 
     seeds = []
     for t in range(n_seed_tables):

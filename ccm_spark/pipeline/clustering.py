@@ -223,7 +223,13 @@ def semantic_dedup(
     keep (UNDER-dedup, never a task OOM — the `max_bucket_size` safety
     valve the SimHash/MinHash/embedding families share); raise k, or
     run exact dedup first so verbatim mass-duplicates never reach this
-    stage."""
+    stage. At ``n_probe>1`` the valve counts BLOCK size — primary plus
+    boundary-visitor memberships — because the greedy pass's cost and
+    memory are proportional to the block that scans, not to true
+    membership; a cluster whose primaries fit the cap can therefore
+    tip into keep-all when enough boundary visitors land in it
+    (locally weaker dedup than n_probe=1, stated rather than hidden —
+    the cap is a COST valve, so it bounds what actually runs)."""
     import pandas as pd
     from pyspark.sql import Window
 

@@ -441,3 +441,95 @@ def test_broadcast_and_join_scoring_paths_bit_identical(spark, sf_small):
         ).collect()
     }
     assert bcast == joined
+
+
+def test_broadcast_path_drops_unknown_ids_like_join_path(spark):
+    """r10 advice: an id absent from the broadcast index used to raise
+    an executor-side KeyError while the join path silently dropped the
+    pair — the 'bit-interchangeable' paths diverged on dirty input
+    (e.g. a served graph referencing vectors no longer in embeddings).
+    The UDF now scores unknown ids NaN and _score_pairs filters them,
+    so both paths DROP such pairs identically."""
+    import numpy as np
+
+    from ccm_spark.pipeline.ann_graph import _pair_scorer, _score_pairs
+    from ccm_spark.pipeline.similarity import cosine_pandas
+
+    rng = np.random.default_rng(3)
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # pair (0,1) is clean; (2,999) and (998, 997) reference ids with no
+    # embedding row
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 999), (998, 997)], "src long, dst long"
+    )
+    cos = cosine_pandas()
+    vecs_b, pair_cos = _pair_scorer(embs, 6, broadcast_threshold=100)
+    assert pair_cos is not None  # broadcast path selected
+    got_b = sorted(
+        (r.src, r.dst, r.cos_sim)
+        for r in _score_pairs(vecs_b, cos, pairs, pair_cos).collect()
+    )
+    vecs_j, none_cos = _pair_scorer(embs, 6, broadcast_threshold=0)
+    assert none_cos is None  # join path selected
+    got_j = sorted(
+        (r.src, r.dst, r.cos_sim)
+        for r in _score_pairs(vecs_j, cos, pairs, None).collect()
+    )
+    vecs_j.unpersist()
+    assert got_b == got_j  # identical drop behavior AND identical scores
+    assert {(s, d) for s, d, _ in got_b} == {(0, 1), (1, 0)}
+
+
+def test_broadcast_dispatch_bounded_by_bytes_not_rows(spark, monkeypatch):
+    """r10 advice: the dispatch was row-count-only, so a 100k-row
+    corpus of high-dim embeddings could collect GBs to the driver. The
+    dispatch now probes one row's dim and falls back to the join path
+    when n * dim * 8 exceeds KNN_GRAPH_BROADCAST_MAX_BYTES."""
+    import numpy as np
+
+    from ccm_spark.pipeline import ann_graph
+
+    rng = np.random.default_rng(5)
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    # 10 rows x 16 dim x 8 B = 1280 B: under the real cap -> broadcast
+    vecs, pair_cos = ann_graph._pair_scorer(embs, 10, broadcast_threshold=100)
+    assert vecs is None and pair_cos is not None
+    # shrink the byte cap below the matrix size -> join path despite
+    # n <= broadcast_threshold
+    monkeypatch.setattr(ann_graph, "KNN_GRAPH_BROADCAST_MAX_BYTES", 1024)
+    vecs2, pair_cos2 = ann_graph._pair_scorer(embs, 10, broadcast_threshold=100)
+    assert pair_cos2 is None and vecs2 is not None
+    vecs2.unpersist()
+
+
+def test_knn_graph_insert_rejects_reinserted_ids(spark):
+    """r10 advice: re-inserting an id already in the served graph would
+    mirror edges onto incumbent (src, dst) rows and let one neighbor
+    hold two top-k ranks. The insert now fails fast with a clear error
+    (one left-semi count) instead of silently corrupting ranks."""
+    import numpy as np
+    import pytest
+
+    from ccm_spark.pipeline.ann_graph import knn_graph_descent, knn_graph_insert
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = embs.where(F.col("vec_id") < 30)
+    g = knn_graph_descent(base, k=3, n_rounds=1, planes=3).localCheckpoint(
+        eager=True
+    )
+    # an increment that includes id 0 — already a graph node
+    bad_new = spark.createDataFrame([(0,), (35,)], "vec_id long")
+    with pytest.raises(ValueError, match="already exist in the served graph"):
+        knn_graph_insert(embs, g, bad_new, k=3, planes=3)
+    # the clean increment still works
+    ok_new = spark.createDataFrame([(35,), (36,)], "vec_id long")
+    out = knn_graph_insert(embs, g, ok_new, k=3, planes=3)
+    assert out.count() > 0
