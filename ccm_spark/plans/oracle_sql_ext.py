@@ -589,10 +589,17 @@ def sql_ann_ivf_kmeans_topk(
     )
 
 
-def _srp_ctes(planes: int = SRP_PLANES, seed: int = 99, sfx: str = "") -> str:
+def _srp_ctes(
+    planes: int = SRP_PLANES,
+    seed: int = 99,
+    sfx: str = "",
+    source: str = "embeddings",
+) -> str:
     """``sfx`` renames the CTEs (``buckets`` -> ``buckets<sfx>``) so one
     statement can replay SEVERAL independent SRP hash tables — the
-    multi-table seeding of ``sql_knn_graph``."""
+    multi-table seeding of ``sql_knn_graph``. ``source`` swaps the
+    embeddings relation (e.g. a parenthesized subquery selecting the
+    pre-insert corpus for ``sql_knn_graph_insert``'s base graph)."""
     rows = srp_plane_values(planes, DIM, seed)
     values = ", ".join(f"({pl}, {d}, {c!r})" for pl, d, c in rows)
     pw_values = ", ".join(f"({pl}, {1 << pl})" for pl in range(planes))
@@ -604,7 +611,7 @@ plane_pw{sfx} AS (SELECT CAST(plane AS INT) AS plane, CAST(pw AS BIGINT) AS pw
 dots{sfx} AS (
   SELECT e.vec_id, p.plane,
          SUM(list_extract(e.embedding::DOUBLE[], p.dim_idx + 1) * p.comp) AS dot
-  FROM embeddings e CROSS JOIN planes{sfx} p
+  FROM {source} e CROSS JOIN planes{sfx} p
   GROUP BY 1, 2
 ),
 buckets{sfx} AS (
@@ -2398,6 +2405,7 @@ def sql_knn_graph(
     seed: int = KNN_GRAPH_SEED,
     max_bucket_size: int = 1000,
     rho: float = 1.5,
+    source: str = "embeddings",
 ) -> str:
     """DuckDB twin of pipeline.ann_graph.knn_graph_descent at the gate
     geometry: SRP multi-table seeding (the _srp_ctes replay, one table
@@ -2421,10 +2429,12 @@ def sql_knn_graph(
     )
     md5rank = _md5_long("CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")
     ctes = [
-        _srp_ctes(SRP_PLANES, seed + t, sfx=f"_t{t}").strip()
+        _srp_ctes(SRP_PLANES, seed + t, sfx=f"_t{t}", source=source).strip()
         for t in range(n_tables)
     ]
-    ctes.append("v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)")
+    ctes.append(
+        f"v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM {source})"
+    )
     seed_parts = []
     for t in range(n_tables):
         ctes.append(
@@ -2509,6 +2519,142 @@ def sql_knn_graph(
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT src, dst, cos_sim, CAST(rk AS INT) AS rank FROM {prev}"
+    )
+
+
+#: sql_knn_graph_insert gate split: every 5th vector (20%) arrives as
+#: the ingestion increment against a graph served over the other 80%
+KNN_INSERT_MOD = 5
+
+
+def sql_knn_graph_insert(
+    k: int = KNN_GRAPH_K,
+    n_tables: int = KNN_GRAPH_TABLES,
+    seed: int = KNN_GRAPH_SEED,
+    max_bucket_size: int = 1000,
+    mod: int = KNN_INSERT_MOD,
+) -> str:
+    """DuckDB twin of pipeline.ann_graph.knn_graph_insert at the gate
+    geometry (r12 candidate): the SERVED graph is ``sql_knn_graph``
+    over the pre-insert 80% (vec_id % mod != 0) nested verbatim via the
+    ``source`` hook; the increment (vec_id % mod = 0) then replays the
+    insert chain — full-corpus multi-table SRP bucketization with the
+    valve, increment-side pair generation with the per-table
+    lowest-dst cap (2k), one hop through the served graph's ranked
+    edges, the shared canonical scoring (round-9 cosine, mirror), and
+    the three-way merge: NEW nodes take their top-k, TOUCHED existing
+    nodes re-rank incumbent ∪ mirror edges, untouched rows pass
+    through byte-identical (original rank preserved)."""
+    cap = 2 * k
+    base = f"(SELECT * FROM embeddings WHERE vec_id % {mod} != 0)"
+    cos = (
+        "round(CASE WHEN sqrt(list_dot_product({a}, {a})) = 0 "
+        "OR sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
+        "ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b}))) END, 9) + 0.0"
+    )
+    ctes = [f"base_graph AS MATERIALIZED ({sql_knn_graph(source=base)})"]
+    # full-corpus bucketization, increment-side pairs (sfx _i to keep
+    # the inner base-graph CTE names out of scope conflicts)
+    seed_parts = []
+    for t in range(n_tables):
+        ctes.append(_srp_ctes(SRP_PLANES, seed + t, sfx=f"_i{t}").strip())
+        ctes.append(
+            f"""kept_i{t} AS (
+  SELECT b.vec_id, b.bucket FROM buckets_i{t} b
+  JOIN (SELECT bucket FROM buckets_i{t} GROUP BY bucket
+        HAVING COUNT(*) <= {max_bucket_size}) ok USING (bucket)
+)"""
+        )
+        ctes.append(
+            f"""seed_i{t} AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY b.vec_id ASC) AS rk
+    FROM kept_i{t} a JOIN kept_i{t} b
+      ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    WHERE a.vec_id % {mod} = 0
+  ) s WHERE rk <= {cap}
+)"""
+        )
+        seed_parts.append(f"SELECT src, dst FROM seed_i{t}")
+    ctes.append(
+        "pairs0 AS (SELECT DISTINCT src, dst FROM ("
+        + " UNION ALL ".join(seed_parts)
+        + ") u)"
+    )
+    ctes.append(
+        """hop AS (
+  SELECT DISTINCT p.src, g.dst
+  FROM pairs0 p JOIN base_graph g ON g.src = p.dst
+  WHERE p.src != g.dst
+)"""
+    )
+    ctes.append(
+        "vf AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"
+    )
+    ctes.append(
+        """cp AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM (
+    SELECT src, dst FROM pairs0 UNION ALL SELECT src, dst FROM hop
+  ) u
+)"""
+    )
+    ctes.append(
+        f"""sc0 AS (
+  SELECT c.a, c.b, {cos.format(a='va.vec', b='vb.vec')} AS cos_sim
+  FROM cp c JOIN vf va ON va.vec_id = c.a JOIN vf vb ON vb.vec_id = c.b
+)"""
+    )
+    ctes.append(
+        """sc AS (
+  SELECT a AS src, b AS dst, cos_sim FROM sc0
+  UNION ALL
+  SELECT b AS src, a AS dst, cos_sim FROM sc0
+)"""
+    )
+    ctes.append(
+        f"""new_rows AS (
+  SELECT src, dst, cos_sim, rk FROM (
+    SELECT src, dst, cos_sim,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_sim DESC, dst ASC) AS rk
+    FROM sc WHERE src % {mod} = 0
+  ) r WHERE rk <= {k}
+)"""
+    )
+    ctes.append(f"touched AS (SELECT * FROM sc WHERE src % {mod} != 0)")
+    ctes.append("touched_src AS (SELECT DISTINCT src FROM touched)")
+    ctes.append(
+        f"""updated AS (
+  SELECT src, dst, cos_sim, rk FROM (
+    SELECT src, dst, cos_sim,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_sim DESC, dst ASC) AS rk
+    FROM (
+      SELECT g.src, g.dst, g.cos_sim
+      FROM base_graph g JOIN touched_src USING (src)
+      UNION ALL
+      SELECT src, dst, cos_sim FROM touched
+    ) m
+  ) r WHERE rk <= {k}
+)"""
+    )
+    ctes.append(
+        """untouched AS (
+  SELECT g.src, g.dst, g.cos_sim, g.rank AS rk FROM base_graph g
+  WHERE g.src NOT IN (SELECT src FROM touched_src)
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT src, dst, cos_sim, CAST(rk AS INT) AS rank FROM untouched
+UNION ALL
+SELECT src, dst, cos_sim, CAST(rk AS INT) AS rank FROM updated
+UNION ALL
+SELECT src, dst, cos_sim, CAST(rk AS INT) AS rank FROM new_rows"""
     )
 
 

@@ -533,3 +533,61 @@ def test_knn_graph_insert_rejects_reinserted_ids(spark):
     ok_new = spark.createDataFrame([(35,), (36,)], "vec_id long")
     out = knn_graph_insert(embs, g, ok_new, k=3, planes=3)
     assert out.count() > 0
+
+
+def test_knn_graph_insert_matches_duckdb_twin(spark, sf_small):
+    """The whole incremental-insert chain replayed declaratively in
+    DuckDB at the gate geometry (r12 gate candidate, QUERIES.md): the
+    served graph is sql_knn_graph over the pre-insert 80% nested via
+    the source hook, then full-corpus bucketization with increment-side
+    pairs, one hop through the served graph, shared canonical scoring,
+    and the three-way merge (new top-k / touched re-rank / untouched
+    byte-identical). Exact equality incl. the cosine doubles and every
+    preserved rank."""
+    import duckdb
+
+    from ccm_spark.pipeline.ann_graph import knn_graph_insert
+    from ccm_spark.pipeline.similarity import SRP_PLANES
+    from ccm_spark.plans.oracle_sql_ext import (
+        KNN_GRAPH_K,
+        KNN_GRAPH_SEED,
+        KNN_GRAPH_TABLES,
+        KNN_INSERT_MOD,
+        sql_knn_graph_insert,
+    )
+
+    embs = _embs(spark, sf_small)
+    base = embs.where(F.col("vec_id") % KNN_INSERT_MOD != 0)
+    new_ids = embs.where(F.col("vec_id") % KNN_INSERT_MOD == 0).select("vec_id")
+    g = knn_graph_descent(
+        base,
+        k=KNN_GRAPH_K,
+        n_rounds=1,
+        seed=KNN_GRAPH_SEED,
+        planes=SRP_PLANES,
+        n_seed_tables=KNN_GRAPH_TABLES,
+    ).localCheckpoint(eager=True)
+    out = knn_graph_insert(
+        embs,
+        g,
+        new_ids,
+        k=KNN_GRAPH_K,
+        seed=KNN_GRAPH_SEED,
+        planes=SRP_PLANES,
+        n_seed_tables=KNN_GRAPH_TABLES,
+    )
+    got = sorted((r.src, r.dst, r.cos_sim, r.rank) for r in out.collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(s), int(d), float(c), int(rk))
+        for s, d, c, rk in con.sql(sql_knn_graph_insert()).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(a, b) for a, b in zip(got, want) if a != b]
+    assert not mism, mism[:5]
+    # the increment did real work on both sides: new nodes present
+    assert any(s % KNN_INSERT_MOD == 0 for s, _, _, _ in got)
