@@ -159,6 +159,11 @@ def main() -> None:
     FLAGSHIPS = ["ccm_bidirectional", "ccm_bidirectional_fast", "ccm_fleet_64x300"]
     names = HEADLINE + ["ccm_fleet_64x300"]
     samples: dict[str, list[float]] = {n: [] for n in names}
+    # r11 (VERDICT r10 #7): sample the 1-min loadavg as each query
+    # finishes, so a loaded driver run is distinguishable QUERY-BY-QUERY
+    # (the r10 driver run's loadavg tripled mid-run; run-level
+    # before/after can't say which timings it poisoned)
+    load_samples: dict[str, list[float]] = {n: [] for n in names}
 
     def run_pass(pass_names: list[str]) -> None:
         for name in pass_names:
@@ -167,6 +172,8 @@ def main() -> None:
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples[name].append(time.time() - t0)
+            la = _loadavg()
+            load_samples[name].append(la[0] if la else -1.0)
             print(f"# {name}: {samples[name][-1]:.2f}s rows={n}", file=sys.stderr)
 
     def median(xs: list[float]) -> float:
@@ -515,13 +522,17 @@ def main() -> None:
     extra_timings = {}
     extra_spread = {}
     extra_nruns = {}
+    extra_load_samples = {}
     for name, fn in extras.items():
         extra_runs = []
+        extra_load_samples[name] = []
         for _ in range(EXTRA_NRUNS.get(name, 2)):
             spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             extra_runs.append(round(time.time() - t0, 3))
+            la = _loadavg()
+            extra_load_samples[name].append(la[0] if la else -1.0)
         if name in EXTRA_WARM_MEDIAN:
             extra_timings[name] = round(median(extra_runs[1:]), 3)
         else:
@@ -568,6 +579,14 @@ def main() -> None:
                 # host-load context: SCALE.md documents ±5x co-tenant
                 # bursts on this VM; a cross-round comparison should read
                 # these before calling a delta a regression
+                # per-sample 1-min loadavg taken as each run finished,
+                # aligned index-for-index with queries_spread's raw
+                # samples — reads which SPECIFIC timings a mid-run load
+                # burst poisoned (r11, VERDICT r10 #7)
+                "loadavg_per_query": {
+                    name: xs for name, xs in load_samples.items()
+                },
+                "extra_loadavg_per_query": extra_load_samples,
                 "loadavg_before": load_before,
                 "loadavg_at_start": load_at_start,
                 "loadavg_gate": LOAD_GATE,

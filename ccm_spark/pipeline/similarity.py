@@ -84,6 +84,13 @@ def cosine_topk(
         .select("vec_id", as_double_vec("embedding").alias("v"))
         .collect()
     )
+    if not q_rows:
+        # no vector falls under the id cutoff (e.g. a filtered corpus
+        # whose surviving ids all exceed n_queries) — empty result, not
+        # a shape error in the einsum kernel
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, rank int, target_id long, cos_sim double"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))

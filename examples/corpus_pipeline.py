@@ -160,11 +160,42 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
         int(r.cluster): int(r.n_members)
         for r in cluster_sizes(kmeans_assign(embs, cents)).collect()
     }
-    # ... and the serving-store compression (r09): the surviving vectors'
-    # int8 quantized form — 4-8x smaller, recall measured in tests
-    from ccm_spark.pipeline.similarity import quantize_embeddings
+    # ... and the serving-store compression (r09) promoted to a REAL
+    # serving path (r11): retrieval runs over the DEQUANTIZED int8
+    # store — 4-8x smaller at rest — and the example asserts the
+    # measured recall floor vs exact retrieval, so the compressed path
+    # can't silently rot (tests/test_pq.py pins the same floor at 0.9)
+    from ccm_spark.pipeline.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
 
-    counts["int8_vectors"] = quantize_embeddings(embs).count()
+    quantized = quantize_embeddings(embs).localCheckpoint(eager=True)
+    counts["int8_vectors"] = quantized.count()
+    # cosine_topk's n_queries is a vec_id CUTOFF; the surviving corpus
+    # here has been dedup-filtered, so derive the cutoff from the 10
+    # smallest surviving ids rather than assuming ids 0..9 survived
+    k_q = 5
+    surviving = [
+        r.vec_id
+        for r in embs.select("vec_id").orderBy("vec_id").limit(10).collect()
+    ]
+    n_q = surviving[-1] + 1
+    exact_topk = {
+        (r.query_id, r.target_id)
+        for r in cosine_topk(embs, n_queries=n_q, k=k_q).collect()
+    }
+    assert exact_topk  # the recall check below must not pass vacuously
+    served_topk = {
+        (r.query_id, r.target_id)
+        for r in cosine_topk(
+            dequantize_embeddings(quantized), n_queries=n_q, k=k_q
+        ).collect()
+    }
+    int8_recall = len(exact_topk & served_topk) / max(1, len(exact_topk))
+    assert int8_recall >= 0.9, f"int8 serving recall@{k_q} = {int8_recall:.2f}"
+    counts["int8_serving_recall_pct"] = int(round(100 * int8_recall))
 
     # 4c. k-NN graph + graph-based dedup audit (r10): build the ranked
     # neighbor graph once (NN-descent — the artifact retrieval,

@@ -246,8 +246,10 @@ def test_quantize_embeddings_matches_duckdb_and_bounds_error(spark, sf_small):
         "UNION ALL SELECT 10000000 AS vec_id, "
         f"list_transform(range(1, {len(got[10_000_000][1]) + 1}), x -> 0.0) AS embedding"
     )
+    # the twin emits codes flattened to CSV (r11 gate-schema fix: the
+    # driver canonicalizer cannot hash list columns) — parse it back
     want = {
-        int(v): (float(s), tuple(int(x) for x in c))
+        int(v): (float(s), tuple(int(x) for x in c.split(",")))
         for v, s, c in con.sql(sql_quantize_embeddings()).fetchall()
     }
     assert got == want
