@@ -2842,3 +2842,96 @@ SELECT n.src AS vec_id,
         OR {pr.format(c='n.src')} < b.np
         OR ({pr.format(c='n.src')} = b.np AND n.src < b.ni)) AS keep
 FROM nodes n LEFT JOIN best b ON b.src = n.src"""
+
+
+# ------------------------------------------------- blocklist / density ops
+
+def _phrase_values() -> tuple[str, str]:
+    """VALUES literals for the gate blocklist: (phrases, needs) — the
+    exact relations ``pipeline.filters.phrase_blocklist_matches`` builds
+    driver-side, shared through BLOCKLIST_GATE_PHRASES so the Spark
+    fixture and this twin cannot drift."""
+    from ccm_spark.pipeline.filters import BLOCKLIST_GATE_PHRASES, normalize_phrases
+
+    plist = normalize_phrases(BLOCKLIST_GATE_PHRASES)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    phrases = ", ".join(
+        f"({q(' '.join(t))}, {q(t[0])}, {len(t)})" for t in plist
+    )
+    needs = ", ".join(
+        f"({q(' '.join(t))}, {off}, {q(tok)})"
+        for t in plist
+        for off, tok in enumerate(t)
+    )
+    return phrases, needs
+
+
+def sql_phrase_blocklist() -> str:
+    """DuckDB twin of filters.phrase_blocklist_matches on the gate
+    fixture: identical relational shape — positional token relation,
+    anchor join, required-cell join, HAVING COUNT(*) = plen verify,
+    per-doc rollup with sorted '|'-joined distinct phrases."""
+    phrases, needs = _phrase_values()
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS pos FROM t),
+phrases(phrase, anchor, plen) AS (VALUES {phrases}),
+needs(phrase, off, need_tok) AS (VALUES {needs}),
+cand AS (
+  SELECT k.doc_id, k.pos AS match_pos, p.phrase, p.plen
+  FROM tok k JOIN phrases p ON k.tok = p.anchor
+),
+cells AS (
+  SELECT c.doc_id, c.phrase, c.match_pos, c.plen,
+         c.match_pos + n.off AS pos, n.need_tok
+  FROM cand c JOIN needs n USING (phrase)
+),
+verified AS (
+  SELECT c.doc_id, c.phrase, c.match_pos
+  FROM cells c
+  JOIN tok k ON k.doc_id = c.doc_id AND k.pos = c.pos AND k.tok = c.need_tok
+  GROUP BY c.doc_id, c.phrase, c.match_pos, c.plen
+  HAVING COUNT(*) = c.plen
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_matches,
+         COUNT(DISTINCT phrase) AS n_phrases,
+         string_agg(DISTINCT phrase, '|' ORDER BY phrase) AS phrases_hit
+  FROM verified GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_matches, 0) AS BIGINT) AS n_matches,
+       CAST(COALESCE(p.n_phrases, 0) AS BIGINT) AS n_phrases,
+       COALESCE(p.phrases_hit, '') AS phrases_hit,
+       COALESCE(p.n_matches, 0) > 0 AS blocked
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def sql_char_entropy() -> str:
+    """DuckDB twin of filters.char_entropy_signals: per-codepoint
+    explosion via zipped range+substr (O(len^2) is fine at oracle
+    scale; the Spark side uses the linear split('') explode), same
+    one-pass entropy identity H = log2(N) - sum(c*log2 c)/N, round6 at
+    the boundary."""
+    return """
+WITH t AS (SELECT doc_id, text FROM documents),
+i AS (SELECT doc_id, text, unnest(range(0, length(text))) AS i FROM t),
+c AS (SELECT doc_id, substr(text, CAST(i + 1 AS INT), 1) AS ch FROM i),
+counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM c GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chars,
+         COUNT(*) AS n_distinct_chars,
+         log2(CAST(SUM(c) AS DOUBLE))
+           - SUM(c * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE) AS h
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(p.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
+       round(COALESCE(p.h, 0.0), 6) + 0.0 AS entropy_bits
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
