@@ -930,3 +930,123 @@ def script_profile(docs: DataFrame) -> DataFrame:
         .otherwise(best["name"])
         .alias("dominant_script"),
     )
+
+
+def collocations_pmi(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information
+    — the corpus-analysis pass that surfaces multiword units ("new york",
+    "machine learning") for tokenizer seeding and blocklist authoring.
+
+    PMI(x, y) = log2( p(x,y) / (p(x)·p(y)) ) with p(x,y) = c_xy / M over
+    adjacent bigrams and p(x) = c_x / N over unigrams. ``min_count``
+    prunes the noise floor (rare pairs have unstable PMI) BEFORE the
+    unigram joins, so the scored relation is tiny.
+
+    Plan shape: bigrams come from slice+zip_with (the array is transient
+    inside one projection — never carried through a shuffle); both count
+    relations are map-side combined; N and M arrive as broadcast 1-row
+    cross joins (never collected); the final top-k is the two-phase
+    local/global window (vocab_topk's pattern). Returns
+    ``(rank, bigram, c_xy, pmi)`` with pmi rounded at the boundary.
+    """
+    toks = tokens_col("text")
+    two_plus = docs.where(F.size(toks) >= 2).select(toks.alias("_toks"))
+    pairs = two_plus.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    uni = (
+        docs.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot_u = uni.agg(F.sum("c").cast("double").alias("n_tok"))
+    tot_b = big.agg(F.sum("c_xy").cast("double").alias("n_big"))
+    scored = (
+        big.where(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.log2(
+                (F.col("c_xy") / F.col("n_big"))
+                / ((F.col("c_x") / F.col("n_tok")) * (F.col("c_y") / F.col("n_tok")))
+            ).alias("pmi_raw"),
+        )
+    )
+    order = [F.col("pmi_raw").desc(), F.col("x").asc(), F.col("y").asc()]
+    local_w = Window.partitionBy("split_id").orderBy(*order)
+    survivors = (
+        scored.withColumn("split_id", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= k)
+    )
+    w = Window.orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            "c_xy",
+            (F.round("pmi_raw", 6) + F.lit(0.0)).alias("pmi"),
+        )
+    )
+
+
+def tfidf_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-doc top-k TF-IDF keywords — the summary/labeling pass of a
+    corpus audit (what is this document about, without a model).
+
+    Smoothed idf = ln((1+D)/(1+df)) + 1 (the scikit-learn convention);
+    score = tf · idf; ties broken by term asc. The window runs over the
+    per-(doc, term) aggregate (one row per distinct term per doc, never
+    per occurrence), D arrives as a broadcast 1-row cross join, and the
+    df relation joins on term — skew-free because stopword-heavy terms
+    are spread across doc partitions before the per-doc window.
+    Returns ``(doc_id, rank, term, tf, score)``.
+    """
+    occ = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                )
+            ).alias("score_raw"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_raw").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            (F.round("score_raw", 6) + F.lit(0.0)).alias("score"),
+        )
+    )

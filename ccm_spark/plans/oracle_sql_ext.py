@@ -2935,3 +2935,68 @@ SELECT d.doc_id,
        CAST(COALESCE(p.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
        round(COALESCE(p.h, 0.0), 6) + 0.0 AS entropy_bits
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def sql_collocations_pmi(min_count: int = 5, k: int = 50) -> str:
+    """DuckDB twin of text.collocations_pmi: identical PMI expression
+    tree (log2 of the same nested double divisions, so both engines feed
+    libm the same bits), identical (pmi DESC, x, y) rank order."""
+    return f"""
+WITH t AS (SELECT {TOKENS} AS toks FROM documents),
+p AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2),
+big AS (
+  SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i + 1 AS INT)] AS y,
+         COUNT(*) AS c_xy
+  FROM p GROUP BY 1, 2
+),
+uni AS (
+  SELECT u.t AS t, COUNT(*) AS c
+  FROM (SELECT unnest(toks) AS t FROM t) u GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n_tok,
+         (SELECT CAST(SUM(c_xy) AS DOUBLE) FROM big) AS n_big
+),
+scored AS (
+  SELECT b.x, b.y, b.c_xy,
+         log2((b.c_xy / tot.n_big)
+              / ((ux.c / tot.n_tok) * (uy.c / tot.n_tok))) AS pmi_raw
+  FROM big b
+  JOIN uni ux ON ux.t = b.x
+  JOIN uni uy ON uy.t = b.y
+  CROSS JOIN tot
+  WHERE b.c_xy >= {min_count}
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY pmi_raw DESC, x ASC, y ASC) AS rank
+  FROM scored
+)
+SELECT CAST(rank AS INT) AS rank,
+       x || ' ' || y AS bigram,
+       CAST(c_xy AS BIGINT) AS c_xy,
+       round(pmi_raw, 6) + 0.0 AS pmi
+FROM r WHERE rank <= {k}"""
+
+
+def sql_tfidf_terms(k: int = 5) -> str:
+    """DuckDB twin of text.tfidf_terms: smoothed sklearn idf, same
+    double expression tree, same (score DESC, term ASC) per-doc rank."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+occ AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT f.doc_id, f.term, f.tf,
+         f.tf * (ln((1.0 + nd.n_docs) / (1.0 + d.df)) + 1.0) AS s
+  FROM tf f JOIN dfreq d USING (term) CROSS JOIN nd
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY s DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, round(s, 6) + 0.0 AS score
+FROM r WHERE rank <= {k}"""

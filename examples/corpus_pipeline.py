@@ -8,6 +8,7 @@ demos the CCM surface; this demos the corpus surface).
 Stages (each one operator, each individually oracle- or replay-pinned):
   0. URL hygiene           (canonicalise, URL-exact dedup, domain caps)
   1. quality filter        (rule-based keep/drop)
+  1a. phrase blocklist     (C4-style bad-phrase drop + density report)
   1b. perplexity filter    (Kneser-Ney bigram LM on the rule-clean
                             docs; drop the least reference-like tail)
   1c. PII audit            (validated redaction counts: emails, Luhn-
@@ -90,6 +91,38 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     # 1. rule-based quality filter
     kept = quality_filter(docs).where("keep").select("doc_id")
     docs, counts["after_quality"] = checkpoint(docs.join(kept, "doc_id"))
+
+    # 1a. phrase blocklist (the C4 bad-words pass, r11): drop docs
+    # containing blocked multi-token phrases — relational anchor-join
+    # matching, no regex union. The demo list targets the synthetic
+    # vocabulary; a real pipeline broadcasts its policy list here.
+    from ccm_spark.pipeline.filters import (
+        blocklist_filter,
+        char_entropy_signals,
+        compression_signals,
+    )
+
+    docs, counts["after_blocklist"] = checkpoint(
+        blocklist_filter(docs, ["table table table", "slow slow slow"])
+    )
+
+    # 1a'. information-density report (non-filtering): zlib ratio and
+    # char-entropy extremes — the Gopher repetitiousness signals a
+    # curator reads before setting filter thresholds.
+    dens = (
+        compression_signals(docs)
+        .agg(
+            F.avg("compression_ratio").alias("avg_r"),
+            F.min("compression_ratio").alias("min_r"),
+        )
+        .collect()[0]
+    )
+    ent = char_entropy_signals(docs).agg(F.avg("entropy_bits").alias("h")).collect()[0]
+    counts["density"] = {
+        "avg_zlib_ratio": round(float(dens.avg_r), 4),
+        "min_zlib_ratio": round(float(dens.min_r), 4),
+        "avg_char_entropy_bits": round(float(ent.h), 4),
+    }
 
     # 1b. perplexity filter (CCNet-style): train the reference LM on the
     # rule-clean docs themselves (a real pipeline trains on trusted text,

@@ -576,3 +576,110 @@ def test_luhn_column_matches_independent_python_luhn(spark):
     mism = {c: (got[c], py_luhn(c)) for c in got if got[c] != py_luhn(c)}
     assert not mism, dict(list(mism.items())[:5])
     assert sum(got.values()) >= 150  # every forced-valid candidate passes
+
+
+# ------------------------------------------------ collocations / tf-idf
+
+
+def test_collocations_pmi_hand_built(spark):
+    """'new york' appears 6x as a glued pair while both tokens are rare
+    elsewhere -> top PMI; 'the the' is frequent but both unigrams are
+    everywhere -> lower PMI despite higher count."""
+    import math
+
+    from ccm_spark.pipeline.text import collocations_pmi
+
+    filler = "the a of to " * 3                      # common unigrams
+    rows = [f"new york {filler}" for _ in range(6)] + [
+        "the the the the a of to a of to" for _ in range(4)
+    ]
+    d = _docs(spark, [(i, t, "src0") for i, t in enumerate(rows)])
+    out = collocations_pmi(d, min_count=3, k=5).collect()
+    assert out[0].bigram == "new york" and out[0].rank == 1
+    assert out[0].c_xy == 6
+    # replay the expected PMI exactly
+    n_tok = sum(len(t.split()) for t in rows)
+    n_big = sum(len(t.split()) - 1 for t in rows)
+    want = math.log2((6 / n_big) / ((6 / n_tok) * (6 / n_tok)))
+    assert abs(out[0].pmi - want) < 1e-6
+    # ranks are dense from 1 and scores non-increasing
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert all(a.pmi >= b.pmi for a, b in zip(out, out[1:]))
+
+
+def test_collocations_pmi_min_count_prunes(spark):
+    from ccm_spark.pipeline.text import collocations_pmi
+
+    d = _docs(spark, [(0, "rare pair here", "s"), (1, "other text now", "s")])
+    assert collocations_pmi(d, min_count=2, k=10).count() == 0
+    assert collocations_pmi(d, min_count=1, k=10).count() > 0
+
+
+def test_collocations_pmi_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.pipeline.text import collocations_pmi
+    from ccm_spark.plans.oracle_sql_ext import sql_collocations_pmi
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(
+        (r.rank, r.bigram, r.c_xy, r.pmi)
+        for r in collocations_pmi(docs, min_count=5, k=50).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), str(b), int(c), float(d))
+        for a, b, c, d in con.sql(sql_collocations_pmi(5, 50)).fetchall()
+    )
+    assert len(got) == len(want) == 50
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:5]
+
+
+def test_tfidf_terms_hand_built(spark):
+    """A term unique to one doc outranks corpus-wide terms there."""
+    from ccm_spark.pipeline.text import tfidf_terms
+
+    d = _docs(
+        spark,
+        [
+            (0, "shared words here plus unique zebra zebra", "s"),
+            (1, "shared words here plus other stuff", "s"),
+            (2, "shared words here plus more stuff", "s"),
+        ],
+    )
+    out = {
+        (r.doc_id, r.rank): r for r in tfidf_terms(d, k=3).collect()
+    }
+    assert out[(0, 1)].term == "zebra" and out[(0, 1)].tf == 2
+    # every doc gets exactly k rows when it has >= k distinct terms
+    assert len([1 for (doc, _) in out if doc == 0]) == 3
+
+
+def test_tfidf_terms_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.pipeline.text import tfidf_terms
+    from ccm_spark.plans.oracle_sql_ext import sql_tfidf_terms
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.rank, r.term, r.tf, r.score)
+        for r in tfidf_terms(docs, k=5).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), str(c), int(d), float(e))
+        for a, b, c, d, e in con.sql(sql_tfidf_terms(5)).fetchall()
+    )
+    assert len(got) == len(want)
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:5]

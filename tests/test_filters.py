@@ -212,3 +212,64 @@ def test_compression_signals_hand_built(spark):
     assert rows[2].compression_ratio > 1.0
     # kernel agrees with stdlib directly
     assert rows[0].n_compressed == len(zlib.compress(b"a" * 1000, ZLIB_LEVEL))
+
+
+# ------------------------------------------------- randomized scan oracle
+
+
+def _py_scan(tokens: list[str], plist: list[list[str]]):
+    """Brute-force overlap-counting scan — the semantics contract."""
+    n_matches = 0
+    hit: set[str] = set()
+    for p in plist:
+        for i in range(len(tokens) - len(p) + 1):
+            if tokens[i : i + len(p)] == p:
+                n_matches += 1
+                hit.add(" ".join(p))
+    return n_matches, hit
+
+
+def test_phrase_matches_randomized_vs_python_scan(spark):
+    """200 seeded random docs over a tiny vocab (dense accidental
+    matches, heavy overlaps) vs the brute-force Python scan — one Spark
+    job, full-output comparison."""
+    import random
+
+    rng = random.Random(1711)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25)))
+        for _ in range(200)
+    ]
+    phrases = [["aa", "bb"], ["bb", "bb"], ["cc", "dd", "aa"], ["dd"]]
+    d = docs_df(spark, texts)
+    got = {
+        r.doc_id: (r.n_matches, r.n_phrases, r.phrases_hit)
+        for r in phrase_blocklist_matches(
+            d, [" ".join(p) for p in phrases]
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n, hit = _py_scan(toks, phrases)
+        assert got[i] == (n, len(hit), "|".join(sorted(hit))), (i, t)
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_phrase_matches_plan_no_cartesian_anchors_broadcast(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _formatted_plan(phrase_blocklist_matches(docs, BLOCKLIST_GATE_PHRASES))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the blocklist-derived relations (anchors, needs) reach the plan as
+    # broadcasts; the corpus never does at static planning time
+    assert plan.count("BroadcastExchange") >= 2
