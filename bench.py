@@ -141,6 +141,9 @@ def main() -> None:
         # the headline set under the same name/semantics so cross-round
         # totals stay same-set comparable
         "text_fingerprint": E.q_text_fingerprint,
+        # same for the r11 rotation (graph-family rows came in)
+        "dedup_ngram_jaccard": E.q_dedup_ngram_jaccard,
+        "events_sessionize": E.q_events_sessionize,
     }
 
     # median of REPEATS per query, pass-interleaved so a VM-noise burst
@@ -477,8 +480,20 @@ def main() -> None:
             # the memory sink holds the rows; the source dir can go
             shutil.rmtree(d, ignore_errors=True)
 
+    def extra_blocklist(spark, sf_dir):
+        from ccm_spark.pipeline.filters import (
+            BLOCKLIST_GATE_PHRASES,
+            phrase_blocklist_matches,
+        )
+        from ccm_spark.sources.tables import load_table
+
+        return phrase_blocklist_matches(
+            load_table(spark, sf_dir, "documents"), BLOCKLIST_GATE_PHRASES
+        )
+
     extras = {
         "url_dedup": qs["url_dedup"],
+        "phrase_blocklist": extra_blocklist,
         "lm_perplexity": extra_lm,
         "bm25_topk": extra_bm25,
         "line_dedup": extra_line_dedup,

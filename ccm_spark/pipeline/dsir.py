@@ -187,3 +187,88 @@ def dsir_resample(
         .where(F.col("_rk") <= k)
         .select("doc_id", "log_w", "gumbel_key")
     )
+
+
+def corpus_divergence(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """Corpus-level distribution drift: smoothed unigram KL (both
+    directions) and Jensen-Shannon divergence between two corpora, plus
+    vocabulary overlap — the one-number answers to "how different is
+    this source/shard/snapshot from the reference?" that gate a mixing
+    or curriculum decision (DSIR weights individual docs; this compares
+    whole corpora).
+
+    Add-alpha smoothing over the UNION vocabulary keeps every log
+    finite: p(t) = (c(t) + alpha) / (N + alpha·V). JS is computed
+    against the pointwise mixture m = (p_a + p_b)/2, so it is symmetric
+    and bounded by 1 bit.
+
+    Plan shape: two map-side-combined unigram aggregates, one
+    vocab-sized full-outer join, totals as a broadcast 1-row cross join
+    (never collected), one final aggregate. Nothing is per-occurrence
+    past the first combine; skew-free (keys are tokens). Returns ONE
+    row: (n_tokens_a, n_tokens_b, vocab_a, vocab_b, vocab_shared,
+    vocab_union, kl_ab_bits, kl_ba_bits, js_bits), divergences rounded
+    at the boundary.
+    """
+
+    def counts(docs: DataFrame, name: str) -> DataFrame:
+        return (
+            docs.select(F.explode(tokens_col("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(name))
+        )
+
+    j = (
+        counts(docs_a, "ca")
+        .join(counts(docs_b, "cb"), "token", "full_outer")
+        .select(
+            F.coalesce("ca", F.lit(0)).cast("double").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("double").alias("cb"),
+        )
+    )
+    tot = j.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count("*").cast("double").alias("v"),
+        F.sum((F.col("ca") > 0).cast("long")).alias("vocab_a"),
+        F.sum((F.col("cb") > 0).cast("long")).alias("vocab_b"),
+        F.sum(((F.col("ca") > 0) & (F.col("cb") > 0)).cast("long")).alias(
+            "vocab_shared"
+        ),
+        F.count("*").alias("vocab_union"),
+    )
+    pa = (F.col("ca") + F.lit(alpha)) / (F.col("na") + F.lit(alpha) * F.col("v"))
+    pb = (F.col("cb") + F.lit(alpha)) / (F.col("nb") + F.lit(alpha) * F.col("v"))
+    m = (pa + pb) / F.lit(2.0)
+    sums = (
+        j.crossJoin(F.broadcast(tot.select("na", "nb", "v")))
+        .select(
+            (pa * F.log2(pa / pb)).alias("t_ab"),
+            (pb * F.log2(pb / pa)).alias("t_ba"),
+            (
+                F.lit(0.5) * pa * F.log2(pa / m)
+                + F.lit(0.5) * pb * F.log2(pb / m)
+            ).alias("t_js"),
+        )
+        .agg(
+            F.sum("t_ab").alias("kl_ab"),
+            F.sum("t_ba").alias("kl_ba"),
+            F.sum("t_js").alias("js"),
+        )
+    )
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)
+    return sums.crossJoin(F.broadcast(tot)).select(
+        F.col("na").cast("long").alias("n_tokens_a"),
+        F.col("nb").cast("long").alias("n_tokens_b"),
+        "vocab_a",
+        "vocab_b",
+        "vocab_shared",
+        "vocab_union",
+        r6(F.col("kl_ab")).alias("kl_ab_bits"),
+        r6(F.col("kl_ba")).alias("kl_ba_bits"),
+        r6(F.col("js")).alias("js_bits"),
+    )

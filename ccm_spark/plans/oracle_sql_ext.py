@@ -3000,3 +3000,51 @@ r AS (
 SELECT doc_id, CAST(rank AS INT) AS rank, term,
        CAST(tf AS BIGINT) AS tf, round(s, 6) + 0.0 AS score
 FROM r WHERE rank <= {k}"""
+
+
+def sql_corpus_divergence(alpha: float = 0.5) -> str:
+    """DuckDB twin of dsir.corpus_divergence over the parity-fixture
+    split (doc_id even = corpus A, odd = corpus B): same smoothed
+    union-vocabulary probabilities, same log2 expression tree, round6
+    at the boundary."""
+    return f"""
+WITH a AS (SELECT {TOKENS} AS toks FROM documents WHERE doc_id % 2 = 0),
+b AS (SELECT {TOKENS} AS toks FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT u.t AS token, COUNT(*) AS ca
+       FROM (SELECT unnest(toks) AS t FROM a) u GROUP BY 1),
+cb AS (SELECT u.t AS token, COUNT(*) AS cb
+       FROM (SELECT unnest(toks) AS t FROM b) u GROUP BY 1),
+j AS (
+  SELECT CAST(COALESCE(ca.ca, 0) AS DOUBLE) AS ca,
+         CAST(COALESCE(cb.cb, 0) AS DOUBLE) AS cb
+  FROM ca FULL OUTER JOIN cb USING (token)
+),
+tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb, CAST(COUNT(*) AS DOUBLE) AS v,
+         CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_a,
+         CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_b,
+         CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab_shared,
+         COUNT(*) AS vocab_union
+  FROM j
+),
+terms AS (
+  SELECT ((j.ca + {alpha}) / (tot.na + {alpha} * tot.v)) AS pa,
+         ((j.cb + {alpha}) / (tot.nb + {alpha} * tot.v)) AS pb
+  FROM j CROSS JOIN tot
+),
+sums AS (
+  SELECT SUM(pa * log2(pa / pb)) AS kl_ab,
+         SUM(pb * log2(pb / pa)) AS kl_ba,
+         SUM(0.5 * pa * log2(pa / ((pa + pb) / 2.0))
+             + 0.5 * pb * log2(pb / ((pa + pb) / 2.0))) AS js
+  FROM terms
+)
+SELECT CAST(tot.na AS BIGINT) AS n_tokens_a,
+       CAST(tot.nb AS BIGINT) AS n_tokens_b,
+       tot.vocab_a, tot.vocab_b, tot.vocab_shared,
+       CAST(tot.vocab_union AS BIGINT) AS vocab_union,
+       round(sums.kl_ab, 6) + 0.0 AS kl_ab_bits,
+       round(sums.kl_ba, 6) + 0.0 AS kl_ba_bits,
+       round(sums.js, 6) + 0.0 AS js_bits
+FROM sums CROSS JOIN tot"""

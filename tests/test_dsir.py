@@ -91,3 +91,92 @@ def test_dsir_weights_match_duckdb_replay(spark, sf_small):
     assert len(got) == len(want) == 450
     mism = {d: (got[d], want[d]) for d in got if got[d] != want[d]}
     assert not mism, dict(list(mism.items())[:5])
+
+
+# ------------------------------------------------------ corpus divergence
+
+
+def test_corpus_divergence_identical_corpora_is_zero(spark):
+    from ccm_spark.pipeline.dsir import corpus_divergence
+
+    d = spark.createDataFrame(
+        [(0, "a b c a"), (1, "c b a")], "doc_id long, text string"
+    )
+    r = corpus_divergence(d, d).collect()[0]
+    assert r.kl_ab_bits == 0.0 and r.kl_ba_bits == 0.0 and r.js_bits == 0.0
+    assert r.vocab_shared == r.vocab_union == 3
+    assert r.n_tokens_a == r.n_tokens_b == 7
+
+
+def test_corpus_divergence_matches_python_replay(spark):
+    """Exact replay of the smoothed KL/JS arithmetic on a corpus pair
+    with partial vocabulary overlap."""
+    import math
+
+    from ccm_spark.pipeline.dsir import corpus_divergence
+
+    a_texts = ["x x y z", "x y"]
+    b_texts = ["y z z w", "w w"]
+    da = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(a_texts)], "doc_id long, text string"
+    )
+    db = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(b_texts)], "doc_id long, text string"
+    )
+    r = corpus_divergence(da, db, alpha=0.5).collect()[0]
+
+    from collections import Counter
+
+    ca = Counter(" ".join(a_texts).split())
+    cb = Counter(" ".join(b_texts).split())
+    vocab = sorted(set(ca) | set(cb))
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    pa = {t: (ca[t] + 0.5) / (na + 0.5 * v) for t in vocab}
+    pb = {t: (cb[t] + 0.5) / (nb + 0.5 * v) for t in vocab}
+    kl_ab = sum(pa[t] * math.log2(pa[t] / pb[t]) for t in vocab)
+    kl_ba = sum(pb[t] * math.log2(pb[t] / pa[t]) for t in vocab)
+    js = sum(
+        0.5 * pa[t] * math.log2(pa[t] / ((pa[t] + pb[t]) / 2))
+        + 0.5 * pb[t] * math.log2(pb[t] / ((pa[t] + pb[t]) / 2))
+        for t in vocab
+    )
+    assert r.n_tokens_a == na and r.n_tokens_b == nb
+    assert r.vocab_union == v and r.vocab_shared == len(set(ca) & set(cb))
+    assert abs(r.kl_ab_bits - kl_ab) < 1e-6
+    assert abs(r.kl_ba_bits - kl_ba) < 1e-6
+    assert abs(r.js_bits - js) < 1e-6
+    # KL is asymmetric on asymmetric corpora; JS is bounded by 1 bit
+    assert r.kl_ab_bits != r.kl_ba_bits
+    assert 0.0 < r.js_bits < 1.0
+
+
+def test_corpus_divergence_matches_duckdb_twin(spark, sf_small):
+    """Cross-engine pin on the parity-split fixture (the r12 gate
+    candidate's evidence, QUERIES.md)."""
+    import duckdb
+
+    from ccm_spark.pipeline.dsir import corpus_divergence
+    from ccm_spark.plans.oracle_sql_ext import sql_corpus_divergence
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    r = corpus_divergence(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    ).collect()[0]
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    w = con.sql(sql_corpus_divergence()).fetchall()[0]
+    got = (
+        r.n_tokens_a, r.n_tokens_b, r.vocab_a, r.vocab_b,
+        r.vocab_shared, r.vocab_union,
+        r.kl_ab_bits, r.kl_ba_bits, r.js_bits,
+    )
+    want = (
+        int(w[0]), int(w[1]), int(w[2]), int(w[3]), int(w[4]), int(w[5]),
+        float(w[6]), float(w[7]), float(w[8]),
+    )
+    assert got == want
+    # same-generator halves: tiny but nonzero drift
+    assert 0.0 < r.js_bits < 0.2
