@@ -116,7 +116,7 @@ def test_corpus_divergence_matches_python_replay(spark):
     from ccm_spark.pipeline.dsir import corpus_divergence
 
     a_texts = ["x x y z", "x y"]
-    b_texts = ["y z z w", "w w"]
+    b_texts = ["y z z w", "w w w"]
     da = spark.createDataFrame(
         [(i, t) for i, t in enumerate(a_texts)], "doc_id long, text string"
     )

@@ -273,3 +273,37 @@ def test_phrase_matches_plan_no_cartesian_anchors_broadcast(spark, sf_small):
     # the blocklist-derived relations (anchors, needs) reach the plan as
     # broadcasts; the corpus never does at static planning time
     assert plan.count("BroadcastExchange") >= 2
+
+
+def test_compression_signals_streaming_matches_batch(spark, sf_small, tmp_path):
+    """compression_signals is a map-only mapInPandas kernel, so it runs
+    unchanged on a streaming source and emits the batch rows."""
+    from ccm_spark.sources.jsonl import (
+        documents_jsonl_stream,
+        write_documents_jsonl,
+    )
+    from ccm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").where("doc_id % 13 = 0")
+    expected = {
+        (r.doc_id, r.n_bytes, r.n_compressed, r.compression_ratio)
+        for r in compression_signals(docs).collect()
+    }
+    path = str(tmp_path / "docs_jsonl_z")
+    write_documents_jsonl(docs, path, n_files=2)
+    sig = compression_signals(documents_jsonl_stream(spark, path))
+    assert sig.isStreaming
+    q = (
+        sig.writeStream.format("memory")
+        .queryName("zlib_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_zlib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_bytes, r.n_compressed, r.compression_ratio)
+        for r in spark.sql("SELECT * FROM zlib_stream").collect()
+    }
+    assert got == expected
