@@ -118,3 +118,71 @@ def top_customers_by_nation(spark: SparkSession, sf_dir: str, k: int = 5) -> Dat
             "total_spend",
         )
     )
+
+
+def shipping_priority(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-30",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped: top-k not-yet-shipped orders by pending revenue
+    for one market segment — the classic 3-way fact⋈fact⋈dim plan.
+
+    Both date predicates push down to the parquet scans (orders placed
+    before the cutoff, lineitems shipping after it); the segment filter
+    reduces customer to a key relation BEFORE the join so only custkeys
+    travel; the revenue aggregate groups on (orderkey, orderdate,
+    orderpriority) with map-side combine; the final top-k is the
+    two-phase local/global rank (never a global sort), ordered by
+    round6(revenue) DESC so the rank is stable across engines, ties by
+    orderkey.
+    """
+    cut = F.lit(cutoff).cast("timestamp_ntz")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    line = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cut)
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    agg = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    order = [
+        F.round(F.col("revenue"), 6).desc(),
+        F.col("o_orderkey").asc(),
+    ]
+    local_w = Window.partitionBy("split_id").orderBy(*order)
+    survivors = (
+        agg.withColumn("split_id", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(local_w))
+        .where(F.col("lr") <= k)
+    )
+    w = Window.orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )

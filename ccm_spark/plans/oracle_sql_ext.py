@@ -3048,3 +3048,59 @@ SELECT CAST(tot.na AS BIGINT) AS n_tokens_a,
        round(sums.kl_ba, 6) + 0.0 AS kl_ba_bits,
        round(sums.js, 6) + 0.0 AS js_bits
 FROM sums CROSS JOIN tot"""
+
+
+def sql_corpus_diff() -> str:
+    """DuckDB twin of dedup.corpus_diff over the parity fixture: old =
+    doc_id % 7 != 0, new = doc_id % 5 != 0 with doc_id % 11 == 0 texts
+    mutated — exercises all four statuses. Same md5_long convention as
+    the exact-dedup twin."""
+    h_old = _md5_long("o.text")
+    h_new = _md5_long("n.text")
+    return f"""
+WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN {h_old} = {h_new} THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
+
+def sql_shipping_priority(
+    segment: str = "BUILDING", cutoff: str = "1998-06-30", k: int = 10
+) -> str:
+    """DuckDB twin of relational.shipping_priority: same 3-way join +
+    revenue rollup, same round6-then-rank discipline (ties by
+    orderkey)."""
+    return f"""
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = '{segment}'),
+o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+),
+l AS (
+  SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+),
+agg AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+         SUM(l.rev) AS revenue
+  FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+         JOIN c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (
+      ORDER BY round(revenue, 6) DESC, o_orderkey ASC) AS rank
+  FROM agg
+)
+SELECT CAST(rank AS INT) AS rank, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, revenue
+FROM r WHERE rank <= {k}"""

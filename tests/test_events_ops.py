@@ -316,3 +316,57 @@ def test_resample_interpolate_skips_null_valued_observations(spark):
     assert got[10] == pytest.approx(1.0)  # NOT the stale 0.0 'exact hit'
     assert got[20] == pytest.approx(2.0)  # NOT 0 + 3*(20-10)/(30-10)=1.5
     assert got[30] == pytest.approx(3.0)
+
+
+def test_shipping_priority_matches_duckdb_twin(spark, sf_small):
+    """TPC-H Q3-shaped 3-way join + revenue top-k (r12 gate candidate,
+    QUERIES.md) — round6-then-rank parity across engines."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.relational import shipping_priority
+    from ccm_spark.plans.oracle_sql_ext import sql_shipping_priority
+
+    out = shipping_priority(spark, sf_small).select(
+        "rank",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        (F.round("revenue", 6) + F.lit(0.0)).alias("revenue"),
+    )
+    got = [tuple(r) for r in out.orderBy("rank").collect()]
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = [
+        (int(a), int(b), str(c), str(d), round(float(e), 6))
+        for a, b, c, d, e in con.sql(
+            sql_shipping_priority().replace(
+                "revenue\nFROM r", "round(revenue, 6) + 0.0 AS revenue\nFROM r"
+            )
+        ).fetchall()
+    ]
+    assert len(got) == len(want) == 10
+    assert got == want
+    # revenues strictly ordered (rank did real work, no vacuous ties)
+    revs = [g[4] for g in got]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_shipping_priority_plan_pushes_dates_to_scans(spark, sf_small):
+    import contextlib
+    import io
+
+    from ccm_spark.pipeline.relational import shipping_priority
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        shipping_priority(spark, sf_small).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    # both date predicates reach the parquet scans
+    assert plan.count("PushedFilters") >= 2
+    assert "o_orderdate" in plan and "l_shipdate" in plan

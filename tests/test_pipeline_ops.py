@@ -707,3 +707,47 @@ def test_r11_rotated_rows_match_duckdb_replay(spark, sf_small):
             f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
             "or values differ"
         )
+
+
+def test_corpus_diff_statuses(spark):
+    from ccm_spark.pipeline.dedup import corpus_diff
+
+    old = docs_df(spark, ["same", "will change", "will vanish"])
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "changed now"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+
+
+def test_corpus_diff_matches_duckdb_twin(spark, sf_small):
+    """Parity-fixture diff (r12 gate candidate, QUERIES.md): all four
+    statuses exercised on real testdata."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.dedup import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    old = docs.where("doc_id % 7 != 0").select("doc_id", "text")
+    new = docs.where("doc_id % 5 != 0").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat("text", F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    got = sorted((r.doc_id, r.status) for r in corpus_diff(old, new).collect())
+    from ccm_spark.plans.oracle_sql_ext import sql_corpus_diff
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted((int(a), str(b)) for a, b in con.sql(sql_corpus_diff()).fetchall())
+    assert got == want
+    statuses = {s for _, s in got}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
