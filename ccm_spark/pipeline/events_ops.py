@@ -358,3 +358,64 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    window_hours: int = 24,
+    min_hours: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly detection per event type: each observed hour's
+    event count scored against the trailing ``window_hours`` OBSERVED
+    hours (z-score over a rows-window ending at the previous hour — the
+    current hour never contaminates its own baseline).
+
+    Rows-based, not wall-clock-based: hours with zero events are absent
+    from the hourly relation, so on sparse streams the baseline spans
+    more wall time (densify with ``resample_ffill`` first for strict
+    wall-clock windows). Hours with fewer than ``min_hours`` observed
+    predecessors are emitted unscored (zscore 0.0, not anomalous) —
+    the warm-up guard. A zero-variance baseline scores 0.0 and never
+    flags (the repo's Σw==0-style conservative guard; a constant
+    baseline with a jump is caught one hour later when variance
+    appears).
+
+    100 TB shape: one map-side-combined hourly aggregate (the fact
+    relation collapses to (type, hour) cells before any window), then
+    one window over the tiny hourly relation partitioned by event_type
+    — no shuffle ever carries raw events past the first combine.
+    """
+    hour = F.floor(ts_micros(events) / F.lit(3_600_000_000)).alias("hour_idx")
+    hourly = (
+        events.select("event_type", hour)
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-window_hours, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hour_idx",
+        "n_events",
+        F.count("*").over(w).alias("_n_base"),
+        F.avg("n_events").over(w).alias("_mean"),
+        F.stddev_pop("n_events").over(w).alias("_std"),
+    )
+    scored = (F.col("_n_base") >= min_hours) & (F.col("_std") > 0)
+    z = F.when(
+        scored, (F.col("n_events") - F.col("_mean")) / F.col("_std")
+    ).otherwise(F.lit(0.0))
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)
+    return base.select(
+        "event_type",
+        "hour_idx",
+        "n_events",
+        r6(F.coalesce("_mean", F.lit(0.0))).alias("baseline_mean"),
+        r6(F.coalesce("_std", F.lit(0.0))).alias("baseline_std"),
+        r6(z).alias("zscore"),
+        (scored & (F.abs(z) >= F.lit(z_threshold))).alias("anomaly"),
+    )

@@ -3104,3 +3104,38 @@ SELECT CAST(rank AS INT) AS rank, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority, revenue
 FROM r WHERE rank <= {k}"""
+
+
+def sql_hourly_anomalies(
+    window_hours: int = 24, min_hours: int = 6, z_threshold: float = 3.0
+) -> str:
+    """DuckDB twin of events_ops.hourly_anomalies: same rows-based
+    trailing window (current hour excluded), same warm-up and
+    zero-variance guards, round6 at every double boundary."""
+    z = (
+        f"CASE WHEN nb >= {min_hours} AND s > 0 "
+        f"THEN (n_events - m) / s ELSE 0.0 END"
+    )
+    return f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_idx,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, hour_idx, n_events,
+         COUNT(*) OVER w AS nb,
+         AVG(n_events) OVER w AS m,
+         STDDEV_POP(n_events) OVER w AS s
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+               ROWS BETWEEN {window_hours} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_idx, CAST(n_events AS BIGINT) AS n_events,
+       round(COALESCE(m, 0.0), 6) + 0.0 AS baseline_mean,
+       round(COALESCE(s, 0.0), 6) + 0.0 AS baseline_std,
+       round({z}, 6) + 0.0 AS zscore,
+       (nb >= {min_hours} AND s > 0
+        AND abs({z}) >= {z_threshold}) AS anomaly
+FROM base"""

@@ -370,3 +370,111 @@ def test_shipping_priority_plan_pushes_dates_to_scans(spark, sf_small):
     # both date predicates reach the parquet scans
     assert plan.count("PushedFilters") >= 2
     assert "o_orderdate" in plan and "l_shipdate" in plan
+
+
+def test_hourly_anomalies_hand_built(spark):
+    """A flat 10-events/hour baseline with one 100-event spike: the
+    spike hour flags, warm-up hours don't, and the spike inflates the
+    NEXT hours' baselines but not its own."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+
+    US = 3_600_000_000
+    rows = []
+    eid = 0
+    for h in range(12):
+        n = 100 if h == 8 else 10
+        for i in range(n):
+            rows.append((eid, (h * US + i) // 1000, 1, "click", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    out = {
+        r.hour_idx: r
+        for r in hourly_anomalies(
+            ev, window_hours=24, min_hours=6, z_threshold=3.0
+        ).collect()
+    }
+    assert len(out) == 12
+    # warm-up: hours 0-5 have < 6 predecessors -> unscored
+    for h in range(6):
+        assert out[h].zscore == 0.0 and not out[h].anomaly
+    # hours 6-7: full-flat baseline -> zero variance -> guarded
+    assert out[6].baseline_std == 0.0 and not out[6].anomaly
+    # hour 8: spike vs flat baseline... std is 0 (all 10s) -> guarded!
+    # the conservative guard means the spike itself is NOT flagged when
+    # the baseline is perfectly constant
+    assert out[8].n_events == 100 and not out[8].anomaly
+    # hour 9: baseline now contains the spike -> variance appears;
+    # 10 vs mean ~{10*7+100}/8 -> below, small |z|, not anomalous
+    assert out[9].baseline_std > 0
+    # hour 9's z is negative (10 < mean)
+    assert out[9].zscore < 0
+
+
+def test_hourly_anomalies_flags_spike_with_noisy_baseline(spark):
+    """With a jittered (non-constant) baseline the spike DOES flag."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+
+    US = 3_600_000_000
+    rows = []
+    eid = 0
+    for h in range(12):
+        n = 200 if h == 10 else 10 + (h % 3)  # 10/11/12 jitter
+        for i in range(n):
+            rows.append((eid, (h * US + i) // 1000, 1, "click", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_ms long, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    out = {
+        r.hour_idx: r
+        for r in hourly_anomalies(
+            ev, window_hours=24, min_hours=6, z_threshold=3.0
+        ).collect()
+    }
+    assert out[10].anomaly and out[10].zscore > 3.0
+    assert not any(out[h].anomaly for h in range(12) if h != 10)
+
+
+def test_hourly_anomalies_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+    from ccm_spark.plans.oracle_sql_ext import sql_hourly_anomalies
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    got = sorted(
+        tuple(r)
+        for r in hourly_anomalies(ev, window_hours=6, min_hours=3).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    want = sorted(
+        (str(a), int(b), int(c), float(d), float(e), float(f), bool(g))
+        for a, b, c, d, e, f, g in con.sql(
+            sql_hourly_anomalies(window_hours=6, min_hours=3)
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:5]
