@@ -94,6 +94,18 @@ def run(spark, sf_dir: str) -> dict:
     out["selected_ids_head"] = [
         r.doc_id for r in selected.orderBy("doc_id").limit(5).collect()
     ]
+
+    # 5. selection audit (r11): did the resample actually move the
+    # corpus toward the target? Corpus-level JS divergence of the
+    # SELECTED set vs the target, compared against the RAW pool's —
+    # the one-number check a curator reads before shipping the mix.
+    from ccm_spark.pipeline.dsir import corpus_divergence
+
+    sel_docs = docs.join(selected.select("doc_id"), "doc_id")
+    js_raw = corpus_divergence(raw, target).collect()[0].js_bits
+    js_sel = corpus_divergence(sel_docs, target).collect()[0].js_bits
+    out["js_raw_vs_target"] = js_raw
+    out["js_selected_vs_target"] = js_sel
     return out
 
 

@@ -307,3 +307,23 @@ def test_compression_signals_streaming_matches_batch(spark, sf_small, tmp_path):
         for r in spark.sql("SELECT * FROM zlib_stream").collect()
     }
     assert got == expected
+
+
+def test_phrase_matches_pathological_overlap_run(spark):
+    """A hot-anchor doc: 'fast' x 400 with phrase 'fast fast' must yield
+    exactly 399 overlapping matches (every position), and a long doc
+    where the anchor is ALSO every verify cell stays correct — the
+    worst case for the candidate relation (doc_len x plen cells)."""
+    n = 400
+    d = docs_df(spark, [" ".join(["fast"] * n), "fast table " * 50])
+    rows = {
+        r.doc_id: r
+        for r in phrase_blocklist_matches(
+            d, ["fast fast", "fast table"]
+        ).collect()
+    }
+    assert rows[0].n_matches == n - 1 and rows[0].n_phrases == 1
+    # doc 1: "fast table fast table ...": 50 "fast table" matches and
+    # zero "fast fast" (no two adjacent fasts)
+    assert rows[1].n_matches == 50
+    assert rows[1].phrases_hit == "fast table"
