@@ -216,8 +216,11 @@ def corpus_divergence(
     """
 
     def counts(docs: DataFrame, name: str) -> DataFrame:
+        from ccm_spark.functions.partitioning import spread
+
         return (
-            docs.select(F.explode(tokens_col("text")).alias("token"))
+            spread(docs, "doc_id")
+            .select(F.explode(tokens_col("text")).alias("token"))
             .groupBy("token")
             .agg(F.count("*").alias(name))
         )

@@ -51,6 +51,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ccm_spark.functions.hashing import py_tokens, tokens_col
+from ccm_spark.functions.partitioning import spread
 
 __all__ = [
     "normalize_phrases",
@@ -97,7 +98,9 @@ def normalize_phrases(phrases: Iterable[str]) -> list[list[str]]:
 
 
 def _token_relation(docs: DataFrame, text_col: str) -> DataFrame:
-    return docs.select(
+    # spread first: a small-by-bytes single-file corpus coalesces to ONE
+    # task and serialises the CPU-bound explode (functions/partitioning.py)
+    return spread(docs, "doc_id").select(
         "doc_id", F.posexplode(tokens_col(text_col)).alias("pos", "tok")
     )
 
@@ -231,7 +234,7 @@ def char_entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     two hash aggregates; the explode never reaches the exchange because
     map-side combine collapses a doc to <= |alphabet| partial rows.
     """
-    chars = docs.select(
+    chars = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.col(text_col), "")).alias("ch")
     ).where(F.col("ch") != "")
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
@@ -310,4 +313,8 @@ def compression_signals(
                 ],
             )
 
-    return docs.select("doc_id", text_col).mapInPandas(kernel, out_schema)
+    # zlib is CPU-bound per row; spread so the kernel parallelises even
+    # when the input is one small parquet file
+    return spread(docs.select("doc_id", text_col), "doc_id").mapInPandas(
+        kernel, out_schema
+    )

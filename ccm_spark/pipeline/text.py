@@ -949,22 +949,33 @@ def collocations_pmi(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFr
     local/global window (vocab_topk's pattern). Returns
     ``(rank, bigram, c_xy, pmi)`` with pmi rounded at the boundary.
     """
+    docs = spread(docs, "doc_id")
     toks = tokens_col("text")
     two_plus = docs.where(F.size(toks) >= 2).select(toks.alias("_toks"))
+    # arrays_zip, not zip_with(lambda): native expression, stays inside
+    # codegen (higher-order-function lambdas are interpreted)
     pairs = two_plus.select(
         F.explode(
-            F.zip_with(
+            F.arrays_zip(
                 F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
                 F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
-                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
             )
         ).alias("p")
-    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-    big = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    ).select(F.col("p.0").alias("x"), F.col("p.1").alias("y"))
+    # materialise the two vocab-sized aggregates ONCE (the semantic_dedup
+    # localCheckpoint precedent): the totals and the two unigram joins
+    # would otherwise each replay the whole explode — 5 corpus passes,
+    # and zip_with lambdas are interpreted expressions, not codegen
+    big = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .localCheckpoint(eager=True)
+    )
     uni = (
         docs.select(F.explode(toks).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     tot_u = uni.agg(F.sum("c").cast("double").alias("n_tok"))
     tot_b = big.agg(F.sum("c_xy").cast("double").alias("n_big"))
@@ -1016,7 +1027,9 @@ def tfidf_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     are spread across doc partitions before the per-doc window.
     Returns ``(doc_id, rank, term, tf, score)``.
     """
-    occ = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    occ = spread(docs, "doc_id").select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
     tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
