@@ -225,6 +225,10 @@ def corpus_divergence(
             .agg(F.count("*").alias(name))
         )
 
+    # materialise the vocab-sized joined counts ONCE (the collocations
+    # localCheckpoint precedent): `tot`, `sums`, and the final cross
+    # join would otherwise each replay both corpus tokenize+aggregate
+    # passes — 6 corpus scans instead of 2
     j = (
         counts(docs_a, "ca")
         .join(counts(docs_b, "cb"), "token", "full_outer")
@@ -232,6 +236,7 @@ def corpus_divergence(
             F.coalesce("ca", F.lit(0)).cast("double").alias("ca"),
             F.coalesce("cb", F.lit(0)).cast("double").alias("cb"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = j.agg(
         F.sum("ca").alias("na"),

@@ -42,7 +42,6 @@ is codepoint-based; the entropy operator is exact for BMP text (all of
 
 from __future__ import annotations
 
-import math
 import zlib
 from typing import Iterable, Iterator
 
@@ -105,6 +104,50 @@ def _token_relation(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _verified_matches(
+    docs: DataFrame, plist: list[list[str]], text_col: str
+) -> DataFrame:
+    """The shared matching pipeline (one definition — the report and
+    filter paths must never drift): anchor broadcast join → pigeonhole
+    left-semi restriction → required-cell equi-join → HAVING count =
+    phrase length. Returns one row per verified occurrence:
+    ``(doc_id, phrase, match_pos, plen)``."""
+    spark = docs.sparkSession
+    anchors = spark.createDataFrame(
+        [(" ".join(t), t[0], len(t)) for t in plist],
+        "phrase string, anchor string, plen int",
+    )
+    needs = spark.createDataFrame(
+        [(" ".join(t), off, tok) for t in plist for off, tok in enumerate(t)],
+        "phrase string, off int, need_tok string",
+    )
+    toks_rel = _token_relation(docs, text_col)
+    cand = toks_rel.join(F.broadcast(anchors), toks_rel.tok == anchors.anchor).select(
+        "doc_id", F.col("pos").alias("match_pos"), "phrase", "plen"
+    )
+    # Pigeonhole restriction: the verify join only needs tokens of docs
+    # holding >= 1 anchor. Plain left-semi — AQE turns it into a
+    # broadcast join when the candidate doc set is small.
+    cand_docs = cand.select("doc_id").distinct()
+    dtoks = toks_rel.join(cand_docs, "doc_id", "left_semi")
+    cells = cand.join(F.broadcast(needs), "phrase").select(
+        "doc_id",
+        "phrase",
+        "match_pos",
+        "plen",
+        (F.col("match_pos") + F.col("off")).alias("pos"),
+        "need_tok",
+    )
+    return (
+        cells.join(dtoks, ["doc_id", "pos"])
+        .where(F.col("tok") == F.col("need_tok"))
+        .groupBy("doc_id", "phrase", "match_pos", "plen")
+        .agg(F.count("*").alias("_hits"))
+        .where(F.col("_hits") == F.col("plen"))
+        .select("doc_id", "phrase", "match_pos", "plen")
+    )
+
+
 def phrase_blocklist_matches(
     docs: DataFrame,
     phrases: Iterable[str],
@@ -123,43 +166,7 @@ def phrase_blocklist_matches(
     (the period sticks to the token) — punctuation stripping is
     :func:`ccm_spark.pipeline.text.normalize_unicode`'s job, upstream.
     """
-    spark = docs.sparkSession
-    plist = normalize_phrases(phrases)
-    anchors = spark.createDataFrame(
-        [(" ".join(t), t[0], len(t)) for t in plist],
-        "phrase string, anchor string, plen int",
-    )
-    needs = spark.createDataFrame(
-        [(" ".join(t), off, tok) for t in plist for off, tok in enumerate(t)],
-        "phrase string, off int, need_tok string",
-    )
-
-    toks_rel = _token_relation(docs, text_col)
-    cand = (
-        toks_rel.join(F.broadcast(anchors), toks_rel.tok == anchors.anchor)
-        .select("doc_id", F.col("pos").alias("match_pos"), "phrase", "plen")
-    )
-    # Pigeonhole restriction: the verify join only needs tokens of docs
-    # holding >= 1 anchor. Plain left-semi — AQE turns it into a
-    # broadcast join when the candidate doc set is small.
-    cand_docs = cand.select("doc_id").distinct()
-    dtoks = toks_rel.join(cand_docs, "doc_id", "left_semi")
-
-    cells = cand.join(F.broadcast(needs), "phrase").select(
-        "doc_id",
-        "phrase",
-        "match_pos",
-        "plen",
-        (F.col("match_pos") + F.col("off")).alias("pos"),
-        "need_tok",
-    )
-    verified = (
-        cells.join(dtoks, ["doc_id", "pos"])
-        .where(F.col("tok") == F.col("need_tok"))
-        .groupBy("doc_id", "phrase", "match_pos", "plen")
-        .agg(F.count("*").alias("_hits"))
-        .where(F.col("_hits") == F.col("plen"))
-    )
+    verified = _verified_matches(docs, normalize_phrases(phrases), text_col)
     per_doc = verified.groupBy("doc_id").agg(
         F.count("*").alias("n_matches"),
         F.countDistinct("phrase").alias("n_phrases"),
@@ -186,38 +193,11 @@ def blocklist_filter(
     text_col: str = "text",
 ) -> DataFrame:
     """Documents surviving the blocklist — full input schema, blocked
-    docs anti-joined away. The report path short-circuits: only the
-    verified-match doc_ids reach the anti join (small relation)."""
-    spark = docs.sparkSession
-    plist = normalize_phrases(phrases)
-    anchors = spark.createDataFrame(
-        [(" ".join(t), t[0], len(t)) for t in plist],
-        "phrase string, anchor string, plen int",
-    )
-    needs = spark.createDataFrame(
-        [(" ".join(t), off, tok) for t in plist for off, tok in enumerate(t)],
-        "phrase string, off int, need_tok string",
-    )
-    toks_rel = _token_relation(docs, text_col)
-    cand = toks_rel.join(F.broadcast(anchors), toks_rel.tok == anchors.anchor).select(
-        "doc_id", F.col("pos").alias("match_pos"), "phrase", "plen"
-    )
-    cand_docs = cand.select("doc_id").distinct()
-    dtoks = toks_rel.join(cand_docs, "doc_id", "left_semi")
-    cells = cand.join(F.broadcast(needs), "phrase").select(
-        "doc_id",
-        "phrase",
-        "match_pos",
-        "plen",
-        (F.col("match_pos") + F.col("off")).alias("pos"),
-        "need_tok",
-    )
+    docs anti-joined away. Shares :func:`_verified_matches` with the
+    report path (one matching definition); only the verified-match
+    doc_ids reach the anti join (small relation)."""
     blocked = (
-        cells.join(dtoks, ["doc_id", "pos"])
-        .where(F.col("tok") == F.col("need_tok"))
-        .groupBy("doc_id", "phrase", "match_pos", "plen")
-        .agg(F.count("*").alias("_hits"))
-        .where(F.col("_hits") == F.col("plen"))
+        _verified_matches(docs, normalize_phrases(phrases), text_col)
         .select("doc_id")
         .distinct()
     )

@@ -183,6 +183,9 @@ def shipping_priority(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "o_orderpriority",
-            "revenue",
+            # round at the boundary (repo discipline): the raw SUM is
+            # addition-order dependent, so the emitted relation would
+            # not be cross-engine replay-exact
+            (F.round("revenue", 6) + F.lit(0.0)).alias("revenue"),
         )
     )

@@ -942,11 +942,13 @@ def collocations_pmi(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFr
     prunes the noise floor (rare pairs have unstable PMI) BEFORE the
     unigram joins, so the scored relation is tiny.
 
-    Plan shape: bigrams come from slice+zip_with (the array is transient
-    inside one projection — never carried through a shuffle); both count
-    relations are map-side combined; N and M arrive as broadcast 1-row
-    cross joins (never collected); the final top-k is the two-phase
-    local/global window (vocab_topk's pattern). Returns
+    Plan shape: bigrams come from slice+arrays_zip (native codegen; the
+    pair array is transient inside one projection — never carried
+    through a shuffle); the two count relations are map-side combined
+    and materialised ONCE (localCheckpoint — totals plus two unigram
+    joins would otherwise replay the explode); N and M arrive as
+    broadcast 1-row cross joins (never collected); the final top-k is
+    the two-phase local/global window (vocab_topk's pattern). Returns
     ``(rank, bigram, c_xy, pmi)`` with pmi rounded at the boundary.
     """
     docs = spread(docs, "doc_id")
@@ -964,8 +966,7 @@ def collocations_pmi(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFr
     ).select(F.col("p.0").alias("x"), F.col("p.1").alias("y"))
     # materialise the two vocab-sized aggregates ONCE (the semantic_dedup
     # localCheckpoint precedent): the totals and the two unigram joins
-    # would otherwise each replay the whole explode — 5 corpus passes,
-    # and zip_with lambdas are interpreted expressions, not codegen
+    # would otherwise each replay the whole explode — 5 corpus passes
     big = (
         pairs.groupBy("x", "y")
         .agg(F.count("*").alias("c_xy"))

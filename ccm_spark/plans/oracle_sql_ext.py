@@ -3051,25 +3051,27 @@ FROM sums CROSS JOIN tot"""
 
 
 def sql_corpus_diff() -> str:
-    """DuckDB twin of dedup.corpus_diff over the parity fixture: old =
+    """DuckDB twin of dedup.corpus_diff (the NULL-safe original: NULL
+    text hashes NULL, two NULLs compare 'unchanged' via IS NOT DISTINCT
+    FROM, and both hashes are emitted) over the parity fixture: old =
     doc_id % 7 != 0, new = doc_id % 5 != 0 with doc_id % 11 == 0 texts
-    mutated — exercises all four statuses. Same md5_long convention as
-    the exact-dedup twin."""
-    h_old = _md5_long("o.text")
-    h_new = _md5_long("n.text")
+    mutated — exercises all four statuses."""
     return f"""
 WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
 n AS (
   SELECT doc_id,
          CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
   FROM documents WHERE doc_id % 5 <> 0
-)
-SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-       CASE WHEN o.doc_id IS NULL THEN 'added'
-            WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN {h_old} = {h_new} THEN 'unchanged'
-            ELSE 'changed' END AS status
-FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+),
+oh AS (SELECT doc_id, {_md5_long('text')} AS old_hash FROM o),
+nh AS (SELECT doc_id, {_md5_long('text')} AS new_hash FROM n)
+SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+       CASE WHEN oh.doc_id IS NULL THEN 'added'
+            WHEN nh.doc_id IS NULL THEN 'removed'
+            WHEN old_hash IS NOT DISTINCT FROM new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_hash, new_hash
+FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id"""
 
 
 def sql_shipping_priority(
@@ -3102,7 +3104,7 @@ r AS (
 )
 SELECT CAST(rank AS INT) AS rank, o_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       o_orderpriority, revenue
+       o_orderpriority, round(revenue, 6) + 0.0 AS revenue
 FROM r WHERE rank <= {k}"""
 
 

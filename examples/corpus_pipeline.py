@@ -214,6 +214,7 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
         r.vec_id
         for r in embs.select("vec_id").orderBy("vec_id").limit(10).collect()
     ]
+    assert surviving, "dedup/filter stages dropped every embedding vector"
     n_q = surviving[-1] + 1
     exact_topk = {
         (r.query_id, r.target_id)

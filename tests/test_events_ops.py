@@ -322,18 +322,11 @@ def test_shipping_priority_matches_duckdb_twin(spark, sf_small):
     """TPC-H Q3-shaped 3-way join + revenue top-k (r12 gate candidate,
     QUERIES.md) — round6-then-rank parity across engines."""
     import duckdb
-    import pyspark.sql.functions as F
 
     from ccm_spark.pipeline.relational import shipping_priority
     from ccm_spark.plans.oracle_sql_ext import sql_shipping_priority
 
-    out = shipping_priority(spark, sf_small).select(
-        "rank",
-        "o_orderkey",
-        "o_orderdate",
-        "o_orderpriority",
-        (F.round("revenue", 6) + F.lit(0.0)).alias("revenue"),
-    )
+    out = shipping_priority(spark, sf_small)
     got = [tuple(r) for r in out.orderBy("rank").collect()]
     con = duckdb.connect()
     for t in ("customer", "orders", "lineitem"):
@@ -342,12 +335,8 @@ def test_shipping_priority_matches_duckdb_twin(spark, sf_small):
             f"read_parquet('{sf_small}/{t}.parquet')"
         )
     want = [
-        (int(a), int(b), str(c), str(d), round(float(e), 6))
-        for a, b, c, d, e in con.sql(
-            sql_shipping_priority().replace(
-                "revenue\nFROM r", "round(revenue, 6) + 0.0 AS revenue\nFROM r"
-            )
-        ).fetchall()
+        (int(a), int(b), str(c), str(d), float(e))
+        for a, b, c, d, e in con.sql(sql_shipping_priority()).fetchall()
     ]
     assert len(got) == len(want) == 10
     assert got == want

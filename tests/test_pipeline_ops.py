@@ -709,21 +709,13 @@ def test_r11_rotated_rows_match_duckdb_replay(spark, sf_small):
         )
 
 
-def test_corpus_diff_statuses(spark):
-    from ccm_spark.pipeline.dedup import corpus_diff
-
-    old = docs_df(spark, ["same", "will change", "will vanish"])
-    new = spark.createDataFrame(
-        [(0, "same"), (1, "changed now"), (3, "brand new")],
-        "doc_id long, text string",
-    )
-    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
-    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
-
-
 def test_corpus_diff_matches_duckdb_twin(spark, sf_small):
-    """Parity-fixture diff (r12 gate candidate, QUERIES.md): all four
-    statuses exercised on real testdata."""
+    """Parity-fixture diff (r12 gate candidate, QUERIES.md): the full
+    4-column output (status + both hashes) of the NULL-safe operator —
+    whose hand-built semantics are already pinned in
+    test_line_dedup.py::test_corpus_diff_statuses — hash-matched
+    against the DuckDB twin on real testdata, all four statuses
+    exercised."""
     import duckdb
     import pyspark.sql.functions as F
 
@@ -739,7 +731,10 @@ def test_corpus_diff_matches_duckdb_twin(spark, sf_small):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    got = sorted((r.doc_id, r.status) for r in corpus_diff(old, new).collect())
+    got = sorted(
+        (r.doc_id, r.status, r.old_hash, r.new_hash)
+        for r in corpus_diff(old, new).collect()
+    )
     from ccm_spark.plans.oracle_sql_ext import sql_corpus_diff
 
     con = duckdb.connect()
@@ -747,7 +742,10 @@ def test_corpus_diff_matches_duckdb_twin(spark, sf_small):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf_small}/documents.parquet')"
     )
-    want = sorted((int(a), str(b)) for a, b in con.sql(sql_corpus_diff()).fetchall())
+    want = sorted(
+        (int(a), str(b), None if c is None else int(c), None if d is None else int(d))
+        for a, b, c, d in con.sql(sql_corpus_diff()).fetchall()
+    )
     assert got == want
-    statuses = {s for _, s in got}
+    statuses = {s for _, s, _, _ in got}
     assert statuses == {"added", "removed", "changed", "unchanged"}
