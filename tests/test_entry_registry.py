@@ -72,3 +72,25 @@ def test_preflight_rejects_nonscalar_gate_schemas(spark):
     assert nonscalar_duckdb_cols(rel.columns, rel.types) == [("codes", "INTEGER[]")]
     rel2 = duckdb.sql("SELECT 1 AS id, array_to_string([1, 2], ',') AS codes_csv")
     assert nonscalar_duckdb_cols(rel2.columns, rel2.types) == []
+
+
+def test_bench_headline_names_resolve():
+    """Gate rotations remove queries from the registry; every frozen
+    bench name (HEADLINE and the qs[...]-routed extras) must stay
+    resolvable via queries() or bench.py's local_queries pin — the r11
+    rotation crashed the driver bench with KeyError before this guard."""
+    import re
+
+    import bench
+    from __spark_entry__ import queries
+
+    qs = set(queries())
+    src = open(bench.__file__).read()
+    m = re.search(r"local_queries = \{(.*?)\n    \}", src, re.S)
+    assert m, "local_queries block not found in bench.py"
+    local = set(re.findall(r'"([a-z0-9_]+)":', m.group(1)))
+    missing = [n for n in bench.HEADLINE if n not in qs and n not in local]
+    assert not missing, f"headline names with no query source: {missing}"
+    # extras routed through the registry (qs["name"]) must exist too
+    for name in re.findall(r'qs\["([a-z0-9_]+)"\]', src):
+        assert name in qs, f"bench extra routed to missing registry row: {name}"
