@@ -1114,3 +1114,47 @@ def dequantize_embeddings(quantized: DataFrame) -> DataFrame:
             "codes", lambda q: q.cast("double") * F.col("scale")
         ).alias("embedding"),
     )
+
+
+def truncate_embeddings(embeddings: DataFrame, dim: int) -> DataFrame:
+    """Matryoshka-style serving lever: keep the first ``dim`` embedding
+    coordinates and L2-renormalise — the "shrink the index, re-rank the
+    shortlist with full vectors" trade MRL-trained models are built for
+    (Kusupati et al. 2022, arXiv:2205.13147). On non-MRL embeddings the
+    prefix is just a lossy projection; the recall cost is measurable
+    either way, and tests pin it against exact full-dim retrieval the
+    same way the int8 path is pinned (tests/test_pq.py).
+
+    Pure codegen: slice + one aggregate for the norm, no UDF, map-only
+    (the renormalisation keeps downstream dot products equal to true
+    cosine over the prefix). Zero-norm prefixes keep their zeros (the
+    Σw==0 guard convention) rather than dividing by zero.
+    """
+    if dim < 1:
+        raise ValueError(f"truncate_embeddings: dim must be >= 1, got {dim}")
+    pre = F.slice(F.col("embedding"), 1, dim)
+    # norm lands in its own projection so the per-element lambda below
+    # references a column, not an embedded aggregate (which would be
+    # re-evaluated per element — O(dim^2) per row)
+    staged = embeddings.select(
+        "vec_id",
+        pre.alias("_pre"),
+        F.sqrt(
+            F.aggregate(
+                pre,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("_norm"),
+    )
+    return staged.select(
+        "vec_id",
+        F.when(
+            F.col("_norm") > 0,
+            F.transform(
+                "_pre", lambda x: (x.cast("double") / F.col("_norm")).cast("float")
+            ),
+        )
+        .otherwise(F.col("_pre"))
+        .alias("embedding"),
+    )
