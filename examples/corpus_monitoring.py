@@ -17,6 +17,8 @@ once each and never re-read for the diff):
   3. drift readout   (hll_growth / cms_delta / bottomk_drift over the
                       RELOADED artifacts — yesterday's corpus is gone,
                       only its sketches remain)
+  3b. volume watch   (per-type hourly anomaly z-scores from the event
+                      stream — the pager feed next to the content drift)
   4. merge check     (bottom-k sketches of two day-B shards fold to
                       the union sketch bit-for-bit: the property that
                       lets per-shard builds replace a global pass)
@@ -107,6 +109,18 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
         for r in bottomk_drift(bk_a, bk_b, [0.5, 0.9]).collect()
     }
 
+    # ---- stage 3b (r11): ingestion-volume anomaly watch --------------
+    # the same nightly loop also reads the event stream's volume report:
+    # per-type hourly z-scores against the trailing day (warm-up and
+    # zero-variance hours unscored) — the pager feed next to the
+    # corpus-content drift numbers above
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    anom = hourly_anomalies(ev, window_hours=24, min_hours=6)
+    n_hours = anom.count()
+    n_anom = anom.where("anomaly").count()
+
     # ---- stage 4: shard-merge equals whole-day build -----------------
     with_len_b = day_b.select("doc_id", F.length("text").alias("doc_len"))
     sh0 = bottomk_build(with_len_b.filter("doc_id % 2 = 0"), "doc_len")
@@ -126,6 +140,8 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
         "p90_len_shift": drift[0.9].shift,
         "merged_median": merged_median,
         "whole_median": whole_median,
+        "event_hours_scored": n_hours,
+        "event_hours_anomalous": n_anom,
     }
 
 
