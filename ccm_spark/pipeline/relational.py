@@ -189,3 +189,68 @@ def shipping_priority(
             (F.round("revenue", 6) + F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+def local_supplier_volume(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5-shaped: per-nation revenue from orders where the
+    customer and the supplier share the nation, for one region and one
+    order-date year — the classic 6-way snowflake join.
+
+    Join order matters at 100 TB and is declared smallest-out: region
+    (5 rows) prunes nation (25), both broadcast; customer and supplier
+    reduce to (key → nationkey) projections; lineitem⋈orders carries
+    the only fact-fact shuffle; the customer-nation == supplier-nation
+    predicate applies as a join condition (not a post-filter), so
+    mismatched rows never reach the aggregate. Revenue rounds at the
+    boundary (cross-engine replay discipline); ties in the ordering
+    cannot occur (nation is the group key).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    region_df = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == region
+    )
+    nations = F.broadcast(
+        nation.join(
+            F.broadcast(region_df.select("r_regionkey")),
+            nation.n_regionkey == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(nations, F.col("c_nationkey") == nations.n_nationkey)
+        .select("c_custkey", F.col("n_nationkey").alias("c_nat"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == nations.n_nationkey)
+        .select("s_suppkey", F.col("n_nationkey").alias("s_nat"), "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    joined = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (line.l_suppkey == supp.s_suppkey)
+            & (F.col("c_nat") == F.col("s_nat")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.round(F.sum("rev"), 6) + F.lit(0.0)).alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )

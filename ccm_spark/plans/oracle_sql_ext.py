@@ -3141,3 +3141,44 @@ SELECT event_type, hour_idx, CAST(n_events AS BIGINT) AS n_events,
        (nb >= {min_hours} AND s > 0
         AND abs({z}) >= {z_threshold}) AS anomaly
 FROM base"""
+
+
+def sql_local_supplier_volume(
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> str:
+    """DuckDB twin of relational.local_supplier_volume: same snowflake
+    join with the customer-nation == supplier-nation condition applied
+    as a join predicate, revenue round6 at the boundary."""
+    return f"""
+WITH nations AS (
+  SELECT n.n_nationkey, n.n_name
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{region}'
+),
+cust AS (
+  SELECT c.c_custkey, na.n_nationkey AS c_nat
+  FROM customer c JOIN nations na ON c.c_nationkey = na.n_nationkey
+),
+supp AS (
+  SELECT s.s_suppkey, na.n_nationkey AS s_nat, na.n_name
+  FROM supplier s JOIN nations na ON s.s_nationkey = na.n_nationkey
+),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{date_from} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{date_to} 00:00:00'
+),
+l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+)
+SELECT supp.n_name AS nation,
+       round(SUM(l.rev), 6) + 0.0 AS revenue
+FROM l
+JOIN o ON l.l_orderkey = o.o_orderkey
+JOIN cust ON o.o_custkey = cust.c_custkey
+JOIN supp ON l.l_suppkey = supp.s_suppkey AND cust.c_nat = supp.s_nat
+GROUP BY 1"""

@@ -467,3 +467,73 @@ def test_hourly_anomalies_matches_duckdb_twin(spark, sf_small):
     assert len(got) == len(want) > 0
     mism = [(g, w) for g, w in zip(got, want) if g != w]
     assert not mism, mism[:5]
+
+
+def test_local_supplier_volume_matches_duckdb_twin(spark, sf_small):
+    """TPC-H Q5-shaped snowflake join (r12 gate candidate, QUERIES.md):
+    per-nation revenue where customer and supplier share the nation."""
+    import duckdb
+
+    from ccm_spark.pipeline.relational import local_supplier_volume
+    from ccm_spark.plans.oracle_sql_ext import sql_local_supplier_volume
+
+    got = sorted(
+        (r.nation, r.revenue)
+        for r in local_supplier_volume(spark, sf_small).collect()
+    )
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(
+        (str(a), float(b))
+        for a, b in con.sql(sql_local_supplier_volume()).fetchall()
+    )
+    assert got == want
+    # the local-supplier condition did real pruning: revenue exists but
+    # is a strict subset of the unconditioned region revenue
+    assert len(got) > 0 and all(v > 0 for _, v in got)
+
+
+def test_local_supplier_volume_nation_condition_prunes(spark, sf_small):
+    """Dropping the c_nat == s_nat condition must strictly increase
+    revenue (sanity that the predicate is applied as a join condition,
+    not lost in the plan)."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.relational import local_supplier_volume
+    from ccm_spark.sources.tables import load_table
+
+    strict = {
+        r.nation: r.revenue
+        for r in local_supplier_volume(spark, sf_small).collect()
+    }
+    # rebuild without the nation-match condition
+    nation = load_table(spark, sf_small, "nation")
+    region = load_table(spark, sf_small, "region").where("r_name = 'ASIA'")
+    nations = nation.join(
+        region.select("r_regionkey"), nation.n_regionkey == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_small, "customer").join(
+        nations, F.col("c_nationkey") == nations.n_nationkey
+    ).select("c_custkey")
+    supp = load_table(spark, sf_small, "supplier").join(
+        nations, F.col("s_nationkey") == nations.n_nationkey
+    ).select("s_suppkey", "n_name")
+    orders = load_table(spark, sf_small, "orders").where(
+        "o_orderdate >= timestamp'1996-01-01' and o_orderdate < timestamp'1997-01-01'"
+    ).select("o_orderkey", "o_custkey")
+    line = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    loose = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, line.l_suppkey == supp.s_suppkey)
+        .groupBy("n_name").agg(F.sum("rev").alias("revenue"))
+    )
+    loose_rev = {r.n_name: r.revenue for r in loose.collect()}
+    assert sum(strict.values()) < sum(loose_rev.values())
