@@ -246,3 +246,127 @@ def sessionize_updates_replay(
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+ANOM_OUTPUT_SCHEMA = (
+    "event_type string, hour_idx bigint, n_events bigint, "
+    "baseline_mean double, baseline_std double, zscore double, anomaly boolean"
+)
+#: state = the retained trailing (hour_idx, count) pairs, flattened to
+#: two parallel arrays (the state-store schema has no map type)
+ANOM_STATE_SCHEMA = "hours array<bigint>, counts array<bigint>"
+
+
+def streaming_hourly_anomalies(
+    events: DataFrame,
+    window_hours: int = 24,
+    min_hours: int = 6,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``events_ops.hourly_anomalies``: per-type
+    hourly volume z-scores over an unbounded stream via
+    ``applyInPandasWithState`` — the pager feed computed as events
+    arrive instead of in a nightly batch.
+
+    State per event_type is the trailing ``4 * window_hours`` OBSERVED
+    (hour, count) pairs — bounded by key cardinality × window, not
+    stream length; retired hours can never again be touched (monotone
+    precondition below) nor serve as a newly-touched hour's baseline.
+    Each micro-batch scores the full merged hour list from the earliest
+    hour it touched onward (a touched hour's count shifts later hours'
+    baselines) and emits update-mode rows; the LAST row per
+    (event_type, hour_idx) converges to the batch operator on any
+    time-ordered batch split — pinned in
+    tests/test_stateful_streaming.py.
+
+    Precondition (same as ``streaming_sessionize``): a batch touching
+    an hour OLDER than the key's newest already-seen hour fails the
+    query loudly rather than silently scoring against a retired
+    baseline; out-of-order sources need a watermark-buffered variant.
+    """
+    import numpy as np
+
+    #: retained OBSERVED hours per key (positions, not wall span): any
+    #: newly-touched hour's baseline needs window_hours observed
+    #: predecessors, kept with generous slack
+    keep_n = 4 * window_hours
+
+    def _score(hours: list, counts: list, from_hour: int) -> list:
+        rows = []
+        for i, h in enumerate(hours):
+            if h < from_hour:
+                continue
+            base = counts[max(0, i - window_hours) : i]
+            n_base = len(base)
+            if n_base:
+                arr = np.asarray(base, dtype=np.float64)
+                mean = float(arr.sum() / n_base)
+                std = float(np.sqrt(((arr - mean) ** 2).sum() / n_base))
+            else:
+                mean = std = 0.0
+            scored = n_base >= min_hours and std > 0
+            z = (counts[i] - mean) / std if scored else 0.0
+            rows.append(
+                (
+                    h,
+                    counts[i],
+                    round(mean, 6) + 0.0,
+                    round(std, 6) + 0.0,
+                    round(z, 6) + 0.0,
+                    bool(scored and abs(z) >= z_threshold),
+                )
+            )
+        return rows
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        hours, counts = ([], []) if not state.exists else [list(x) for x in state.get]
+        held = dict(zip(hours, counts))
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        hr = _pdf_ts_us(pdf["ts"]) // 3_600_000_000
+        batch_counts = hr.value_counts()
+        touched_min = int(batch_counts.index.min())
+        prev_newest = int(hours[-1]) if hours else None
+        if prev_newest is not None and touched_min < prev_newest:
+            raise ValueError(
+                "streaming_hourly_anomalies: event hour regressed "
+                f"{prev_newest - touched_min} hours for type {key[0]} — "
+                "input files/offsets must be discovered in time order"
+            )
+        for h, c in batch_counts.items():
+            held[int(h)] = held.get(int(h), 0) + int(c)
+        hours = sorted(held)
+        counts = [held[h] for h in hours]
+        # score on the FULL merged list (evicting first would silently
+        # drop batch hours older than the horizon), then retire hours
+        # that can never again be touched (monotone guard above) or
+        # serve as a newly-touched hour's baseline
+        rows = _score(hours, counts, touched_min)
+        state.update((hours[-keep_n:], counts[-keep_n:]))
+        if not rows:
+            return
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "hour_idx",
+                "n_events",
+                "baseline_mean",
+                "baseline_std",
+                "zscore",
+                "anomaly",
+            ],
+        )
+        out.insert(0, "event_type", key[0])
+        yield out
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

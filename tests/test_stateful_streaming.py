@@ -194,3 +194,155 @@ def test_sessionize_update_stream_matches_duckdb_replay(spark, sf_small):
     n_sessions = len({(u, s) for u, s, *_ in got})
     assert len(got) > n_sessions
     assert got == want
+
+
+def test_streaming_hourly_anomalies_matches_batch(spark, sf_small, tmp_path):
+    """The stateful streaming anomaly watch over a 3-batch TIME-ORDERED
+    split: the last update per (event_type, hour) must equal the batch
+    operator row-for-row (round6 values), including warm-up and
+    zero-variance-guard rows."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+    from ccm_spark.sources.tables import ts_micros
+    from ccm_spark.streaming.stateful import streaming_hourly_anomalies
+    from ccm_spark.streaming.windows import event_stream
+
+    ev = load_table(spark, sf_small, "events")
+    batch = {
+        (r.event_type, r.hour_idx): (
+            r.n_events, r.baseline_mean, r.baseline_std, r.zscore, r.anomaly
+        )
+        for r in hourly_anomalies(ev, window_hours=6, min_hours=3).collect()
+    }
+
+    # three time-ordered shards with strictly increasing mtimes, so
+    # FileStreamSource discovers them in time order (the op's contract)
+    d = tmp_path / "events_anom_stream"
+    d.mkdir()
+    us = ev.select(ts_micros(ev).alias("us")).agg(
+        F.expr("percentile(us, 0.33)").alias("a"),
+        F.expr("percentile(us, 0.66)").alias("b"),
+    ).collect()[0]
+    splits = [
+        ev.where(ts_micros(ev) <= int(us.a)),
+        ev.where((ts_micros(ev) > int(us.a)) & (ts_micros(ev) <= int(us.b))),
+        ev.where(ts_micros(ev) > int(us.b)),
+    ]
+    for i, part in enumerate(splits):
+        p = str(d / f"shard-{i}.parquet")
+        part.toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = streaming_hourly_anomalies(
+        event_stream(spark, str(d), max_files_per_trigger=1),
+        window_hours=6,
+        min_hours=3,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("anom_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM anom_stream").collect()
+    final = {}
+    for r in rows:
+        # update mode: a key re-emits only when its own hour gains
+        # events under a time-ordered split, so the final row has the
+        # largest n_events (the sessionize test's rule — no reliance on
+        # memory-sink row order)
+        k = (r.event_type, r.hour_idx)
+        v = (r.n_events, r.baseline_mean, r.baseline_std, r.zscore, r.anomaly)
+        if k not in final or v[0] > final[k][0]:
+            final[k] = v
+    assert set(final) == set(batch)
+    mism = [(k, final[k], batch[k]) for k in batch if final[k] != batch[k]]
+    assert not mism, mism[:5]
+
+
+def test_streaming_hourly_anomalies_rescores_straddled_hour(spark, tmp_path):
+    """An hour split across two micro-batches must emit twice — the
+    second emission carrying the full count — and later hours' scores
+    must use the FINAL count of the straddled hour (deterministic
+    hand-built straddle; the sf pin above can land on hour boundaries)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+    from ccm_spark.streaming.stateful import streaming_hourly_anomalies
+    from ccm_spark.streaming.windows import event_stream
+
+    US = 3_600_000_000
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).assign(
+            ts=lambda d: pd.to_datetime(d["ts"], unit="us"),
+            props="{}",
+        )
+
+    eid = iter(range(10_000))
+    # hours 0-5: 2 events each (warm-up baseline); hour 6 STRADDLES the
+    # shard boundary: 1 event in shard 1, 3 more in shard 2; hour 7 in
+    # shard 2 only
+    shard1 = [
+        (next(eid), h * US + i, 1, "click", 1.0)
+        for h in range(6)
+        for i in range(2)
+    ] + [(next(eid), 6 * US, 1, "click", 1.0)]
+    shard2 = [(next(eid), 6 * US + 10 + i, 1, "click", 1.0) for i in range(3)] + [
+        (next(eid), 7 * US, 1, "click", 1.0)
+    ]
+    d = tmp_path / "straddle_stream"
+    d.mkdir()
+    for i, rows in enumerate((shard1, shard2)):
+        p = str(d / f"s{i}.parquet")
+        mk(rows).to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = streaming_hourly_anomalies(
+        event_stream(spark, str(d), max_files_per_trigger=1),
+        window_hours=6,
+        min_hours=3,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("straddle_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_straddle"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM straddle_stream").collect()
+    hour6 = sorted(
+        (r.n_events for r in rows if r.hour_idx == 6), reverse=False
+    )
+    assert hour6 == [1, 4]  # emitted in both batches, count converged
+    # final state equals batch on the union of shards
+    ev = spark.createDataFrame(mk(shard1 + shard2))
+    batch = {
+        (r.event_type, r.hour_idx): (
+            r.n_events, r.baseline_mean, r.baseline_std, r.zscore, r.anomaly
+        )
+        for r in hourly_anomalies(ev, window_hours=6, min_hours=3).collect()
+    }
+    final = {}
+    for r in rows:
+        k = (r.event_type, r.hour_idx)
+        v = (r.n_events, r.baseline_mean, r.baseline_std, r.zscore, r.anomaly)
+        if k not in final or v[0] > final[k][0]:
+            final[k] = v
+    assert final == batch
+    # hour 7's baseline saw hour 6's FINAL count (4, not 1)
+    assert final[("click", 7)][1] == batch[("click", 7)][1]
