@@ -572,3 +572,102 @@ def knn_graph_recall(
             + F.lit(0.0)
         ).alias("recall"),
     )
+
+
+def knn_graph_search(
+    graph: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 32,
+    n_hops: int = 3,
+    n_seeds: int = 16,
+) -> DataFrame:
+    """Best-first beam search over the served k-NN graph — the graph
+    family's retrieval consumer (the HNSW layer-0 walk, batched): for
+    each query vector, start from deterministic seed nodes, repeatedly
+    expand the current per-query beam through the graph's ranked edges,
+    and return the top-k visited nodes. Queries whose true neighbors
+    are reachable within ``n_hops`` of a seed avoid the brute-force
+    scan entirely; recall vs exact is pinned in tests/test_ann_graph.py.
+
+    Deterministic end-to-end: seeds are the ``n_seeds`` lowest node
+    ids (SRP-bucket seeding would cut hops on clustered corpora, but
+    id-seeding keeps the walk replayable in the pure-Python twin and
+    costs nothing on isotropic data); scores round to 9 decimals with
+    the graph's (cos desc, id asc) tie rule; every hop expands the
+    CURRENT beam only and never re-scores a visited (query, node) pair.
+
+    100 TB shape: per hop — one join of the beam (|Q|·beam rows, two
+    int64s wide) against the graph's edge relation, one anti-join
+    against the visited set, one Arrow-batched cosine pass against the
+    broadcast query matrix, one per-query top-beam window. The corpus
+    embedding relation is touched once per hop via equi-join on the
+    candidate ids only (never scanned whole); visited state is
+    localCheckpointed per hop (the NN-descent rounds' lineage
+    discipline). Driver holds nothing but the loop counter.
+    """
+    if min(k, beam, n_hops, n_seeds) < 1:
+        raise ValueError("knn_graph_search: k, beam, n_hops, n_seeds must be >= 1")
+    cos = cosine_pandas()
+    vecs = embeddings.select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    qv = queries.select(
+        F.col("query_id"), as_double_vec("embedding").alias("qv")
+    )
+    edges = graph.select("src", "dst")
+
+    def score(cand: DataFrame) -> DataFrame:
+        """(query_id, node) -> + cos_sim, via broadcast queries and an
+        equi-join on the candidate node ids."""
+        return (
+            spread(cand, "query_id", factor=2)
+            .join(F.broadcast(qv), "query_id")
+            .join(vecs, F.col("node") == F.col("vec_id"))
+            .select(
+                "query_id",
+                "node",
+                (F.round(cos(F.col("qv"), F.col("v")), 9) + F.lit(0.0)).alias(
+                    "cos_sim"
+                ),
+            )
+        )
+
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(n_seeds)
+    )
+    visited = score(
+        qv.select("query_id").crossJoin(F.broadcast(seeds))
+    ).localCheckpoint(eager=True)
+
+    beam_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("node").asc()
+    )
+    for _ in range(n_hops):
+        frontier = (
+            visited.withColumn("rank", F.row_number().over(beam_w))
+            .where(F.col("rank") <= beam)
+            .select("query_id", "node")
+        )
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["query_id", "node"], "left_anti")
+        )
+        visited = visited.unionByName(score(cand)).localCheckpoint(eager=True)
+
+    return (
+        visited.withColumn("rank", F.row_number().over(beam_w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("node").alias("target_id"),
+            "cos_sim",
+        )
+    )
