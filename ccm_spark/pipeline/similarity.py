@@ -1132,6 +1132,14 @@ def truncate_embeddings(embeddings: DataFrame, dim: int) -> DataFrame:
     """
     if dim < 1:
         raise ValueError(f"truncate_embeddings: dim must be >= 1, got {dim}")
+    # probe one row (the _pair_scorer precedent): F.slice silently caps
+    # at the array length, so an oversized dim would return full-width
+    # vectors while the caller sizes its serving index to dim
+    probe = embeddings.select(F.size("embedding").alias("d")).first()
+    if probe is not None and dim > int(probe["d"]):
+        raise ValueError(
+            f"truncate_embeddings: dim {dim} exceeds stored width {int(probe['d'])}"
+        )
     pre = F.slice(F.col("embedding"), 1, dim)
     # norm lands in its own projection so the per-element lambda below
     # references a column, not an embedded aggregate (which would be

@@ -286,6 +286,8 @@ def streaming_hourly_anomalies(
     """
     import numpy as np
 
+    from ccm_spark.functions.hashing import py_round_half_up
+
     #: retained OBSERVED hours per key (positions, not wall span): any
     #: newly-touched hour's baseline needs window_hours observed
     #: predecessors, kept with generous slack
@@ -306,13 +308,17 @@ def streaming_hourly_anomalies(
                 mean = std = 0.0
             scored = n_base >= min_hours and std > 0
             z = (counts[i] - mean) / std if scored else 0.0
+            # py_round_half_up, not the builtin: the batch twin rounds
+            # via F.round (HALF_UP on the shortest decimal repr) and the
+            # convergence pin compares rounded values — banker's
+            # rounding diverges on exact dyadic ties (hashing.py)
             rows.append(
                 (
                     h,
                     counts[i],
-                    round(mean, 6) + 0.0,
-                    round(std, 6) + 0.0,
-                    round(z, 6) + 0.0,
+                    py_round_half_up(mean, 6) + 0.0,
+                    py_round_half_up(std, 6) + 0.0,
+                    py_round_half_up(z, 6) + 0.0,
                     bool(scored and abs(z) >= z_threshold),
                 )
             )

@@ -118,8 +118,13 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
 
     ev = load_table(spark, sf_dir, "events")
     anom = hourly_anomalies(ev, window_hours=24, min_hours=6)
-    n_hours = anom.count()
-    n_anom = anom.where("anomaly").count()
+    # one action for both numbers — two .count()s would replay the full
+    # events scan + hourly aggregate + window twice
+    arow = anom.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("anomaly").cast("int")).alias("na"),
+    ).collect()[0]
+    n_hours, n_anom = int(arow.n), int(arow.na)
 
     # ---- stage 4: shard-merge equals whole-day build -----------------
     with_len_b = day_b.select("doc_id", F.length("text").alias("doc_len"))
