@@ -610,3 +610,54 @@ def grouped_split(
     last = F.lit(names[-1])
     split = last if expr is None else expr.otherwise(last)
     return docs.withColumn("split", split)
+
+
+def top_fraction(
+    df: DataFrame,
+    score_col: str,
+    frac: float,
+    tie_col: str = "doc_id",
+) -> DataFrame:
+    """Keep exactly ``ceil(frac · n)`` rows with the highest scores —
+    the percentile-calibrated filter ("keep the classifier's top 25%")
+    as a first-class operator.
+
+    Rank-based, not threshold-based: an absolute score cut is wrong
+    under skewed calibration (a weak-label classifier can score every
+    probability low — the data_selection example's lesson), and a
+    percentile THRESHOLD computed then re-applied double-counts ties.
+    Order is (round6(score) DESC, tie_col ASC): rounding first keeps
+    the rank replay-exact across engines, the tie column makes it
+    total.
+
+    Scale shape: one count action sizes k, then the engine's standard
+    two-phase top-k — each partition prunes to its local k before the
+    single-task global rank, so no task ever sorts the corpus (the
+    global-window ``percent_rank`` form this replaces plans ONE
+    partition for the whole relation). Returns the kept rows plus
+    their 1-based ``rank``.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"top_fraction: frac must be in (0, 1], got {frac}")
+    n = df.count()
+    if n == 0:
+        return df.withColumn("rank", F.lit(0).cast("int")).limit(0)
+    import math
+
+    k = max(1, math.ceil(frac * n))
+    order = [
+        (F.round(F.col(score_col), 6) + F.lit(0.0)).desc(),
+        F.col(tie_col).asc(),
+    ]
+    local_w = Window.partitionBy("_split").orderBy(*order)
+    survivors = (
+        df.withColumn("_split", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .where(F.col("_lr") <= k)
+    )
+    w = Window.orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .drop("_split", "_lr")
+    )

@@ -3182,3 +3182,37 @@ JOIN o ON l.l_orderkey = o.o_orderkey
 JOIN cust ON o.o_custkey = cust.c_custkey
 JOIN supp ON l.l_suppkey = supp.s_suppkey AND cust.c_nat = supp.s_nat
 GROUP BY 1"""
+
+
+def sql_top_fraction(frac: float = 0.25) -> str:
+    """DuckDB twin of mixing.top_fraction over the quality_score gate
+    arithmetic (the still-gated text_quality chain nested as the score
+    source): same round6-then-rank order, same ceil(frac * n) cutoff."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_unique,
+         CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))
+              AS DOUBLE) AS n_alpha
+  FROM t
+),
+scored AS (
+  SELECT doc_id,
+         least(1.0, n_tokens / 100.0)
+           * (0.5 + 0.5 * (CASE WHEN n_tokens = 0 THEN 0.0
+                                ELSE n_unique / n_tokens END))
+           * (CASE WHEN n_tokens = 0 THEN 0.0
+                   ELSE n_alpha / n_tokens END) AS quality
+  FROM base
+),
+r AS (
+  SELECT doc_id, quality,
+         row_number() OVER (ORDER BY round(quality, 6) + 0.0 DESC,
+                            doc_id ASC) AS rank,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, round(quality, 6) + 0.0 AS quality, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= GREATEST(1, CAST(ceil({frac} * n) AS BIGINT))"""

@@ -66,19 +66,12 @@ def run(spark, sf_dir: str) -> dict:
     # 4. the surviving pool: classifier top-25% (an absolute 0.5 cut is
     # wrong under the rule filter's skewed base rate — ~7% positives
     # calibrate every prob low; rank, don't threshold), semantically
-    # unique, resampled toward the target by importance
-    from pyspark.sql import Window
+    # unique, resampled toward the target by importance. top_fraction
+    # is the two-phase exact selector — the percent_rank global window
+    # this replaced planned ONE partition for the whole relation.
+    from ccm_spark.pipeline.mixing import top_fraction
 
-    top = (
-        scored.withColumn(
-            "_pr",
-            F.percent_rank().over(
-                Window.orderBy(F.col("prob").desc(), F.col("doc_id").asc())
-            ),
-        )
-        .where(F.col("_pr") <= 0.25)
-        .select("doc_id")
-    )
+    top = top_fraction(scored, "prob", 0.25).select("doc_id")
     pool = (
         weights.join(top, "doc_id")
         .join(

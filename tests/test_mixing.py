@@ -473,3 +473,63 @@ def test_grouped_split_colocates_groups_and_holds_fractions(spark):
         grouped_split(docs, "domain", {"a": 0.5, "b": 0.6})
     with pytest.raises(ValueError, match="non-empty"):
         grouped_split(docs, "domain", {})
+
+
+def test_top_fraction_exact_count_and_order(spark):
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.mixing import top_fraction
+
+    d = spark.createDataFrame(
+        [(i, float((i * 37) % 10)) for i in range(20)], "doc_id long, s double"
+    )
+    out = top_fraction(d, "s", 0.25).collect()
+    assert len(out) == 5  # ceil(0.25 * 20)
+    # ranked by (round6(s) desc, doc_id asc), dense 1..k
+    assert sorted(r.rank for r in out) == [1, 2, 3, 4, 5]
+    ordered = sorted(out, key=lambda r: r.rank)
+    assert all(a.s >= b.s for a, b in zip(ordered, ordered[1:]))
+    # ties break by doc_id: scores repeat every 10 ids, so rank1/rank2
+    # share a score and must be id-ordered
+    assert ordered[0].s == ordered[1].s and ordered[0].doc_id < ordered[1].doc_id
+    # frac=1 keeps everything; invalid fracs rejected
+    assert top_fraction(d, "s", 1.0).count() == 20
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        top_fraction(d, "s", 0.0)
+    # empty input -> empty output, schema intact
+    empty = top_fraction(d.where("doc_id < 0"), "s", 0.5)
+    assert empty.count() == 0 and "rank" in empty.columns
+
+
+def test_top_fraction_matches_duckdb_twin(spark, sf_small):
+    """quality-score top-quartile selection pinned cross-engine (r12
+    gate candidate, QUERIES.md)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.mixing import top_fraction
+    from ccm_spark.pipeline.text import quality_score
+    from ccm_spark.plans.oracle_sql_ext import sql_top_fraction
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    scored = quality_score(docs)
+    out = top_fraction(scored, "quality", 0.25).select(
+        "doc_id",
+        (F.round("quality", 6) + F.lit(0.0)).alias("quality"),
+        "rank",
+    )
+    got = sorted((r.doc_id, r.quality, r.rank) for r in out.collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), float(b), int(c))
+        for a, b, c in con.sql(sql_top_fraction(0.25)).fetchall()
+    )
+    assert len(got) == len(want) == 125  # ceil(0.25 * 500)
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:5]
