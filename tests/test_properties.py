@@ -247,3 +247,50 @@ def test_lm_score_model_invariants(tokens, alpha):
         assert ppl >= 1.0 - 1e-12
         assert abs(2.0**h - ppl) < 1e-9 * max(1.0, ppl)
         assert score_model(model, tokens) == (n, h, ppl)
+
+
+@given(st.lists(st.text(alphabet="ab c\tD.", min_size=1, max_size=20), min_size=1, max_size=10))
+def test_normalize_phrases_properties(raw):
+    """For any phrase list with at least one tokenizable entry:
+    normalization is idempotent (on the joined forms), order-preserving
+    on first occurrences, and duplicate-free."""
+    from ccm_spark.pipeline.filters import normalize_phrases
+
+    tokenizable = [p for p in raw if any(ch not in " \t" for ch in p)]
+    if len(tokenizable) < len(raw):
+        # lists containing whitespace-only phrases must be rejected
+        import pytest
+
+        with pytest.raises(ValueError):
+            normalize_phrases(raw)
+        return
+    out = normalize_phrases(raw)
+    joined = [" ".join(t) for t in out]
+    assert len(set(joined)) == len(joined)  # no duplicates survive
+    assert normalize_phrases(joined) == out  # idempotent
+    # every output is some input's tokenization, in first-seen order
+    seen = []
+    for p in raw:
+        key = " ".join(w for w in p.lower().split() if w)
+        if key and key not in seen:
+            seen.append(key)
+    assert joined == seen
+
+
+@given(st.text(max_size=400), st.integers(min_value=1, max_value=9))
+def test_compression_ratio_kernel_properties(text, level):
+    """Deterministic, guard at empty, ratio consistent with stdlib."""
+    import zlib
+
+    from ccm_spark.pipeline.filters import py_compression_ratio
+
+    a = py_compression_ratio(text, level)
+    assert a == py_compression_ratio(text, level)
+    nb, nc, ratio = a
+    b = (text or "").encode("utf-8")
+    assert nb == len(b)
+    assert nc == len(zlib.compress(b, level))
+    if nb == 0:
+        assert ratio == 0.0
+    else:
+        assert ratio == nc / nb
