@@ -661,3 +661,59 @@ def top_fraction(
         .where(F.col("rank") <= k)
         .drop("_split", "_lr")
     )
+
+
+def packing_efficiency(
+    docs: DataFrame, seq_lens: tuple = (128, 256, 512)
+) -> DataFrame:
+    """Padding-waste planning report for :func:`pack_sequences`: for
+    each candidate sequence length L, the token budget a NAIVE
+    one-doc-per-sequence layout would spend — ``n_sequences = Σ
+    ceil(n_tokens/L)``, ``padded = n_sequences·L − Σ n_tokens``, and
+    the waste fraction — the number a curator reads to pick L (and to
+    quantify what greedy packing then claws back).
+
+    One token-count projection, a broadcast cross join with the tiny
+    seq_len relation, one aggregate — no shuffle wider than
+    |seq_lens| × partitions. Token counts use the shared whitespace
+    tokenizer, matching ``pack_sequences``.
+    """
+    if not seq_lens or any(int(x) < 1 for x in seq_lens):
+        raise ValueError(f"packing_efficiency: seq_lens must be >= 1, got {seq_lens}")
+    spark = docs.sparkSession
+    ls = spark.createDataFrame(
+        [(int(x),) for x in sorted(set(int(x) for x in seq_lens))],
+        "seq_len int",
+    )
+    toks = docs.select(F.size(tokens_col("text")).alias("n_tokens"))
+    per = toks.crossJoin(F.broadcast(ls)).select(
+        "seq_len",
+        "n_tokens",
+        F.ceil(F.col("n_tokens") / F.col("seq_len")).cast("long").alias("n_seq"),
+    )
+    return (
+        per.groupBy("seq_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_seq").alias("n_sequences"),
+            (F.sum(F.col("n_seq") * F.col("seq_len")) - F.sum("n_tokens")).alias(
+                "padded_tokens"
+            ),
+        )
+        .select(
+            "seq_len",
+            "n_docs",
+            "total_tokens",
+            "n_sequences",
+            "padded_tokens",
+            (
+                F.round(
+                    F.col("padded_tokens")
+                    / (F.col("padded_tokens") + F.col("total_tokens")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("waste_frac"),
+        )
+    )

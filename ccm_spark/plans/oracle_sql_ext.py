@@ -3216,3 +3216,25 @@ r AS (
 )
 SELECT doc_id, round(quality, 6) + 0.0 AS quality, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= GREATEST(1, CAST(ceil({frac} * n) AS BIGINT))"""
+
+
+def sql_packing_efficiency(seq_lens: tuple = (128, 256, 512)) -> str:
+    """DuckDB twin of mixing.packing_efficiency: same token counts
+    (shared splitter), same ceil arithmetic, round6 waste fraction."""
+    ls = ", ".join(f"({int(x)})" for x in sorted(set(int(x) for x in seq_lens)))
+    return f"""
+WITH t AS (SELECT CAST(len({TOKENS}) AS BIGINT) AS n_tokens FROM documents),
+ls(seq_len) AS (VALUES {ls}),
+per AS (
+  SELECT ls.seq_len, t.n_tokens,
+         CAST(ceil(CAST(t.n_tokens AS DOUBLE) / ls.seq_len) AS BIGINT) AS n_seq
+  FROM t CROSS JOIN ls
+)
+SELECT CAST(seq_len AS INT) AS seq_len,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_seq) AS BIGINT) AS n_sequences,
+       CAST(SUM(n_seq * seq_len) - SUM(n_tokens) AS BIGINT) AS padded_tokens,
+       round((SUM(n_seq * seq_len) - SUM(n_tokens))
+             / CAST(SUM(n_seq * seq_len) AS DOUBLE), 6) + 0.0 AS waste_frac
+FROM per GROUP BY seq_len"""

@@ -533,3 +533,48 @@ def test_top_fraction_matches_duckdb_twin(spark, sf_small):
     assert len(got) == len(want) == 125  # ceil(0.25 * 500)
     mism = [(g, w) for g, w in zip(got, want) if g != w]
     assert not mism, mism[:5]
+
+
+def test_packing_efficiency_hand_built(spark):
+    from ccm_spark.pipeline.mixing import packing_efficiency
+
+    d = spark.createDataFrame(
+        [(0, "a " * 10), (1, "b " * 100), (2, "")],  # 10, 100, 0 tokens
+        "doc_id long, text string",
+    )
+    rows = {r.seq_len: r for r in packing_efficiency(d, (64,)).collect()}
+    r = rows[64]
+    # ceil(10/64)=1, ceil(100/64)=2, ceil(0/64)=0 -> 3 sequences, 192 slots
+    assert r.n_docs == 3 and r.total_tokens == 110
+    assert r.n_sequences == 3 and r.padded_tokens == 192 - 110
+    assert r.waste_frac == round((192 - 110) / 192, 6)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        packing_efficiency(d, ())
+    with _pt.raises(ValueError):
+        packing_efficiency(d, (0,))
+
+
+def test_packing_efficiency_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.pipeline.mixing import packing_efficiency
+    from ccm_spark.plans.oracle_sql_ext import sql_packing_efficiency
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(tuple(r) for r in packing_efficiency(docs).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), int(d), int(e), float(f))
+        for a, b, c, d, e, f in con.sql(sql_packing_efficiency()).fetchall()
+    )
+    assert len(got) == len(want) == 3
+    assert got == want
+    # longer sequences waste more on this short-doc corpus
+    waste = {r[0]: r[5] for r in got}
+    assert waste[512] > waste[128]
