@@ -104,7 +104,11 @@ def capped_adjacency(
 
 
 def _score_pairs(
-    vecs: DataFrame | None, cos, pairs: DataFrame, pair_cos=None
+    vecs: DataFrame | None,
+    cos,
+    pairs: DataFrame,
+    pair_cos=None,
+    drop_unknown: bool = True,
 ) -> DataFrame:
     """(src, dst) candidates -> scored edges in BOTH directions.
 
@@ -126,7 +130,18 @@ def _score_pairs(
     - join path (the corpus-scale path, ``vecs`` + ``cos``): vectors
       attach via two equi-joins against the persisted (vec_id, v)
       relation — the only option when the corpus matrix cannot be
-      broadcast."""
+      broadcast.
+
+    ``drop_unknown`` keeps the broadcast path behavior-identical to the
+    join path when candidate ids may be ABSENT from the index (the
+    UDF scores such pairs NaN; the join path silently drops them).
+    That can only happen on the probe paths — ``knn_graph_insert``
+    handed a served graph referencing vectors no longer in
+    ``embeddings``. The DESCENT build passes ``drop_unknown=False``:
+    its candidates are bucket co-members / adjacency products of the
+    very relation the index was collected from, so the filter would be
+    a per-round no-op scan over the (multi-million-row) scored relation
+    (the r11->r12 bench bisect: measurable pure overhead)."""
     cpairs = (
         pairs.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -139,19 +154,23 @@ def _score_pairs(
     # (measured 2-task stages at sf0.1) — the same trap spread()
     # exists for on the CCM fleet
     if pair_cos is not None:
-        # ids absent from the broadcast index score NaN; the join path
-        # DROPS such pairs (no vector row to equi-join), so filter them
-        # out here to keep the two paths behavior-identical. Corpus
-        # embeddings never score NaN themselves (zero norms -> 0.0).
-        # Arrow maps the pandas-UDF NaN to NULL (and Spark's isnan(NULL)
-        # is false, not NULL), so check both representations.
         cscored = spread(cpairs, "a", factor=2).select(
             "a",
             "b",
             (F.round(pair_cos(F.col("a"), F.col("b")), 9) + F.lit(0.0)).alias(
                 "cos_sim"
             ),
-        ).where(F.col("cos_sim").isNotNull() & ~F.isnan(F.col("cos_sim")))
+        )
+        if drop_unknown:
+            # ids absent from the broadcast index score NaN; the join
+            # path DROPS such pairs (no vector row to equi-join), so
+            # filter them out to keep the two paths behavior-identical.
+            # Corpus embeddings never score NaN themselves (zero norms
+            # -> 0.0). Arrow maps the pandas-UDF NaN to NULL (and
+            # Spark's isnan(NULL) is false, not NULL), so check both.
+            cscored = cscored.where(
+                F.col("cos_sim").isNotNull() & ~F.isnan(F.col("cos_sim"))
+            )
     else:
         joined = cpairs.join(
             vecs.select(F.col("vec_id").alias("a"), F.col("v").alias("av")), "a"
@@ -185,22 +204,30 @@ KNN_GRAPH_BROADCAST_MAX = 100_000
 KNN_GRAPH_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
-def _pair_scorer(embeddings: DataFrame, n: int, broadcast_threshold: int):
+def _pair_scorer(
+    embeddings: DataFrame,
+    n: int,
+    broadcast_threshold: int,
+    dim: int | None = None,
+):
     """Pick the scoring path: returns ``(vecs, pair_cos)`` where exactly
     one is non-None. Broadcast path collects the (bounded) corpus
     matrix once and ships it per executor via SparkContext.broadcast;
     join path persists the (vec_id, v) relation for the joins. The
     broadcast path is taken only when BOTH the row threshold and the
     estimated-bytes bound (one probed row's dim x n x 8 <=
-    KNN_GRAPH_BROADCAST_MAX_BYTES) allow it."""
+    KNN_GRAPH_BROADCAST_MAX_BYTES) allow it. Callers that already know
+    the embedding width pass ``dim`` to skip the probe job (the descent
+    folds it into its count aggregate)."""
     from pyspark.storagelevel import StorageLevel
 
     take_broadcast = 0 < n <= broadcast_threshold
     if take_broadcast:
-        probe = embeddings.select(
-            F.size(as_double_vec("embedding")).alias("d")
-        ).first()
-        dim = int(probe["d"]) if probe is not None else 0
+        if dim is None:
+            probe = embeddings.select(
+                F.size(as_double_vec("embedding")).alias("d")
+            ).first()
+            dim = int(probe["d"]) if probe is not None else 0
         take_broadcast = n * dim * 8 <= KNN_GRAPH_BROADCAST_MAX_BYTES
     if take_broadcast:
         import numpy as np
@@ -289,17 +316,30 @@ def knn_graph_descent(
             f"(got k={k}, n_rounds={n_rounds})"
         )
     cap = init_cap if init_cap is not None else 2 * k
-    n = embeddings.count()
+    # one aggregate job yields both the row count and the embedding
+    # width, so the byte-bound broadcast dispatch needs no second probe
+    stats = embeddings.select(
+        F.count("*").alias("n"),
+        F.first(F.size(as_double_vec("embedding"))).alias("d"),
+    ).first()
+    n = int(stats["n"])
+    dim = int(stats["d"]) if stats["d"] is not None else 0
     if planes is None:
         planes = adaptive_srp_planes(n)
     cos = cosine_pandas()
-    vecs, pair_cos = _pair_scorer(embeddings, n, broadcast_threshold)
+    vecs, pair_cos = _pair_scorer(embeddings, n, broadcast_threshold, dim=dim)
 
     def score_topk(pairs: DataFrame) -> DataFrame:
         """(src, dst) candidates -> per-src top-k scored edges (the
         shared _score_pairs/_topk kernels — knn_graph_insert reuses
-        them so the incremental path can never diverge on scoring)."""
-        return _topk(_score_pairs(vecs, cos, pairs, pair_cos), k)
+        them so the incremental path can never diverge on scoring).
+        drop_unknown=False: descent candidates come from the very
+        relation the broadcast index was collected from, so no pair can
+        score NaN — the parity filter belongs to the insert/search
+        probe paths only (r11->r12 bench bisect)."""
+        return _topk(
+            _score_pairs(vecs, cos, pairs, pair_cos, drop_unknown=False), k
+        )
 
     # seed: SRP bucket co-members from SEVERAL independent hash tables.
     # One table is NOT enough: its buckets partition the corpus into
