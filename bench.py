@@ -144,6 +144,12 @@ def main() -> None:
         # same for the r11 rotation (graph-family rows came in)
         "dedup_ngram_jaccard": E.q_dedup_ngram_jaccard,
         "events_sessionize": E.q_events_sessionize,
+        # same for the r12 rotation (knn_graph_insert /
+        # shipping_priority / corpus_divergence / phrase_blocklist
+        # took the gate slots)
+        "dedup_minhash_lsh": E.q_dedup_minhash_lsh,
+        "dedup_simhash_pairs": E.q_dedup_simhash_pairs,
+        "events_hourly_stats": E.q_events_hourly_stats,
     }
 
     # median of REPEATS per query, pass-interleaved so a VM-noise burst

@@ -1042,6 +1042,84 @@ def _gate_knn_graph(spark, sf_dir):
     )
 
 
+def q_knn_graph_insert(spark, sf_dir):
+    """Incremental k-NN graph insert (pipeline/ann_graph.py, gated r12
+    — the incremental-maintenance family's first CORRECTNESS row): the
+    served graph is the gate-geometry descent over the pre-insert 80%
+    (vec_id % KNN_INSERT_MOD != 0), the 20% increment is bucketized
+    against the FULL corpus, hops once through the served graph's
+    ranked edges, scores through the shared canonical kernel, and
+    merges three ways (new top-k / touched re-rank / untouched rows
+    byte-identical with their original rank). The twin replays the
+    ENTIRE chain, nesting sql_knn_graph via its source hook."""
+    from ccm_spark.pipeline.ann_graph import knn_graph_descent, knn_graph_insert
+    from ccm_spark.pipeline.similarity import SRP_PLANES
+
+    embs = _embs(spark, sf_dir)
+    base = embs.where(F.col("vec_id") % oext.KNN_INSERT_MOD != 0)
+    new_ids = embs.where(F.col("vec_id") % oext.KNN_INSERT_MOD == 0).select(
+        "vec_id"
+    )
+    served = knn_graph_descent(
+        base,
+        k=oext.KNN_GRAPH_K,
+        n_rounds=oext.KNN_GRAPH_ROUNDS,
+        seed=oext.KNN_GRAPH_SEED,
+        planes=SRP_PLANES,
+        n_seed_tables=oext.KNN_GRAPH_TABLES,
+    ).localCheckpoint(eager=True)
+    return knn_graph_insert(
+        embs,
+        served,
+        new_ids,
+        k=oext.KNN_GRAPH_K,
+        seed=oext.KNN_GRAPH_SEED,
+        planes=SRP_PLANES,
+        n_seed_tables=oext.KNN_GRAPH_TABLES,
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority (pipeline/relational.py, gated
+    r12 — the first MULTI-join relational row): customer segment filter
+    → orders date filter → lineitem date filter, all three pushed to
+    the parquet scans (plan-pinned), one 3-way join, revenue aggregate,
+    round6-then-rank top-10."""
+    from ccm_spark.pipeline.relational import shipping_priority
+
+    return shipping_priority(spark, sf_dir)
+
+
+def q_corpus_divergence(spark, sf_dir):
+    """Corpus unigram divergence (pipeline/dsir.py, gated r12 — the
+    corpus-monitoring family's first CORRECTNESS row): smoothed KL both
+    directions + Jensen-Shannon + vocab overlap between the parity
+    halves (doc_id even vs odd) of the documents table; one full-outer
+    join on the union vocabulary, one output row, cross-engine double
+    equality on the log arithmetic."""
+    from ccm_spark.pipeline.dsir import corpus_divergence
+
+    docs = _docs(spark, sf_dir)
+    return corpus_divergence(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1")
+    )
+
+
+def q_phrase_blocklist(spark, sf_dir):
+    """Phrase-blocklist matcher (pipeline/filters.py, gated r12 — the
+    document-filter family's first CORRECTNESS row): relational phrase
+    matching over the fixed BLOCKLIST_GATE_PHRASES fixture — anchor
+    broadcast join + required-cell equi-join with HAVING count = phrase
+    length, overlap-counting scan semantics; NO regex union, NO
+    array-carrying explode."""
+    from ccm_spark.pipeline.filters import (
+        BLOCKLIST_GATE_PHRASES,
+        phrase_blocklist_matches,
+    )
+
+    return phrase_blocklist_matches(_docs(spark, sf_dir), BLOCKLIST_GATE_PHRASES)
+
+
 def q_knn_graph(spark, sf_dir):
     """k-NN graph via NN-descent (pipeline/ann_graph.py, gated r11 —
     the graph family's first CORRECTNESS row): SRP multi-table seeding
@@ -1259,7 +1337,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DuckDB-replay pin in tests/test_pipeline_ops.py. Slot went to
         # semantic_dedup.
         "semantic_dedup": q_semantic_dedup,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # dedup_minhash_lsh rotated out r12 (QUERIES.md ledger): the
+        # still-gated dedup_components closure nests
+        # sql_dedup_minhash_lsh VERBATIM (41/41 normalized lines — the
+        # whole LSH verified-pair relation re-hashes inside that gate
+        # every round), and r11 recorded the dedup_ngram_jaccard pair
+        # relation hashing IDENTICALLY to this row at the gate
+        # geometry; keeps its stage pins plus a direct DuckDB-replay
+        # pin in tests/test_pipeline_ops.py. Slot went to
+        # phrase_blocklist (the document-filter family's first
+        # CORRECTNESS row).
+        "phrase_blocklist": q_phrase_blocklist,
         # dedup_incremental rotated out r10 (QUERIES.md ledger): its
         # signature index derives from the SAME shingle->MinHash CTE
         # chain the still-gated dedup_minhash_lsh hashes end-to-end;
@@ -1283,7 +1371,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the fingerprints keep a DuckDB-replay pin in
         # tests/test_pipeline_ops.py. Slot went to series_topk, whose
         # oracle is brute force (algorithm-independent evidence).
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        # dedup_simhash_pairs itself rotated out r12 (QUERIES.md
+        # ledger, the r11-staged plan): its fingerprint input has held
+        # the full-resolution replay pin since r07, the xor-Hamming
+        # pigeonhole banding shares the banded-equi-join machinery the
+        # dedup family still gates, and the pair relation gains a
+        # direct DuckDB-replay pin in tests/test_pipeline_ops.py. Slot
+        # went to knn_graph_insert (the incremental-maintenance
+        # family's first CORRECTNESS row — the twin replays the entire
+        # served-graph + increment + three-way-merge chain).
+        "knn_graph_insert": q_knn_graph_insert,
         "series_topk": q_series_topk,
         # decontaminate rotated out r11 (QUERIES.md ledger): the
         # incoming eval-side audit runs the SAME token-w-gram shingle
@@ -1329,7 +1426,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # already breaks a gated row; keeps a DuckDB-replay pin in
         # tests/test_pipeline_ops.py. Slot went to wordpiece_encode (the
         # wordpiece serving kernel's first CORRECTNESS row).
-        "wordpiece_encode": q_wordpiece_encode,
+        # wordpiece_encode itself rotated out r12 (QUERIES.md ledger):
+        # sql_tokenizer_fertility nests sql_wordpiece_encode VERBATIM
+        # (46/46 normalized lines — the fertility gate re-hashes the
+        # whole wordpiece relation every round, the ann_ivf_kmeans
+        # precedent); keeps serving-kernel pins in
+        # tests/test_tokenize.py plus a direct DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to corpus_divergence
+        # (the corpus-monitoring family's first CORRECTNESS row).
+        "corpus_divergence": q_corpus_divergence,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
         # multimodal_frames rotated out r09 (QUERIES.md policy): both
@@ -1339,7 +1444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to hll_vocab (the HLL sketch's first CORRECTNESS row — CMS
         # holds the sketch family's other gate).
         "hll_vocab": q_hll_vocab,
-        "events_hourly_stats": q_events_hourly_stats,
+        # events_hourly_stats rotated out r12 (QUERIES.md ledger): the
+        # hourly aggregation is the unwatermarked SUPERSET of the
+        # still-gated streaming_hourly_stats row (same µs-DIV
+        # bucketing, same round-then-divide discipline — the streaming
+        # twin re-derives the identical cells); keeps its pins plus a
+        # direct DuckDB-replay pin in tests/test_pipeline_ops.py. Slot
+        # went to shipping_priority (the first multi-join TPC-H row,
+        # with a PushedFilters plan pin for both date predicates).
+        "shipping_priority": q_shipping_priority,
         # gen_logistic_maps rotated out r07 (QUERIES.md policy): the G1
         # generator stays end-to-end hash-checked through the still-gated
         # ccm_logistic_bidirectional (same recursive-CTE replay of the
@@ -1428,10 +1541,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oext.sql_dedup_exact(),
         "dedup_components": oext.sql_dedup_components(),
         "semantic_dedup": oext.sql_semantic_dedup(),
-        "dedup_minhash_lsh": oext.sql_dedup_minhash_lsh(),
+        "phrase_blocklist": oext.sql_phrase_blocklist(),
         "sessionize_updates": oext.sql_sessionize_updates(),
         "graph_diversity": oext.sql_graph_diversity(),
-        "dedup_simhash_pairs": oext.sql_dedup_simhash_pairs(),
+        "knn_graph_insert": oext.sql_knn_graph_insert(),
         "series_topk": oext.sql_series_topk(),
         "eval_contamination": oext.sql_eval_contamination(),
         "ann_cosine_topk": oext.sql_ann_cosine_topk(),
@@ -1440,11 +1553,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_hosts": oext.sql_pagerank_hosts(),
         "html_extract": oext.sql_html_extract(),
         "ann_ivf_kmeans_topk": oext.sql_ann_ivf_kmeans_topk(),
-        "wordpiece_encode": oext.sql_wordpiece_encode(),
+        "corpus_divergence": oext.sql_corpus_divergence(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
         "hll_vocab": oext.sql_hll_registers(),
-        "events_hourly_stats": oext.sql_events_hourly_stats(),
+        "shipping_priority": oext.sql_shipping_priority(),
         "quantize_embeddings": oext.sql_quantize_embeddings(),
         "events_asof_join": oext.sql_events_asof_join(),
         "warc_extract": oext.sql_warc_extract(),

@@ -709,6 +709,65 @@ def test_r11_rotated_rows_match_duckdb_replay(spark, sf_small):
         )
 
 
+def test_r12_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r12 rotation pins (QUERIES.md ledger): dedup_simhash_pairs /
+    events_hourly_stats / wordpiece_encode / dedup_minhash_lsh lost
+    their driver gate slots to knn_graph_insert / shipping_priority /
+    corpus_divergence / phrase_blocklist; each rotated-out relation
+    stays cross-engine hash-checked here at sf0.001, exactly the way
+    the driver would check it (the outgoing rows' oracles also remain
+    nested verbatim inside still-gated siblings — dedup_components
+    embeds the LSH chain, tokenizer_fertility embeds wordpiece — so
+    this is the direct pin on top of that transitive evidence)."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "dedup_simhash_pairs": (
+            entry.q_dedup_simhash_pairs,
+            oe.sql_dedup_simhash_pairs(),
+        ),
+        "events_hourly_stats": (
+            entry.q_events_hourly_stats,
+            oe.sql_events_hourly_stats(),
+        ),
+        "wordpiece_encode": (
+            entry.q_wordpiece_encode,
+            oe.sql_wordpiece_encode(),
+        ),
+        "dedup_minhash_lsh": (
+            entry.q_dedup_minhash_lsh,
+            oe.sql_dedup_minhash_lsh(),
+        ),
+    }
+
+    def _key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert got == want, (
+            f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
+            "or values differ"
+        )
+
+
 def test_corpus_diff_matches_duckdb_twin(spark, sf_small):
     """Parity-fixture diff (r12 gate candidate, QUERIES.md): the full
     4-column output (status + both hashes) of the NULL-safe operator —
