@@ -2844,6 +2844,101 @@ SELECT n.src AS vec_id,
 FROM nodes n LEFT JOIN best b ON b.src = n.src"""
 
 
+#: sql_knn_graph_search gate geometry: every 50th-ish vector (vec_id %
+#: 50 = 7) queries the served gate graph — 10 queries at sf0.001, 40 at
+#: sf0.01 — through a beam-16, 3-hop walk from the 8 lowest node ids
+SEARCH_GATE_PRED = "vec_id % 50 = 7"
+SEARCH_K = 5
+SEARCH_BEAM = 16
+SEARCH_HOPS = 3
+SEARCH_SEEDS = 8
+
+
+def sql_knn_graph_search(
+    k: int = SEARCH_K,
+    beam: int = SEARCH_BEAM,
+    n_hops: int = SEARCH_HOPS,
+    n_seeds: int = SEARCH_SEEDS,
+    query_pred: str = SEARCH_GATE_PRED,
+) -> str:
+    """DuckDB twin of ann_graph.knn_graph_search over the gate k-NN
+    graph (sql_knn_graph nested verbatim, the sql_graph_diversity /
+    sql_knn_graph_insert precedent): the batched best-first beam walk
+    unrolled hop-by-hop as CTEs. Seeds are the n_seeds lowest distinct
+    edge sources; visited_0 scores every query against every seed
+    (round-9 cosine, zero-norm -> 0.0, the shared kernel shape); each
+    hop takes the per-query top-``beam`` of visited by (cos DESC, node
+    ASC), expands through the graph's ranked edges, drops already-
+    visited (query, node) pairs via NOT EXISTS (the Spark side's
+    left_anti — a visited pair is NEVER re-scored), scores the fresh
+    candidates, and unions them in. Final: per-query top-k of visited
+    as (query_id, rank, target_id, cos_sim)."""
+    cos = (
+        "round(CASE WHEN sqrt(list_dot_product({a}, {a})) = 0 "
+        "OR sqrt(list_dot_product({b}, {b})) = 0 THEN 0.0 "
+        "ELSE list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b}))) END, 9) + 0.0"
+    )
+    score = cos.format(a="q.qvec", b="nv.vec")
+    ctes = [
+        f"graph AS MATERIALIZED ({sql_knn_graph()})",
+        "edges_s AS (SELECT src, dst FROM graph)",
+        "vs AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"""qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE {query_pred}
+)""",
+        f"""seeds_s AS (
+  SELECT DISTINCT src AS node FROM edges_s ORDER BY node LIMIT {n_seeds}
+)""",
+        f"""visited_0 AS (
+  SELECT q.query_id, s.node, {score} AS cos_sim
+  FROM qv q CROSS JOIN seeds_s s JOIN vs nv ON nv.vec_id = s.node
+)""",
+    ]
+    prev = "visited_0"
+    for h in range(1, n_hops + 1):
+        ctes.append(
+            f"""frontier_{h} AS (
+  SELECT query_id, node FROM (
+    SELECT query_id, node,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, node ASC) AS rk
+    FROM {prev}
+  ) r WHERE rk <= {beam}
+)"""
+        )
+        ctes.append(
+            f"""cand_{h} AS (
+  SELECT DISTINCT f.query_id, e.dst AS node
+  FROM frontier_{h} f JOIN edges_s e ON e.src = f.node
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} v
+                    WHERE v.query_id = f.query_id AND v.node = e.dst)
+)"""
+        )
+        ctes.append(
+            f"""visited_{h} AS (
+  SELECT query_id, node, cos_sim FROM {prev}
+  UNION ALL
+  SELECT c.query_id, c.node, {score} AS cos_sim
+  FROM cand_{h} c JOIN vs nv ON nv.vec_id = c.node
+  JOIN qv q ON q.query_id = c.query_id
+)"""
+        )
+        prev = f"visited_{h}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, CAST(rk AS INT) AS rank, node AS target_id, cos_sim FROM (
+  SELECT query_id, node, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, node ASC) AS rk
+  FROM {prev}
+) r WHERE rk <= {k}"""
+    )
+
+
 # ------------------------------------------------- blocklist / density ops
 
 def _phrase_values() -> tuple[str, str]:

@@ -658,6 +658,73 @@ def test_knn_graph_search_matches_python_replay(spark, sf_small):
     assert not mism, mism[:2]
 
 
+def test_knn_graph_search_matches_duckdb_twin(spark, sf_small):
+    """The whole beam walk replayed declaratively in DuckDB at the gate
+    geometry (r13 gate candidate, QUERIES.md): the served graph is
+    sql_knn_graph nested verbatim, the walk unrolled hop-by-hop with
+    NOT EXISTS standing in for the Spark side's left_anti visited
+    check. Exact equality including the cosine doubles and every
+    rank — the evidence tier the other graph-family operators carry."""
+    import duckdb
+
+    from ccm_spark.pipeline.ann_graph import knn_graph_descent, knn_graph_search
+    from ccm_spark.pipeline.similarity import SRP_PLANES
+    from ccm_spark.plans.oracle_sql_ext import (
+        KNN_GRAPH_K,
+        KNN_GRAPH_ROUNDS,
+        KNN_GRAPH_SEED,
+        KNN_GRAPH_TABLES,
+        SEARCH_BEAM,
+        SEARCH_GATE_PRED,
+        SEARCH_HOPS,
+        SEARCH_K,
+        SEARCH_SEEDS,
+        sql_knn_graph_search,
+    )
+
+    embs = _embs(spark, sf_small)
+    graph = knn_graph_descent(
+        embs,
+        k=KNN_GRAPH_K,
+        n_rounds=KNN_GRAPH_ROUNDS,
+        seed=KNN_GRAPH_SEED,
+        planes=SRP_PLANES,
+        n_seed_tables=KNN_GRAPH_TABLES,
+    ).localCheckpoint(eager=True)
+    queries = embs.where(SEARCH_GATE_PRED).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = knn_graph_search(
+        graph,
+        embs,
+        queries,
+        k=SEARCH_K,
+        beam=SEARCH_BEAM,
+        n_hops=SEARCH_HOPS,
+        n_seeds=SEARCH_SEEDS,
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.target_id, r.cos_sim) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_small}/embeddings.parquet')"
+    )
+    want = sorted(
+        (int(q), int(rk), int(t), float(c))
+        for q, rk, t, c in con.sql(sql_knn_graph_search()).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(a, b) for a, b in zip(got, want) if a != b]
+    assert not mism, mism[:5]
+    # every query produced a full top-k (the walk visited >= k nodes)
+    from collections import Counter
+
+    per_q = Counter(q for q, _, _, _ in got)
+    assert per_q and all(v == SEARCH_K for v in per_q.values())
+
+
 def test_knn_graph_search_recall_vs_exact(spark, sf_small):
     """The walk must beat chance by a wide margin on the isotropic
     corpus: recall@5 vs brute force, pinned well above the random floor
