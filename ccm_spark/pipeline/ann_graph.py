@@ -637,6 +637,10 @@ def knn_graph_search(
     costs nothing on isotropic data); scores round to 9 decimals with
     the graph's (cos desc, id asc) tie rule; every hop expands the
     CURRENT beam only and never re-scores a visited (query, node) pair.
+    Graph nodes absent from the embeddings relation (a served graph can
+    outlive deletions) are recorded visited-with-NULL-score — never
+    re-proposed, never expanded, never output; already-expanded beam
+    members are skipped on later hops (their dsts are all visited).
 
     100 TB shape: per hop — one join of the beam (|Q|·beam rows, two
     int64s wide) against the graph's edge relation, one anti-join
@@ -674,35 +678,69 @@ def knn_graph_search(
             )
         )
 
+    def score_mark(cand: DataFrame) -> DataFrame:
+        """Score candidates AND record the unscorable ones (graph nodes
+        with no row in the embeddings relation — a served graph can
+        reference vectors since deleted, the ``knn_graph_insert``
+        precondition). Unscorable nodes enter visited with a NULL
+        ``cos_sim`` so the anti-join never re-proposes them hop after
+        hop; the NULL keeps them out of the frontier and the output
+        (both filter on ``cos_sim IS NOT NULL``), so scored results are
+        bit-identical to the drop-silently form this replaces."""
+        scored = score(cand)
+        dangling = cand.join(
+            scored.select("query_id", "node"), ["query_id", "node"], "left_anti"
+        ).select(
+            "query_id", "node", F.lit(None).cast("double").alias("cos_sim")
+        )
+        return scored.unionByName(dangling)
+
     seeds = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .orderBy("node")
         .limit(n_seeds)
     )
-    visited = score(
+    visited = score_mark(
         qv.select("query_id").crossJoin(F.broadcast(seeds))
     ).localCheckpoint(eager=True)
 
     beam_w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("node").asc()
     )
+    expanded = None
     for _ in range(n_hops):
         frontier = (
-            visited.withColumn("rank", F.row_number().over(beam_w))
+            visited.where(F.col("cos_sim").isNotNull())
+            .withColumn("rank", F.row_number().over(beam_w))
             .where(F.col("rank") <= beam)
             .select("query_id", "node")
         )
+        # only expand frontier members not expanded on a previous hop:
+        # an already-expanded node's dsts are all visited, so re-joining
+        # it against the edge relation buys nothing — output-identical,
+        # one (|Q|·beam)-row anti-join instead of a wasted edge join
+        to_expand = (
+            frontier
+            if expanded is None
+            else frontier.join(expanded, ["query_id", "node"], "left_anti")
+        )
         cand = (
-            frontier.join(edges, frontier.node == edges.src)
+            to_expand.join(edges, to_expand.node == edges.src)
             .select("query_id", F.col("dst").alias("node"))
             .distinct()
             .join(visited, ["query_id", "node"], "left_anti")
         )
-        visited = visited.unionByName(score(cand)).localCheckpoint(eager=True)
+        visited = visited.unionByName(score_mark(cand)).localCheckpoint(eager=True)
+        expanded = (
+            to_expand
+            if expanded is None
+            else expanded.unionByName(to_expand)
+        ).localCheckpoint(eager=True)
 
     return (
-        visited.withColumn("rank", F.row_number().over(beam_w))
+        visited.where(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(beam_w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",

@@ -332,6 +332,17 @@ def value_quantiles_approx(events: DataFrame, accuracy: int = 10_000) -> DataFra
     return events.groupBy("event_type").agg(*aggs)
 
 
+def _with_hour_idx(events: DataFrame, *cols: str) -> DataFrame:
+    """(cols..., hour_idx) via integer ``DIV`` on the µs epoch — the repo
+    bucketing convention (entry.py: ``ts_us DIV 3600000000``), bit-identical
+    to the DuckDB twins' ``//``. The double-division-then-floor form this
+    replaces is exact for realistic epochs but one rounding quirk away
+    from a boundary flip, so the invariant is pinned here instead."""
+    return events.select(*cols, ts_micros(events).alias("_ts_us")).select(
+        *cols, F.expr("_ts_us DIV 3600000000").alias("hour_idx")
+    )
+
+
 def hourly_rollup(events: DataFrame) -> DataFrame:
     """Multi-level rollup — (event_type, hour) cells, per-event_type
     totals, and the grand total in ONE aggregation pass, the grouping-sets
@@ -347,9 +358,8 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     ``grouping_id`` disambiguates subtotal rows from genuine NULL keys.
     Hour is derived from the µs-resolution dispatcher (ts dtype-robust).
     """
-    hour = F.floor(ts_micros(events) / F.lit(3_600_000_000)).alias("hour_idx")
     return (
-        events.select("event_type", hour, "value")
+        _with_hour_idx(events, "event_type", "value")
         .rollup("event_type", "hour_idx")
         .agg(
             F.grouping_id().alias("gid"),
@@ -386,9 +396,8 @@ def hourly_anomalies(
     one window over the tiny hourly relation partitioned by event_type
     — no shuffle ever carries raw events past the first combine.
     """
-    hour = F.floor(ts_micros(events) / F.lit(3_600_000_000)).alias("hour_idx")
     hourly = (
-        events.select("event_type", hour)
+        _with_hour_idx(events, "event_type")
         .groupBy("event_type", "hour_idx")
         .agg(F.count("*").alias("n_events"))
     )

@@ -18,9 +18,12 @@ output):
 1. explode docs to ``(doc_id, pos, tok)`` — map-side, linear;
 2. broadcast-join the tiny anchor relation (first token of each phrase)
    → sparse candidate starts;
-3. left-semi restrict the token relation to candidate docs (pigeonhole:
-   a doc with no anchor token can never match, so the verify join never
-   sees it) and equi-join each candidate's required ``(pos, tok)`` cells
+3. left-semi restrict the DOCS to candidate docs and re-tokenize only
+   those (pigeonhole: a doc with no anchor token can never match, so
+   the verify side never even explodes a clean doc; the full-corpus
+   explode runs exactly once, cut by a localCheckpoint on the sparse
+   anchor-hit relation) and equi-join each candidate's required
+   ``(pos, tok)`` cells
    — a match is a candidate whose per-position hit count equals the
    phrase length.
 
@@ -35,9 +38,11 @@ the exchange. ``compression_signals`` is a mapInPandas byte kernel
 (zlib is CPython stdlib; no cross-engine twin exists, so it is pinned
 against a Python replay rather than DuckDB — see tests/test_filters.py).
 
-Caveat: Spark splits strings into UTF-16 code units while DuckDB substr
-is codepoint-based; the entropy operator is exact for BMP text (all of
-``/root/testdata``) and approximate beyond it.
+Unicode: Spark's ``split(text, '')`` yields CODEPOINTS (Java regex
+zero-width matches never land inside a surrogate pair), the same unit
+as DuckDB's codepoint-based substr — the entropy operator is exact
+beyond the BMP too, pinned by a non-BMP twin test
+(tests/test_filters.py::test_char_entropy_duckdb_twin_non_bmp).
 """
 
 from __future__ import annotations
@@ -122,14 +127,22 @@ def _verified_matches(
         "phrase string, off int, need_tok string",
     )
     toks_rel = _token_relation(docs, text_col)
-    cand = toks_rel.join(F.broadcast(anchors), toks_rel.tok == anchors.anchor).select(
-        "doc_id", F.col("pos").alias("match_pos"), "phrase", "plen"
+    # cand is the SPARSE anchor-hit relation; localCheckpoint it (the
+    # collocations_pmi/corpus_divergence discipline) so the full-corpus
+    # tokenize+posexplode above runs exactly ONCE per action — cand
+    # feeds both the pigeonhole doc set and the required-cell join, and
+    # without the cut the explode would replay per consumer. Nothing
+    # corpus-sized is ever persisted: only anchor occurrences.
+    cand = (
+        toks_rel.join(F.broadcast(anchors), toks_rel.tok == anchors.anchor)
+        .select("doc_id", F.col("pos").alias("match_pos"), "phrase", "plen")
+        .localCheckpoint(eager=True)
     )
-    # Pigeonhole restriction: the verify join only needs tokens of docs
-    # holding >= 1 anchor. Plain left-semi — AQE turns it into a
-    # broadcast join when the candidate doc set is small.
+    # Pigeonhole restriction BEFORE the second explode: re-tokenize only
+    # the docs holding >= 1 anchor (a doc with no anchor token can never
+    # match), so the verify side never materialises tokens of clean docs.
     cand_docs = cand.select("doc_id").distinct()
-    dtoks = toks_rel.join(cand_docs, "doc_id", "left_semi")
+    dtoks = _token_relation(docs.join(cand_docs, "doc_id", "left_semi"), text_col)
     cells = cand.join(F.broadcast(needs), "phrase").select(
         "doc_id",
         "phrase",

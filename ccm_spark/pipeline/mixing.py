@@ -635,10 +635,19 @@ def top_fraction(
     single-task global rank, so no task ever sorts the corpus (the
     global-window ``percent_rank`` form this replaces plans ONE
     partition for the whole relation). Returns the kept rows plus
-    their 1-based ``rank``.
+    their 1-based ``rank`` (the input must not already carry a
+    ``rank`` column — it is the operator's output contract).
+
+    Determinism contract: the count action and the rank pass evaluate
+    the input lineage TWICE, so ``df`` must be deterministic (every
+    repo source is; checkpoint/persist a nondeterministic upstream —
+    e.g. a fresh unseeded sample — before calling, or the two
+    evaluations can disagree on n).
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"top_fraction: frac must be in (0, 1], got {frac}")
+    if "rank" in df.columns:
+        raise ValueError("top_fraction: input already has a 'rank' column")
     n = df.count()
     if n == 0:
         return df.withColumn("rank", F.lit(0).cast("int")).limit(0)
@@ -649,17 +658,19 @@ def top_fraction(
         (F.round(F.col(score_col), 6) + F.lit(0.0)).desc(),
         F.col(tie_col).asc(),
     ]
-    local_w = Window.partitionBy("_split").orderBy(*order)
+    # collision-safe temp names: the input schema is caller-controlled
+    split_c, lr_c = "__tf_split", "__tf_local_rank"
+    local_w = Window.partitionBy(split_c).orderBy(*order)
     survivors = (
-        df.withColumn("_split", F.spark_partition_id())
-        .withColumn("_lr", F.row_number().over(local_w))
-        .where(F.col("_lr") <= k)
+        df.withColumn(split_c, F.spark_partition_id())
+        .withColumn(lr_c, F.row_number().over(local_w))
+        .where(F.col(lr_c) <= k)
     )
     w = Window.orderBy(*order)
     return (
         survivors.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .drop("_split", "_lr")
+        .drop(split_c, lr_c)
     )
 
 

@@ -109,6 +109,10 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     # 1a'. information-density report (non-filtering): zlib ratio and
     # char-entropy extremes — the Gopher repetitiousness signals a
     # curator reads before setting filter thresholds.
+    # an empty surviving set would make these aggregates NULL and the
+    # float() casts below TypeError — same guard as the embedding
+    # survivors assert later in the pipeline
+    assert counts["after_blocklist"] > 0, "blocklist dropped every document"
     dens = (
         compression_signals(docs)
         .agg(

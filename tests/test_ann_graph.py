@@ -756,3 +756,39 @@ def test_knn_graph_search_recall_vs_exact(spark, sf_small):
     }
     recall = len(exact & served) / len(exact)
     assert recall >= 0.35, f"graph-walk recall@5 = {recall:.2f}"
+
+
+def test_knn_graph_search_dangling_nodes(spark):
+    """A served graph can reference vectors since deleted
+    (the knn_graph_insert scenario): dangling dst ids must be marked
+    visited-but-unscorable — never output, never re-proposed, never
+    expanded — so the walk over a graph WITH dangling edges returns
+    exactly the walk over the same graph with them pruned."""
+    import random
+
+    from ccm_spark.pipeline.ann_graph import knn_graph_search
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    embs = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    live = [(i, (i + 1) % 12) for i in range(12)] + [
+        (i, (i + 5) % 12) for i in range(12)
+    ]
+    dangling = [(i, 99) for i in range(0, 12, 3)] + [(4, 101), (7, 101)]
+    g_live = spark.createDataFrame(live, "src long, dst long")
+    g_full = spark.createDataFrame(live + dangling, "src long, dst long")
+    queries = spark.createDataFrame(
+        [(0, vecs[3][1]), (1, vecs[8][1])],
+        "query_id long, embedding array<double>",
+    )
+    kw = dict(k=4, beam=4, n_hops=3, n_seeds=2)
+    got = sorted(
+        (r.query_id, r.rank, r.target_id, r.cos_sim)
+        for r in knn_graph_search(g_full, embs, queries, **kw).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.target_id, r.cos_sim)
+        for r in knn_graph_search(g_live, embs, queries, **kw).collect()
+    )
+    assert got == want and got
+    assert all(t not in (99, 101) for _, _, t, _ in got)

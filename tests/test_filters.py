@@ -185,6 +185,48 @@ def test_char_entropy_duckdb_twin(spark, sf_small):
     assert len(got) == len(want) and not mism, mism[:5]
 
 
+def test_char_entropy_duckdb_twin_non_bmp(spark):
+    """Cross-engine exactness BEYOND the BMP: Spark's split('') emits
+    codepoints (zero-width regex matches never split a surrogate pair),
+    the same unit as DuckDB's substr — so emoji/astral text hashes
+    identically, not just the ASCII testdata. Rotation-safety pin for
+    the char_entropy gate candidate."""
+    import duckdb
+    import pandas as pd
+
+    from ccm_spark.plans.oracle_sql_ext import sql_char_entropy
+
+    texts = [
+        "a\U0001F600b\U0001F600",      # 4 codepoints (6 UTF-16 units)
+        "\U0001D54F\U0001D550 plain",  # math alphanumerics + ASCII
+        "café ☕ \U0001F600\U0001F600\U0001F600",
+        "",
+    ]
+    d = docs_df(spark, texts)
+    out = char_entropy_signals(d).select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        (F.round("entropy_bits", 6) + F.lit(0.0)).alias("entropy_bits"),
+    )
+    got = sorted(
+        (r.doc_id, r.n_chars, r.n_distinct_chars, r.entropy_bits)
+        for r in out.collect()
+    )
+    # codepoint counts, not UTF-16 units: doc 0 is 4 chars, not 6
+    assert got[0][1] == 4 and got[0][2] == 3
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+    )
+    want = sorted(
+        (int(a), int(b), int(c), float(x))
+        for a, b, c, x in con.sql(sql_char_entropy()).fetchall()
+    )
+    assert got == want, [(g, w) for g, w in zip(got, want) if g != w][:5]
+
+
 # ----------------------------------------------------------- compression
 
 
