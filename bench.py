@@ -540,11 +540,43 @@ def main() -> None:
     #   run still executes first and stays visible in the spread.
     EXTRA_NRUNS = {"dsir_select": 3, "knn_graph_2k": 3, "pagerank_20k": 3}
     EXTRA_WARM_MEDIAN = {"pagerank_20k"}
+    # r12 (VERDICT r11 #6): cooldown re-gate BETWEEN extras. The r11
+    # self-run's own 1-min loadavg ramped 4 -> 15 as the extras queue
+    # drained back-to-back, manufacturing phantom quiet-host regressions
+    # (bm25_topk +64% that reversed on the driver). Before each extra's
+    # timed runs, wait (bounded) for the 1-min loadavg to decay below
+    # EXTRA_LOAD_GATE so every extra starts inside the same documented
+    # band; a per-extra cap and a whole-run budget keep the bench's
+    # wall-clock bounded on a host that never quiets — budget exhaustion
+    # is flagged in the JSON rather than stalling the run. The recorded
+    # per-extra START loadavg is the number a cross-round comparison
+    # should read before calling an extra's delta a regression.
+    EXTRA_LOAD_GATE = 6.0
+    EXTRA_COOLDOWN_MAX = 60.0
+    EXTRA_COOLDOWN_BUDGET = 360.0
+    cooldown_spent = 0.0
+    extra_start_load: dict[str, float] = {}
     extra_timings = {}
     extra_spread = {}
     extra_nruns = {}
     extra_load_samples = {}
     for name, fn in extras.items():
+        waited = 0.0
+        while cooldown_spent < EXTRA_COOLDOWN_BUDGET and waited < EXTRA_COOLDOWN_MAX:
+            la = _loadavg()
+            if not la or la[0] <= EXTRA_LOAD_GATE:
+                break
+            time.sleep(5)
+            waited += 5
+            cooldown_spent += 5
+        la = _loadavg()
+        extra_start_load[name] = la[0] if la else -1.0
+        if waited:
+            print(
+                f"# cooldown before {name}: {waited:.0f}s "
+                f"(start loadavg {extra_start_load[name]})",
+                file=sys.stderr,
+            )
         extra_runs = []
         extra_load_samples[name] = []
         for _ in range(EXTRA_NRUNS.get(name, 2)):
@@ -608,6 +640,15 @@ def main() -> None:
                     name: xs for name, xs in load_samples.items()
                 },
                 "extra_loadavg_per_query": extra_load_samples,
+                # r12 cooldown re-gate: per-extra START loadavg (the
+                # comparable band), gate threshold, and how much of the
+                # bounded cooldown budget the run spent waiting
+                "extra_start_loadavg": extra_start_load,
+                "extra_cooldown_gate": EXTRA_LOAD_GATE,
+                "extra_cooldown_spent_sec": cooldown_spent,
+                "extra_cooldown_budget_sec": EXTRA_COOLDOWN_BUDGET,
+                "extra_cooldown_budget_exhausted": cooldown_spent
+                >= EXTRA_COOLDOWN_BUDGET,
                 "loadavg_before": load_before,
                 "loadavg_at_start": load_at_start,
                 "loadavg_gate": LOAD_GATE,

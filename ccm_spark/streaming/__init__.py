@@ -3,7 +3,13 @@ from ccm_spark.streaming.windows import (
     windowed_event_stats,
     windowed_pair_correlation,
 )
-from ccm_spark.streaming.stateful import running_stats_batch, running_value_stats
+from ccm_spark.streaming.stateful import (
+    running_stats_batch,
+    running_value_stats,
+    streaming_hourly_anomalies,
+    streaming_hourly_anomalies_watermarked,
+    streaming_sessionize,
+)
 from ccm_spark.streaming.dedup_stream import (
     dedup_documents_stream,
     dedup_events_stream,
@@ -15,6 +21,9 @@ __all__ = [
     "windowed_pair_correlation",
     "running_stats_batch",
     "running_value_stats",
+    "streaming_hourly_anomalies",
+    "streaming_hourly_anomalies_watermarked",
+    "streaming_sessionize",
     "dedup_documents_stream",
     "dedup_events_stream",
 ]

@@ -257,6 +257,56 @@ ANOM_OUTPUT_SCHEMA = (
 ANOM_STATE_SCHEMA = "hours array<bigint>, counts array<bigint>"
 
 
+def _score_hour_range(
+    hours: list,
+    counts: list,
+    lo: int,
+    hi: int | None,
+    window_hours: int,
+    min_hours: int,
+    z_threshold: float,
+) -> list:
+    """Shared z-scoring kernel over the merged per-key (hour, count)
+    list: emit rows for observed hours ``lo <= h`` (``< hi`` when hi is
+    set), each scored against its trailing ``window_hours`` observed
+    predecessors — the same rows-window semantics as the batch
+    ``events_ops.hourly_anomalies``. Warm-up (< min_hours baselines)
+    and zero-variance baselines score 0.0 and never flag."""
+    import numpy as np
+
+    from ccm_spark.functions.hashing import py_round_half_up
+
+    rows = []
+    for i, h in enumerate(hours):
+        if h < lo or (hi is not None and h >= hi):
+            continue
+        base = counts[max(0, i - window_hours) : i]
+        n_base = len(base)
+        if n_base:
+            arr = np.asarray(base, dtype=np.float64)
+            mean = float(arr.sum() / n_base)
+            std = float(np.sqrt(((arr - mean) ** 2).sum() / n_base))
+        else:
+            mean = std = 0.0
+        scored = n_base >= min_hours and std > 0
+        z = (counts[i] - mean) / std if scored else 0.0
+        # py_round_half_up, not the builtin: the batch twin rounds
+        # via F.round (HALF_UP on the shortest decimal repr) and the
+        # convergence pin compares rounded values — banker's
+        # rounding diverges on exact dyadic ties (hashing.py)
+        rows.append(
+            (
+                h,
+                counts[i],
+                py_round_half_up(mean, 6) + 0.0,
+                py_round_half_up(std, 6) + 0.0,
+                py_round_half_up(z, 6) + 0.0,
+                bool(scored and abs(z) >= z_threshold),
+            )
+        )
+    return rows
+
+
 def streaming_hourly_anomalies(
     events: DataFrame,
     window_hours: int = 24,
@@ -284,45 +334,15 @@ def streaming_hourly_anomalies(
     query loudly rather than silently scoring against a retired
     baseline; out-of-order sources need a watermark-buffered variant.
     """
-    import numpy as np
-
-    from ccm_spark.functions.hashing import py_round_half_up
-
     #: retained OBSERVED hours per key (positions, not wall span): any
     #: newly-touched hour's baseline needs window_hours observed
     #: predecessors, kept with generous slack
     keep_n = 4 * window_hours
 
     def _score(hours: list, counts: list, from_hour: int) -> list:
-        rows = []
-        for i, h in enumerate(hours):
-            if h < from_hour:
-                continue
-            base = counts[max(0, i - window_hours) : i]
-            n_base = len(base)
-            if n_base:
-                arr = np.asarray(base, dtype=np.float64)
-                mean = float(arr.sum() / n_base)
-                std = float(np.sqrt(((arr - mean) ** 2).sum() / n_base))
-            else:
-                mean = std = 0.0
-            scored = n_base >= min_hours and std > 0
-            z = (counts[i] - mean) / std if scored else 0.0
-            # py_round_half_up, not the builtin: the batch twin rounds
-            # via F.round (HALF_UP on the shortest decimal repr) and the
-            # convergence pin compares rounded values — banker's
-            # rounding diverges on exact dyadic ties (hashing.py)
-            rows.append(
-                (
-                    h,
-                    counts[i],
-                    py_round_half_up(mean, 6) + 0.0,
-                    py_round_half_up(std, 6) + 0.0,
-                    py_round_half_up(z, 6) + 0.0,
-                    bool(scored and abs(z) >= z_threshold),
-                )
-            )
-        return rows
+        return _score_hour_range(
+            hours, counts, from_hour, None, window_hours, min_hours, z_threshold
+        )
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -374,5 +394,121 @@ def streaming_hourly_anomalies(
         outputStructType=ANOM_OUTPUT_SCHEMA,
         stateStructType=ANOM_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+#: state for the watermark-buffered variant: the retained (hour, count)
+#: pairs PLUS the key's max event time and the next hour to emit
+ANOM_WM_STATE_SCHEMA = (
+    "hours array<bigint>, counts array<bigint>, "
+    "max_ts_us bigint, next_emit_hour bigint"
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def streaming_hourly_anomalies_watermarked(
+    events: DataFrame,
+    window_hours: int = 24,
+    min_hours: int = 6,
+    z_threshold: float = 3.0,
+    late_hours: int = 2,
+) -> DataFrame:
+    """Out-of-order tolerant variant of ``streaming_hourly_anomalies``
+    (VERDICT r11 #8): instead of failing on any hour regression, each
+    hour is held OPEN until the per-key event-time watermark
+    (``max seen ts − late_hours``) passes its end, then scored against
+    its (now final) trailing baseline and emitted exactly once —
+    append semantics per (event_type, hour_idx), no update-mode
+    re-emission, because a closed hour's count AND baseline can never
+    change again.
+
+    Within-batch and cross-batch reordering up to ``late_hours`` is
+    absorbed by the buffer; an event OLDER than the key's watermark
+    (late beyond the declared bound) still fails the query loudly —
+    the repo's honesty discipline, a strict generalization of the
+    in-order operator's precondition (which is this with a zero-width
+    buffer). Spark's built-in watermark would silently drop such rows;
+    a pager feed must not silently under-count an hour.
+
+    Emitted rows are bit-identical to the batch
+    ``events_ops.hourly_anomalies`` rows for every hour below the
+    key's final watermark (the convergence pin shuffles the fixture
+    before splitting it into micro-batches); hours at/above the
+    watermark remain buffered in state awaiting later events.
+
+    State per key stays bounded: the trailing ``4 * window_hours``
+    observed (hour, count) pairs plus two scalars — key cardinality ×
+    window, not stream length, same as the in-order operator.
+    """
+    keep_n = 4 * window_hours
+    late_us = int(late_hours) * _HOUR_US
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_hours, s_counts, max_ts, next_emit = state.get
+            held = dict(zip([int(h) for h in s_hours], [int(c) for c in s_counts]))
+        else:
+            held, max_ts, next_emit = {}, None, None
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        us = _pdf_ts_us(pdf["ts"])
+        # lateness gate against the PRIOR watermark (the batch's own
+        # events advance it only after the batch, Spark's own rule):
+        # an event in an hour the watermark already closed would mutate
+        # an emitted, finalized count
+        if max_ts is not None:
+            prior_closed_before = (int(max_ts) - late_us) // _HOUR_US
+            batch_min_hour = int(us.min()) // _HOUR_US
+            if batch_min_hour < prior_closed_before:
+                raise ValueError(
+                    "streaming_hourly_anomalies_watermarked: event "
+                    f"{prior_closed_before - batch_min_hour} hours older than "
+                    f"the allowed lateness ({late_hours}h) for type {key[0]} — "
+                    "raise late_hours or repair the source ordering"
+                )
+        for h, c in (us // _HOUR_US).value_counts().items():
+            held[int(h)] = held.get(int(h), 0) + int(c)
+        max_ts = int(us.max()) if max_ts is None else max(int(max_ts), int(us.max()))
+        closed_before = (max_ts - late_us) // _HOUR_US
+        hours = sorted(held)
+        counts = [held[h] for h in hours]
+        lo = int(next_emit) if next_emit is not None else hours[0]
+        rows = _score_hour_range(
+            hours, counts, lo, closed_before,
+            window_hours, min_hours, z_threshold,
+        )
+        # retire hours that can never again be touched (below the
+        # watermark) nor serve as a future hour's baseline; open hours
+        # are always retained
+        state.update(
+            (hours[-keep_n:], counts[-keep_n:], max_ts, max(lo, closed_before))
+        )
+        if not rows:
+            return
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "hour_idx",
+                "n_events",
+                "baseline_mean",
+                "baseline_std",
+                "zscore",
+                "anomaly",
+            ],
+        )
+        out.insert(0, "event_type", key[0])
+        yield out
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=ANOM_OUTPUT_SCHEMA,
+        stateStructType=ANOM_WM_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -19,9 +19,19 @@ once each and never re-read for the diff):
                       only its sketches remain)
   3b. volume watch   (per-type hourly anomaly z-scores from the event
                       stream — the pager feed next to the content drift)
+  3c. snapshot diff  (doc-level churn by content hash: added / removed /
+                      changed / unchanged — WHICH documents moved, the
+                      relation that scopes incremental reprocessing)
+  3d. divergence     (corpus-level smoothed KL / JS between the two
+                      days' unigram distributions — HOW FAR the content
+                      moved, the one-number gate on a mixing decision)
   4. merge check     (bottom-k sketches of two day-B shards fold to
                       the union sketch bit-for-bit: the property that
                       lets per-shard builds replace a global pass)
+
+The returned dict is ONE combined drift report (r12, VERDICT r11 #7):
+sketch drift + doc churn + distribution divergence + volume anomalies —
+the snapshot-diff → divergence → anomaly chain as a single nightly pass.
 """
 
 from __future__ import annotations
@@ -126,6 +136,28 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
     ).collect()[0]
     n_hours, n_anom = int(arow.n), int(arow.na)
 
+    # ---- stage 3c (r12): doc-level churn — WHICH documents moved -----
+    # content-hash snapshot diff: one md5 projection per side + one
+    # full-outer join; added/changed scope the incremental reprocess,
+    # removed feed index retirement
+    from ccm_spark.pipeline.dedup import corpus_diff
+
+    churn = {
+        r.status: int(r.n)
+        for r in corpus_diff(day_a, day_b)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    # ---- stage 3d (r12): distribution divergence — HOW FAR it moved --
+    # smoothed unigram KL/JS over the union vocabulary: the one-number
+    # drift gate a curator reads before re-balancing the mixture (the
+    # banner + truncation cocktail must register as nonzero JS)
+    from ccm_spark.pipeline.dsir import corpus_divergence
+
+    div = corpus_divergence(day_a, day_b).collect()[0]
+
     # ---- stage 4: shard-merge equals whole-day build -----------------
     with_len_b = day_b.select("doc_id", F.length("text").alias("doc_len"))
     sh0 = bottomk_build(with_len_b.filter("doc_id % 2 = 0"), "doc_len")
@@ -147,6 +179,14 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
         "whole_median": whole_median,
         "event_hours_scored": n_hours,
         "event_hours_anomalous": n_anom,
+        "docs_added": churn.get("added", 0),
+        "docs_removed": churn.get("removed", 0),
+        "docs_changed": churn.get("changed", 0),
+        "docs_unchanged": churn.get("unchanged", 0),
+        "kl_ab_bits": div.kl_ab_bits,
+        "kl_ba_bits": div.kl_ba_bits,
+        "js_bits": div.js_bits,
+        "vocab_union": int(div.vocab_union),
     }
 
 

@@ -162,6 +162,24 @@ def test_corpus_monitoring_example_runs(spark, sf_small, tmp_path):
     assert out["p90_len_shift"] < 0
     # mergeable: two shard sketches fold to the whole-day answer
     assert out["merged_median"] == out["whole_median"]
+    # r12 combined drift report: the doc-level churn diff must account
+    # for every planted mutation exactly — 10% of doc_ids removed,
+    # nothing added, and every surviving truncated-or-bannered doc
+    # counted as changed (doc_id%2==0 or %3==0, excluding %10==0)
+    assert out["docs_added"] == 0
+    assert out["docs_removed"] == 50
+    want_changed = sum(
+        1
+        for i in range(500)
+        if i % 10 != 0 and (i % 2 == 0 or i % 3 == 0)
+    )
+    assert out["docs_changed"] == want_changed
+    assert out["docs_unchanged"] == 450 - want_changed
+    # ...and the distribution divergence must register the drift as a
+    # real, finite, symmetric-bounded signal
+    assert 0 < out["js_bits"] <= 1.0
+    assert out["kl_ab_bits"] > 0 and out["kl_ba_bits"] > 0
+    assert out["vocab_union"] > 0
 
 
 def test_data_selection_example_runs(spark, sf_small):

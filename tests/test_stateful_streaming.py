@@ -346,3 +346,151 @@ def test_streaming_hourly_anomalies_rescores_straddled_hour(spark, tmp_path):
     assert final == batch
     # hour 7's baseline saw hour 6's FINAL count (4, not 1)
     assert final[("click", 7)][1] == batch[("click", 7)][1]
+
+
+def test_streaming_hourly_anomalies_watermarked_out_of_order(spark, tmp_path):
+    """The watermark-buffered variant (r12): a SHUFFLED late-data fixture
+    — events reordered within and across micro-batches up to the declared
+    lateness — must emit each closed hour EXACTLY ONCE with rows
+    bit-identical to the batch operator; hours the final watermark never
+    passed stay buffered (unemitted)."""
+    import os
+    import random
+    import time
+
+    import pandas as pd
+
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+    from ccm_spark.streaming.stateful import (
+        streaming_hourly_anomalies_watermarked,
+    )
+    from ccm_spark.streaming.windows import event_stream
+
+    US = 3_600_000_000
+    counts = {0: 2, 1: 3, 2: 2, 3: 4, 4: 2, 5: 3, 6: 9, 7: 2, 8: 3, 9: 4}
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).assign(
+            ts=lambda d: pd.to_datetime(d["ts"], unit="us"),
+            props="{}",
+        )
+
+    eid = iter(range(100_000))
+    rng = random.Random(42)
+
+    def ev_rows(etype, hours):
+        rows = [
+            (next(eid), h * US + 7 * i + (1 if etype == "view" else 0), 1, etype, 1.0)
+            for h in hours
+            for i in range(counts[h])
+        ]
+        rng.shuffle(rows)  # within-batch disorder
+        return rows
+
+    # per shard: max event hour advances 3 -> 6 -> 9; with late_hours=2
+    # the watermark closes hours <1, <4, <7 — so shard 2's hour-2/3
+    # stragglers and shard 3's hour-5 stragglers are LATE but inside the
+    # bound (hour >= prior watermark), exercising the buffer
+    shard1 = ev_rows("click", [0, 1, 2, 3]) + ev_rows("view", [0, 1, 2, 3])
+    shard2 = ev_rows("click", [2, 3, 4, 5, 6]) + ev_rows("view", [2, 3, 4, 5, 6])
+    shard3 = ev_rows("click", [5, 6, 7, 8, 9]) + ev_rows("view", [5, 6, 7, 8, 9])
+    d = tmp_path / "wm_stream"
+    d.mkdir()
+    for i, rows in enumerate((shard1, shard2, shard3)):
+        p = str(d / f"s{i}.parquet")
+        mk(rows).to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = streaming_hourly_anomalies_watermarked(
+        event_stream(spark, str(d), max_files_per_trigger=1),
+        window_hours=3,
+        min_hours=2,
+        z_threshold=2.0,
+        late_hours=2,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_anom_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM wm_anom_stream").collect()
+    got = {}
+    for r in rows:
+        k = (r.event_type, r.hour_idx)
+        assert k not in got, f"hour emitted twice: {k}"  # exactly-once
+        got[k] = (r.n_events, r.baseline_mean, r.baseline_std, r.zscore, r.anomaly)
+
+    # final watermark per key: max ts = hour 9 tail -> closes hours < 7
+    ev = spark.createDataFrame(mk(shard1 + shard2 + shard3))
+    want = {
+        (r.event_type, r.hour_idx): (
+            r.n_events, r.baseline_mean, r.baseline_std, r.zscore, r.anomaly
+        )
+        for r in hourly_anomalies(
+            ev, window_hours=3, min_hours=2, z_threshold=2.0
+        ).collect()
+        if r.hour_idx < 7
+    }
+    assert got == want
+    # non-vacuous: counts double-merged across shards for the straddled
+    # hours, and the hour-6 spike (9 vs ~2-4 baseline) must flag
+    assert got[("click", 2)][0] == 2 * counts[2]
+    assert got[("click", 6)][4] is True
+
+
+def test_streaming_hourly_anomalies_watermarked_too_late_fails(spark, tmp_path):
+    """An event older than the declared lateness must fail the query
+    loudly (Spark's built-in watermark would silently drop it — a pager
+    feed must not under-count an hour)."""
+    import os
+    import time
+
+    import pandas as pd
+    import pytest
+
+    from ccm_spark.streaming.stateful import (
+        streaming_hourly_anomalies_watermarked,
+    )
+    from ccm_spark.streaming.windows import event_stream
+
+    US = 3_600_000_000
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).assign(
+            ts=lambda d: pd.to_datetime(d["ts"], unit="us"),
+            props="{}",
+        )
+
+    # shard 1 reaches hour 8 -> watermark (late_hours=2) closes hours <6;
+    # shard 2 delivers an hour-1 event: 5 hours beyond the bound
+    shard1 = [(i, h * US, 1, "click", 1.0) for i, h in enumerate(range(9))]
+    shard2 = [(100, 1 * US + 5, 1, "click", 1.0)]
+    d = tmp_path / "wm_late_stream"
+    d.mkdir()
+    for i, rows in enumerate((shard1, shard2)):
+        p = str(d / f"s{i}.parquet")
+        mk(rows).to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = streaming_hourly_anomalies_watermarked(
+        event_stream(spark, str(d), max_files_per_trigger=1), late_hours=2
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_late_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="older than the allowed lateness"):
+        q.awaitTermination(180)
+        q.processAllAvailable()
