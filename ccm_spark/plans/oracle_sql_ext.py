@@ -3333,3 +3333,69 @@ SELECT CAST(seq_len AS INT) AS seq_len,
        round((SUM(n_seq * seq_len) - SUM(n_tokens))
              / CAST(SUM(n_seq * seq_len) AS DOUBLE), 6) + 0.0 AS waste_frac
 FROM per GROUP BY seq_len"""
+
+
+def sql_chunk_documents(max_tokens: int = 128, stride: int = 96) -> str:
+    """DuckDB twin of chunking.chunk_documents: same chunk-count identity
+    (ceil((n − max)/stride) via integer //, the repo DIV convention),
+    same 1-based inclusive token slice, same space re-join."""
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_t
+  FROM t WHERE len(toks) > 0
+),
+kk AS (
+  SELECT doc_id, toks, n_t,
+         unnest(range(0, 1 + CASE WHEN n_t <= {max_tokens} THEN 0
+                ELSE (n_t - {max_tokens} + {stride} - 1) // {stride} END)) AS k
+  FROM n
+)
+SELECT doc_id,
+       CAST(k AS INT) AS chunk_idx,
+       CAST(k * {stride} AS INT) AS start_tok,
+       CAST(LEAST({max_tokens}, n_t - k * {stride}) AS INT) AS n_tokens,
+       array_to_string(
+         toks[CAST(k * {stride} + 1 AS INT):CAST(k * {stride} + {max_tokens} AS INT)],
+         ' '
+       ) AS chunk_text
+FROM kk"""
+
+
+def sql_winnow_fingerprints(k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of chunking.winnow_fingerprints: same 30-bit gram
+    hash, same packed-integer rolling min (hash·2³² + (2³²−1−pos), so
+    the rightmost-min tie rule is plain BIGINT arithmetic), same
+    short-single-window rule for docs with fewer than w grams."""
+    gram_txt = (
+        f"array_to_string(toks[CAST(pos + 1 AS INT):CAST(pos + {k} AS INT)], ' ')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TOKENS} AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_t
+  FROM t WHERE len(toks) >= {k}
+),
+g AS (
+  SELECT doc_id, toks, n_t - {k} + 1 AS n_grams,
+         unnest(range(0, n_t - {k} + 1)) AS pos
+  FROM n
+),
+h AS (
+  SELECT doc_id, n_grams, pos,
+         ({_md5_long(gram_txt)}) % {1 << 30} AS gh
+  FROM g
+),
+wmin AS (
+  SELECT doc_id, n_grams, pos,
+         min(gh * {1 << 32} + ({(1 << 32) - 1} - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+         ) AS wm
+  FROM h
+)
+SELECT DISTINCT doc_id,
+       CAST({(1 << 32) - 1} - (wm % {1 << 32}) AS BIGINT) AS pos,
+       CAST(wm // {1 << 32} AS BIGINT) AS gram_hash
+FROM wmin
+WHERE pos <= GREATEST(0, n_grams - {w})"""

@@ -9,6 +9,7 @@ from ccm_spark.streaming.stateful import (
     streaming_hourly_anomalies,
     streaming_hourly_anomalies_watermarked,
     streaming_sessionize,
+    streaming_sessionize_watermarked,
 )
 from ccm_spark.streaming.dedup_stream import (
     dedup_documents_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "streaming_hourly_anomalies",
     "streaming_hourly_anomalies_watermarked",
     "streaming_sessionize",
+    "streaming_sessionize_watermarked",
     "dedup_documents_stream",
     "dedup_events_stream",
 ]

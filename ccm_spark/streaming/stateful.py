@@ -512,3 +512,132 @@ def streaming_hourly_anomalies_watermarked(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: state for the watermark-buffered sessionizer: the open-session tuple
+#: (n == 0 means no open session), the held-back event buffer, and the
+#: key's max event time
+SESSION_WM_STATE_SCHEMA = (
+    "session_idx bigint, start_us bigint, last_us bigint, n bigint, "
+    "sum_value double, buf_ts array<bigint>, buf_eid array<bigint>, "
+    "buf_val array<double>, max_ts_us bigint"
+)
+
+
+def streaming_sessionize_watermarked(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    late_minutes: int = 10,
+) -> DataFrame:
+    """Out-of-order tolerant variant of ``streaming_sessionize`` (the
+    same buffer-until-watermark design as
+    ``streaming_hourly_anomalies_watermarked``): each event is HELD in
+    per-key state until the key's event-time watermark
+    (``max seen ts − late_minutes``) passes it, then folded into the
+    session run in strict ``(ts, event_id)`` order; a session is
+    emitted ONCE, when the watermark passes its end by more than the
+    gap (no future event can extend it: arrivals below the watermark
+    fail the lateness gate) — append semantics, no open-session
+    snapshots.
+
+    Reordering up to ``late_minutes`` is absorbed; an event OLDER than
+    the key's watermark still fails the query loudly (silently merging
+    it into a newer session is the bug the in-order operator's
+    precondition exists to prevent). Emitted sessions are bit-identical
+    to the batch ``events_ops.sessionize`` rows for every session the
+    final watermark certifies closed — pinned on a shuffled late-data
+    fixture in tests/test_stateful_streaming.py.
+
+    State per key: one open-session tuple + the buffered tail (events
+    within ``late_minutes`` of the key's max ts) — bounded by key
+    cardinality × lateness window × per-key event rate, not stream
+    length.
+    """
+    gap_us = int(gap_minutes) * 60_000_000
+    late_us = int(late_minutes) * 60_000_000
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            idx, start, last, n, sv, b_ts, b_eid, b_val, max_ts = state.get
+            buf = [
+                (int(t), int(e), float(v))
+                for t, e, v in zip(b_ts, b_eid, b_val)
+            ]
+        else:
+            idx, start, last, n, sv, max_ts = 0, 0, 0, 0, 0.0, None
+            buf = []
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts)
+        ts_us = _pdf_ts_us(pdf["ts"])
+        batch_min = int(ts_us.min())
+        if max_ts is not None and batch_min < max_ts - late_us:
+            raise ValueError(
+                "streaming_sessionize_watermarked: event "
+                f"{(max_ts - late_us) - batch_min} us older than the allowed "
+                f"lateness ({late_minutes}m) for user {key[0]} — raise "
+                "late_minutes or repair the source ordering"
+            )
+        buf.extend(
+            (int(t), int(e), float(v))
+            for t, e, v in zip(ts_us, pdf["event_id"], pdf["value"].astype(float))
+        )
+        max_ts = batch_min if max_ts is None else max_ts
+        max_ts = max(max_ts, int(ts_us.max()))
+        wm = max_ts - late_us
+        buf.sort()
+        ready = [r for r in buf if r[0] < wm]
+        buf = [r for r in buf if r[0] >= wm]
+        rows = []
+        for t, _e, v in ready:
+            if n == 0 or t - last > gap_us:
+                if n > 0:
+                    rows.append((key[0], idx, n, start, last, sv))
+                idx += 1
+                start, n, sv = t, 0, 0.0
+            n += 1
+            sv += v
+            last = t
+        # close the trailing open session once the watermark passes its
+        # end by more than the gap — every later event must start a new
+        # session, so its stats are final
+        if n > 0 and wm - last > gap_us:
+            rows.append((key[0], idx, n, start, last, sv))
+            start, last, n, sv = 0, 0, 0, 0.0
+        state.update(
+            (
+                idx,
+                start,
+                last,
+                n,
+                sv,
+                [t for t, _, _ in buf],
+                [e for _, e, _ in buf],
+                [v for _, _, v in buf],
+                max_ts,
+            )
+        )
+        if not rows:
+            return
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id",
+                "session_idx",
+                "n_events",
+                "start_us",
+                "end_us",
+                "sum_value",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_WM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

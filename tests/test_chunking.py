@@ -1,0 +1,207 @@
+"""Sliding-window chunking + winnowing fingerprints (pipeline/chunking.py)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from ccm_spark.pipeline.chunking import (
+    chunk_documents,
+    winnow_fingerprints,
+    winnow_matches,
+)
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ------------------------------------------------------------- chunking
+
+
+def test_chunk_documents_hand_built(spark):
+    toks = [f"t{i}" for i in range(11)]
+    d = docs_df(spark, [" ".join(toks), "short doc", ""])
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(d, max_tokens=4, stride=3).collect()
+    )
+    # doc 0: n=11 -> ceil((11-4)/3)=3 -> chunks at 0,3,6,9 (last short)
+    want0 = [
+        (0, 0, 0, 4, "t0 t1 t2 t3"),
+        (0, 1, 3, 4, "t3 t4 t5 t6"),
+        (0, 2, 6, 4, "t6 t7 t8 t9"),
+        (0, 3, 9, 2, "t9 t10"),
+    ]
+    assert [r for r in rows if r[0] == 0] == want0
+    # doc 1 fits one window; doc 2 (empty) emits nothing
+    assert [r for r in rows if r[0] == 1] == [(1, 0, 0, 2, "short doc")]
+    assert not [r for r in rows if r[0] == 2]
+
+
+def test_chunk_documents_covers_every_token(spark, sf_small):
+    """Union of [start, start+len) must be exactly [0, n) per doc —
+    no token dropped, no chunk past the end."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    chunks = chunk_documents(docs, max_tokens=32, stride=24)
+    from ccm_spark.functions.hashing import tokens_col
+
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.min("start_tok").alias("lo"),
+        F.max(F.col("start_tok") + F.col("n_tokens")).alias("hi"),
+        F.count("*").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("n_tokens") <= 0, 1).otherwise(0)
+        ).alias("bad_len"),
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n")
+    ).where(F.col("n") > 0)
+    j = per_doc.join(n_tok, "doc_id")
+    bad = j.where(
+        (F.col("lo") != 0) | (F.col("hi") != F.col("n")) | (F.col("bad_len") > 0)
+    ).count()
+    assert bad == 0
+    assert j.count() == n_tok.count()
+    # stride < max_tokens -> consecutive chunks overlap (non-vacuous)
+    assert chunks.where("chunk_idx = 1").count() > 0
+
+
+def test_chunk_documents_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_chunk_documents
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.start_tok, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, max_tokens=32, stride=24).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), int(d), e)
+        for a, b, c, d, e in con.sql(
+            sql_chunk_documents(max_tokens=32, stride=24)
+        ).fetchall()
+    )
+    assert len(got) == len(want)
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:3]
+
+
+def test_chunk_documents_validates_params(spark):
+    d = docs_df(spark, ["a b c"])
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(d, max_tokens=4, stride=5)
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_documents(d, max_tokens=0, stride=1)
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def py_winnow(tokens, k, w):
+    """Driver-side replay of the winnowing selection (Schleimer et al.
+    2003): min per w-window of 30-bit k-gram hashes, rightmost on ties."""
+    grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    if len(tokens) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % (1 << 30)
+        for g in grams
+    ]
+    n = len(hs)
+    sel = set()
+    for j in range(max(0, n - w) + 1):
+        win = hs[j : j + w]
+        m = min(win)
+        pos = max(i for i in range(j, min(j + w, n)) if hs[i] == m)
+        sel.add((pos, hs[pos]))
+    return sel
+
+
+def test_winnow_matches_python_replay(spark):
+    from ccm_spark.functions.hashing import py_tokens
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c d e f g h i j k l m n o p",
+        "one two three",  # fewer grams than w -> single short window
+        "x",              # fewer tokens than k -> nothing
+        "w w w w w w w w",  # constant grams -> tie rule exercised
+    ]
+    d = docs_df(spark, texts)
+    got = {}
+    for r in winnow_fingerprints(d, k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.gram_hash))
+    want = {
+        i: py_winnow(py_tokens(t), 3, 4)
+        for i, t in enumerate(texts)
+        if py_winnow(py_tokens(t), 3, 4)
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """The MOSS guarantee: two docs sharing a token run of length
+    >= w + k - 1 must share at least one fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 >= 4+5-1
+    d = docs_df(
+        spark,
+        [
+            f"unrelated prefix words here {shared} and a suffix",
+            f"{shared} entirely different tail content follows now",
+        ],
+    )
+    fps = winnow_fingerprints(d, k=5, w=4)
+    a = {r.gram_hash for r in fps.where("doc_id = 0").collect()}
+    b = {r.gram_hash for r in fps.where("doc_id = 1").collect()}
+    assert a & b
+
+
+def test_winnow_fingerprints_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.pos, r.gram_hash)
+        for r in winnow_fingerprints(docs, k=5, w=4).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.sql(sql_winnow_fingerprints(k=5, w=4)).fetchall()
+    )
+    assert len(got) == len(want) and got == want
+
+
+def test_winnow_matches_finds_planted_overlap(spark):
+    """winnow_matches flags the planted pair and the boilerplate valve
+    suppresses a fingerprint shared by every doc."""
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    boiler = "standard footer text appears in every single document here"
+    texts = [f"doc {i} unique words number{i} {boiler}" for i in range(6)]
+    texts.append(f"first plagiarised copy starts {shared} then diverges one way")
+    texts.append(f"second plagiarised copy has {shared} and its own ending too")
+    d = docs_df(spark, texts)
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_matches(
+            d, k=5, w=4, min_shared=1, max_df=3
+        ).collect()
+    }
+    assert (6, 7) in pairs
+    # the footer is in all 6 boilerplate docs > max_df -> no pair among them
+    assert not any(a < 6 and b < 6 for a, b in pairs)

@@ -494,3 +494,101 @@ def test_streaming_hourly_anomalies_watermarked_too_late_fails(spark, tmp_path):
     with pytest.raises(Exception, match="older than the allowed lateness"):
         q.awaitTermination(180)
         q.processAllAvailable()
+
+
+def test_streaming_sessionize_watermarked_out_of_order(spark, tmp_path):
+    """The watermark-buffered sessionizer (r12): shuffled late-data
+    fixture — events reordered within/across micro-batches up to the
+    declared lateness — must emit each watermark-certified-closed
+    session EXACTLY ONCE, bit-identical to the batch operator."""
+    import os
+    import random
+    import time
+
+    import pandas as pd
+
+    from ccm_spark.pipeline.events_ops import sessionize
+    from ccm_spark.streaming.stateful import streaming_sessionize_watermarked
+    from ccm_spark.streaming.windows import event_stream
+
+    MIN = 60_000_000
+    rng = random.Random(11)
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).assign(
+            ts=lambda d: pd.to_datetime(d["ts"], unit="us"),
+            props="{}",
+        )
+
+    eid = iter(range(100_000))
+
+    def sess(user, t0_min, n, step_min=3):
+        return [
+            (next(eid), (t0_min + i * step_min) * MIN, user, "click", 1.0 + i)
+            for i in range(n)
+        ]
+
+    # gap=30m, lateness=10m; sessions per user separated by > 30m; the
+    # stream ends at t=400m so each user's final watermark (390m)
+    # certifies every earlier session closed, leaving only the tail
+    # session open
+    u1s1, u1s2, u1s3 = sess(1, 0, 4), sess(1, 60, 3), sess(1, 150, 5)
+    u2s1, u2s2 = sess(2, 10, 2), sess(2, 100, 6)
+    tail = [
+        (next(eid), 400 * MIN, 1, "click", 0.5),
+        (next(eid), 400 * MIN, 2, "click", 0.5),
+    ]
+    all_rows = u1s1 + u1s2 + u1s3 + u2s1 + u2s2
+    # explicit cross-shard disorder INSIDE the lateness bound:
+    # shard1 max=66m (wm 56m) and shard2 opens at 60m — 6 minutes of
+    # cross-batch regression, absorbed by the buffer; shard2 max=115m
+    # (wm 105m) splits u2's session mid-stream
+    shards = [
+        u1s1 + u2s1 + [u1s2[2]],          # ...plus s2's LAST event first
+        u1s2[:2] + u2s2,                   # s2's earlier events arrive late
+        u1s3 + tail,
+    ]
+    for s in shards:
+        rng.shuffle(s)  # within-batch disorder
+    d = tmp_path / "wm_sess_stream"
+    d.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(d / f"s{i}.parquet")
+        mk(rows).to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    stream = streaming_sessionize_watermarked(
+        event_stream(spark, str(d), max_files_per_trigger=1),
+        gap_minutes=30,
+        late_minutes=10,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM wm_sess_out").collect()
+    got = {}
+    for r in rows:
+        k = (r.user_id, r.session_idx)
+        assert k not in got, f"session emitted twice: {k}"
+        got[k] = (r.n_events, r.start_us, r.end_us, r.sum_value)
+
+    ev = spark.createDataFrame(mk(all_rows + tail))
+    # batch ground truth; the tail events' sessions (last per user) are
+    # not watermark-certified closed and stay buffered
+    batch = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.sum_value)
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    last_idx = {}
+    for u, i in batch:
+        last_idx[u] = max(last_idx.get(u, 0), i)
+    want = {k: v for k, v in batch.items() if k[1] != last_idx[k[0]]}
+    assert got == want and len(want) == 5  # 3 + 2 closed sessions
