@@ -22,8 +22,10 @@ Scale shapes
 by a ``transform`` over the chunk-index sequence BEFORE the generate, so
 nothing array-valued is duplicated per output row (the O(len²)
 explode-carry trap, see pipeline/filters.py) and the whole plan stays in
-whole-stage codegen with ZERO shuffle — at 100 TB chunking is a map-only
-corpus rewrite, exactly as wide as its output.
+whole-stage codegen. The only exchange is the explicit ``spread``
+respread (a near-no-op on a real multi-split cluster read, pinned as the
+plan's ONLY exchange in tests/test_plan_shapes.py) — at 100 TB chunking
+is a map-only corpus rewrite, exactly as wide as its output.
 
 ``winnow_fingerprints`` shuffles once (the doc-partitioned rolling-min
 window); grams never leave their document. The rolling argmin is encoded

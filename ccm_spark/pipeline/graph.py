@@ -362,3 +362,116 @@ def connected_components(
             "component diameter exceeds the bound; raise max_iter"
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 10,
+    quantize: int | None = None,
+) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg, JACM 1999) over an edge
+    relation → ``(node, hub, authority)`` — the link-centrality
+    complement to :func:`pagerank`: a crawl curator reads AUTHORITY to
+    budget content hosts and HUB to budget directory/aggregator hosts
+    (a high-hub host is where new authorities are discovered).
+
+    Mutual recursion, L1-normalised each half-step (the fixed-point
+    RANKING is the same as the classical L2 form, but a sum
+    normalisation keeps every update a join + aggregate + one
+    broadcast scalar — no sqrt, and with ``quantize`` set every value
+    is rounded after each half-step so a SQL replay restarts from
+    identical state per iteration, the pagerank/kmeans cross-engine
+    discipline):
+
+        a_{t+1}(v) ∝ Σ_{u→v} h_t(u)      h_{t+1}(u) ∝ Σ_{u→v} a_{t+1}(v)
+
+    Parallel edges are additive (a page linking twice endorses twice,
+    matching ``host_graph`` weights); nodes with no in-edges hold
+    authority 0, no out-edges hub 0 — both stay in the output.
+
+    100 TB shape, same as pagerank: the deduped edge relation is
+    repartitioned on ``src`` ONCE and persisted (every iteration's two
+    joins reuse the layout), scores are the small moving side, the two
+    normalisation totals are 1-row broadcast cross joins, and
+    ``localCheckpoint`` cuts lineage per iteration.
+    """
+    if n_iters < 1:
+        raise ValueError("hits: n_iters must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        out = nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        ).localCheckpoint(eager=True)
+        nodes.unpersist()
+        return out
+    spark = edges.sparkSession
+    default_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    npart = max(2, min(default_sp, n // 4000 + 1))
+    q = (lambda c: F.round(c, quantize)) if quantize is not None else (lambda c: c)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+        e = e.repartition(npart, "src").persist()
+        e.count()
+        h = nodes.select("node", F.lit(1.0 / n).alias("s")).localCheckpoint(
+            eager=True
+        )
+        a = None
+        for _ in range(n_iters):
+            # authority from current hubs
+            a_raw = (
+                e.join(h.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum("s").alias("raw"))
+            )
+            a = _l1(nodes, a_raw, "dst", q).localCheckpoint(eager=True)
+            # hubs from the fresh authorities
+            h_raw = (
+                e.join(a.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.sum("s").alias("raw"))
+            )
+            h = _l1(nodes, h_raw, "src", q).localCheckpoint(eager=True)
+        out = (
+            nodes.join(h.withColumnRenamed("s", "hub"), "node", "left")
+            .join(a.withColumnRenamed("s", "authority"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_sp))
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _l1(nodes: DataFrame, raw: DataFrame, key: str, q) -> DataFrame:
+    """L1-normalise a (key, raw) score relation over ALL nodes (absent
+    keys are 0): one 1-row total broadcast back via cross join, rounding
+    hook applied AFTER the division (the per-iteration restart-identical
+    state the SQL replay depends on)."""
+    tot = raw.agg(F.sum("raw").alias("tot"))
+    return (
+        nodes.join(raw.withColumnRenamed(key, "node"), "node", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            q(
+                F.when(
+                    F.col("tot") > 0, F.coalesce("raw", F.lit(0.0)) / F.col("tot")
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+        )
+    )

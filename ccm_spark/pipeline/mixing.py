@@ -728,3 +728,106 @@ def packing_efficiency(
             ).alias("waste_frac"),
         )
     )
+
+
+def select_within_token_budget(
+    docs: DataFrame,
+    budget: int,
+    score_col: str | None = None,
+    text_col: str = "text",
+    tie_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy quality-first selection under a token budget: order docs by
+    ``(round6(score) DESC, tie_col ASC)`` (by ``tie_col`` alone when
+    ``score_col`` is None — a FIFO budget cut) and keep the maximal
+    prefix whose cumulative token count stays ``<= budget`` — "give me
+    the best N-billion-token subset", the selection every
+    fixed-compute training run makes after scoring.
+
+    Complement of :func:`budget_select`, not a duplicate: that operator
+    fills per-group budgets in RANDOM (md5-key) order, which admits the
+    bucket-histogram shortcut because md5 keys are uniform — a
+    quality-ordered prefix cannot use it (score distributions are
+    arbitrary), so this one pays one range exchange instead.
+
+    Keep rule is strict prefix arithmetic: a doc is kept iff the
+    cumulative token sum INCLUDING it is within budget; the first doc
+    over the line is dropped and so is everything after it (no
+    skip-and-backfill — that would be knapsack, not a prefix, and its
+    output would depend on traversal order).
+
+    Returns the kept rows as ``(doc_id, n_tokens, sel_rank,
+    cum_tokens)``; join back to the corpus on ``doc_id`` for payloads.
+
+    Scale shape (the distributed prefix-sum pattern): the slim
+    ``(tie, score, n_tokens)`` projection is range-partitioned on the
+    selection order and localCheckpointed (ONE materialization — both
+    phases below read it, so the sampled range boundaries can never
+    disagree between them); phase A aggregates per-partition token
+    totals and row counts (one tiny P-row collect) into broadcast
+    prefix offsets; phase B computes partition-LOCAL cumulative sums
+    (window keyed on the partition id) and adds the offset. No task
+    ever sorts or scans more than its range slice, and nothing
+    corpus-sized is collected — the single-partition global-window
+    cumsum this replaces is the same trap ``top_fraction`` documents.
+    At 100 TB the checkpointed projection is ~24 bytes/doc of
+    executor-local disk; swap localCheckpoint for a persisted table if
+    the job graph needs it durable.
+    """
+    if budget < 0:
+        raise ValueError(f"select_within_token_budget: budget must be >= 0, got {budget}")
+    slim = docs.select(
+        F.col(tie_col).alias("doc_id"),
+        *([F.col(score_col).alias("_score")] if score_col is not None else []),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    order = (
+        [
+            (F.round(F.col("_score"), 6) + F.lit(0.0)).desc(),
+            F.col("doc_id").asc(),
+        ]
+        if score_col is not None
+        else [F.col("doc_id").asc()]
+    )
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    ranked = (
+        slim.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # phase A: per-range-slice totals -> broadcast prefix offsets (P rows)
+    totals = {
+        int(r._pid): (int(r.tok), int(r.cnt))
+        for r in ranked.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("tok"), F.count("*").alias("cnt"))
+        .collect()
+    }
+    tok_off, cnt_off, t_acc, c_acc = {}, {}, 0, 0
+    for pid in sorted(totals):
+        tok_off[pid], cnt_off[pid] = t_acc, c_acc
+        t_acc += totals[pid][0]
+        c_acc += totals[pid][1]
+    spark = docs.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(p, tok_off[p], cnt_off[p]) for p in sorted(totals)],
+            "_pid int, _tok_off long, _cnt_off long",
+        )
+    )
+    # phase B: partition-local running sums + the broadcast offset
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranked.join(off, "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.count("*").over(w) + F.col("_cnt_off")).cast("long").alias("sel_rank"),
+            (F.sum("n_tokens").over(w) + F.col("_tok_off")).alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+    )

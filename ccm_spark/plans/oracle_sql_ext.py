@@ -3399,3 +3399,92 @@ SELECT DISTINCT doc_id,
        CAST(wm // {1 << 32} AS BIGINT) AS gram_hash
 FROM wmin
 WHERE pos <= GREATEST(0, n_grams - {w})"""
+
+
+def sql_select_within_token_budget(
+    budget: int, score_expr: str | None = None
+) -> str:
+    """DuckDB twin of mixing.select_within_token_budget: one global
+    ordered cumulative sum (oracle scale — the Spark side's
+    range-partition + broadcast-offset two-phase form exists precisely
+    to avoid this single-ordering plan), same strict inclusive-prefix
+    keep rule, same (round6(score) DESC, doc_id) order."""
+    score_sel = (
+        f", round({score_expr}, 6) + 0.0 AS _score" if score_expr else ""
+    )
+    order = "_score DESC, doc_id" if score_expr else "doc_id"
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({TOKENS}) AS BIGINT) AS n_tokens{score_sel}
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY {order}) AS sel_rank,
+         SUM(n_tokens) OVER (
+           ORDER BY {order} ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(sel_rank AS BIGINT) AS sel_rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {budget}"""
+
+
+def sql_hits_hosts(n_iters: int = 5, quant: int = 9) -> str:
+    """Unrolled replay of pipeline.graph.hits over the same
+    documents-derived host graph as ``sql_pagerank_hosts`` (weights
+    dropped — HITS counts parallel edges additively, and many doc_ids
+    map to the same (src, dst) here, so both engines sum the same
+    multiplicities). L1 normalisation after every half-step, each value
+    rounded to ``quant`` decimals so both engines restart every
+    half-step from identical state."""
+    smod, dmod = PAGERANK_GATE_SRC_MOD, PAGERANK_GATE_DST_MOD
+    parts = [
+        f"""e AS (
+  SELECT 'h' || CAST(doc_id % {smod} AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 13 + 5) % {dmod} AS VARCHAR) AS dst
+  FROM documents
+  WHERE 'h' || CAST(doc_id % {smod} AS VARCHAR)
+        != 'h' || CAST((doc_id * 13 + 5) % {dmod} AS VARCHAR)
+)""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "ncnt AS (SELECT COUNT(*) AS n FROM nodes)",
+        "h0 AS (SELECT node, 1.0 / n.n AS s FROM nodes CROSS JOIN ncnt n)",
+    ]
+    for i in range(n_iters):
+        parts += [
+            f"""ar{i} AS (
+  SELECT e.dst AS node, SUM(h.s) AS raw
+  FROM e JOIN h{i} h ON h.node = e.src GROUP BY 1
+)""",
+            f"at{i} AS (SELECT SUM(raw) AS tot FROM ar{i})",
+            f"""a{i} AS (
+  SELECT nodes.node,
+         round(CASE WHEN t.tot > 0
+               THEN COALESCE(r.raw, 0.0) / t.tot ELSE 0.0 END, {quant}) AS s
+  FROM nodes LEFT JOIN ar{i} r ON r.node = nodes.node CROSS JOIN at{i} t
+)""",
+            f"""hr{i} AS (
+  SELECT e.src AS node, SUM(a.s) AS raw
+  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1
+)""",
+            f"ht{i} AS (SELECT SUM(raw) AS tot FROM hr{i})",
+            f"""h{i + 1} AS (
+  SELECT nodes.node,
+         round(CASE WHEN t.tot > 0
+               THEN COALESCE(r.raw, 0.0) / t.tot ELSE 0.0 END, {quant}) AS s
+  FROM nodes LEFT JOIN hr{i} r ON r.node = nodes.node CROSS JOIN ht{i} t
+)""",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT nodes.node,
+       round(COALESCE(h.s, 0.0), {quant}) + 0.0 AS hub,
+       round(COALESCE(a.s, 0.0), {quant}) + 0.0 AS authority
+FROM nodes
+LEFT JOIN h{n_iters} h ON h.node = nodes.node
+LEFT JOIN a{n_iters - 1} a ON a.node = nodes.node"""
+    )

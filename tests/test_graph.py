@@ -9,6 +9,7 @@ conservation, and partitioning invariance."""
 from __future__ import annotations
 
 import numpy as np
+import pyspark.sql.functions as F
 import pytest
 
 from ccm_spark.pipeline.graph import host_graph, pagerank, top_hosts
@@ -260,3 +261,103 @@ def test_pagerank_zero_weight_src_becomes_dangling(spark):
         r = 0.15 / 4 + 0.85 * (p @ r + dmass / 4)
     for v in nodes:
         assert got[v] == pytest.approx(r[idx[v]], abs=1e-12)
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def _py_hits(edges, n_iters, quant=None):
+    """Pure-Python L1-normalised HITS replay (same half-step rounding)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    rnd = (lambda x: round(x, quant)) if quant is not None else (lambda x: x)
+    h = {v: 1.0 / len(nodes) for v in nodes}
+    a = {}
+    for _ in range(n_iters):
+        a_raw = {}
+        for u, v in edges:
+            a_raw[v] = a_raw.get(v, 0.0) + h.get(u, 0.0)
+        tot = sum(a_raw.values())
+        a = {v: rnd(a_raw.get(v, 0.0) / tot) if tot > 0 else 0.0 for v in nodes}
+        h_raw = {}
+        for u, v in edges:
+            h_raw[u] = h_raw.get(u, 0.0) + a.get(v, 0.0)
+        tot = sum(h_raw.values())
+        h = {v: rnd(h_raw.get(v, 0.0) / tot) if tot > 0 else 0.0 for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_hub_authority_separation(spark):
+    """A directory page linking to three content hosts must score as the
+    top hub with ~zero authority; the content hosts the reverse."""
+    from ccm_spark.pipeline.graph import hits
+
+    edges = [("dir", f"c{i}") for i in range(3)] + [
+        ("c0", "c1"),
+        ("other", "c0"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: (r.hub, r.authority) for r in hits(e, n_iters=10).collect()}
+    top_hub = max(out, key=lambda v: out[v][0])
+    top_auth = max(out, key=lambda v: out[v][1])
+    assert top_hub == "dir" and out["dir"][1] == 0.0
+    assert top_auth.startswith("c")
+    # L1 invariant: both score vectors sum to ~1
+    assert abs(sum(h for h, _ in out.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in out.values()) - 1.0) < 1e-9
+
+
+def test_hits_matches_python_replay(spark):
+    import random
+
+    from ccm_spark.pipeline.graph import hits
+
+    rng = random.Random(3)
+    edges = list(
+        {
+            (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+            for _ in range(150)
+        }
+    )
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.hub, r.authority) for r in hits(e, n_iters=6).collect()}
+    want = _py_hits(edges, 6)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-9)
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-9)
+
+
+def test_hits_matches_duckdb_twin(spark, sf_small):
+    """Quantised half-steps make the whole iteration replayable in SQL —
+    exact equality including the doubles, the pagerank gate discipline."""
+    import duckdb
+
+    from ccm_spark.pipeline.graph import hits
+    from ccm_spark.plans import oracle_sql_ext as oext
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    d = F.col("doc_id")
+    src = F.concat(F.lit("h"), (d % oext.PAGERANK_GATE_SRC_MOD).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((d * 13 + 5) % oext.PAGERANK_GATE_DST_MOD).cast("string")
+    )
+    edges = docs.select(src.alias("src"), dst.alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    out = hits(edges, n_iters=5, quantize=9).select(
+        "node",
+        (F.round("hub", 9) + F.lit(0.0)).alias("hub"),
+        (F.round("authority", 9) + F.lit(0.0)).alias("authority"),
+    )
+    got = sorted((r.node, r.hub, r.authority) for r in out.collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (a, float(b), float(c))
+        for a, b, c in con.sql(oext.sql_hits_hosts(n_iters=5, quant=9)).fetchall()
+    )
+    assert got == want and got

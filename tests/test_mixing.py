@@ -578,3 +578,75 @@ def test_packing_efficiency_matches_duckdb_twin(spark, sf_small):
     # longer sequences waste more on this short-doc corpus
     waste = {r[0]: r[5] for r in got}
     assert waste[512] > waste[128]
+
+
+# ------------------------------------------------- token-budget selection
+
+
+def test_select_within_token_budget_hand_built(spark):
+    from ccm_spark.pipeline.mixing import select_within_token_budget
+
+    # (doc_id, tokens, score): order by score desc -> 2 (5 tok), 0 (3),
+    # 3 (4), 1 (2); budget 9 keeps 2 and 0 (8 cum), doc 3 overflows and
+    # the STRICT prefix rule drops everything after it too
+    rows = [
+        (0, "a b c", 0.8),
+        (1, "x y", 0.2),
+        (2, "p q r s t", 0.9),
+        (3, "m n o p", 0.5),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.sel_rank, r.cum_tokens)
+        for r in select_within_token_budget(d, budget=9, score_col="score").collect()
+    )
+    assert got == [(0, 3, 2, 8), (2, 5, 1, 5)]
+    # FIFO variant (no score): doc_id order
+    fifo = sorted(
+        (r.doc_id, r.sel_rank, r.cum_tokens)
+        for r in select_within_token_budget(d, budget=6).collect()
+    )
+    assert fifo == [(0, 1, 3), (1, 2, 5)]
+    # budget 0 / tiny budget -> empty (first doc already over)
+    assert select_within_token_budget(d, budget=2, score_col="score").count() == 0
+
+
+def test_select_within_token_budget_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.functions.hashing import tokens_col
+    from ccm_spark.pipeline.mixing import select_within_token_budget
+    from ccm_spark.plans.oracle_sql_ext import sql_select_within_token_budget
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    # score: token count as a double — same expression both engines
+    scored = docs.withColumn(
+        "score", F.size(tokens_col("text")).cast("double")
+    )
+    budget = 5_000
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.sel_rank, r.cum_tokens)
+        for r in select_within_token_budget(
+            scored, budget=budget, score_col="score"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    from ccm_spark.functions.hashing import sql_tokens
+
+    want = sorted(
+        (int(a), int(b), int(c), int(d_))
+        for a, b, c, d_ in con.sql(
+            sql_select_within_token_budget(
+                budget, score_expr=f"CAST(len({sql_tokens('text')}) AS DOUBLE)"
+            )
+        ).fetchall()
+    )
+    assert got and got == want
+    # invariants: contiguous ranks from 1, monotone cum inside budget
+    ranks = sorted(r[2] for r in got)
+    assert ranks == list(range(1, len(got) + 1))
+    assert max(r[3] for r in got) <= budget

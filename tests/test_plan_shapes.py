@@ -392,3 +392,36 @@ def test_classifier_serving_is_narrow_after_spread(spark, sf_small):
     plan = _formatted_plan(score_quality(docs, model))
     assert _n_exchanges(plan) == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_chunk_documents_plan_is_map_only(spark, sf_small):
+    """Chunking is a corpus rewrite: the only exchange allowed is the
+    explicit spread() respread (near-no-op on a multi-split cluster
+    read). A second exchange would mean the generate or slice planned a
+    shuffle — chunking would then scale with interconnect, not scan."""
+    from ccm_spark.pipeline.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _formatted_plan(chunk_documents(docs, max_tokens=32, stride=24))
+    # formatted plans print each node twice (tree + detail): count nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    # column pruning: only doc_id + text reach the scan
+    scan = plan[plan.index("Scan parquet"):]
+    rs = scan[scan.index("ReadSchema"): scan.index("ReadSchema") + 300]
+    assert "doc_id" in rs and "text" in rs
+    assert "lang" not in rs and "source" not in rs
+
+
+def test_winnow_plan_single_doc_partitioning(spark, sf_small):
+    """Winnowing shuffles at most twice (the explicit respread + the
+    doc-partitioned rolling-min window; the final distinct is partial-
+    aggregated map-side into the same doc hash partitioning). Grams must
+    never leave their document: every hash exchange keys on doc_id."""
+    import re
+
+    from ccm_spark.pipeline.chunking import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = _formatted_plan(winnow_fingerprints(docs, k=5, w=4))
+    hashparts = re.findall(r"hashpartitioning\(([^),]+)", plan)
+    assert hashparts and all(h.startswith("doc_id") for h in hashparts), hashparts
