@@ -486,6 +486,44 @@ def main() -> None:
             # the memory sink holds the rows; the source dir can go
             shutil.rmtree(d, ignore_errors=True)
 
+    def extra_chunking(spark, sf_dir):
+        """r12 context-window chunking at sf scale: the map-only
+        corpus->training-row rewrite (64-token windows, 48 stride)."""
+        from ccm_spark.pipeline.chunking import chunk_documents
+        from ccm_spark.sources.tables import load_table
+
+        return chunk_documents(
+            load_table(spark, sf_dir, "documents"), max_tokens=64, stride=48
+        )
+
+    def extra_winnow(spark, sf_dir):
+        """r12 winnowing fingerprints at sf scale (k=5, w=4): gram hash
+        + doc-partitioned rolling min + distinct."""
+        from ccm_spark.pipeline.chunking import winnow_fingerprints
+        from ccm_spark.sources.tables import load_table
+
+        return winnow_fingerprints(load_table(spark, sf_dir, "documents"), k=5, w=4)
+
+    def extra_hits(spark, sf_dir):
+        """r12 HITS over the same deterministic 20k-host LCG graph as
+        pagerank_20k (5 iterations = 10 half-steps), so the two
+        centrality iterations are directly comparable."""
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.graph import hits
+
+        edges = (
+            spark.range(20000 * 8)
+            .select(
+                (F.col("id") % 20000).cast("string").alias("src"),
+                ((F.col("id") * F.lit(1103515245).cast("bigint") + 12345) % 20000)
+                .cast("string")
+                .alias("dst"),
+            )
+            .filter("src != dst")
+        )
+        return hits(edges, n_iters=5)
+
     def extra_blocklist(spark, sf_dir):
         from ccm_spark.pipeline.filters import (
             BLOCKLIST_GATE_PHRASES,
@@ -516,6 +554,10 @@ def main() -> None:
         "dsir_select": extra_dsir,
         "lm_perplexity_kn": extra_lm_kn,
         "knn_graph_2k": extra_knn_graph,
+        # r12 additions — first recorded baselines this round
+        "chunk_documents": extra_chunking,
+        "winnow_fingerprints": extra_winnow,
+        "hits_20k": extra_hits,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6

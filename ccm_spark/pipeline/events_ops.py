@@ -428,3 +428,78 @@ def hourly_anomalies(
         r6(z).alias("zscore"),
         (scored & (F.abs(z) >= F.lit(z_threshold))).alias("anomaly"),
     )
+
+
+def interval_join(
+    intervals: DataFrame,
+    events: DataFrame,
+    bucket_us: int = 3_600_000_000,
+    id_col: str = "interval_id",
+    lo_col: str = "lo_us",
+    hi_col: str = "hi_us",
+) -> DataFrame:
+    """Containment join: every (interval, event) pair with
+    ``lo_us <= ts_us <= hi_us`` — maintenance windows × events,
+    experiment cohorts × impressions, outage spans × errors. The
+    primitive Spark has no native operator for (a raw theta join plans
+    BroadcastNestedLoopJoin — a cartesian scan that dies at scale).
+
+    The bucketed range-join pattern: each interval EXPLODES to the
+    ``bucket_us``-wide time buckets it covers (one row per covered
+    bucket), each event maps to exactly ONE bucket, and the pair space
+    is an equi-join on the bucket key with the range predicate as a
+    post-filter. No duplicate elimination is needed — an event lives
+    in one bucket, so a qualifying pair is produced exactly once.
+
+    Scale: the shuffle is hash(bucket), cost O(|intervals|·span/bucket
+    + |events|); pick ``bucket_us`` near the TYPICAL interval span so
+    most intervals explode to 1-2 rows (a bucket much smaller than the
+    spans multiplies the interval relation; much larger, and each
+    bucket pairs events with intervals it can't match, inflating the
+    post-filter). Long-tail spans cost rows, never correctness — but a
+    span/bucket ratio past ``max_buckets_per_interval`` fails fast
+    (distributedly, one limit-1 probe) instead of silently exploding
+    the interval relation, the ``resample_ffill`` guard discipline.
+    Returns ``(interval_id, lo_us, hi_us, event_id, ts_us)``.
+    """
+    max_buckets_per_interval = 1_000_000
+    if bucket_us < 1:
+        raise ValueError(f"interval_join: bucket_us must be >= 1, got {bucket_us}")
+    iv = intervals.select(
+        F.col(id_col).alias("interval_id"),
+        F.col(lo_col).cast("long").alias("lo_us"),
+        F.col(hi_col).cast("long").alias("hi_us"),
+    ).where(F.col("lo_us") <= F.col("hi_us"))
+    too_wide = (
+        iv.where(
+            (F.col("hi_us") - F.col("lo_us")) / F.lit(bucket_us)
+            > max_buckets_per_interval
+        )
+        .limit(1)
+        .collect()
+    )
+    if too_wide:
+        r = too_wide[0]
+        raise ValueError(
+            f"interval_join: interval {r.interval_id!r} spans "
+            f"{(r.hi_us - r.lo_us) // bucket_us} buckets at bucket_us="
+            f"{bucket_us} (cap {max_buckets_per_interval}) — raise bucket_us"
+        )
+    iv_b = iv.select(
+        "interval_id",
+        "lo_us",
+        "hi_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"lo_us DIV {bucket_us}"), F.expr(f"hi_us DIV {bucket_us}")
+            )
+        ).alias("_bucket"),
+    )
+    ev = events.select(
+        "event_id", ts_micros(events).alias("ts_us")
+    ).withColumn("_bucket", F.expr(f"ts_us DIV {bucket_us}"))
+    return (
+        ev.join(iv_b, "_bucket")
+        .where((F.col("ts_us") >= F.col("lo_us")) & (F.col("ts_us") <= F.col("hi_us")))
+        .select("interval_id", "lo_us", "hi_us", "event_id", "ts_us")
+    )

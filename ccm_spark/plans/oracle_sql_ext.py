@@ -3439,39 +3439,47 @@ def sql_hits_hosts(n_iters: int = 5, quant: int = 9) -> str:
     map to the same (src, dst) here, so both engines sum the same
     multiplicities). L1 normalisation after every half-step, each value
     rounded to ``quant`` decimals so both engines restart every
-    half-step from identical state."""
+    half-step from identical state.
+
+    Every iteration CTE is ``AS MATERIALIZED``: DuckDB INLINES CTEs by
+    default, and HITS references each half-step relation several times
+    (ar twice via the total, a twice via hr and the final select...),
+    compounding to ~16× expression blowup PER iteration — the inlined
+    form at 5 iterations planned ~1e6 copies of the base scan and hung;
+    materialized it runs in ~0.1 s (pagerank's twin survives inlining
+    only because its per-iteration fan-out is 2×)."""
     smod, dmod = PAGERANK_GATE_SRC_MOD, PAGERANK_GATE_DST_MOD
     parts = [
-        f"""e AS (
+        f"""e AS MATERIALIZED (
   SELECT 'h' || CAST(doc_id % {smod} AS VARCHAR) AS src,
          'h' || CAST((doc_id * 13 + 5) % {dmod} AS VARCHAR) AS dst
   FROM documents
   WHERE 'h' || CAST(doc_id % {smod} AS VARCHAR)
         != 'h' || CAST((doc_id * 13 + 5) % {dmod} AS VARCHAR)
 )""",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "ncnt AS (SELECT COUNT(*) AS n FROM nodes)",
         "h0 AS (SELECT node, 1.0 / n.n AS s FROM nodes CROSS JOIN ncnt n)",
     ]
     for i in range(n_iters):
         parts += [
-            f"""ar{i} AS (
+            f"""ar{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM(h.s) AS raw
   FROM e JOIN h{i} h ON h.node = e.src GROUP BY 1
 )""",
-            f"at{i} AS (SELECT SUM(raw) AS tot FROM ar{i})",
-            f"""a{i} AS (
+            f"at{i} AS MATERIALIZED (SELECT SUM(raw) AS tot FROM ar{i})",
+            f"""a{i} AS MATERIALIZED (
   SELECT nodes.node,
          round(CASE WHEN t.tot > 0
                THEN COALESCE(r.raw, 0.0) / t.tot ELSE 0.0 END, {quant}) AS s
   FROM nodes LEFT JOIN ar{i} r ON r.node = nodes.node CROSS JOIN at{i} t
 )""",
-            f"""hr{i} AS (
+            f"""hr{i} AS MATERIALIZED (
   SELECT e.src AS node, SUM(a.s) AS raw
   FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1
 )""",
-            f"ht{i} AS (SELECT SUM(raw) AS tot FROM hr{i})",
-            f"""h{i + 1} AS (
+            f"ht{i} AS MATERIALIZED (SELECT SUM(raw) AS tot FROM hr{i})",
+            f"""h{i + 1} AS MATERIALIZED (
   SELECT nodes.node,
          round(CASE WHEN t.tot > 0
                THEN COALESCE(r.raw, 0.0) / t.tot ELSE 0.0 END, {quant}) AS s
@@ -3488,3 +3496,24 @@ FROM nodes
 LEFT JOIN h{n_iters} h ON h.node = nodes.node
 LEFT JOIN a{n_iters - 1} a ON a.node = nodes.node"""
     )
+
+
+def sql_interval_join(n_intervals: int = 12) -> str:
+    """DuckDB twin of events_ops.interval_join over a deterministic
+    events-derived interval fixture (n 5-hour-spaced windows of 2.5 h
+    each, anchored at the corpus min ts): a plain theta join — correct
+    at oracle scale; the Spark side's bucketed equi-join exists because
+    a theta join plans a nested-loop cartesian at corpus scale."""
+    h = 3_600_000_000
+    return f"""
+WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+iv AS (
+  SELECT CAST(k AS BIGINT) AS interval_id,
+         t0.t0 + k * {5 * h} AS lo_us,
+         t0.t0 + k * {5 * h} + {5 * h // 2} AS hi_us
+  FROM t0, unnest(range(0, {n_intervals})) AS r(k)
+)
+SELECT iv.interval_id, iv.lo_us, iv.hi_us,
+       e.event_id, epoch_us(e.ts) AS ts_us
+FROM iv JOIN events e
+  ON epoch_us(e.ts) >= iv.lo_us AND epoch_us(e.ts) <= iv.hi_us"""

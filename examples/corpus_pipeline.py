@@ -298,6 +298,29 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     docs, counts["after_budget"] = checkpoint(docs.join(budgeted.select("doc_id"), "doc_id"))
     release_cached(budgeted)
 
+    # 6b. context-window chunking + winnowing audit (r12). Chunking is
+    # the corpus->training-row rewrite (overlap keeps boundary-spanning
+    # context learnable); the winnowing fingerprint relation is the
+    # position-robust overlap audit a curator runs LAST — it catches
+    # shared runs (>= w+k-1 tokens) that survived the hash/simhash
+    # dedup passes upstream.
+    from ccm_spark.pipeline.chunking import (
+        chunk_documents,
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    ch = chunk_documents(docs, max_tokens=64, stride=48)
+    crow = ch.agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    counts["chunks"] = int(crow.n)
+    counts["chunk_tokens"] = int(crow.tok)
+    counts["winnow_fingerprints"] = winnow_fingerprints(docs, k=5, w=4).count()
+    counts["winnow_residual_pairs"] = winnow_matches(
+        docs, k=5, w=4, min_shared=2
+    ).count()
+
     # 7. deterministic shuffle -> training shards + manifest
     manifest = write_training_shards(docs, shard_path, n_shards=4, seed="epoch0")
     counts["shards"] = manifest["n_shards"]

@@ -99,6 +99,24 @@ def run(spark, sf_dir: str) -> dict:
     js_sel = corpus_divergence(sel_docs, target).collect()[0].js_bits
     out["js_raw_vs_target"] = js_raw
     out["js_selected_vs_target"] = js_sel
+
+    # 6. compute-budget cut (r12): the selected pool is still sized in
+    # DOCS; a training run is sized in TOKENS. Keep the best
+    # classifier-scored prefix that fits the token budget —
+    # quality-ordered, so the cut drops the worst docs, not random ones
+    # (budget_select's random-order cut is for per-group quotas).
+    from ccm_spark.pipeline.mixing import select_within_token_budget
+
+    sel_scored = sel_docs.join(scored.select("doc_id", "prob"), "doc_id")
+    budget = 10_000
+    fitted = select_within_token_budget(
+        sel_scored, budget=budget, score_col="prob"
+    )
+    out["budget_tokens"] = budget
+    out["budget_kept_docs"] = fitted.count()
+    out["budget_used_tokens"] = (
+        fitted.agg(F.max("cum_tokens")).collect()[0][0] or 0
+    )
     return out
 
 

@@ -205,3 +205,75 @@ def test_winnow_matches_finds_planted_overlap(spark):
     assert (6, 7) in pairs
     # the footer is in all 6 boilerplate docs > max_df -> no pair among them
     assert not any(a < 6 and b < 6 for a, b in pairs)
+
+
+# ------------------------------------------------- property tests (pure py)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _chunk_layout(n, max_tokens, stride):
+    """Pure-Python replica of the chunk-count/start/length arithmetic
+    (the Spark expression and the DuckDB twin both implement exactly
+    this; the twin-parity test pins them to each other, this pins the
+    arithmetic itself)."""
+    if n <= 0:
+        return []
+    k_last = 0 if n <= max_tokens else (n - max_tokens + stride - 1) // stride
+    return [
+        (k, k * stride, min(max_tokens, n - k * stride)) for k in range(k_last + 1)
+    ]
+
+
+@given(
+    n=st.integers(min_value=0, max_value=5_000),
+    max_tokens=st.integers(min_value=1, max_value=512),
+    frac=st.integers(min_value=1, max_value=512),
+)
+@settings(max_examples=300, deadline=None)
+def test_chunk_layout_properties(n, max_tokens, frac):
+    stride = max(1, min(max_tokens, frac))
+    chunks = _chunk_layout(n, max_tokens, stride)
+    if n == 0:
+        assert chunks == []
+        return
+    # every token covered, no chunk empty or past the end, starts strided
+    assert chunks[0][1] == 0
+    assert all(length >= 1 for _, _, length in chunks)
+    assert all(start + length <= n for _, start, length in chunks)
+    covered = set()
+    for _, start, length in chunks:
+        covered.update(range(start, start + length))
+    assert covered == set(range(n))
+    # consecutive chunks overlap by exactly max_tokens - stride (except
+    # possibly the short last chunk, which still starts on the stride)
+    assert all(
+        chunks[i + 1][1] - chunks[i][1] == stride for i in range(len(chunks) - 1)
+    )
+
+
+@given(
+    data=st.data(),
+    k=st.integers(min_value=1, max_value=4),
+    w=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=150, deadline=None)
+def test_winnow_guarantee_property(data, k, w):
+    """The winnowing guarantee, property-tested on the driver-side
+    replay kernel (which the DuckDB twin-parity test pins to the
+    engine): any shared token run of length >= w + k - 1 yields a
+    shared fingerprint."""
+    vocab = [f"v{i}" for i in range(12)]
+    run_len = w + k - 1
+    shared = data.draw(
+        st.lists(st.sampled_from(vocab), min_size=run_len, max_size=run_len + 4)
+    )
+    pre_a = data.draw(st.lists(st.sampled_from(vocab), max_size=8))
+    suf_a = data.draw(st.lists(st.sampled_from(vocab), max_size=8))
+    pre_b = data.draw(st.lists(st.sampled_from(vocab), max_size=8))
+    suf_b = data.draw(st.lists(st.sampled_from(vocab), max_size=8))
+    a = {h for _, h in py_winnow(pre_a + shared + suf_a, k, w)}
+    b = {h for _, h in py_winnow(pre_b + shared + suf_b, k, w)}
+    assert a & b

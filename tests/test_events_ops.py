@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 import pytest
 
 from ccm_spark.pipeline.events_ops import (
@@ -537,3 +538,71 @@ def test_local_supplier_volume_nation_condition_prunes(spark, sf_small):
     )
     loose_rev = {r.n_name: r.revenue for r in loose.collect()}
     assert sum(strict.values()) < sum(loose_rev.values())
+
+
+# ------------------------------------------------------ interval join
+
+
+def test_interval_join_matches_theta_join(spark):
+    """The bucketed equi-join must equal a brute-force theta join for
+    ANY bucket width — including widths far smaller and far larger than
+    the interval spans (overlapping intervals and boundary-inclusive
+    endpoints exercised)."""
+    import random
+
+    from ccm_spark.pipeline.events_ops import interval_join
+
+    rng = random.Random(5)
+    ivs = []
+    for i in range(40):
+        lo = rng.randrange(0, 10_000)
+        ivs.append((i, lo, lo + rng.randrange(0, 3_000)))
+    pts = [(j, rng.randrange(-500, 13_000)) for j in range(400)]
+    intervals = spark.createDataFrame(
+        ivs, "interval_id long, lo_us long, hi_us long"
+    )
+    events = spark.createDataFrame(pts, "event_id long, ts long").select(
+        "event_id", F.timestamp_micros(F.col("ts")).alias("ts")
+    )
+    want = sorted(
+        (i, lo, hi, j, t)
+        for i, lo, hi in ivs
+        for j, t in pts
+        if lo <= t <= hi
+    )
+    for bucket in (1, 97, 1_000, 1_000_000):
+        got = sorted(
+            (r.interval_id, r.lo_us, r.hi_us, r.event_id, r.ts_us)
+            for r in interval_join(intervals, events, bucket_us=bucket).collect()
+        )
+        assert got == want, f"bucket_us={bucket}"
+
+
+def test_interval_join_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.pipeline.events_ops import interval_join
+    from ccm_spark.plans.oracle_sql_ext import sql_interval_join
+    from ccm_spark.sources.tables import load_table, ts_micros
+
+    events = load_table(spark, sf_small, "events")
+    H = 3_600_000_000
+    t0 = events.agg(F.min(ts_micros(events))).collect()[0][0]
+    intervals = spark.createDataFrame(
+        [(k, t0 + k * 5 * H, t0 + k * 5 * H + 5 * H // 2) for k in range(12)],
+        "interval_id long, lo_us long, hi_us long",
+    )
+    got = sorted(
+        (r.interval_id, r.lo_us, r.hi_us, r.event_id, r.ts_us)
+        for r in interval_join(events=events, intervals=intervals).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), int(d), int(e))
+        for a, b, c, d, e in con.sql(sql_interval_join(12)).fetchall()
+    )
+    assert got and got == want

@@ -38,6 +38,13 @@ def test_corpus_pipeline_example_runs(spark, sf_small, tmp_path):
     # vocabulary-fit + PII audit stages report sane values
     assert c["fertility"] >= 1.0 and 0.0 <= c["oov_word_frac"] <= 1.0
     assert all(v >= 0 for v in c["pii_found"].values())
+    # r12 chunking + winnowing audit: at least one chunk per surviving
+    # doc, overlap expands tokens, and the fingerprint relation is a
+    # strict subsample of the gram relation (density ~2/(w+1))
+    assert c["chunks"] >= c["final_docs"] > 0
+    assert c["chunk_tokens"] >= c["chunks"]
+    assert c["winnow_fingerprints"] > 0
+    assert c["winnow_residual_pairs"] >= 0
     m = out["manifest"]
     assert m["n_docs"] == c["final_docs"]
     assert sum(s["n_docs"] for s in m["shards"]) == m["n_docs"]
@@ -200,6 +207,10 @@ def test_data_selection_example_runs(spark, sf_small):
     assert 0 < out["sem_kept"] <= 500
     assert 0 < out["pool"] <= out["weighted"]
     assert out["selected"] == max(1, out["pool"] // 2)
+    # r12 compute-budget cut: quality-ordered prefix inside the token
+    # budget, never exceeding it, keeping at least one doc
+    assert 0 < out["budget_kept_docs"] <= out["selected"]
+    assert 0 < out["budget_used_tokens"] <= out["budget_tokens"]
     # deterministic end to end
     out2 = run(spark, sf_small)
     assert out2["selected_ids_head"] == out["selected_ids_head"]

@@ -425,3 +425,25 @@ def test_winnow_plan_single_doc_partitioning(spark, sf_small):
     plan = _formatted_plan(winnow_fingerprints(docs, k=5, w=4))
     hashparts = re.findall(r"hashpartitioning\(([^),]+)", plan)
     assert hashparts and all(h.startswith("doc_id") for h in hashparts), hashparts
+
+
+def test_interval_join_plans_no_nested_loop(spark):
+    """The whole point of the bucketed range join: the plan must be a
+    hash/sort-merge equi-join on the bucket key, never the
+    BroadcastNestedLoopJoin a raw theta join degenerates to."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.events_ops import interval_join
+
+    intervals = spark.range(50).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 1000).alias("lo_us"),
+        (F.col("id") * 1000 + 1500).alias("hi_us"),
+    )
+    events = spark.range(500).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros((F.col("id") * 97).cast("long")).alias("ts"),
+    )
+    plan = _formatted_plan(interval_join(intervals, events, bucket_us=1000))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    assert "Join" in plan
