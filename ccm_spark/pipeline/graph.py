@@ -368,6 +368,7 @@ def hits(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
     n_iters: int = 10,
     quantize: int | None = None,
 ) -> DataFrame:
@@ -387,9 +388,14 @@ def hits(
 
         a_{t+1}(v) ∝ Σ_{u→v} h_t(u)      h_{t+1}(u) ∝ Σ_{u→v} a_{t+1}(v)
 
-    Parallel edges are additive (a page linking twice endorses twice,
-    matching ``host_graph`` weights); nodes with no in-edges hold
-    authority 0, no out-edges hub 0 — both stay in the output.
+    Parallel edges are additive (a page linking twice endorses twice);
+    pass ``weight`` to carry the multiplicity ``host_graph`` already
+    aggregated into its weight column — without it an aggregated host
+    graph loses page multiplicity and near-regular graphs degenerate to
+    uniform scores. Non-positive/NULL weights are dropped (no
+    endorsement), their endpoints stay in the node set (the pagerank
+    rule). Nodes with no in-edges hold authority 0, no out-edges hub 0
+    — both stay in the output.
 
     100 TB shape, same as pagerank: the deduped edge relation is
     repartitioned on ``src`` ONCE and persisted (every iteration's two
@@ -399,13 +405,17 @@ def hits(
     """
     if n_iters < 1:
         raise ValueError("hits: n_iters must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
+    e = e.filter(F.col("w") > 0)
     n = nodes.count()
     if n == 0:
         out = nodes.select(
@@ -430,14 +440,14 @@ def hits(
             a_raw = (
                 e.join(h.withColumnRenamed("node", "src"), "src")
                 .groupBy("dst")
-                .agg(F.sum("s").alias("raw"))
+                .agg(F.sum(F.col("w") * F.col("s")).alias("raw"))
             )
             a = _l1(nodes, a_raw, "dst", q).localCheckpoint(eager=True)
             # hubs from the fresh authorities
             h_raw = (
                 e.join(a.withColumnRenamed("node", "dst"), "dst")
                 .groupBy("src")
-                .agg(F.sum("s").alias("raw"))
+                .agg(F.sum(F.col("w") * F.col("s")).alias("raw"))
             )
             h = _l1(nodes, h_raw, "src", q).localCheckpoint(eager=True)
         out = (

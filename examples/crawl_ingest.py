@@ -195,9 +195,24 @@ def run(spark, warc_dir: str) -> dict:
     links = extract_links(
         compliant.select(F.col("target_uri").alias("url"), "html")
     )
-    hosts = top_hosts(host_graph(links), k=10, n_iters=12)
+    hg = host_graph(links)
+    hosts = top_hosts(hg, k=10, n_iters=12)
     ranking = [(r.node, round(r.rank, 6)) for r in hosts.collect()]
     counts["hosts_ranked"] = len(ranking)
+
+    # 4b (r12): the HITS complement — AUTHORITY budgets content hosts,
+    # HUB budgets the directory/aggregator hosts where new authorities
+    # get discovered; a frontier scheduler reads both next to PageRank.
+    # weight carries the page multiplicity host_graph aggregated away —
+    # without it this near-regular demo graph is score-uniform
+    from ccm_spark.pipeline.graph import hits
+
+    ha = {
+        r.node: (r.hub, r.authority)
+        for r in hits(hg, weight="weight", n_iters=8).collect()
+    }
+    counts["top_hub_host"] = max(ha, key=lambda v: ha[v][0])
+    counts["top_authority_host"] = max(ha, key=lambda v: ha[v][1])
 
     # 5: curation join — host rank becomes a per-document sampling prior
     from ccm_spark.pipeline.urls import url_domain

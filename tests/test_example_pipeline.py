@@ -146,6 +146,11 @@ def test_crawl_ingest_example_runs(spark, tmp_path):
     # hub.com is cited by every page -> ranks first
     assert out["ranking"][0][0] == "hub.com"
     assert {h for h, _ in out["ranking"]} == {"a.com", "b.com", "hub.com"}
+    # r12 weighted-HITS readout: hub.com (cited by every page, 4 weighted
+    # in-links) is the top AUTHORITY; a.com (3 pages citing hub + 2
+    # citing b) is the top HUB — the weighted replay fixed point
+    assert c["top_authority_host"] == "hub.com"
+    assert c["top_hub_host"] == "a.com"
 
 
 def test_corpus_monitoring_example_runs(spark, sf_small, tmp_path):

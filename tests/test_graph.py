@@ -361,3 +361,31 @@ def test_hits_matches_duckdb_twin(spark, sf_small):
         for a, b, c in con.sql(oext.sql_hits_hosts(n_iters=5, quant=9)).fetchall()
     )
     assert got == want and got
+
+
+def test_hits_weighted_carries_multiplicity(spark):
+    """An aggregated host graph loses page multiplicity unless weight is
+    passed: a weighted citer must out-hub an unweighted one, and zero/
+    negative weights are dropped as non-endorsements (endpoints stay)."""
+    from ccm_spark.pipeline.graph import hits
+
+    edges = [
+        ("a", "hub", 3.0),
+        ("a", "b", 2.0),
+        ("b", "hub", 1.0),
+        ("b", "a", 1.0),
+        ("hub", "a", 1.0),
+        ("hub", "b", 1.0),
+        ("ghost", "hub", 0.0),  # dropped edge; ghost stays a node
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    out = {
+        r.node: (r.hub, r.authority)
+        for r in hits(e, weight="weight", n_iters=8).collect()
+    }
+    # weighted replay fixed point: a is the top hub, hub the top authority
+    assert max(out, key=lambda v: out[v][0]) == "a"
+    assert max(out, key=lambda v: out[v][1]) == "hub"
+    assert out["ghost"] == (0.0, 0.0)
+    assert out["a"][0] == pytest.approx(0.691, abs=0.02)
+    assert out["hub"][1] == pytest.approx(0.553, abs=0.02)
