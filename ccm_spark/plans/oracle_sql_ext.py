@@ -3517,3 +3517,25 @@ SELECT iv.interval_id, iv.lo_us, iv.hi_us,
        e.event_id, epoch_us(e.ts) AS ts_us
 FROM iv JOIN events e
   ON epoch_us(e.ts) >= iv.lo_us AND epoch_us(e.ts) <= iv.hi_us"""
+
+
+def sql_winnow_matches(
+    k: int = 5, w: int = 4, min_shared: int = 2, max_df: int = 50
+) -> str:
+    """DuckDB twin of chunking.winnow_matches: nests the fingerprint
+    twin verbatim (MATERIALIZED — it is referenced by both join sides),
+    the same document-frequency valve, the same (doc_a < doc_b,
+    n_shared >= min_shared) pair rule."""
+    return f"""
+WITH fp AS MATERIALIZED ({sql_winnow_fingerprints(k, w)}),
+d AS (SELECT DISTINCT doc_id, gram_hash FROM fp),
+keep AS (
+  SELECT gram_hash FROM d GROUP BY 1 HAVING COUNT(*) <= {max_df}
+),
+kept AS MATERIALIZED (SELECT d.doc_id, d.gram_hash FROM d JOIN keep USING (gram_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b USING (gram_hash)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}"""

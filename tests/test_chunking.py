@@ -277,3 +277,33 @@ def test_winnow_guarantee_property(data, k, w):
     a = {h for _, h in py_winnow(pre_a + shared + suf_a, k, w)}
     b = {h for _, h in py_winnow(pre_b + shared + suf_b, k, w)}
     assert a & b
+
+
+def test_winnow_matches_matches_duckdb_twin(spark, sf_small):
+    """Full-chain twin: fingerprints nested verbatim, same df valve,
+    same pair rule — min_shared=1 so the synthetic corpus (low natural
+    overlap) still yields a non-vacuous pair set."""
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_winnow_matches
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(
+        (r.doc_a, r.doc_b, r.n_shared)
+        for r in winnow_matches(
+            docs, k=3, w=4, min_shared=1, max_df=50
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.sql(
+            sql_winnow_matches(k=3, w=4, min_shared=1, max_df=50)
+        ).fetchall()
+    )
+    assert got == want
+    assert got, "fixture yielded no shared fingerprints — vacuous twin"
