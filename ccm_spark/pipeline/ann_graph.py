@@ -662,22 +662,6 @@ def knn_graph_search(
     )
     edges = graph.select("src", "dst")
 
-    def score(cand: DataFrame) -> DataFrame:
-        """(query_id, node) -> + cos_sim, via broadcast queries and an
-        equi-join on the candidate node ids."""
-        return (
-            spread(cand, "query_id", factor=2)
-            .join(F.broadcast(qv), "query_id")
-            .join(vecs, F.col("node") == F.col("vec_id"))
-            .select(
-                "query_id",
-                "node",
-                (F.round(cos(F.col("qv"), F.col("v")), 9) + F.lit(0.0)).alias(
-                    "cos_sim"
-                ),
-            )
-        )
-
     def score_mark(cand: DataFrame) -> DataFrame:
         """Score candidates AND record the unscorable ones (graph nodes
         with no row in the embeddings relation — a served graph can
@@ -685,15 +669,31 @@ def knn_graph_search(
         precondition). Unscorable nodes enter visited with a NULL
         ``cos_sim`` so the anti-join never re-proposes them hop after
         hop; the NULL keeps them out of the frontier and the output
-        (both filter on ``cos_sim IS NOT NULL``), so scored results are
-        bit-identical to the drop-silently form this replaces."""
-        scored = score(cand)
-        dangling = cand.join(
-            scored.select("query_id", "node"), ["query_id", "node"], "left_anti"
-        ).select(
-            "query_id", "node", F.lit(None).cast("double").alias("cos_sim")
+        (both filter on ``cos_sim IS NOT NULL``).
+
+        ONE pass: a left join against the vector relation marks
+        dangling nodes in the same plan that scores the live ones (the
+        scored-then-anti-join form evaluated the candidate join subtree
+        twice per hop). The cosine kernel still sees a well-shaped
+        vector for every row — dangling rows feed it the query vector
+        itself (cos(q,q), discarded by the when()) so the Arrow batch
+        never carries NULL arrays."""
+        return (
+            spread(cand, "query_id", factor=2)
+            .join(F.broadcast(qv), "query_id")
+            .join(vecs, F.col("node") == F.col("vec_id"), "left")
+            .select(
+                "query_id",
+                "node",
+                F.when(
+                    F.col("v").isNotNull(),
+                    F.round(
+                        cos(F.col("qv"), F.coalesce(F.col("v"), F.col("qv"))), 9
+                    )
+                    + F.lit(0.0),
+                ).alias("cos_sim"),
+            )
         )
-        return scored.unionByName(dangling)
 
     seeds = (
         edges.select(F.col("src").alias("node"))

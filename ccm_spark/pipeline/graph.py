@@ -461,9 +461,11 @@ def hits(
             .localCheckpoint(eager=True)
         )
     finally:
+        # unpersist INSIDE the finally: a mid-iteration failure must not
+        # leak the persisted corpus-scale edge relation for the session
         spark.conf.set("spark.sql.shuffle.partitions", str(default_sp))
-    e.unpersist()
-    nodes.unpersist()
+        e.unpersist()
+        nodes.unpersist()
     return out
 
 

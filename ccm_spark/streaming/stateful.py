@@ -25,6 +25,18 @@ OUTPUT_SCHEMA = "event_type string, n bigint, mean double, m2 double"
 STATE_SCHEMA = "n bigint, mean double, m2 double"
 
 
+def _trunc_div(x, d: int):
+    """Truncation-toward-zero integer division (SQL ``DIV`` / DuckDB
+    ``//``) for int scalars or pandas Series — THE repo hour-bucket
+    convention (events_ops._with_hour_idx, entry.py). Python's ``//``
+    floors, which diverges from the batch twins one bucket on any
+    pre-1970 timestamp; bucket with this so streaming==batch holds on
+    the whole int64 domain, not just positive epochs."""
+    q = x // d
+    r = x - q * d
+    return q + ((q < 0) & (r != 0))
+
+
 def _pdf_ts_us(ts: pd.Series) -> pd.Series:
     """Pandas-side twin of sources.tables.ts_micros: epoch micros from
     whatever dtype Arrow delivered — datetime64 (TIMESTAMP[_NTZ] parquet)
@@ -353,7 +365,7 @@ def streaming_hourly_anomalies(
         if not parts:
             return
         pdf = pd.concat(parts)
-        hr = _pdf_ts_us(pdf["ts"]) // 3_600_000_000
+        hr = _trunc_div(_pdf_ts_us(pdf["ts"]), 3_600_000_000)
         batch_counts = hr.value_counts()
         touched_min = int(batch_counts.index.min())
         prev_newest = int(hours[-1]) if hours else None
@@ -438,11 +450,11 @@ def streaming_hourly_anomalies_watermarked(
     before splitting it into micro-batches); hours at/above the
     watermark remain buffered in state awaiting later events.
 
-    State per key stays bounded: the trailing ``4 * window_hours``
-    observed (hour, count) pairs plus two scalars — key cardinality ×
-    window, not stream length, same as the in-order operator.
+    State per key stays bounded: every OPEN hour (at most
+    ``late_hours + in-flight``) plus the ``window_hours`` most recent
+    closed hours (future closures' baselines) and two scalars — key
+    cardinality × (lateness + window), not stream length.
     """
-    keep_n = 4 * window_hours
     late_us = int(late_hours) * _HOUR_US
 
     def update(
@@ -463,8 +475,8 @@ def streaming_hourly_anomalies_watermarked(
         # an event in an hour the watermark already closed would mutate
         # an emitted, finalized count
         if max_ts is not None:
-            prior_closed_before = (int(max_ts) - late_us) // _HOUR_US
-            batch_min_hour = int(us.min()) // _HOUR_US
+            prior_closed_before = _trunc_div(int(max_ts) - late_us, _HOUR_US)
+            batch_min_hour = _trunc_div(int(us.min()), _HOUR_US)
             if batch_min_hour < prior_closed_before:
                 raise ValueError(
                     "streaming_hourly_anomalies_watermarked: event "
@@ -472,10 +484,10 @@ def streaming_hourly_anomalies_watermarked(
                     f"the allowed lateness ({late_hours}h) for type {key[0]} — "
                     "raise late_hours or repair the source ordering"
                 )
-        for h, c in (us // _HOUR_US).value_counts().items():
+        for h, c in _trunc_div(us, _HOUR_US).value_counts().items():
             held[int(h)] = held.get(int(h), 0) + int(c)
         max_ts = int(us.max()) if max_ts is None else max(int(max_ts), int(us.max()))
-        closed_before = (max_ts - late_us) // _HOUR_US
+        closed_before = _trunc_div(max_ts - late_us, _HOUR_US)
         hours = sorted(held)
         counts = [held[h] for h in hours]
         lo = int(next_emit) if next_emit is not None else hours[0]
@@ -483,11 +495,23 @@ def streaming_hourly_anomalies_watermarked(
             hours, counts, lo, closed_before,
             window_hours, min_hours, z_threshold,
         )
+        # the emit cursor is the WATERMARK, never max(lo, ...): on a
+        # key whose first observed hour sits above its own watermark,
+        # max() would over-advance the cursor and silently skip an
+        # in-bound late hour (>= the watermark, < the first observed)
+        # arriving in a later batch — the cursor must track only what
+        # the watermark has actually certified closed
         # retire hours that can never again be touched (below the
-        # watermark) nor serve as a future hour's baseline; open hours
-        # are always retained
+        # watermark) nor serve as a future closure's baseline: keep
+        # every OPEN hour plus the window_hours most recent closed ones
+        # (a fixed 4*window cap under-retains when late_hours spans
+        # more open hours than the cap)
+        import bisect
+
+        cut = bisect.bisect_left(hours, closed_before)
+        keep_from = max(0, cut - window_hours)
         state.update(
-            (hours[-keep_n:], counts[-keep_n:], max_ts, max(lo, closed_before))
+            (hours[keep_from:], counts[keep_from:], max_ts, closed_before)
         )
         if not rows:
             return

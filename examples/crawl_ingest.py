@@ -211,8 +211,14 @@ def run(spark, warc_dir: str) -> dict:
         r.node: (r.hub, r.authority)
         for r in hits(hg, weight="weight", n_iters=8).collect()
     }
-    counts["top_hub_host"] = max(ha, key=lambda v: ha[v][0])
-    counts["top_authority_host"] = max(ha, key=lambda v: ha[v][1])
+    # deterministic readout: ties break on the host name (collect order
+    # is partition-dependent), and an empty host graph reports None
+    counts["top_hub_host"] = (
+        max(ha, key=lambda v: (ha[v][0], v)) if ha else None
+    )
+    counts["top_authority_host"] = (
+        max(ha, key=lambda v: (ha[v][1], v)) if ha else None
+    )
 
     # 5: curation join — host rank becomes a per-document sampling prior
     from ccm_spark.pipeline.urls import url_domain

@@ -592,3 +592,101 @@ def test_streaming_sessionize_watermarked_out_of_order(spark, tmp_path):
         last_idx[u] = max(last_idx.get(u, 0), i)
     want = {k: v for k, v in batch.items() if k[1] != last_idx[k[0]]}
     assert got == want and len(want) == 5  # 3 + 2 closed sessions
+
+
+def _run_wm_anomaly_shards(spark, tmp_path, name, shards, **kw):
+    import os
+    import time
+
+    import pandas as pd
+
+    from ccm_spark.streaming.stateful import (
+        streaming_hourly_anomalies_watermarked,
+    )
+    from ccm_spark.streaming.windows import event_stream
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).assign(ts=lambda d: pd.to_datetime(d["ts"], unit="us"), props="{}")
+
+    d = tmp_path / name
+    d.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(d / f"s{i}.parquet")
+        mk(rows).to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    stream = streaming_hourly_anomalies_watermarked(
+        event_stream(spark, str(d), max_files_per_trigger=1), **kw
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {}
+    for r in rows:
+        k = (r.event_type, r.hour_idx)
+        assert k not in got, f"emitted twice: {k}"
+        got[k] = r.n_events
+    all_rows = [r for s in shards for r in s]
+    return got, mk(all_rows)
+
+
+def test_wm_anomalies_emit_cursor_never_overshoots_watermark(spark, tmp_path):
+    """Review regression (r12): a key whose FIRST observed hour sits
+    above its own watermark must not advance the emit cursor past the
+    watermark — an in-bound late hour arriving below the first observed
+    hour must still be emitted when it closes."""
+    US = 3_600_000_000
+    eid = iter(range(1000))
+    shard1 = [(next(eid), 100 * US + 10 * i, 1, "click", 1.0) for i in range(3)]
+    # hour 99 is LATE but in-bound (>= watermark hour 98); hour 103
+    # advances the watermark to close hours 99 and 100
+    shard2 = [(next(eid), 99 * US + 7, 1, "click", 1.0)] + [
+        (next(eid), 103 * US, 1, "click", 1.0)
+    ]
+    got, _ = _run_wm_anomaly_shards(
+        spark, tmp_path, "wm_cursor", [shard1, shard2],
+        window_hours=3, min_hours=2, late_hours=2,
+    )
+    assert got.get(("click", 99)) == 1, got  # the old max() cursor skipped it
+    assert got.get(("click", 100)) == 3
+
+
+def test_wm_anomalies_open_hours_survive_state_truncation(spark, tmp_path):
+    """Review regression (r12): with lateness spanning more open hours
+    than the old fixed 4*window cap, an open hour's count must survive
+    state truncation and merge with its late stragglers — and every
+    closed hour must match the batch operator."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+
+    US = 3_600_000_000
+    eid = iter(range(10_000))
+    shard1 = [
+        (next(eid), h * US + 5 * i, 1, "click", 1.0)
+        for h in range(10)
+        for i in range(2)
+    ]  # hours 0..9, 2 events each; wm after shard1 = hour 1 (late=8)
+    shard2 = [(next(eid), 3 * US + 999, 1, "click", 1.0)] + [
+        (next(eid), 17 * US, 1, "click", 1.0)
+    ]  # straggler into OPEN hour 3 + advance wm to close hours < 9
+    got, all_pdf = _run_wm_anomaly_shards(
+        spark, tmp_path, "wm_evict", [shard1, shard2],
+        window_hours=1, min_hours=1, late_hours=8,
+    )
+    assert got.get(("click", 3)) == 3, got  # 2 from shard1 + the straggler
+    ev = spark.createDataFrame(all_pdf)
+    batch = {
+        (r.event_type, r.hour_idx): r.n_events
+        for r in hourly_anomalies(ev, window_hours=1, min_hours=1).collect()
+        if r.hour_idx < 9
+    }
+    assert {k: v for k, v in got.items() if k[1] < 9} == batch
