@@ -1064,3 +1064,44 @@ def tfidf_terms(docs: DataFrame, k: int = 5) -> DataFrame:
             (F.round("score_raw", 6) + F.lit(0.0)).alias("score"),
         )
     )
+
+
+#: lookaround-free sentence pattern — a run of non-terminators followed
+#: by a terminator run (or end-of-text for the tail). Java regex (Spark)
+#: and RE2 (DuckDB) produce identical match lists: no lookbehind (RE2
+#: has none), leftmost-greedy in both. Abbreviations split ("Dr." ends a
+#: sentence) — the documented naive-rule tradeoff; a corpus needing
+#: abbreviation awareness runs a model splitter downstream.
+SENTENCE_RE = "[^.!?]+(?:[.!?]+|$)"
+
+
+def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Naive-rule sentence segmentation: one row per sentence,
+    ``(doc_id, sent_idx, sentence, n_chars)`` — the unit every
+    sentence-level consumer (quality scoring per sentence,
+    sentence-boundary chunking, parallel-corpus alignment) needs below
+    the document level.
+
+    ``sent_idx`` is the ORIGINAL match position (whitespace-only
+    matches are dropped AFTER indexing, so indices are stable across
+    engines but may have gaps); ``sentence`` is space-trimmed. A text
+    with no non-terminator characters yields no rows. One narrow
+    projection + generate — map-only at any scale, the chunking
+    family's plan shape.
+    """
+    sents = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all(text_col, F.lit(SENTENCE_RE), 0)
+            ).alias("sent_idx", "_raw"),
+        )
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            F.trim(F.col("_raw")).alias("sentence"),
+        )
+        .where(F.col("sentence") != "")
+    )
+    return sents.withColumn("n_chars", F.length("sentence").cast("int"))

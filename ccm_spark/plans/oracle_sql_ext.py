@@ -3539,3 +3539,25 @@ FROM kept a JOIN kept b USING (gram_hash)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}"""
+
+
+def sql_split_sentences() -> str:
+    """DuckDB twin of text.split_sentences: the SAME lookaround-free
+    pattern (imported constant — the two can never drift), group-0
+    extract_all, original match positions kept through the
+    whitespace-only filter, space trim both sides."""
+    from ccm_spark.pipeline.text import SENTENCE_RE
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, regexp_extract_all(text, '{SENTENCE_RE}', 0) AS ss
+  FROM documents
+),
+u AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(ss, 1) - 1 AS INT) AS sent_idx,
+         trim(unnest(ss)) AS sentence
+  FROM m
+)
+SELECT doc_id, sent_idx, sentence, CAST(length(sentence) AS INT) AS n_chars
+FROM u WHERE sentence != ''"""

@@ -683,3 +683,65 @@ def test_tfidf_terms_matches_duckdb_twin(spark, sf_small):
     assert len(got) == len(want)
     mism = [(g, w) for g, w in zip(got, want) if g != w]
     assert not mism, mism[:5]
+
+
+# -------------------------------------------------------------- sentences
+
+
+def test_split_sentences_hand_built(spark):
+    from ccm_spark.pipeline.text import split_sentences
+
+    texts = [
+        "First sentence. Second one! Third? No terminator tail",
+        "Dr. Smith went home... Then what?!  Multiple   spaces. ",
+        "",
+        "...",
+        "one",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in split_sentences(d).collect():
+        got.setdefault(r.doc_id, []).append((r.sent_idx, r.sentence, r.n_chars))
+    for v in got.values():
+        v.sort()
+    assert [s for _, s, _ in got[0]] == [
+        "First sentence.", "Second one!", "Third?", "No terminator tail",
+    ]
+    # the naive rule splits at 'Dr.' (documented tradeoff) and the
+    # trailing whitespace-only match is dropped with its index gap kept
+    assert [s for _, s, _ in got[1]] == [
+        "Dr.", "Smith went home...", "Then what?!", "Multiple   spaces.",
+    ]
+    assert [i for i, _, _ in got[1]] == [0, 1, 2, 3]  # idx 4 was blank
+    assert 2 not in got and 3 not in got  # empty / terminators-only
+    assert got[4] == [(0, "one", 3)]
+
+
+def test_split_sentences_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+    import pandas as pd
+
+    from ccm_spark.pipeline.text import split_sentences
+    from ccm_spark.plans.oracle_sql_ext import sql_split_sentences
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    # append a non-BMP doc so the codepoint-unit agreement is pinned too
+    extra = spark.createDataFrame(
+        [(100_000, "a\U0001F600b. emoji sentence! ok")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    got = sorted(
+        (r.doc_id, r.sent_idx, r.sentence, r.n_chars)
+        for r in split_sentences(both).collect()
+    )
+    con = duckdb.connect()
+    pdf = both.toPandas()
+    con.register("documents", pd.DataFrame(pdf))
+    want = sorted(
+        (int(a), int(b), c, int(d))
+        for a, b, c, d in con.sql(sql_split_sentences()).fetchall()
+    )
+    assert got and got == want
