@@ -150,6 +150,9 @@ def main() -> None:
         "dedup_minhash_lsh": E.q_dedup_minhash_lsh,
         "dedup_simhash_pairs": E.q_dedup_simhash_pairs,
         "events_hourly_stats": E.q_events_hourly_stats,
+        # same for the r13 rotation (knn_graph_search / chunk_documents
+        # / char_entropy / hourly_anomalies took the gate slots)
+        "text_langid": E.q_text_langid,
     }
 
     # median of REPEATS per query, pass-interleaved so a VM-noise burst
@@ -580,8 +583,20 @@ def main() -> None:
     #   perf_pagerank.py reproduces it), i.e. a per-SESSION constant a
     #   long-lived graph job pays once — not per-query cost. The cold
     #   run still executes first and stays visible in the spread.
-    EXTRA_NRUNS = {"dsir_select": 3, "knn_graph_2k": 3, "pagerank_20k": 3}
-    EXTRA_WARM_MEDIAN = {"pagerank_20k"}
+    # r13 (VERDICT r12 #4): hits_20k joins the warm-median convention —
+    # SCALE.md documents the identical first-execution codegen constant
+    # (12.4 s cold vs ~6.6 s warm) that moved pagerank_20k to
+    # warm-median in r10; and url_dedup gets nruns=3 so one co-tenant
+    # hit cannot set the reported value (r12 reported 10.13 s from a
+    # [0.745, 10.13] two-run spread while the driver saw 2.49 s).
+    EXTRA_NRUNS = {
+        "dsir_select": 3,
+        "knn_graph_2k": 3,
+        "pagerank_20k": 3,
+        "hits_20k": 3,
+        "url_dedup": 3,
+    }
+    EXTRA_WARM_MEDIAN = {"pagerank_20k", "hits_20k"}
     # r12 (VERDICT r11 #6): cooldown re-gate BETWEEN extras. The r11
     # self-run's own 1-min loadavg ramped 4 -> 15 as the extras queue
     # drained back-to-back, manufacturing phantom quiet-host regressions
@@ -710,6 +725,26 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         f.write(summary + "\n")
+    # r13 (VERDICT r12 #5): the driver records only a stdout TAIL, and
+    # the full summary line (per-query loadavg maps included) outgrew
+    # that window three rounds running (BENCH_r10..r12 all parsed:
+    # null). Print a compact line — headline total + per-query medians
+    # + extras' reported numbers, no spreads/loadavg — as the LAST
+    # stdout line so the driver's own record parses again; the full
+    # artifact lives in BENCH_LOCAL.json above.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "extra_queries": extra_timings,
+                "full_artifact": "BENCH_LOCAL.json",
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

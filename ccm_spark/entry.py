@@ -1143,6 +1143,79 @@ def q_graph_diversity(spark, sf_dir):
     )
 
 
+def q_knn_graph_search(spark, sf_dir):
+    """Best-first beam search over the served k-NN graph
+    (pipeline/ann_graph.py, gated r13 — the graph RETRIEVAL consumer):
+    queries vec_id % 50 = 7 walk the gate-geometry descent graph at
+    k=5 / beam=16 / 3 hops / 8 seeds; scores are the shared round-9
+    canonical cosine, a visited (query, node) pair is never re-scored.
+    The twin nests sql_knn_graph verbatim and unrolls the walk
+    hop-by-hop with NOT EXISTS as the left_anti visited check."""
+    from ccm_spark.pipeline.ann_graph import knn_graph_search
+
+    embs = _embs(spark, sf_dir)
+    graph = _gate_knn_graph(spark, sf_dir).localCheckpoint(eager=True)
+    queries = embs.where(oext.SEARCH_GATE_PRED).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    return knn_graph_search(
+        graph,
+        embs,
+        queries,
+        k=oext.SEARCH_K,
+        beam=oext.SEARCH_BEAM,
+        n_hops=oext.SEARCH_HOPS,
+        n_seeds=oext.SEARCH_SEEDS,
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token-window chunking (pipeline/chunking.py, gated r13 —
+    the corpus-rewrite family's first CORRECTNESS row) at the gate
+    geometry max_tokens=32 / stride=24: the synthetic docs run 10-99
+    tokens, so this yields up to 4 OVERLAPPING chunks per doc (the
+    production default 128/96 would put every gate doc in one chunk —
+    vacuous). One row per chunk with exact start/len, the token array
+    consumed by a transform BEFORE the generate so nothing
+    array-valued is copied per output row — a map-only corpus
+    rewrite."""
+    from ccm_spark.pipeline.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=32, stride=24)
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character-entropy signals (pipeline/filters.py, gated
+    r13 — the document-filter family's second gate row): total
+    codepoints, distinct codepoints, Shannon bits/char via the one-pass
+    H = log2(N) − Σc·log2(c)/N identity; codepoint-exact beyond the
+    BMP (Spark's split('') never splits a surrogate pair — pinned in
+    tests/test_filters.py). Map-side combine collapses each doc to
+    <= |alphabet| partial rows before the exchange."""
+    from ccm_spark.pipeline.filters import char_entropy_signals
+
+    return char_entropy_signals(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        _r6(F.col("entropy_bits")).alias("entropy_bits"),
+    )
+
+
+def q_hourly_anomalies(spark, sf_dir):
+    """Trailing-window volume anomalies (pipeline/events_ops.py, gated
+    r13 — completes the monitoring chain next to the gated streaming
+    row) at the production geometry: each observed hour scored against
+    the previous 24 OBSERVED hours (rows window, current hour
+    excluded), 6-hour warm-up and zero-variance guards score 0.0,
+    round6 at every double boundary."""
+    from ccm_spark.pipeline.events_ops import hourly_anomalies
+
+    return hourly_anomalies(
+        load_table(spark, sf_dir, "events"), window_hours=24, min_hours=6
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (pipeline/clustering.py, gated r11): the full chain —
     distributed Lloyd k-means (the former kmeans_clusters gate nested
@@ -1289,14 +1362,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_kn": q_lm_perplexity_kn,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
+        # text_langid rotated out r13 (QUERIES.md ledger): the text
+        # family holds 6+ gated rows over the same splitter/signal
+        # relations; langid keeps its hand-built profile pins plus a
+        # direct DuckDB-replay pin in tests/test_pipeline_ops.py. Slot
+        # went to char_entropy (the document-filter family's second
+        # gate, codepoint-exact beyond the BMP per the r12 pin).
+        "char_entropy": q_char_entropy,
         # text_token_counts rotated out r08 (QUERIES.md policy): its token
         # relation is the same splitter CTE the still-gated
         # text_token_stats / text_vocab_topk rows hash end-to-end, and the
         # three counters keep test_token_counts plus a DuckDB-replay pin
         # in tests/test_pipeline_ops.py. Slot went to cms_sketch (the
-        # sketch family's first CORRECTNESS row).
-        "cms_sketch": q_cms_sketch,
+        # sketch family's first CORRECTNESS row). cms_sketch itself
+        # rotated out r13 (QUERIES.md ledger): its cell relation is
+        # joined VERBATIM inside the still-gated bottomk_quantiles
+        # twin; keeps tests/test_sketches.py pins plus a direct
+        # DuckDB-replay pin in tests/test_pipeline_ops.py. Slot went
+        # to chunk_documents (the corpus-rewrite family's first
+        # CORRECTNESS row).
+        "chunk_documents": q_chunk_documents,
         # text_fingerprint rotated out r09 (QUERIES.md policy): the
         # positional rolling hash also anchors the fingerprint pins in
         # tests/test_pipeline_ops.py, and it gains a DuckDB-replay pin
@@ -1442,8 +1527,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the frame sampler keeps its stub-boundary pins in
         # tests/test_pipeline_ops.py plus a DuckDB-replay pin. Slot went
         # to hll_vocab (the HLL sketch's first CORRECTNESS row — CMS
-        # holds the sketch family's other gate).
-        "hll_vocab": q_hll_vocab,
+        # holds the sketch family's other gate). hll_vocab itself
+        # rotated out r13 (QUERIES.md ledger): its register relation is
+        # joined VERBATIM inside the still-gated bottomk_quantiles
+        # twin; keeps tests/test_sketches.py pins (merge==build,
+        # register replay) plus a direct DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to knn_graph_search
+        # (the graph RETRIEVAL consumer — build + insert + diversity +
+        # search all gated).
+        "knn_graph_search": q_knn_graph_search,
         # events_hourly_stats rotated out r12 (QUERIES.md ledger): the
         # hourly aggregation is the unwatermarked SUPERSET of the
         # still-gated streaming_hourly_stats row (same µs-DIV
@@ -1477,8 +1569,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (same as-of machinery, one extra NULL-out predicate); keeps its
         # pin in tests/test_events_ops.py plus a DuckDB-replay pin. Slot
         # went to warc_extract (the crawl-ingestion front door's first
-        # CORRECTNESS row).
-        "warc_extract": q_warc_extract,
+        # CORRECTNESS row). warc_extract itself rotated out r13
+        # (QUERIES.md ledger): the WARC chain's HTML stage is the same
+        # extractor relation the still-gated html_extract hashes
+        # end-to-end; the record parser keeps its round-trip pins in
+        # tests/test_warc.py plus a direct DuckDB-replay pin in
+        # tests/test_pipeline_ops.py. Slot went to hourly_anomalies
+        # (the monitoring chain's batch anomaly row next to the gated
+        # streaming twin).
+        "hourly_anomalies": q_hourly_anomalies,
         # text_vocab_topk rotated out r11 (QUERIES.md ledger): its token
         # relation is the splitter CTE the still-gated text_token_stats
         # hashes end-to-end, and the two-phase top-k pattern stays gated
@@ -1529,8 +1628,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity_kn": oext.sql_lm_perplexity_kn(),
         "text_token_stats": oext.sql_text_token_stats(),
         "text_quality": oext.sql_text_quality(),
-        "text_langid": oext.sql_text_langid(),
-        "cms_sketch": oext.sql_cms_sketch(),
+        "char_entropy": oext.sql_char_entropy(),
+        "chunk_documents": oext.sql_chunk_documents(max_tokens=32, stride=24),
         "dsir_weights": oext.sql_dsir_log_weights(),
         "tokenizer_fertility": oext.sql_tokenizer_fertility(),
         "redact_pii_extended": oext.sql_redact_pii_extended(),
@@ -1556,11 +1655,11 @@ def oracle_sql() -> dict[str, str]:
         "corpus_divergence": oext.sql_corpus_divergence(),
         "dedup_embedding": oext.sql_dedup_embedding(0.35),
         "multimodal_features": oext.sql_multimodal_features(),
-        "hll_vocab": oext.sql_hll_registers(),
+        "knn_graph_search": oext.sql_knn_graph_search(),
         "shipping_priority": oext.sql_shipping_priority(),
         "quantize_embeddings": oext.sql_quantize_embeddings(),
         "events_asof_join": oext.sql_events_asof_join(),
-        "warc_extract": oext.sql_warc_extract(),
+        "hourly_anomalies": oext.sql_hourly_anomalies(),
         "bottomk_quantiles": oext.sql_bottomk_quantiles(),
         "knn_graph": oext.sql_knn_graph(),
         "streaming_hourly_stats": oext.sql_streaming_hourly_stats(),

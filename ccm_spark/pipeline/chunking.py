@@ -85,6 +85,21 @@ def chunk_documents(
             f"chunk_documents: stride {stride} > max_tokens {max_tokens} "
             "would skip tokens between consecutive chunks"
         )
+    # Transient-memory valve: the transform materialises ALL of a doc's
+    # chunk strings in one array before the generate, so per-row text
+    # inflates by ~max_tokens/stride (1.33x at the 128/96 default). A
+    # miscalled stride << max_tokens turns a 100 TB corpus rewrite into
+    # an 8x+ per-row blow-up silently — fail loudly instead (an
+    # intentional dense sweep can explode chunk INDICES first and slice
+    # per row).
+    if stride * 8 < max_tokens:
+        raise ValueError(
+            f"chunk_documents: stride {stride} < max_tokens/8 "
+            f"({max_tokens}/8) inflates per-doc transient memory "
+            f"~{max_tokens / stride:.0f}x (all chunk strings are built "
+            "in one array per doc before the generate); use a coarser "
+            "stride or chunk in index space"
+        )
     base = (
         spread(docs, "doc_id")
         .select("doc_id", tokens_col(text_col).alias("_toks"))

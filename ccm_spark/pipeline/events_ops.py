@@ -406,25 +406,35 @@ def hourly_anomalies(
         .orderBy("hour_idx")
         .rowsBetween(-window_hours, -1)
     )
+    # Mean/std from EXACT integer window sums (count, Σn, Σn²) with one
+    # shared expression tree, not avg/stddev_pop: the built-in stddev's
+    # accumulation order differs across engines (Welford vs naive), and
+    # at window_hours=24 the last-bit drift survives round6 — integer
+    # sums are exact, and the identical double tree is then
+    # bit-deterministic in both engines (IEEE ops incl. sqrt are
+    # correctly rounded).
     base = hourly.select(
         "event_type",
         "hour_idx",
         "n_events",
         F.count("*").over(w).alias("_n_base"),
-        F.avg("n_events").over(w).alias("_mean"),
-        F.stddev_pop("n_events").over(w).alias("_std"),
+        F.sum("n_events").over(w).alias("_s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("_s2"),
     )
-    scored = (F.col("_n_base") >= min_hours) & (F.col("_std") > 0)
-    z = F.when(
-        scored, (F.col("n_events") - F.col("_mean")) / F.col("_std")
-    ).otherwise(F.lit(0.0))
+    mean = F.col("_s1") / F.col("_n_base")
+    var = F.greatest(
+        F.col("_s2") / F.col("_n_base") - mean * mean, F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    scored = (F.col("_n_base") >= min_hours) & (std > 0)
+    z = F.when(scored, (F.col("n_events") - mean) / std).otherwise(F.lit(0.0))
     r6 = lambda c: F.round(c, 6) + F.lit(0.0)
     return base.select(
         "event_type",
         "hour_idx",
         "n_events",
-        r6(F.coalesce("_mean", F.lit(0.0))).alias("baseline_mean"),
-        r6(F.coalesce("_std", F.lit(0.0))).alias("baseline_std"),
+        r6(F.coalesce(mean, F.lit(0.0))).alias("baseline_mean"),
+        r6(F.coalesce(std, F.lit(0.0))).alias("baseline_std"),
         r6(z).alias("zscore"),
         (scored & (F.abs(z) >= F.lit(z_threshold))).alias("anomaly"),
     )

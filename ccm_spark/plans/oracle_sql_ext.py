@@ -3208,7 +3208,12 @@ def sql_hourly_anomalies(
 ) -> str:
     """DuckDB twin of events_ops.hourly_anomalies: same rows-based
     trailing window (current hour excluded), same warm-up and
-    zero-variance guards, round6 at every double boundary."""
+    zero-variance guards, round6 at every double boundary. Mean/std
+    re-derived from the SAME exact integer window sums (count, Σn,
+    Σn²) through the SAME double expression tree as the Spark side —
+    built-in AVG/STDDEV_POP accumulate in engine-specific order
+    (Welford vs naive) and the last-bit drift survives round6 at
+    window_hours=24."""
     z = (
         f"CASE WHEN nb >= {min_hours} AND s > 0 "
         f"THEN (n_events - m) / s ELSE 0.0 END"
@@ -3220,14 +3225,23 @@ WITH hourly AS (
          COUNT(*) AS n_events
   FROM events GROUP BY 1, 2
 ),
-base AS (
+sums AS (
   SELECT event_type, hour_idx, n_events,
          COUNT(*) OVER w AS nb,
-         AVG(n_events) OVER w AS m,
-         STDDEV_POP(n_events) OVER w AS s
+         SUM(n_events) OVER w AS s1,
+         SUM(n_events * n_events) OVER w AS s2
   FROM hourly
   WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
                ROWS BETWEEN {window_hours} PRECEDING AND 1 PRECEDING)
+),
+base AS (
+  SELECT event_type, hour_idx, n_events, nb,
+         s1 / CAST(nb AS DOUBLE) AS m,
+         sqrt(greatest(
+           s2 / CAST(nb AS DOUBLE)
+             - (s1 / CAST(nb AS DOUBLE)) * (s1 / CAST(nb AS DOUBLE)),
+           0.0)) AS s
+  FROM sums
 )
 SELECT event_type, hour_idx, CAST(n_events AS BIGINT) AS n_events,
        round(COALESCE(m, 0.0), 6) + 0.0 AS baseline_mean,

@@ -103,6 +103,17 @@ def test_chunk_documents_validates_params(spark):
         chunk_documents(d, max_tokens=0, stride=1)
 
 
+def test_chunk_documents_rejects_dense_stride(spark):
+    """stride << max_tokens inflates per-doc transient memory (every
+    chunk string is built in one array before the generate) — the
+    valve fails loudly below max_tokens/8 and admits exactly 8x."""
+    d = docs_df(spark, ["a b c"])
+    with pytest.raises(ValueError, match="transient memory"):
+        chunk_documents(d, max_tokens=64, stride=7)
+    # boundary: 8x overlap is still accepted (64/8 = 8 == stride)
+    chunk_documents(d, max_tokens=64, stride=8).collect()
+
+
 # ------------------------------------------------------------ winnowing
 
 

@@ -768,6 +768,53 @@ def test_r12_rotated_rows_match_duckdb_replay(spark, sf_small):
         )
 
 
+def test_r13_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r13 rotation pins (QUERIES.md ledger): hll_vocab / cms_sketch /
+    text_langid / warc_extract lost their driver gate slots to
+    knn_graph_search / chunk_documents / char_entropy /
+    hourly_anomalies; each rotated-out relation stays cross-engine
+    hash-checked here at sf0.001 exactly the way the driver would
+    check it (both sketch relations also remain joined verbatim inside
+    the still-gated bottomk_quantiles twin, and the WARC chain's HTML
+    stage inside the still-gated html_extract — this is the direct pin
+    on top of that transitive evidence)."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "hll_vocab": (entry.q_hll_vocab, oe.sql_hll_registers()),
+        "cms_sketch": (entry.q_cms_sketch, oe.sql_cms_sketch()),
+        "text_langid": (entry.q_text_langid, oe.sql_text_langid()),
+        "warc_extract": (entry.q_warc_extract, oe.sql_warc_extract()),
+    }
+
+    def _key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert got == want, (
+            f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
+            "or values differ"
+        )
+
+
 def test_corpus_diff_matches_duckdb_twin(spark, sf_small):
     """Parity-fixture diff (r12 gate candidate, QUERIES.md): the full
     4-column output (status + both hashes) of the NULL-safe operator —
