@@ -239,11 +239,19 @@ def winnow_matches(
     the self-join — the document-frequency valve that bounds the pair
     blow-up at C·max_df² per hot hash, the same discipline as the LSH
     band valve in pipeline/dedup.py.
+
+    The fingerprint relation feeds FOUR plan subtrees (df_counts + both
+    self-join sides through ``kept``), so it is localCheckpointed: the
+    tokenize → gram-explode → rolling-min-window lineage would otherwise
+    replay per consumer (the filters.py anchor-relation fix, r11/r12
+    advice). Fingerprints are SPARSE — density ~2/(w+1) of the token
+    relation — so the cut is cheap to materialize.
     """
     fps = (
         winnow_fingerprints(docs, k=k, w=w, text_col=text_col)
         .select("doc_id", "gram_hash")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     df_counts = fps.groupBy("gram_hash").agg(F.count("*").alias("_df"))
     kept = fps.join(

@@ -470,7 +470,19 @@ def interval_join(
     span/bucket ratio past ``max_buckets_per_interval`` fails fast
     (distributedly, one limit-1 probe) instead of silently exploding
     the interval relation, the ``resample_ffill`` guard discipline.
-    Returns ``(interval_id, lo_us, hi_us, event_id, ts_us)``.
+    Inverted intervals (``lo_us > hi_us``) fail the same probe — a
+    data bug in the interval relation must not silently shrink the
+    result (r12 advice; the fail-loudly discipline the span guard
+    already follows). Returns
+    ``(interval_id, lo_us, hi_us, event_id, ts_us)``.
+
+    Determinism contract (r12 advice): the guard probe runs EAGERLY at
+    plan-construction time — constructing this DataFrame triggers one
+    Spark job, and the intervals lineage is evaluated twice (probe +
+    join). A NONDETERMINISTIC upstream could therefore pass the probe
+    yet materialise a different interval in the join; feed the guard
+    deterministic lineage (or localCheckpoint upstream) if your
+    interval relation is derived from sampling/shuffling operators.
     """
     max_buckets_per_interval = 1_000_000
     if bucket_us < 1:
@@ -479,17 +491,26 @@ def interval_join(
         F.col(id_col).alias("interval_id"),
         F.col(lo_col).cast("long").alias("lo_us"),
         F.col(hi_col).cast("long").alias("hi_us"),
-    ).where(F.col("lo_us") <= F.col("hi_us"))
-    too_wide = (
+    )
+    bad = (
         iv.where(
-            (F.col("hi_us") - F.col("lo_us")) / F.lit(bucket_us)
-            > max_buckets_per_interval
+            (F.col("lo_us") > F.col("hi_us"))
+            | (
+                (F.col("hi_us") - F.col("lo_us")) / F.lit(bucket_us)
+                > max_buckets_per_interval
+            )
         )
         .limit(1)
         .collect()
     )
-    if too_wide:
-        r = too_wide[0]
+    if bad:
+        r = bad[0]
+        if r.lo_us > r.hi_us:
+            raise ValueError(
+                f"interval_join: interval {r.interval_id!r} is inverted "
+                f"(lo_us {r.lo_us} > hi_us {r.hi_us}) — repair the "
+                "interval relation"
+            )
         raise ValueError(
             f"interval_join: interval {r.interval_id!r} spans "
             f"{(r.hi_us - r.lo_us) // bucket_us} buckets at bucket_us="

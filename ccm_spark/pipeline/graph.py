@@ -130,7 +130,9 @@ def pagerank(
     # host-graph with 1e9 nodes keeps the (large) session value. The
     # session conf is set for the loop only and restored in `finally`
     # (session-scoped: concurrent queries on the same session during a
-    # pagerank call would see the reduced value).
+    # pagerank call would see the reduced value — run centralities on
+    # their own session if that window matters; per-join repartition()
+    # cannot reach the groupBy exchanges, so the conf is the lever).
     spark = edges.sparkSession
     default_sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
     npart = max(2, min(default_sp, n // 4000 + 1))
@@ -402,6 +404,15 @@ def hits(
     joins reuse the layout), scores are the small moving side, the two
     normalisation totals are 1-row broadcast cross joins, and
     ``localCheckpoint`` cuts lineage per iteration.
+
+    Concurrency caveat (shared with :func:`pagerank`): the iteration
+    shuffles are sized to the GRAPH by setting the session-scoped
+    ``spark.sql.shuffle.partitions`` for the loop (restored in
+    ``finally``) — an unrelated query running CONCURRENTLY on the same
+    SparkSession during the iterations would plan with the reduced
+    count. Run graph centralities on their own session (or accept the
+    window) — per-join repartition() cannot reach the groupBy
+    exchanges, so the conf is the only lever short of AQE.
     """
     if n_iters < 1:
         raise ValueError("hits: n_iters must be >= 1")

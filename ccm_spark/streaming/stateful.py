@@ -48,6 +48,8 @@ def _pdf_ts_us(ts: pd.Series) -> pd.Series:
 
 def _welford_merge(n, mean, m2, values: pd.Series):
     for v in values:
+        if v != v:  # NULL -> NaN here; batch avg/stddev skip nulls
+            continue
         n += 1
         delta = v - mean
         mean += delta / n
@@ -149,7 +151,8 @@ def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 idx += 1
                 start, n, sv = ts_us, 0, 0.0
             n += 1
-            sv += value
+            if value == value:  # NULL -> NaN here; F.sum skips nulls
+                sv += value
             last = ts_us
         rows.append((key[0], idx, n, start, last, sv))  # open-session snapshot
         state.update((idx, start, last, n, sv))
@@ -283,8 +286,14 @@ def _score_hour_range(
     set), each scored against its trailing ``window_hours`` observed
     predecessors — the same rows-window semantics as the batch
     ``events_ops.hourly_anomalies``. Warm-up (< min_hours baselines)
-    and zero-variance baselines score 0.0 and never flag."""
-    import numpy as np
+    and zero-variance baselines score 0.0 and never flag.
+
+    Mean/std come from the EXACT integer sums (n, Σc, Σc²) through the
+    SAME double expression tree as the batch operator and its DuckDB
+    twin — sqrt(max(s2/n − (s1/n)², 0)) — so the convergence pin's
+    bit-identity holds by construction, not by fixture luck (a centered
+    two-pass std differs in the last bits for some count vectors)."""
+    import math
 
     from ccm_spark.functions.hashing import py_round_half_up
 
@@ -295,9 +304,10 @@ def _score_hour_range(
         base = counts[max(0, i - window_hours) : i]
         n_base = len(base)
         if n_base:
-            arr = np.asarray(base, dtype=np.float64)
-            mean = float(arr.sum() / n_base)
-            std = float(np.sqrt(((arr - mean) ** 2).sum() / n_base))
+            s1 = sum(base)  # exact: python ints
+            s2 = sum(c * c for c in base)
+            mean = s1 / n_base
+            std = math.sqrt(max(s2 / n_base - (s1 / n_base) * (s1 / n_base), 0.0))
         else:
             mean = std = 0.0
         scored = n_base >= min_hours and std > 0
@@ -623,7 +633,8 @@ def streaming_sessionize_watermarked(
                 idx += 1
                 start, n, sv = t, 0, 0.0
             n += 1
-            sv += v
+            if v == v:  # NULL -> NaN here; match F.sum's null-skipping
+                sv += v
             last = t
         # close the trailing open session once the watermark passes its
         # end by more than the gap — every later event must start a new

@@ -218,6 +218,26 @@ def test_winnow_matches_finds_planted_overlap(spark):
     assert not any(a < 6 and b < 6 for a, b in pairs)
 
 
+def test_winnow_matches_plan_cuts_fingerprint_fanout(spark):
+    """The fingerprint relation feeds four subtrees (df_counts + both
+    self-join sides); the localCheckpoint must cut the tokenize ->
+    gram-explode -> rolling-window lineage so it materialises ONCE per
+    action: the executed plan scans a checkpointed RDD and contains no
+    copy of the window/generate chain (r12 advice — the filters.py
+    anchor-relation fix applied here)."""
+    d = docs_df(spark, [f"w{i} " * 20 for i in range(4)])
+    plan = (
+        winnow_matches(d, k=3, w=4, min_shared=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan ExistingRDD" in plan
+    # the rolling-min window and the gram explode live ABOVE the cut only
+    assert "Window" not in plan
+    assert "Generate" not in plan
+
+
 # ------------------------------------------------- property tests (pure py)
 
 

@@ -578,6 +578,23 @@ def test_interval_join_matches_theta_join(spark):
         assert got == want, f"bucket_us={bucket}"
 
 
+def test_interval_join_rejects_inverted_intervals(spark):
+    """lo_us > hi_us is a data bug in the interval relation — it must
+    fail loudly (r12 advice), not silently produce fewer pairs."""
+    import pytest
+
+    from ccm_spark.pipeline.events_ops import interval_join
+
+    intervals = spark.createDataFrame(
+        [(0, 100, 50)], "interval_id long, lo_us long, hi_us long"
+    )
+    events = spark.createDataFrame([(0, 75)], "event_id long, ts long").select(
+        "event_id", F.timestamp_micros(F.col("ts")).alias("ts")
+    )
+    with pytest.raises(ValueError, match="inverted"):
+        interval_join(intervals, events)
+
+
 def test_interval_join_matches_duckdb_twin(spark, sf_small):
     import duckdb
 

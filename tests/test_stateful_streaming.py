@@ -594,6 +594,81 @@ def test_streaming_sessionize_watermarked_out_of_order(spark, tmp_path):
     assert got == want and len(want) == 5  # 3 + 2 closed sessions
 
 
+def test_streaming_sessionize_watermarked_null_values_match_batch(
+    spark, tmp_path
+):
+    """NULL event values must not poison sum_value (r12 advice): the
+    Arrow batch delivers NULL as NaN to the pandas fold, and a naive
+    `sv += v` turns the whole session's sum into NaN while the batch
+    operator's F.sum skips nulls. Pin the two engines bit-identical on
+    a session containing a NULL value — batch side read from the SAME
+    parquet bytes so the NULL survives both paths."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from ccm_spark.pipeline.events_ops import sessionize
+    from ccm_spark.streaming.stateful import streaming_sessionize_watermarked
+    from ccm_spark.streaming.windows import event_stream
+
+    MIN = 60_000_000
+    rows = [
+        (0, 0 * MIN, 1, "click", 1.0),
+        (1, 3 * MIN, 1, "click", None),  # pandas NaN -> parquet NULL
+        (2, 6 * MIN, 1, "click", 2.0),
+        (3, 400 * MIN, 1, "click", 0.5),  # pushes wm past the session
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).assign(ts=lambda d: pd.to_datetime(d["ts"], unit="us"), props="{}")
+    d = tmp_path / "wm_sess_null"
+    d.mkdir()
+    p = str(d / "s0.parquet")
+    pdf.to_parquet(p, index=False)
+    os.utime(p, (time.time(), time.time()))
+
+    stream = streaming_sessionize_watermarked(
+        event_stream(spark, str(d), max_files_per_trigger=1),
+        gap_minutes=30,
+        late_minutes=10,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_sess_null_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm_sess_null"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.sum_value)
+        for r in spark.sql("SELECT * FROM wm_sess_null_out").collect()
+    }
+    batch = {
+        (r.user_id, r.session_idx): (r.n_events, r.start_us, r.end_us, r.sum_value)
+        for r in sessionize(
+            spark.read.parquet(str(d)), gap_minutes=30
+        ).collect()
+    }
+    # the closed first session: 3 events, NULL skipped -> sum exactly 3.0
+    key = next(k for k, v in got.items() if v[0] == 3)
+    assert got[key][3] == 3.0
+    assert got[key] == batch[key]
+
+
+def test_welford_merge_skips_nan():
+    """running_value_stats' fold must skip NaN (NULL via Arrow) — the
+    batch COUNT(value)/AVG(value)/STDDEV(value) all skip nulls."""
+    import pandas as pd
+
+    from ccm_spark.streaming.stateful import _welford_merge
+
+    n, mean, m2 = _welford_merge(0, 0.0, 0.0, pd.Series([1.0, float("nan"), 3.0]))
+    assert n == 2 and mean == 2.0 and m2 == 2.0
+
+
 def _run_wm_anomaly_shards(spark, tmp_path, name, shards, **kw):
     import os
     import time
