@@ -3252,6 +3252,34 @@ SELECT event_type, hour_idx, CAST(n_events AS BIGINT) AS n_events,
 FROM base"""
 
 
+def sql_hourly_anomalies_watermarked(
+    window_hours: int = 24,
+    min_hours: int = 6,
+    late_hours: int = 2,
+) -> str:
+    """DuckDB twin of streaming.stateful.hourly_anomalies_watermarked_replay
+    (the append-mode watermark-buffer gate candidate): by
+    append-exactly-once semantics the emission multiset is
+    SPLIT-INVARIANT — each (event_type, hour) below the key's FINAL
+    per-key watermark ``(max_ts − late_us) DIV hour`` emits exactly
+    once, scored against its final trailing baseline — so the oracle
+    is the batch anomalies relation (``sql_hourly_anomalies`` nested
+    verbatim) restricted by the watermark cut, independent of the
+    replay's micro-batch schedule and its injected bounded disorder."""
+    late_us = int(late_hours) * 3_600_000_000
+    return f"""
+WITH anoms AS MATERIALIZED ({sql_hourly_anomalies(window_hours, min_hours)}),
+wm AS (
+  SELECT event_type,
+         (max(epoch_us(ts)) - {late_us}) // 3600000000 AS closed_before
+  FROM events GROUP BY 1
+)
+SELECT a.event_type, a.hour_idx, a.n_events, a.baseline_mean,
+       a.baseline_std, a.zscore, a.anomaly
+FROM anoms a JOIN wm USING (event_type)
+WHERE a.hour_idx < wm.closed_before"""
+
+
 def sql_local_supplier_volume(
     region: str = "ASIA",
     date_from: str = "1996-01-01",

@@ -548,6 +548,114 @@ def streaming_hourly_anomalies_watermarked(
     )
 
 
+def hourly_anomalies_watermarked_replay(
+    spark,
+    sf_dir: str,
+    n_batches: int = 3,
+    window_hours: int = 24,
+    min_hours: int = 6,
+    late_hours: int = 2,
+    query_name: str = "wm_anom_replay",
+) -> "DataFrame":
+    """Deterministic micro-batch replay of
+    :func:`streaming_hourly_anomalies_watermarked` over the events
+    table — the APPEND-mode watermark-buffer gate candidate (r13,
+    QUERIES.md), the ``sessionize_updates_replay`` pattern.
+
+    Events split into ``n_batches`` single-file shards by global
+    time-range terciles, then deterministic CROSS-BATCH DISORDER is
+    injected inside the lateness bound: an even-``event_id`` event
+    whose timestamp sits within ``late_us/2`` of its tercile's upper
+    edge (detected purely with integers — bucketing ``ts + late_us/2``
+    lands in a later tercile) arrives one batch LATE. The buffer must
+    absorb it; the in-order operator would fail loudly on the same
+    shards (regression bounded by construction: the mover's hour is
+    at most one hour below the prior batch's max, and the gate allows
+    ``late_hours`` ≥ 2).
+
+    The emission MULTISET is split-invariant by append-exactly-once
+    semantics — each (event_type, hour) below the key's FINAL
+    watermark emits exactly once, scored against its final trailing
+    baseline — so the DuckDB twin
+    (``oracle_sql_ext.sql_hourly_anomalies_watermarked``) never needs
+    the split arithmetic: it is the batch anomalies relation
+    restricted to ``hour_idx < (max_ts(key) − late_us) DIV hour`` —
+    which is exactly what makes this gate STRONG evidence: the stream
+    runs with real disorder, the oracle states the physics-level
+    answer independently of the schedule."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from ccm_spark.sources.tables import load_table, ts_micros
+    from ccm_spark.streaming.windows import event_stream
+
+    late_us = int(late_hours) * _HOUR_US
+    events = load_table(spark, sf_dir, "events")
+    ev = events.withColumn("_ts_us", ts_micros(events))
+    lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
+    span = int(hi - lo + 1)
+
+    def tercile(col):
+        return F.least(
+            F.lit(n_batches - 1),
+            F.expr(f"({col} - {int(lo)}L) * {n_batches} DIV {span}L"),
+        )
+
+    b0 = tercile("_ts_us")
+    # an event "arrives late" (next batch) when shifting its ts by
+    # late_us/2 crosses a tercile edge — all-integer, twin-re-derivable
+    near_edge = tercile(f"_ts_us + {late_us // 2}L") > b0
+    b = F.least(
+        F.lit(n_batches - 1),
+        b0 + ((F.col("event_id") % 2 == 0) & near_edge).cast("long"),
+    )
+    d = tempfile.mkdtemp(prefix="ccm_wm_anom_")
+    try:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i in range(n_batches):
+            shard_dir = os.path.join(d, f"b{i}")
+            ev.where(b == i).drop("_ts_us").coalesce(1).write.parquet(shard_dir)
+            part = next(
+                f for f in sorted(os.listdir(shard_dir)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"f{i}.parquet")
+            shutil.copy(os.path.join(shard_dir, part), dst)
+            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+
+        try:
+            spark.catalog.dropTempView(query_name)
+        except Exception:
+            pass
+        q = (
+            streaming_hourly_anomalies_watermarked(
+                event_stream(spark, src, max_files_per_trigger=1),
+                window_hours=window_hours,
+                min_hours=min_hours,
+                late_hours=late_hours,
+            )
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "hourly_anomalies_watermarked_replay stream exceeded 600s"
+            )
+        return spark.table(query_name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 #: state for the watermark-buffered sessionizer: the open-session tuple
 #: (n == 0 means no open session), the held-back event buffer, and the
 #: key's max event time

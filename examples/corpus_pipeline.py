@@ -321,6 +321,40 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
         docs, k=5, w=4, min_shared=2
     ).count()
 
+    # 6c. sentence segmentation -> sentence-BOUNDED chunking (r13): a
+    # training row should not straddle a sentence boundary the way raw
+    # token windows (6b) do. The synthetic corpus carries no
+    # punctuation, so the stage first derives a deterministic
+    # sentence-ful view — a period after every 7th token, the
+    # PII-injection precedent — then chunks each sentence
+    # independently (long sentences still split; short ones emit one
+    # chunk), so no chunk crosses a boundary by construction.
+    from ccm_spark.pipeline.text import split_sentences
+
+    sent_docs = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"((?:\S+\s+){6}\S+)\s+", r"$1. "
+        ).alias("text"),
+    )
+    sents = split_sentences(sent_docs)
+    counts["sentences"] = sents.count()
+    assert counts["sentences"] > counts["after_budget"], (
+        "sentence split is vacuous: every doc collapsed to one sentence"
+    )
+    sent_units = sents.select(
+        (
+            F.col("doc_id") * F.lit(1_000_000).cast("long")
+            + F.col("sent_idx")
+        ).alias("doc_id"),
+        F.col("sentence").alias("text"),
+    )
+    sch_sent = chunk_documents(sent_units, max_tokens=16, stride=12)
+    counts["sentence_chunks"] = sch_sent.count()
+    # every sentence yields >= 1 chunk (token-less sentences are
+    # impossible after the whitespace-only filter)
+    assert counts["sentence_chunks"] >= counts["sentences"]
+
     # 7. deterministic shuffle -> training shards + manifest
     manifest = write_training_shards(docs, shard_path, n_shards=4, seed="epoch0")
     counts["shards"] = manifest["n_shards"]

@@ -658,6 +658,65 @@ def test_streaming_sessionize_watermarked_null_values_match_batch(
     assert got[key] == batch[key]
 
 
+def test_wm_anomalies_replay_matches_duckdb_twin(spark, sf_small):
+    """The r13-staged gate candidate (QUERIES.md): the deterministic
+    3-batch replay of the watermark-buffered hourly anomalies — with
+    injected cross-batch disorder inside the lateness bound — must
+    equal the split-INVARIANT DuckDB oracle exactly (the batch
+    anomalies relation cut at each key's final watermark). Also pins
+    that the disorder injection is non-vacuous: the integer mover rule
+    relocates > 0 events on this fixture."""
+    import duckdb
+
+    from ccm_spark.streaming.stateful import (
+        hourly_anomalies_watermarked_replay,
+    )
+
+    # late_hours=24 (12h mover half-window): the sf0.001 events span
+    # ~531 hours, so a 1h half-window relocates ~0 events — 12h moves
+    # a real cohort across each tercile edge while staying in-bound
+    out = hourly_anomalies_watermarked_replay(
+        spark, sf_small, window_hours=6, min_hours=3, late_hours=24
+    )
+    got = sorted(
+        (r.event_type, r.hour_idx, r.n_events, r.baseline_mean,
+         r.baseline_std, r.zscore, r.anomaly)
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    from ccm_spark.plans.oracle_sql_ext import sql_hourly_anomalies_watermarked
+
+    want = sorted(
+        (str(a), int(b), int(c), float(d), float(e), float(f), bool(g))
+        for a, b, c, d, e, f, g in con.sql(
+            sql_hourly_anomalies_watermarked(
+                window_hours=6, min_hours=3, late_hours=24
+            )
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:5]
+    # non-vacuity: the replay's integer mover rule (even event_id whose
+    # ts + late_us/2 crosses a tercile edge) relocated real events
+    late_half = 12 * 3_600_000_000  # late_hours=24 -> late_us/2 = 12h
+    moved = con.sql(f"""
+        WITH b AS (SELECT epoch_us(ts) AS us, event_id,
+                          (SELECT min(epoch_us(ts)) FROM events) AS lo,
+                          (SELECT max(epoch_us(ts)) FROM events) AS hi
+                   FROM events)
+        SELECT count(*) FROM b
+        WHERE event_id % 2 = 0
+          AND least(2, (us + {late_half} - lo) * 3 // (hi - lo + 1))
+            > least(2, (us - lo) * 3 // (hi - lo + 1))
+    """).fetchone()[0]
+    assert moved > 0
+
+
 def test_welford_merge_skips_nan():
     """running_value_stats' fold must skip NaN (NULL via Arrow) — the
     batch COUNT(value)/AVG(value)/STDDEV(value) all skip nulls."""
