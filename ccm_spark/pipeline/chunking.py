@@ -7,6 +7,9 @@ Two training-data operators the reference engine has no analogue for
   turns a cleaned corpus into model-context-sized training rows (every
   LM data pipeline runs it between curation and packing; overlap keeps
   boundary-spanning context learnable).
+- :func:`chunk_by_sentences` — sentence-BOUNDED chunk packing over the
+  ``split_sentences`` relation (a chunk never splits a sentence; the
+  relational prefix-bucket rule, one exchange total).
 - :func:`winnow_fingerprints` / :func:`winnow_matches` — winnowing
   document fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing: Local
   Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
@@ -46,7 +49,12 @@ from pyspark.sql import DataFrame, Window
 from ccm_spark.functions.hashing import md5_long, tokens_col
 from ccm_spark.functions.partitioning import spread
 
-__all__ = ["chunk_documents", "winnow_fingerprints", "winnow_matches"]
+__all__ = [
+    "chunk_documents",
+    "chunk_by_sentences",
+    "winnow_fingerprints",
+    "winnow_matches",
+]
 
 #: winnowing hash width: 30 bits so hash·2³² + pos-complement packs into
 #: a 62-bit non-negative BIGINT (winnowing cares about hash ORDER within
@@ -141,6 +149,86 @@ def chunk_documents(
         .cast("int")
         .alias("n_tokens"),
         "chunk_text",
+    )
+
+
+def chunk_by_sentences(
+    sentences: DataFrame,
+    max_tokens: int = 128,
+) -> DataFrame:
+    """Pack consecutive SENTENCES into chunks of roughly ``max_tokens``
+    whitespace tokens without ever splitting a sentence — the
+    sentence-bounded complement of :func:`chunk_documents` (raw token
+    windows straddle sentence boundaries; a curator preparing
+    instruction/eval data usually wants whole sentences per row).
+
+    Input is the :func:`ccm_spark.pipeline.text.split_sentences`
+    relation ``(doc_id, sent_idx, sentence)``; output one row per
+    chunk: ``(doc_id, chunk_idx, n_sentences, n_tokens, chunk_text)``
+    with sentences re-joined by single spaces in ``sent_idx`` order.
+
+    Assignment is the RELATIONAL prefix rule, not sequential greedy: a
+    sentence belongs to bucket ``cum_tokens_before DIV max_tokens``
+    (cumulative token count of the doc's EARLIER sentences). Chunks
+    therefore hold < ``max_tokens`` + (their last sentence's length)
+    tokens — overage is bounded by the longest single sentence, the
+    standard streaming-pack approximation — and a sentence longer than
+    ``max_tokens`` gets a bucket of its own (``chunk_idx`` then skips
+    indices: the raw bucket number is kept so layout is a pure
+    function of the token counts, twin-replayable).
+
+    100 TB shape: the sentence relation shuffles ONCE on ``doc_id``
+    for the running-sum window, and the chunk aggregation reuses that
+    partitioning (grouping keys (doc_id, chunk_idx) are clustered by
+    the window's hash(doc_id) exchange — Catalyst plans no second
+    exchange). Everything else is codegen; no arrays are carried
+    beyond each chunk's own sentence list inside the final aggregate.
+    """
+    if max_tokens < 1:
+        raise ValueError(
+            f"chunk_by_sentences: max_tokens must be >= 1, got {max_tokens}"
+        )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = (
+        sentences.select(
+            "doc_id",
+            "sent_idx",
+            "sentence",
+            F.size(tokens_col("sentence")).cast("long").alias("_n_tok"),
+        )
+        .withColumn(
+            "_cum_before",
+            F.coalesce(F.sum("_n_tok").over(w), F.lit(0).cast("long")),
+        )
+        # integer DIV (the repo bucketing convention — twin uses `//`)
+        .withColumn("_chunk", F.expr(f"_cum_before DIV {max_tokens}"))
+    )
+    return (
+        s.groupBy("doc_id", F.col("_chunk").alias("chunk_idx"))
+        .agg(
+            F.count("*").cast("int").alias("n_sentences"),
+            F.sum("_n_tok").cast("int").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sent_idx", "sentence"))
+                    ),
+                    lambda x: x["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "n_sentences",
+            "n_tokens",
+            "chunk_text",
+        )
     )
 
 

@@ -1074,6 +1074,12 @@ def tfidf_terms(docs: DataFrame, k: int = 5) -> DataFrame:
 #: abbreviation awareness runs a model splitter downstream.
 SENTENCE_RE = "[^.!?]+(?:[.!?]+|$)"
 
+#: deterministic sentence-break injection for punctuation-free corpora
+#: (the synthetic documents table; the PII-injection precedent): a
+#: period after every 7th token. Lookaround-free — Java regex == RE2 on
+#: this pattern; Spark replacement syntax uses $1, DuckDB \\1 + 'g'.
+SENT_INJECT_RE = r"((?:\S+\s+){6}\S+)\s+"
+
 
 def split_sentences(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Naive-rule sentence segmentation: one row per sentence,

@@ -3583,17 +3583,19 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}"""
 
 
-def sql_split_sentences() -> str:
+def sql_split_sentences(source: str = "documents") -> str:
     """DuckDB twin of text.split_sentences: the SAME lookaround-free
     pattern (imported constant — the two can never drift), group-0
     extract_all, original match positions kept through the
-    whitespace-only filter, space trim both sides."""
+    whitespace-only filter, space trim both sides. ``source`` is the
+    sql_knn_graph-style source hook so consumers (chunk_by_sentences)
+    can nest this twin over a derived (doc_id, text) relation."""
     from ccm_spark.pipeline.text import SENTENCE_RE
 
     return f"""
 WITH m AS (
   SELECT doc_id, regexp_extract_all(text, '{SENTENCE_RE}', 0) AS ss
-  FROM documents
+  FROM {source}
 ),
 u AS (
   SELECT doc_id,
@@ -3603,3 +3605,43 @@ u AS (
 )
 SELECT doc_id, sent_idx, sentence, CAST(length(sentence) AS INT) AS n_chars
 FROM u WHERE sentence != ''"""
+
+
+def sql_chunk_by_sentences(max_tokens: int = 32) -> str:
+    """DuckDB twin of chunking.chunk_by_sentences over the
+    punctuation-injected documents view: sql_split_sentences nested
+    verbatim via its source hook, the SHARED injection pattern constant
+    (text.SENT_INJECT_RE — the engines cannot drift), same whitespace
+    tokenizer, same cumulative-tokens-before window, same
+    ``cum_before // max_tokens`` bucket rule, sentences re-joined in
+    sent_idx order."""
+    from ccm_spark.pipeline.text import SENT_INJECT_RE
+
+    toks = _sql_tokens("sentence")
+    return f"""
+WITH sdocs AS (
+  SELECT doc_id,
+         regexp_replace(text, '{SENT_INJECT_RE}', '\\1. ', 'g') AS text
+  FROM documents
+),
+sents AS ({sql_split_sentences(source="sdocs")}),
+tok AS (
+  SELECT doc_id, sent_idx, sentence,
+         CAST(len({toks}) AS BIGINT) AS n_tok
+  FROM sents
+),
+cum AS (
+  SELECT doc_id, sent_idx, sentence, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY doc_id ORDER BY sent_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM tok
+)
+SELECT doc_id,
+       CAST(cum_before // {max_tokens} AS INT) AS chunk_idx,
+       CAST(COUNT(*) AS INT) AS n_sentences,
+       CAST(SUM(n_tok) AS INT) AS n_tokens,
+       string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
+FROM cum
+GROUP BY doc_id, cum_before // {max_tokens}"""

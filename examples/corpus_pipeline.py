@@ -325,35 +325,29 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     # training row should not straddle a sentence boundary the way raw
     # token windows (6b) do. The synthetic corpus carries no
     # punctuation, so the stage first derives a deterministic
-    # sentence-ful view — a period after every 7th token, the
-    # PII-injection precedent — then chunks each sentence
-    # independently (long sentences still split; short ones emit one
-    # chunk), so no chunk crosses a boundary by construction.
-    from ccm_spark.pipeline.text import split_sentences
+    # sentence-ful view (the shared SENT_INJECT_RE constant — a period
+    # after every 7th token, the PII-injection precedent), then PACKS
+    # consecutive sentences into ~64-token chunks without ever
+    # splitting one (chunk_by_sentences — the relational prefix-bucket
+    # rule, one exchange total).
+    from ccm_spark.pipeline.chunking import chunk_by_sentences
+    from ccm_spark.pipeline.text import SENT_INJECT_RE, split_sentences
 
     sent_docs = docs.select(
         "doc_id",
-        F.regexp_replace(
-            "text", r"((?:\S+\s+){6}\S+)\s+", r"$1. "
-        ).alias("text"),
+        F.regexp_replace("text", SENT_INJECT_RE, r"$1. ").alias("text"),
     )
     sents = split_sentences(sent_docs)
     counts["sentences"] = sents.count()
     assert counts["sentences"] > counts["after_budget"], (
         "sentence split is vacuous: every doc collapsed to one sentence"
     )
-    sent_units = sents.select(
-        (
-            F.col("doc_id") * F.lit(1_000_000).cast("long")
-            + F.col("sent_idx")
-        ).alias("doc_id"),
-        F.col("sentence").alias("text"),
-    )
-    sch_sent = chunk_documents(sent_units, max_tokens=16, stride=12)
+    sch_sent = chunk_by_sentences(sents, max_tokens=64)
     counts["sentence_chunks"] = sch_sent.count()
-    # every sentence yields >= 1 chunk (token-less sentences are
-    # impossible after the whitespace-only filter)
-    assert counts["sentence_chunks"] >= counts["sentences"]
+    # packing is non-vacuous both ways: it combined sentences (fewer
+    # chunks than sentences) without dropping any (docs preserved)
+    assert 0 < counts["sentence_chunks"] < counts["sentences"]
+    assert sch_sent.select("doc_id").distinct().count() == counts["after_budget"]
 
     # 7. deterministic shuffle -> training shards + manifest
     manifest = write_training_shards(docs, shard_path, n_shards=4, seed="epoch0")

@@ -114,6 +114,107 @@ def test_chunk_documents_rejects_dense_stride(spark):
     chunk_documents(d, max_tokens=64, stride=8).collect()
 
 
+# ------------------------------------------------- sentence-bounded chunks
+
+
+def test_chunk_by_sentences_hand_built(spark):
+    """Prefix-bucket packing semantics: sentences stay whole, a chunk
+    holds the sentences whose cumulative-before count lands in its
+    bucket (overage bounded by the last sentence), an over-long
+    sentence gets a bucket of its own and chunk_idx may skip."""
+    from ccm_spark.pipeline.chunking import chunk_by_sentences
+    from ccm_spark.pipeline.text import split_sentences
+
+    d = docs_df(spark, ["a b c. d e. f g h i j k l m n o. p q."])
+    rows = {
+        r.chunk_idx: r for r in chunk_by_sentences(
+            split_sentences(d), max_tokens=4
+        ).collect()
+    }
+    # cum_before: s0=0 -> b0; s1=3 -> b0; s2=5 -> b1; s3=15 -> b3
+    assert sorted(rows) == [0, 1, 3]  # bucket 2 skipped (long sentence)
+    assert rows[0].chunk_text == "a b c. d e."
+    assert (rows[0].n_sentences, rows[0].n_tokens) == (2, 5)
+    assert rows[1].chunk_text == "f g h i j k l m n o."
+    assert (rows[1].n_sentences, rows[1].n_tokens) == (1, 10)
+    assert rows[3].chunk_text == "p q."
+    assert (rows[3].n_sentences, rows[3].n_tokens) == (1, 2)
+
+
+def test_chunk_by_sentences_validates_params(spark):
+    import pytest
+
+    from ccm_spark.pipeline.chunking import chunk_by_sentences
+    from ccm_spark.pipeline.text import split_sentences
+
+    d = docs_df(spark, ["a b."])
+    with pytest.raises(ValueError, match=">= 1"):
+        chunk_by_sentences(split_sentences(d), max_tokens=0)
+
+
+def test_chunk_by_sentences_matches_duckdb_twin(spark, sf_small):
+    """Full-chain twin (r14 rotation candidate, QUERIES.md): the shared
+    SENT_INJECT_RE punctuation injection, sql_split_sentences nested
+    via its source hook, same window/bucket arithmetic, sentences
+    re-joined in sent_idx order — exact equality."""
+    import duckdb
+
+    from ccm_spark.pipeline.chunking import chunk_by_sentences
+    from ccm_spark.pipeline.text import SENT_INJECT_RE, split_sentences
+    from ccm_spark.plans.oracle_sql_ext import sql_chunk_by_sentences
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    sent_docs = docs.select(
+        "doc_id",
+        F.regexp_replace("text", SENT_INJECT_RE, r"$1. ").alias("text"),
+    )
+    out = chunk_by_sentences(split_sentences(sent_docs), max_tokens=32)
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.n_sentences, r.n_tokens, r.chunk_text)
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), int(d), e)
+        for a, b, c, d, e in con.sql(
+            sql_chunk_by_sentences(max_tokens=32)
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:3]
+    # non-vacuous packing: some chunk holds >= 2 sentences AND some doc
+    # produced >= 2 chunks
+    assert any(r[2] >= 2 for r in got)
+    from collections import Counter
+
+    per_doc = Counter(r[0] for r in got)
+    assert max(per_doc.values()) >= 2
+
+
+def test_chunk_by_sentences_plan_shape(spark):
+    """One shuffle for the per-doc running sum; the (doc_id, chunk)
+    aggregate must REUSE the window's hash(doc_id) clustering — no
+    second exchange between Window and HashAggregate."""
+    from ccm_spark.pipeline.chunking import chunk_by_sentences
+    from ccm_spark.pipeline.text import split_sentences
+
+    d = docs_df(spark, ["a b. c d.", "e f. g h."])
+    plan = (
+        chunk_by_sentences(split_sentences(d), max_tokens=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # spread()'s explicit respread + the window's doc_id exchange; the
+    # final aggregate adds none
+    assert plan.count("Exchange") <= 2, plan
+
+
 # ------------------------------------------------------------ winnowing
 
 
