@@ -32,7 +32,7 @@ drift from the z-ordered columns.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 #: bits per dimension: 2^8 rank buckets per column is plenty for
 #: file-level skipping (files >> buckets) while keeping the literal
@@ -128,3 +128,88 @@ def write_zordered(
         .parquet(path)
     )
     return bounds
+
+
+def plan_compaction(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planner over a file manifest — the
+    OPTIMIZE/rewrite-data-files decision every lakehouse table needs
+    after streaming or fine-grained ingest (a 100 TB table written by
+    1000 executors accumulates millions of KB-files; scans then pay
+    per-file open cost and lose row-group pruning).
+
+    Input: one row per data file ``(partition, path, size_bytes)``.
+    Output: the same rows plus the merge-task assignment —
+    ``(task_id, task_files, task_bytes, compact)``:
+
+    - files already >= ``target_bytes`` are well-sized: ``task_id=-1``,
+      ``compact=false`` (never rewritten, never grouped);
+    - small files are packed per table partition in PATH order
+      (deterministic, locality-preserving) by the relational
+      prefix-bucket rule — ``task = cum_small_bytes_before DIV
+      target_bytes`` (the chunk_by_sentences/select_within_token_budget
+      pattern): each task's total stays < target + its last file, and
+      no sequential driver loop ever sees the manifest;
+    - a task that ends up holding ONE small file is a no-op rewrite:
+      ``compact=false`` (boundary-split adjacency means the rule can
+      strand a singleton where greedy would not — documented
+      approximation, bounded by one task per partition boundary).
+
+    100 TB shape: the manifest relation (millions of rows, three
+    narrow columns) shuffles ONCE on hash(partition); both windows
+    (running sum, task stats) and the bucket arithmetic reuse that
+    clustering — no second exchange, no collect, no global sort.
+    """
+    if target_bytes < 1:
+        raise ValueError(
+            f"plan_compaction: target_bytes must be >= 1, got {target_bytes}"
+        )
+    small = F.col("size_bytes") < target_bytes
+    w_before = (
+        Window.partitionBy("partition")
+        .orderBy("path")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = (
+        files.select(
+            F.col(partition_col).alias("partition"),
+            F.col(path_col).alias("path"),
+            F.col(size_col).cast("long").alias("size_bytes"),
+        )
+        .withColumn(
+            "_cum_before",
+            F.coalesce(
+                F.sum(F.when(small, F.col("size_bytes")).otherwise(0)).over(
+                    w_before
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "task_id",
+            F.when(small, F.expr(f"_cum_before DIV {target_bytes}")).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        )
+    )
+    w_task = Window.partitionBy("partition", "task_id")
+    return base.select(
+        "partition",
+        "path",
+        "size_bytes",
+        "task_id",
+        F.when(small, F.count("*").over(w_task))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("task_files"),
+        F.when(small, F.sum("size_bytes").over(w_task))
+        .otherwise(F.col("size_bytes"))
+        .cast("long")
+        .alias("task_bytes"),
+        (small & (F.count("*").over(w_task) >= 2)).alias("compact"),
+    )

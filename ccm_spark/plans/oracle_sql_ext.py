@@ -3607,6 +3607,51 @@ SELECT doc_id, sent_idx, sentence, CAST(length(sentence) AS INT) AS n_chars
 FROM u WHERE sentence != ''"""
 
 
+#: deterministic file manifest derived from the documents table for the
+#: compaction-planner fixture: partition = doc_id % 8, zero-padded path
+#: so lexicographic order == numeric order in both engines, size =
+#: codepoint length of text (Spark F.length == DuckDB length)
+SQL_COMPACTION_MANIFEST = """
+SELECT CAST(doc_id % 8 AS VARCHAR) AS partition,
+       'part-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS path,
+       CAST(length(text) AS BIGINT) AS size_bytes
+FROM documents"""
+
+
+def sql_plan_compaction(target_bytes: int = 500) -> str:
+    """DuckDB twin of layout.plan_compaction over the deterministic
+    documents-derived manifest: same path-ordered small-file running
+    sum (big files contribute 0 and take task −1), same
+    ``cum_before // target`` bucket rule, same task stats windows and
+    the singleton-task compact=false rule."""
+    t = int(target_bytes)
+    return f"""
+WITH manifest AS ({SQL_COMPACTION_MANIFEST}),
+cum AS (
+  SELECT partition, path, size_bytes,
+         COALESCE(SUM(CASE WHEN size_bytes < {t} THEN size_bytes ELSE 0 END)
+           OVER (PARTITION BY partition ORDER BY path
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM manifest
+),
+tasks AS (
+  SELECT partition, path, size_bytes,
+         CASE WHEN size_bytes < {t} THEN cum_before // {t} ELSE -1 END
+           AS task_id,
+         size_bytes < {t} AS small
+  FROM cum
+)
+SELECT partition, path, size_bytes, task_id,
+       CAST(CASE WHEN small THEN COUNT(*) OVER wt ELSE 1 END AS INT)
+         AS task_files,
+       CAST(CASE WHEN small THEN SUM(size_bytes) OVER wt
+            ELSE size_bytes END AS BIGINT) AS task_bytes,
+       (small AND COUNT(*) OVER wt >= 2) AS compact
+FROM tasks
+WINDOW wt AS (PARTITION BY partition, task_id)"""
+
+
 def sql_chunk_by_sentences(max_tokens: int = 32) -> str:
     """DuckDB twin of chunking.chunk_by_sentences over the
     punctuation-injected documents view: sql_split_sentences nested

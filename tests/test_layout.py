@@ -152,3 +152,110 @@ def test_zorder_bounds_round_trip_keys_increment_identically(spark, tmp_path):
     # drifted geometry fails loudly
     with pytest.raises(ValueError, match="bucket curve"):
         zorder_key(inc, ["x", "y"], bits=7, bounds=bounds)
+
+
+# --------------------------------------------------- compaction planner
+
+
+def test_plan_compaction_hand_built(spark):
+    """One partition, path order [100, 300, 250, 900, 50] at target
+    500: the big file (900) isolates with task -1 and contributes 0 to
+    the running sum; the smalls' cum_before reads 0/100/400/650, so
+    the first three pack into task 0 (total 650 — overage bounded by
+    the last file, the documented prefix-bucket rule) and the 50-byte
+    file lands alone in task 1, a stranded singleton -> compact=false."""
+    from ccm_spark.pipeline.layout import plan_compaction
+
+    files = spark.createDataFrame(
+        [
+            ("p0", "f1", 100),
+            ("p0", "f2", 300),
+            ("p0", "f3", 250),
+            ("p0", "f4", 900),
+            ("p0", "f5", 50),
+        ],
+        "partition string, path string, size_bytes long",
+    )
+    rows = {r.path: r for r in plan_compaction(files, 500).collect()}
+    # cum_before: f1=0 f2=100 f3=400 f4(big) f5=650
+    assert rows["f1"].task_id == 0 and rows["f1"].compact
+    assert rows["f2"].task_id == 0 and rows["f2"].compact
+    assert rows["f3"].task_id == 0 and rows["f3"].compact
+    assert rows["f4"].task_id == -1 and not rows["f4"].compact
+    assert rows["f4"].task_files == 1 and rows["f4"].task_bytes == 900
+    # stranded singleton: assigned a task but not worth rewriting alone
+    assert rows["f5"].task_id == 1 and not rows["f5"].compact
+    assert rows["f1"].task_files == 3 and rows["f1"].task_bytes == 650
+
+
+def test_plan_compaction_validates_params(spark):
+    from ccm_spark.pipeline.layout import plan_compaction
+
+    files = spark.createDataFrame(
+        [("p", "f", 1)], "partition string, path string, size_bytes long"
+    )
+    with pytest.raises(ValueError, match=">= 1"):
+        plan_compaction(files, 0)
+
+
+def test_plan_compaction_matches_duckdb_twin(spark, sf_small):
+    """Full twin over the deterministic documents-derived manifest
+    (r14 rotation candidate, QUERIES.md): same path-ordered small-file
+    cumsum, bucket rule, task stats, singleton rule — exact equality,
+    and the fixture exercises grouped smalls, big files, and
+    singletons at target=500."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.layout import plan_compaction
+    from ccm_spark.plans.oracle_sql_ext import sql_plan_compaction
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    manifest = docs.select(
+        (F.col("doc_id") % 8).cast("string").alias("partition"),
+        F.concat(
+            F.lit("part-"), F.lpad(F.col("doc_id").cast("string"), 6, "0")
+        ).alias("path"),
+        F.length("text").cast("long").alias("size_bytes"),
+    )
+    out = plan_compaction(manifest, 500)
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (str(a), str(b), int(c), int(d), int(e), int(f), bool(g))
+        for a, b, c, d, e, f, g in con.sql(
+            sql_plan_compaction(target_bytes=500)
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:3]
+    # non-vacuous: the fixture holds all three shapes
+    assert any(r[3] == -1 for r in got)            # big files
+    assert any(r[6] for r in got)                  # compactable groups
+    assert any(r[3] >= 0 and not r[6] for r in got)  # stranded singleton
+
+
+def test_plan_compaction_plan_shape(spark):
+    """The manifest shuffles once on hash(partition); the running-sum
+    window, the task-stats window, and every CASE reuse that
+    clustering — a second exchange would make the planner pay two
+    manifest shuffles at 100 TB."""
+    from ccm_spark.pipeline.layout import plan_compaction
+
+    files = spark.createDataFrame(
+        [("p", f"f{i}", 100) for i in range(8)],
+        "partition string, path string, size_bytes long",
+    )
+    plan = (
+        plan_compaction(files, 500)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
