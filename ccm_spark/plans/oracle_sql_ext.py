@@ -3618,6 +3618,43 @@ SELECT CAST(doc_id % 8 AS VARCHAR) AS partition,
 FROM documents"""
 
 
+def sql_key_skew_report(key: str = "lang", top_n: int = 20) -> str:
+    """DuckDB twin of skew.key_skew_report over a documents column:
+    same NULL-as-'<NULL>' keying, same (count DESC, key ASC) rank, same
+    exact-integer-count entropy tree (log2(N) − Σc·log2 c / N), same
+    round6 share/cum_share boundaries. Integer sums cast to BIGINT (the
+    parity gate rejects HUGEINT)."""
+    n = int(top_n)
+    return f"""
+WITH keyed AS (
+  SELECT COALESCE(CAST({key} AS VARCHAR), '<NULL>') AS key FROM documents
+),
+counts AS (SELECT key, COUNT(*) AS n_rows FROM keyed GROUP BY key),
+summary AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         COUNT(*) AS n_keys,
+         log2(CAST(SUM(n_rows) AS DOUBLE))
+           - SUM(n_rows * log2(CAST(n_rows AS DOUBLE)))
+             / CAST(SUM(n_rows) AS DOUBLE) AS h
+  FROM counts
+),
+top AS (
+  SELECT key, n_rows,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS INT)
+           AS rank
+  FROM counts QUALIFY rank <= {n}
+)
+SELECT rank, key, n_rows,
+       round(n_rows / CAST(total_rows AS DOUBLE), 6) + 0.0 AS share,
+       round(CAST(SUM(n_rows) OVER (ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) / CAST(total_rows AS DOUBLE), 6) + 0.0 AS cum_share,
+       total_rows, n_keys,
+       round(h, 6) + 0.0 AS entropy_bits,
+       round(log2(CAST(n_keys AS DOUBLE)), 6) + 0.0 AS uniform_bits
+FROM top CROSS JOIN summary"""
+
+
 def sql_plan_compaction(target_bytes: int = 500) -> str:
     """DuckDB twin of layout.plan_compaction over the deterministic
     documents-derived manifest: same path-ordered small-file running

@@ -1,0 +1,136 @@
+"""Key-skew diagnosis + salted join (pipeline/skew.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccm_spark.pipeline.skew import key_skew_report, salted_join
+
+
+def test_key_skew_report_hand_built(spark):
+    """9 rows: 'a'x5, 'b'x3, NULLx1 — ranks, shares, cum shares and the
+    exact-integer-count entropy tree verified against a python replica
+    of the same expression."""
+    rows = [("a",)] * 5 + [("b",)] * 3 + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.rank: r for r in key_skew_report(df, "k", top_n=10).collect()}
+    assert [got[i].key for i in (1, 2, 3)] == ["a", "b", "<NULL>"]
+    assert [got[i].n_rows for i in (1, 2, 3)] == [5, 3, 1]
+    assert got[1].share == round(5 / 9, 6)
+    assert got[2].cum_share == round(8 / 9, 6)
+    assert got[1].total_rows == 9 and got[1].n_keys == 3
+    h = math.log2(9) - (5 * math.log2(5) + 3 * math.log2(3)) / 9
+    assert got[1].entropy_bits == pytest.approx(round(h, 6))
+    assert got[1].uniform_bits == round(math.log2(3), 6)
+
+
+def test_key_skew_report_top_n_and_tiebreak(spark):
+    """Deterministic (count DESC, key ASC) rank; top_n truncates."""
+    rows = [("x",)] * 2 + [("y",)] * 2 + [("z",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_report(df, "k", top_n=2).collect()
+    assert [(r.rank, r.key) for r in sorted(got, key=lambda r: r.rank)] == [
+        (1, "x"),
+        (2, "y"),
+    ]
+    with pytest.raises(ValueError, match=">= 1"):
+        key_skew_report(df, "k", top_n=0)
+
+
+def test_key_skew_report_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_key_skew_report
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(tuple(r) for r in key_skew_report(docs, "lang").collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), str(b), int(c), float(d), float(e), int(f), int(g),
+         float(h), float(i))
+        for a, b, c, d, e, f, g, h, i in con.sql(
+            sql_key_skew_report(key="lang")
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 1
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:3]
+
+
+def _plain_vs_salted(spark, how, n_salts):
+    probe = spark.createDataFrame(
+        [(1, "p1"), (1, "p2"), (2, "p3"), (3, "p4"), (3, "p5"), (9, "p6")],
+        "k long, pv string",
+    )
+    build = spark.createDataFrame(
+        [(1, "b1"), (1, "b2"), (2, "b3"), (3, "b4")], "k long, bv string"
+    )
+    want = sorted(
+        (tuple((v is None, str(v)) for v in row))
+        for row in (
+            tuple(r) for r in probe.join(build, "k", how).collect()
+        )
+    )
+    out = salted_join(probe, build, "k", n_salts=n_salts, how=how)
+    assert "_salt" not in out.columns
+    got = sorted(
+        (tuple((v is None, str(v)) for v in row))
+        for row in (tuple(r) for r in out.collect())
+    )
+    return got, want
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Row-for-row multiset equality with the plain join — duplicate
+    keys on both sides, an unmatched probe key for the left arm, and
+    several salt widths including 1 (degenerate = plain)."""
+    for how in ("inner", "left"):
+        for n in (1, 4, 16):
+            got, want = _plain_vs_salted(spark, how, n)
+            assert got == want, (how, n)
+
+
+def test_salted_join_is_deterministic(spark):
+    """The salt is a pure function of row content (xxhash64, no RNG):
+    two independent executions produce identical relations."""
+    probe = spark.range(200).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("pv")
+    )
+    build = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("bv")
+    )
+    a = sorted(tuple(r) for r in salted_join(probe, build, "k").collect())
+    b = sorted(tuple(r) for r in salted_join(probe, build, "k").collect())
+    assert a == b and len(a) == 200
+
+
+def test_salted_join_spreads_a_hot_key(spark):
+    """The point of the exercise: a single-key probe relation fans out
+    over multiple salts (row-content hashing), so the hot key's mass
+    no longer lands on one reducer."""
+    probe = spark.range(500).select(
+        F.lit(7).alias("k"), F.col("id").alias("pv")
+    )
+    p = probe.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(16)
+        ),
+    )
+    n_salts_used = p.select("_salt").distinct().count()
+    assert n_salts_used >= 8  # 500 distinct rows over 16 buckets
+
+
+def test_salted_join_validates_params(spark):
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with pytest.raises(ValueError, match="not supported"):
+        salted_join(df, df, "k", how="full")
+    with pytest.raises(ValueError, match=">= 1"):
+        salted_join(df, df, "k", n_salts=0)
