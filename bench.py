@@ -499,6 +499,57 @@ def main() -> None:
             load_table(spark, sf_dir, "documents"), max_tokens=64, stride=48
         )
 
+    def extra_chunk_sentences(spark, sf_dir):
+        """r13 sentence-bounded chunk packing at sf scale: the shared
+        punctuation injection, split_sentences, prefix-bucket packing
+        at 64 tokens — one exchange end-to-end."""
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.chunking import chunk_by_sentences
+        from ccm_spark.pipeline.text import SENT_INJECT_RE, split_sentences
+        from ccm_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.regexp_replace("text", SENT_INJECT_RE, r"$1. ").alias("text"),
+        )
+        return chunk_by_sentences(split_sentences(docs), max_tokens=64)
+
+    def extra_plan_compaction(spark, sf_dir):
+        """r13 compaction planner over a lineitem-derived manifest
+        (600k files at sf0.1 — a realistic small-file count): 32 table
+        partitions from l_suppkey (the synthetic lineitem carries no
+        l_shipmode), path from the composite key, size from
+        l_extendedprice cents."""
+        import pyspark.sql.functions as F
+
+        from ccm_spark.pipeline.layout import plan_compaction
+        from ccm_spark.sources.tables import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        manifest = li.select(
+            (F.col("l_suppkey") % 32).cast("string").alias("partition"),
+            F.concat(
+                F.lit("f-"),
+                F.lpad(F.col("l_orderkey").cast("string"), 10, "0"),
+                F.lit("-"),
+                F.col("l_linenumber").cast("string"),
+            ).alias("path"),
+            (F.col("l_extendedprice") * 100).cast("long").alias("size_bytes"),
+        )
+        return plan_compaction(manifest, target_bytes=1_000_000)
+
+    def extra_key_skew(spark, sf_dir):
+        """r13 shuffle-health report on the biggest fact relation:
+        per-l_suppkey mass profile of lineitem (two map-side-combined
+        aggregates + two-phase top-N)."""
+        from ccm_spark.pipeline.skew import key_skew_report
+        from ccm_spark.sources.tables import load_table
+
+        return key_skew_report(
+            load_table(spark, sf_dir, "lineitem"), "l_suppkey", top_n=50
+        )
+
     def extra_winnow(spark, sf_dir):
         """r12 winnowing fingerprints at sf scale (k=5, w=4): gram hash
         + doc-partitioned rolling min + distinct."""
@@ -561,6 +612,10 @@ def main() -> None:
         "chunk_documents": extra_chunking,
         "winnow_fingerprints": extra_winnow,
         "hits_20k": extra_hits,
+        # r13 additions — first baselines measured solo (SCALE.md)
+        "chunk_by_sentences": extra_chunk_sentences,
+        "plan_compaction": extra_plan_compaction,
+        "key_skew_report": extra_key_skew,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6
