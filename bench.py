@@ -652,6 +652,12 @@ def main() -> None:
         "url_dedup": 3,
     }
     EXTRA_WARM_MEDIAN = {"pagerank_20k", "hits_20k"}
+    # r13 (VERDICT r12 #4, completed): nruns=3 alone still reports the
+    # FIRST run, so a co-tenant hit on run 1 sets the value anyway (the
+    # r13 self run caught dsir_select at samples [34.9, 7.5, 9.1] — a
+    # 5.6x phantom). Volatile extras report the MEDIAN OF ALL runs
+    # (cold run still executes first and stays visible in the spread).
+    EXTRA_MEDIAN_ALL = {"url_dedup", "dsir_select"}
     # r12 (VERDICT r11 #6): cooldown re-gate BETWEEN extras. The r11
     # self-run's own 1-min loadavg ramped 4 -> 15 as the extras queue
     # drained back-to-back, manufacturing phantom quiet-host regressions
@@ -700,6 +706,8 @@ def main() -> None:
             extra_load_samples[name].append(la[0] if la else -1.0)
         if name in EXTRA_WARM_MEDIAN:
             extra_timings[name] = round(median(extra_runs[1:]), 3)
+        elif name in EXTRA_MEDIAN_ALL:
+            extra_timings[name] = round(median(extra_runs), 3)
         else:
             extra_timings[name] = extra_runs[0]
         extra_spread[name] = [min(extra_runs), max(extra_runs)]
@@ -739,7 +747,14 @@ def main() -> None:
                 # per-query cost; every other extra still reports the
                 # first (cold) run
                 "extra_queries_convention": {
-                    name: "warm_median" for name in sorted(EXTRA_WARM_MEDIAN)
+                    **{
+                        name: "warm_median"
+                        for name in sorted(EXTRA_WARM_MEDIAN)
+                    },
+                    **{
+                        name: "median_all"
+                        for name in sorted(EXTRA_MEDIAN_ALL)
+                    },
                 },
                 # host-load context: SCALE.md documents ±5x co-tenant
                 # bursts on this VM; a cross-round comparison should read
