@@ -439,3 +439,40 @@ def test_winnow_matches_matches_duckdb_twin(spark, sf_small):
     )
     assert got == want
     assert got, "fixture yielded no shared fingerprints — vacuous twin"
+
+
+def _sentence_pack(token_counts, max_tokens):
+    """Pure-Python replica of chunk_by_sentences' prefix-bucket rule:
+    sentence i goes to bucket cum_before // max_tokens."""
+    out, cum = [], 0
+    for n in token_counts:
+        out.append(cum // max_tokens)
+        cum += n
+    return out
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=64), max_size=200),
+    max_tokens=st.integers(min_value=1, max_value=128),
+)
+@settings(max_examples=300, deadline=None)
+def test_sentence_pack_properties(counts, max_tokens):
+    """The prefix-bucket invariants the operator's docstring promises:
+    buckets are non-decreasing (sentence order preserved), every
+    sentence is assigned exactly once, each bucket's total stays under
+    max_tokens + its LAST sentence's length, and a bucket is skipped
+    only when an over-long sentence jumps the cursor past it."""
+    b = _sentence_pack(counts, max_tokens)
+    assert len(b) == len(counts)
+    assert all(x <= y for x, y in zip(b, b[1:]))  # non-decreasing
+    totals, last = {}, {}
+    for n, k in zip(counts, b):
+        totals[k] = totals.get(k, 0) + n
+        last[k] = n
+    for k, tot in totals.items():
+        assert tot < max_tokens + last[k]
+    # gap rule: a skipped bucket implies the previous sentence overshot
+    ks = sorted(totals)
+    for a, c in zip(ks, ks[1:]):
+        if c > a + 1:
+            assert totals[a] > max_tokens * (c - a - 1)

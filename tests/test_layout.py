@@ -259,3 +259,48 @@ def test_plan_compaction_plan_shape(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def _compaction_assign(sizes, target):
+    """Pure-Python replica of plan_compaction's assignment rule over one
+    partition's path-ordered sizes: big files -> -1; smalls bucket by
+    cumulative-small-bytes-before // target."""
+    out, cum = [], 0
+    for s in sizes:
+        if s >= target:
+            out.append(-1)
+        else:
+            out.append(cum // target)
+            cum += s
+    return out
+
+
+def test_compaction_assignment_properties():
+    """Invariants promised by the docstring, over randomized manifests:
+    small-file task ids are non-decreasing in path order, every task's
+    byte total stays under target + its last file, big files never
+    join a task, and every small file is assigned exactly once."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=2_000), max_size=300),
+        target=st.integers(min_value=1, max_value=1_500),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(sizes, target):
+        tasks = _compaction_assign(sizes, target)
+        assert len(tasks) == len(sizes)
+        smalls = [(t, s) for t, s in zip(tasks, sizes) if t != -1]
+        assert all(s < target for _, s in smalls)
+        seq = [t for t, _ in smalls]
+        assert all(a <= b for a, b in zip(seq, seq[1:]))
+        totals, last = {}, {}
+        for t, s in smalls:
+            totals[t] = totals.get(t, 0) + s
+            last[t] = s
+        for t, tot in totals.items():
+            assert tot < target + last[t]
+        assert all(s >= target for t, s in zip(tasks, sizes) if t == -1)
+
+    check()
