@@ -220,6 +220,26 @@ def run(spark, warc_dir: str) -> dict:
         max(ha, key=lambda v: (ha[v][1], v)) if ha else None
     )
 
+    # 4c (r13): shuffle-health check BEFORE committing the edge relation
+    # to per-host joins — a crawl's link graph is the canonical hot-key
+    # relation (every page cites the hub), and the report is what
+    # decides broadcast vs salted downstream. The hub must surface as
+    # the top key with the entropy gap visible.
+    from ccm_spark.pipeline.skew import key_skew_report
+    from ccm_spark.pipeline.urls import url_domain as _dom
+
+    skew = {
+        r.key: r for r in key_skew_report(
+            links.select(_dom(F.col("href")).alias("k")), "k", top_n=5
+        ).collect()
+    }
+    assert skew, "link relation is empty — skew stage is vacuous"
+    top = min(skew.values(), key=lambda r: r.rank)
+    counts["hottest_link_host"] = top.key
+    counts["hottest_link_share"] = float(top.share)
+    # the demo graph cites the hub from every page: real concentration
+    assert top.share >= max(r.share for r in skew.values())
+
     # 5: curation join — host rank becomes a per-document sampling prior
     from ccm_spark.pipeline.urls import url_domain
 
