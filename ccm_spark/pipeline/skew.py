@@ -52,14 +52,22 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
 
     Ranking is deterministic: (count DESC, key ASC). Shares round to 6.
     100 TB shape: rows collapse to one row per distinct key in the
-    map-side combine; the only full exchange carries (key, count).
+    map-side combine; the only full exchange carries (key, count). The
+    count relation feeds TWO subtrees (the summary aggregate and the
+    top-N), so it is localCheckpointed — without the cut the source
+    relation scans once per consumer (the winnow_matches/filters.py
+    fan-out rule); the materialized relation is distinct-key-sized.
     """
     if top_n < 1:
         raise ValueError(f"key_skew_report: top_n must be >= 1, got {top_n}")
     keyed = df.select(
         F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")).alias("key")
     )
-    counts = keyed.groupBy("key").agg(F.count("*").alias("n_rows"))
+    counts = (
+        keyed.groupBy("key")
+        .agg(F.count("*").alias("n_rows"))
+        .localCheckpoint(eager=True)
+    )
     summary = counts.agg(
         F.sum("n_rows").alias("total_rows"),
         F.count("*").alias("n_keys"),

@@ -134,3 +134,19 @@ def test_salted_join_validates_params(spark):
         salted_join(df, df, "k", how="full")
     with pytest.raises(ValueError, match=">= 1"):
         salted_join(df, df, "k", n_salts=0)
+
+
+def test_key_skew_report_plan_cuts_count_fanout(spark):
+    """The (key, count) relation feeds both the summary aggregate and
+    the top-N subtree; the localCheckpoint must cut the source lineage
+    so the input scans ONCE per action — the executed plan reads a
+    checkpointed RDD and contains no second aggregation of the raw
+    keys (the winnow_matches/filters.py fan-out rule)."""
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)], "k string")
+    plan = (
+        key_skew_report(df, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan ExistingRDD" in plan
