@@ -440,6 +440,48 @@ def hourly_anomalies(
     )
 
 
+def detect_gaps(
+    events: DataFrame,
+    min_gap_us: int = 3_600_000_000,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Outage/silence detection per stream key: every consecutive-event
+    gap of at least ``min_gap_us`` microseconds —
+    ``(key, gap_start_us, gap_end_us, gap_us)`` where ``gap_start_us``
+    is the last event BEFORE the silence and ``gap_end_us`` the first
+    after. The monitoring complement of :func:`hourly_anomalies`
+    (volume spikes) — a feed that stops entirely produces no hourly
+    cells at all, so only a gap scan sees it.
+
+    Ties on the timestamp break on ``event_id`` (the repo's µs +
+    event_id ordering convention), so the lag is deterministic under
+    duplicate timestamps. A key with one event yields no rows; the
+    trailing open silence (last event → now) is a STREAMING concern —
+    batch reports only closed gaps, deliberately.
+
+    100 TB shape: one narrow (key, ts, id) projection, one exchange on
+    the key for the lag window, then a filter — nothing else moves.
+    """
+    if min_gap_us < 1:
+        raise ValueError(f"detect_gaps: min_gap_us must be >= 1, got {min_gap_us}")
+    w = Window.partitionBy("key").orderBy("ts_us", "event_id")
+    slim = events.select(
+        F.col(key_col).alias("key"),
+        ts_micros(events).alias("ts_us"),
+        "event_id",
+    )
+    return (
+        slim.withColumn("_prev", F.lag("ts_us").over(w))
+        .where(F.col("ts_us") - F.col("_prev") >= min_gap_us)
+        .select(
+            "key",
+            F.col("_prev").alias("gap_start_us"),
+            F.col("ts_us").alias("gap_end_us"),
+            (F.col("ts_us") - F.col("_prev")).alias("gap_us"),
+        )
+    )
+
+
 def interval_join(
     intervals: DataFrame,
     events: DataFrame,

@@ -3280,6 +3280,23 @@ FROM anoms a JOIN wm USING (event_type)
 WHERE a.hour_idx < wm.closed_before"""
 
 
+def sql_detect_gaps(min_gap_us: int = 3_600_000_000) -> str:
+    """DuckDB twin of events_ops.detect_gaps over the events table:
+    same (ts, event_id) lag ordering, same inclusive >= threshold —
+    exact integer arithmetic end to end."""
+    return f"""
+WITH s AS (
+  SELECT event_type AS key, epoch_us(ts) AS ts_us, event_id,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+         ) AS prev
+  FROM events
+)
+SELECT key, prev AS gap_start_us, ts_us AS gap_end_us,
+       ts_us - prev AS gap_us
+FROM s WHERE ts_us - prev >= {int(min_gap_us)}"""
+
+
 def sql_local_supplier_volume(
     region: str = "ASIA",
     date_from: str = "1996-01-01",

@@ -623,3 +623,59 @@ def test_interval_join_matches_duckdb_twin(spark, sf_small):
         for a, b, c, d, e in con.sql(sql_interval_join(12)).fetchall()
     )
     assert got and got == want
+
+
+def test_detect_gaps_hand_built(spark):
+    """Closed gaps only, inclusive threshold, per-key isolation, and
+    the (ts, event_id) tiebreak under duplicate timestamps."""
+    import pytest
+
+    from ccm_spark.pipeline.events_ops import detect_gaps
+
+    MIN = 60_000_000
+    rows = [
+        (0, 0 * MIN, "a"),
+        (1, 5 * MIN, "a"),     # 5m gap (== threshold, inclusive)
+        (2, 6 * MIN, "a"),
+        (3, 20 * MIN, "a"),    # 14m gap
+        (4, 0 * MIN, "b"),     # single-event key: no rows
+        (5, 6 * MIN, "c"),     # duplicate ts pair: gap 0, kept ordered
+        (6, 6 * MIN, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, t long, event_type string"
+    ).select("event_id", "event_type", F.timestamp_micros("t").alias("ts"))
+    got = sorted(
+        (r.key, r.gap_start_us, r.gap_end_us, r.gap_us)
+        for r in detect_gaps(ev, min_gap_us=5 * MIN).collect()
+    )
+    assert got == [
+        ("a", 0, 5 * MIN, 5 * MIN),
+        ("a", 6 * MIN, 20 * MIN, 14 * MIN),
+    ]
+    with pytest.raises(ValueError, match=">= 1"):
+        detect_gaps(ev, min_gap_us=0)
+
+
+def test_detect_gaps_matches_duckdb_twin(spark, sf_small):
+    import duckdb
+
+    from ccm_spark.pipeline.events_ops import detect_gaps
+    from ccm_spark.plans.oracle_sql_ext import sql_detect_gaps
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    got = sorted(
+        tuple(r) for r in detect_gaps(ev, min_gap_us=3_600_000_000).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    want = sorted(
+        (str(a), int(b), int(c), int(d))
+        for a, b, c, d in con.sql(sql_detect_gaps(3_600_000_000)).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:3]
