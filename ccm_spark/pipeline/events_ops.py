@@ -412,7 +412,12 @@ def hourly_anomalies(
     # at window_hours=24 the last-bit drift survives round6 — integer
     # sums are exact, and the identical double tree is then
     # bit-deterministic in both engines (IEEE ops incl. sqrt are
-    # correctly rounded).
+    # correctly rounded). Bound on the exactness claim: n_events² is
+    # computed in LONG, so a single (event_type, hour) cell must stay
+    # under ~3.0e9 events/hour (sqrt(2^63)) or the square silently
+    # wraps — beyond that, pre-aggregate to finer cells or widen to
+    # decimal; the window SUM of squares then needs Σn² < 2^63, i.e.
+    # ~6.2e8 events/hour sustained across a 24h window.
     base = hourly.select(
         "event_type",
         "hour_idx",

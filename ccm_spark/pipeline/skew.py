@@ -45,10 +45,15 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     NULL keys count as a real (and frequently the hottest) key: they
     surface as key = '<NULL>' rather than vanishing into a dropped
     group. ``entropy_bits`` uses the one-pass identity
-    H = log2(N) − Σc·log2(c)/N over exact integer counts (the
-    char_entropy discipline); ``uniform_bits = log2(n_keys)`` is the
-    ceiling — the gap between them IS the skew (0 gap = perfectly
-    uniform keys; a hot key drags entropy far below the ceiling).
+    H = log2(N) − Σc·log2(c)/N: the COUNTS feeding it are exact
+    integers (the char_entropy discipline), but the Σc·log2(c) sum is
+    a floating-point aggregate whose accumulation order is
+    partition/engine dependent — round6 absorbs the last-bit drift at
+    report scales (≤ top-N keys dominate the sum), not in general; a
+    gate promotion would need a deterministic reduction order.
+    ``uniform_bits = log2(n_keys)`` is the ceiling — the gap between
+    them IS the skew (0 gap = perfectly uniform keys; a hot key drags
+    entropy far below the ceiling).
 
     Ranking is deterministic: (count DESC, key ASC). Shares round to 6.
     100 TB shape: rows collapse to one row per distinct key in the
@@ -148,6 +153,15 @@ def salted_join(
             f"salted_join: how={how!r} not supported (probe-side salting "
             "preserves inner/left semantics only; salt the other side "
             "for right/full)"
+        )
+    # a pre-existing '_salt' column would be silently overwritten on
+    # the way in and dropped on the way out, breaking the row-identity
+    # contract — refuse loudly instead
+    if "_salt" in probe.columns or "_salt" in build.columns:
+        raise ValueError(
+            "salted_join: input already carries a '_salt' column; "
+            "rename it first (the operator claims row-identity with the "
+            "plain join and cannot preserve a caller's '_salt')"
         )
     p = probe.withColumn(
         "_salt",

@@ -225,20 +225,57 @@ def run(spark, warc_dir: str) -> dict:
     # relation (every page cites the hub), and the report is what
     # decides broadcast vs salted downstream. The hub must surface as
     # the top key with the entropy gap visible.
-    from ccm_spark.pipeline.skew import key_skew_report
+    from ccm_spark.pipeline.skew import key_skew_report, salted_join
     from ccm_spark.pipeline.urls import url_domain as _dom
 
+    link_hosts = links.select(
+        "href", _dom(F.col("href")).alias("k")
+    ).persist()
     skew = {
-        r.key: r for r in key_skew_report(
-            links.select(_dom(F.col("href")).alias("k")), "k", top_n=5
-        ).collect()
+        r.key: r
+        for r in key_skew_report(link_hosts, "k", top_n=5).collect()
     }
     assert skew, "link relation is empty — skew stage is vacuous"
     top = min(skew.values(), key=lambda r: r.rank)
     counts["hottest_link_host"] = top.key
     counts["hottest_link_share"] = float(top.share)
-    # the demo graph cites the hub from every page: real concentration
-    assert top.share >= max(r.share for r in skew.values())
+    # the demo graph cites the hub from every page: the top key must
+    # carry strictly more than the runner-up AND more than its uniform
+    # 1/n_keys share — a flat key distribution here means the fixture
+    # lost its hub and the salting stage below is exercising nothing
+    runner_up = max(
+        (r.share for r in skew.values() if r.rank == 2), default=0.0
+    )
+    assert top.share > runner_up and top.share > 1.0 / top.n_keys, (
+        f"link graph lost its hub: top share {top.share} vs runner-up "
+        f"{runner_up} / uniform {1.0 / top.n_keys:.4f}"
+    )
+
+    # 4d (r14): the report's verdict APPLIED — the diagnose→fix loop.
+    # Joining every link row to its target host's rank is the classic
+    # skewed probe-side join (the hub key carries top.share of the
+    # probe mass onto one reducer); when the report shows real
+    # concentration, run it salted. Row-identity with the plain join is
+    # asserted — salting changes the shuffle layout, never the result.
+    target_ranks = hosts.select(
+        F.col("node").alias("k"), F.col("rank").alias("target_rank")
+    )
+    if top.share >= 0.25:
+        weighted = salted_join(
+            link_hosts, target_ranks, "k", n_salts=8, how="left"
+        )
+        plain = link_hosts.join(target_ranks, "k", "left")
+        assert (
+            weighted.exceptAll(plain).isEmpty()
+            and plain.exceptAll(weighted).isEmpty()
+        ), "salted hub-host join diverged from the plain join"
+    else:  # pragma: no cover - demo fixture always concentrates
+        weighted = link_hosts.join(target_ranks, "k", "left")
+    counts["links_rank_weighted"] = weighted.filter(
+        F.col("target_rank").isNotNull()
+    ).count()
+    counts["hub_join_salted"] = bool(top.share >= 0.25)
+    link_hosts.unpersist()
 
     # 5: curation join — host rank becomes a per-document sampling prior
     from ccm_spark.pipeline.urls import url_domain

@@ -136,6 +136,17 @@ def test_salted_join_validates_params(spark):
         salted_join(df, df, "k", n_salts=0)
 
 
+def test_salted_join_rejects_preexisting_salt_column(spark):
+    """A caller-owned '_salt' column would be silently overwritten and
+    dropped, breaking row-identity with the plain join — refused."""
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    carrying = df.withColumnRenamed("v", "_salt")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(carrying, df, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(df, carrying, "k")
+
+
 def test_key_skew_report_plan_cuts_count_fanout(spark):
     """The (key, count) relation feeds both the summary aggregate and
     the top-N subtree; the localCheckpoint must cut the source lineage
