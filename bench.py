@@ -153,6 +153,11 @@ def main() -> None:
         # same for the r13 rotation (knn_graph_search / chunk_documents
         # / char_entropy / hourly_anomalies took the gate slots)
         "text_langid": E.q_text_langid,
+        # same for the r14 rotation (chunk_by_sentences /
+        # winnow_fingerprints / plan_compaction /
+        # hourly_anomalies_watermarked took the gate slots)
+        "text_quality": E.q_text_quality,
+        "top_customers_by_nation": E.q_top_customers_by_nation,
     }
 
     # median of REPEATS per query, pass-interleaved so a VM-noise burst
@@ -590,7 +595,9 @@ def main() -> None:
         )
 
     extras = {
-        "url_dedup": qs["url_dedup"],
+        # url_dedup left the gated registry r14 (slot went to
+        # plan_compaction) but stays timed under the same name
+        "url_dedup": E.q_url_dedup,
         "phrase_blocklist": extra_blocklist,
         "lm_perplexity": extra_lm,
         "bm25_topk": extra_bm25,
@@ -658,6 +665,17 @@ def main() -> None:
     # 5.6x phantom). Volatile extras report the MEDIAN OF ALL runs
     # (cold run still executes first and stays visible in the spread).
     EXTRA_MEDIAN_ALL = {"url_dedup", "dsir_select"}
+    # r14 (VERDICT r13 #6): the r13 keeper run proved nruns=2 +
+    # report-first cannot absorb a co-tenant window on ANY multi-second
+    # extra (bm25_topk [11.0, 11.95], lm_perplexity [8.48, 9.58],
+    # kmeans_cluster [4.96, 9.84] — all 3-4x their own r12 selves AND
+    # the r13 driver numbers on unchanged code). The convention now
+    # extends ADAPTIVELY: once any sample of an extra reaches
+    # EXTRA_SLOW_SEC, a third sample runs and the reported value is the
+    # median of all runs. Static name lists above stay for the known
+    # cases; this catches every current and future multi-second extra.
+    EXTRA_SLOW_SEC = 2.0
+    EXTRA_SLOW_NRUNS = 3
     # r12 (VERDICT r11 #6): cooldown re-gate BETWEEN extras. The r11
     # self-run's own 1-min loadavg ramped 4 -> 15 as the extras queue
     # drained back-to-back, manufacturing phantom quiet-host regressions
@@ -697,16 +715,21 @@ def main() -> None:
             )
         extra_runs = []
         extra_load_samples[name] = []
-        for _ in range(EXTRA_NRUNS.get(name, 2)):
+        planned = EXTRA_NRUNS.get(name, 2)
+        while len(extra_runs) < planned:
             spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             extra_runs.append(round(time.time() - t0, 3))
             la = _loadavg()
             extra_load_samples[name].append(la[0] if la else -1.0)
+            # adaptive extension (r14): a multi-second extra gets a
+            # third sample so its median can survive one co-tenant hit
+            if extra_runs[-1] >= EXTRA_SLOW_SEC:
+                planned = max(planned, EXTRA_SLOW_NRUNS)
         if name in EXTRA_WARM_MEDIAN:
             extra_timings[name] = round(median(extra_runs[1:]), 3)
-        elif name in EXTRA_MEDIAN_ALL:
+        elif name in EXTRA_MEDIAN_ALL or len(extra_runs) >= EXTRA_SLOW_NRUNS:
             extra_timings[name] = round(median(extra_runs), 3)
         else:
             extra_timings[name] = extra_runs[0]
@@ -747,6 +770,14 @@ def main() -> None:
                 # per-query cost; every other extra still reports the
                 # first (cold) run
                 "extra_queries_convention": {
+                    **{
+                        # r14: any extra that reached >= EXTRA_SLOW_SEC
+                        # ran 3 samples and reports median_all
+                        name: "median_all"
+                        for name, n_ in extra_nruns.items()
+                        if n_ >= EXTRA_SLOW_NRUNS
+                        and name not in EXTRA_WARM_MEDIAN
+                    },
                     **{
                         name: "warm_median"
                         for name in sorted(EXTRA_WARM_MEDIAN)

@@ -3297,6 +3297,70 @@ SELECT key, prev AS gap_start_us, ts_us AS gap_end_us,
 FROM s WHERE ts_us - prev >= {int(min_gap_us)}"""
 
 
+def sql_detect_gaps_watermarked(
+    min_gap_us: int = 14_400_000_000,
+    late_us: int = 7_200_000_000,
+    n_batches: int = 3,
+) -> str:
+    """DuckDB twin of streaming.stateful.detect_gaps_watermarked_replay
+    (the r15 staged gap-monitor gate candidate): for the deterministic
+    time-tercile split, the realized watermarks are
+    ``w_j = (floor(max_us(terciles <= j) / 1000) - delay_ms) * 1000``
+    (Spark floors event times to ms before subtracting the delay).
+    CLOSED rows are split-invariant — the batch detect_gaps relation
+    (consecutive pairs, delta >= min_gap) with the later endpoint
+    strictly below the FINAL watermark (append-exactly-once: a gap
+    emits when its end finalizes). OPEN markers are the distinct
+    (key, L) pairs where some realized watermark w certifies silence:
+    L = max event time of the key strictly below w (every other event
+    of the key is then >= w by construction, so L is exactly the
+    operator's last-finalized cursor at that point) and
+    w - L >= min_gap — the flagged_start dedup in the operator is the
+    DISTINCT here."""
+    g = int(min_gap_us)
+    delay_ms = int(late_us) // 1000
+    n = int(n_batches)
+    return f"""
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+t AS (
+  SELECT event_type AS key, epoch_us(ts) AS us,
+         least({n - 1}, (epoch_us(ts) - lo) * {n} // (hi - lo + 1)) AS terc
+  FROM events, bounds
+),
+wms AS (
+  SELECT j, (max(CASE WHEN terc <= j THEN us END) // 1000 - {delay_ms})
+            * 1000 AS wm_us
+  FROM t, (SELECT unnest(range({n})) AS j)
+  GROUP BY j
+),
+final_wm AS (SELECT max(wm_us) AS wm_us FROM wms),
+lagged AS (
+  SELECT key, us,
+         LAG(us) OVER (PARTITION BY key ORDER BY us) AS prev
+  FROM t
+),
+closed AS (
+  SELECT key, prev AS gap_start_us, us AS gap_end_us,
+         us - prev AS gap_us, false AS open
+  FROM lagged, final_wm
+  WHERE us - prev >= {g} AND us < final_wm.wm_us
+),
+marks AS (
+  SELECT DISTINCT key, L AS gap_start_us,
+         CAST(NULL AS BIGINT) AS gap_end_us,
+         CAST(NULL AS BIGINT) AS gap_us, true AS open
+  FROM (
+    SELECT w.wm_us, s.key, max(s.us) AS L
+    FROM wms w JOIN t s ON s.us < w.wm_us
+    GROUP BY w.wm_us, s.key
+  )
+  WHERE wm_us - L >= {g}
+)
+SELECT * FROM closed UNION ALL SELECT * FROM marks"""
+
+
 def sql_local_supplier_volume(
     region: str = "ASIA",
     date_from: str = "1996-01-01",
@@ -3691,8 +3755,8 @@ cum AS (
 ),
 tasks AS (
   SELECT partition, path, size_bytes,
-         CASE WHEN size_bytes < {t} THEN cum_before // {t} ELSE -1 END
-           AS task_id,
+         CAST(CASE WHEN size_bytes < {t} THEN cum_before // {t}
+              ELSE -1 END AS BIGINT) AS task_id,
          size_bytes < {t} AS small
   FROM cum
 )

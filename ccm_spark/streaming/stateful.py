@@ -784,3 +784,227 @@ def streaming_sessionize_watermarked(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAP_OUTPUT_SCHEMA = (
+    "key string, gap_start_us bigint, gap_end_us bigint, gap_us bigint, "
+    "open boolean"
+)
+#: state = last finalized event time, the not-yet-finalized event
+#: buffer (events at/above the watermark), and the gap-start already
+#: flagged as open silence (None = none)
+GAP_STATE_SCHEMA = (
+    "last_final_us bigint, buf_ts array<bigint>, flagged_start bigint"
+)
+
+
+def streaming_detect_gaps(
+    events: DataFrame,
+    min_gap_us: int = 3_600_000_000,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Streaming per-key silence detection — the TRAILING-OPEN half of
+    the monitoring pair the batch :func:`~ccm_spark.pipeline.events_ops.
+    detect_gaps` deliberately defers (its docstring: a feed that stops
+    entirely produces no rows at all in any batch relation cut; only a
+    stateful emitter holding "last seen" against a GLOBAL watermark can
+    page on it). Two row kinds, append-exactly-once each:
+
+    - CLOSED gaps (``open = false``): a consecutive-event delta >=
+      ``min_gap_us`` emits once its later endpoint drops below the
+      event-time watermark (no in-bound event can land between the
+      endpoints anymore) — converging to exactly the batch
+      ``detect_gaps`` relation cut at the final watermark.
+    - OPEN silence markers (``open = true``, NULL end/width): when the
+      watermark certifies >= ``min_gap_us`` of silence after a key's
+      last finalized event, one marker row (key, last_seen) emits — the
+      page. Emission is keyed by the gap start, so a key that resumes
+      and goes silent again pages again, and a marker's gap, once
+      closed by a resuming event, also emits its closed row (the
+      marker stays in the log as history — append semantics).
+
+    REQUIRES ``withWatermark`` upstream (the global watermark is what
+    lets a key that stops entirely be detected: its own max-ts
+    watermark would freeze with it) and ``GroupStateTimeout.
+    EventTimeTimeout`` — a silent key re-evaluates via timeout at the
+    first watermark that can certify its silence, without any data
+    arriving. Contract: disorder must stay inside the withWatermark
+    delay — the engine DROPS later-than-watermark rows before this
+    operator sees them (unlike the buffered anomalies op, which owns
+    its per-key watermark and can raise; a global watermark is only
+    available through the engine's mechanism). Size the delay
+    generously.
+
+    State per key is three scalars plus the in-flight buffer (bounded
+    by delay × event rate), independent of stream length. 100 TB
+    shape: one exchange on the key; rows and state never leave their
+    reducer.
+    """
+    if min_gap_us < 1:
+        raise ValueError(
+            f"streaming_detect_gaps: min_gap_us must be >= 1, got {min_gap_us}"
+        )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_final, buf, flagged = state.get
+            buf = [int(t) for t in buf]
+        else:
+            last_final, buf, flagged = None, [], None
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf):
+                    buf.extend(int(t) for t in _pdf_ts_us(pdf["ts"]))
+        # getCurrentWatermarkMs is the PRIOR batches' watermark (Spark
+        # advances it between batches); ms floor of (max event time -
+        # delay). 0 = no watermark yet -> nothing finalizes.
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
+        closed = []
+        if buf and wm_us > 0:
+            import bisect
+
+            buf.sort()
+            cut = bisect.bisect_left(buf, wm_us)  # finalize ts < wm
+            final, buf = buf[:cut], buf[cut:]
+            prev = last_final
+            for t in final:
+                if prev is not None and t - prev >= min_gap_us:
+                    closed.append((key[0], int(prev), int(t), int(t - prev), False))
+                prev = t
+            if prev is not None:
+                last_final = int(prev)
+        marker = None
+        if (
+            last_final is not None
+            and wm_us - last_final >= min_gap_us
+            and flagged != last_final
+        ):
+            marker = (key[0], int(last_final), None, None, True)
+            flagged = int(last_final)
+        state.update((last_final, buf, flagged))
+        # timeout = the next watermark advance this key must SEE without
+        # any data arriving; a key is only ever invoked on data or on a
+        # fired timeout (the final no-data micro-batch in particular
+        # runs NOTHING else), so both pending obligations register one:
+        # - flush: buffered events finalize (emitting their closed
+        #   gaps) once the watermark passes the earliest of them;
+        # - marker: the smallest ms with ms*1000 >= last_final +
+        #   min_gap, minus 1 because the engine fires on STRICT
+        #   timeout < wm — firing is then exactly iff the marker
+        #   condition holds.
+        # The engine rejects targets at/below the current watermark;
+        # the +1 clamp can defer a sub-ms boundary case by one batch
+        # (the evaluation at firing re-checks every condition, so no
+        # row is ever wrong, at most one batch later).
+        targets = []
+        if buf:
+            targets.append(min(buf) // 1000)
+        if last_final is not None and flagged != last_final:
+            targets.append(-((last_final + min_gap_us) // -1000) - 1)
+        if targets:
+            state.setTimeoutTimestamp(max(min(targets), wm_ms + 1))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["key", "gap_start_us", "gap_end_us", "gap_us", "open"],
+            )
+        if marker is not None:
+            # separate frame: a None in a closed-row int column would
+            # coerce the whole column to float64 in pandas
+            yield pd.DataFrame(
+                [marker],
+                columns=["key", "gap_start_us", "gap_end_us", "gap_us", "open"],
+            )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def detect_gaps_watermarked_replay(
+    spark,
+    sf_dir: str,
+    n_batches: int = 3,
+    min_gap_us: int = 14_400_000_000,
+    late_us: int = 7_200_000_000,
+    key_col: str = "event_type",
+    query_name: str = "gap_monitor_replay",
+) -> "DataFrame":
+    """Deterministic micro-batch replay of :func:`streaming_detect_gaps`
+    over the events table — staged r15 gate candidate (QUERIES.md).
+
+    Events split into ``n_batches`` single-file shards by global
+    time-range terciles (time-ordered across batches — the disorder
+    machinery is already gated through hourly_anomalies_watermarked;
+    what is NEW under test here is the EventTimeTimeout path: silent
+    keys re-evaluating with no data in the batch, including the final
+    no-data micro-batch that applies the last watermark). The emission
+    multiset is deterministic for this fixed split, and the DuckDB twin
+    (``oracle_sql_ext.sql_detect_gaps_watermarked``) re-derives it from
+    the same tercile arithmetic: closed rows are the batch detect_gaps
+    relation cut at the final watermark (split-invariant), and open
+    markers are the distinct (key, last-finalized) pairs certified
+    silent by any of the realized per-batch watermarks
+    ``(floor(max_us(terciles <= j) / 1000) - delay_ms) * 1000``."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ccm_spark.sources.tables import load_table, ts_micros
+    from ccm_spark.streaming.windows import event_stream
+
+    if late_us % 1_000_000:
+        raise ValueError("late_us must be whole seconds (withWatermark delay)")
+    events = load_table(spark, sf_dir, "events")
+    ev = events.withColumn("_ts_us", ts_micros(events))
+    lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
+    b = F.least(
+        F.lit(n_batches - 1),
+        F.expr(f"(_ts_us - {int(lo)}L) * {n_batches} DIV {int(hi - lo + 1)}L"),
+    )
+    d = tempfile.mkdtemp(prefix="ccm_gap_monitor_")
+    try:
+        src = os.path.join(d, "src")
+        os.makedirs(src)
+        now = _time.time()
+        for i in range(n_batches):
+            shard_dir = os.path.join(d, f"b{i}")
+            ev.where(b == i).drop("_ts_us").coalesce(1).write.parquet(shard_dir)
+            part = next(
+                f for f in sorted(os.listdir(shard_dir)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"f{i}.parquet")
+            shutil.copy(os.path.join(shard_dir, part), dst)
+            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+
+        try:
+            spark.catalog.dropTempView(query_name)
+        except Exception:
+            pass
+        stream = event_stream(spark, src, max_files_per_trigger=1)
+        stream = stream.withColumn(
+            "event_time", F.timestamp_micros(ts_micros(stream))
+        ).withWatermark("event_time", f"{late_us // 1_000_000} seconds")
+        q = (
+            streaming_detect_gaps(stream, min_gap_us=min_gap_us, key_col=key_col)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("detect_gaps_watermarked_replay stream exceeded 600s")
+        return spark.table(query_name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -815,6 +815,62 @@ def test_r13_rotated_rows_match_duckdb_replay(spark, sf_small):
         )
 
 
+def test_r14_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r14 rotation pins (QUERIES.md ledger): text_quality /
+    text_repetition / url_dedup / top_customers_by_nation lost their
+    driver gate slots to chunk_by_sentences / winnow_fingerprints /
+    plan_compaction / hourly_anomalies_watermarked; each rotated-out
+    relation stays cross-engine hash-checked here at sf0.001 exactly
+    the way the driver would check it (the text rows' splitter/signal
+    relations also stay gated through text_token_stats /
+    boilerplate_ngrams, the crawl family through html_extract /
+    robots_rules / pagerank_hosts, and the fact-dim top-k plan shape
+    through shipping_priority — this is the direct pin on top of that
+    transitive evidence)."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "text_quality": (entry.q_text_quality, oe.sql_text_quality()),
+        "text_repetition": (
+            entry.q_text_repetition,
+            oe.sql_text_repetition(),
+        ),
+        "url_dedup": (entry.q_url_dedup, oe.sql_url_dedup()),
+        "top_customers_by_nation": (
+            entry.q_top_customers_by_nation,
+            oe.sql_top_customers_by_nation(),
+        ),
+    }
+
+    def _key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert len(got) > 0
+        assert got == want, (
+            f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
+            "or values differ"
+        )
+
+
 def test_corpus_diff_matches_duckdb_twin(spark, sf_small):
     """Parity-fixture diff (r12 gate candidate, QUERIES.md): the full
     4-column output (status + both hashes) of the NULL-safe operator —

@@ -824,3 +824,73 @@ def test_wm_anomalies_open_hours_survive_state_truncation(spark, tmp_path):
         if r.hour_idx < 9
     }
     assert {k: v for k, v in got.items() if k[1] < 9} == batch
+
+
+def test_gap_monitor_replay_matches_duckdb_twin(spark, sf_small):
+    """The r14-staged gap-monitor gate candidate (QUERIES.md): the
+    3-batch tercile replay of streaming_detect_gaps — closed gaps +
+    EventTimeTimeout-driven open-silence markers — must equal the
+    schedule-aware DuckDB twin exactly, with both row kinds
+    non-vacuous, and the closed rows must equal the batch detect_gaps
+    relation cut at the final watermark (streaming==batch
+    convergence, the sessionize discipline)."""
+    import duckdb
+
+    from ccm_spark.streaming.stateful import detect_gaps_watermarked_replay
+
+    # min_gap=4h, late=2h: at sf0.001 the error feed trails the global
+    # max by ~7.1h -> 5.1h of certified silence -> >= 1 open marker;
+    # per-key deltas reach 18-24h -> plenty of closed gaps
+    out = detect_gaps_watermarked_replay(
+        spark, sf_small, min_gap_us=4 * 3_600_000_000,
+        late_us=2 * 3_600_000_000,
+    )
+
+    def _key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    got = sorted(
+        ((r.key, r.gap_start_us, r.gap_end_us, r.gap_us, bool(r.open))
+         for r in out.collect()),
+        key=_key,
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    from ccm_spark.plans.oracle_sql_ext import (
+        sql_detect_gaps,
+        sql_detect_gaps_watermarked,
+    )
+
+    want = sorted(
+        ((str(a), int(b), None if c is None else int(c),
+          None if d is None else int(d), bool(e))
+         for a, b, c, d, e in con.sql(
+             sql_detect_gaps_watermarked(
+                 min_gap_us=4 * 3_600_000_000, late_us=2 * 3_600_000_000
+             )
+         ).fetchall()),
+        key=_key,
+    )
+    assert len(got) == len(want) > 0
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:5]
+    # both row kinds non-vacuous
+    opens = [r for r in got if r[4]]
+    closeds = [r for r in got if not r[4]]
+    assert opens and closeds
+    # streaming==batch convergence: closed rows are EXACTLY the batch
+    # detect_gaps relation cut at the final watermark
+    wm_final = con.sql(
+        "SELECT (max(epoch_us(ts)) // 1000 - 7200000) * 1000 FROM events"
+    ).fetchone()[0]
+    batch_cut = sorted(
+        (str(a), int(b), int(c), int(d), False)
+        for a, b, c, d in con.sql(
+            sql_detect_gaps(min_gap_us=4 * 3_600_000_000)
+        ).fetchall()
+        if int(c) < wm_final
+    )
+    assert closeds == batch_cut
