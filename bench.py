@@ -594,10 +594,25 @@ def main() -> None:
             load_table(spark, sf_dir, "documents"), BLOCKLIST_GATE_PHRASES
         )
 
+    def extra_hybrid_rrf(spark, sf_dir):
+        """r14 hybrid retrieval: bm25 + cosine fused by RRF — 20
+        more-like-this queries, both rankers bounded, fusion touches
+        only their top-k outputs."""
+        from ccm_spark.pipeline.search import hybrid_search_rrf
+
+        return hybrid_search_rrf(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            n_queries=20,
+            k_each=10,
+            top_k=10,
+        )
+
     extras = {
         # url_dedup left the gated registry r14 (slot went to
         # plan_compaction) but stays timed under the same name
         "url_dedup": E.q_url_dedup,
+        "hybrid_rrf": extra_hybrid_rrf,
         "phrase_blocklist": extra_blocklist,
         "lm_perplexity": extra_lm,
         "bm25_topk": extra_bm25,

@@ -462,7 +462,11 @@ def detect_gaps(
     event_id ordering convention), so the lag is deterministic under
     duplicate timestamps. A key with one event yields no rows; the
     trailing open silence (last event → now) is a STREAMING concern —
-    batch reports only closed gaps, deliberately.
+    batch reports only closed gaps, deliberately. The streaming half
+    is :func:`ccm_spark.streaming.stateful.streaming_detect_gaps`,
+    whose closed rows converge to exactly this relation cut at the
+    watermark (pinned) and whose open markers page on the silence this
+    operator cannot see.
 
     100 TB shape: one narrow (key, ts, id) projection, one exchange on
     the key for the lag window, then a filter — nothing else moves.

@@ -183,3 +183,58 @@ def rrf_fuse(
         .where(F.col("rank") <= top_k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), id_col, "rrf_score")
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k_each: int = 10,
+    top_k: int = 10,
+    q_tokens: int = 8,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """End-to-end HYBRID retrieval — the more-like-this audit query a
+    curation pipeline runs per seed document ("find everything that
+    resembles this benchmark item / this flagged doc"): for every query
+    doc (id < ``n_queries``, the corpus convention ``doc_id == vec_id``
+    pairing each document with its embedding row), fuse
+
+    - a LEXICAL ranking — :func:`bm25_topk` over the full corpus with
+      the query doc's leading ``q_tokens`` tokens as the query (the
+      shared whitespace tokenizer, so both engines derive the same
+      query string), self-hit rows dropped AFTER ranking (other docs'
+      ranks keep their bm25_topk values); and
+    - a VECTOR ranking — :func:`~ccm_spark.pipeline.similarity.
+      cosine_topk` over the embeddings (self-excluded by construction),
+
+    with :func:`rrf_fuse` (k=60): rank-based fusion needs no score
+    calibration between BM25 and cosine scales. Per (query, doc) at
+    most TWO contributions sum — a single IEEE addition, so the fused
+    score is bit-identical across engines before its round-9 (the
+    associativity caveat starts at three sources).
+
+    100 TB shape: the corpus-sized work is exactly the two rankers'
+    (each already bounded — broadcast queries into the postings join,
+    one matmul pass over the embeddings); the fusion itself touches
+    only their top-k outputs: ≤ 2 · n_queries · k_each rows.
+    """
+    from ccm_spark.functions.hashing import tokens_col
+    from ccm_spark.pipeline.similarity import cosine_topk
+
+    if n_queries < 1 or k_each < 1 or top_k < 1 or q_tokens < 1:
+        raise ValueError("hybrid_search_rrf: all geometry params must be >= 1")
+    qdf = docs.where(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_col("text"), 1, q_tokens), " ").alias(
+            "text"
+        ),
+    )
+    lex = bm25_topk(docs, qdf, k=k_each, k1=k1, b=b).where(
+        F.col("doc_id") != F.col("query_id")
+    )
+    vec = cosine_topk(embeddings, n_queries=n_queries, k=k_each).select(
+        "query_id", "rank", F.col("target_id").alias("doc_id")
+    )
+    return rrf_fuse([lex, vec], top_k=top_k)

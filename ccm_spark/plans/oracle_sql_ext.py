@@ -1201,15 +1201,24 @@ LM_ALPHA = 0.1
 LM_KN_DISCOUNT = 0.75
 
 
-def sql_bm25_topk() -> str:
+def sql_bm25_topk(query_source: str | None = None, k: int | None = None) -> str:
     """DuckDB twin of pipeline.search.bm25_topk over the documents table:
     same tokenizer, same postings/df/dl relations, same
     Robertson/Sparck-Jones formula with identical literal arithmetic
     (k1+1, 1-b precomputed like the Spark plan), ranks on the
-    6-rounded score with doc_id tiebreak."""
-    qvals = ", ".join(f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES))
+    6-rounded score with doc_id tiebreak. ``query_source`` swaps the
+    gate's literal VALUES queries for any (query_id, qtext) SELECT —
+    the sql_split_sentences source-hook pattern, used by
+    sql_hybrid_search_rrf to derive queries from the documents
+    themselves; defaults stay byte-identical for the gated row."""
+    if query_source is None:
+        qvals = ", ".join(f"({i}, '{q}')" for i, q in enumerate(BM25_QUERIES))
+        q_cte = f"q(query_id, qtext) AS (VALUES {qvals})"
+    else:
+        q_cte = f"q AS ({query_source})"
+    k = BM25_K if k is None else int(k)
     return f"""
-WITH q(query_id, qtext) AS (VALUES {qvals}),
+WITH {q_cte},
 occ AS (
   SELECT doc_id, unnest(toks) AS term
   FROM (SELECT doc_id, {TOKENS} AS toks FROM documents) s
@@ -1243,7 +1252,47 @@ SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score FROM (
   SELECT query_id, doc_id, score,
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
   FROM scored
-) WHERE rank <= {BM25_K}"""
+) WHERE rank <= {k}"""
+
+
+def sql_hybrid_search_rrf(
+    n_queries: int = 20,
+    k_each: int = 10,
+    top_k: int = 10,
+    q_tokens: int = 8,
+) -> str:
+    """DuckDB twin of pipeline.search.hybrid_search_rrf: the bm25 chain
+    nested VERBATIM via its query-source hook (queries = each query
+    doc's leading ``q_tokens`` whitespace tokens — the shared tokenizer
+    constant), the cosine chain nested verbatim
+    (sql_ann_cosine_topk), lexical self-hits dropped AFTER ranking,
+    RRF contributions 1/(60 + rank) summed per (query, doc) — at most
+    two addends, one IEEE addition, bit-identical — rounded 9, ranked
+    (score desc, doc_id asc), top_k per query."""
+    q_src = (
+        "SELECT doc_id AS query_id, "
+        f"array_to_string({TOKENS}[1:{int(q_tokens)}], ' ') AS qtext "
+        f"FROM documents WHERE doc_id < {int(n_queries)}"
+    )
+    return f"""
+WITH lex AS MATERIALIZED ({sql_bm25_topk(query_source=q_src, k=k_each)}),
+vec AS MATERIALIZED ({sql_ann_cosine_topk(n_queries=n_queries, k=k_each)}),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+  FROM lex WHERE doc_id != query_id
+  UNION ALL
+  SELECT query_id, target_id AS doc_id, 1.0 / (60 + rank) AS c FROM vec
+),
+fused AS (
+  SELECT query_id, doc_id, round(SUM(c), 9) AS rrf_score
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score FROM (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {int(top_k)}"""
 
 
 def sql_lm_perplexity() -> str:

@@ -6,6 +6,7 @@ from ccm_spark.streaming.windows import (
 from ccm_spark.streaming.stateful import (
     running_stats_batch,
     running_value_stats,
+    streaming_detect_gaps,
     streaming_hourly_anomalies,
     streaming_hourly_anomalies_watermarked,
     streaming_sessionize,
@@ -22,6 +23,7 @@ __all__ = [
     "windowed_pair_correlation",
     "running_stats_batch",
     "running_value_stats",
+    "streaming_detect_gaps",
     "streaming_hourly_anomalies",
     "streaming_hourly_anomalies_watermarked",
     "streaming_sessionize",

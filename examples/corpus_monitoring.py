@@ -136,6 +136,21 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
     ).collect()[0]
     n_hours, n_anom = int(arow.n), int(arow.na)
 
+    # ---- stage 3e (r14): silence watch — the anomaly scan's blind
+    # spot: a feed that stops entirely produces no hourly cells at all,
+    # so only a gap scan sees it; closed >= 1h silences per type here
+    # (the trailing OPEN silence is the streaming gap monitor's job —
+    # streaming/stateful.py::streaming_detect_gaps pages on it live)
+    from ccm_spark.pipeline.events_ops import detect_gaps
+
+    grow = (
+        detect_gaps(ev, min_gap_us=3_600_000_000)
+        .agg(F.count("*").alias("n"), F.max("gap_us").alias("worst"))
+        .collect()[0]
+    )
+    n_gaps, worst_gap_h = int(grow.n), round(int(grow.worst) / 3.6e9, 2)
+    assert n_gaps > 0, "silence watch is vacuous on this fixture"
+
     # ---- stage 3c (r12): doc-level churn — WHICH documents moved -----
     # content-hash snapshot diff: one md5 projection per side + one
     # full-outer join; added/changed scope the incremental reprocess,
@@ -179,6 +194,8 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
         "whole_median": whole_median,
         "event_hours_scored": n_hours,
         "event_hours_anomalous": n_anom,
+        "event_gaps_closed": n_gaps,
+        "event_worst_gap_hours": worst_gap_h,
         "docs_added": churn.get("added", 0),
         "docs_removed": churn.get("removed", 0),
         "docs_changed": churn.get("changed", 0),

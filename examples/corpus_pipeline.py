@@ -354,6 +354,49 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     counts["shards"] = manifest["n_shards"]
     counts["final_docs"] = manifest["n_docs"]
     counts["final_tokens"] = manifest["n_tokens"]
+
+    # 8 (r14). layout maintenance — the plan->act pair: simulate the
+    # fine-grained ingest landing zone every streaming pipeline
+    # accumulates (the curated corpus written as many small files —
+    # NOT the epoch shards above, whose one-file-per-shard order is a
+    # contract compaction must not touch), then list it, plan the
+    # small-file merge, EXECUTE the compactable tasks, and verify the
+    # rewrite preserved every row while cutting the file count
+    from ccm_spark.pipeline.layout import (
+        compact_files,
+        file_manifest,
+        plan_compaction,
+    )
+
+    landing = shard_path + "_landing"
+    docs.repartition(8).write.parquet(landing)
+    files = file_manifest(spark, landing)
+    counts["shard_files"] = files.count()
+    target = files.agg(F.sum("size_bytes")).first()[0] // 3 + 1
+    plan = plan_compaction(files, int(target)).localCheckpoint(eager=True)
+    stats = compact_files(spark, plan, shard_path + "_compacted")
+    counts["compaction_tasks"] = stats["n_tasks"]
+    counts["compaction_files_in"] = stats["n_files_in"]
+    assert stats["n_tasks"] > 0, "compaction demo is vacuous: no tasks"
+    assert stats["n_tasks"] < stats["n_files_in"], (
+        "compaction merged nothing: every task holds one file"
+    )
+    before = spark.read.parquet(*[
+        r.path for r in plan.where("compact").select("path").collect()
+    ])
+    after = spark.read.parquet(shard_path + "_compacted").drop("_part", "_task")
+    # the prefix-bucket rule can strand the last shard as a singleton
+    # no-op, so the rewrite covers the COMPACTABLE subset exactly
+    assert 0 < before.count() == after.count() <= counts["final_docs"], (
+        "compaction lost rows"
+    )
+    merged_files = [
+        r.path
+        for r in file_manifest(spark, shard_path + "_compacted").collect()
+    ]
+    assert len(merged_files) == stats["n_tasks"], (
+        "compaction wrote more than one file per merge task"
+    )
     return {"counts": counts, "manifest": manifest}
 
 

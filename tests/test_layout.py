@@ -304,3 +304,79 @@ def test_compaction_assignment_properties():
         assert all(s >= target for t, s in zip(tasks, sizes) if t == -1)
 
     check()
+
+
+def test_file_manifest_lists_data_files_with_partitions(spark, tmp_path):
+    """file_manifest yields (partition, path, size_bytes) for DATA
+    files only: bookkeeping files skipped, Hive-style subdirectories
+    become the partition, sizes are the real on-disk byte counts."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.layout import file_manifest
+
+    root = str(tmp_path / "t")
+    spark.range(100).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(root)
+    m = file_manifest(spark, root).collect()
+    assert len(m) > 0
+    assert {r.partition for r in m} == {"p=0", "p=1"}
+    for r in m:
+        assert os.path.isfile(r.path)
+        assert r.size_bytes == os.path.getsize(r.path)
+        assert not os.path.basename(r.path).startswith(("_", "."))
+    # flat directory -> empty partition
+    flat = str(tmp_path / "flat")
+    spark.range(10).coalesce(1).write.parquet(flat)
+    fm = file_manifest(spark, flat).collect()
+    assert [r.partition for r in fm] == [""]
+
+
+def test_compact_files_executes_plan_one_file_per_task(spark, tmp_path):
+    """compact_files is the act half of the plan->act pair: every
+    compact=true task rewrites to EXACTLY one parquet file, rows are
+    preserved bit-for-bit (same multiset), and no-op files (well-sized
+    or stranded singletons) are not rewritten."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.layout import (
+        compact_files,
+        file_manifest,
+        plan_compaction,
+    )
+
+    root = str(tmp_path / "frag")
+    # 8 small files of ~equal size in one partition
+    spark.range(400).repartition(8).write.parquet(root)
+    files = file_manifest(spark, root)
+    total = files.agg(F.sum("size_bytes")).first()[0]
+    plan = plan_compaction(files, int(total) // 3 + 1).localCheckpoint(
+        eager=True
+    )
+    n_compact = plan.where("compact").count()
+    assert n_compact >= 4  # grouping is real on this fixture
+    out = str(tmp_path / "merged")
+    stats = compact_files(spark, plan, out)
+    assert stats["n_files_in"] == n_compact
+    assert 0 < stats["n_tasks"] < stats["n_files_in"]
+    # one data file per task directory
+    merged = file_manifest(spark, out).collect()
+    assert len(merged) == stats["n_tasks"]
+    # row multiset preserved across the rewrite
+    before = sorted(
+        r.id
+        for r in spark.read.parquet(
+            *[x.path for x in plan.where("compact").select("path").collect()]
+        ).collect()
+    )
+    after = sorted(
+        r.id for r in spark.read.parquet(out).select("id").collect()
+    )
+    assert before == after
+    # empty plan -> no-op
+    none = compact_files(
+        spark, plan.where("NOT compact"), str(tmp_path / "noop")
+    )
+    assert none == {"n_tasks": 0, "n_files_in": 0, "bytes_in": 0}

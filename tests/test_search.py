@@ -172,3 +172,59 @@ FROM f QUALIFY rk <= 5
     # doc 11 (ranks 2+1) beats doc 10 (rank 1 lexical only) for query 0
     by_rank = {r[1]: r[2] for r in got if r[0] == 0}
     assert by_rank[1] == 11
+
+
+def test_hybrid_search_rrf_matches_duckdb_twin(spark, sf_small):
+    """End-to-end hybrid retrieval (r14-staged candidate, QUERIES.md):
+    bm25 over each query doc's leading tokens + cosine over its
+    embedding (doc_id == vec_id), fused by RRF — the twin nests BOTH
+    ranker chains verbatim (the bm25 chain through its new query-source
+    hook) and re-derives the fusion; non-vacuity pins that the fusion
+    actually mixes the two sources rather than echoing either."""
+    import duckdb
+
+    from ccm_spark.pipeline.search import bm25_topk, hybrid_search_rrf
+    from ccm_spark.plans.oracle_sql_ext import sql_hybrid_search_rrf
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    out = hybrid_search_rrf(docs, embs, n_queries=20, k_each=10, top_k=10)
+    got = sorted(
+        (r.query_id, r.rank, r.doc_id, r.rrf_score) for r in out.collect()
+    )
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in con.sql(
+            sql_hybrid_search_rrf(n_queries=20, k_each=10, top_k=10)
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:5]
+    # non-vacuity: the fused list is a real MIX — some fused hit has
+    # two contributions (appears in both rankers' top-k), and some has
+    # exactly one (each source surfaces docs the other misses)
+    two = [r for r in got if r[3] > 1.0 / 61.0 + 1e-12]
+    one = [r for r in got if r[3] <= 1.0 / (60.0 + 1.0)]
+    assert two and one
+    # and the fusion is not just bm25 re-emitted: for at least one
+    # query the fused top-1 differs from the lexical top-1
+    from ccm_spark.functions.hashing import tokens_col
+    from pyspark.sql import functions as F
+
+    qdf = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens_col("text"), 1, 8), " ").alias("text"),
+    )
+    lex_rows = bm25_topk(docs, qdf, k=3).where("doc_id != query_id").collect()
+    lex1: dict = {}
+    for r in sorted(lex_rows, key=lambda r: (r.query_id, r.rank)):
+        lex1.setdefault(r.query_id, r.doc_id)  # best surviving lexical hit
+    fused1 = {r[0]: r[2] for r in got if r[1] == 1}
+    assert any(fused1[q] != lex1.get(q) for q in fused1)
