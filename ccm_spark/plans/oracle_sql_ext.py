@@ -3748,6 +3748,28 @@ SELECT CAST(doc_id % 8 AS VARCHAR) AS partition,
 FROM documents"""
 
 
+def sql_salted_join() -> str:
+    """DuckDB twin of the salted_join gate fixture (r15 staged
+    candidate): the oracle IS the plain join — salting is a pure
+    shuffle-layout transform, so the correct answer is stated entirely
+    without the salt arithmetic (algorithm-independent evidence, the
+    series_topk discipline). Fixture: every document joined to its
+    language's corpus-level stats — the canonical hot-key join (the
+    lang column is the key_skew_report gate's own skewed key)."""
+    return """
+WITH probe AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS doc_len
+  FROM documents
+),
+build AS (
+  SELECT lang, COUNT(*) AS lang_docs,
+         CAST(SUM(length(text)) AS BIGINT) AS lang_bytes
+  FROM documents GROUP BY 1
+)
+SELECT p.doc_id, p.lang, p.doc_len, b.lang_docs, b.lang_bytes
+FROM probe p JOIN build b USING (lang)"""
+
+
 def sql_key_skew_report(key: str = "lang", top_n: int = 20) -> str:
     """DuckDB twin of skew.key_skew_report over a documents column:
     same NULL-as-'<NULL>' keying, same (count DESC, key ASC) rank, same

@@ -161,3 +161,44 @@ def test_key_skew_report_plan_cuts_count_fanout(spark):
         .toString()
     )
     assert "Scan ExistingRDD" in plan
+
+
+def salted_join_fixture(spark, sf_dir):
+    """The staged salted_join gate fixture (QUERIES.md r15 plan): every
+    document joined via salted_join to its language's corpus stats —
+    the canonical hot-key probe-side join, run salted at n_salts=8."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("doc_len")
+    )
+    build = docs.groupBy("lang").agg(
+        F.count("*").alias("lang_docs"),
+        F.sum(F.length("text")).cast("long").alias("lang_bytes"),
+    )
+    return salted_join(probe, build, "lang", n_salts=8).select(
+        "doc_id", "lang", "doc_len", "lang_docs", "lang_bytes"
+    )
+
+
+def test_salted_join_matches_duckdb_plain_join(spark, sf_small):
+    """Cross-engine pin for the staged gate row: the salted join's
+    result hash-equals the PLAIN DuckDB join — the oracle never sees
+    the salt arithmetic, so the evidence is algorithm-independent."""
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_salted_join
+
+    got = sorted(tuple(r) for r in salted_join_fixture(spark, sf_small).collect())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), str(b), int(c), int(d), int(e))
+        for a, b, c, d, e in con.sql(sql_salted_join()).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
