@@ -894,3 +894,73 @@ def test_gap_monitor_replay_matches_duckdb_twin(spark, sf_small):
         if int(c) < wm_final
     )
     assert closeds == batch_cut
+
+
+def test_gap_monitor_hand_built_emissions(spark, tmp_path):
+    """Hand-computed emission multiset for a 2-key fixture (the
+    discipline of pinning semantics independently of the twin):
+
+    key a: events at B, B+1h (tercile 0), B+10h, B+11h (tercile 1),
+    B+30h (tercile 2); key b: one event at B+5h (tercile 0).
+    late=1h -> realized watermarks w0=B+4h, w1=B+10h, w2=B+29h.
+    min_gap=4h. Expected:
+      - closed (a, B+1h -> B+10h, 9h): finalizes at w2 via the FLUSH
+        timeout (a has no data in the final no-data batch);
+      - marker (a, B+1h): certified at w1 (9h silent, gap not yet
+        closed);
+      - marker (a, B+11h): certified at w2 (18h to the watermark;
+        B+30h is beyond it and stays buffered);
+      - marker (b, B+5h): b's single event finalizes via its own flush
+        timeout and flags at w1 — a key with ONE event pages, which
+        the batch operator structurally cannot do;
+      - NO closed row for (B+11h, B+30h): the end is above the final
+        watermark."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.streaming.stateful import detect_gaps_watermarked_replay
+
+    H = 3_600_000_000
+    B = 1_700_000_000_000_000
+    rows = [
+        (1, B, "a"), (2, B + H, "a"), (3, B + 10 * H, "a"),
+        (4, B + 11 * H, "a"), (5, B + 30 * H, "a"), (6, B + 5 * H, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_us long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        "event_type",
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"),
+    )
+    d = str(tmp_path / "events_fixture")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    import os
+    import shutil
+
+    os.makedirs(str(tmp_path / "sf"), exist_ok=True)
+    part = next(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    shutil.copy(os.path.join(d, part), str(tmp_path / "sf" / "events.parquet"))
+
+    out = detect_gaps_watermarked_replay(
+        spark, str(tmp_path / "sf"), min_gap_us=4 * H, late_us=1 * H
+    )
+    got = sorted(
+        ((r.key, r.gap_start_us, r.gap_end_us, r.gap_us, bool(r.open))
+         for r in out.collect()),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    want = sorted(
+        [
+            ("a", B + H, B + 10 * H, 9 * H, False),
+            ("a", B + H, None, None, True),
+            ("a", B + 11 * H, None, None, True),
+            ("b", B + 5 * H, None, None, True),
+        ],
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
+    assert got == want, (got, want)
