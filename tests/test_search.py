@@ -228,3 +228,23 @@ def test_hybrid_search_rrf_matches_duckdb_twin(spark, sf_small):
         lex1.setdefault(r.query_id, r.doc_id)  # best surviving lexical hit
     fused1 = {r[0]: r[2] for r in got if r[1] == 1}
     assert any(fused1[q] != lex1.get(q) for q in fused1)
+
+
+def test_hybrid_search_rrf_plan_shape(spark, sf_small):
+    """Every join in the hybrid plan is a broadcast hash join (the tiny
+    query relations into the corpus-sized postings), and nothing plans
+    a cartesian / nested-loop / sort-merge join — the shapes that would
+    not survive a 100 TB corpus."""
+    from ccm_spark.pipeline.search import hybrid_search_rrf
+
+    out = hybrid_search_rrf(
+        spark.read.parquet(f"{sf_small}/documents.parquet"),
+        spark.read.parquet(f"{sf_small}/embeddings.parquet"),
+        n_queries=20,
+        k_each=10,
+        top_k=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoop"):
+        assert bad not in plan, bad
