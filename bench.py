@@ -711,6 +711,7 @@ def main() -> None:
     extra_spread = {}
     extra_nruns = {}
     extra_load_samples = {}
+    extra_hit_slow: dict[str, bool] = {}
     for name, fn in extras.items():
         waited = 0.0
         while cooldown_spent < EXTRA_COOLDOWN_BUDGET and waited < EXTRA_COOLDOWN_MAX:
@@ -731,6 +732,7 @@ def main() -> None:
         extra_runs = []
         extra_load_samples[name] = []
         planned = EXTRA_NRUNS.get(name, 2)
+        hit_slow = False
         while len(extra_runs) < planned:
             spark.catalog.clearCache()
             t0 = time.time()
@@ -739,15 +741,20 @@ def main() -> None:
             la = _loadavg()
             extra_load_samples[name].append(la[0] if la else -1.0)
             # adaptive extension (r14): a multi-second extra gets a
-            # third sample so its median can survive one co-tenant hit
+            # third sample so its median can survive one co-tenant hit.
+            # The flag (not the run count) drives the median_all switch
+            # below — a static-nruns=3 extra that never reached the
+            # threshold keeps its historical first-run convention.
             if extra_runs[-1] >= EXTRA_SLOW_SEC:
+                hit_slow = True
                 planned = max(planned, EXTRA_SLOW_NRUNS)
         if name in EXTRA_WARM_MEDIAN:
             extra_timings[name] = round(median(extra_runs[1:]), 3)
-        elif name in EXTRA_MEDIAN_ALL or len(extra_runs) >= EXTRA_SLOW_NRUNS:
+        elif name in EXTRA_MEDIAN_ALL or hit_slow:
             extra_timings[name] = round(median(extra_runs), 3)
         else:
             extra_timings[name] = extra_runs[0]
+        extra_hit_slow[name] = hit_slow
         extra_spread[name] = [min(extra_runs), max(extra_runs)]
         extra_nruns[name] = len(extra_runs)
         print(
@@ -789,9 +796,8 @@ def main() -> None:
                         # r14: any extra that reached >= EXTRA_SLOW_SEC
                         # ran 3 samples and reports median_all
                         name: "median_all"
-                        for name, n_ in extra_nruns.items()
-                        if n_ >= EXTRA_SLOW_NRUNS
-                        and name not in EXTRA_WARM_MEDIAN
+                        for name, slow in extra_hit_slow.items()
+                        if slow and name not in EXTRA_WARM_MEDIAN
                     },
                     **{
                         name: "warm_median"

@@ -215,8 +215,11 @@ def plan_compaction(
     )
 
 
-#: strips any URI scheme ("file:///x", "file:/x", "hdfs://nn/x" ->
-#: path-only) so manifest paths and input_file_name agree byte-for-byte
+#: canonicalises a URI for the file-tag JOIN ONLY ("file:///x",
+#: "file:/x" -> "/x"): manifest paths and input_file_name render the
+#: same file with different slash counts, so BOTH sides pass through
+#: this before comparing. Never use the stripped form to READ a file —
+#: it drops the scheme/authority a non-local filesystem needs.
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
 
 
@@ -226,7 +229,10 @@ def file_manifest(spark, root: str) -> DataFrame:
     (bookkeeping files like ``_SUCCESS``/dotfiles are skipped), with
     ``partition`` = the file's directory relative to ``root`` ('' for
     files directly under it), so Hive-style ``k=v`` subdirectories
-    group naturally.
+    group naturally. ``path`` is the fully-QUALIFIED Hadoop URI
+    (``file:/...``, ``hdfs://nn/...``, ``s3a://bucket/...``) so a
+    downstream read resolves on the right filesystem, not the default
+    one.
 
     Listing runs driver-side through the Hadoop FileSystem API (works
     for local paths, HDFS, and object stores alike) — the same
@@ -238,21 +244,17 @@ def file_manifest(spark, root: str) -> DataFrame:
     jpath = sc._jvm.org.apache.hadoop.fs.Path(root)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
     root_str = fs.makeQualified(jpath).toString().rstrip("/")
-    import re
-
-    root_plain = re.sub(_SCHEME_RE, "/", root_str)
     rows = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         st = it.next()
-        p = st.getPath().toString()
+        p = st.getPath().toString()  # already qualified by the FS
         name = p.rsplit("/", 1)[-1]
         if name.startswith(("_", ".")):
             continue
-        plain = re.sub(_SCHEME_RE, "/", p)
-        rel_dir = plain[len(root_plain):].lstrip("/").rsplit("/", 1)
+        rel_dir = p[len(root_str):].lstrip("/").rsplit("/", 1)
         partition = rel_dir[0] if len(rel_dir) == 2 else ""
-        rows.append((partition, plain, int(st.getLen())))
+        rows.append((partition, p, int(st.getLen())))
     return spark.createDataFrame(
         sorted(rows), "partition string, path string, size_bytes long"
     )
@@ -281,11 +283,16 @@ def compact_files(spark, plan: DataFrame, out_dir: str) -> dict:
     the driver.
 
     Returns ``{"n_tasks", "n_files_in", "bytes_in"}``."""
-    todo = plan.where("compact").select("partition", "task_id", "path").collect()
+    todo = plan.where("compact").select(
+        "partition", "task_id", "path", "size_bytes"
+    ).collect()
     if not todo:
         return {"n_tasks": 0, "n_files_in": 0, "bytes_in": 0}
     import re
 
+    # reads use the manifest's QUALIFIED URIs; only the join key is
+    # canonicalised (input_file_name renders 'file:///x' where the
+    # manifest says 'file:/x' — same file, different slash count)
     mapping = [
         (re.sub(_SCHEME_RE, "/", r.path), r.partition, r.task_id) for r in todo
     ]
@@ -310,7 +317,7 @@ def compact_files(spark, plan: DataFrame, out_dir: str) -> dict:
     return {
         "n_tasks": n_tasks,
         "n_files_in": len(todo),
-        "bytes_in": int(
-            plan.where("compact").agg(F.sum("size_bytes")).first()[0]
-        ),
+        # already on the driver — a second Spark job would re-run the
+        # plan's window lineage just to recompute this sum
+        "bytes_in": int(sum(r.size_bytes for r in todo)),
     }

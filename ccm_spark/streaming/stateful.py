@@ -594,26 +594,73 @@ def hourly_anomalies_watermarked_replay(
     from ccm_spark.streaming.windows import event_stream
 
     late_us = int(late_hours) * _HOUR_US
+
+    def assign_batch(ev, lo, hi):
+        span = hi - lo + 1
+
+        def tercile(col):
+            return F.least(
+                F.lit(n_batches - 1),
+                F.expr(f"({col} - {lo}L) * {n_batches} DIV {span}L"),
+            )
+
+        b0 = tercile("_ts_us")
+        # an event "arrives late" (next batch) when shifting its ts by
+        # late_us/2 crosses a tercile edge — all-integer,
+        # twin-re-derivable
+        near_edge = tercile(f"_ts_us + {late_us // 2}L") > b0
+        return F.least(
+            F.lit(n_batches - 1),
+            b0 + ((F.col("event_id") % 2 == 0) & near_edge).cast("long"),
+        )
+
+    return _tercile_shard_replay(
+        spark,
+        sf_dir,
+        n_batches,
+        assign_batch,
+        lambda stream: streaming_hourly_anomalies_watermarked(
+            stream,
+            window_hours=window_hours,
+            min_hours=min_hours,
+            late_hours=late_hours,
+        ),
+        query_name,
+        "ccm_wm_anom_",
+    )
+
+
+def _tercile_shard_replay(
+    spark,
+    sf_dir: str,
+    n_batches: int,
+    assign_batch,
+    build_stream,
+    query_name: str,
+    tmp_prefix: str,
+) -> "DataFrame":
+    """Shared deterministic micro-batch replay harness for the
+    watermark-family gate rows: split the events table into
+    ``n_batches`` single-file shards by ``assign_batch(ev, lo, hi)``
+    (a Column in [0, n_batches) over the ``_ts_us``-augmented events),
+    stagger the shard mtimes so FileStreamSource discovers them in
+    order one per trigger, run ``build_stream(raw_stream)`` into an
+    append memory sink with availableNow, and return the emitted
+    relation localCheckpointed. One copy of the tempdir/utime/
+    checkpoint/timeout plumbing — a fix here reaches every replay."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ccm_spark.sources.tables import load_table, ts_micros
+    from ccm_spark.streaming.windows import event_stream
+
     events = load_table(spark, sf_dir, "events")
     ev = events.withColumn("_ts_us", ts_micros(events))
     lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
-    span = int(hi - lo + 1)
-
-    def tercile(col):
-        return F.least(
-            F.lit(n_batches - 1),
-            F.expr(f"({col} - {int(lo)}L) * {n_batches} DIV {span}L"),
-        )
-
-    b0 = tercile("_ts_us")
-    # an event "arrives late" (next batch) when shifting its ts by
-    # late_us/2 crosses a tercile edge — all-integer, twin-re-derivable
-    near_edge = tercile(f"_ts_us + {late_us // 2}L") > b0
-    b = F.least(
-        F.lit(n_batches - 1),
-        b0 + ((F.col("event_id") % 2 == 0) & near_edge).cast("long"),
-    )
-    d = tempfile.mkdtemp(prefix="ccm_wm_anom_")
+    b = assign_batch(ev, int(lo), int(hi))
+    d = tempfile.mkdtemp(prefix=tmp_prefix)
     try:
         src = os.path.join(d, "src")
         os.makedirs(src)
@@ -633,12 +680,7 @@ def hourly_anomalies_watermarked_replay(
         except Exception:
             pass
         q = (
-            streaming_hourly_anomalies_watermarked(
-                event_stream(spark, src, max_files_per_trigger=1),
-                window_hours=window_hours,
-                min_hours=min_hours,
-                late_hours=late_hours,
-            )
+            build_stream(event_stream(spark, src, max_files_per_trigger=1))
             .writeStream.format("memory")
             .queryName(query_name)
             .outputMode("append")
@@ -648,9 +690,7 @@ def hourly_anomalies_watermarked_replay(
         )
         if not q.awaitTermination(600):
             q.stop()
-            raise RuntimeError(
-                "hourly_anomalies_watermarked_replay stream exceeded 600s"
-            )
+            raise RuntimeError(f"{query_name} stream exceeded 600s")
         return spark.table(query_name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -953,58 +993,31 @@ def detect_gaps_watermarked_replay(
     markers are the distinct (key, last-finalized) pairs certified
     silent by any of the realized per-batch watermarks
     ``(floor(max_us(terciles <= j) / 1000) - delay_ms) * 1000``."""
-    import os
-    import shutil
-    import tempfile
-    import time as _time
-
-    from ccm_spark.sources.tables import load_table, ts_micros
-    from ccm_spark.streaming.windows import event_stream
+    from ccm_spark.sources.tables import ts_micros
 
     if late_us % 1_000_000:
         raise ValueError("late_us must be whole seconds (withWatermark delay)")
-    events = load_table(spark, sf_dir, "events")
-    ev = events.withColumn("_ts_us", ts_micros(events))
-    lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
-    b = F.least(
-        F.lit(n_batches - 1),
-        F.expr(f"(_ts_us - {int(lo)}L) * {n_batches} DIV {int(hi - lo + 1)}L"),
-    )
-    d = tempfile.mkdtemp(prefix="ccm_gap_monitor_")
-    try:
-        src = os.path.join(d, "src")
-        os.makedirs(src)
-        now = _time.time()
-        for i in range(n_batches):
-            shard_dir = os.path.join(d, f"b{i}")
-            ev.where(b == i).drop("_ts_us").coalesce(1).write.parquet(shard_dir)
-            part = next(
-                f for f in sorted(os.listdir(shard_dir)) if f.endswith(".parquet")
-            )
-            dst = os.path.join(src, f"f{i}.parquet")
-            shutil.copy(os.path.join(shard_dir, part), dst)
-            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
 
-        try:
-            spark.catalog.dropTempView(query_name)
-        except Exception:
-            pass
-        stream = event_stream(spark, src, max_files_per_trigger=1)
+    def assign_batch(ev, lo, hi):
+        return F.least(
+            F.lit(n_batches - 1),
+            F.expr(f"(_ts_us - {lo}L) * {n_batches} DIV {hi - lo + 1}L"),
+        )
+
+    def build_stream(stream):
         stream = stream.withColumn(
             "event_time", F.timestamp_micros(ts_micros(stream))
         ).withWatermark("event_time", f"{late_us // 1_000_000} seconds")
-        q = (
-            streaming_detect_gaps(stream, min_gap_us=min_gap_us, key_col=key_col)
-            .writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
+        return streaming_detect_gaps(
+            stream, min_gap_us=min_gap_us, key_col=key_col
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("detect_gaps_watermarked_replay stream exceeded 600s")
-        return spark.table(query_name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+
+    return _tercile_shard_replay(
+        spark,
+        sf_dir,
+        n_batches,
+        assign_batch,
+        build_stream,
+        query_name,
+        "ccm_gap_monitor_",
+    )

@@ -148,8 +148,11 @@ def run(spark, sf_dir: str, art_dir: str) -> dict:
         .agg(F.count("*").alias("n"), F.max("gap_us").alias("worst"))
         .collect()[0]
     )
-    n_gaps, worst_gap_h = int(grow.n), round(int(grow.worst) / 3.6e9, 2)
+    n_gaps = int(grow.n)
+    # the vacuity diagnostic must fire BEFORE touching worst: max()
+    # over zero rows is NULL and int(None) would mask it
     assert n_gaps > 0, "silence watch is vacuous on this fixture"
+    worst_gap_h = round(int(grow.worst) / 3.6e9, 2)
 
     # ---- stage 3c (r12): doc-level churn — WHICH documents moved -----
     # content-hash snapshot diff: one md5 projection per side + one

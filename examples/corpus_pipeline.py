@@ -369,7 +369,7 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     )
 
     landing = shard_path + "_landing"
-    docs.repartition(8).write.parquet(landing)
+    docs.repartition(8).write.mode("overwrite").parquet(landing)
     files = file_manifest(spark, landing)
     counts["shard_files"] = files.count()
     target = files.agg(F.sum("size_bytes")).first()[0] // 3 + 1

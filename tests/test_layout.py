@@ -323,10 +323,16 @@ def test_file_manifest_lists_data_files_with_partitions(spark, tmp_path):
     m = file_manifest(spark, root).collect()
     assert len(m) > 0
     assert {r.partition for r in m} == {"p=0", "p=1"}
+    import re
+
     for r in m:
-        assert os.path.isfile(r.path)
-        assert r.size_bytes == os.path.getsize(r.path)
-        assert not os.path.basename(r.path).startswith(("_", "."))
+        # path is the QUALIFIED URI (file:/... locally) so non-local
+        # filesystems resolve; strip the scheme only for the os checks
+        assert r.path.startswith("file:/")
+        local = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/", r.path)
+        assert os.path.isfile(local)
+        assert r.size_bytes == os.path.getsize(local)
+        assert not os.path.basename(local).startswith(("_", "."))
     # flat directory -> empty partition
     flat = str(tmp_path / "flat")
     spark.range(10).coalesce(1).write.parquet(flat)
