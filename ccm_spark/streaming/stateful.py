@@ -198,69 +198,34 @@ def sessionize_updates_replay(
     time-range terciles ``least(n-1, (ts - min) * n div (max - min +
     1))`` — time-ordered across batches by construction, satisfying the
     sessionizer's no-regression precondition."""
-    import os
-    import shutil
-    import tempfile
-    import time as _time
 
-    import pyspark.sql.functions as F
+    def assign_batch(ev, lo, hi):
+        # exact INTEGER division (SQL DIV), never float `/` + cast: a
+        # float quotient one ulp above a batch boundary would split
+        # the engines
+        return F.least(
+            F.lit(n_batches - 1),
+            F.expr(f"(_ts_us - {lo}L) * {n_batches} DIV {hi - lo + 1}L"),
+        )
 
-    from ccm_spark.sources.tables import load_table, ts_micros
-    from ccm_spark.streaming.windows import event_stream
-
-    events = load_table(spark, sf_dir, "events")
-    ev = events.withColumn("_ts_us", ts_micros(events))
-    lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
-    # exact INTEGER division (SQL DIV), never float `/` + cast: a float
-    # quotient one ulp above a batch boundary would split the engines
-    b = F.least(
-        F.lit(n_batches - 1),
-        F.expr(
-            f"(_ts_us - {int(lo)}L) * {n_batches} DIV {int(hi - lo + 1)}L"
-        ),
+    emitted = _tercile_shard_replay(
+        spark,
+        sf_dir,
+        n_batches,
+        assign_batch,
+        streaming_sessionize,
+        query_name,
+        "ccm_sess_updates_",
+        output_mode="update",
     )
-    d = tempfile.mkdtemp(prefix="ccm_sess_updates_")
-    try:
-        src = os.path.join(d, "src")
-        os.makedirs(src)
-        now = _time.time()
-        for i in range(n_batches):
-            shard_dir = os.path.join(d, f"b{i}")
-            ev.where(b == i).drop("_ts_us").coalesce(1).write.parquet(shard_dir)
-            part = next(
-                f for f in sorted(os.listdir(shard_dir)) if f.endswith(".parquet")
-            )
-            dst = os.path.join(src, f"f{i}.parquet")
-            shutil.copy(os.path.join(shard_dir, part), dst)
-            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
-
-        try:
-            spark.catalog.dropTempView(query_name)
-        except Exception:
-            pass
-        q = (
-            streaming_sessionize(event_stream(spark, src, max_files_per_trigger=1))
-            .writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError("sessionize_updates_replay stream exceeded 600s")
-        out = spark.table(query_name).select(
-            "user_id",
-            "session_idx",
-            "n_events",
-            "start_us",
-            "end_us",
-            (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value"),
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    return emitted.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "start_us",
+        "end_us",
+        (F.round("sum_value", 6) + F.lit(0.0)).alias("sum_value"),
+    )
 
 
 ANOM_OUTPUT_SCHEMA = (
@@ -638,6 +603,7 @@ def _tercile_shard_replay(
     build_stream,
     query_name: str,
     tmp_prefix: str,
+    output_mode: str = "append",
 ) -> "DataFrame":
     """Shared deterministic micro-batch replay harness for the
     watermark-family gate rows: split the events table into
@@ -683,7 +649,7 @@ def _tercile_shard_replay(
             build_stream(event_stream(spark, src, max_files_per_trigger=1))
             .writeStream.format("memory")
             .queryName(query_name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", os.path.join(d, "ckpt"))
             .trigger(availableNow=True)
             .start()
