@@ -20,6 +20,8 @@ DuckDB's ``epoch_us(ts)`` on the same file.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -412,19 +414,34 @@ def hourly_anomalies(
     # at window_hours=24 the last-bit drift survives round6 — integer
     # sums are exact, and the identical double tree is then
     # bit-deterministic in both engines (IEEE ops incl. sqrt are
-    # correctly rounded). Bound on the exactness claim: n_events² is
-    # computed in LONG, so a single (event_type, hour) cell must stay
-    # under ~3.0e9 events/hour (sqrt(2^63)) or the square silently
-    # wraps — beyond that, pre-aggregate to finer cells or widen to
-    # decimal; the window SUM of squares then needs Σn² < 2^63, i.e.
-    # ~6.2e8 events/hour sustained across a 24h window.
+    # correctly rounded). The exactness claim is GUARDED, not assumed:
+    # n_events² and its window sum live in LONG, so any (event_type,
+    # hour) cell above floor(sqrt((2^63−1)/window_hours)) — ~6.2e8
+    # events/hour at the default 24h window — would overflow; Spark
+    # wraps LONG silently, so the squaring raises loudly past the
+    # bound instead (one codegen comparison on the tiny hourly
+    # relation; the DuckDB twin needs no guard — its BIGINT arithmetic
+    # is natively overflow-checked). Past the bound: pre-aggregate to
+    # finer cells or widen to decimal.
+    n_cap = math.isqrt((2**63 - 1) // max(window_hours, 1))
+    sq = F.when(
+        F.col("n_events") > F.lit(n_cap),
+        F.raise_error(
+            F.format_string(
+                "hourly_anomalies: n_events=%s exceeds the LONG-exact "
+                f"bound {n_cap} at window_hours={window_hours}; "
+                "pre-aggregate to finer cells or widen to decimal",
+                F.col("n_events"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_events") * F.col("n_events"))
     base = hourly.select(
         "event_type",
         "hour_idx",
         "n_events",
         F.count("*").over(w).alias("_n_base"),
         F.sum("n_events").over(w).alias("_s1"),
-        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("_s2"),
+        F.sum(sq).over(w).alias("_s2"),
     )
     mean = F.col("_s1") / F.col("_n_base")
     var = F.greatest(

@@ -272,7 +272,14 @@ def compact_files(spark, plan: DataFrame, out_dir: str) -> dict:
     Spark-first execution: the compactable files are read as one
     DataFrame, each row tagged with its merge task by a BROADCAST
     (path → task) join on ``input_file_name()`` (both sides pass
-    through the same scheme-stripping normalisation), then
+    through the same scheme-strip + percent-decode normalisation —
+    ``input_file_name`` renders a URI-ENCODED path, e.g. a space
+    becomes ``%20``, while the Hadoop manifest path is unencoded, so
+    an encoded-vs-raw mismatch would silently drop every row of a
+    file with a special character in its name; the join coverage is
+    also ASSERTED against the manifest before the write, so any
+    residual normalisation gap fails loudly instead of losing data),
+    then
     ``repartition(partition, task)`` hashes every task's rows onto
     exactly one shuffle partition so the partitioned write emits
     exactly one data file per task directory — no driver loop over
@@ -289,21 +296,60 @@ def compact_files(spark, plan: DataFrame, out_dir: str) -> dict:
     if not todo:
         return {"n_tasks": 0, "n_files_in": 0, "bytes_in": 0}
     import re
+    from urllib.parse import unquote
 
     # reads use the manifest's QUALIFIED URIs; only the join key is
-    # canonicalised (input_file_name renders 'file:///x' where the
-    # manifest says 'file:/x' — same file, different slash count)
+    # canonicalised: scheme stripped ('file:///x' vs 'file:/x' — same
+    # file, different slash count) AND percent-decoded, because
+    # input_file_name renders the URI-ENCODED path (space -> %20)
+    # while the Hadoop manifest is raw. The manifest side decodes too
+    # (a raw path is a fixed point of unquote unless it contains a
+    # literal valid %XX sequence — and such a name reaches
+    # input_file_name double-encoded, so both sides still land on the
+    # single-decoded form and agree).
     mapping = [
-        (re.sub(_SCHEME_RE, "/", r.path), r.partition, r.task_id) for r in todo
+        (unquote(re.sub(_SCHEME_RE, "/", r.path)), r.partition, r.task_id)
+        for r in todo
     ]
     tag = spark.createDataFrame(
         mapping, "_norm string, _part string, _task long"
     )
-    data = (
-        spark.read.parquet(*[r.path for r in todo])
-        .withColumn(
-            "_norm", F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
+    # literal '+' is NOT form-encoded by a URI path, but url_decode
+    # would eat it as a space — protect it before decoding
+    norm_key = F.url_decode(
+        F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/"),
+            r"\+",
+            "%2B",
         )
+    )
+    planned = {m[0] for m in mapping}
+    if len(planned) != len(mapping):
+        # two distinct manifest paths decoding to one key would
+        # DUPLICATE their rows through the tag join — refuse
+        raise RuntimeError(
+            "compact_files: normalisation collision — two planned paths "
+            "share a join key after scheme-strip + percent-decode"
+        )
+    raw = spark.read.parquet(*[r.path for r in todo])
+    # invariant BEFORE the rewrite: every file the scan yields rows
+    # for must resolve to a planned key — an inner join that silently
+    # dropped a file's rows is data loss, so fail loudly instead.
+    # (A planned file ABSENT from the scan keys is a zero-row file:
+    # nothing to lose, not an error.) Cost: one column-pruned pass
+    # collecting <= len(todo) distinct file names.
+    seen = {
+        r[0] for r in raw.select(norm_key.alias("_norm")).distinct().collect()
+    }
+    if seen - planned:
+        raise RuntimeError(
+            "compact_files: tag-join coverage mismatch — scanned files "
+            f"that resolve to no planned key (their rows would be "
+            f"silently dropped): {sorted(seen - planned)[:3]} "
+            f"(of {len(planned)} planned / {len(seen)} seen)"
+        )
+    data = (
+        raw.withColumn("_norm", norm_key)
         .join(F.broadcast(tag), "_norm")
         .drop("_norm")
     )

@@ -46,14 +46,20 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     surface as key = '<NULL>' rather than vanishing into a dropped
     group. ``entropy_bits`` uses the one-pass identity
     H = log2(N) − Σc·log2(c)/N: the COUNTS feeding it are exact
-    integers (the char_entropy discipline), but the Σc·log2(c) sum is
-    a floating-point aggregate whose accumulation order is
-    partition/engine dependent — round6 absorbs the last-bit drift at
-    report scales (≤ top-N keys dominate the sum), not in general; a
-    gate promotion would need a deterministic reduction order.
-    ``uniform_bits = log2(n_keys)`` is the ceiling — the gap between
-    them IS the skew (0 gap = perfectly uniform keys; a hot key drags
-    entropy far below the ceiling).
+    integers (the char_entropy discipline), and the Σc·log2(c)
+    reduction is ORDER-DETERMINISTIC — the per-key double terms are
+    gathered, value-sorted, and left-folded from 0.0
+    (``aggregate(sort_array(collect_list(...)))``), so the result is
+    independent of partitioning/run and bit-identical to the DuckDB
+    twin's ``list_reduce(list_prepend(0.0, list_sort(list(...))))``
+    (a plain float SUM accumulates in partition/engine-dependent
+    order — the hazard this fold removes). Determinism price: the
+    summary reducer materialises one double per distinct key (~8 B ×
+    n_keys — fine to ~10⁸ keys; a corpus beyond that needs a
+    two-level bucketed fold, same trick applied per hash bucket then
+    across sorted bucket sums). ``uniform_bits = log2(n_keys)`` is
+    the ceiling — the gap between them IS the skew (0 gap = perfectly
+    uniform keys; a hot key drags entropy far below the ceiling).
 
     Ranking is deterministic: (count DESC, key ASC). Shares round to 6.
     100 TB shape: rows collapse to one row per distinct key in the
@@ -76,10 +82,19 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     summary = counts.agg(
         F.sum("n_rows").alias("total_rows"),
         F.count("*").alias("n_keys"),
-        # H = log2(N) - sum(c*log2 c)/N over exact integer counts
+        # H = log2(N) - sum(c*log2 c)/N over exact integer counts;
+        # the float sum folds a value-sorted term array from 0.0 so
+        # its accumulation order is deterministic (see docstring)
         (
             F.log2(F.sum("n_rows"))
-            - F.sum(F.col("n_rows") * F.log2("n_rows")) / F.sum("n_rows")
+            - F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.col("n_rows") * F.log2("n_rows"))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.sum("n_rows")
         ).alias("_h"),
     )
     w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())

@@ -3773,9 +3773,13 @@ FROM probe p JOIN build b USING (lang)"""
 def sql_key_skew_report(key: str = "lang", top_n: int = 20) -> str:
     """DuckDB twin of skew.key_skew_report over a documents column:
     same NULL-as-'<NULL>' keying, same (count DESC, key ASC) rank, same
-    exact-integer-count entropy tree (log2(N) − Σc·log2 c / N), same
-    round6 share/cum_share boundaries. Integer sums cast to BIGINT (the
-    parity gate rejects HUGEINT)."""
+    exact-integer-count entropy tree (log2(N) − Σc·log2 c / N) with the
+    SAME order-deterministic Σc·log2(c) reduction — a left fold from
+    0.0 over the value-sorted term list (list_reduce/list_sort here,
+    aggregate/sort_array/collect_list on the Spark side), so neither
+    engine's parallel-sum accumulation order can drift the hash — same
+    round6 share/cum_share boundaries. Integer sums cast to BIGINT
+    (the parity gate rejects HUGEINT)."""
     n = int(top_n)
     return f"""
 WITH keyed AS (
@@ -3786,7 +3790,10 @@ summary AS (
   SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
          COUNT(*) AS n_keys,
          log2(CAST(SUM(n_rows) AS DOUBLE))
-           - SUM(n_rows * log2(CAST(n_rows AS DOUBLE)))
+           - list_reduce(
+               list_prepend(0.0, list_sort(
+                 list(n_rows * log2(CAST(n_rows AS DOUBLE))))),
+               (acc, x) -> acc + x)
              / CAST(SUM(n_rows) AS DOUBLE) AS h
   FROM counts
 ),

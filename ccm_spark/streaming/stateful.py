@@ -635,8 +635,23 @@ def _tercile_shard_replay(
             shard_dir = os.path.join(d, f"b{i}")
             ev.where(b == i).drop("_ts_us").coalesce(1).write.parquet(shard_dir)
             part = next(
-                f for f in sorted(os.listdir(shard_dir)) if f.endswith(".parquet")
+                (
+                    f
+                    for f in sorted(os.listdir(shard_dir))
+                    if f.endswith(".parquet")
+                ),
+                None,
             )
+            if part is None:
+                # an assign_batch that leaves a tercile empty (tiny
+                # fixture, disorder promotion) must fail diagnosably,
+                # not as a bare StopIteration from next()
+                raise ValueError(
+                    f"{query_name}: assign_batch left shard {i} of "
+                    f"{n_batches} empty — every micro-batch needs at "
+                    "least one row (use fewer batches or a denser "
+                    "fixture)"
+                )
             dst = os.path.join(src, f"f{i}.parquet")
             shutil.copy(os.path.join(shard_dir, part), dst)
             os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))

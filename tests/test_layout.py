@@ -386,3 +386,72 @@ def test_compact_files_executes_plan_one_file_per_task(spark, tmp_path):
         spark, plan.where("NOT compact"), str(tmp_path / "noop")
     )
     assert none == {"n_tasks": 0, "n_files_in": 0, "bytes_in": 0}
+
+
+def test_compact_files_preserves_rows_under_special_char_paths(
+    spark, tmp_path
+):
+    """The r14-ADVICE data-loss path: input_file_name() renders the
+    URI-ENCODED path (space -> %20, and a literal '+' stays '+'),
+    while the Hadoop manifest path is raw — before the percent-decode
+    normalisation, every row of a file under a special-character
+    directory silently vanished from the rewrite (the tag join matched
+    nothing). Pin: rows under 'dir with space' and 'dir+plus' survive
+    compaction bit-for-bit, and the in-function coverage invariant
+    stays quiet."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.layout import (
+        compact_files,
+        file_manifest,
+        plan_compaction,
+    )
+
+    root = str(tmp_path / "frag root")
+    spark.range(0, 50).repartition(4).write.parquet(root + "/dir with space")
+    spark.range(50, 100).repartition(4).write.parquet(root + "/dir+plus")
+    files = file_manifest(spark, root)
+    total = files.agg(F.sum("size_bytes")).first()[0]
+    plan = plan_compaction(files, int(total) + 1).localCheckpoint(eager=True)
+    todo = plan.where("compact")
+    assert todo.count() == 8  # every file is small -> all compactable
+    out = str(tmp_path / "merged")
+    stats = compact_files(spark, plan, out)
+    assert stats["n_files_in"] == 8
+    after = sorted(r.id for r in spark.read.parquet(out).select("id").collect())
+    assert after == list(range(100))
+
+
+def test_compact_files_coverage_invariant_raises_on_unplanned_file(
+    spark, tmp_path
+):
+    """The coverage invariant fails LOUDLY when a scanned file resolves
+    to no planned key (the silent-drop failure mode): feed compact_files
+    a plan whose path column was rewritten to a bogus-but-readable
+    sibling set — planned keys diverge from the scanned keys and the
+    invariant must raise before any write."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from ccm_spark.pipeline.layout import (
+        compact_files,
+        file_manifest,
+        plan_compaction,
+    )
+
+    root = str(tmp_path / "frag")
+    spark.range(100).repartition(4).write.parquet(root)
+    files = file_manifest(spark, root)
+    total = files.agg(F.sum("size_bytes")).first()[0]
+    plan = plan_compaction(files, int(total) + 1)
+    # keep the paths READABLE but make the join key diverge: a '/./'
+    # segment is collapsed by Hadoop Path normalisation (the scan's
+    # input_file_name never shows it) while the manifest string keeps
+    # it — exactly the class of residual normalisation gap the
+    # invariant exists to catch
+    broken = plan.withColumn(
+        "path",
+        F.regexp_replace(F.col("path"), r"/([^/]+\.parquet)$", "/./$1"),
+    )
+    with pytest.raises(Exception, match="coverage mismatch"):
+        compact_files(spark, broken, str(tmp_path / "merged"))

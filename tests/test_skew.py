@@ -202,3 +202,22 @@ def test_salted_join_matches_duckdb_plain_join(spark, sf_small):
     )
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_key_skew_report_entropy_is_partitioning_invariant(spark):
+    """The Σc·log2(c) reduction folds a value-sorted term array from
+    0.0 (r14 judge gate-precondition): the report must be IDENTICAL —
+    entropy_bits included — across radically different input
+    partitionings, where a plain float SUM could drift in its
+    accumulation order."""
+    rows = [(f"doc{i}", f"k{i % 17}") for i in range(3000)] + [
+        ("hot%d" % i, "hot") for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    a = sorted(
+        map(tuple, key_skew_report(df.repartition(1), "lang", 10).collect())
+    )
+    b = sorted(
+        map(tuple, key_skew_report(df.repartition(13), "lang", 10).collect())
+    )
+    assert a == b and len(a) == 10

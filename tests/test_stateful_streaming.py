@@ -900,19 +900,25 @@ def test_gap_monitor_hand_built_emissions(spark, tmp_path):
     """Hand-computed emission multiset for a 2-key fixture (the
     discipline of pinning semantics independently of the twin):
 
-    key a: events at B, B+1h (tercile 0), B+10h, B+11h (tercile 1),
-    B+30h (tercile 2); key b: one event at B+5h (tercile 0).
-    late=1h -> realized watermarks w0=B+4h, w1=B+10h, w2=B+29h.
+    tercile = (ts - B) * 3 DIV (30h + 1us), so key a's events land at
+    B, B+1h, B+10h (all tercile 0 — 30h DIV (30h+1us) = 0), B+11h
+    (tercile 1), B+30h (tercile 2); key b's single event B+5h is
+    tercile 0. late=1h -> realized per-batch watermarks w0=B+9h
+    (tercile-0 max B+10h minus 1h), w1=B+10h, w2=B+29h; wJ takes
+    effect in batch J+1 (the final no-data batch applies w2).
     min_gap=4h. Expected:
-      - closed (a, B+1h -> B+10h, 9h): finalizes at w2 via the FLUSH
-        timeout (a has no data in the final no-data batch);
-      - marker (a, B+1h): certified at w1 (9h silent, gap not yet
-        closed);
+      - closed (a, B+1h -> B+10h, 9h): B+10h is NOT strictly below
+        w1=B+10h, so it finalizes only at w2, via the FLUSH timeout
+        in the final no-data batch;
+      - marker (a, B+1h): certified at w0 (w0 - (B+1h) = 8h >= 4h of
+        silence; B+10h is still buffered above w0, so the gap is not
+        yet closed);
       - marker (a, B+11h): certified at w2 (18h to the watermark;
-        B+30h is beyond it and stays buffered);
+        B+30h is at w2+1h and stays buffered);
       - marker (b, B+5h): b's single event finalizes via its own flush
-        timeout and flags at w1 — a key with ONE event pages, which
-        the batch operator structurally cannot do;
+        timeout and flags at w0 (exactly 4h of certified silence) — a
+        key with ONE event pages, which the batch operator
+        structurally cannot do;
       - NO closed row for (B+11h, B+30h): the end is above the final
         watermark."""
     import pyspark.sql.functions as F
