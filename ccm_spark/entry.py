@@ -1239,6 +1239,68 @@ def q_hourly_anomalies_watermarked(spark, sf_dir):
     )
 
 
+def q_detect_gaps(spark, sf_dir):
+    """Per-key closed-gap detection (pipeline/events_ops.py, gated r15
+    — the batch half of the monitoring pair next to the streaming
+    gap monitor) at the default 1-hour threshold: one narrow
+    (key, ts, id) projection, one exchange for the lag window, exact
+    integer arithmetic end to end."""
+    from ccm_spark.pipeline.events_ops import detect_gaps
+
+    configure_existing(spark)
+    return detect_gaps(load_table(spark, sf_dir, "events"))
+
+
+def q_key_skew_report(spark, sf_dir):
+    """Shuffle-health skew diagnosis (pipeline/skew.py, gated r15):
+    top-20 heaviest documents.lang keys with shares/cum-shares plus
+    the corpus entropy-vs-uniform gap, NULL keyed as '<NULL>'. The
+    entropy reduction is the order-deterministic value-sorted left
+    fold (gate precondition closed r15), so the hash is
+    partitioning-independent by construction."""
+    from ccm_spark.pipeline.skew import key_skew_report
+
+    return key_skew_report(_docs(spark, sf_dir), "lang", top_n=20)
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped snowflake join (pipeline/relational.py, gated
+    r15 — queued since r11): per-nation revenue where customer and
+    supplier share the nation, region ASIA, order year 1996; the
+    nation equality applies as a JOIN predicate and dims broadcast
+    smallest-out."""
+    from ccm_spark.pipeline.relational import local_supplier_volume
+
+    configure_existing(spark)
+    return local_supplier_volume(spark, sf_dir)
+
+
+def q_hits_hosts(spark, sf_dir):
+    """HITS hubs + authorities (pipeline/graph.py, gated r15 — queued
+    since r12) over the same deterministic documents-derived host
+    graph as the gated pagerank_hosts row (unweighted arm: parallel
+    edges carry multiplicity additively), 5 iterations with both
+    half-steps quantised to 9 decimals so the DuckDB twin replays the
+    mutual recursion bit-for-bit."""
+    from ccm_spark.pipeline.graph import hits
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    src = F.concat(F.lit("h"), (d % oext.PAGERANK_GATE_SRC_MOD).cast("string"))
+    dst = F.concat(
+        F.lit("h"), ((d * 13 + 5) % oext.PAGERANK_GATE_DST_MOD).cast("string")
+    )
+    edges = docs.select(src.alias("src"), dst.alias("dst")).where(
+        F.col("src") != F.col("dst")
+    )
+    out = hits(edges, n_iters=5, quantize=9)
+    return out.select(
+        "node",
+        (F.round("hub", 9) + F.lit(0.0)).alias("hub"),
+        (F.round("authority", 9) + F.lit(0.0)).alias("authority"),
+    )
+
+
 def q_chunk_by_sentences(spark, sf_dir):
     """Sentence-bounded chunk packing (pipeline/chunking.py, gated r14
     — the chunking family's second row: raw sliding windows gated r13,
@@ -1446,7 +1508,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in tests/test_pipeline_ops.py. Slot went to lm_perplexity_kn
         # (interpolated Kneser-Ney end-to-end).
         "lm_perplexity_kn": q_lm_perplexity_kn,
-        "text_token_stats": q_text_token_stats,
+        # text_token_stats rotated out r15 (QUERIES.md ledger): the
+        # splitter/signal relations stay gated through char_entropy,
+        # boilerplate_ngrams and the chunking rows' whitespace
+        # tokenizers; keeps its stage pins plus a direct gate-config
+        # replay pin in tests/test_pipeline_ops.py. Slot went to
+        # key_skew_report (the shuffle-health family's first
+        # CORRECTNESS row, gated after its entropy reduction was made
+        # order-deterministic).
+        "key_skew_report": q_key_skew_report,
         # text_quality rotated out r14 (QUERIES.md ledger): the text
         # family held 6 gated rows over the same splitter/signal
         # relations (text_token_stats, char_entropy, boilerplate_ngrams,
@@ -1664,7 +1734,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantize_embeddings (the int8 storage lever's first
         # CORRECTNESS row).
         "quantize_embeddings": q_quantize_embeddings,
-        "events_asof_join": q_events_asof_join,
+        # events_asof_join rotated out r15 (QUERIES.md ledger, the
+        # judge-named fourth slot): the union-tag + last-value-window
+        # machinery keeps its stage pins in tests/test_events_ops.py
+        # (tolerance arm included) plus a direct gate-config replay
+        # pin in tests/test_pipeline_ops.py. Slot went to hits_hosts
+        # (with Q5 one of the two oldest twinned-but-ungated
+        # operators, queued since r12).
+        "hits_hosts": q_hits_hosts,
         # events_asof_tolerance rotated out r08 (QUERIES.md policy): the
         # staleness-bound variant of the still-gated events_asof_join
         # (same as-of machinery, one extra NULL-out predicate); keeps its
@@ -1677,8 +1754,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_warc.py plus a direct DuckDB-replay pin in
         # tests/test_pipeline_ops.py. Slot went to hourly_anomalies
         # (the monitoring chain's batch anomaly row next to the gated
-        # streaming twin).
-        "hourly_anomalies": q_hourly_anomalies,
+        # streaming twin). hourly_anomalies itself rotated out r15
+        # (QUERIES.md ledger): its oracle is the SAME SQL generator
+        # (sql_hourly_anomalies) nested as a MATERIALIZED CTE inside
+        # the still-gated hourly_anomalies_watermarked twin — a
+        # perturbation of the anomaly tree still breaks a gated row
+        # (the ann_ivf_kmeans precedent); keeps its direct replay pin
+        # in tests/test_events_ops.py (+ the LONG-overflow-guard pin)
+        # and a gate-config replay pin in tests/test_pipeline_ops.py.
+        # Slot went to detect_gaps (the monitoring pair's batch half,
+        # next to the staged streaming gap monitor).
+        "detect_gaps": q_detect_gaps,
         # text_vocab_topk rotated out r11 (QUERIES.md ledger): its token
         # relation is the splitter CTE the still-gated text_token_stats
         # hashes end-to-end, and the two-phase top-k pattern stays gated
@@ -1702,7 +1788,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the streaming family's first CORRECTNESS row — watermark +
         # late-data semantics under the hash gate).
         "streaming_hourly_stats": q_streaming_hourly_stats,
-        "pricing_summary": q_pricing_summary,
+        # pricing_summary rotated out r15 (QUERIES.md ledger):
+        # scan->filter->agg pushdown stays exercised by the still-gated
+        # parts_no_bulk_returns + shipping_priority; keeps its pins
+        # plus a direct gate-config replay pin in
+        # tests/test_pipeline_ops.py. Slot went to
+        # local_supplier_volume (TPC-H Q5, queued since r11 — the
+        # first 6-way snowflake row, nation equality as a join
+        # predicate).
+        "local_supplier_volume": q_local_supplier_volume,
         # top_customers_by_nation rotated out r14 (QUERIES.md ledger):
         # the fact-dim broadcast + per-group top-k plan shape stays
         # gated through shipping_priority and bm25_topk's two-phase
@@ -1735,7 +1829,7 @@ def oracle_sql() -> dict[str, str]:
         "plan_compaction": oext.sql_plan_compaction(target_bytes=500),
         "bm25_topk": oext.sql_bm25_topk(),
         "lm_perplexity_kn": oext.sql_lm_perplexity_kn(),
-        "text_token_stats": oext.sql_text_token_stats(),
+        "key_skew_report": oext.sql_key_skew_report(key="lang", top_n=20),
         "chunk_by_sentences": oext.sql_chunk_by_sentences(max_tokens=32),
         "char_entropy": oext.sql_char_entropy(),
         "chunk_documents": oext.sql_chunk_documents(max_tokens=32, stride=24),
@@ -1767,12 +1861,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_search": oext.sql_knn_graph_search(),
         "shipping_priority": oext.sql_shipping_priority(),
         "quantize_embeddings": oext.sql_quantize_embeddings(),
-        "events_asof_join": oext.sql_events_asof_join(),
-        "hourly_anomalies": oext.sql_hourly_anomalies(),
+        "hits_hosts": oext.sql_hits_hosts(n_iters=5, quant=9),
+        "detect_gaps": oext.sql_detect_gaps(),
         "bottomk_quantiles": oext.sql_bottomk_quantiles(),
         "knn_graph": oext.sql_knn_graph(),
         "streaming_hourly_stats": oext.sql_streaming_hourly_stats(),
-        "pricing_summary": oext.sql_pricing_summary(),
+        "local_supplier_volume": oext.sql_local_supplier_volume(),
         "hourly_anomalies_watermarked": oext.sql_hourly_anomalies_watermarked(
             window_hours=6, min_hours=3, late_hours=24
         ),

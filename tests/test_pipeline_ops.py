@@ -911,3 +911,64 @@ def test_corpus_diff_matches_duckdb_twin(spark, sf_small):
     assert got == want
     statuses = {s for _, s, _, _ in got}
     assert statuses == {"added", "removed", "changed", "unchanged"}
+
+
+def test_r15_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r15 rotation pins (QUERIES.md ledger): text_token_stats /
+    pricing_summary / events_asof_join / hourly_anomalies lost their
+    driver gate slots to detect_gaps / key_skew_report /
+    local_supplier_volume / hits_hosts; each rotated-out relation stays
+    cross-engine hash-checked here at sf0.001 exactly the way the
+    driver would check it (transitive evidence on top of this direct
+    pin: the splitter/signal relations stay gated through char_entropy
+    / boilerplate_ngrams / the chunking rows, scan->filter->agg
+    pushdown through parts_no_bulk_returns / shipping_priority, and
+    the hourly anomaly tree is nested VERBATIM — same SQL generator —
+    inside the still-gated hourly_anomalies_watermarked; the as-of
+    union-tag + last-value window keeps its stage pins in
+    tests/test_events_ops.py)."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "text_token_stats": (
+            entry.q_text_token_stats,
+            oe.sql_text_token_stats(),
+        ),
+        "pricing_summary": (entry.q_pricing_summary, oe.sql_pricing_summary()),
+        "events_asof_join": (
+            entry.q_events_asof_join,
+            oe.sql_events_asof_join(),
+        ),
+        "hourly_anomalies": (
+            entry.q_hourly_anomalies,
+            oe.sql_hourly_anomalies(),
+        ),
+    }
+
+    def _key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert len(got) > 0
+        assert got == want, (
+            f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
+            "or values differ"
+        )
