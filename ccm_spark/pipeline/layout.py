@@ -367,3 +367,67 @@ def compact_files(spark, plan: DataFrame, out_dir: str) -> dict:
         # plan's window lineage just to recompute this sum
         "bytes_in": int(sum(r.size_bytes for r in todo)),
     }
+
+
+def compact_roundtrip(
+    spark,
+    docs: DataFrame,
+    n_shards: int = 4,
+    tmp_prefix: str = "ccm_compact_rt_",
+) -> DataFrame:
+    """Hash-grade end-to-end exercise of the plan→act pair (staged r16
+    gate candidate, QUERIES.md): write ``docs`` as a fragmented
+    Hive-partitioned table (``p = doc_id % 3``, ``n_shards`` hash
+    shards per partition), manifest it, plan with an effectively
+    infinite target so EVERY file is compactable and every partition
+    collapses to ONE merge task, execute the rewrite, and return the
+    compacted tree read back as ``(partition, doc_id, text_md5)``.
+
+    The returned relation is twin-checkable WITHOUT any file-size
+    knowledge — by construction it must equal, as a multiset,
+    ``('p=' || doc_id % 3, doc_id, md5(coalesce(text, '')))`` over the
+    input — so a cross-engine hash certifies the full
+    manifest → plan → tag-join → rewrite chain loses nothing,
+    duplicates nothing, and lands every row in its planned partition
+    (the row-preservation property the r14 executor only
+    assert-checked). A partition that fragments into a single file
+    would be a silent no-op rewrite, so the fixture refuses it loudly
+    instead of passing vacuously. The tree is localCheckpointed and
+    the temp table removed before returning.
+    """
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=tmp_prefix)
+    try:
+        tbl = f"{d}/tbl"
+        out = f"{d}/out"
+        (
+            docs.select(
+                "doc_id", "text", (F.col("doc_id") % 3).alias("p")
+            )
+            .repartition(n_shards, "doc_id")
+            .write.partitionBy("p")
+            .parquet(tbl)
+        )
+        plan = plan_compaction(
+            file_manifest(spark, tbl), target_bytes=2**40
+        ).localCheckpoint(eager=True)
+        stranded = plan.where("NOT compact").count()
+        if stranded:
+            raise RuntimeError(
+                f"compact_roundtrip: {stranded} file(s) not compactable "
+                "(single-file partition?) — the roundtrip hash would be "
+                "vacuous; use more input rows or fewer shards"
+            )
+        compact_files(spark, plan, out)
+        back = spark.read.parquet(out).select(
+            F.col("_part").alias("partition"),
+            "doc_id",
+            F.md5(
+                F.coalesce(F.col("text"), F.lit("")).cast("binary")
+            ).alias("text_md5"),
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

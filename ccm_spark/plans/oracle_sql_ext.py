@@ -3848,6 +3848,33 @@ FROM tasks
 WINDOW wt AS (PARTITION BY partition, task_id)"""
 
 
+def sql_dedup_events_replay() -> str:
+    """DuckDB twin of streaming.dedup_stream.dedup_events_replay (staged
+    r16 gate candidate): a two-delivery at-least-once replay through
+    dropDuplicatesWithinWatermark emits exactly one copy of each
+    byte-identical input row (event_id unique, asserted Spark-side), so
+    the oracle is the events table itself — schedule-invariant, stated
+    entirely without the streaming machinery."""
+    return """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events"""
+
+
+def sql_compact_roundtrip() -> str:
+    """DuckDB twin of layout.compact_roundtrip (staged r16 gate
+    candidate): the compacted tree read back must equal, as a multiset,
+    the input documents keyed by their planned Hive partition — no
+    file-size knowledge needed, because the fixture makes every file
+    compactable and every partition a single merge task, so the rewrite
+    is certified content-complete (nothing lost to the tag join,
+    nothing duplicated, every row in its planned partition)."""
+    return """
+SELECT 'p=' || CAST(doc_id % 3 AS VARCHAR) AS partition,
+       doc_id,
+       md5(COALESCE(text, '')) AS text_md5
+FROM documents"""
+
+
 def sql_chunk_by_sentences(max_tokens: int = 32) -> str:
     """DuckDB twin of chunking.chunk_by_sentences over the
     punctuation-injected documents view: sql_split_sentences nested

@@ -218,3 +218,32 @@ def test_streaming_quality_filter_matches_batch(spark, sf_small, tmp_path):
         for r in spark.sql("SELECT doc_id, keep FROM qf_stream").collect()
     }
     assert got == expected
+
+
+def test_dedup_events_replay_matches_duckdb_twin(spark, sf_small):
+    """Hash-grade upgrade for the streaming dedup family (r14 judge #8,
+    staged r16 gate candidate): the two-delivery replay's full emission
+    multiset — every column, not just counts — equals the DuckDB
+    statement of exactly-once semantics (the events table itself)."""
+    import duckdb
+
+    from ccm_spark.plans.oracle_sql_ext import sql_dedup_events_replay
+    from ccm_spark.streaming.dedup_stream import dedup_events_replay
+
+    out = dedup_events_replay(spark, sf_small)
+    got = sorted(
+        (r.event_id, r.ts_us, r.user_id, r.event_type, r.value, r.props)
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_small}/events.parquet')"
+    )
+    want = sorted(
+        (int(a), int(b), int(c), str(d), float(e), str(f))
+        for a, b, c, d, e, f in con.sql(sql_dedup_events_replay()).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, mism[:3]
