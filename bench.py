@@ -638,6 +638,10 @@ def main() -> None:
         "chunk_by_sentences": extra_chunk_sentences,
         "plan_compaction": extra_plan_compaction,
         "key_skew_report": extra_key_skew,
+        # r15 additions — the round's newly gated rows (HITS already
+        # rides as hits_20k at bench geometry; key_skew_report above)
+        "detect_gaps": E.q_detect_gaps,
+        "q5_supplier_volume": E.q_local_supplier_volume,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6
@@ -854,13 +858,26 @@ def main() -> None:
     # + extras' reported numbers, no spreads/loadavg — as the LAST
     # stdout line so the driver's own record parses again; the full
     # artifact lives in BENCH_LOCAL.json above.
+    # r15 (VERDICT r14 #7): the r14 driver headline was attributable
+    # only by spelunking BENCH_LOCAL.json's loadavg maps — carry the
+    # per-query FLOORS (min of the raw samples) and their sum in the
+    # parsed line itself, so a loaded driver round reads directly from
+    # BENCH_rN.json (floor ≈ prior round's median on unchanged code =
+    # load, not regression). The reported median convention is
+    # unchanged; floors ride along.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "headline_floor": round(
+                    sum(min(xs) for xs in samples.values()), 3
+                ),
                 "queries": timings,
+                "queries_floor": {
+                    name: round(min(xs), 3) for name, xs in samples.items()
+                },
                 "extra_queries": extra_timings,
                 "full_artifact": "BENCH_LOCAL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
