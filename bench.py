@@ -158,6 +158,11 @@ def main() -> None:
         # hourly_anomalies_watermarked took the gate slots)
         "text_quality": E.q_text_quality,
         "top_customers_by_nation": E.q_top_customers_by_nation,
+        # same for the r15 rotation (detect_gaps / key_skew_report /
+        # local_supplier_volume / hits_hosts took the gate slots)
+        "text_token_stats": E.q_text_token_stats,
+        "pricing_summary": E.q_pricing_summary,
+        "events_asof_join": E.q_events_asof_join,
     }
 
     # median of REPEATS per query, pass-interleaved so a VM-noise burst
