@@ -613,6 +613,14 @@ def main() -> None:
             top_k=10,
         )
 
+    def extra_detect_gaps(spark, sf_dir):
+        from ccm_spark.pipeline.events_ops import detect_gaps
+        from ccm_spark.sources.tables import load_table
+
+        return detect_gaps(
+            load_table(spark, sf_dir, "events"), min_gap_us=300_000_000
+        )
+
     extras = {
         # url_dedup left the gated registry r14 (slot went to
         # plan_compaction) but stays timed under the same name
@@ -644,8 +652,12 @@ def main() -> None:
         "plan_compaction": extra_plan_compaction,
         "key_skew_report": extra_key_skew,
         # r15 additions — the round's newly gated rows (HITS already
-        # rides as hits_20k at bench geometry; key_skew_report above)
-        "detect_gaps": E.q_detect_gaps,
+        # rides as hits_20k at bench geometry; key_skew_report above).
+        # detect_gaps uses a 5-minute threshold HERE: sf0.1's stream is
+        # dense enough that the gate's 1 h default finds zero gaps
+        # (vacuous timing); 300 s yields ~9.8k rows so the extra times
+        # real output, same plan shape
+        "detect_gaps": extra_detect_gaps,
         "q5_supplier_volume": E.q_local_supplier_volume,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run

@@ -272,7 +272,8 @@ def compact_files(spark, plan: DataFrame, out_dir: str) -> dict:
     Spark-first execution: the compactable files are read as one
     DataFrame, each row tagged with its merge task by a BROADCAST
     (path → task) join on ``input_file_name()`` (both sides pass
-    through the same scheme-strip + percent-decode normalisation —
+    to one normalised key: both sides scheme-stripped, and the scan
+    side additionally percent-decoded —
     ``input_file_name`` renders a URI-ENCODED path, e.g. a space
     becomes ``%20``, while the Hadoop manifest path is unencoded, so
     an encoded-vs-raw mismatch would silently drop every row of a
@@ -296,19 +297,20 @@ def compact_files(spark, plan: DataFrame, out_dir: str) -> dict:
     if not todo:
         return {"n_tasks": 0, "n_files_in": 0, "bytes_in": 0}
     import re
-    from urllib.parse import unquote
 
     # reads use the manifest's QUALIFIED URIs; only the join key is
     # canonicalised: scheme stripped ('file:///x' vs 'file:/x' — same
-    # file, different slash count) AND percent-decoded, because
-    # input_file_name renders the URI-ENCODED path (space -> %20)
-    # while the Hadoop manifest is raw. The manifest side decodes too
-    # (a raw path is a fixed point of unquote unless it contains a
-    # literal valid %XX sequence — and such a name reaches
-    # input_file_name double-encoded, so both sides still land on the
-    # single-decoded form and agree).
+    # file, different slash count), and the SCAN side percent-decoded,
+    # because input_file_name renders the URI-ENCODED path (space ->
+    # %20) while the Hadoop manifest is raw. The manifest side stays
+    # RAW deliberately: one decode of the encoded rendering always
+    # lands back on the raw path — including a literal %XX in a file
+    # name, which input_file_name double-encodes (%2520) so the single
+    # decode recovers the literal — whereas decoding the manifest too
+    # would over-decode exactly that case and spuriously refuse a
+    # valid plan.
     mapping = [
-        (unquote(re.sub(_SCHEME_RE, "/", r.path)), r.partition, r.task_id)
+        (re.sub(_SCHEME_RE, "/", r.path), r.partition, r.task_id)
         for r in todo
     ]
     tag = spark.createDataFrame(
@@ -329,7 +331,7 @@ def compact_files(spark, plan: DataFrame, out_dir: str) -> dict:
         # DUPLICATE their rows through the tag join — refuse
         raise RuntimeError(
             "compact_files: normalisation collision — two planned paths "
-            "share a join key after scheme-strip + percent-decode"
+            "share a join key after scheme-strip"
         )
     raw = spark.read.parquet(*[r.path for r in todo])
     # invariant BEFORE the rewrite: every file the scan yields rows

@@ -74,26 +74,26 @@ def dedup_events_replay(
     r16 plan; previously the family's evidence ceiling was the
     count-tier assertions in tests/test_jsonl_dedup_stream.py).
 
-    The events table is delivered TWICE as two mtime-staggered shard
-    files (``maxFilesPerTrigger=1``: micro-batch 0 = first delivery,
-    micro-batch 1 = the full redelivery, exactly what at-least-once
-    ingestion does), through ``dropDuplicatesWithinWatermark`` on
-    event_id. Every redelivered row is byte-identical to its first
-    delivery and event_id is unique within the table (asserted), so
-    the append emission multiset is SCHEDULE-INVARIANT and exactly one
-    copy of each input row — regardless of whether a redelivery is
-    suppressed by dedup state or by the watermark's late-row filter.
-    The DuckDB twin therefore states the oracle entirely without the
-    streaming machinery: the events table itself
+    The events table is delivered TWICE as two mtime-staggered
+    full-copy shards (``maxFilesPerTrigger=1``: micro-batch 0 = first
+    delivery, micro-batch 1 = the full redelivery, exactly what
+    at-least-once ingestion does), through
+    ``dropDuplicatesWithinWatermark`` on event_id. Every redelivered
+    row is value-identical to its first delivery and event_id is
+    unique within the table (asserted), so the append emission
+    multiset is SCHEDULE-INVARIANT and exactly one copy of each input
+    row — regardless of whether a redelivery is suppressed by dedup
+    state or by the watermark's late-row filter. The DuckDB twin
+    therefore states the oracle entirely without the streaming
+    machinery: the events table itself
     (``oracle_sql_ext.sql_dedup_events_replay``) — the salted_join
     discipline of certifying a mechanism by its result-invariance.
+    Plumbing rides the shared ``_tercile_shard_replay`` harness (its
+    ``shard_df`` hook expresses the redelivery the disjoint tercile
+    split cannot), so a harness fix reaches this replay too.
     """
-    import os
-    import shutil
-    import tempfile
-    import time as _time
-
     from ccm_spark.sources.tables import load_table, ts_micros
+    from ccm_spark.streaming.stateful import _tercile_shard_replay
 
     events = load_table(spark, sf_dir, "events")
     n = events.count()
@@ -103,44 +103,25 @@ def dedup_events_replay(
             f"dedup_events_replay: events table has {n - n_ids} duplicate "
             "event_id rows — the replay oracle requires unique ids"
         )
-    d = tempfile.mkdtemp(prefix="ccm_dedup_replay_")
-    try:
-        src = os.path.join(d, "src")
-        os.makedirs(src)
-        now = _time.time()
-        for i in range(2):
-            dst = os.path.join(src, f"delivery{i}.parquet")
-            shutil.copy(os.path.join(sf_dir, "events.parquet"), dst)
-            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
-        from ccm_spark.streaming.windows import event_stream
 
-        try:
-            spark.catalog.dropTempView(query_name)
-        except Exception:
-            pass
-        stream = dedup_events_stream(
-            event_stream(spark, src, max_files_per_trigger=1),
-            watermark=watermark,
-        )
-        out = stream.select(
+    def build_stream(stream):
+        deduped = dedup_events_stream(stream, watermark=watermark)
+        return deduped.select(
             "event_id",
-            ts_micros(stream).alias("ts_us"),
+            ts_micros(deduped).alias("ts_us"),
             "user_id",
             "event_type",
             "value",
             "props",
         )
-        q = (
-            out.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(f"{query_name} stream exceeded 600s")
-        return spark.table(query_name).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+
+    return _tercile_shard_replay(
+        spark,
+        sf_dir,
+        2,
+        None,
+        build_stream,
+        query_name,
+        "ccm_dedup_replay_",
+        shard_df=lambda ev, i: ev,
+    )

@@ -604,6 +604,7 @@ def _tercile_shard_replay(
     query_name: str,
     tmp_prefix: str,
     output_mode: str = "append",
+    shard_df=None,
 ) -> "DataFrame":
     """Shared deterministic micro-batch replay harness for the
     watermark-family gate rows: split the events table into
@@ -613,7 +614,13 @@ def _tercile_shard_replay(
     order one per trigger, run ``build_stream(raw_stream)`` into an
     append memory sink with availableNow, and return the emitted
     relation localCheckpointed. One copy of the tempdir/utime/
-    checkpoint/timeout plumbing — a fix here reaches every replay."""
+    checkpoint/timeout plumbing — a fix here reaches every replay.
+
+    ``shard_df(ev, i) -> DataFrame`` overrides the disjoint
+    ``assign_batch`` split entirely (``assign_batch`` may then be
+    None): the dedup replay uses it to deliver the FULL table in every
+    micro-batch — at-least-once redelivery, which a one-batch-per-row
+    assignment cannot express."""
     import os
     import shutil
     import tempfile
@@ -624,8 +631,9 @@ def _tercile_shard_replay(
 
     events = load_table(spark, sf_dir, "events")
     ev = events.withColumn("_ts_us", ts_micros(events))
-    lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
-    b = assign_batch(ev, int(lo), int(hi))
+    if shard_df is None:
+        lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
+        b = assign_batch(ev, int(lo), int(hi))
     d = tempfile.mkdtemp(prefix=tmp_prefix)
     try:
         src = os.path.join(d, "src")
@@ -633,7 +641,8 @@ def _tercile_shard_replay(
         now = _time.time()
         for i in range(n_batches):
             shard_dir = os.path.join(d, f"b{i}")
-            ev.where(b == i).drop("_ts_us").coalesce(1).write.parquet(shard_dir)
+            sdf = shard_df(ev, i) if shard_df is not None else ev.where(b == i)
+            sdf.drop("_ts_us").coalesce(1).write.parquet(shard_dir)
             part = next(
                 (
                     f

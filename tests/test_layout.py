@@ -396,9 +396,13 @@ def test_compact_files_preserves_rows_under_special_char_paths(
     while the Hadoop manifest path is raw — before the percent-decode
     normalisation, every row of a file under a special-character
     directory silently vanished from the rewrite (the tag join matched
-    nothing). Pin: rows under 'dir with space' and 'dir+plus' survive
-    compaction bit-for-bit, and the in-function coverage invariant
-    stays quiet."""
+    nothing); and a manifest-side decode would over-decode a LITERAL
+    %XX in a path and spuriously refuse a valid plan (caught by the
+    r15 in-round review — input_file_name double-encodes the literal,
+    so one scan-side decode lands back on the raw manifest path).
+    Pin: rows under 'dir with space', 'dir+plus' and 'dir%20lit'
+    survive compaction bit-for-bit, and the in-function coverage
+    invariant stays quiet."""
     import pyspark.sql.functions as F
 
     from ccm_spark.pipeline.layout import (
@@ -410,16 +414,17 @@ def test_compact_files_preserves_rows_under_special_char_paths(
     root = str(tmp_path / "frag root")
     spark.range(0, 50).repartition(4).write.parquet(root + "/dir with space")
     spark.range(50, 100).repartition(4).write.parquet(root + "/dir+plus")
+    spark.range(100, 150).repartition(4).write.parquet(root + "/dir%20lit")
     files = file_manifest(spark, root)
     total = files.agg(F.sum("size_bytes")).first()[0]
     plan = plan_compaction(files, int(total) + 1).localCheckpoint(eager=True)
     todo = plan.where("compact")
-    assert todo.count() == 8  # every file is small -> all compactable
+    assert todo.count() == 12  # every file is small -> all compactable
     out = str(tmp_path / "merged")
     stats = compact_files(spark, plan, out)
-    assert stats["n_files_in"] == 8
+    assert stats["n_files_in"] == 12
     after = sorted(r.id for r in spark.read.parquet(out).select("id").collect())
-    assert after == list(range(100))
+    assert after == list(range(150))
 
 
 def test_compact_files_coverage_invariant_raises_on_unplanned_file(

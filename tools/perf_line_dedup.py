@@ -46,27 +46,31 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         time.sleep(3)
         la0 = os.getloadavg()[0]
-        phases = ""
-        if split:
-            # phase A: the exploded line relation through the
-            # min-(doc_id, line_idx) first-occurrence window
-            t0 = time.monotonic()
-            lines = docs.select(
-                "doc_id", F.posexplode(F.split("text", "\n"))
-            )
-            lines.count()
-            t_a = time.monotonic() - t0
-            phases = f" explode={t_a:.2f}s"
         t0 = time.monotonic()
         n = remove_duplicated_lines(docs).count()
         dt = time.monotonic() - t0
+        phases = ""
+        if split:
+            # phase bisect AFTER the timed run (before it would warm
+            # the very scan the main number is meant to measure): the
+            # exploded line relation alone, vs the full chain above
+            t0 = time.monotonic()
+            docs.select("doc_id", F.posexplode(F.split("text", "\n"))).count()
+            t_a = time.monotonic() - t0
+            phases = f" explode={t_a:.2f}s rebuild~={max(dt - t_a, 0):.2f}s"
         tag = "warmup" if i == 0 else f"run{i}"
         print(f"{tag}: {dt:.2f}s rows={n} load_start={la0:.1f}{phases}")
         if i > 0:
             times.append(dt)
     srt = sorted(times)
+    # bench.py's median convention: average the two middles on even n
+    med = (
+        srt[len(srt) // 2]
+        if len(srt) % 2
+        else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
+    )
     print(
-        f"median: {srt[len(srt) // 2]:.2f}s min: {srt[0]:.2f}s "
+        f"median: {med:.2f}s min: {srt[0]:.2f}s "
         f"all={[round(t, 2) for t in times]}"
     )
 
