@@ -621,6 +621,26 @@ def main() -> None:
             load_table(spark, sf_dir, "events"), min_gap_us=300_000_000
         )
 
+    def extra_merge_upsert(spark, sf_dir):
+        """r15 staged candidate: latest-wins CDC merge of the derived
+        re-crawl delta (re-crawls + tombstones + same-version ties)
+        into the documents snapshot — one hash exchange on doc_id."""
+        from ccm_spark.pipeline.cdc import merge_upsert_gate
+
+        return merge_upsert_gate(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+
+    def extra_profile_columns(spark, sf_dir):
+        """r15 staged candidate: per-column profile of documents (5
+        cols incl. a null-bearing derived one) — one scan, one
+        distinct-value-sized exchange."""
+        from ccm_spark.pipeline.profile import profile_documents_gate
+
+        return profile_documents_gate(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        )
+
     extras = {
         # url_dedup left the gated registry r14 (slot went to
         # plan_compaction) but stays timed under the same name
@@ -659,6 +679,10 @@ def main() -> None:
         # real output, same plan shape
         "detect_gaps": extra_detect_gaps,
         "q5_supplier_volume": E.q_local_supplier_volume,
+        # r15 staged candidates (twins + pins landed this round) —
+        # first baselines recorded the round they stage, per policy
+        "merge_upsert": extra_merge_upsert,
+        "profile_columns": extra_profile_columns,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6

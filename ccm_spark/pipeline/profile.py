@@ -1,0 +1,137 @@
+"""Table profiling — the per-column data-quality report a pipeline runs
+before training on a new corpus drop.
+
+One relation answers the first questions about an unfamiliar 100 TB
+table: how null is each column, how many distinct values, what
+dominates, what are the extremes. The report is what decides the next
+move — a 40%-null quality score means the scorer crashed mid-backfill;
+a ``lang`` column whose top value holds 90% share means the skew
+toolkit (``pipeline/skew.py``) is needed before any groupBy on it.
+
+:func:`profile_columns` emits one row per profiled column:
+``(col_name, n_rows, n_nulls, n_distinct, top_value, top_count,
+min_value, max_value)``. Values are profiled as strings (caller casts
+anything whose string form is engine-ambiguous — floats, timestamps —
+before calling; int/string columns are safe as-is, which is why the
+gate fixture profiles only those).
+
+Scale shape: the table is scanned ONCE and stacked to (col_name,
+value) — an n_cols× row inflation of two narrow columns, NOT of the
+table (only profiled columns are read, and the generate happens after
+column pruning). The stacked relation collapses to per-(column,
+distinct value) counts in the map-side combine, so the one full
+exchange carries ~Σ distinct values, not rows. Everything after is
+distinct-value-sized. The counts relation feeds TWO subtrees (the
+per-column aggregate and the top-value rank), so it is
+localCheckpointed — the winnow_matches/filters.py fan-out rule.
+A column that is distinct-heavy (a doc_id) costs its cardinality in
+the exchange; profile a sample, or drop it from ``cols``, when that
+dominates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+__all__ = ["profile_columns", "profile_documents_gate"]
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[str] | None = None
+) -> DataFrame:
+    """Per-column profile over ``cols`` (default: every column) —
+    see the module docstring for the output relation and scale shape.
+
+    Semantics: ``n_distinct``/``top_*``/``min_value``/``max_value``
+    are over NON-NULL values (an all-null column profiles as
+    ``n_distinct 0, top_value NULL, top_count 0, min/max NULL``);
+    ``top_value`` ties break to the LEXICALLY SMALLEST value at the
+    top count, so the report is a pure function of the data. String
+    order is binary/codepoint in both engines (ASCII-safe; profile a
+    normalised projection if exotic collation matters).
+    """
+    if cols is None:
+        cols = df.columns
+    cols = list(cols)
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.col_name", "cv.value")
+    counts = (
+        stacked.groupBy("col_name", "value")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    base = counts.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("cnt"))), F.lit(0)
+        ).alias("n_nulls"),
+        F.sum(
+            F.when(F.col("value").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    wtop = Window.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    top = (
+        counts.where(F.col("value").isNotNull())
+        .withColumn("_rn", F.row_number().over(wtop))
+        .where(F.col("_rn") == 1)
+        .select(
+            "col_name",
+            F.col("value").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+        )
+    )
+    return base.join(top, "col_name", "left").select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "top_value",
+        F.coalesce("top_count", F.lit(0)).alias("top_count"),
+        "min_value",
+        "max_value",
+    )
+
+
+def profile_documents_gate(docs: DataFrame) -> DataFrame:
+    """Gate-shaped exercise of :func:`profile_columns` (staged gate
+    candidate, QUERIES.md): profile the int/string columns of
+    ``documents`` plus one deliberately null-bearing derived column —
+    ``sig = NULL when doc_id % 11 == 0 else source`` — so the
+    null-path arms (n_nulls, null-excluded distinct/top/min/max) are
+    exercised every round, not just on pathological inputs. The long
+    ``text`` column is left out: its profile is legal but its min/max
+    would drag multi-KB strings through the gate hash for no extra
+    evidence.
+    """
+    src = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("sig"),
+    )
+    return profile_columns(
+        src, ["doc_id", "lang", "source", "n_chars", "sig"]
+    )

@@ -3913,3 +3913,91 @@ SELECT doc_id,
        string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text
 FROM cum
 GROUP BY doc_id, cum_before // {max_tokens}"""
+
+
+def sql_merge_upsert() -> str:
+    """DuckDB twin of cdc.merge_upsert_gate (staged gate candidate):
+    the latest-record-wins merge restated as one ranked CTE — base at
+    version 0, a delta carrying a re-crawl (version 1), a takedown
+    tombstone (version 1, the key must vanish), and a same-version
+    amendment (the delta-wins-ties rule), rank by (version DESC,
+    src DESC), winners filtered by tombstone AFTER the rank so a
+    delete can never resurrect the stale base row."""
+    return """
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(0 AS BIGINT) AS version, false AS deleted, 0 AS src
+  FROM documents
+),
+delta AS (
+  SELECT doc_id, text || ' [v1]' AS text, lang, source,
+         n_chars + 5 AS n_chars, CAST(1 AS BIGINT) AS version,
+         false AS deleted, 1 AS src
+  FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(1 AS BIGINT), true, 1
+  FROM documents WHERE doc_id % 7 = 5
+  UNION ALL
+  SELECT doc_id, text || ' [dup]', lang, source, n_chars + 6,
+         CAST(0 AS BIGINT), false, 1
+  FROM documents WHERE doc_id % 7 = 1
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY version DESC, src DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+)
+SELECT doc_id, version, lang, source, n_chars,
+       md5(COALESCE(text, '')) AS text_md5
+FROM ranked WHERE rn = 1 AND NOT deleted"""
+
+
+def sql_profile_columns() -> str:
+    """DuckDB twin of profile.profile_documents_gate (staged gate
+    candidate): the per-column profile restated column-by-column over
+    the same stacked (col_name, value-as-VARCHAR) relation — same
+    null-bearing ``sig`` derivation, same non-null semantics for
+    distinct/top/min/max, same (count DESC, value ASC) top tiebreak.
+    Counts cast to BIGINT (the parity gate rejects HUGEINT)."""
+    cols = ["doc_id", "lang", "source", "n_chars", "sig"]
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM src"
+        for c in cols
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS sig
+  FROM documents
+),
+stacked AS (
+{stacked}
+),
+counts AS (
+  SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM stacked GROUP BY col_name, value
+),
+base AS (
+  SELECT col_name,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN value IS NULL THEN cnt END), 0)
+              AS BIGINT) AS n_nulls,
+         CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_distinct,
+         MIN(value) AS min_value,
+         MAX(value) AS max_value
+  FROM counts GROUP BY col_name
+),
+top AS (
+  SELECT col_name, value AS top_value, cnt AS top_count
+  FROM counts
+  WHERE value IS NOT NULL
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY col_name ORDER BY cnt DESC, value ASC) = 1
+)
+SELECT b.col_name, b.n_rows, b.n_nulls, b.n_distinct,
+       t.top_value,
+       CAST(COALESCE(t.top_count, 0) AS BIGINT) AS top_count,
+       b.min_value, b.max_value
+FROM base b LEFT JOIN top t USING (col_name)"""

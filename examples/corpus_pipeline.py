@@ -397,6 +397,74 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     assert len(merged_files) == stats["n_tasks"], (
         "compaction wrote more than one file per merge task"
     )
+
+    # 9 (r15). snapshot maintenance — the corpus is not written once: a
+    # re-crawl lands as a delta (fresh fetches + takedown tombstones),
+    # merges latest-wins into the snapshot, the diff relation audits
+    # exactly what changed, and the profile report checks the merged
+    # snapshot's health before the next epoch trains on it
+    from ccm_spark.pipeline.cdc import merge_upsert, snapshot_diff
+    from ccm_spark.pipeline.profile import profile_columns
+
+    base = docs.select("doc_id", "text").withColumn(
+        "version", F.lit(0).cast("long")
+    )
+    # the curated set is a handful of docs by now, and which doc_ids
+    # survive shifts with upstream thresholds — so the demo delta picks
+    # members by doc_id RANK (guaranteed non-empty for any >= 3
+    # survivors), not by a fixed modulus that an unlucky survivor set
+    # leaves empty. The global window is fine HERE (docs-sized, tiny);
+    # the gate fixture (cdc.merge_upsert_gate) uses modulus arithmetic
+    # on the full table instead
+    from pyspark.sql import Window
+
+    ranked = base.withColumn(
+        "_r", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    recrawl = ranked.where("_r % 3 = 1").select(
+        "doc_id",
+        F.concat("text", F.lit(" (recrawl)")).alias("text"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    takedown = ranked.where("_r % 3 = 2").select(
+        "doc_id",
+        "text",
+        F.lit(1).cast("long").alias("version"),
+        F.lit(True).alias("deleted"),
+    )
+    merged = merge_upsert(
+        base,
+        recrawl.unionByName(takedown),
+        ["doc_id"],
+        "version",
+        tombstone_col="deleted",
+    )
+    n_re = recrawl.count()
+    n_td = takedown.count()
+    assert n_re > 0 and n_td > 0, "snapshot demo is vacuous: empty delta"
+    changes = {
+        r.change: r.cnt
+        for r in snapshot_diff(base, merged, ["doc_id"])
+        .groupBy("change")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # the diff recovers the delta exactly: every re-crawl changed, every
+    # takedown removed, nothing invented
+    assert changes == {"changed": n_re, "removed": n_td}, changes
+    counts["merge_survivors"] = merged.count()
+    assert counts["merge_survivors"] == counts["final_docs"] - n_td
+    prof = {
+        r.col_name: r
+        for r in profile_columns(merged, ["doc_id", "version"]).collect()
+    }
+    assert prof["doc_id"].n_distinct == counts["merge_survivors"], (
+        "merge emitted duplicate keys"
+    )
+    assert prof["version"].n_distinct == 2 and prof["version"].n_nulls == 0, (
+        "profile missed the version mix the merge just created"
+    )
     return {"counts": counts, "manifest": manifest}
 
 
