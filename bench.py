@@ -641,6 +641,20 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/documents.parquet")
         )
 
+    def extra_promo_revenue(spark, sf_dir):
+        """r15 TPC-H Q14: one-month pushdown window + broadcast part
+        dim + conditional-sum ratio."""
+        from ccm_spark.pipeline.relational import promo_revenue
+
+        return promo_revenue(spark, sf_dir)
+
+    def extra_q18(spark, sf_dir):
+        """r15 TPC-H Q18: per-order rollup, HAVING before any join,
+        qualified set broadcast through orders and customer."""
+        from ccm_spark.pipeline.relational import large_volume_customers
+
+        return large_volume_customers(spark, sf_dir)
+
     extras = {
         # url_dedup left the gated registry r14 (slot went to
         # plan_compaction) but stays timed under the same name
@@ -683,6 +697,8 @@ def main() -> None:
         # first baselines recorded the round they stage, per policy
         "merge_upsert": extra_merge_upsert,
         "profile_columns": extra_profile_columns,
+        "promo_revenue": extra_promo_revenue,
+        "large_volume_customers": extra_q18,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6

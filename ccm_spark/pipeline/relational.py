@@ -254,3 +254,106 @@ def local_supplier_volume(
         .agg((F.round(F.sum("rev"), 6) + F.lit(0.0)).alias("revenue"))
         .select(F.col("n_name").alias("nation"), "revenue")
     )
+
+
+def promo_revenue(
+    spark: SparkSession,
+    sf_dir: str,
+    date_from: str = "1996-09-01",
+    date_to: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q14-shaped: the share of one month's revenue that shipped
+    promotional parts — ``promo_pct`` plus the item count that fed it
+    (the non-vacuity witness). One row out.
+
+    100 TB shape: the shipdate window pushes down to the lineitem scan
+    (a month of a 7-year table prunes ~99% of row groups on min/max
+    stats); ``part`` reduces to a (p_partkey, is_promo) projection and
+    broadcasts, so the only wide work is one scan and one partial-agg
+    exchange of a single row. Revenue rounds at the boundary (the
+    local_supplier_volume discipline; the synthetic prices are
+    2-decimal-exact doubles, sums drift ~1e-15·n relative, far inside
+    round6 at this magnitude).
+    """
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+        )
+    )
+    line = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp_ntz"))
+        )
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+    )
+    joined = line.join(part, line.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(0.0))
+                / F.sum("rev"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("promo_pct"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def large_volume_customers(
+    spark: SparkSession,
+    sf_dir: str,
+    min_qty: int = 300,
+) -> DataFrame:
+    """TPC-H Q18-shaped: customers whose single orders moved more than
+    ``min_qty`` units — the full qualified set (no LIMIT: the
+    threshold itself is the selectivity knob, and an unlimited
+    deterministic relation hashes cleanly).
+
+    100 TB shape: the per-order quantity sum partial-aggregates
+    map-side (lineitem collapses to one row per order BEFORE its
+    exchange), the HAVING filter runs before any join so only the
+    rare qualified orders (threshold-tunable; 46 of 30k orders at the
+    default) ever reach the fact-fact side, and that tiny relation
+    BROADCASTS into orders and then customer — Q18's famous
+    three-table join never shuffles orders or customer at all.
+    ``total_qty`` is exact: l_quantity is integer-valued throughout
+    the synthetic data (verified at sf0.1), so the double sum is
+    drift-free and casts losslessly to BIGINT.
+    """
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        line.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > min_qty)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    qualified = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+             "total_qty")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return cust.join(
+        F.broadcast(qualified), cust.c_custkey == qualified.o_custkey
+    ).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+        "total_qty",
+    )

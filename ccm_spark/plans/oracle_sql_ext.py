@@ -4001,3 +4001,42 @@ SELECT b.col_name, b.n_rows, b.n_nulls, b.n_distinct,
        CAST(COALESCE(t.top_count, 0) AS BIGINT) AS top_count,
        b.min_value, b.max_value
 FROM base b LEFT JOIN top t USING (col_name)"""
+
+
+def sql_promo_revenue(
+    date_from: str = "1996-09-01", date_to: str = "1996-10-01"
+) -> str:
+    """DuckDB twin of relational.promo_revenue (TPC-H Q14-shaped):
+    same one-month shipdate window, same equality test on the
+    synthetic single-word p_type, revenue ratio round6 at the
+    boundary, item count as the non-vacuity witness."""
+    return f"""
+SELECT round(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) + 0.0
+         AS promo_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '{date_to} 00:00:00'"""
+
+
+def sql_large_volume_customers(min_qty: int = 300) -> str:
+    """DuckDB twin of relational.large_volume_customers (TPC-H
+    Q18-shaped): per-order quantity rollup, HAVING before any join,
+    the qualified set joined to orders and customer. total_qty is an
+    exact integer-valued double sum cast to BIGINT (the parity gate
+    rejects HUGEINT, and DOUBLE SUM here is drift-free because every
+    l_quantity is integral)."""
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > {int(min_qty)}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey"""

@@ -705,3 +705,75 @@ def test_hourly_anomalies_overflow_guard_raises(spark):
         bad.collect()
     # the same cell under the default window is fine (one unscored row)
     assert hourly_anomalies(ev, window_hours=24, min_hours=1).count() == 1
+
+
+def test_promo_revenue_matches_duckdb_twin(spark, sf_small):
+    """TPC-H Q14-shaped promo-revenue share (r15 twin): one-month
+    window, broadcast part dimension, conditional-sum ratio."""
+    import duckdb
+
+    from ccm_spark.pipeline.relational import promo_revenue
+    from ccm_spark.plans.oracle_sql_ext import sql_promo_revenue
+
+    got = [
+        (r.promo_pct, r.n_items)
+        for r in promo_revenue(spark, sf_small).collect()
+    ]
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = [
+        (float(a), int(b)) for a, b in con.sql(sql_promo_revenue()).fetchall()
+    ]
+    assert got == want
+    # non-vacuous: the window holds items and BOTH branches of the
+    # conditional sum fired (a 0% or 100% share would mean one didn't)
+    assert got[0][1] > 0 and 0.0 < got[0][0] < 100.0
+
+
+def test_large_volume_customers_matches_duckdb_twin(spark, sf_small):
+    """TPC-H Q18-shaped large-volume customers (r15 twin): per-order
+    rollup, HAVING before any join, qualified set broadcast through
+    orders and customer."""
+    import duckdb
+
+    from ccm_spark.pipeline.relational import large_volume_customers
+    from ccm_spark.plans.oracle_sql_ext import sql_large_volume_customers
+
+    got = sorted(
+        tuple(r) for r in large_volume_customers(spark, sf_small).collect()
+    )
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    want = sorted(
+        (int(a), str(b), int(c), str(d), float(e), int(f))
+        for a, b, c, d, e, f in con.sql(
+            sql_large_volume_customers()
+        ).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # the threshold did real filtering: every row clears it, and the
+    # qualified set is a strict subset of all orders
+    assert all(r[5] > 300 for r in got)
+    n_orders = spark.read.parquet(f"{sf_small}/orders.parquet").count()
+    assert len(got) < n_orders
+
+
+def test_large_volume_customers_broadcasts_the_qualified_set(spark, sf_small):
+    """Plan-shape pin: Q18's fact-fact side must resolve to broadcast
+    joins of the rare qualified set — orders and customer are never
+    shuffled for it."""
+    from ccm_spark.pipeline.relational import large_volume_customers
+
+    plan = large_volume_customers(spark, sf_small)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
