@@ -106,9 +106,7 @@ def merge_upsert(
         )
         if tombstone_col not in base.columns:
             out = out.drop(tombstone_col)
-    return out.select(
-        *[c for c in base.columns if c != "_src"]
-    )
+    return out.select(*base.columns)
 
 
 def merge_upsert_gate(docs: DataFrame) -> DataFrame:
@@ -185,6 +183,11 @@ def snapshot_diff(
     and a value moving between columns would be reported unchanged;
     the always-non-null booleans pin every column position.
 
+    NULL merge keys are matched NULL-safely (``eqNullSafe``), so an
+    unchanged null-key row emits nothing instead of phantom
+    added+removed pairs — consistent with :func:`merge_upsert`, whose
+    window groups NULL keys as a real group.
+
     100 TB shape: one co-partitioned full-outer join on ``keys``
     (bucket both sides to eliminate the exchange); projection to
     (keys, hash) happens under the scan, so each side ships ~16 B +
@@ -211,12 +214,24 @@ def snapshot_diff(
             F.lit(1).alias(f"_p_{tag}"),
         )
 
-    o = side(old, "old")
-    n = side(new, "new")
-    j = o.join(n, keys, "full_outer")
+    # dataframe aliases, because old and new often share lineage
+    # (diff(base, merge(base, delta)) is the canonical call) and an
+    # explicit join condition on same-lineage attributes is ambiguous
+    o = side(old, "old").alias("_sd_o")
+    n = side(new, "new").alias("_sd_n")
+    ok = lambda k: F.col(f"_sd_o.{k}")
+    nk = lambda k: F.col(f"_sd_n.{k}")
+    # null-SAFE key equality: a plain equi-join never matches NULL
+    # keys, which would misreport an unchanged null-key row as one
+    # 'removed' plus one 'added'
+    cond = None
+    for k in keys:
+        c = ok(k).eqNullSafe(nk(k))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, cond, "full_outer")
     return (
         j.select(
-            *keys,
+            *[F.coalesce(ok(k), nk(k)).alias(k) for k in keys],
             F.when(F.col("_p_old").isNull(), F.lit("added"))
             .when(F.col("_p_new").isNull(), F.lit("removed"))
             .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))

@@ -35,6 +35,7 @@ from typing import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import NumericType
 
 __all__ = ["profile_columns", "profile_documents_gate"]
 
@@ -48,16 +49,25 @@ def profile_columns(
     Semantics: ``n_distinct``/``top_*``/``min_value``/``max_value``
     are over NON-NULL values (an all-null column profiles as
     ``n_distinct 0, top_value NULL, top_count 0, min/max NULL``);
-    ``top_value`` ties break to the LEXICALLY SMALLEST value at the
-    top count, so the report is a pure function of the data. String
-    order is binary/codepoint in both engines (ASCII-safe; profile a
-    normalised projection if exotic collation matters).
+    ``top_value`` ties break to the smallest value at the top count,
+    so the report is a pure function of the data. Ordering is
+    VALUE-AWARE per the source column's type: a numeric column's
+    extremes and tiebreaks compare numerically (via try_cast of the
+    canonical string form back to double — '9' < '10', so n_chars
+    extremes are real extremes, not codepoint accidents), string
+    columns compare binary/codepoint (ASCII-safe; profile a
+    normalised projection if exotic collation matters). Callers
+    pre-cast float/timestamp columns (module docstring) — their
+    string forms are engine-ambiguous, the integer family is not.
     """
     if cols is None:
         cols = df.columns
     cols = list(cols)
     if not cols:
         raise ValueError("profile_columns: cols must be non-empty")
+    numeric = {
+        c for c in cols if isinstance(df.schema[c].dataType, NumericType)
+    }
     stacked = df.select(
         F.explode(
             F.array(
@@ -65,17 +75,25 @@ def profile_columns(
                     F.struct(
                         F.lit(c).alias("col_name"),
                         F.col(c).cast("string").alias("value"),
+                        F.lit(c in numeric).alias("is_num"),
                     )
                     for c in cols
                 ]
             )
         ).alias("cv")
-    ).select("cv.col_name", "cv.value")
+    ).select("cv.col_name", "cv.value", "cv.is_num")
     counts = (
         stacked.groupBy("col_name", "value")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt"), F.first("is_num").alias("is_num"))
         .localCheckpoint(eager=True)
     )
+    # numeric ordering key: the canonical numeric string cast back —
+    # try_cast, because BOTH when() branches evaluate for every group
+    # and ANSI cast would throw on a string column's values; for a
+    # numeric column it never returns NULL, so min_by/max_by skip
+    # nothing. Distinct grouped values cannot tie on it (canonical
+    # integer-family forms are injective into double)
+    ord_ = F.when(F.col("is_num"), F.col("value").try_cast("double"))
     base = counts.groupBy("col_name").agg(
         F.sum("cnt").alias("n_rows"),
         F.coalesce(
@@ -84,11 +102,17 @@ def profile_columns(
         F.sum(
             F.when(F.col("value").isNotNull(), F.lit(1)).otherwise(F.lit(0))
         ).alias("n_distinct"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+        F.when(F.first("is_num"), F.min_by("value", ord_))
+        .otherwise(F.min("value"))
+        .alias("min_value"),
+        F.when(F.first("is_num"), F.max_by("value", ord_))
+        .otherwise(F.max("value"))
+        .alias("max_value"),
     )
+    # ord_ is constant-NULL inside a string column's partition, so its
+    # engine-specific NULL placement can never reorder anything there
     wtop = Window.partitionBy("col_name").orderBy(
-        F.col("cnt").desc(), F.col("value").asc()
+        F.col("cnt").desc(), ord_.asc(), F.col("value").asc()
     )
     top = (
         counts.where(F.col("value").isNotNull())

@@ -332,10 +332,19 @@ def large_volume_customers(
     line = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
+    # filter on the RAW double sum, convert with an explicit floor
+    # afterwards — both mirrored in the twin, so the two engines stay
+    # in lockstep even if a future data generation makes quantity sums
+    # non-integral (double->BIGINT casts diverge: Spark truncates,
+    # DuckDB rounds)
     big = (
         line.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
-        .where(F.col("total_qty") > min_qty)
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .where(F.col("_tq") > min_qty)
+        .select(
+            "l_orderkey",
+            F.floor("_tq").cast("long").alias("total_qty"),
+        )
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"

@@ -3955,18 +3955,32 @@ FROM ranked WHERE rn = 1 AND NOT deleted"""
 
 def sql_profile_columns() -> str:
     """DuckDB twin of profile.profile_documents_gate (staged gate
-    candidate): the per-column profile restated column-by-column over
-    the same stacked (col_name, value-as-VARCHAR) relation — same
-    null-bearing ``sig`` derivation, same non-null semantics for
-    distinct/top/min/max, same (count DESC, value ASC) top tiebreak.
-    Counts cast to BIGINT (the parity gate rejects HUGEINT)."""
-    cols = ["doc_id", "lang", "source", "n_chars", "sig"]
+    candidate): the per-column profile restated over the same stacked
+    (col_name, value-as-VARCHAR, is_num) relation — same null-bearing
+    ``sig`` derivation, same non-null semantics for distinct/top/
+    min/max, and the SAME value-aware ordering: numeric source
+    columns compare via TRY_CAST back to DOUBLE (arg_min/arg_max and
+    the tiebreak), string columns compare codepoint-wise; the CASE
+    ordering key is constant-NULL inside a string column's partition,
+    so its engine-specific NULL placement can never reorder anything
+    there. Counts cast to BIGINT (the parity gate rejects HUGEINT);
+    the twice-referenced CTEs are MATERIALIZED (the r12 inlining
+    lesson — and the Spark side localCheckpoints ``counts`` for the
+    same two-subtree fan-out)."""
+    cols = [
+        ("doc_id", True),
+        ("lang", False),
+        ("source", False),
+        ("n_chars", True),
+        ("sig", False),
+    ]
     stacked = "\nUNION ALL\n".join(
-        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM src"
-        for c in cols
+        f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value, "
+        f"{'TRUE' if num else 'FALSE'} AS is_num FROM src"
+        for c, num in cols
     )
     return f"""
-WITH src AS (
+WITH src AS MATERIALIZED (
   SELECT doc_id, lang, source, n_chars,
          CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS sig
   FROM documents
@@ -3974,8 +3988,9 @@ WITH src AS (
 stacked AS (
 {stacked}
 ),
-counts AS (
-  SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS cnt
+counts AS MATERIALIZED (
+  SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS cnt,
+         any_value(is_num) AS is_num
   FROM stacked GROUP BY col_name, value
 ),
 base AS (
@@ -3985,8 +4000,12 @@ base AS (
               AS BIGINT) AS n_nulls,
          CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_distinct,
-         MIN(value) AS min_value,
-         MAX(value) AS max_value
+         CASE WHEN any_value(is_num)
+              THEN arg_min(value, TRY_CAST(value AS DOUBLE))
+              ELSE MIN(value) END AS min_value,
+         CASE WHEN any_value(is_num)
+              THEN arg_max(value, TRY_CAST(value AS DOUBLE))
+              ELSE MAX(value) END AS max_value
   FROM counts GROUP BY col_name
 ),
 top AS (
@@ -3994,7 +4013,9 @@ top AS (
   FROM counts
   WHERE value IS NOT NULL
   QUALIFY ROW_NUMBER() OVER (
-    PARTITION BY col_name ORDER BY cnt DESC, value ASC) = 1
+    PARTITION BY col_name ORDER BY cnt DESC,
+      CASE WHEN is_num THEN TRY_CAST(value AS DOUBLE) END ASC,
+      value ASC) = 1
 )
 SELECT b.col_name, b.n_rows, b.n_nulls, b.n_distinct,
        t.top_value,
@@ -4024,14 +4045,15 @@ WHERE l.l_shipdate >= TIMESTAMP '{date_from} 00:00:00'
 
 def sql_large_volume_customers(min_qty: int = 300) -> str:
     """DuckDB twin of relational.large_volume_customers (TPC-H
-    Q18-shaped): per-order quantity rollup, HAVING before any join,
-    the qualified set joined to orders and customer. total_qty is an
-    exact integer-valued double sum cast to BIGINT (the parity gate
-    rejects HUGEINT, and DOUBLE SUM here is drift-free because every
-    l_quantity is integral)."""
+    Q18-shaped): per-order quantity rollup, HAVING on the RAW double
+    sum before any join, the qualified set joined to orders and
+    customer. total_qty converts via FLOOR then BIGINT exactly like
+    the Spark side (a bare double->BIGINT CAST rounds in DuckDB but
+    truncates in Spark — floor removes the divergence; the sum is
+    drift-free because every l_quantity is integral)."""
     return f"""
 WITH big AS (
-  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+  SELECT l_orderkey, CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS total_qty
   FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > {int(min_qty)}
 )
 SELECT c.c_custkey, c.c_name, o.o_orderkey,

@@ -411,13 +411,19 @@ def run(spark, sf_dir: str, shard_path: str) -> dict:
     )
     # the curated set is a handful of docs by now, and which doc_ids
     # survive shifts with upstream thresholds — so the demo delta picks
-    # members by doc_id RANK (guaranteed non-empty for any >= 3
-    # survivors), not by a fixed modulus that an unlucky survivor set
-    # leaves empty. The global window is fine HERE (docs-sized, tiny);
-    # the gate fixture (cdc.merge_upsert_gate) uses modulus arithmetic
-    # on the full table instead
+    # members by doc_id RANK, not by a fixed modulus that an unlucky
+    # survivor set leaves empty. The global window is fine HERE
+    # (docs-sized, tiny); the gate fixture (cdc.merge_upsert_gate)
+    # uses modulus arithmetic on the full table instead
     from pyspark.sql import Window
 
+    # >= 3 survivors is the real precondition: _r%3==1 recrawls,
+    # _r%3==2 takedowns, and the version-mix assert below needs at
+    # least one UNTOUCHED version-0 row (_r%3==0) — fail here with the
+    # true reason instead of blaming the profile operator downstream
+    assert counts["final_docs"] >= 3, (
+        f"snapshot demo needs >= 3 curated docs, got {counts['final_docs']}"
+    )
     ranked = base.withColumn(
         "_r", F.row_number().over(Window.orderBy("doc_id"))
     )

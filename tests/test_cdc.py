@@ -214,3 +214,18 @@ def test_snapshot_diff_audits_the_merge(spark, sf_small):
     n3 = docs.where("doc_id % 7 = 3").count()
     n5 = docs.where("doc_id % 7 = 5").count()
     assert len(diff) == n3 + n5
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    """A plain equi-join never matches NULL keys — without the
+    eqNullSafe condition an UNCHANGED null-key row would be invented
+    as one 'removed' plus one 'added'."""
+    old = spark.createDataFrame(
+        [(None, "a"), (1, "b")], "k string, v string"
+    )
+    assert snapshot_diff(old, old, ["k"]).collect() == []
+    new = spark.createDataFrame(
+        [(None, "zz"), (1, "b")], "k string, v string"
+    )
+    got = [(r.k, r.change) for r in snapshot_diff(old, new, ["k"]).collect()]
+    assert got == [(None, "changed")]
