@@ -229,3 +229,53 @@ def test_snapshot_diff_null_keys_match_null_safely(spark):
     )
     got = [(r.k, r.change) for r in snapshot_diff(old, new, ["k"]).collect()]
     assert got == [(None, "changed")]
+
+
+def _keyed(spark, n, seed, vmod):
+    return spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.xxhash64(F.col("id"), F.lit(seed)) % vmod).alias("version"),
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(seed))).alias(
+            "payload"
+        ),
+    )
+
+
+def test_merge_is_idempotent(spark):
+    """Re-applying the same delta is a no-op: at equal version the
+    delta wins the tie, but its row is byte-identical to the winner it
+    already produced."""
+    base = _keyed(spark, 300, "b", 7)
+    delta = _keyed(spark, 120, "d", 7).withColumn(
+        "version", F.col("version") + 7
+    )
+    once = merge_upsert(base, delta, ["k"], "version")
+    twice = merge_upsert(once, delta, ["k"], "version")
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_merge_fold_equals_union_under_distinct_versions(spark):
+    """Sequential merges compose: folding two deltas one at a time
+    equals merging their union in one pass, PROVIDED versions are
+    distinct per key across the deltas (the documented (keys, version)
+    uniqueness contract — at duplicated versions inside one combined
+    delta the tie has no src to break it)."""
+    base = _keyed(spark, 300, "b", 5)
+    d1 = _keyed(spark, 150, "d1", 5).withColumn(
+        "version", F.col("version") + 10
+    )
+    # d2's versions sit strictly above d1's, so the union stays unique
+    d2 = _keyed(spark, 80, "d2", 5).withColumn(
+        "version", F.col("version") + 20
+    )
+    folded = merge_upsert(
+        merge_upsert(base, d1, ["k"], "version"), d2, ["k"], "version"
+    )
+    union = merge_upsert(
+        base, d1.unionByName(d2), ["k"], "version"
+    )
+    a = sorted(map(tuple, folded.collect()))
+    b = sorted(map(tuple, union.collect()))
+    assert a == b and len(a) == 300
