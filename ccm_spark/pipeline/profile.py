@@ -37,7 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import NumericType
 
-__all__ = ["profile_columns", "profile_documents_gate"]
+__all__ = ["profile_columns", "profile_columns_fast", "profile_documents_gate"]
 
 
 def profile_columns(
@@ -159,3 +159,76 @@ def profile_documents_gate(docs: DataFrame) -> DataFrame:
     return profile_columns(
         src, ["doc_id", "lang", "source", "n_chars", "sig"]
     )
+
+
+def profile_columns_fast(
+    df: DataFrame, cols: Sequence[str] | None = None, rsd: float = 0.05
+) -> DataFrame:
+    """The at-scale profile: same relation as :func:`profile_columns`
+    minus the top-value pair, computed WITHOUT the stacked explode or
+    any per-distinct-value exchange — ``n_distinct`` goes through
+    ``approx_count_distinct`` (HyperLogLog++, ``rsd`` relative error),
+    everything else is an exact single-pass aggregate.
+
+    This is the shape to run first on an unfamiliar 100 TB table: one
+    scan, n_cols × 4 mergeable aggregates folded map-side, ONE
+    single-row reduce — no explode row inflation, and a doc_id-like
+    column costs a few KB of HLL sketch instead of its cardinality in
+    a shuffle. When the fast report flags a column worth exact
+    treatment (suspicious distinct count, skew candidate), follow up
+    with :func:`profile_columns` on just that column — the pair is
+    the diagnose/confirm workflow. ``top_value``/``top_count`` are
+    emitted as NULL/0: a true heavy-hitter needs per-value state (the
+    exact path's counts relation, or a CMS sketch —
+    ``pipeline/sketches.py``); approximating it silently here would
+    invite trusting a number this pass cannot defend.
+
+    Not twin-checkable by construction (HLL estimates are
+    engine-specific); evidence tier is the exact-vs-fast agreement
+    pin in ``tests/test_profile.py``.
+    """
+    if cols is None:
+        cols = df.columns
+    cols = list(cols)
+    if not cols:
+        raise ValueError("profile_columns_fast: cols must be non-empty")
+    n_rows = F.count(F.lit(1))
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("string")
+        # numeric columns take typed min/max (then cast the scalar) so
+        # the extremes agree with the exact path's value-aware ordering
+        # instead of reporting codepoint accidents
+        typed = isinstance(df.schema[c].dataType, NumericType)
+        mn = F.min(F.col(c)).cast("string") if typed else F.min(v)
+        mx = F.max(F.col(c)).cast("string") if typed else F.max(v)
+        aggs += [
+            n_rows.alias(f"{c}__n_rows"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias(f"{c}__n_nulls"),
+            F.approx_count_distinct(v, rsd).alias(f"{c}__n_distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    # unpivot the single wide row back to one row per column — the
+    # stack happens on ONE row, not on the table
+    out = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"{c}__n_rows").alias("n_rows"),
+                        F.col(f"{c}__n_nulls").cast("long").alias("n_nulls"),
+                        F.col(f"{c}__n_distinct").alias("n_distinct"),
+                        F.lit(None).cast("string").alias("top_value"),
+                        F.lit(0).cast("long").alias("top_count"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return out

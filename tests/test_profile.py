@@ -93,3 +93,54 @@ def test_profile_documents_gate_matches_duckdb_twin(spark, sf_small):
     # non-vacuity: the sig column actually exercised the null path
     sig = {t[0]: t for t in got}["sig"]
     assert sig[2] > 0 and sig[3] > 0
+
+
+def test_profile_fast_agrees_with_exact(spark, sf_small):
+    """The at-scale fast path (no explode, HLL distinct) must agree
+    with the exact profile: nulls/rows/extremes exactly, distinct
+    within the declared rsd, top pair honestly absent."""
+    from ccm_spark.pipeline.profile import profile_columns_fast
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source"))
+        .alias("sig"),
+    )
+    cols = ["doc_id", "lang", "source", "n_chars", "sig"]
+    exact = {r.col_name: r for r in profile_columns(docs, cols).collect()}
+    fast = {
+        r.col_name: r
+        for r in profile_columns_fast(docs, cols, rsd=0.02).collect()
+    }
+    assert set(fast) == set(exact)
+    for c in cols:
+        e, f = exact[c], fast[c]
+        assert (f.n_rows, f.n_nulls) == (e.n_rows, e.n_nulls)
+        assert (f.min_value, f.max_value) == (e.min_value, e.max_value), c
+        assert abs(f.n_distinct - e.n_distinct) <= max(3, 0.1 * e.n_distinct)
+        assert f.top_value is None and f.top_count == 0
+
+
+def test_profile_fast_plan_has_no_generate(spark, sf_small):
+    """Plan-shape pin for the scale claim: the fast path must not
+    explode the table — no Generate over the scan, one aggregate."""
+    from ccm_spark.pipeline.profile import profile_columns_fast
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = profile_columns_fast(
+        docs, ["doc_id", "lang"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # the only Generate allowed is the single-row unpivot AFTER the
+    # aggregate; the scan side must feed the aggregate directly
+    # (string min/max may plan as SortAggregate rather than
+    # HashAggregate — accept any aggregate node)
+    import re
+
+    m = re.search(r"\w*Aggregate", plan)
+    assert m, plan[:400]
+    scan_side = plan[m.start():]
+    assert "Generate" not in scan_side
