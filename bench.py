@@ -641,6 +641,16 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/documents.parquet")
         )
 
+    def extra_heavy_hitters(spark, sf_dir):
+        """r15 staged candidate: Misra-Gries heavy hitters over
+        documents.lang — per-partition summaries + broadcast-filtered
+        exact recount, no per-distinct-value shuffle."""
+        from ccm_spark.pipeline.sketches import heavy_hitters
+
+        return heavy_hitters(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "lang", k=5
+        )
+
     def extra_promo_revenue(spark, sf_dir):
         """r15 TPC-H Q14: one-month pushdown window + broadcast part
         dim + conditional-sum ratio."""
@@ -699,6 +709,7 @@ def main() -> None:
         "profile_columns": extra_profile_columns,
         "promo_revenue": extra_promo_revenue,
         "large_volume_customers": extra_q18,
+        "heavy_hitters_lang": extra_heavy_hitters,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6

@@ -539,3 +539,99 @@ def bottomk_drift(
         "new_est",
         (F.col("new_est") - F.col("old_est")).alias("shift"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 64
+) -> DataFrame:
+    """Top-``k`` heaviest values of ``col`` WITHOUT a per-distinct-value
+    shuffle — the 100 TB answer to "what dominates this column?" when
+    the column's cardinality makes the exact report
+    (``skew.key_skew_report``, one (key, count) exchange of n_distinct
+    rows) the bottleneck, and the honest counterpart to
+    ``profile.profile_columns_fast``'s NULL ``top_value``.
+
+    Two passes, neither wide: (1) each scan partition folds a
+    Misra–Gries summary of at most ``capacity`` counters (batched with
+    the mergeable-summaries rule — add the batch's counts, subtract the
+    (capacity+1)-th largest, keep positives; Agarwal et al. 2012,
+    "Mergeable Summaries"), emitting only its surviving VALUES — KBs
+    per partition; (2) the unioned candidate set (≤ capacity ×
+    n_partitions rows) broadcast-filters a recount scan whose map-side
+    combine collapses to ≤ |candidates| rows before one tiny exchange.
+    The output therefore carries EXACT counts, and the MG bound makes
+    membership safe: any value with true count > n/(capacity+1) is
+    guaranteed to survive pass 1 on some partition (summed per-partition
+    error ≤ n/(capacity+1)), so every row of the output with
+    ``cnt > guarantee_min`` is guaranteed-complete top-k membership;
+    entries at or below it are best-effort (emitted with the bound so
+    the reader can tell which regime they are in). When the column's
+    true cardinality ≤ capacity, pass 1 retains everything and the
+    result is simply exact — the gate fixture's regime, which is what
+    lets a plain GROUP BY twin hash-check it.
+
+    NULLs count as the real (often hottest) value '<NULL>', the
+    key_skew_report convention. Output: ``(rank, value, cnt,
+    total_rows, guarantee_min)``, rank by (cnt DESC, value ASC).
+    Determinism: exact counts make the above-guarantee prefix a pure
+    function of the data; the below-guarantee tail additionally
+    depends on the scan's partition layout (documented, and pinned
+    only in the exact regime).
+    """
+    if k < 1:
+        raise ValueError(f"heavy_hitters: k must be >= 1, got {k}")
+    if capacity < 1:
+        raise ValueError(
+            f"heavy_hitters: capacity must be >= 1, got {capacity}"
+        )
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.coalesce(F.col(col).cast("string"), F.lit("<NULL>")).alias("value")
+    )
+    cap = int(capacity)
+
+    def mg(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["value"].value_counts()
+            merged = (
+                pd.concat([counters, vc]).groupby(level=0).sum()
+                if len(counters)
+                else vc
+            )
+            if len(merged) > cap:
+                thresh = merged.nlargest(cap + 1).iloc[-1]
+                merged = merged - thresh
+                merged = merged[merged > 0]
+            counters = merged
+        if len(counters):
+            yield pd.DataFrame({"value": counters.index.astype(str)})
+
+    candidates = (
+        vals.mapInPandas(mg, "value string")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        vals.join(F.broadcast(candidates), "value")
+        .groupBy("value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = vals.count()
+    w = Window.orderBy(F.col("cnt").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "rank",
+            "value",
+            "cnt",
+            F.lit(total).cast("long").alias("total_rows"),
+            F.lit(total // (cap + 1) + 1).cast("long").alias(
+                "guarantee_min"
+            ),
+        )
+    )

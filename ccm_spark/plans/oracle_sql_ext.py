@@ -4062,3 +4062,28 @@ SELECT c.c_custkey, c.c_name, o.o_orderkey,
 FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey"""
+
+
+def sql_heavy_hitters(col: str = "lang", k: int = 5, capacity: int = 64) -> str:
+    """DuckDB twin of sketches.heavy_hitters over a documents column in
+    the exact regime (true cardinality <= capacity, so the Misra-Gries
+    pass retains every value and the result is plain exact top-k): the
+    oracle is stated entirely without the sketch machinery — the
+    salted_join discipline — same '<NULL>' keying, same (cnt DESC,
+    value ASC) rank, same MG guarantee bound derivation."""
+    n = int(k)
+    cap = int(capacity)
+    return f"""
+WITH vals AS (
+  SELECT COALESCE(CAST({col} AS VARCHAR), '<NULL>') AS value FROM documents
+),
+counts AS (
+  SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt FROM vals GROUP BY value
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM vals)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS INT)
+         AS rank,
+       value, cnt, total_rows,
+       CAST(total_rows // {cap + 1} + 1 AS BIGINT) AS guarantee_min
+FROM counts CROSS JOIN tot
+QUALIFY rank <= {n}"""

@@ -606,3 +606,91 @@ def test_bottomk_quantiles_match_duckdb_twin(spark, sf_small):
         (float(p), float(v)) for p, v in con.sql(sql_bottomk_quantiles()).fetchall()
     )
     assert got == want
+
+
+def test_heavy_hitters_exact_regime_and_guarantee(spark):
+    """Skewed synthetic with cardinality ABOVE capacity: the known
+    heavy values must be recovered with exact counts and ranks, and
+    every emitted row above the guarantee bound must be a true top
+    value."""
+    import pyspark.sql.functions as F
+
+    from ccm_spark.pipeline.sketches import heavy_hitters
+
+    # 4000 'hot' + 1500 'warm' + 3000 singletons (cardinality 3002)
+    df = (
+        spark.range(0, 4000).select(F.lit("hot").alias("v"))
+        .unionAll(spark.range(0, 1500).select(F.lit("warm").alias("v")))
+        .unionAll(
+            spark.range(0, 3000).select(
+                F.concat(F.lit("u"), F.col("id")).alias("v")
+            )
+        )
+    )
+    out = heavy_hitters(df.repartition(13), "v", k=3, capacity=16)
+    rows = {r.rank: r for r in out.collect()}
+    assert (rows[1].value, rows[1].cnt) == ("hot", 4000)
+    assert (rows[2].value, rows[2].cnt) == ("warm", 1500)
+    assert rows[1].total_rows == 8500
+    # the MG membership guarantee: both true heavies clear the bound
+    assert rows[1].cnt > rows[1].guarantee_min
+    assert rows[2].cnt > rows[2].guarantee_min
+
+
+def test_heavy_hitters_exact_when_cardinality_fits(spark, sf_small):
+    """Cardinality <= capacity retains everything: the result is the
+    plain exact top-k, invariant to partition layout."""
+    from ccm_spark.pipeline.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    a = sorted(
+        tuple(r) for r in heavy_hitters(docs, "lang", k=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in heavy_hitters(docs.repartition(29), "lang", k=5).collect()
+    )
+    exact = {
+        (r["lang"] or "<NULL>"): r["count"]
+        for r in docs.groupBy("lang").count().collect()
+    }
+    assert a == b and len(a) == 5
+    assert {t[1]: t[2] for t in a} == exact
+
+
+def test_heavy_hitters_matches_duckdb_twin(spark, sf_small):
+    """Staged gate-candidate pin: the lang top-5 in the exact regime
+    hash-matches the plain DuckDB GROUP BY statement (oracle stated
+    without the sketch machinery)."""
+    import duckdb
+
+    from ccm_spark.pipeline.sketches import heavy_hitters
+    from ccm_spark.plans.oracle_sql_ext import sql_heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in heavy_hitters(docs, "lang", k=5).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_small}/documents.parquet')"
+    )
+    want = sorted(
+        (int(a), str(b), int(c), int(d), int(e))
+        for a, b, c, d, e in con.sql(sql_heavy_hitters()).fetchall()
+    )
+    assert len(got) == len(want) == 5
+    assert got == want
+
+
+def test_heavy_hitters_rejects_bad_params(spark, sf_small):
+    import pytest
+
+    from ccm_spark.pipeline.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(docs, "lang", k=0)
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(docs, "lang", capacity=0)
