@@ -121,12 +121,14 @@ def train_quality_classifier(
     ``{"weights": {feat_idx: w}, "bias": b, "dim": dim,
     "loss_history": [...]}``.
 
-    Per iteration: (1) margins per labelled doc = one broadcast join of
-    the dim-row weight relation + one hash aggregate on doc_id;
-    (2) per-feature gradient = one hash aggregate on feat_idx, rounded
-    at ``W_ROUND`` after the global sum, then the driver applies the
-    update to its dim-sized vector. No per-doc data ever reaches the
-    driver."""
+    Per iteration (ONE job since r15): margins per labelled doc = one
+    broadcast join of the dim-row weight relation + one hash aggregate
+    on doc_id; the per-feature gradient is one hash aggregate on
+    feat_idx, rounded at ``W_ROUND`` after the global sum, with a
+    sentinel bias feature row (feat_idx = -1, x = 1) per doc carrying
+    the bias gradient and the loss in the same aggregate. The driver
+    applies the update to its dim-sized vector; no per-doc data ever
+    reaches the driver."""
     if n_iters < 1 or dim < 1:
         raise ValueError(
             f"train_quality_classifier: n_iters and dim must be >= 1 "
@@ -141,10 +143,23 @@ def train_quality_classifier(
         .join(lab, "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_docs = feats.select("doc_id").distinct().count()
+    # r15: one sentinel BIAS row per trained doc (feat_idx = -1, x = 1)
+    # rides the same relation, so each iteration's single feat_idx
+    # aggregate also yields the bias gradient and the loss — the r14
+    # loop ran a second job (scored.agg) and re-read the persisted
+    # margin relation for them. Derived from the CACHED feats (docs
+    # with no token rows stay excluded — bias rows exist only for docs
+    # already in the relation, training membership unchanged); margins
+    # are unaffected because w never contains feat_idx -1, so the bias
+    # row contributes x * 0.0.
+    bias_rows = feats.groupBy("doc_id").agg(F.first("y").alias("y")).select(
+        "doc_id", F.lit(-1).cast("long").alias("feat_idx"), F.lit(1.0).alias("x"), "y"
+    )
+    n_docs = bias_rows.count()
     if n_docs == 0:
         feats.unpersist()
         raise ValueError("train_quality_classifier: no labelled documents")
+    train_rel = feats.select("doc_id", "feat_idx", "x", "y").unionByName(bias_rows)
 
     w: dict[int, float] = {}
     b = 0.0
@@ -155,7 +170,7 @@ def train_quality_classifier(
             "feat_idx long, w double",
         )
         scored = (
-            feats.join(F.broadcast(w_df), "feat_idx", "left")
+            train_rel.join(F.broadcast(w_df), "feat_idx", "left")
             .groupBy("doc_id")
             .agg(
                 (
@@ -170,30 +185,31 @@ def train_quality_classifier(
                 (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("p"),
             )
         )
-        # the margin relation feeds TWO aggregates (feature gradient +
-        # bias gradient/loss); persist so the broadcast join + per-doc
-        # aggregate run once per iteration, not twice
-        scored = scored.persist()
+        # ONE aggregate job per iteration: the sentinel bias rows make
+        # the feat_idx -1 group's g the bias gradient, and the loss sum
+        # restricted to those rows (one term per doc) rides as a second
+        # agg column — only the -1 group's value is read
         grad_and_loss = (
-            feats.select("doc_id", "feat_idx", "x")
+            train_rel.select("doc_id", "feat_idx", "x")
             .join(scored.select("doc_id", "y", "p"), "doc_id")
             .groupBy("feat_idx")
-            .agg(F.round(F.sum(F.col("x") * (F.col("p") - F.col("y"))), W_ROUND).alias("g"))
+            .agg(
+                F.round(
+                    F.sum(F.col("x") * (F.col("p") - F.col("y"))), W_ROUND
+                ).alias("g"),
+                F.round(
+                    -F.sum(
+                        F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-15)))
+                        + (1.0 - F.col("y"))
+                        * F.log(F.greatest(1.0 - F.col("p"), F.lit(1e-15)))
+                    ),
+                    W_ROUND,
+                ).alias("loss"),
+            )
             .collect()
         )
-        # bias gradient + loss from the per-doc relation (one more agg)
-        gl = scored.agg(
-            F.round(F.sum(F.col("p") - F.col("y")), W_ROUND).alias("gb"),
-            F.round(
-                -F.sum(
-                    F.col("y") * F.log(F.greatest(F.col("p"), F.lit(1e-15)))
-                    + (1.0 - F.col("y"))
-                    * F.log(F.greatest(1.0 - F.col("p"), F.lit(1e-15)))
-                ),
-                W_ROUND,
-            ).alias("loss"),
-        ).collect()[0]
-        scored.unpersist()
+        gl = next(r for r in grad_and_loss if r.feat_idx == -1)
+        grad_and_loss = [r for r in grad_and_loss if r.feat_idx != -1]
         # the update rounding must be the SAME shortest-decimal HALF_UP
         # rule the DuckDB twin applies — lr * g / n_docs IS a short
         # decimal (g has 6 decimals), so builtin banker's rounding can
@@ -207,7 +223,7 @@ def train_quality_classifier(
                 w.pop(r.feat_idx, None)
             else:
                 w[r.feat_idx] = nw
-        b = py_round_half_up(b - lr * gl.gb / n_docs, W_ROUND)
+        b = py_round_half_up(b - lr * gl.g / n_docs, W_ROUND)
         loss_history.append(float(gl.loss) / n_docs)
     feats.unpersist()
     return {

@@ -98,13 +98,24 @@ def dsir_log_ratios(
         .groupBy("feat_idx")
         .agg(F.sum("cnt").alias("rc"))
     )
+    return _log_ratio_rel(t, r, dim, alpha)
+
+
+def _log_ratio_rel(t: DataFrame, r: DataFrame, dim: int, alpha: float) -> DataFrame:
+    """(feat_idx, log_ratio) from the two aggregated count relations.
+
+    The dim-bounded joined counts are eagerly localCheckpoint'ed (the
+    corpus_divergence precedent): `tot` and the final projection both
+    consume them, and without the cut each consumer would replay the
+    corpus-sized tokenize+aggregate subtrees — the r14 dsir_weights plan
+    scanned the documents parquet 6 times for exactly this reason."""
     # full outer on the bounded feature space: a feature seen in only
     # one corpus still gets its smoothed term
     joined = t.join(r, "feat_idx", "outer").select(
         "feat_idx",
         F.coalesce(F.col("tc"), F.lit(0)).alias("tc"),
         F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
-    )
+    ).localCheckpoint(eager=True)
     tot = joined.agg(
         F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
     )
@@ -131,17 +142,36 @@ def dsir_log_weights(
 
     Plan: one broadcast join of the dim-row ratio relation onto the raw
     feature counts + one hash aggregate on doc_id; the raw corpus never
-    joins the target corpus directly."""
-    ratios = dsir_log_ratios(target_docs, raw_docs, n, dim, alpha)
-    feats = ngram_feature_counts(raw_docs, n, dim)
+    joins the target corpus directly.
+
+    r15 plan shape: the raw feature counts are computed ONCE and
+    persisted — the ratio model's raw histogram is their feat_idx
+    rollup (identical integer sums), and the scoring join reuses the
+    same relation, so the raw corpus is tokenized/exploded once instead
+    of the r14 plan's three times. The cached subtree is attached as
+    ``_ccm_persisted`` for ``plans.cross_map.release_cached``."""
+    from pyspark.storagelevel import StorageLevel
+
+    feats = ngram_feature_counts(raw_docs, n, dim).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    t = (
+        ngram_feature_counts(target_docs, n, dim)
+        .groupBy("feat_idx")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    r = feats.groupBy("feat_idx").agg(F.sum("cnt").alias("rc"))
+    ratios = _log_ratio_rel(t, r, dim, alpha)
     scored = (
         feats.join(F.broadcast(ratios), "feat_idx")
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias("log_w"))
     )
-    return raw_docs.select("doc_id").join(scored, "doc_id", "left").select(
+    out = raw_docs.select("doc_id").join(scored, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w")
     )
+    out._ccm_persisted = [feats]
+    return out
 
 
 def dsir_resample(

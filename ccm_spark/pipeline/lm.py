@@ -116,15 +116,24 @@ def train_bigram_lm(
             "models divide by zero on any unseen bigram"
         )
     uni, bi = ngram_counts(docs)
-    vocab_rows = (
-        uni.orderBy(F.col("n").desc(), F.col("token").asc())
-        .limit(vocab_size)
-        .collect()
-    )
-    if not vocab_rows:
-        raise ValueError("train_bigram_lm: reference corpus has no tokens")
-    vocab = {r.token: int(r.n) for r in vocab_rows}
-    total = uni.agg(F.sum("n")).collect()[0][0]
+    # two driver collects read `uni` (the vocab top-k and the total-mass
+    # scalar); persist the vocab-sized relation so the corpus
+    # tokenize+explode+aggregate pass behind it runs once, not twice
+    from pyspark.storagelevel import StorageLevel
+
+    uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        vocab_rows = (
+            uni.orderBy(F.col("n").desc(), F.col("token").asc())
+            .limit(vocab_size)
+            .collect()
+        )
+        if not vocab_rows:
+            raise ValueError("train_bigram_lm: reference corpus has no tokens")
+        vocab = {r.token: int(r.n) for r in vocab_rows}
+        total = uni.agg(F.sum("n")).collect()[0][0]
+    finally:
+        uni.unpersist()
     unk_count = int(total) - sum(vocab.values())
     spark = docs.sparkSession
     vdf = spark.createDataFrame([(t,) for t in vocab], "token string")

@@ -37,21 +37,34 @@ from ccm_spark.functions.partitioning import spread
 def bm25_index(docs: DataFrame) -> dict:
     """Build the BM25 relations once for many queries:
     ``postings`` (term, doc_id, tf, dl) — the document length is
-    DENORMALISED into every posting at build time (one doc_id-keyed
-    join here, +8 bytes per posting) so SERVING never joins the
-    corpus-sized length relation again; ``doc_lens`` (doc_id, dl) is
-    still returned for callers that want it, plus the corpus scalars N
-    and avgdl (two driver doubles — the only collect). The returned
-    dict feeds :func:`bm25_topk`; persist ``postings`` yourself if you
-    will issue many query batches."""
-    d = spread(docs, "doc_id")
-    occ = d.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-    doc_lens = occ.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    postings = (
-        occ.groupBy("term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-        .join(doc_lens, "doc_id")
+    DENORMALISED into every posting at build time; ``doc_lens``
+    (doc_id, dl) is still returned for callers that want it, plus the
+    corpus scalars N and avgdl (two driver doubles — the only collect).
+    The returned dict feeds :func:`bm25_topk`; persist ``postings``
+    yourself if you will issue many query batches.
+
+    r15 plan shape: ``dl`` is computed as ``size(tokens)`` BEFORE the
+    explode and carried through the tf aggregate as a grouping column
+    (functionally dependent on doc_id, so the grouping is unchanged) —
+    identical values to counting exploded rows, but the per-doc length
+    aggregate and the corpus-sized doc_id join the r14 plan paid are
+    gone: one explode pass builds the whole postings relation. The
+    N/avgdl scalars likewise come from a map-only ``size(tokens)``
+    projection (docs with zero tokens excluded, matching the explode
+    semantics), not from re-exploding the corpus."""
+    # tokenize BELOW the spread exchange so the array is a materialized
+    # column above it — size() and explode() then read the same array
+    # instead of each re-running the regex split over the text
+    d = spread(docs.select("doc_id", tokens_col("text").alias("toks")), "doc_id")
+    occ = d.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
     )
+    postings = occ.groupBy("term", "doc_id", "dl").agg(
+        F.count("*").alias("tf")
+    )
+    doc_lens = docs.select(
+        "doc_id", F.size(tokens_col("text")).alias("dl")
+    ).where(F.col("dl") > 0)
     row = doc_lens.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
@@ -81,11 +94,13 @@ def bm25_topk(
     """
     if isinstance(docs_or_index, dict):
         idx = docs_or_index
+        postings = idx["postings"]
+        n_docs, avgdl = idx["n_docs"], idx["avgdl"]
+        spark = postings.sparkSession
     else:
-        idx = bm25_index(docs_or_index)
-    postings = idx["postings"]
-    n_docs, avgdl = idx["n_docs"], idx["avgdl"]
-    spark = postings.sparkSession
+        docs = docs_or_index
+        spark = docs.sparkSession
+        postings = None
     if isinstance(queries, list):
         qdf = spark.createDataFrame(
             list(enumerate(queries)), "query_id long, text string"
@@ -95,20 +110,48 @@ def bm25_topk(
     q_terms = qdf.select(
         "query_id", F.explode(tokens_col("text")).alias("term")
     ).distinct()
+    uniq_terms = q_terms.select("term").distinct()
 
-    # df only for the QUERY terms — the df relation entering the score
-    # join is bounded by the query vocabulary, not the corpus vocabulary
-    q_df = (
-        postings.groupBy("term")
-        .agg(F.count("*").alias("df"))
-        .join(F.broadcast(q_terms.select("term").distinct()), "term")
+    if postings is None:
+        # inline build (r15 plan shape): the corpus scalars come from a
+        # map-only size(tokens) pass, and the query-term semi-join is
+        # pushed BELOW the tf aggregate — only postings of query terms
+        # are ever aggregated, so serving is ONE explode pass over the
+        # corpus instead of the r14 plan's four (postings, doc_lens,
+        # and both again for the df branch). tf/dl/df values are
+        # unchanged: filtering by term before the (term, doc) count
+        # drops whole groups, never rows within a kept group.
+        doc_lens = docs.select(
+            "doc_id", F.size(tokens_col("text")).alias("dl")
+        ).where(F.col("dl") > 0)
+        row = doc_lens.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).collect()[0]
+        if row.n == 0:
+            raise ValueError("bm25_topk: corpus has no tokenized documents")
+        n_docs, avgdl = int(row.n), float(row.avgdl)
+        d = spread(
+            docs.select("doc_id", tokens_col("text").alias("toks")), "doc_id"
+        )
+        occ = d.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        postings = (
+            occ.join(F.broadcast(uniq_terms), "term", "left_semi")
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count("*").alias("tf"))
+        )
+    else:
+        postings = postings.join(F.broadcast(uniq_terms), "term", "left_semi")
+
+    # df for the query terms from the relation already in hand — one
+    # window count over the (tiny) query-term postings, not a second
+    # corpus-wide groupBy(term): postings holds one row per (term, doc),
+    # so rows-per-term IS the document frequency
+    with_df = postings.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term"))
     )
-    # the query-side relations are tiny -> broadcast them; the postings
-    # relation (which already carries dl) streams through unchanged —
-    # serving adds ZERO doc_id-keyed joins against corpus-sized relations
-    matched = postings.join(F.broadcast(q_terms), "term").join(
-        F.broadcast(q_df), "term"
-    )
+    matched = with_df.join(F.broadcast(q_terms), "term")
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
