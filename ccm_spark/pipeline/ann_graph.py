@@ -142,19 +142,25 @@ def _score_pairs(
     very relation the index was collected from, so the filter would be
     a per-round no-op scan over the (multi-million-row) scored relation
     (the r11->r12 bench bisect: measurable pure overhead)."""
-    cpairs = (
+    # r15: ONE exchange for dedup + compute spread. The r14 plan paid
+    # two full exchanges of the candidate relation back-to-back — the
+    # distinct's hash(a, b) exchange, then spread()'s hash(a) respread
+    # so AQE could not coalesce the compute-heavy scoring stage to a
+    # couple of tasks. An explicit-count repartition on (a, b) BEFORE
+    # the aggregate satisfies the distinct's distribution requirement
+    # (no second exchange is planned), is AQE-coalesce-exempt, and
+    # spreads the scoring evenly — same rows, one exchange fewer per
+    # descent round.
+    cpairs = spread(
         pairs.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .distinct()
-    )
-    # explicit-count respread before the cosine kernel: the candidate
-    # relation is byte-small but COMPUTE-heavy, so AQE coalesces the
-    # exchange to a couple of tasks and serialises the scoring
-    # (measured 2-task stages at sf0.1) — the same trap spread()
-    # exists for on the CCM fleet
+        ),
+        "a",
+        "b",
+        factor=2,
+    ).dropDuplicates(["a", "b"])
     if pair_cos is not None:
-        cscored = spread(cpairs, "a", factor=2).select(
+        cscored = cpairs.select(
             "a",
             "b",
             (F.round(pair_cos(F.col("a"), F.col("b")), 9) + F.lit(0.0)).alias(

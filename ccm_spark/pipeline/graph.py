@@ -446,30 +446,27 @@ def hits(
             eager=True
         )
         a = None
-        # r15: the checkpoint moves from the _l1 OUTPUT to the RAW
-        # aggregate. _l1 consumes its input twice (the `tot` broadcast
-        # scalar + the left join), so checkpointing downstream of _l1
-        # made every half-step execute the edge join TWICE — once in the
-        # tot subtree, once in the main plan (4 edge joins/iteration).
-        # Cutting at the node-sized raw relation runs each edge join
-        # exactly once (2/iteration); _l1 itself is node-sized work the
-        # next half-step evaluates inline. Same expressions, same
-        # aggregation tree — values are bit-identical.
+        # r15 A/B note: cutting at the RAW aggregate instead (so _l1's
+        # tot branch reads a checkpoint and each edge join runs once)
+        # was tried and REVERTED — the bench showed hits_20k 6.5 s ->
+        # 19-33 s: re-evaluating the lazy _l1 join tree inside every
+        # consumer costs more at this geometry than the duplicated
+        # (tiny) edge join it saves. The r14 shape stays.
         for _ in range(n_iters):
             # authority from current hubs
             a_raw = (
                 e.join(h.withColumnRenamed("node", "src"), "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("w") * F.col("s")).alias("raw"))
-            ).localCheckpoint(eager=True)
-            a = _l1(nodes, a_raw, "dst", q)
+            )
+            a = _l1(nodes, a_raw, "dst", q).localCheckpoint(eager=True)
             # hubs from the fresh authorities
             h_raw = (
                 e.join(a.withColumnRenamed("node", "dst"), "dst")
                 .groupBy("src")
                 .agg(F.sum(F.col("w") * F.col("s")).alias("raw"))
-            ).localCheckpoint(eager=True)
-            h = _l1(nodes, h_raw, "src", q)
+            )
+            h = _l1(nodes, h_raw, "src", q).localCheckpoint(eager=True)
         out = (
             nodes.join(h.withColumnRenamed("s", "hub"), "node", "left")
             .join(a.withColumnRenamed("s", "authority"), "node", "left")
