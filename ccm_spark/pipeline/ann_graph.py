@@ -189,11 +189,21 @@ def _score_pairs(
                 "cos_sim"
             ),
         )
+    # r15: mirror via ONE explode, not a self-union. Union's two
+    # branches are separate physical subtrees — only the exchange below
+    # them is reusable, so the dedup aggregate AND the Arrow scoring
+    # pass executed twice per round (defeating the point of
+    # canonicalising). Generate doubles the rows inline above a single
+    # scored subtree: same rows, scoring runs once.
     return cscored.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "cos_sim"
-    ).union(
-        cscored.select(F.col("b").alias("src"), F.col("a").alias("dst"), "cos_sim")
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("_e"),
+        "cos_sim",
+    ).select("_e.src", "_e.dst", "cos_sim")
 
 
 #: corpora at or below this many vectors score candidate pairs against a
@@ -575,9 +585,16 @@ def graph_diversity_sample(
         return md5_long(F.concat(F.lit(f"{seed}:"), F.col(col).cast("string")))
 
     e = graph.where(F.col("cos_sim") >= threshold).select("src", "dst")
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # symmetrise via one explode (the r15 mirror rule): a self-union
+    # would evaluate the thresholded edge subtree once per branch
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     nbr_min = (
         sym.select("src", F.struct(pr("dst").alias("p"), F.col("dst").alias("i")).alias("np"))
         .groupBy("src")

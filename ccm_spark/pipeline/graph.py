@@ -110,8 +110,11 @@ def pagerank(
     # set, which is taken BEFORE the weight filter.
     nodes_src = e
     e = e.filter(F.col("w") > 0)
-    nodes = nodes_src.select(F.col("src").alias("node")).union(
-        nodes_src.select(F.col("dst").alias("node"))
+    # endpoint set via one explode, not a self-union: union's branches
+    # are separate physical subtrees, so materialising the node set
+    # evaluated the caller's edge relation twice (r15)
+    nodes = nodes_src.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
     ).distinct()
     nodes = nodes.persist()
     n = nodes.count()  # one scalar, once — not per iteration
@@ -316,9 +319,23 @@ def connected_components(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     from pyspark.storagelevel import StorageLevel
 
-    sym = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # symmetrise with ONE explode over a single edge subtree — a
+    # self-union would evaluate the caller's edge relation twice when
+    # the persist materialises (r15)
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -420,9 +437,10 @@ def hits(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
+    # one explode, not a self-union — the pagerank node-set rule (r15):
+    # a union would evaluate the caller's edge subtree twice here
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e.select(F.explode(F.array(F.col("src"), F.col("dst"))).alias("node"))
         .distinct()
         .persist()
     )
