@@ -310,13 +310,24 @@ def _kmeans_centroid_rows(
     vals = spread(embeddings, "vec_id").select(
         "vec_id", F.posexplode(as_double_vec("embedding")).alias("d", "val")
     ).persist()
+    # r15: vnorm is loop-INVARIANT but was lazily recomputed (one
+    # corpus-sized aggregate over the persisted vals) inside every
+    # iteration's cos join — persist it once alongside vals
     vnorm = vals.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn")
-    )
+    ).persist()
     cents = vals.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("centroid_id"), "d", F.col("val").alias("cval")
     )
     for _ in range(n_iters):
+        # r15: cut the iteration lineage at the (k x dim — tiny)
+        # centroid relation. Left lazy, iteration i's cents is consumed
+        # TWICE (cnorm + the dots join) and each consumer re-evaluates
+        # the corpus-sized vals.join(assign) rebuild of the PREVIOUS
+        # iteration, nesting geometrically with n_iters; the eager cut
+        # makes each iteration exactly one broadcast-join pass + one
+        # rebuild aggregate over the persisted vals.
+        cents = cents.localCheckpoint(eager=True)
         cnorm = cents.groupBy("centroid_id").agg(
             F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn")
         )
@@ -356,6 +367,7 @@ def _kmeans_centroid_rows(
     )
     rows = [(r.centroid_id, r.dim_idx, r.comp) for r in final.collect()]
     vals.unpersist()
+    vnorm.unpersist()
     return rows
 
 
