@@ -100,7 +100,15 @@ def capped_adjacency(
         .where(F.col("_r") <= rev_cap)
         .drop("_r")
     )
-    return fwd.union(rev_sampled).distinct()
+    # r15: no trailing .distinct() — it cost a full hash(src, dst)
+    # exchange of the adjacency every round and buys nothing: a
+    # fwd/rev-sample overlap (mutual edge) only duplicates candidate
+    # pairs that score_topk's canonical dropDuplicates absorbs at an
+    # exchange it pays anyway, and the per-node ROW bound that caps the
+    # pair join is k + ⌈ρk⌉ with or without dedup (each branch is
+    # bounded on its own). Same final graph, one exchange fewer per
+    # descent round.
+    return fwd.union(rev_sampled)
 
 
 def _score_pairs(
