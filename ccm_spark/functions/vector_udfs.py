@@ -529,12 +529,18 @@ def cosine_pairs_udf(bc_index):
             keys = np.fromiter(idmap.keys(), dtype=np.int64, count=len(idmap))
             vals = np.fromiter(idmap.values(), dtype=np.int64, count=len(idmap))
             order = np.argsort(keys, kind="stable")
-            _lk.append((keys[order], vals[order], mat))
+            # per-row norms ONCE per worker (r16): recomputing both
+            # gathered rows' norms per pair per batch was 2 of the 3
+            # einsums; the per-row reduction here is the IDENTICAL
+            # float64 operation on the identical row bytes, so gathered
+            # norms are bit-equal to the per-pair recompute
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            _lk.append((keys[order], vals[order], mat, norms))
         return _lk[0]
 
     @pandas_udf("double")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        skeys, srows, mat = _lookup_arrays()
+        skeys, srows, mat, norms = _lookup_arrays()
 
         def gather(ids: pd.Series) -> np.ndarray:
             x = ids.to_numpy(dtype=np.int64, copy=False)
@@ -548,12 +554,12 @@ def cosine_pairs_udf(bc_index):
         ia = gather(a)
         ib = gather(b)
         known = (ia >= 0) & (ib >= 0)
-        ma = mat[np.where(known, ia, 0)]
-        mb = mat[np.where(known, ib, 0)]
+        ra = np.where(known, ia, 0)
+        rb = np.where(known, ib, 0)
+        ma = mat[ra]
+        mb = mat[rb]
         dots = np.einsum("ij,ij->i", ma, mb)
-        n1 = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-        n2 = np.sqrt(np.einsum("ij,ij->i", mb, mb))
-        denom = n1 * n2
+        denom = norms[ra] * norms[rb]
         out = np.where(denom == 0.0, 0.0, dots / np.where(denom == 0.0, 1.0, denom))
         return pd.Series(np.where(known, out, np.nan))
 

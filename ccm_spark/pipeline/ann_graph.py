@@ -59,7 +59,6 @@ from ccm_spark.pipeline.similarity import (
     adaptive_srp_planes,
     as_double_vec,
     cosine_pandas,
-    srp_buckets,
 )
 
 
@@ -85,9 +84,37 @@ def capped_adjacency(
     from ccm_spark.functions.hashing import md5_long
 
     rev_cap = max(1, math.ceil(rho * k))
-    fwd = edges.select("src", "dst")
-    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # r16: ONE subtree, one exchange. The r15 shape (fwd.union(rev) with
+    # a row_number window over the rev branch) planned the adjacency as
+    # a union whose branches are separate physical subtrees — and the
+    # descent round consumes adj THREE times (union with the two-hop
+    # pairs + both sides of the pair self-join), so the reverse-sample
+    # window and its hash(src) exchange were planned (and the window
+    # evaluated) three times per round (plans/r16/
+    # knn_descent_full_round_before.txt: 7 exchanges, 0 reused). Now
+    # both orientations come from one explode-mirror (the r15
+    # _score_pairs rule) and ONE window pair ranks them: forward rows
+    # sort first (fwd desc), so with nf = the owner's forward count,
+    # `rn <= nf + rev_cap` keeps every forward row and exactly the
+    # top-rev_cap reverse rows by the SAME (md5 'src:dst' rank, dst)
+    # order as before — row-identical output. The spread() below makes
+    # the window's exchange explicit-count (AQE-coalesce-exempt, the
+    # _score_pairs precedent) so the pair join downstream keeps its
+    # parallelism on byte-tiny adjacency relations.
+    mirrored = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.lit(True).alias("fwd")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.lit(False).alias("fwd"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.fwd")
     w = Window.partitionBy("src").orderBy(
+        F.col("fwd").desc(),
         md5_long(
             F.concat(
                 F.col("src").cast("string"), F.lit(":"), F.col("dst").cast("string")
@@ -95,20 +122,14 @@ def capped_adjacency(
         ).asc(),
         F.col("dst").asc(),
     )
-    rev_sampled = (
-        rev.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= rev_cap)
-        .drop("_r")
+    nf = F.sum(F.col("fwd").cast("int")).over(Window.partitionBy("src"))
+    return (
+        spread(mirrored, "src")
+        .withColumn("_r", F.row_number().over(w))
+        .withColumn("_nf", nf)
+        .where(F.col("_r") <= F.col("_nf") + rev_cap)
+        .select("src", "dst")
     )
-    # r15: no trailing .distinct() — it cost a full hash(src, dst)
-    # exchange of the adjacency every round and buys nothing: a
-    # fwd/rev-sample overlap (mutual edge) only duplicates candidate
-    # pairs that score_topk's canonical dropDuplicates absorbs at an
-    # exchange it pays anyway, and the per-node ROW bound that caps the
-    # pair join is k + ⌈ρk⌉ with or without dedup (each branch is
-    # bounded on its own). Same final graph, one exchange fewer per
-    # descent round.
-    return fwd.union(rev_sampled)
 
 
 def _score_pairs(
@@ -279,19 +300,87 @@ def _topk(edges: DataFrame, k: int) -> DataFrame:
     return edges.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _valved_buckets(
-    embeddings: DataFrame, planes: int, seed: int, max_bucket_size: int
+def _seed_pairs(
+    embeddings: DataFrame,
+    planes: int,
+    seed: int,
+    n_seed_tables: int,
+    cap: int,
+    max_bucket_size: int,
+    left_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """SRP buckets with the blocking families' oversize valve applied
-    BEFORE any self-join (a duplicate-heavy corpus collapses into one
-    mega-bucket whose |bucket|² rows would materialise before any
-    per-src cap could apply)."""
-    bucket_w = Window.partitionBy("bucket")
-    return (
-        srp_buckets(embeddings, planes=planes, seed=seed)
+    """(src, dst) seed candidate pairs from ``n_seed_tables``
+    independent SRP tables in ONE corpus pass (r16). The r15 shape
+    looped table-by-table — each table re-running the 64-dim posexplode
+    + plane join + two aggregates over the corpus, and each table's
+    bucket relation feeding BOTH sides of its self-join as separate
+    physical subtrees — so the bucketization chain executed up to
+    2 · n_seed_tables times per build. Here all tables' hyperplanes ride
+    one broadcast relation keyed by ``tbl`` (the per-table planes are
+    byte-identical: ``srp_plane_values(planes, DIM, seed + t)``, exactly
+    what ``similarity.srp_buckets`` derives per table), the explode and
+    both aggregates run once over (vec_id, tbl) keys, and the valved
+    bucket relation — n_tables·N rows of three int64s — is eagerly
+    localCheckpointed so the |bucket|² self-join consumes ONE
+    materialisation (and, because the checkpoint preserves the valve
+    window's hash(tbl, bucket) partitioning, the self-join plans zero
+    exchanges). Per-table semantics are unchanged: the oversize valve
+    applies per (tbl, bucket) BEFORE the self-join, the per-src cap
+    ranks by dst asc per (tbl, src), and cross-table duplicate pairs
+    are retained exactly as the old per-table union retained them
+    (score_topk's canonical dedup absorbs both).
+
+    ``left_ids`` restricts the PROPOSING side to an id set — the
+    ``knn_graph_insert`` increment — while the candidate side stays the
+    full valved corpus, matching the r15 per-table ``bn = b.join(new)``
+    shape."""
+    from ccm_spark.pipeline.similarity import DIM, srp_plane_values
+
+    spark = embeddings.sparkSession
+    plane_rows = [
+        (t, pl, d, c)
+        for t in range(n_seed_tables)
+        for (pl, d, c) in srp_plane_values(planes, DIM, seed + t)
+    ]
+    planes_df = spark.createDataFrame(
+        plane_rows, "tbl int, plane int, dim_idx int, comp double"
+    )
+    comps = (
+        spread(embeddings, "vec_id")
+        .select(
+            "vec_id", F.posexplode(as_double_vec("embedding")).alias("dim_idx", "v")
+        )
+        .join(F.broadcast(planes_df), "dim_idx")
+        .groupBy("vec_id", "tbl", "plane")
+        .agg(F.sum(F.col("v") * F.col("comp")).alias("dot"))
+    )
+    pw = F.expr("shiftleft(CAST(1 AS BIGINT), plane)")
+    bit = F.when(F.col("dot") >= 0.0, pw).otherwise(F.lit(0).cast("long"))
+    b = comps.groupBy("vec_id", "tbl").agg(F.sum(bit).alias("bucket"))
+    bucket_w = Window.partitionBy("tbl", "bucket")
+    valved = (
+        spread(b, "tbl", "bucket")
         .withColumn("bucket_n", F.count("*").over(bucket_w))
         .where(F.col("bucket_n") <= max_bucket_size)
         .drop("bucket_n")
+        .localCheckpoint(eager=True)
+    )
+    left = valved if left_ids is None else valved.join(left_ids, "vec_id")
+    p = (
+        left.alias("l")
+        .join(valved.alias("r"), ["tbl", "bucket"])
+        .where(F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            "tbl",
+            F.col("l.vec_id").alias("src"),
+            F.col("r.vec_id").alias("dst"),
+        )
+    )
+    wcap = Window.partitionBy("tbl", "src").orderBy(F.col("dst").asc())
+    return (
+        p.withColumn("_r", F.row_number().over(wcap))
+        .where(F.col("_r") <= cap)
+        .select("src", "dst")
     )
 
 
@@ -374,42 +463,42 @@ def knn_graph_descent(
     # union is globally connected with high probability — the standard
     # multi-table LSH argument, here buying CONNECTIVITY rather than
     # candidate recall. Capped deterministically by dst id per table.
-    seeds = []
-    for t in range(n_seed_tables):
-        b = _valved_buckets(embeddings, planes, seed + t, max_bucket_size)
-        p = (
-            b.alias("l")
-            .join(b.alias("r"), F.col("l.bucket") == F.col("r.bucket"))
-            .where(F.col("l.vec_id") != F.col("r.vec_id"))
-            .select(F.col("l.vec_id").alias("src"), F.col("r.vec_id").alias("dst"))
-        )
-        wcap = Window.partitionBy("src").orderBy(F.col("dst").asc())
-        seeds.append(
-            p.withColumn("_r", F.row_number().over(wcap))
-            .where(F.col("_r") <= cap)
-            .drop("_r")
-        )
-    pairs0 = seeds[0]
-    for p in seeds[1:]:
-        pairs0 = pairs0.union(p)
-    # no .distinct() here: score_topk's canonicalising
-    # (least, greatest) distinct dedupes the union anyway — a separate
-    # pre-distinct would just add one full exchange of the pair relation
+    # All tables are built in ONE corpus pass (r16, _seed_pairs); no
+    # pre-distinct on the pairs: score_topk's canonicalising
+    # (least, greatest) distinct dedupes in an exchange it pays anyway.
+    pairs0 = _seed_pairs(
+        embeddings, planes, seed, n_seed_tables, cap, max_bucket_size
+    )
     nbrs = score_topk(pairs0).localCheckpoint(eager=True)
 
     for _ in range(n_rounds):
-        adj = capped_adjacency(nbrs, k, rho)
+        # r16: the round consumes adj three ways (self-join l/r + the
+        # union below); an eager localCheckpoint of the byte-tiny
+        # (≤ N·(k+⌈ρk⌉) rows of two int64s) relation computes the
+        # mirror window ONCE and — because localCheckpoint preserves
+        # the window's hash(src) output partitioning — the pair
+        # self-join on src plans ZERO exchanges over it (measured in
+        # plans/r16/knn_descent_full_round_after.txt; A/B in
+        # OPTIMIZATION_r16.md)
+        adj = capped_adjacency(nbrs, k, rho).localCheckpoint(eager=True)
         # pair join on the shared adjacency OWNER (l.src == r.src):
         # "two members of one node's capped adjacency are candidates
         # for each other". Each owner holds ≤ k + ⌈ρk⌉ rows, so the
         # join emits ≤ (k(1+ρ))² pairs per node — bounded by
         # construction, unlike a join through the (unbounded
         # in-degree) mid vertex.
+        # r16: emit each two-hop pair in ONE orientation (src < dst), not
+        # both — score_topk canonicalises to (least, greatest) and
+        # dedupes before scoring, so the (b, a) twin of every (a, b) was
+        # pure shuffle volume: the pair relation entering the round's
+        # repartition exchange halves, the dedup aggregate sees half the
+        # rows, and the distinct canonical pair set (hence the scored
+        # rows, the mirror, and the final graph) is bit-identical
         two_hop = (
             adj.alias("l")
             .join(adj.alias("r"), F.col("l.src") == F.col("r.src"))
             .select(F.col("l.dst").alias("src"), F.col("r.dst").alias("dst"))
-            .where(F.col("src") != F.col("dst"))
+            .where(F.col("src") < F.col("dst"))
         )
         # as with the seed union: no pre-distinct — score_topk's
         # canonical-pair distinct absorbs the duplicates in one exchange
@@ -485,25 +574,17 @@ def knn_graph_insert(
         )
     vecs, pair_cos = _pair_scorer(embeddings, n, broadcast_threshold)
 
-    seeds = []
-    for t in range(n_seed_tables):
-        b = _valved_buckets(embeddings, planes, seed + t, max_bucket_size)
-        bn = b.join(new, "vec_id")  # increment side only
-        p = (
-            bn.alias("l")
-            .join(b.alias("r"), F.col("l.bucket") == F.col("r.bucket"))
-            .where(F.col("l.vec_id") != F.col("r.vec_id"))
-            .select(F.col("l.vec_id").alias("src"), F.col("r.vec_id").alias("dst"))
-        )
-        wcap = Window.partitionBy("src").orderBy(F.col("dst").asc())
-        seeds.append(
-            p.withColumn("_r", F.row_number().over(wcap))
-            .where(F.col("_r") <= cap)
-            .drop("_r")
-        )
-    pairs0 = seeds[0]
-    for p in seeds[1:]:
-        pairs0 = pairs0.union(p)
+    # all seed tables in one corpus pass; candidate pairs proposed from
+    # the INCREMENT side only (left_ids), against the full valved corpus
+    pairs0 = _seed_pairs(
+        embeddings,
+        planes,
+        seed,
+        n_seed_tables,
+        cap,
+        max_bucket_size,
+        left_ids=new,
+    )
 
     # hop: co-members' ranked edges extend each new vector's pool
     ge = graph.select(F.col("src").alias("_m"), F.col("dst").alias("_d"))

@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for declared queries into plans/r15/.
+"""Dump .explain("formatted") for declared queries into plans/<ROUND>/.
 
 Usage::
 
@@ -7,8 +7,10 @@ Usage::
 
 Defaults to sf0.1 (the bench scale) and all ``queries()`` entries plus the
 bench-local headline queries (ccm_knn / ccm_bidirectional_fast /
-ccm_fleet_64x300). Writes ``plans/r15/<name>_<tag>.txt``; explain() only
-plans, it does not execute, so this is cheap and side-effect free.
+ccm_fleet_64x300). Writes ``plans/<ROUND>/<name>_<tag>.txt``; explain()
+only plans, it does not execute, so this is cheap and side-effect free
+for purely-lazy queries (iterative operators that checkpoint per round
+do run their loop jobs at construction time).
 """
 
 from __future__ import annotations
@@ -72,6 +74,9 @@ def bench_local_queries():
     }
 
 
+ROUND = "r16"
+
+
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     args = sys.argv[2:]
@@ -79,13 +84,22 @@ def main() -> None:
     names = args[1:] if args and os.path.isdir(args[0]) else args
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", ROUND
     )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark("ccm_spark-plans")
     qs = dict(entry_mod.queries())
     qs.update(bench_local_queries())
+    # validate up front (ADVICE r15 #4): a mistyped name or a mistyped
+    # sf_dir (silently parsed as a query name) otherwise dies on a bare
+    # KeyError mid-run with no hint of what was available
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(
+            f"unknown queries: {unknown}\navailable: {sorted(qs)}\n"
+            "(is the first positional arg a valid sf_dir?)"
+        )
     targets = names or list(qs)
     for name in targets:
         fn = qs[name]
