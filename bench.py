@@ -113,6 +113,7 @@ def main() -> None:
 
     def knn_query(spark, sf_dir, lib_size=80, sample_id=0):
         import pyspark.sql.functions as F
+        from pyspark.storagelevel import StorageLevel
 
         from ccm_spark.operators.embedding import embed_bidirectional
         from ccm_spark.operators.knn import knn_candidates, top_k_neighbors
@@ -125,7 +126,15 @@ def main() -> None:
             [(int(ls),) for ls in PARAMS.lib_sizes], "lib_size int"
         )
         ladder = series.select("pair_id").distinct().crossJoin(explicit)
-        fanned = fan_out_with_rank(emb, ladder, PARAMS.num_samples, PARAMS.seed)
+        # r16: persist the fan-out exactly as the gated sample_corr_plan
+        # does — it feeds BOTH sides of the kNN self-join, and the
+        # unpersisted form re-evaluated the whole fan-out chain per side
+        # (interleaved A/B in OPTIMIZATION_r16.md: ~3.2 -> ~2.2 s).
+        # Same rows; the bench's clearCache() drops the blocks between
+        # samples, so nothing survives a timed run.
+        fanned = fan_out_with_rank(
+            emb, ladder, PARAMS.num_samples, PARAMS.seed
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         nn = top_k_neighbors(
             knn_candidates(fanned, PARAMS.embedding_dim), PARAMS.embedding_dim
         )
@@ -665,6 +674,63 @@ def main() -> None:
 
         return large_volume_customers(spark, sf_dir)
 
+    def extra_tfidf(spark, sf_dir):
+        """r16 (VERDICT r15 #5): first recorded baseline for
+        tfidf_terms — previously ungated AND unbenched, so its
+        double-consumed tf aggregate was invisible to every cross-round
+        comparison. Baselined the round it stages, per policy."""
+        from ccm_spark.pipeline.text import tfidf_terms
+        from ccm_spark.sources.tables import load_table
+
+        return tfidf_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+    # r16 (VERDICT r15 #8): the HOT streaming variant — source dir and
+    # sink-view name pre-created ONCE, untimed, so the extra times the
+    # micro-batch machinery itself rather than tempdir + parquet-copy
+    # setup. streaming_sessionize keeps its original convention
+    # unchanged (setup inside the timed region) for cross-round
+    # comparability; the hot/cold delta IS the setup cost, read
+    # directly from the two extras. Each run still gets a FRESH
+    # checkpoint subdir (a reused availableNow checkpoint would replay
+    # nothing and time an empty batch — gaming, not measurement).
+    _hot_stream_dir = tempfile.mkdtemp(prefix="bench_sess_stream_hot_")
+    _hot_stream_runs = [0]
+    # source dir built HERE — outside the extras loop, untimed
+    import shutil as _sh
+
+    os.makedirs(os.path.join(_hot_stream_dir, "src"))
+    _sh.copy(
+        f"{sf_dir}/events.parquet",
+        os.path.join(_hot_stream_dir, "src", "part-0.parquet"),
+    )
+
+    def extra_streaming_sessionize_hot(spark, sf_dir):
+        from ccm_spark.streaming.stateful import streaming_sessionize
+        from ccm_spark.streaming.windows import event_stream
+
+        src = os.path.join(_hot_stream_dir, "src")
+        try:
+            spark.catalog.dropTempView("bench_sess_stream_hot")
+        except Exception:
+            pass
+        _hot_stream_runs[0] += 1
+        ckpt = os.path.join(_hot_stream_dir, f"ckpt{_hot_stream_runs[0]}")
+        q = (
+            streaming_sessionize(event_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName("bench_sess_stream_hot")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_sessionize_hot bench extra exceeded 300s"
+            )
+        return spark.sql("SELECT * FROM bench_sess_stream_hot")
+
     extras = {
         # url_dedup left the gated registry r14 (slot went to
         # plan_compaction) but stays timed under the same name
@@ -710,6 +776,11 @@ def main() -> None:
         "promo_revenue": extra_promo_revenue,
         "large_volume_customers": extra_q18,
         "heavy_hitters_lang": extra_heavy_hitters,
+        # r16 additions — first baselines recorded this round (VERDICT
+        # r15 #5 and #8); appended at the end so every earlier extra
+        # keeps its queue position (the cooldown-band comparability)
+        "tfidf_terms": extra_tfidf,
+        "streaming_sessionize_hot": extra_streaming_sessionize_hot,
     }
     # two runs per extra: the REPORTED number stays the FIRST (cold) run
     # so cross-round extra comparisons stay apples-to-apples with r1-r6
@@ -778,6 +849,11 @@ def main() -> None:
     EXTRA_COOLDOWN_MAX = 60.0
     EXTRA_COOLDOWN_BUDGET = 360.0
     cooldown_spent = 0.0
+    # r16 (VERDICT r15 #3): run-level loadavg bracket for the EXTRAS
+    # phase, carried into the parsed line with per-extra floors so a
+    # loaded extras phase (the r15 driver's c32 pagerank 23 s) is
+    # attributable from BENCH_rN.json alone
+    extras_load_start = _loadavg()
     extra_start_load: dict[str, float] = {}
     extra_timings = {}
     extra_spread = {}
@@ -895,6 +971,10 @@ def main() -> None:
                 # comparable band), gate threshold, and how much of the
                 # bounded cooldown budget the run spent waiting
                 "extra_start_loadavg": extra_start_load,
+                "extras_loadavg": [
+                    extras_load_start[0] if extras_load_start else -1.0,
+                    (_loadavg() or [-1.0])[0],
+                ],
                 "extra_cooldown_gate": EXTRA_LOAD_GATE,
                 "extra_cooldown_spent_sec": cooldown_spent,
                 "extra_cooldown_budget_sec": EXTRA_COOLDOWN_BUDGET,
@@ -918,6 +998,13 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     with open(out_path, "w") as f:
+        f.write(summary + "\n")
+    # r16 (VERDICT r15 #3): a second same-round run used to OVERWRITE
+    # BENCH_LOCAL.json, losing the first run's loadavg maps (the r15
+    # c32 extras burst became unattributable). Every run now ALSO
+    # appends to a history file; BENCH_LOCAL.json stays the latest run
+    # under its frozen name.
+    with open(out_path.replace(".json", "_HISTORY.jsonl"), "a") as f:
         f.write(summary + "\n")
     # r13 (VERDICT r12 #5): the driver records only a stdout TAIL, and
     # the full summary line (per-query loadavg maps included) outgrew
@@ -947,6 +1034,16 @@ def main() -> None:
                     name: round(min(xs), 3) for name, xs in samples.items()
                 },
                 "extra_queries": extra_timings,
+                # r16 (VERDICT r15 #3): extras attribution in the parsed
+                # line itself — per-extra floors (min of the raw runs)
+                # and the extras phase's start/end 1-min loadavg pair
+                "extra_queries_floor": {
+                    name: sp[0] for name, sp in extra_spread.items()
+                },
+                "extras_loadavg": [
+                    extras_load_start[0] if extras_load_start else -1.0,
+                    (_loadavg() or [-1.0])[0],
+                ],
                 "full_artifact": "BENCH_LOCAL.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

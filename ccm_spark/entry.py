@@ -925,7 +925,13 @@ def q_dsir_weights(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     target = docs.where(F.col("doc_id") % 10 == 0)
     raw = docs.where(F.col("doc_id") % 10 != 0)
-    return dsir_log_weights(raw, target).select("doc_id", "log_w")
+    out = dsir_log_weights(raw, target)
+    # .select() drops the _ccm_persisted attribute — re-attach it so
+    # release_cached can free the persisted raw feature relation
+    # (ADVICE r15 #3: it was unreleasable for this caller)
+    out2 = out.select("doc_id", "log_w")
+    out2._ccm_persisted = getattr(out, "_ccm_persisted", [])
+    return out2
 
 
 def q_hll_vocab(spark, sf_dir):

@@ -87,7 +87,14 @@ def dsir_log_ratios(
     """(feat_idx, log_ratio): the per-feature importance term
     ``log p_target(f) - log p_raw(f)`` under add-``alpha`` smoothed
     hashed-n-gram bag models of the two corpora. At most ``dim`` rows —
-    the broadcastable model artifact."""
+    the broadcastable model artifact.
+
+    EAGER: constructing this relation runs Spark jobs immediately (the
+    dim-bounded joined counts are localCheckpoint'ed so downstream
+    consumers stop replaying the corpus-sized aggregate subtrees — the
+    ``corpus_divergence`` precedent; ADVICE r15 #2 asked for the
+    laziness-contract change to be documented). The checkpointed blocks
+    are freed when the intermediate DataFrame is garbage-collected."""
     t = (
         ngram_feature_counts(target_docs, n, dim)
         .groupBy("feat_idx")

@@ -223,6 +223,16 @@ def robots_txt_rules(
             "prefix": F.regexp_extract("line", _RULE_RE, 2),
         },
     )
+    # r16 (VERDICT r15 #4): the parsed line relation feeds the agent-
+    # group selection AND the rule branch — without a persist each
+    # consumer re-evaluated the caller's input subtree (the gate
+    # fixture's before-plan scanned its documents-derived input 4x).
+    # Host-bounded by definition (lines per robots body), persisted
+    # MEMORY_AND_DISK and released via the engine-wide _ccm_persisted /
+    # release_cached convention.
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    starts = starts.persist(_SL.MEMORY_AND_DISK)
     selected = _select_agent_groups(starts, agent, "robots_txt_rules")
     # conservative wildcard degradation (RFC 9309 §2.2.3): a DISALLOW
     # pattern is truncated at its first '*' and stripped of a trailing
@@ -291,33 +301,41 @@ def robots_txt_rules(
         "_n_dis",
         F.sum((F.col("rule") == "disallow").cast("int")).over(host_w),
     ).withColumn("rk", F.row_number().over(cap_w))
-    out_cols = ["host", "rule", "prefix", "prec"] + (
-        ["pattern_re"] if wildcard == "exact" else []
-    )
-    kept = (
+    # r16: ONE pass instead of the kept/collapsed two-branch union —
+    # the union's branches were separate physical subtrees, so the
+    # whole rule chain (and the caller's input below it) evaluated
+    # twice. A collapsed host (more disallows than the cap) emits its
+    # rk == 1 row rewritten to the single 'Disallow: /' sentinel —
+    # every host has a rk == 1 row, so the output multiset is
+    # byte-identical to the old two-branch form.
+    collapsed = F.col("_n_dis") > max_rules_per_host
+    out = (
         marked.filter(
-            (F.col("_n_dis") <= max_rules_per_host)
-            & (F.col("rk") <= max_rules_per_host)
+            (~collapsed & (F.col("rk") <= max_rules_per_host))
+            | (collapsed & (F.col("rk") == 1))
         )
-        .select(*out_cols)
-    )
-    collapsed = (
-        marked.filter(F.col("_n_dis") > max_rules_per_host)
-        .select("host")
-        .distinct()
         .select(
             "host",
-            F.lit("disallow").alias("rule"),
-            F.lit("/").alias("prefix"),
-            F.lit(1).alias("prec"),
+            F.when(collapsed, F.lit("disallow")).otherwise(F.col("rule")).alias(
+                "rule"
+            ),
+            F.when(collapsed, F.lit("/")).otherwise(F.col("prefix")).alias(
+                "prefix"
+            ),
+            F.when(collapsed, F.lit(1)).otherwise(F.col("prec")).alias("prec"),
             *(
-                [F.lit(None).cast("string").alias("pattern_re")]
+                [
+                    F.when(
+                        collapsed, F.lit(None).cast("string")
+                    ).otherwise(F.col("pattern_re")).alias("pattern_re")
+                ]
                 if wildcard == "exact"
                 else []
             ),
         )
     )
-    return kept.unionByName(collapsed)
+    out._ccm_persisted = [starts]
+    return out
 
 
 def apply_robots(

@@ -144,14 +144,22 @@ def bm25_topk(
     else:
         postings = postings.join(F.broadcast(uniq_terms), "term", "left_semi")
 
-    # df for the query terms from the relation already in hand — one
-    # window count over the (tiny) query-term postings, not a second
-    # corpus-wide groupBy(term): postings holds one row per (term, doc),
-    # so rows-per-term IS the document frequency
-    with_df = postings.withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
+    # df for the query terms from the relation already in hand: a
+    # map-side-combined groupBy over the (already term-filtered)
+    # postings, broadcast back on — query-vocabulary-bounded. The r15
+    # window form (count over Window.partitionBy(term)) buffered every
+    # posting of a term in ONE task: for a stopword query term against
+    # a 100 TB index that is a single-task skew/memory hotspot (ADVICE
+    # r15 #1); the groupBy keeps partial aggregation and ALSO drops the
+    # hash(term) exchange of the matched postings the window forced.
+    # The df branch re-reads the postings aggregate's shuffle
+    # (ReusedExchange — canonically the same subtree), so the corpus is
+    # still tokenized once; values unchanged: postings holds one row
+    # per (term, doc), so count(*) per term IS the document frequency.
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    matched = postings.join(F.broadcast(dfreq), "term").join(
+        F.broadcast(q_terms), "term"
     )
-    matched = with_df.join(F.broadcast(q_terms), "term")
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))

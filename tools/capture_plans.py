@@ -47,6 +47,7 @@ def bench_local_queries():
 
     def knn_query(spark, sf_dir, lib_size=80, sample_id=0):
         import pyspark.sql.functions as F
+        from pyspark.storagelevel import StorageLevel
 
         from ccm_spark.operators.embedding import embed_bidirectional
         from ccm_spark.operators.knn import knn_candidates, top_k_neighbors
@@ -59,7 +60,11 @@ def bench_local_queries():
             [(int(ls),) for ls in PARAMS.lib_sizes], "lib_size int"
         )
         ladder = series.select("pair_id").distinct().crossJoin(explicit)
-        fanned = fan_out_with_rank(emb, ladder, PARAMS.num_samples, PARAMS.seed)
+        # r16: persisted exactly as bench.py's knn_query / the gated
+        # sample_corr_plan (the fan-out feeds both kNN join sides)
+        fanned = fan_out_with_rank(
+            emb, ladder, PARAMS.num_samples, PARAMS.seed
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         nn = top_k_neighbors(
             knn_candidates(fanned, PARAMS.embedding_dim), PARAMS.embedding_dim
         )
