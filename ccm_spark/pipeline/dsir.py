@@ -54,6 +54,15 @@ def ngram_feature_counts(
     md5 % dim → counted."""
     if n < 1 or dim < 1:
         raise ValueError(f"ngram_feature_counts: n and dim must be >= 1 (got {n}, {dim})")
+    from ccm_spark.functions.partitioning import spread
+
+    # r16: spread single-file inputs BEFORE the gram build — the n-gram
+    # transform + per-gram md5 are interpreted higher-order functions
+    # (CPU-bound per ROW), and a byte-small parquet input otherwise runs
+    # the whole pass on one or two scan partitions (profiled: the raw
+    # feats pass was ~4.7 s warm at sf0.1, the dominant dsir cost). The
+    # engine-wide spread() rule, same as corpus_divergence's counts().
+    docs = spread(docs, "doc_id")
     toks = tokens_col("text")
     # guarded: sequence(0, -1) would be a DESCENDING sequence in Spark,
     # not an empty one — short docs must yield an empty gram array
