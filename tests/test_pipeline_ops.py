@@ -972,3 +972,55 @@ def test_r15_rotated_rows_match_duckdb_replay(spark, sf_small):
             f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
             "or values differ"
         )
+
+
+def test_r16_rotated_rows_match_duckdb_replay(spark, sf_small):
+    """r16 rotation pins (QUERIES.md ledger): detect_gaps /
+    ann_cosine_topk / knn_graph lose their driver gate slots to
+    gap_monitor / hybrid_search_rrf / salted_join; each rotated-out
+    relation stays cross-engine hash-checked here at its GATE CONFIG
+    exactly the way the driver would check it. Transitive evidence on
+    top of this direct pin: sql_detect_gaps is nested verbatim inside
+    the incoming gap_monitor twin (closed rows = the batch relation cut
+    at the final watermark), sql_ann_cosine_topk verbatim inside the
+    incoming hybrid twin's vector arm, and sql_knn_graph MATERIALIZED
+    inside BOTH the still-gated knn_graph_insert and graph_diversity
+    twins."""
+    import duckdb
+
+    from ccm_spark import entry
+    from ccm_spark.plans import oracle_sql_ext as oe
+    from ccm_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_small}/{t}.parquet')"
+        )
+    cases = {
+        "detect_gaps": (entry.q_detect_gaps, oe.sql_detect_gaps()),
+        "ann_cosine_topk": (
+            entry.q_ann_cosine_topk,
+            oe.sql_ann_cosine_topk(),
+        ),
+        "knn_graph": (entry.q_knn_graph, oe.sql_knn_graph()),
+    }
+
+    def _key(t):
+        return tuple((v is None, str(v)) for v in t)
+
+    for name, (q, sql) in cases.items():
+        sdf = q(spark, sf_small)
+        cols = sorted(sdf.columns)
+        got = sorted((tuple(r[c] for c in cols) for r in sdf.collect()), key=_key)
+        rel = con.sql(sql)
+        d_cols = rel.columns
+        assert sorted(d_cols) == cols, (name, d_cols, cols)
+        d_rows = rel.fetch_arrow_table().to_pylist()
+        want = sorted((tuple(row[c] for c in cols) for row in d_rows), key=_key)
+        assert len(got) > 0
+        assert got == want, (
+            f"{name}: {len(got)} spark rows != {len(want)} oracle rows "
+            "or values differ"
+        )
