@@ -172,6 +172,9 @@ def main() -> None:
         "text_token_stats": E.q_text_token_stats,
         "pricing_summary": E.q_pricing_summary,
         "events_asof_join": E.q_events_asof_join,
+        # same for the r16 rotation (gap_monitor / hybrid_search_rrf /
+        # salted_join took the gate slots)
+        "ann_cosine_topk": E.q_ann_cosine_topk,
     }
 
     # median of REPEATS per query, pass-interleaved so a VM-noise burst

@@ -480,6 +480,24 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_embs(spark, sf_dir), n_queries=100, k=5)
 
 
+def q_hybrid_search_rrf(spark, sf_dir):
+    """End-to-end hybrid retrieval (pipeline/search.py, gated r16 —
+    staged r14 with twin + pins, re-preflighted 2026-08-17): bm25 over
+    each query doc's leading 8 whitespace tokens + cosine over its
+    embedding (doc_id == vec_id), fused by reciprocal-rank fusion
+    (k=60, at most two addends per (query, doc) so the fused score is
+    one IEEE addition — bit-identical cross-engine before its round-9).
+    The twin nests sql_ann_cosine_topk verbatim as its vector arm and
+    re-states the still-gated bm25_topk chain as its lexical arm, so
+    one row re-hashes both retrieval families every round."""
+    from ccm_spark.pipeline.search import hybrid_search_rrf
+
+    return hybrid_search_rrf(
+        _docs(spark, sf_dir), _embs(spark, sf_dir),
+        n_queries=20, k_each=10, top_k=10,
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(_embs(spark, sf_dir), n_queries=100, k=5)
 
@@ -1257,6 +1275,50 @@ def q_detect_gaps(spark, sf_dir):
     return detect_gaps(load_table(spark, sf_dir, "events"))
 
 
+def q_gap_monitor(spark, sf_dir):
+    """Streaming gap monitor (streaming/stateful.py, gated r16 —
+    staged r14 with twin + pins, re-preflighted 2026-08-17): the
+    deterministic 3-batch time-tercile replay of streaming_detect_gaps
+    over the events table — closed gaps plus EventTimeTimeout-driven
+    open-silence markers (the final no-data micro-batch applies the
+    last watermark). Gate geometry min_gap=1080 s / late=900 s is the
+    recorded driver-viable preflight (4,350 rows + 7 open markers at
+    sf0.01). The twin nests sql_detect_gaps VERBATIM (closed rows =
+    the batch relation cut at the final watermark), keeping the
+    rotated-out batch gap tree hash-gated through its superset."""
+    from ccm_spark.streaming.stateful import detect_gaps_watermarked_replay
+
+    return detect_gaps_watermarked_replay(
+        spark, sf_dir,
+        min_gap_us=1_080_000_000, late_us=900_000_000,
+        query_name="gap_monitor_gate",
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-proof salted equi-join (pipeline/skew.py, gated r16 —
+    staged r15, fixture promoted verbatim from tests/test_skew.py):
+    every document joined via salted_join (n_salts=8) to its
+    language's corpus stats — the canonical hot-key probe-side join
+    (documents.lang is the key_skew_report gate's own skewed key).
+    The oracle IS the plain join: salting is a pure shuffle-layout
+    transform, so the evidence is algorithm-independent (the
+    series_topk discipline)."""
+    from ccm_spark.pipeline.skew import salted_join
+
+    docs = _docs(spark, sf_dir)
+    probe = docs.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("doc_len")
+    )
+    build = docs.groupBy("lang").agg(
+        F.count("*").alias("lang_docs"),
+        F.sum(F.length("text")).cast("long").alias("lang_bytes"),
+    )
+    return salted_join(probe, build, "lang", n_salts=8).select(
+        "doc_id", "lang", "doc_len", "lang_docs", "lang_bytes"
+    )
+
+
 def q_key_skew_report(spark, sf_dir):
     """Shuffle-health skew diagnosis (pipeline/skew.py, gated r15):
     top-20 heaviest documents.lang keys with shares/cum-shares plus
@@ -1652,7 +1714,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus a DuckDB-replay pin in tests/test_pipeline_ops.py. Slot
         # went to eval_contamination.
         "eval_contamination": q_eval_contamination,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        # ann_cosine_topk rotated out r16 (QUERIES.md ledger):
+        # sql_ann_cosine_topk is nested VERBATIM inside the incoming
+        # hybrid_search_rrf twin (its vector arm), and the same twin's
+        # lexical arm re-states the still-gated bm25_topk chain — one
+        # incoming row re-hashes both retrieval families every round.
+        # Stays a bench HEADLINE query (same name/semantics) and keeps
+        # a direct gate-config replay pin in tests/test_pipeline_ops.py
+        # (test_r16_rotated_rows_match_duckdb_replay). Slot went to
+        # hybrid_search_rrf (the fusion family's first CORRECTNESS
+        # row).
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         # ann_ivf_topk rotated out r08 (QUERIES.md policy): the strided
         # probe/re-rank chain is the untrained special case of the
         # still-gated ann_ivf_kmeans_topk (same assign/probe/re-rank
@@ -1769,8 +1841,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in tests/test_events_ops.py (+ the LONG-overflow-guard pin)
         # and a gate-config replay pin in tests/test_pipeline_ops.py.
         # Slot went to detect_gaps (the monitoring pair's batch half,
-        # next to the staged streaming gap monitor).
-        "detect_gaps": q_detect_gaps,
+        # next to the staged streaming gap monitor). detect_gaps itself
+        # rotated out r16 (QUERIES.md ledger): its oracle generator
+        # sql_detect_gaps is nested VERBATIM inside the incoming
+        # gap_monitor twin (closed rows = the batch relation cut at the
+        # final watermark — the r15 hourly_anomalies precedent, one
+        # round later on the monitoring pair's other half); keeps its
+        # bench extra, tests/test_events_ops.py pins, and a direct
+        # gate-config replay pin in tests/test_pipeline_ops.py. Slot
+        # went to gap_monitor (the EventTimeTimeout open-silence
+        # family's first CORRECTNESS row).
+        "gap_monitor": q_gap_monitor,
         # text_vocab_topk rotated out r11 (QUERIES.md ledger): its token
         # relation is the splitter CTE the still-gated text_token_stats
         # hashes end-to-end, and the two-phase top-k pattern stays gated
@@ -1784,8 +1865,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionizer's rows); keeps the streaming==batch pin in
         # tests/test_stateful_streaming.py plus a DuckDB-replay pin in
         # tests/test_pipeline_ops.py. Slot went to knn_graph (the
-        # NN-descent graph family's first CORRECTNESS row).
-        "knn_graph": q_knn_graph,
+        # NN-descent graph family's first CORRECTNESS row). knn_graph
+        # itself rotated out r16 (QUERIES.md ledger): sql_knn_graph is
+        # nested MATERIALIZED/VERBATIM inside TWO still-gated twins
+        # (sql_knn_graph_insert's base_graph via the source hook, and
+        # sql_graph_diversity), so the descent chain — including the
+        # r16 seed/adjacency restructure — stays hash-gated twice
+        # over; keeps tests/test_ann_graph.py pins, the knn_graph_2k
+        # bench extra at descent geometry, and a direct gate-config
+        # replay pin in tests/test_pipeline_ops.py. Slot went to
+        # salted_join (the skew-mitigation family's first executable
+        # CORRECTNESS row — key_skew_report diagnoses, this one
+        # fixes).
+        "salted_join": q_salted_join,
         # events_quantiles rotated out r09 (QUERIES.md policy): the
         # exact-quantile relation keeps its pins (incl. the
         # approx_percentile 100 TB twin comparison) in
@@ -1855,7 +1947,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_insert": oext.sql_knn_graph_insert(),
         "series_topk": oext.sql_series_topk(),
         "eval_contamination": oext.sql_eval_contamination(),
-        "ann_cosine_topk": oext.sql_ann_cosine_topk(),
+        "hybrid_search_rrf": oext.sql_hybrid_search_rrf(
+            n_queries=20, k_each=10, top_k=10
+        ),
         "bpe_encode": oext.sql_bpe_encode(),
         "pq_topk": oext.sql_pq_topk(),
         "pagerank_hosts": oext.sql_pagerank_hosts(),
@@ -1868,9 +1962,11 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": oext.sql_shipping_priority(),
         "quantize_embeddings": oext.sql_quantize_embeddings(),
         "hits_hosts": oext.sql_hits_hosts(n_iters=5, quant=9),
-        "detect_gaps": oext.sql_detect_gaps(),
+        "gap_monitor": oext.sql_detect_gaps_watermarked(
+            min_gap_us=1_080_000_000, late_us=900_000_000
+        ),
         "bottomk_quantiles": oext.sql_bottomk_quantiles(),
-        "knn_graph": oext.sql_knn_graph(),
+        "salted_join": oext.sql_salted_join(),
         "streaming_hourly_stats": oext.sql_streaming_hourly_stats(),
         "local_supplier_volume": oext.sql_local_supplier_volume(),
         "hourly_anomalies_watermarked": oext.sql_hourly_anomalies_watermarked(
