@@ -1028,10 +1028,23 @@ def tfidf_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     are spread across doc partitions before the per-doc window.
     Returns ``(doc_id, rank, term, tf, score)``.
     """
+    from pyspark.storagelevel import StorageLevel
+
     occ = spread(docs, "doc_id").select(
         "doc_id", F.explode(tokens_col("text")).alias("term")
     )
-    tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # r16 (VERDICT r15 #5, the dsir recipe): tf feeds BOTH the df rollup
+    # and the scoring join — unpersisted, the corpus explode + per-doc
+    # aggregate ran twice (two physical subtrees, plans/r16/
+    # tfidf_terms_before.txt). Persist the (doc, term)-aggregated
+    # relation once; it is distinct-term-per-doc sized, far below the
+    # occurrence relation. Attached as ``_ccm_persisted`` for
+    # ``plans.cross_map.release_cached``.
+    tf = (
+        occ.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
@@ -1053,7 +1066,7 @@ def tfidf_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_raw").desc(), F.col("term").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
@@ -1064,6 +1077,8 @@ def tfidf_terms(docs: DataFrame, k: int = 5) -> DataFrame:
             (F.round("score_raw", 6) + F.lit(0.0)).alias("score"),
         )
     )
+    out._ccm_persisted = [tf]
+    return out
 
 
 #: lookaround-free sentence pattern — a run of non-terminators followed

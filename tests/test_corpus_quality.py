@@ -685,6 +685,26 @@ def test_tfidf_terms_matches_duckdb_twin(spark, sf_small):
     assert not mism, mism[:5]
 
 
+def test_tfidf_terms_persist_handle_released(spark, sf_small):
+    """r16: the (doc, term) tf aggregate is persisted (it feeds both the
+    df rollup and the scoring join — the dsir recipe) and must be
+    releasable via the standard _ccm_persisted handle so a long-lived
+    session does not accumulate executor cache."""
+    from ccm_spark.pipeline.text import tfidf_terms
+    from ccm_spark.plans.cross_map import release_cached
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = tfidf_terms(docs, k=5)
+    handles = getattr(out, "_ccm_persisted", [])
+    assert handles, "tf persist handle missing"
+    out.count()
+    assert all(h.storageLevel.useMemory or h.storageLevel.useDisk for h in handles)
+    release_cached(out)
+    assert all(
+        not (h.storageLevel.useMemory or h.storageLevel.useDisk) for h in handles
+    )
+
+
 # -------------------------------------------------------------- sentences
 
 
