@@ -79,7 +79,14 @@ def knn_candidates(
         *[F.col(c).alias(f"q_{c}") for c in e_cols],
         F.col("tgt").alias("q_tgt"),
     )
-    joined = preds.join(libs, GROUP_KEYS)
+    # r16 (guide §3.1): shuffled-hash instead of sort-merge — the join
+    # groups are bounded at one series' fan-out ((P-L) x L per group),
+    # so the per-partition build table is always safe, and SHJ drops
+    # BOTH join-input sorts (at scale: O(n log n) + spill per side).
+    # Same rows, same partitioning (the top-k window keeps sharing the
+    # join's exchange); the build side is the library half, the
+    # smaller side at the large lib_sizes that dominate the sweep.
+    joined = preds.join(libs.hint("shuffle_hash"), GROUP_KEYS)
     if exclusion_radius > 0:
         joined = joined.where(
             F.abs(F.col("q_p") - F.col("l_p")) > exclusion_radius
